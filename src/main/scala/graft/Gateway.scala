@@ -1,0 +1,96 @@
+package graft
+
+import java.util.UUID
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Functions
+
+/**
+ * Session wrapper + working-table registry (SURVEY.md §2.10 D1-D5) —
+ * lib/voter_file/csv_driver.rb:52-94 rebuilt.
+ *
+ * The reference's driver owns a registry of uniquely-named Postgres temp
+ * tables (`tmp_working_table_<rand>_<n>`, csv_driver.rb:5,59-60,76-82)
+ * and guarantees cleanup (csv_driver.rb:84-94). Here a "working table" is
+ * a registered DataFrame: `register` binds a name (rebinding = the
+ * immutable analogue of UPDATE-in-place, SURVEY §7.4-1), temp views make
+ * every registered table visible to `sql(...)`, and `cleanUp()` drops
+ * views and unpersists caches. Jobs run via `Gateway.withSession`, which
+ * replicates the ensure-cleanup lifecycle of import_job.rb:16-23.
+ */
+class Gateway(val spark: SparkSession) {
+  private val sessionId = UUID.randomUUID().toString.take(8)
+  private var counter = 0
+  private val registry = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val cached = mutable.ArrayBuffer.empty[DataFrame]
+
+  Functions.register(spark)
+
+  /** Unique working name (D1, csv_driver.rb:59-60). */
+  def freshName(prefix: String = "working"): String = {
+    counter += 1
+    s"gw_${sessionId}_${prefix}_$counter"
+  }
+
+  /** Bind (or rebind) a name to a DataFrame; also exposed as a temp view
+    * so `$S`/`$T` templates and `sql` can reference it. */
+  def register(name: String, df: DataFrame): DataFrame = {
+    registry.put(name, df)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def table(name: String): DataFrame =
+    registry.getOrElse(name, spark.table(name))
+
+  def tableExists(name: String): Boolean =
+    registry.contains(name) || spark.catalog.tableExists(name)
+
+  /** Cache a stage that is re-consumed (match results, invariant checks). */
+  def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    cached += p
+    p
+  }
+
+  /** D3: raw SQL passthrough (csv_driver.rb:177-179). */
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  /** D4: run a query, read the single count value
+    * (csv_driver.rb:192-195). */
+  def getCount(q: String): Long = spark.sql(q).collect()(0).getLong(0)
+
+  /** D2: drop all working state (csv_driver.rb:84-94). */
+  def cleanUp(): Unit = {
+    registry.keys.foreach(n => spark.catalog.dropTempView(n))
+    registry.clear()
+    cached.foreach(_.unpersist())
+    cached.clear()
+  }
+}
+
+object Gateway {
+
+  /** Job lifecycle with guaranteed cleanup (import_job.rb:16-23). */
+  def withSession[A](spark: SparkSession)(job: Gateway => A): A = {
+    val gw = new Gateway(spark)
+    try job(gw)
+    finally gw.cleanUp()
+  }
+
+  /** Local session tuned per the harness contract. */
+  def localSession(cpus: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,604 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.ops.{Similarity, TextAnalysis, TextDedup, Multimodal}
+
+/**
+ * Driver contract — one named query per implemented operator from
+ * SURVEY.md §2 (+ the training-data-pipeline extensions), each paired
+ * with ANSI SQL in [[SparkEntry.oracleSql]] for the DuckDB oracle.
+ *
+ * Oracle-parity rules observed throughout:
+ *  - aliases match exactly between the Spark result and the SQL;
+ *  - double aggregation goes through DECIMAL (exact, order-independent)
+ *    before a final cast back to double;
+ *  - per-row double arithmetic keeps the same expression tree on both
+ *    sides (bit-identical IEEE results);
+ *  - array folds (dot products, list sums) use sequential fold order on
+ *    both sides;
+ *  - every top-k has a deterministic tiebreak.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+      // as long (spark.sql.legacy.parquet.nanosAsLong); convert to a
+      // microsecond timestamp exactly like DuckDB does (truncation).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared builders ---------------------------------------------------
+
+  /** Conformed per-user source for the merge family (events → customer
+    * shape), with working_source_id preset to the natural key so insert
+    * pk generation is deterministic. */
+  private def mergeSource(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("event_id")).as("__min_event"),
+        sum(col("value").cast("decimal(18,2)")).as("__sum_value"))
+      .select(
+        col("user_id").as("c_custkey"),
+        concat(lit("User#"), col("user_id").cast("string")).as("c_name"),
+        (col("__min_event") % 25).cast("int").as("c_nationkey"),
+        col("__sum_value").cast("double").as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"))
+      .withColumn("working_source_id", col("c_custkey"))
+      .withColumn("matched_custkey", lit(null).cast("long"))
+
+  private def mergeTarget(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") < 100)
+
+  private def mergeSpecBase = MergeSpec(
+    matchSpec = MatchSpec(
+      groups = Seq(ExactGroup.onColumns("c_custkey")),
+      targetPk = "c_custkey"),
+    preservedColumns = Seq("c_mktsegment"),
+    mergeExpressions = Map("c_acctbal" -> "$T + $S"),
+    insertExpressions = Map("c_mktsegment" -> "'NEW'"),
+    excludedColumns = Seq("matched_custkey"),
+    returnToSource = Seq(("c_custkey", "matched_custkey")))
+
+  /** Shared oracle CTE prefix for the merge family. */
+  private val mergeOracleCtes: String =
+    """WITH src AS (
+      |  SELECT user_id AS c_custkey,
+      |         'User#' || CAST(user_id AS VARCHAR) AS c_name,
+      |         CAST(min(event_id) % 25 AS INTEGER) AS c_nationkey,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal,
+      |         'NEW' AS c_mktsegment
+      |  FROM events GROUP BY user_id),
+      |tgt AS (SELECT * FROM customer WHERE c_custkey < 100),
+      |upd AS (
+      |  SELECT t.c_custkey,
+      |         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+      |         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+      |         CASE WHEN s.c_custkey IS NOT NULL THEN t.c_acctbal + s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+      |         t.c_mktsegment
+      |  FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey),
+      |ins AS (
+      |  SELECT 99 + row_number() OVER (ORDER BY s.c_custkey) AS c_custkey,
+      |         s.c_name, s.c_nationkey, s.c_acctbal,
+      |         'NEW' AS c_mktsegment
+      |  FROM src s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+      |  WHERE t.c_custkey IS NULL)
+      |""".stripMargin
+
+  /** Flagship: the reference's central use case — conform + staged match
+    * + merge (SURVEY §7.2) — on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Merger.merge(mergeSource(spark, dir), mergeTarget(spark, dir),
+      mergeSpecBase).newTarget
+  }
+
+  // ---- query inventory ---------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1/P2/P3: typed projection + added column + row constraints
+    "q_conform" -> ((s, dir) => {
+      val spec = new WorkingTableSpec()
+        .mapColumn("event_id", sqlType = "BIGINT")
+        .mapColumn("user_id", sqlType = "BIGINT")
+        .mapColumn("type_name", from = "event_type", as = "upper($S)")
+        .mapColumn("event_day", from = "ts", as = "cast($S as date)", sqlType = "DATE")
+        .mapColumn("value", sqlType = "DOUBLE")
+        .addColumn("note")
+        .constrainColumn("event_type", "$S <> 'error'")
+        .constrainColumn("value", "$S IS NOT NULL")
+      WorkingTable.conform(t(s, dir, "events"), spec)
+    }),
+
+    // P4: in-load GROUP BY collapse
+    "q_group_records" -> ((s, dir) => {
+      val spec = new WorkingTableSpec()
+        .mapColumn("l_orderkey", sqlType = "BIGINT")
+        .mapColumn("l_quantity", sqlType = "DOUBLE")
+        .mapColumn("l_extendedprice", sqlType = "DOUBLE")
+        .groupRecordsBy("l_orderkey")
+      WorkingTable.conform(t(s, dir, "lineitem"), spec)
+    }),
+
+    // P5: correlated cross-table column update
+    "q_correlated_update" -> ((s, dir) =>
+      WorkingTable.mapColumnFromTable(
+        t(s, dir, "customer"), t(s, dir, "nation"),
+        targetColumn = "c_mktsegment", sourceColumn = "n_name",
+        keys = Seq(("c_nationkey", "n_nationkey")),
+        template = "$T || '/' || $S")),
+
+    // P6: geocoding prep
+    "q_geocode_prep" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .withColumn("residential_lat",
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .when(col("c_custkey") % 10 === 0, lit(0.0))
+            .otherwise(col("c_acctbal") % 90.0))
+        .withColumn("residential_lng", col("c_nationkey") * 7.5 - 90.0)
+      val prepped = WorkingTable.prepareForGeocoding(base, "c_name")
+      prepped.select(
+        col("c_custkey"), col("residential_lat"), col("residential_lng"),
+        col("needs_geocoding"),
+        when(col("residential_lat").isNotNull && col("residential_lng").isNotNull,
+          format_string("POINT(%.6f %.6f)",
+            col("residential_lng"), col("residential_lat"))).as("point_wkt"))
+    }),
+
+    // J1/J3: staged exact match, first-match-wins + theta constraints
+    "q_exact_match" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .withColumn(Matcher.SourceId, col("event_id"))
+      val spec = MatchSpec(
+        groups = Seq(
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")),
+            constraints = Seq(MatchConstraint("value", "$S > 100"))),
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")),
+            constraints = Seq(MatchConstraint("c_acctbal", "$T >= 0"))),
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")))),
+        targetPk = "c_custkey")
+      Matcher.matchRecords(src, t(s, dir, "customer"), spec)
+        .select(col("event_id"), col(Matcher.TargetId), col(Matcher.MatchGroup))
+    }),
+
+    // J4: auxiliary join table participating in the match condition
+    "q_match_aux" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem")
+        .withColumn(Matcher.SourceId,
+          col("l_orderkey") * 10 + col("l_linenumber"))
+      val spec = MatchSpec(
+        groups = Seq(ExactGroup(
+          Seq(KeyPair("l_suppkey", "s_suppkey")),
+          auxJoins = Seq(AuxJoin(t(s, dir, "nation"), "aux",
+            "t.s_nationkey = aux.n_nationkey AND aux.n_regionkey < 2")))),
+        targetPk = "s_suppkey")
+      Matcher.matchRecords(src, t(s, dir, "supplier"), spec)
+        .select(col(Matcher.SourceId), col(Matcher.TargetId),
+          col(Matcher.MatchGroup))
+    }),
+
+    // A6: match-rate counts over the staged match
+    "q_match_rate" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .withColumn(Matcher.SourceId, col("event_id"))
+      val spec = MatchSpec(
+        groups = Seq(
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")),
+            constraints = Seq(MatchConstraint("value", "$S > 100"))),
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")),
+            constraints = Seq(MatchConstraint("c_acctbal", "$T >= 0"))),
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")))),
+        targetPk = "c_custkey")
+      Audits.matchGroupCounts(
+        Matcher.matchRecords(src, t(s, dir, "customer"), spec))
+    }),
+
+    // M1+M2 (+M4 keys): full upsert — update matched, insert rest
+    "q_merge_upsert" -> ((s, dir) =>
+      Merger.merge(mergeSource(s, dir), mergeTarget(s, dir),
+        mergeSpecBase).newTarget),
+
+    // M3: update_only
+    "q_merge_update_only" -> ((s, dir) =>
+      Merger.merge(mergeSource(s, dir), mergeTarget(s, dir),
+        mergeSpecBase.copy(updateOnly = true)).newTarget),
+
+    // M3: insert_only
+    "q_merge_insert_only" -> ((s, dir) =>
+      Merger.merge(mergeSource(s, dir), mergeTarget(s, dir),
+        mergeSpecBase.copy(insertOnly = true)).newTarget),
+
+    // M4: RETURNING write-back into the source
+    "q_merge_returning" -> ((s, dir) =>
+      Merger.merge(mergeSource(s, dir), mergeTarget(s, dir), mergeSpecBase)
+        .updatedSource
+        .select(col("c_custkey"), col("c_name"), col("matched_custkey"))),
+
+    // M5/M6: self-table dedup with orientation + fold
+    "q_dedup" -> ((s, dir) => {
+      val spec = MergeSpec(
+        matchSpec = MatchSpec(
+          groups = Seq(ExactGroup.onColumns("o_custkey", "o_orderdate")),
+          targetPk = "o_orderkey"),
+        mergeExpressions = Map("o_totalprice" -> "$T + $S"))
+      Deduper.dedup(t(s, dir, "orders"), spec).newTable
+    }),
+
+    // A1/A2: one-pass per-column coverage profile
+    "q_audit_coverage" -> ((s, dir) =>
+      Audits.coverage(t(s, dir, "customer"),
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+
+    // A3: duplicate-key detection
+    "q_audit_dupkeys" -> ((s, dir) =>
+      Audits.duplicateKeys(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderdate"))),
+
+    // A4: value distribution top-k with deterministic tiebreak
+    "q_audit_distribution" -> ((s, dir) =>
+      Audits.distribution(t(s, dir, "events"), "event_type", 20)),
+
+    // A5: boolean-expression distribution
+    "q_audit_expr_dist" -> ((s, dir) =>
+      Audits.expressionDistribution(t(s, dir, "events"),
+        col("value") > 50.0)),
+
+    // J6: trigram fuzzy KNN + greedy 1:1 (no SQL oracle: iterative).
+    // Source = perturbed document snippets (e→3 leetspeak); the fuzzy
+    // matcher should re-link most of them to their original document.
+    "q_fuzzy_match" -> ((s, dir) => {
+      val snippet = substring(col("text"), 1, 60)
+      val src = t(s, dir, "documents")
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as(Matcher.SourceId),
+          translate(snippet, "e", "3").as("snippet"))
+      val tgt = t(s, dir, "documents")
+        .select(col("doc_id"), snippet.as("snippet"))
+      val pairs = Fuzzy.candidatePairs(
+        src, Matcher.SourceId, "snippet", tgt, "doc_id", "snippet")
+      Fuzzy.greedyAssign(pairs, Matcher.SourceId, "doc_id")
+        .select(col(Matcher.SourceId), col("doc_id").as("matched_key"),
+          round(col("distance"), 6).as("distance"))
+    }),
+
+    // ---- training-data pipeline extensions ----
+
+    // exact hash-groupBy dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      TextDedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // MinHash+LSH near-dup (probabilistic band recall → rows-only check)
+    "q_dedup_minhash" -> ((s, dir) =>
+      TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 5, numHashes = 64, bands = 8,
+        jaccardThreshold = 0.8)),
+
+    // exact n-gram Jaccard with deterministic length-band blocking
+    "q_ngram_jaccard" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 5, threshold = 0.5, bandWidth = 32)),
+
+    // SimHash near-dup (xxhash64-based → rows-only check)
+    "q_simhash" -> ((s, dir) =>
+      TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12)),
+
+    // brute-force cosine top-k (correctness baseline for ANN)
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // IVF-probed approximate top-k (scale path; recall tested in specs)
+    "q_simsearch_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // per-document text analysis profile
+    "q_text_profile" -> ((s, dir) =>
+      TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")),
+
+    // multimodal: payload + typed metadata (metadata-only query prunes
+    // the payload column at the parquet scan)
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("media_meta.media_type").as("media_type"),
+          col("media_meta.byte_length").as("byte_length"),
+          col("media_meta.checksum").as("checksum"))),
+
+    // multimodal: batched (stub) decode — plumbing check, rows-only
+    "q_multimodal_decode" -> ((s, dir) => {
+      val payload = Multimodal.attachPayload(
+        t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(payload, "doc_id")
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          element_at(col("feature"), 1).as("f_len"))
+    })
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same parquet tables) ------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_conform" ->
+      """SELECT event_id, user_id, upper(event_type) AS type_name,
+        | CAST(ts AS DATE) AS event_day, value, CAST(NULL AS VARCHAR) AS note
+        |FROM events WHERE event_type <> 'error' AND value IS NOT NULL""".stripMargin,
+
+    "q_group_records" ->
+      """SELECT l_orderkey, min(l_quantity) AS l_quantity,
+        | min(l_extendedprice) AS l_extendedprice
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q_correlated_update" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        | CASE WHEN s.n_name IS NOT NULL THEN c_mktsegment || '/' || s.n_name
+        |      ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer c LEFT JOIN
+        | (SELECT n_nationkey, min(n_name) AS n_name FROM nation GROUP BY 1) s
+        | ON c.c_nationkey = s.n_nationkey""".stripMargin,
+
+    "q_geocode_prep" ->
+      """WITH base AS (
+        | SELECT c_custkey, c_name,
+        |  CASE WHEN c_acctbal < 0 THEN NULL
+        |       WHEN c_custkey % 10 = 0 THEN 0.0
+        |       ELSE c_acctbal % 90.0 END AS residential_lat,
+        |  c_nationkey * 7.5 - 90.0 AS residential_lng
+        | FROM customer)
+        |SELECT c_custkey, residential_lat, residential_lng,
+        | (c_name IS NOT NULL AND trim(c_name) <> ''
+        |   AND (residential_lat IS NULL OR residential_lat = 0.0)) AS needs_geocoding,
+        | CASE WHEN residential_lat IS NOT NULL AND residential_lng IS NOT NULL
+        |      THEN printf('POINT(%.6f %.6f)', residential_lng, residential_lat)
+        | END AS point_wkt
+        |FROM base""".stripMargin,
+
+    "q_exact_match" ->
+      """WITH cand AS (
+        | SELECT e.event_id, c.c_custkey AS tid, 1 AS grp FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey AND e.value > 100
+        | UNION ALL
+        | SELECT e.event_id, c.c_custkey, 2 FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey AND c.c_acctbal >= 0
+        | UNION ALL
+        | SELECT e.event_id, c.c_custkey, 3 FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey),
+        |r AS (SELECT event_id, tid, grp,
+        |       row_number() OVER (PARTITION BY event_id ORDER BY grp, tid) rn
+        |      FROM cand)
+        |SELECT e.event_id, r.tid AS working_target_id,
+        |       r.grp AS working_exact_match_group
+        |FROM events e LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        | ON e.event_id = r.event_id""".stripMargin,
+
+    "q_match_aux" ->
+      """WITH cand AS (
+        | SELECT l.l_orderkey*10 + l.l_linenumber AS working_source_id,
+        |        s.s_suppkey AS tid
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey < 2),
+        |r AS (SELECT working_source_id, tid,
+        |       row_number() OVER (PARTITION BY working_source_id ORDER BY tid) rn
+        |      FROM cand)
+        |SELECT l.l_orderkey*10 + l.l_linenumber AS working_source_id,
+        |       r.tid AS working_target_id,
+        |       CASE WHEN r.tid IS NOT NULL THEN 1 END AS working_exact_match_group
+        |FROM lineitem l LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        | ON l.l_orderkey*10 + l.l_linenumber = r.working_source_id""".stripMargin,
+
+    "q_match_rate" ->
+      """WITH cand AS (
+        | SELECT e.event_id, c.c_custkey AS tid, 1 AS grp FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey AND e.value > 100
+        | UNION ALL
+        | SELECT e.event_id, c.c_custkey, 2 FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey AND c.c_acctbal >= 0
+        | UNION ALL
+        | SELECT e.event_id, c.c_custkey, 3 FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey),
+        |r AS (SELECT event_id, grp,
+        |       row_number() OVER (PARTITION BY event_id ORDER BY grp, tid) rn
+        |      FROM cand),
+        |m AS (SELECT e.event_id, r.grp FROM events e
+        |      LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        |       ON e.event_id = r.event_id)
+        |SELECT grp AS working_exact_match_group, count(*) AS count
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_merge_upsert" -> (mergeOracleCtes +
+      "SELECT * FROM upd UNION ALL SELECT * FROM ins"),
+
+    "q_merge_update_only" -> (mergeOracleCtes + "SELECT * FROM upd"),
+
+    "q_merge_insert_only" -> (mergeOracleCtes +
+      "SELECT * FROM tgt UNION ALL SELECT * FROM ins"),
+
+    "q_merge_returning" -> (mergeOracleCtes +
+      """, ret AS (
+        | SELECT s.c_custkey, s.c_name,
+        |        COALESCE(t.c_custkey, i.c_custkey) AS matched_custkey
+        | FROM src s
+        | LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+        | LEFT JOIN (SELECT c_custkey,
+        |             99 + row_number() OVER (ORDER BY c_custkey) AS new_id
+        |            FROM src WHERE c_custkey NOT IN (SELECT c_custkey FROM tgt)) i0
+        |  ON FALSE
+        | LEFT JOIN (
+        |   SELECT s2.c_custkey AS src_key,
+        |          99 + row_number() OVER (ORDER BY s2.c_custkey) AS c_custkey
+        |   FROM src s2 LEFT JOIN tgt t2 ON s2.c_custkey = t2.c_custkey
+        |   WHERE t2.c_custkey IS NULL) i
+        |  ON s.c_custkey = i.src_key)
+        |SELECT c_custkey, c_name, matched_custkey FROM ret""".stripMargin),
+
+    "q_dedup" ->
+      """WITH m AS (
+        | SELECT o_orderkey,
+        |        min(o_orderkey) OVER (PARTITION BY o_custkey, o_orderdate) AS survivor
+        | FROM orders),
+        |dup AS (SELECT o.*, m.survivor FROM orders o
+        |        JOIN m ON o.o_orderkey = m.o_orderkey
+        |        WHERE m.survivor < o.o_orderkey),
+        |best AS (SELECT survivor, min(o_orderkey) AS fold_key FROM dup GROUP BY survivor),
+        |fold AS (SELECT b.survivor, d.o_totalprice AS fold_price
+        |         FROM best b JOIN dup d ON d.o_orderkey = b.fold_key)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+        |       CASE WHEN f.survivor IS NOT NULL THEN o.o_totalprice + f.fold_price
+        |            ELSE o.o_totalprice END AS o_totalprice,
+        |       o.o_orderdate, o.o_orderpriority
+        |FROM orders o LEFT JOIN fold f ON o.o_orderkey = f.survivor
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM dup)""".stripMargin,
+
+    "q_audit_coverage" ->
+      """SELECT count(*) AS total_count,
+        | count(CASE WHEN c_name IS NOT NULL AND trim(CAST(c_name AS VARCHAR)) <> '' THEN 1 END) AS c_name_coverage,
+        | count(CASE WHEN c_nationkey IS NOT NULL AND trim(CAST(c_nationkey AS VARCHAR)) <> '' THEN 1 END) AS c_nationkey_coverage,
+        | count(CASE WHEN c_acctbal IS NOT NULL AND trim(CAST(c_acctbal AS VARCHAR)) <> '' THEN 1 END) AS c_acctbal_coverage,
+        | count(CASE WHEN c_mktsegment IS NOT NULL AND trim(CAST(c_mktsegment AS VARCHAR)) <> '' THEN 1 END) AS c_mktsegment_coverage
+        |FROM customer""".stripMargin,
+
+    "q_audit_dupkeys" ->
+      """SELECT o_custkey, o_orderdate, count(*) AS dup_count
+        |FROM orders GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "q_audit_distribution" ->
+      """SELECT event_type, count(*) AS count FROM events
+        |GROUP BY 1 ORDER BY count DESC, event_type ASC LIMIT 20""".stripMargin,
+
+    "q_audit_expr_dist" ->
+      """SELECT (value > 50.0) AS value, count(*) AS count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+        | count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s,
+        |  CAST(floor(length(norm) / 32) AS BIGINT) AS band
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents)),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 20 = 0),
+        |scored AS (
+        | SELECT q.query_id, v.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(q.qe)),
+        |    i -> q.qe[i] * v.e[i]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(generate_series(1, len(q.qe)),
+        |    i -> q.qe[i] * q.qe[i]), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(generate_series(1, len(v.e)),
+        |    i -> v.e[i] * v.e[i]), 'sum'))) AS cosine
+        | FROM q JOIN v ON q.query_id <> v.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_text_profile" -> textProfileOracle,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+        | md5(text) AS checksum
+        |FROM documents""".stripMargin
+  )
+
+  /** q_text_profile oracle — mirrors TextAnalysis.profile expression by
+    * expression (same normalization, same fold order, same rounding). */
+  private def textProfileOracle: String = {
+    val stopword = (words: Seq[String]) =>
+      s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+    val langs = TextAnalysis.StopwordLists
+    val n = langs.size
+    val scoreDefs = langs.zipWithIndex.map { case ((lang, words), i) =>
+      s"${stopword(words)} * 8 + ${n - i} AS s_$lang"
+    }.mkString(", ")
+    val bestExpr = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+    val langCase = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    val allZero = langs.map(l => s"s_${l._1} <= $n").mkString(" AND ")
+    s"""WITH base AS (
+       | SELECT doc_id, text,
+       |  lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+       |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       | FROM documents),
+       |counts AS (
+       | SELECT doc_id, text, norm, toks,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+       |  length(text) - length(regexp_replace(text, '[.,!?;:()"'']', '', 'g')) AS n_punct,
+       |  $scoreDefs
+       | FROM base),
+       |feat AS (
+       | SELECT doc_id, length(text) AS n_chars, n_tokens, n_subwords,
+       |  CASE WHEN n_tokens > 0 THEN
+       |    round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens, 4)
+       |  ELSE 0.0 END AS mean_token_len,
+       |  CASE WHEN length(text) > 0 THEN
+       |    round(CAST(n_punct AS DOUBLE) / length(text), 4)
+       |  ELSE 0.0 END AS punct_ratio,
+       |  $bestExpr AS best, $allZero AS all_zero,
+       |  ${langs.map(l => s"s_${l._1}").mkString(", ")},
+       |  CASE WHEN n_tokens > 0
+       |   THEN CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens
+       |   ELSE 0.0 END AS mtl_raw,
+       |  CASE WHEN length(text) > 0
+       |   THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END AS pr_raw,
+       |  ${stopword(langs.head._2)} AS en_hits, toks, norm, text
+       | FROM counts),
+       |quality AS (
+       | SELECT *,
+       |  least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) AS len_score,
+       |  CASE WHEN mtl_raw >= 3 AND mtl_raw <= 10 THEN 1.0 ELSE 0.5 END AS shape_score,
+       |  1.0 - least(pr_raw * 4.0, 1.0) AS punct_score,
+       |  CASE WHEN CAST(en_hits AS DOUBLE) /
+       |        greatest(CAST(n_tokens AS DOUBLE), 1.0) >= 0.01
+       |       THEN 1.0 ELSE 0.5 END AS stop_score
+       | FROM feat)
+       |SELECT doc_id, n_chars, n_tokens, n_subwords, mean_token_len, punct_ratio,
+       | CASE WHEN all_zero THEN 'unknown' $langCase ELSE 'unknown' END AS lang_pred,
+       | round(len_score * 0.4 + shape_score * 0.2 + punct_score * 0.2
+       |       + stop_score * 0.2, 4) AS quality,
+       | CASE WHEN length(norm) = 0 THEN NULL ELSE
+       |  list_min(list_transform(
+       |    generate_series(1, greatest(1, length(norm) - 7)),
+       |    i -> md5(substring(norm, i, 8)))) END AS fingerprint
+       |FROM quality""".stripMargin
+  }
 }

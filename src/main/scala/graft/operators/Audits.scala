@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Audit reports (SURVEY.md §2.5 A1-A6, §3.3) — dry-run profiling of
+ * sources, tables, and merges. Reference: lib/voter_file/csv_audit.rb,
+ * database_audit.rb, merge_audit.rb, dedup_audit.rb.
+ *
+ * Every audit is a pure aggregation over the same lineage the real
+ * operation uses; multi-column profiles are computed in ONE pass
+ * (a single agg with conditional counts) instead of the reference's
+ * one-query-per-column loop — at 100 TB that is one scan, not N.
+ */
+object Audits {
+
+  /** Non-blank coverage predicate (csv_audit.rb:113-117,
+    * database_audit.rb:67-69): NOT NULL and trimmed text non-empty. */
+  def nonBlank(c: Column): Column =
+    c.isNotNull && trim(c.cast("string")) =!= ""
+
+  /**
+   * A2: per-column coverage — count of non-blank values per column,
+   * single pass. Returns one row: total plus `<col>_coverage` counts.
+   */
+  def coverage(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("total_count") +:
+      columns.map(c =>
+        count(when(nonBlank(col(c)), lit(1))).as(s"${c}_coverage"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A3: duplicate-key detection — keys occurring more than once.
+    * (csv_audit.rb:104-111 probes with LIMIT 1; we return the full
+    * duplicate-key relation so callers can count or probe.) */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** A4: value distribution, top-k by count (database_audit.rb:85-96)
+    * with a deterministic value tiebreak. */
+  def distribution(df: DataFrame, column: String, limit: Int = 20): DataFrame =
+    df.groupBy(col(column))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(column).asc_nulls_last)
+      .limit(limit)
+
+  /** A5: distribution of an arbitrary boolean/scalar expression
+    * (database_audit.rb:75-83). */
+  def expressionDistribution(df: DataFrame, e: Column): DataFrame =
+    df.groupBy(e.as("value")).agg(count(lit(1)).as("count"))
+
+  /** A6: match-rate counts per match group from a matched working
+    * source (merge_audit_sql.rb:10-19, merge_audit.rb:20-34). */
+  def matchGroupCounts(matched: DataFrame): DataFrame =
+    matched.groupBy(col(Matcher.MatchGroup))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col(Matcher.MatchGroup).asc_nulls_last)
+}
+
+/** Merge dry-run audit (merge_audit.rb): run ONLY the match phase, then
+  * report totals + per-group match counts/rates. */
+final case class MergeAuditReport(
+    totalCount: Long,
+    groupCounts: Map[Int, Long]) {
+  def matchedCount: Long = groupCounts.values.sum
+  def matchRate: Double =
+    if (totalCount == 0) 0.0 else matchedCount.toDouble / totalCount
+  override def toString: String = {
+    val groups = groupCounts.toSeq.sortBy(_._1).map { case (g, n) =>
+      f"  group $g: $n (${100.0 * n / math.max(1L, totalCount)}%.2f%%)"
+    }.mkString("\n")
+    f"MergeAudit(total=$totalCount, matched=$matchedCount, rate=${matchRate * 100}%.2f%%)\n$groups"
+  }
+}
+
+object MergeAudit {
+  def audit(source: DataFrame, target: DataFrame, spec: MergeSpec): MergeAuditReport = {
+    val withId = Matcher.withSourceId(source)
+    val exact = Matcher.matchRecords(withId, target, spec.matchSpec)
+    val matched =
+      if (spec.matchSpec.fuzzyColumns.nonEmpty)
+        Fuzzy.fuzzyMatch(exact, target, spec.matchSpec.targetPk,
+          spec.matchSpec.fuzzyColumns, spec.matchSpec.groups.size,
+          spec.matchSpec.fuzzyLimit)
+      else exact
+    val cached = matched.persist()
+    val total = cached.count()
+    val counts = cached.filter(col(Matcher.MatchGroup).isNotNull)
+      .groupBy(col(Matcher.MatchGroup)).count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cached.unpersist()
+    MergeAuditReport(total, counts)
+  }
+}
+
+/** Dedup dry-run audit (dedup_audit.rb): match counts + invariant
+  * counts, no mutation. */
+final case class DedupAuditReport(
+    totalCount: Long,
+    groupCounts: Map[Int, Long],
+    reflexiveCount: Long,
+    symmetricCount: Long)
+
+object DedupAudit {
+  def audit(table: DataFrame, spec: MergeSpec,
+            orientation: Option[MatchConstraint] = None): DedupAuditReport = {
+    val pk = spec.matchSpec.targetPk
+    val orient = orientation.getOrElse(Deduper.defaultOrientation(pk))
+    val ms = spec.matchSpec.copy(groups = spec.matchSpec.groups.map(g =>
+      g.copy(constraints = g.constraints :+ orient)))
+    val withId = Matcher.withSourceId(table)
+    val matched = Matcher.matchRecords(withId, table, ms).persist()
+    val total = matched.count()
+    val counts = matched.filter(col(Matcher.MatchGroup).isNotNull)
+      .groupBy(col(Matcher.MatchGroup)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refl = Matcher.reflexiveCount(matched, pk)
+    val symm = Matcher.symmetricCount(matched, pk)
+    matched.unpersist()
+    DedupAuditReport(total, counts, refl, symm)
+  }
+}
+
+/** CSV profiling (csv_audit.rb:15-101): row counts, duplicate keys,
+  * per-column coverage, malformed count. */
+final case class CsvAuditReport(
+    rowCount: Long,
+    malformedCount: Long,
+    keyIsUnique: Boolean,
+    coverage: Map[String, Long])
+
+object CsvAudit {
+  def audit(df: DataFrame, keys: Seq[String], columns: Seq[String],
+            malformedCount: Long = 0L): CsvAuditReport = {
+    val cov = Audits.coverage(df, columns).collect()(0)
+    val total = cov.getLong(0)
+    val covMap = columns.zipWithIndex.map { case (c, i) =>
+      c -> cov.getLong(i + 1)
+    }.toMap
+    val unique =
+      keys.isEmpty || Audits.duplicateKeys(df, keys).limit(1).count() == 0
+    CsvAuditReport(total, malformedCount, unique, covMap)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Template
+
+/**
+ * Self-table dedup with merge orientation + safety invariants (M5/M6,
+ * SURVEY.md §2.4) — lib/voter_file/dedup_driver.rb rebuilt.
+ *
+ * Reference protocol (dedup_driver.rb:9-83):
+ *  1. source table == target table; match groups find duplicate pairs;
+ *  2. a merge-orientation constraint decides the survivor — default
+ *     `$T < $S` on the pk, i.e. the smaller pk survives
+ *     (dedup_driver.rb:53-63);
+ *  3. INVARIANTS, enforced before any mutation (dedup_driver.rb:22-28,
+ *     merge_audit_sql.rb:21-36): reflexive matches (row matched to
+ *     itself) == 0 and symmetric matches (a survivor that is itself a
+ *     duplicate) == 0, else raise;
+ *  4. DELETE the duplicate rows and fold their values into the
+ *     survivors via the merge column routing (dedup_driver.rb:65-82).
+ *
+ * Spark rebuild: survivors = table ⟖(anti) duplicates-by-pk; fold = the
+ * M1 update join with the duplicate rows as source. The invariant counts
+ * are deliberate mid-pipeline actions, so the matched DF is cached first
+ * (SURVEY §7.4-5). Transitive chains (a→b→c) violate the symmetric
+ * invariant and raise, exactly like the reference.
+ */
+final case class DedupResult(
+    newTable: DataFrame,
+    duplicates: DataFrame,
+    reflexiveCount: Long,
+    symmetricCount: Long)
+
+object Deduper {
+  import Matcher.{SourceId, TargetId, MatchGroup}
+
+  /** Default merge orientation: keep the smaller pk
+    * (dedup_driver.rb:57-59). */
+  def defaultOrientation(pk: String): MatchConstraint =
+    MatchConstraint(pk, "$T < $S")
+
+  def dedup(table: DataFrame, spec: MergeSpec,
+            orientation: Option[MatchConstraint] = None,
+            enforceInvariants: Boolean = true): DedupResult = {
+    val ms0 = spec.matchSpec
+    val pk = ms0.targetPk
+    val orient = orientation.getOrElse(defaultOrientation(pk))
+    val ms = ms0.copy(groups = ms0.groups.map(g =>
+      g.copy(constraints = g.constraints :+ orient)))
+
+    val withId = Matcher.withSourceId(table)
+    val matched0 = Matcher.matchRecords(withId, table, ms)
+    val matched =
+      if (ms.fuzzyColumns.nonEmpty)
+        Fuzzy.fuzzyMatch(matched0, table, pk, ms.fuzzyColumns,
+          ms.groups.size, ms.fuzzyLimit)
+      else matched0
+
+    val cached = matched.persist()
+    val reflexive = Matcher.reflexiveCount(cached, pk)
+    val symmetric = Matcher.symmetricCount(cached, pk)
+    if (enforceInvariants) {
+      require(reflexive == 0,
+        s"dedup invariant violated: $reflexive reflexive matches")
+      require(symmetric == 0,
+        s"dedup invariant violated: $symmetric symmetric matches")
+    }
+
+    val dupes = cached.filter(col(TargetId).isNotNull)
+    val survivors = table.join(
+      dupes.select(col(pk)).distinct(), Seq(pk), "left_anti")
+
+    // fold duplicate values into survivors (M1 routing, dupes as source)
+    val wTgt = Window.partitionBy(col(TargetId)).orderBy(col(pk).asc)
+    val bestPerSurvivor = dupes
+      .withColumn("__rn", row_number().over(wTgt))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val corr = survivors.columns.toSeq
+      .filterNot(spec.excludedColumns.contains)
+      .filterNot(spec.preservedColumns.contains)
+      .filterNot(_ == pk)
+      .filterNot(Seq(SourceId, TargetId, MatchGroup).contains)
+
+    val joined = survivors.as("t").join(
+      bestPerSurvivor.as("s"),
+      col(s"t.$pk") === col(s"s.$TargetId"), "left")
+    val hit = col(s"s.$TargetId").isNotNull
+    val updateSet: Map[String, org.apache.spark.sql.Column] = {
+      val moves = spec.columnMap.map { case (src, dst) =>
+        dst -> col(s"t.$src") }.toMap
+      val merges = spec.mergeExpressions.map { case (c, tpl) =>
+        c -> Template.toColumn(tpl, Some(s"s.$c"), Some(s"t.$c")) }
+      // dedup folds ONLY explicit merge expressions/moves by default:
+      // blind source-copy would overwrite survivor values with duplicate
+      // values, which the reference only does for explicitly routed
+      // columns in practice (dedup jobs set merge expressions).
+      moves ++ merges
+    }
+    val outCols = survivors.columns.map { c =>
+      updateSet.get(c) match {
+        case Some(v) => when(hit, v).otherwise(col(s"t.$c")).as(c)
+        case None    => col(s"t.$c").as(c)
+      }
+    }
+    val folded = joined.select(outCols.toIndexedSeq: _*)
+    cached.unpersist()
+    DedupResult(folded, dupes, reflexive, symmetric)
+  }
+}

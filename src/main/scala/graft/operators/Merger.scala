@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.Template
+
+/**
+ * Merge/upsert planner (M1-M4, SURVEY.md §2.4) —
+ * lib/voter_file/csv_driver/record_merger.rb rebuilt on immutable
+ * DataFrames.
+ *
+ * Column routing, given the conformed source's columns
+ * (record_merger.rb:118-156):
+ *  - `excluded_columns` never move;
+ *  - `preserved_columns` are excluded from UPDATE but included in INSERT;
+ *  - `column_map` moves the TARGET's old value of one column into another
+ *    target column on update (record_merger.rb:118-124);
+ *  - `merge_expressions` combine `$S`/`$T` per column
+ *    (record_merger.rb:34-36,126-132);
+ *  - `insert_expressions` provide INSERT-phase values
+ *    (record_merger.rb:38-40,150-156);
+ *  - remaining shared columns copy `s.col` verbatim on update and insert
+ *    (record_merger.rb:134-136,142-144).
+ *
+ * The reference's UPDATE..FROM / INSERT..SELECT pair becomes:
+ *   newTarget = (target ⟕ bestMatchPerTarget → per-column
+ *                when(matched, newVal).otherwise(old))
+ *               ∪ unmatched-source insert projection
+ * and RETURNING write-back (M4, record_merger.rb:158-176) is just
+ * another join: matches are data here, not side effects.
+ *
+ * Scale notes: the update join shuffles on the target pk once (or
+ * broadcasts the matched side when small — it is keyed, pre-aggregated,
+ * and column-pruned before the join); the insert branch is a narrow
+ * projection; the union is free. Inserted rows get fresh pks generated as
+ * max(existing)+dense rank — one tiny extra aggregate, deterministic for
+ * the oracle, unique at any scale.
+ */
+final case class MergeSpec(
+    matchSpec: MatchSpec,
+    excludedColumns: Seq[String] = Nil,
+    preservedColumns: Seq[String] = Nil,
+    /** (sourceOfOldValue, destination): dest := old t.sourceOfOldValue. */
+    columnMap: Seq[(String, String)] = Nil,
+    /** column → `$S`/`$T` template. */
+    mergeExpressions: Map[String, String] = Map.empty,
+    /** column → `$S` template / constant SQL. */
+    insertExpressions: Map[String, String] = Map.empty,
+    updateOnly: Boolean = false,
+    insertOnly: Boolean = false,
+    /** (targetColumn, sourceColumn): write target value back to source. */
+    returnToSource: Seq[(String, String)] = Nil,
+    /** insert-phase filters: `$S` templates on source columns; `$T`-
+      * referencing constraints are dropped for this phase
+      * (record_merger.rb:111-116 — intended semantics, without the
+      * reference's destructive list mutation, SURVEY §7.5). */
+    insertConstraints: Seq[MatchConstraint] = Nil)
+
+final case class MergeResult(
+    newTarget: DataFrame,
+    updatedSource: DataFrame,
+    matched: DataFrame)
+
+object Merger {
+  import Matcher.{SourceId, TargetId, MatchGroup}
+
+  /** Columns of `source` that participate in the merge at all. */
+  private def mergeableColumns(source: DataFrame, target: DataFrame,
+                               spec: MergeSpec): Seq[String] = {
+    val tCols = target.columns.toSet
+    source.columns.toSeq
+      .filter(tCols.contains)
+      .filterNot(spec.excludedColumns.contains)
+      .filterNot(Seq(SourceId, TargetId, MatchGroup).contains)
+      .filterNot(_ == spec.matchSpec.targetPk)
+  }
+
+  /**
+   * Run match + merge. `source` must be conformed; `target` is the
+   * current target table state. Returns the new target, the source with
+   * RETURNING write-backs applied, and the matched working source (for
+   * audits).
+   */
+  def merge(source: DataFrame, target: DataFrame, spec: MergeSpec): MergeResult = {
+    val ms = spec.matchSpec
+    val pk = ms.targetPk
+    val withId = Matcher.withSourceId(source)
+    val exact = Matcher.matchRecords(withId, target, ms)
+    val matched =
+      if (ms.fuzzyColumns.nonEmpty)
+        Fuzzy.fuzzyMatch(exact, target, pk, ms.fuzzyColumns,
+          ms.groups.size, ms.fuzzyLimit)
+      else exact
+
+    val corr = mergeableColumns(withId, target, spec)
+
+    // ---- UPDATE phase (M1) -------------------------------------------
+    val newTargetUpdated: DataFrame =
+      if (spec.insertOnly) target
+      else {
+        // one source row per target: deterministic min working_source_id
+        // (Postgres UPDATE..FROM picks an arbitrary one; SURVEY §7.4)
+        val wTgt = Window.partitionBy(col(TargetId))
+          .orderBy(col(SourceId).asc)
+        val bestPerTarget = matched
+          .filter(col(TargetId).isNotNull)
+          .withColumn("__rn", row_number().over(wTgt))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        val joined = target.as("t").join(
+          bestPerTarget.as("s"),
+          col(s"t.$pk") === col(s"s.$TargetId"),
+          "left")
+        val hit = col(s"s.$TargetId").isNotNull
+        val updateSet: Map[String, Column] = {
+          val moves = spec.columnMap.map { case (src, dst) =>
+            dst -> col(s"t.$src")
+          }.toMap
+          val merges = spec.mergeExpressions.map { case (c, tpl) =>
+            c -> Template.toColumn(tpl, Some(s"s.$c"), Some(s"t.$c"))
+          }
+          val copies = corr
+            .filterNot(spec.preservedColumns.contains)
+            .filterNot(moves.contains)
+            .filterNot(merges.contains)
+            .map(c => c -> col(s"s.$c")).toMap
+          moves ++ merges ++ copies
+        }
+        val outCols = target.columns.map { c =>
+          updateSet.get(c) match {
+            case Some(newVal) => when(hit, newVal).otherwise(col(s"t.$c")).as(c)
+            case None         => col(s"t.$c").as(c)
+          }
+        }
+        joined.select(outCols.toIndexedSeq: _*)
+      }
+
+    // ---- INSERT phase (M2) -------------------------------------------
+    val unmatched0 = matched.filter(col(TargetId).isNull)
+    val unmatched = spec.insertConstraints
+      .filterNot(c => Template.referencesTarget(c.template))
+      .foldLeft(unmatched0) { (df, c) =>
+        df.filter(Template.toColumn(c.template, Some(c.column)))
+      }
+
+    val (newTarget, insertedKeyMap) =
+      if (spec.updateOnly) (newTargetUpdated, None)
+      else {
+        // fresh pks: max(existing) + row_number ordered by source id —
+        // deterministic and unique; the max() is a single tiny agg.
+        val maxPk = target.agg(max(col(pk)).cast("long")).collect()(0)
+        val base = if (maxPk.isNullAt(0)) 0L else maxPk.getLong(0)
+        val wIns = Window.orderBy(col(SourceId).asc)
+        val withPk = unmatched.withColumn("__new_pk",
+          (lit(base) + row_number().over(wIns))
+            .cast(target.schema(pk).dataType))
+        val insertVals: Map[String, Column] = {
+          val exprs = spec.insertExpressions.map { case (c, tpl) =>
+            c -> Template.toColumn(tpl, Some(c))
+          }
+          val copies = (corr ++ spec.preservedColumns).distinct
+            .filterNot(exprs.contains)
+            .map(c => c -> col(c)).toMap
+          exprs ++ copies
+        }
+        val projected = target.columns.map { c =>
+          if (c == pk) col("__new_pk").as(c)
+          else insertVals.get(c) match {
+            case Some(v) => v.cast(newTargetUpdated.schema(c).dataType).as(c)
+            case None    => lit(null).cast(newTargetUpdated.schema(c).dataType).as(c)
+          }
+        }
+        val inserted = withPk.select((projected :+ col(SourceId).as("__src_id")).toIndexedSeq: _*)
+        (newTargetUpdated.unionByName(inserted.drop("__src_id")),
+          Some(inserted.select(col("__src_id").as(SourceId), col(pk).as("__ret_pk"))))
+      }
+
+    // ---- RETURNING write-back (M4) -----------------------------------
+    val updatedSource: DataFrame =
+      if (spec.returnToSource.isEmpty) withId
+      else {
+        // target values for matched rows come from the match itself;
+        // for inserted rows from the generated pks.
+        val matchedMap = matched.filter(col(TargetId).isNotNull)
+          .select(col(SourceId), col(TargetId))
+        val retCols = spec.returnToSource
+        var src = withId.as("src")
+          .join(matchedMap.as("m"), Seq(SourceId), "left")
+        insertedKeyMap match {
+          case Some(ins) => src = src.join(ins.as("i"), Seq(SourceId), "left")
+          case None      => src = src.withColumn("__ret_pk", lit(null))
+        }
+        val outCols = withId.columns.map { c =>
+          retCols.find(_._2 == c) match {
+            case Some((tcol, _)) if tcol == spec.matchSpec.targetPk =>
+              coalesce(col(TargetId), col("__ret_pk"), col(s"src.$c"))
+                .cast(withId.schema(c).dataType).as(c)
+            case _ => col(s"src.$c").as(c)
+          }
+        }
+        src.select(outCols.toIndexedSeq: _*)
+      }
+
+    MergeResult(newTarget, updatedSource, matched)
+  }
+}

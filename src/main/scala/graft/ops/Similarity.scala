@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`) —
+ * training-data-pipeline extension (BASELINE.json north-star).
+ *
+ * The vector math runs in JIT-compiled Scala UDF kernels with
+ * sequential (index-order) accumulation: bit-deterministic,
+ * oracle-comparable, and much faster than the equivalent
+ * aggregate/zip_with expressions (higher-order functions are
+ * CodegenFallback — interpreted per element).
+ *
+ * Scale design: brute force is the correctness baseline (broadcast the
+ * query side — cost |Q|·N, embarrassingly parallel, zero shuffle on the
+ * corpus side). The scale path is IVF: a coarse quantizer assigns every
+ * vector to its nearest centroid (one narrow pass), queries probe only
+ * `nProbe` cells — the corpus join is pruned to the probed cells' rows.
+ * Cosine LSH (random hyperplane signs) gives a hash-bucket route for
+ * near-dup-style lookups.
+ */
+object Similarity {
+
+  /** Widen array<float> → array<double> (deterministic element cast). */
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product — same IEEE op order as the SQL
+    * oracle's list fold, so results are bit-identical across engines.
+    * JIT'd UDF kernel: the aggregate/zip_with expression formulation is
+    * interpreted per element (higher-order functions are
+    * CodegenFallback) and an order of magnitude slower in the
+    * query-corpus hot loop. */
+  private val dotKernel = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  /** cosine = dot/(sqrt(na)*sqrt(nb)), each sum accumulated in index
+    * order exactly like the oracle SQL. */
+  private val cosineKernel = udf((a: Seq[Double], b: Seq[Double]) => {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  })
+
+  def dot(a: Column, b: Column): Column = dotKernel(a, b)
+
+  def norm(a: Column): Column = sqrt(dotKernel(a, a))
+
+  def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest
+   * corpus vectors (self-pairs excluded). Query side is broadcast; rank
+   * ties break on corpus id for determinism.
+   * Returns (query_id, neighbor_id, rank, cosine).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /**
+   * IVF (inverted-file) coarse quantization: centroids are the first
+   * `nCells` corpus vectors by id — a deterministic pseudo-k-means
+   * seeding (good enough for cell routing; a Lloyd refinement can be
+   * layered on without changing the plan shape).
+   * Returns the corpus tagged with `cell_id`.
+   */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int): DataFrame = {
+    val cells = corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), toDoubleVec(col(vecCol)).as("__centroid"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("cell_id").asc)
+    corpus
+      .withColumn("__v", toDoubleVec(col(vecCol)))
+      .join(broadcast(cells), lit(true))
+      .withColumn("__csim", cosine(col("__v"), col("__centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__csim", "__centroid", "__v")
+      // materialize: ivfTopK reads the assignment twice (centroid
+      // extraction + cell-pruned scan); without a barrier the whole
+      // cross-join assignment would run per consumer
+      .persist()
+  }
+
+  /**
+   * IVF top-k: probe the `nProbe` nearest cells per query, then exact
+   * cosine only within probed cells. At scale the corpus is
+   * pre-partitioned by cell_id, so a probe touches nProbe/nCells of the
+   * data. Approximate: recall measured against bruteForceTopK in tests.
+   */
+  def ivfTopK(corpusWithCells: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int, nProbe: Int): DataFrame = {
+    val cells = corpusWithCells.filter(col(idCol) === col("cell_id"))
+      .select(col("cell_id").as("__probe_cell"),
+        toDoubleVec(col(vecCol)).as("__centroid"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("__qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__psim").desc, col("__probe_cell").asc)
+    val probes = q.join(broadcast(cells), lit(true))
+      .withColumn("__psim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__probe_cell"))
+    val c = corpusWithCells.select(col(idCol).as("neighbor_id"),
+      col("cell_id"), toDoubleVec(col(vecCol)).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(probes), col("cell_id") === col("__probe_cell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /**
+   * Random-hyperplane cosine LSH signature (nBits sign bits packed into
+   * a long): vectors in the same bucket are cosine-close with high
+   * probability. Hyperplane components are deterministic pseudo-gaussians
+   * derived from (bit, dim) via a seeded generator.
+   */
+  def cosineLshSignature(vec: Column, dim: Int, nBits: Int = 16,
+                         seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (plane, b) =>
+      val planeCol = array(plane.map(lit(_)).toIndexedSeq: _*)
+      when(dot(toDoubleVec(vec), planeCol) > 0, shiftleft(lit(1L), b))
+        .otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

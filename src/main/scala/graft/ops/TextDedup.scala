@@ -1,0 +1,336 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastHash
+
+/**
+ * Large-scale text deduplication operators (BASELINE.json north-star:
+ * training-data pipeline ops, first-class alongside the reference's own
+ * dedup — SURVEY.md §7.6).
+ *
+ * Performance design (profiled, not guessed):
+ *  - Spark's higher-order array functions and collection expressions
+ *    (transform / aggregate / array_intersect / array_sort) are
+ *    CodegenFallback — interpreted per element. Every per-document and
+ *    per-pair hot loop therefore runs as a JIT-compiled Scala UDF
+ *    kernel instead.
+ *  - Shingle sets are carried as SORTED arrays of 64-bit hashes
+ *    (FastHash), not strings: ~8 bytes/shingle through shuffles and a
+ *    branch-predictable merge-intersection per candidate pair.
+ *    (Collision odds per pair ≈ |A|·|B|/2^64 — immaterial.)
+ *  - Pairwise work is always blocked (LSH bands / hash buckets /
+ *    length bands) so nothing is O(n²) at 100 TB, and per-document prep
+ *    is persisted before any self-join so it cannot be re-evaluated per
+ *    candidate pair.
+ */
+object TextDedup {
+
+  /** Distinct k-char shingles of a (lowercased, whitespace-squashed)
+    * string as an array column. Per-document only — pair paths use
+    * [[shingleHashes]]. */
+  def charShingles(text: Column, k: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(lit(1), length(norm) - lit(k - 1))),
+        i => norm.substr(i, lit(k))))
+  }
+
+  /** Distinct whitespace word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(lit(0), size(toks) - lit(n))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Sorted distinct 64-bit hash set of the k-char shingles of a
+    * normalized string — one JIT'd pass per document. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val kernel = udf((s: String) => {
+      if (s == null) Array.empty[Long]
+      else {
+        val n = s.length
+        if (n == 0) Array.empty[Long]
+        else {
+          val m = math.max(1, n - k + 1)
+          val hs = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            // inline FNV-1a over the shingle window, avalanche at end
+            var h = 0xcbf29ce484222325L
+            var j = i
+            val end = math.min(i + k, n)
+            while (j < end) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+            hs(i) = FastHash.fmix64(h)
+            i += 1
+          }
+          java.util.Arrays.sort(hs)
+          // dedupe in place
+          var out = 0
+          var p = 0
+          while (p < m) {
+            if (out == 0 || hs(p) != hs(out - 1)) { hs(out) = hs(p); out += 1 }
+            p += 1
+          }
+          java.util.Arrays.copyOf(hs, out)
+        }
+      }
+    })
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    kernel(norm)
+  }
+
+  /** Jaccard of two sorted distinct hash arrays: merge-intersection,
+    * no allocation, JIT'd. */
+  private val jaccardKernel = udf((a: Array[Long], b: Array[Long]) => {
+    var i = 0
+    var j = 0
+    var inter = 0
+    val na = a.length
+    val nb = b.length
+    while (i < na && j < nb) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  })
+
+  /**
+   * Exact dedup by content hash (hash-groupBy): one shuffle on the
+   * digest. Returns (content_hash, survivor_id = min id, dup_count).
+   */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Exact-dedup'd relation: one survivor row per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val survivors = exactGroups(df, idCol, textCol)
+      .select(col("survivor_id").as(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** Deterministic affine hash params (seeded — reproducible runs). */
+  private def hashParams(k: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature (array<long> length k) from the sorted shingle
+    * hash set: per function, min of (a·(h&2³¹⁻¹)+b) mod (2³¹−1) —
+    * products < 2⁶², no overflow; one JIT'd pass. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int = 128,
+                                 seed: Long = 42L): Column = {
+    val params = hashParams(k, seed)
+    val kernel = udf((hs: Array[Long]) => {
+      val n = hs.length
+      val base = new Array[Long](n)
+      var i = 0
+      while (i < n) { base(i) = hs(i) & 0x7FFFFFFFL; i += 1 }
+      val sig = new Array[Long](params.length)
+      var j = 0
+      while (j < params.length) {
+        val (a, b) = params(j)
+        var m = Long.MaxValue
+        i = 0
+        while (i < n) {
+          val v = (a * base(i) + b) % MersennePrime
+          if (v < m) m = v
+          i += 1
+        }
+        sig(j) = m
+        j += 1
+      }
+      sig
+    })
+    kernel(hashes)
+  }
+
+  /** MinHash signature over a string-shingle array (API-compat wrapper:
+    * hashes each shingle, then [[minhashSignatureFromHashes]]). */
+  def minhashSignature(shingles: Column, k: Int = 128,
+                       seed: Long = 42L): Column = {
+    val toHashes = udf((sh: Seq[String]) => {
+      val hs = sh.map(FastHash.hash64).toArray
+      java.util.Arrays.sort(hs)
+      hs
+    })
+    minhashSignatureFromHashes(toHashes(shingles), k, seed)
+  }
+
+  /** LSH band hashes: b bands of r contiguous signature rows, each
+    * hashed (murmur3 over the slice + band index). */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      hash(slice(sig, j * rows + 1, rows), lit(j))
+    }: _*)
+
+  /**
+   * MinHash-LSH near-duplicate pairs.
+   *
+   * shingle → minhash → band → bucket-join → exact-Jaccard verify:
+   *  1. per doc: sorted shingle-hash set, signature, band hashes —
+   *     JIT'd kernels, persisted (self-joins must not re-evaluate
+   *     per-document prep per candidate pair);
+   *  2. explode bands; self-join on (band index, band hash) — the ONLY
+   *     wide shuffle, keyed by bucket, so cost is Σ bucket², not n²;
+   *  3. distinct candidate pairs verified with exact Jaccard
+   *     (merge-intersection of the sorted hash sets); keep ≥ threshold.
+   *
+   * Returns (id_a, id_b, jaccard) with id_a < id_b.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 5, numHashes: Int = 128,
+                      bands: Int = 32, jaccardThreshold: Double = 0.8,
+                      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val prepared = df
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__shh"))
+      .filter(size(col("__shh")) > 0)
+      .withColumn("__bands",
+        bandHashes(minhashSignatureFromHashes(col("__shh"), numHashes, seed),
+          bands, rows))
+      .persist()
+    val bandTable = prepared
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("__band", "__bh")))
+    val candidates = bandTable.as("a")
+      // shuffle-hash: a broadcast join would stream the probe side with
+      // the persisted input's (few) partitions — one core does all pairs
+      .hint("shuffle_hash")
+      .join(bandTable.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bh") === col("b.__bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sh = prepared.select(col(idCol), col("__shh"))
+    candidates
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__shh", "__sa"),
+        Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__shh", "__sb"),
+        Seq("id_b"))
+      .withColumn("jaccard", jaccardKernel(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- n-gram Jaccard with deterministic blocking ----------------------
+
+  /**
+   * Exact n-gram Jaccard dedup with DETERMINISTIC length-band blocking
+   * (no probabilistic LSH): pairs are compared iff their normalized
+   * lengths fall within one band of each other — a pair with Jaccard ≥ t
+   * has size ratio ≥ t, so true pairs are never missed for sane
+   * (t, bandWidth) and the result is fully oracle-expressible in plain
+   * SQL. The size-ratio prefilter (implied by the threshold) skips the
+   * merge kernel for hopeless pairs.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 5, threshold: Double = 0.8,
+                        bandWidth: Int = 32, saltBuckets: Int = 32): DataFrame = {
+    val prepared = df
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__sh"),
+        floor(length(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))) / bandWidth)
+          .as("__band"))
+      .filter(size(col("__sh")) > 0)
+      .persist()
+    // compare within band b and neighbor band b+1 (covers ±1)
+    val expanded = prepared
+      .withColumn("__probe", explode(array(col("__band"), col("__band") + 1)))
+    // length bands are few and fat (classic self-join skew): salt the
+    // left side by id, replicate the right side across salts — the same
+    // pair set, split saltBuckets ways so every core gets work
+    val left = expanded.select(col(idCol).as("id_a"),
+      col("__sh").as("__sa"), col("__band").as("__ba"), col("__probe"),
+      pmod(col(idCol), lit(saltBuckets)).as("__salt"))
+    val right = expanded.select(col(idCol).as("id_b"),
+      col("__sh").as("__sb"), col("__band").as("__bb"), col("__probe"))
+      .withColumn("__salt", explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    left
+      // shuffle-hash: partition the pair work by (probe, salt); a
+      // broadcast join would run every pair on the streamed side's
+      // few cached partitions
+      .hint("shuffle_hash")
+      .join(right, Seq("__probe", "__salt"))
+      .filter(col("id_a") < col("id_b") &&
+        // count each pair once: in the band-pair where probe = max band
+        col("__probe") === greatest(col("__ba"), col("__bb")))
+      // size prefilter implied by the threshold (J ≥ t ⇒ min ≥ t·max)
+      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
+        lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
+      .withColumn("jaccard", jaccardKernel(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /**
+   * 64-bit SimHash over a token array: per token, FastHash.hash64; per
+   * bit, sum ±1 across tokens; sign decides the bit. One JIT'd pass.
+   */
+  def simhash64(tokens: Column): Column = {
+    val kernel = udf((toks: Seq[String]) => {
+      val sums = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = FastHash.hash64(toks(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    })
+    kernel(tokens)
+  }
+
+  /**
+   * SimHash near-duplicate pairs: block on 16-bit quarters (a pair with
+   * hamming distance ≤ 3 shares at least one of 4 quarters — pigeonhole),
+   * verify with bit_count(xor) ≤ maxHamming.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val sigs = df.select(col(idCol), simhash64(toks).as("__sim"))
+      .persist() // consumed by both sides of the block self-join
+    val blocks = sigs.select(col(idCol), col("__sim"),
+      posexplode(array((0 until 4).map { q =>
+        shiftright(col("__sim"), q * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("__q", "__qh")))
+    blocks.as("a")
+      .hint("shuffle_hash") // spread block buckets across cores
+      .join(blocks.as("b"),
+        col("a.__q") === col("b.__q") && col("a.__qh") === col("b.__qh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

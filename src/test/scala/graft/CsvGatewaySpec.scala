@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{CsvSource, CsvSpec}
+
+class CsvGatewaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempCsv(content: String): String = {
+    val f = Files.createTempFile("graft_csv", ".csv")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("header sniffing builds all-text schema with normalized names") {
+    val p = tempCsv("First Name,LAST-NAME,Zip\n a , b , c \n")
+    val spec = CsvSpec(p, quote = "\"")
+    val df = CsvSource.read(spark, spec)
+    assert(df.columns.toSeq == Seq("first_name", "last_name", "zip"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("remove expression strips pattern before parsing") {
+    // reference use case: strip stray quote chars (csv_file.rb:30-38)
+    val p = tempCsv("a,b\n1,x~!y\n2,z\n")
+    val df = CsvSource.read(spark,
+      CsvSpec(p, quote = "\"", removeExpression = Some("~!")))
+    val vals = df.select("b").as[String].collect().toSet
+    assert(vals == Set("xy", "z"))
+  }
+
+  test("malformed rows (wrong arity) are dropped") {
+    val p = tempCsv("a,b\n1,x\n2,y,EXTRA\n3\n4,z\n")
+    val df = CsvSource.read(spark, CsvSpec(p, quote = "\""))
+    assert(df.select("a").as[String].collect().toSet == Set("1", "4"))
+    // and the audit counts them
+    assert(CsvSource.malformedCount(spark, CsvSpec(p, quote = "\"")) == 2)
+  }
+
+  test("quote-aware delimiter handling (reference default quote ^)") {
+    val p = tempCsv("a,b\n1,^x,y^\n")
+    val df = CsvSource.read(spark, CsvSpec(p)) // default quote ^
+    assert(df.select("b").as[String].head() == "x,y")
+  }
+
+  test("quote-aware arity check on the repair path") {
+    // with repair (removeExpression) active, a quoted delimiter must
+    // not count as a field split (csv_driver_csv_file_spec.rb:93-107)
+    val p = tempCsv("a,b\nq,^x,y^\nbad,row,3\n")
+    val df = CsvSource.read(spark,
+      CsvSpec(p, removeExpression = Some("ZZZ")))
+    assert(df.count() == 1)
+    assert(df.select("b").as[String].head() == "x,y")
+  }
+
+  test("gateway registry, rebinding, sql passthrough, cleanup") {
+    Gateway.withSession(spark) { gw =>
+      val n1 = gw.freshName()
+      val n2 = gw.freshName()
+      assert(n1 != n2)
+      gw.register("t_reg", Seq((1, "a")).toDF("id", "v"))
+      assert(gw.sql("SELECT count(*) AS c FROM t_reg")
+        .as[Long].head() == 1L)
+      assert(gw.getCount("SELECT count(*) AS c FROM t_reg") == 1L)
+      // rebinding = immutable UPDATE-in-place analogue
+      gw.register("t_reg", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+      assert(gw.getCount("SELECT count(*) FROM t_reg") == 2L)
+      assert(gw.tableExists("t_reg"))
+    }
+    // cleanup dropped the view
+    assert(!spark.catalog.tableExists("t_reg"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("exact dedup keeps one survivor per distinct content") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "t")
+    val out = TextDedup.exactDedup(df, "id", "t")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds near-identical pairs, verified by exact jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and agaim" // 1 char off
+    val c = "completely unrelated content about spark catalyst optimizer rules"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+    val pairs = TextDedup.minhashLshPairs(df, "id", "t",
+      jaccardThreshold = 0.7).as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.8)
+  }
+
+  test("ngram jaccard pairs agree with direct set computation") {
+    val a = "abcdefghijklmnop"
+    val b = "abcdefghijklmnoq"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "t")
+    val out = TextDedup.ngramJaccardPairs(df, "id", "t",
+      shingleLen = 5, threshold = 0.1, bandWidth = 32)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    // shingles: 12 each, 11 shared → J = 11/13
+    assert(math.abs(out.head._3 - 11.0 / 13.0) < 1e-9)
+  }
+
+  test("simhash: identical texts collide, near texts are close") {
+    val df = Seq(
+      (1L, "spark catalyst optimizer rules engine for dataframes"),
+      (2L, "spark catalyst optimizer rules engine for dataframes"),
+      (3L, "spark catalyst optimizer rule engine for dataframes")
+    ).toDF("id", "t")
+    val pairs = TextDedup.simhashPairs(df, "id", "t", maxHamming = 16)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).forall(_ > 0))
+  }
+
+  test("brute-force top-k: self-similarity excluded, ranks deterministic") {
+    val out = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val cos = rows.map(_.getDouble(3))
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("IVF top-k recall vs brute force is reasonable") {
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val ivf = Similarity.ivfTopK(assigned, queries, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // probing half the cells
+  }
+
+  test("text profile fields") {
+    val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
+    val r = TextAnalysis.profile(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_chars") == 30)
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(r.getAs[Int]("n_subwords") == 8) // 6 words + ',' + '!'
+    val q = r.getAs[Double]("quality")
+    assert(q > 0 && q <= 1.0)
+    assert(r.getAs[String]("fingerprint").length == 32)
+  }
+
+  test("language id votes across lists with deterministic ties") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.profile(df, "doc_id", "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "unknown")
+  }
+
+  test("multimodal payload + metadata + stub decode plumbing") {
+    val withPayload = Multimodal.attachPayload(docs.limit(10), "doc_id", "text")
+    assert(withPayload.schema("payload").dataType.typeName == "binary")
+    val meta = withPayload.select("media_meta.*").collect()
+    assert(meta.forall(_.getLong(1) > 0))
+    assert(meta.forall(_.getString(2).length == 32))
+    val feats = Multimodal.decodeFeatures(withPayload, "doc_id")
+    assert(feats.schema == Multimodal.FeatureSchema)
+    val rows = feats.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getSeq[Double](3).length == 4))
+    // deterministic: byte length feature equals metadata byte length
+    assert(rows.forall(r => r.getSeq[Double](3).head == r.getLong(2).toDouble))
+  }
+
+  test("cosine LSH signature buckets identical vectors together") {
+    val sig = Similarity.cosineLshSignature(col("embedding"), dim = 64)
+    val sigs = emb.limit(50).select(col("vec_id"), sig.as("s")).collect()
+    assert(sigs.map(_.getLong(1)).distinct.length > 1) // non-degenerate
+  }
+}
