@@ -321,6 +321,53 @@ object SparkEntry {
           col("media_meta.byte_length").as("byte_length"),
           col("media_meta.checksum").as("checksum"))),
 
+    // SQL extensions (nb_* session UDFs) exercised through expr() —
+    // the $S/$T template path the reference installs them for
+    "q_sql_extensions" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      t(s, dir, "orders")
+        .withColumn("date_text",
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .withColumn("code",
+          element_at(array(lit("pr"), lit("ge"), lit("pp"), lit("sp"), lit("xx")),
+            (col("o_orderkey") % 5 + 1).cast("int")))
+        .withColumn("email",
+          when(col("o_orderkey") % 7 === 0,
+            concat(lit("user"), col("o_orderkey").cast("string"), lit("@nodot")))
+            .otherwise(concat(lit("user"), col("o_orderkey").cast("string"),
+              lit("@example.com"))))
+        .withColumn("maybe_date",
+          when(col("o_orderkey") % 3 === 0, lit("garbage"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .select(
+          col("o_orderkey"),
+          expr("nb_parse_election_name(date_text, code)").as("election"),
+          expr("nb_is_email_address_valid(email)").as("email_ok"),
+          expr("nb_coerce_to_date_or_null(maybe_date)").as("coerced_date"))
+    }),
+
+    // S1-S4 CSV dialect: write a CSV, re-read through CsvSource (header
+    // sniff + all-text schema), conform types — must round-trip exactly
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_csv_${Integer.toHexString(dir.hashCode)}")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true").option("quote", "\"")
+        .csv(tmp.getAbsolutePath)
+      val raw = graft.sources.CsvSource.read(s,
+        graft.sources.CsvSpec(tmp.getAbsolutePath + "/*.csv", quote = "\""))
+      val spec = new WorkingTableSpec()
+        .mapColumn("event_id", sqlType = "BIGINT")
+        .mapColumn("user_id", sqlType = "BIGINT")
+        .mapColumn("event_type")
+        .mapColumn("value", sqlType = "DOUBLE")
+      WorkingTable.conform(raw, spec)
+    }),
+
     // multimodal: batched (stub) decode — plumbing check, rows-only
     "q_multimodal_decode" -> ((s, dir) => {
       val payload = Multimodal.attachPayload(
@@ -528,6 +575,28 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_text_profile" -> textProfileOracle,
+
+    "q_sql_extensions" ->
+      """SELECT o_orderkey,
+        | CAST(year(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)) AS VARCHAR)
+        |   || '_' ||
+        |   CASE o_orderkey % 5 WHEN 0 THEN 'primary' WHEN 1 THEN 'general'
+        |        WHEN 2 THEN 'presidential_primary' WHEN 3 THEN 'special'
+        |        ELSE 'xx' END AS election,
+        | CASE WHEN o_orderkey % 7 = 0 THEN
+        |   regexp_matches('user' || CAST(o_orderkey AS VARCHAR) || '@nodot',
+        |     '^\S*\.[a-zA-Z][a-zA-Z\.]*[a-zA-Z]$')
+        | ELSE
+        |   regexp_matches('user' || CAST(o_orderkey AS VARCHAR) || '@example.com',
+        |     '^\S*\.[a-zA-Z][a-zA-Z\.]*[a-zA-Z]$')
+        | END AS email_ok,
+        | CASE WHEN o_orderkey % 3 = 0 THEN TRY_CAST('garbage' AS DATE)
+        |      ELSE TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)
+        | END AS coerced_date
+        |FROM orders""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+
+  test("streamed windowed counts equal the batch answer") {
+    val q = EventStream.runToMemory(spark,
+      s"$sf0001/events.parquet", "stream_counts",
+      df => EventStream.windowedCounts(df))
+    try {
+      val streamed = spark.table("stream_counts")
+      val batchRaw = spark.read
+        .schema(EventStream.RawSchema)
+        .parquet(s"$sf0001/events.parquet")
+      val batch = EventStream.windowedCounts(
+        EventStream.normalize(batchRaw))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on inactivity gaps (batch path)") {
+    import spark.implicits._
+    // 3 events within the gap, then one far later → exactly one closed
+    // session of 3 events, and open state for the last one
+    val us = 1000000L // 1 second in micros
+    val events = Seq(
+      (1L, 0L * us, 1.0), (1L, 60L * us, 2.0), (1L, 120L * us, 3.0),
+      (1L, 10000L * 1000L * us, 9.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventStream.sessionize(events, gapMs = 30 * 60 * 1000L)
+      .as[EventStream.SessionUpdate].collect()
+    assert(out.length == 1)
+    assert(out.head.events_in_session == 3 && out.head.session_value == 6.0)
+    assert(out.head.closed)
+  }
+}
