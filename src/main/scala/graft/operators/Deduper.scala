@@ -42,9 +42,75 @@ object Deduper {
   def defaultOrientation(pk: String): MatchConstraint =
     MatchConstraint(pk, "$T < $S")
 
+  /** Does the spec qualify for the window fast path? Single same-name
+    * equality group, no theta/aux/fuzzy, default orientation. */
+  private def isFastPath(spec: MergeSpec,
+                         orientation: Option[MatchConstraint]): Boolean = {
+    val ms = spec.matchSpec
+    orientation.isEmpty && ms.fuzzyColumns.isEmpty && ms.groups.size == 1 && {
+      val g = ms.groups.head
+      g.constraints.isEmpty && g.auxJoins.isEmpty &&
+        g.keys.forall(k => k.sourceKey == k.targetKey)
+    }
+  }
+
+  /**
+   * Fast path for the canonical dedup (single equality key group, keep
+   * min pk): survivor assignment is ONE window over the key partition —
+   * no self-join, no working-source materialization, and the
+   * reflexive/symmetric invariants are provably zero (every duplicate
+   * points at its group's min pk; the min never points anywhere).
+   * Semantically identical to the general path (the oracle SQL for
+   * q_dedup is written in exactly this window form).
+   */
+  private def dedupFast(table: DataFrame, spec: MergeSpec): DedupResult = {
+    val pk = spec.matchSpec.targetPk
+    val keys = spec.matchSpec.groups.head.keys.map(k => col(k.sourceKey))
+    val wKey = Window.partitionBy(keys: _*)
+    // null keys never match in the join formulation (NULL ≠ NULL), but
+    // window partitioning groups them — force null-keyed rows to be
+    // their own survivors
+    val anyNullKey = keys.map(_.isNull).reduce(_ || _)
+    val tagged = table.withColumn("__survivor",
+      when(anyNullKey, col(pk)).otherwise(min(col(pk)).over(wKey)))
+    val dupes0 = tagged.filter(col(pk) =!= col("__survivor"))
+    val survivors = tagged.filter(col(pk) === col("__survivor"))
+      .drop("__survivor")
+    // fold the min-pk duplicate into each survivor (M1 routing)
+    val wSurv = Window.partitionBy(col("__survivor")).orderBy(col(pk).asc)
+    val best = dupes0
+      .withColumn("__rn", row_number().over(wSurv))
+      .filter(col("__rn") === 1).drop("__rn")
+    val joined = survivors.as("t").join(best.as("s"),
+      col(s"t.$pk") === col("s.__survivor"), "left")
+    val hit = col("s.__survivor").isNotNull
+    val updateSet: Map[String, org.apache.spark.sql.Column] = {
+      val moves = spec.columnMap.map { case (src, dst) =>
+        dst -> col(s"t.$src") }.toMap
+      val merges = spec.mergeExpressions.map { case (c, tpl) =>
+        c -> Template.toColumn(tpl, Some(s"s.$c"), Some(s"t.$c")) }
+      moves ++ merges
+    }
+    val outCols = survivors.columns.map { c =>
+      updateSet.get(c) match {
+        case Some(v) => when(hit, v).otherwise(col(s"t.$c")).as(c)
+        case None    => col(s"t.$c").as(c)
+      }
+    }
+    val folded = joined.select(outCols.toIndexedSeq: _*)
+    // duplicates report in the general path's working shape
+    val dupes = dupes0
+      .withColumn(SourceId, col(pk))
+      .withColumn(TargetId, col("__survivor"))
+      .withColumn(MatchGroup, lit(1))
+      .drop("__survivor")
+    DedupResult(folded, dupes, reflexiveCount = 0L, symmetricCount = 0L)
+  }
+
   def dedup(table: DataFrame, spec: MergeSpec,
             orientation: Option[MatchConstraint] = None,
             enforceInvariants: Boolean = true): DedupResult = {
+    if (isFastPath(spec, orientation)) return dedupFast(table, spec)
     val ms0 = spec.matchSpec
     val pk = ms0.targetPk
     val orient = orientation.getOrElse(defaultOrientation(pk))

@@ -26,10 +26,13 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Count of tokens appearing in a fixed vocabulary (occurrences, not
-    * distinct). */
+    * distinct). JIT'd kernel — the filter/array_contains lambda pair is
+    * interpreted (CodegenFallback) and shows up hot in profiles. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column = {
-    val vocabCol = array(vocab.map(lit(_)): _*)
-    size(filter(toks, t => array_contains(vocabCol, t)))
+    val set = vocab.toSet
+    val kernel = udf((ts: Seq[String]) =>
+      if (ts == null) 0 else ts.count(set.contains))
+    kernel(toks)
   }
 
   /** Small multilingual stopword lists for the n-gram/stopword language
@@ -46,18 +49,26 @@ object TextAnalysis {
    * tie-break by list order (greatest-with-priority encoding).
    */
   def languageId(text: Column): Column = {
-    val toks = tokens(text)
-    // encode (score, priority) as score * 8 + priority so one greatest()
-    // resolves both; priority descends with list order for stable ties
-    val n = StopwordLists.size
-    val scored = StopwordLists.zipWithIndex.map { case ((lang, words), i) =>
-      (lang, vocabHits(toks, words) * lit(8) + lit(n - i))
-    }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    val noHits = scored.map(_._2 <= lit(n)).reduce(_ && _) // all scores 0
-    scored.foldLeft(when(noHits, lit("unknown"))) { case (acc, (lang, s)) =>
-      acc.when(s === best, lit(lang))
-    }.otherwise(lit("unknown"))
+    // one JIT'd pass computing every language's stopword score and the
+    // argmax with the same encoding the oracle SQL replicates:
+    // score = hits*8 + (n - listIndex); all-zero-hits → "unknown";
+    // first language (list order) holding the max wins ties
+    val lists = StopwordLists.map { case (lang, ws) => (lang, ws.toSet) }
+    val n = lists.size
+    val kernel = udf((ts: Seq[String]) => {
+      if (ts == null) "unknown"
+      else {
+        val scores = lists.zipWithIndex.map { case ((_, set), i) =>
+          ts.count(set.contains) * 8 + (n - i)
+        }
+        if (scores.forall(_ <= n)) "unknown"
+        else {
+          val best = scores.max
+          lists(scores.indexOf(best))._1
+        }
+      }
+    })
+    kernel(tokens(text))
   }
 
   /** Ratio of simple punctuation chars to total length (0 for blank). */
@@ -100,12 +111,36 @@ object TextAnalysis {
    * to compare). Hex string, deterministic, oracle-expressible.
    */
   def fingerprint(text: Column, shingleLen: Int = 8): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    when(length(norm) === 0, lit(null).cast("string")).otherwise(
-      array_min(
-        transform(
-          sequence(lit(1), greatest(lit(1), length(norm) - lit(shingleLen - 1))),
-          i => md5(norm.substr(i, lit(shingleLen))))))
+    // JIT'd kernel: one MessageDigest reused across shingles; identical
+    // digests/hex to Spark's md5() and DuckDB's md5() (UTF-8 bytes,
+    // lowercase hex), so the oracle stays expressible in plain SQL
+    val kernel = udf((s: String) => {
+      if (s == null || s.isEmpty) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = s.length
+        val m = math.max(1, n - shingleLen + 1)
+        var minHex: String = null
+        var i = 0
+        while (i < m) {
+          val sh = s.substring(i, math.min(i + shingleLen, n))
+          val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = new Array[Char](32)
+          var j = 0
+          while (j < 16) {
+            val v = d(j) & 0xFF
+            hex(j * 2) = Character.forDigit(v >>> 4, 16)
+            hex(j * 2 + 1) = Character.forDigit(v & 0xF, 16)
+            j += 1
+          }
+          val hs = new String(hex)
+          if (minHex == null || hs.compareTo(minHex) < 0) minHex = hs
+          i += 1
+        }
+        minHex
+      }
+    })
+    kernel(lower(regexp_replace(trim(text), "\\s+", " ")))
   }
 
   /** Full per-document profile used by the pipeline queries. */

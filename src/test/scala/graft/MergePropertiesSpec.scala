@@ -97,4 +97,37 @@ class MergePropertiesSpec extends SparkSpec {
       assert(survivors == expect, s"round $r")
     }
   }
+
+  test("dedup fast path treats null keys as non-matching (like the join)") {
+    val table = Seq(
+      (1L, Some("k"), 1.0), (2L, Some("k"), 2.0),
+      (3L, None, 3.0), (4L, None, 4.0) // null keys: never duplicates
+    ).toDF("id", "k", "v")
+    val spec = MergeSpec(matchSpec =
+      MatchSpec(Seq(ExactGroup.onColumns("k")), targetPk = "id"))
+    val fast = Deduper.dedup(table, spec)
+    val general = Deduper.dedup(table, spec,
+      orientation = Some(Deduper.defaultOrientation("id")))
+    assert(fast.newTable.select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L))
+    assert(general.newTable.select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L))
+  }
+
+  test("dedup fast path and general (join) path agree") {
+    (1 to Rounds).foreach { r =>
+      val t = sample(genTarget, 300 + r)
+      val table = t.toDF("id", "k", "v")
+      val spec = MergeSpec(
+        matchSpec = MatchSpec(Seq(ExactGroup.onColumns("k")), targetPk = "id"),
+        mergeExpressions = Map("v" -> "$T + $S"))
+      val fast = Deduper.dedup(table, spec) // default orientation → fast
+      val general = Deduper.dedup(table, spec, // explicit → general path
+        orientation = Some(Deduper.defaultOrientation("id")))
+      val a = fast.newTable.select("id", "k", "v")
+      val b = general.newTable.select("id", "k", "v")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"round $r")
+      assert(fast.duplicates.count() == general.duplicates.count(), s"round $r")
+    }
+  }
 }
