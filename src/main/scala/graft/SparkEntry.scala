@@ -280,10 +280,18 @@ object SparkEntry {
         shingleLen = 5, numHashes = 64, bands = 8,
         jaccardThreshold = 0.8)),
 
-    // exact n-gram Jaccard with deterministic length-band blocking
+    // exact n-gram Jaccard, deterministic length-band blocking (the
+    // moderate-threshold variant: cheap bands, ratio prefilter)
     "q_ngram_jaccard" -> ((s, dir) =>
-      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      TextDedup.ngramJaccardPairsBanded(t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 5, threshold = 0.5, bandWidth = 32)),
+
+    // exact Jaccard THRESHOLD JOIN via lossless prefix filtering
+    // (AllPairs/PPJoin) — the high-threshold variant, no band caveat
+    "q_jaccard_threshold" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
     // SimHash near-dup (xxhash64-based → rows-only check)
     "q_simhash" -> ((s, dir) =>
@@ -554,6 +562,24 @@ object SparkEntry {
         | FROM sh a JOIN sh b
         |  ON a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_jaccard_threshold" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents WHERE doc_id % 5 = 0)),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id
+        |   AND least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s)))
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
 
     "q_embed_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -62,13 +62,10 @@ object Functions {
           t.rlike("^\\S*\\.[a-zA-Z][a-zA-Z\\.]*[a-zA-Z]$"))
   }
 
-  /** pg_trgm `similarity(a, b)` (see [[Trigram]]). */
-  def trigramSimilarity(a: Column, b: Column): Column = {
-    val f = udf((x: String, y: String) =>
-      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(Trigram.similarity(x, y)))
-    f(a, b)
-  }
+  /** pg_trgm `similarity(a, b)` — native codegen'd Catalyst expression
+    * (org.apache.spark.sql.graftshim.TrigramSimilarityExpr). */
+  def trigramSimilarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.TrigramColumns.trigramSimilarity(a, b)
 
   /** pg_trgm `<->` distance = 1 - similarity. */
   def trigramDistance(a: Column, b: Column): Column =
@@ -116,13 +113,15 @@ object Functions {
         else
           s.length >= 3 && s.length <= 100 && s.contains("@") &&
             s.matches("^\\S*\\.[a-zA-Z][a-zA-Z\\.]*[a-zA-Z]$"))
-    spark.udf.register("trigram_similarity",
-      (a: String, b: String) =>
-        if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-        else java.lang.Double.valueOf(Trigram.similarity(a, b)))
-    spark.udf.register("trigram_distance",
-      (a: String, b: String) =>
-        if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-        else java.lang.Double.valueOf(Trigram.distance(a, b)))
+    // native expressions (whole-stage codegen) rather than UDFs
+    import org.apache.spark.sql.graftshim.TrigramSimilarityExpr
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trigram_similarity",
+      exprs => TrigramSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trigram_distance",
+      exprs => org.apache.spark.sql.catalyst.expressions.Subtract(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+        TrigramSimilarityExpr(exprs(0), exprs(1))), "scala_udf")
   }
 }

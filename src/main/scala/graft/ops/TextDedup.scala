@@ -232,7 +232,63 @@ object TextDedup {
   // ---- n-gram Jaccard with deterministic blocking ----------------------
 
   /**
-   * Exact n-gram Jaccard dedup with DETERMINISTIC length-band blocking
+   * Exact n-gram Jaccard threshold join via LOSSLESS prefix filtering
+   * (AllPairs/PPJoin family, deterministic — no probabilistic recall):
+   *
+   * With shingle sets as sorted hash arrays (a global total order ≈ a
+   * random permutation), J(A,B) ≥ t implies |A∩B| ≥ t·|A| and ≥ t·|B|
+   * (union ≥ max size). Let prefix(X) = the first |X| − ⌈t·|X|⌉ + 1
+   * elements. The SMALLEST common element e must lie in both prefixes:
+   * were e outside prefix(A), all ≥ prefixLen elements before it in A
+   * would be non-shared, capping the overlap below ⌈t·|A|⌉ —
+   * contradiction. So joining the exploded prefixes finds every
+   * qualifying pair; the merge-intersection kernel then verifies
+   * exactly. Result = ALL pairs with Jaccard ≥ t (a true threshold
+   * join, plain-SQL oracle-expressible).
+   *
+   * Scale: candidates shuffle on the prefix hash (pseudorandom →
+   * well-spread keys); the size-ratio prefilter (implied by t) skips
+   * the kernel for hopeless candidates.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 5,
+                        threshold: Double = 0.8): DataFrame = {
+    val prefixKernel = udf((hs: Array[Long]) => {
+      val n = hs.length
+      val p = n - math.ceil(threshold * n).toInt + 1
+      java.util.Arrays.copyOf(hs, math.max(1, math.min(p, n)))
+    })
+    val prepared = df
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .persist()
+    val prefixes = prepared
+      .select(col(idCol), explode(prefixKernel(col("__sh"))).as("__h"))
+    val candidates = prefixes.as("a")
+      // shuffle-hash: partition candidate generation by prefix hash; a
+      // broadcast join would stream on the cached side's few partitions
+      .hint("shuffle_hash")
+      .join(prefixes.as("b"),
+        col("a.__h") === col("b.__h") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sh = prepared.select(col(idCol), col("__sh"))
+    candidates
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "__sa"),
+        Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "__sb"),
+        Seq("id_b"))
+      // size prefilter implied by the threshold (J ≥ t ⇒ min ≥ t·max)
+      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
+        lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
+      .withColumn("jaccard", jaccardKernel(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard dedup with deterministic length-band blocking
    * (no probabilistic LSH): pairs are compared iff their normalized
    * lengths fall within one band of each other — a pair with Jaccard ≥ t
    * has size ratio ≥ t, so true pairs are never missed for sane
@@ -240,7 +296,7 @@ object TextDedup {
    * SQL. The size-ratio prefilter (implied by the threshold) skips the
    * merge kernel for hopeless pairs.
    */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairsBanded(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 5, threshold: Double = 0.8,
                         bandWidth: Int = 32, saltBuckets: Int = 32): DataFrame = {
     val prepared = df

@@ -21,6 +21,7 @@ object Debug {
         println(s"[debug] $q FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         e.printStackTrace()
       }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

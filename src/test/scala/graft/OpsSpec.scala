@@ -31,12 +31,31 @@ class OpsSpec extends SparkSpec {
     val a = "abcdefghijklmnop"
     val b = "abcdefghijklmnoq"
     val df = Seq((1L, a), (2L, b)).toDF("id", "t")
+    // prefix-filter threshold join
     val out = TextDedup.ngramJaccardPairs(df, "id", "t",
-      shingleLen = 5, threshold = 0.1, bandWidth = 32)
+      shingleLen = 5, threshold = 0.1)
       .as[(Long, Long, Double)].collect()
     assert(out.length == 1)
     // shingles: 12 each, 11 shared → J = 11/13
     assert(math.abs(out.head._3 - 11.0 / 13.0) < 1e-9)
+    // banded variant computes the identical jaccard
+    val banded = TextDedup.ngramJaccardPairsBanded(df, "id", "t",
+      shingleLen = 5, threshold = 0.1, bandWidth = 32)
+      .as[(Long, Long, Double)].collect()
+    assert(banded.length == 1 &&
+      math.abs(banded.head._3 - 11.0 / 13.0) < 1e-9)
+  }
+
+  test("prefix threshold join finds pairs across disparate lengths") {
+    // same prefix content, one doc twice as long: banded blocking with a
+    // narrow band would miss this; the threshold join must evaluate it
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    val b = a + a.toUpperCase // normalized: lowercased → high overlap
+    val df = Seq((1L, a), (2L, b)).toDF("id", "t")
+    val out = TextDedup.ngramJaccardPairs(df, "id", "t",
+      shingleLen = 5, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out.head._3 >= 0.3)
   }
 
   test("simhash: identical texts collide, near texts are close") {
