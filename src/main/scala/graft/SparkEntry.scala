@@ -329,6 +329,30 @@ object SparkEntry {
           col("media_meta.byte_length").as("byte_length"),
           col("media_meta.checksum").as("checksum"))),
 
+    // semi-structured: JSON path extraction over the events props column
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("bigint")
+          .as("k_value"))
+        .groupBy(col("k_value"))
+        .agg(count(lit(1)).as("count"))),
+
+    // window analytics (beyond-reference surface): per-user ordered
+    // rank, running total, and previous-event pointer
+    "q_window_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          sum(col("value").cast("decimal(18,2)")).over(running)
+            .cast("double").as("running_value"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"))
+    }),
+
     // SQL extensions (nb_* session UDFs) exercised through expr() —
     // the $S/$T template path the reference installs them for
     "q_sql_extensions" -> ((s, dir) => {
@@ -601,6 +625,22 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_text_profile" -> textProfileOracle,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+        | count(*) AS count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT event_id, user_id,
+        | row_number() OVER w AS rn,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_value,
+        | lag(event_id, 1) OVER w AS prev_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q_sql_extensions" ->
       """SELECT o_orderkey,
