@@ -146,3 +146,51 @@ object CsvAudit {
     CsvAuditReport(total, malformedCount, unique, covMap)
   }
 }
+
+/** Table profiling (database_audit.rb:20-45,67-114): per-column
+  * coverage + rates, value distributions for chosen columns, and the
+  * geocoding progress stats — one coverage pass + one small
+  * aggregation per distribution. */
+final case class DatabaseAuditReport(
+    rowCount: Long,
+    coverage: Map[String, Long],
+    distributions: Map[String, Seq[(String, Long)]],
+    needsGeocodingCount: Option[Long]) {
+  def coverageRate(column: String): Double =
+    if (rowCount == 0) 0.0
+    else coverage.getOrElse(column, 0L).toDouble / rowCount
+  override def toString: String = {
+    val cov = coverage.toSeq.sortBy(_._1).map { case (c, n) =>
+      f"  $c: $n (${100.0 * coverageRate(c)}%.1f%%)"
+    }.mkString("\n")
+    s"DatabaseAudit(rows=$rowCount)\n$cov"
+  }
+}
+
+object DatabaseAudit {
+  import org.apache.spark.sql.DataFrame
+
+  def audit(df: DataFrame,
+            coverageColumns: Seq[String],
+            distributionColumns: Seq[String] = Nil,
+            distributionLimit: Int = 20,
+            geocodingAddressColumn: Option[String] = None,
+            geocodingLatColumn: String = "residential_lat"): DatabaseAuditReport = {
+    val cov = Audits.coverage(df, coverageColumns).collect()(0)
+    val total = cov.getLong(0)
+    val covMap = coverageColumns.zipWithIndex.map { case (c, i) =>
+      c -> cov.getLong(i + 1)
+    }.toMap
+    val dists = distributionColumns.map { c =>
+      c -> Audits.distribution(df, c, distributionLimit).collect().toSeq
+        .map(r => (Option(r.get(0)).map(_.toString).getOrElse("NULL"),
+          r.getLong(1)))
+    }.toMap
+    val geo = geocodingAddressColumn.map { addr =>
+      val lat = org.apache.spark.sql.functions.col(geocodingLatColumn)
+      df.filter(Audits.nonBlank(org.apache.spark.sql.functions.col(addr)) &&
+        (lat.isNull || lat === 0.0)).count()
+    }
+    DatabaseAuditReport(total, covMap, dists, geo)
+  }
+}
