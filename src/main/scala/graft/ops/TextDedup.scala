@@ -263,7 +263,8 @@ object TextDedup {
       .filter(size(col("__sh")) > 0)
       .persist()
     val prefixes = prepared
-      .select(col(idCol), explode(prefixKernel(col("__sh"))).as("__h"))
+      .select(col(idCol), size(col("__sh")).as("__n"),
+        posexplode(prefixKernel(col("__sh"))).as(Seq("__pos", "__h")))
     val candidates = prefixes.as("a")
       // shuffle-hash: partition candidate generation by prefix hash; a
       // broadcast join would stream on the cached side's few partitions
@@ -271,6 +272,15 @@ object TextDedup {
       .join(prefixes.as("b"),
         col("a.__h") === col("b.__h") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
+      // positional filter (PPJoin): for the SMALLEST common element at
+      // 0-based positions (i, j), overlap ≤ min(|A|−i, |B|−j); J ≥ t
+      // needs overlap ≥ t·max(|A|,|B|) — a pair with J ≥ t always
+      // passes on its smallest common element, so dropping rows that
+      // fail loses nothing
+      .filter(
+        least(col("a.__n") - col("a.__pos"), col("b.__n") - col("b.__pos"))
+          .cast("double") >=
+          lit(threshold) * greatest(col("a.__n"), col("b.__n")))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val sh = prepared.select(col(idCol), col("__sh"))

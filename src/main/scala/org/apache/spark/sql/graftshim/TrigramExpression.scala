@@ -53,3 +53,29 @@ object TrigramColumns {
     ExpressionUtils.column(TrigramSimilarityExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/**
+ * SparkSessionExtensions installer: makes the native functions
+ * available without a Gateway — e.g.
+ * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=org.apache.spark.sql.graftshim.GraftExtensions`.
+ */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal, Subtract}
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("trigram_similarity"),
+      new ExpressionInfo(classOf[TrigramSimilarityExpr].getName,
+        "trigram_similarity"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TrigramSimilarityExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("trigram_distance"),
+      new ExpressionInfo(classOf[TrigramSimilarityExpr].getName,
+        "trigram_distance"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Subtract(Literal(1.0), TrigramSimilarityExpr(exprs(0), exprs(1)))))
+  }
+}
