@@ -102,6 +102,33 @@ object TextDedup {
     inter.toDouble / (na + nb - inter)
   })
 
+  /** Thresholded Jaccard kernel with a LOSSLESS early exit: J ≥ t iff
+    * overlap ≥ t·(na+nb)/(1+t); once inter + min(remaining) drops below
+    * that constant the pair provably fails, so we bail — the returned
+    * underestimate is still < t and gets filtered. Pairs ≥ t always
+    * complete the full merge, so their reported jaccard is exact. */
+  private def jaccardAtLeastKernel(t: Double) =
+    udf((a: Array[Long], b: Array[Long]) => {
+      val na = a.length
+      val nb = b.length
+      val minInter = t * (na + nb) / (1.0 + t)
+      var i = 0
+      var j = 0
+      var inter = 0
+      var live = true
+      while (live && i < na && j < nb) {
+        if (inter + math.min(na - i, nb - j) < minInter) live = false
+        else {
+          val x = a(i)
+          val y = b(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+      }
+      inter.toDouble / (na + nb - inter)
+    })
+
   /**
    * Exact dedup by content hash (hash-groupBy): one shuffle on the
    * digest. Returns (content_hash, survivor_id = min id, dup_count).
@@ -292,7 +319,7 @@ object TextDedup {
       // size prefilter implied by the threshold (J ≥ t ⇒ min ≥ t·max)
       .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
         lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
-      .withColumn("jaccard", jaccardKernel(col("__sa"), col("__sb")))
+      .withColumn("jaccard", jaccardAtLeastKernel(threshold)(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -339,7 +366,7 @@ object TextDedup {
       // size prefilter implied by the threshold (J ≥ t ⇒ min ≥ t·max)
       .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
         lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
-      .withColumn("jaccard", jaccardKernel(col("__sa"), col("__sb")))
+      .withColumn("jaccard", jaccardAtLeastKernel(threshold)(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .distinct()
