@@ -578,7 +578,8 @@ object SparkEntry {
         |  CAST(floor(length(norm) / 32) AS BIGINT) AS band
         | FROM (SELECT doc_id,
         |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
-        |       FROM documents)),
+        |       FROM documents)
+        | WHERE length(norm) > 0),
         |pairs AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
@@ -595,7 +596,8 @@ object SparkEntry {
         |    i -> substring(norm, i, 5))) AS s
         | FROM (SELECT doc_id,
         |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
-        |       FROM documents WHERE doc_id % 5 = 0)),
+        |       FROM documents WHERE doc_id % 5 = 0)
+        | WHERE length(norm) > 0),
         |pairs AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /

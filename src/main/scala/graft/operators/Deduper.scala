@@ -73,8 +73,12 @@ object Deduper {
     val anyNullKey = keys.map(_.isNull).reduce(_ || _)
     val tagged = table.withColumn("__survivor",
       when(anyNullKey, col(pk)).otherwise(min(col(pk)).over(wKey)))
-    val dupes0 = tagged.filter(col(pk) =!= col("__survivor"))
-    val survivors = tagged.filter(col(pk) === col("__survivor"))
+    // null pks never participate in matching (join semantics); keep
+    // them as survivors rather than letting null comparisons drop them
+    val dupes0 = tagged.filter(
+      col(pk).isNotNull && col(pk) =!= col("__survivor"))
+    val survivors = tagged.filter(
+      col(pk).isNull || col(pk) === col("__survivor"))
       .drop("__survivor")
     // fold the min-pk duplicate into each survivor (M1 routing)
     val wSurv = Window.partitionBy(col("__survivor")).orderBy(col(pk).asc)
@@ -126,14 +130,16 @@ object Deduper {
       else matched0
 
     val cached = matched.persist()
-    val reflexive = Matcher.reflexiveCount(cached, pk)
-    val symmetric = Matcher.symmetricCount(cached, pk)
-    if (enforceInvariants) {
-      require(reflexive == 0,
-        s"dedup invariant violated: $reflexive reflexive matches")
-      require(symmetric == 0,
-        s"dedup invariant violated: $symmetric symmetric matches")
-    }
+    val (reflexive, symmetric) =
+      try {
+        val r = Matcher.reflexiveCount(cached, pk)
+        val s = Matcher.symmetricCount(cached, pk)
+        if (enforceInvariants) {
+          require(r == 0, s"dedup invariant violated: $r reflexive matches")
+          require(s == 0, s"dedup invariant violated: $s symmetric matches")
+        }
+        (r, s)
+      } catch { case e: Throwable => cached.unpersist(); throw e }
 
     val dupes = cached.filter(col(TargetId).isNotNull)
     val survivors = table.join(
@@ -173,7 +179,9 @@ object Deduper {
       }
     }
     val folded = joined.select(outCols.toIndexedSeq: _*)
-    cached.unpersist()
+    // cached stays persisted: the returned DataFrames are built on it
+    // and would otherwise recompute the whole match per caller action
+    // (harness/Gateway cache cleanup reclaims it)
     DedupResult(folded, dupes, reflexive, symmetric)
   }
 }

@@ -178,26 +178,40 @@ object Merger {
       }
 
     // ---- RETURNING write-back (M4) -----------------------------------
+    // The reference's RETURNING yields the POST-merge row
+    // (record_merger.rb:70-80,97-107), so values come from `newTarget`:
+    // matched rows are addressed by their match key, inserted rows by
+    // their generated pk. Any target column can be returned, not just
+    // the pk. Mode rules follow the suppressed phases: update_only
+    // writes back only for matched rows, insert_only only for inserts.
     val updatedSource: DataFrame =
       if (spec.returnToSource.isEmpty) withId
       else {
-        // target values for matched rows come from the match itself;
-        // for inserted rows from the generated pks.
-        val matchedMap = matched.filter(col(TargetId).isNotNull)
-          .select(col(SourceId), col(TargetId))
-        val retCols = spec.returnToSource
+        val matchedMap =
+          if (spec.insertOnly) // no update phase → no matched write-back
+            matched.filter(lit(false))
+              .select(col(SourceId), col(TargetId))
+          else
+            matched.filter(col(TargetId).isNotNull)
+              .select(col(SourceId), col(TargetId))
         var src = withId.as("src")
           .join(matchedMap.as("m"), Seq(SourceId), "left")
         insertedKeyMap match {
           case Some(ins) => src = src.join(ins.as("i"), Seq(SourceId), "left")
           case None      => src = src.withColumn("__ret_pk", lit(null))
         }
+        val retKey = coalesce(col(TargetId), col("__ret_pk"))
+        val retTargetCols = spec.returnToSource.map(_._1).distinct
+        val tvals = newTarget.select(
+          col(pk).as("__ret_key") +:
+            retTargetCols.map(c => col(c).as(s"__tv_$c")): _*)
+        src = src.join(tvals, retKey === col("__ret_key"), "left")
         val outCols = withId.columns.map { c =>
-          retCols.find(_._2 == c) match {
-            case Some((tcol, _)) if tcol == spec.matchSpec.targetPk =>
-              coalesce(col(TargetId), col("__ret_pk"), col(s"src.$c"))
+          spec.returnToSource.find(_._2 == c) match {
+            case Some((tcol, _)) =>
+              coalesce(col(s"__tv_$tcol"), col(s"src.$c"))
                 .cast(withId.schema(c).dataType).as(c)
-            case _ => col(s"src.$c").as(c)
+            case None => col(s"src.$c").as(c)
           }
         }
         src.select(outCols.toIndexedSeq: _*)

@@ -162,11 +162,11 @@ object WorkingTable {
       .select((keys.map(_._2) :+ sourceColumn).distinct.map(col): _*)
       .groupBy(keys.map(k => col(k._2)): _*)
       .agg(min(col(sourceColumn)).as("__src_value"))
-    val joined = keys.foldLeft(target.as("t").join(
+    val joined = target.as("t").join(
       srcProj.as("s"),
       keys.map { case (tk, sk) => col(s"t.$tk") === col(s"s.$sk") }
         .reduce(_ && _),
-      "left"))((df, _) => df)
+      "left")
     val newVal = Template.toColumn(template,
       Some("s.__src_value"), Some(s"t.$targetColumn"))
     val replaced = when(col("s.__src_value").isNotNull, newVal)

@@ -403,18 +403,33 @@ object TextDedup {
   }
 
   /**
-   * SimHash near-duplicate pairs: block on 16-bit quarters (a pair with
-   * hamming distance ≤ 3 shares at least one of 4 quarters — pigeonhole),
-   * verify with bit_count(xor) ≤ maxHamming.
+   * SimHash near-duplicate pairs: block on (maxHamming + 1) bit pieces —
+   * by pigeonhole, a pair with hamming distance ≤ maxHamming agrees on
+   * at least one piece — then verify with bit_count(xor) ≤ maxHamming.
+   * Lossless for any maxHamming ≤ 20 (pieces keep ≥ 3 bits so buckets
+   * stay selective); larger radii are rejected rather than silently
+   * losing recall.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 20,
+      s"maxHamming must be in [0, 20] for lossless piece blocking, got $maxHamming")
+    val pieces = maxHamming + 1
+    val baseWidth = 64 / pieces
+    val remainder = 64 % pieces
+    // first `remainder` pieces get baseWidth+1 bits
+    val ranges = (0 until pieces).scanLeft((0, 0)) { case ((_, end), i) =>
+      val w = baseWidth + (if (i < remainder) 1 else 0)
+      (end, end + w)
+    }.tail
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val sigs = df.select(col(idCol), simhash64(toks).as("__sim"))
       .persist() // consumed by both sides of the block self-join
     val blocks = sigs.select(col(idCol), col("__sim"),
-      posexplode(array((0 until 4).map { q =>
-        shiftright(col("__sim"), q * 16).bitwiseAND(lit(0xFFFFL))
+      posexplode(array(ranges.map { case (start, end) =>
+        val width = end - start
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftright(col("__sim"), start).bitwiseAND(lit(mask))
       }: _*)).as(Seq("__q", "__qh")))
     blocks.as("a")
       .hint("shuffle_hash") // spread block buckets across cores

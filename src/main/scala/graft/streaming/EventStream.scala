@@ -63,8 +63,16 @@ object EventStream {
       : DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    // normalize ts to epoch MICROSECONDS whatever the input form:
+    // a TimestampType cast to long yields SECONDS (off by 1e6 for the
+    // gap math), so convert explicitly
+    val tsMicros = events.schema("ts").dataType match {
+      case TimestampType => unix_micros(col("ts"))
+      case _             => col("ts").cast("long")
+    }
     val typed = events
-      .select(col("user_id").cast("long"), col("ts").cast("long").as("tsus"),
+      .select(col("user_id").cast("long"), tsMicros.as("tsus"),
         col("value").cast("double"))
       .as[(Long, Long, Double)]
     typed.groupByKey(_._1)
@@ -91,7 +99,8 @@ object EventStream {
   /** Run a streaming query over parquet input into a memory sink and
     * block until all available data is processed (test/demo harness). */
   def runToMemory(spark: SparkSession, inputDir: String, queryName: String,
-                  transform: DataFrame => DataFrame): StreamingQuery = {
+                  transform: DataFrame => DataFrame,
+                  mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
     // the file stream source requires a directory; stage a single-file
@@ -109,7 +118,7 @@ object EventStream {
       .schema(RawSchema)
       .parquet(dir)
     val q = transform(normalize(stream)).writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -87,6 +87,23 @@ class MatcherMergerSpec extends SparkSpec {
     assert(m(103L) == 5L) // inserted pk = max(4) + 1
   }
 
+  test("returning write-back supports non-pk target columns") {
+    // source writes back the POST-merge target city (arbitrary column)
+    val src2 = source.withColumn("city_from_target",
+      lit(null).cast("string"))
+    val res = Merger.merge(src2, target, MergeSpec(
+      matchSpec = spec,
+      excludedColumns = Seq("city_from_target"),
+      preservedColumns = Seq("city"), // target keeps its own city
+      returnToSource = Seq(("city", "city_from_target"))))
+    val m = res.updatedSource
+      .select("working_source_id", "city_from_target")
+      .as[(Long, Option[String])].collect().toMap
+    assert(m(100L).contains("NY"))  // alice's target city (preserved)
+    assert(m(101L).contains("LA"))
+    assert(m(103L).contains("XX"))  // inserted row: its own city landed
+  }
+
   test("merge is idempotent on re-merge of matched keys") {
     // merging a source twice with update-only copy semantics yields the
     // same target when match keys aren't themselves overwritten

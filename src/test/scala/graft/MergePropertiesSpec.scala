@@ -114,6 +114,19 @@ class MergePropertiesSpec extends SparkSpec {
       Set(1L, 3L, 4L))
   }
 
+  test("dedup fast path keeps null-pk rows (join-semantics parity)") {
+    val table = Seq(
+      (Some(1L), "k", 1.0), (Some(2L), "k", 2.0), (None, "k", 3.0)
+    ).toDF("id", "k", "v")
+    val spec = MergeSpec(matchSpec =
+      MatchSpec(Seq(ExactGroup.onColumns("k")), targetPk = "id"))
+    val fast = Deduper.dedup(table, spec)
+    // null-pk row is neither a duplicate nor dropped
+    assert(fast.newTable.count() == 2)
+    assert(fast.newTable.filter($"id".isNull).count() == 1)
+    assert(fast.duplicates.count() == 1)
+  }
+
   test("dedup fast path and general (join) path agree") {
     (1 to Rounds).foreach { r =>
       val t = sample(genTarget, 300 + r)

@@ -70,6 +70,13 @@ class OpsSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).forall(_ > 0))
   }
 
+  test("simhash rejects radii beyond the lossless blocking bound") {
+    val df = Seq((1L, "a b c")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(df, "id", "t", maxHamming = 21).collect()
+    }
+  }
+
   test("brute-force top-k: self-similarity excluded, ranks deterministic") {
     val out = Similarity.bruteForceTopK(emb,
       emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)

@@ -22,6 +22,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize handles TimestampType ts (unit regression)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1000000L
+    val events = Seq(
+      (1L, 0L * us, 1.0), (1L, 60L * us, 2.0),
+      (1L, 10000L * 1000L * us, 9.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", timestamp_micros(col("ts"))) // TimestampType input
+    val out = EventStream.sessionize(events, gapMs = 30 * 60 * 1000L)
+      .as[EventStream.SessionUpdate].collect()
+    // with the old cast-to-long (seconds) bug the gap math was off by
+    // 1e6 and no session ever closed
+    assert(out.length == 1 && out.head.events_in_session == 2)
+  }
+
   test("sessionize closes sessions on inactivity gaps (batch path)") {
     import spark.implicits._
     // 3 events within the gap, then one far later → exactly one closed

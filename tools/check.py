@@ -24,7 +24,13 @@ def canon(rows, cols):
     for r in rows:
         out.append(tuple(r[i] for i in order))
     def key(t):
-        return tuple((v is None, str(type(v)), str(v)) for v in t)
+        # floats sort by a rounded representation so last-ulp engine
+        # differences can't reorder rows and misalign the comparison
+        def k(v):
+            if isinstance(v, float):
+                return (v is None, "float", f"{v:.9g}")
+            return (v is None, str(type(v)), str(v))
+        return tuple(k(v) for v in t)
     out.sort(key=key)
     return [cols[i] for i in order], out
 
