@@ -316,6 +316,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // embedding-cosine near-dup, exact pairs (dedup-flavored)
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)),
+
+    // embedding-cosine near-dup, LSH-bucketed scale path (probabilistic
+    // recall → rows-only; recall vs exact asserted in specs)
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, dim = 64)),
+
     // per-document text analysis profile
     "q_text_profile" -> ((s, dir) =>
       TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")),
@@ -625,6 +636,20 @@ object SparkEntry {
         |                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
         | FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |p AS (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_aggregate(list_transform(generate_series(1, len(a.e)),
+        |   i -> a.e[i] * b.e[i]), 'sum') /
+        | (sqrt(list_aggregate(list_transform(generate_series(1, len(a.e)),
+        |   i -> a.e[i] * a.e[i]), 'sum')) *
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(b.e)),
+        |   i -> b.e[i] * b.e[i]), 'sum'))) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin,
 
     "q_text_profile" -> textProfileOracle,
 

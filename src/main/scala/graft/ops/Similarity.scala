@@ -33,7 +33,7 @@ object Similarity {
     * interpreted per element (higher-order functions are
     * CodegenFallback) and an order of magnitude slower in the
     * query-corpus hot loop. */
-  private val dotKernel = udf((a: Seq[Double], b: Seq[Double]) => {
+  private val dotKernel = udf((a: Array[Double], b: Array[Double]) => {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -43,7 +43,7 @@ object Similarity {
 
   /** cosine = dot/(sqrt(na)*sqrt(nb)), each sum accumulated in index
     * order exactly like the oracle SQL. */
-  private val cosineKernel = udf((a: Seq[Double], b: Seq[Double]) => {
+  private val cosineKernel = udf((a: Array[Double], b: Array[Double]) => {
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -143,6 +143,58 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, EXACT: all (id_a < id_b)
+   * pairs with cosine ≥ threshold. The corpus side is broadcast (a
+   * nested-loop pair scan — the correctness baseline and perfectly
+   * fine up to ~10⁴ vectors); the LSH variant below is the scale path.
+   */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"),
+      toDoubleVec(col(vecCol)).as("__va"))
+    val b = corpus.select(col(idCol).as("id_b"),
+      toDoubleVec(col(vecCol)).as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /**
+   * Embedding-cosine near-dup, LSH-bucketed scale path: candidates are
+   * pairs sharing a random-hyperplane sign bucket (probability rises
+   * with cosine: P(bit agrees) = 1 − θ/π per plane), verified exactly.
+   * Probabilistic recall — measured against [[cosineNearDupPairs]] in
+   * the specs; bucket count/width trade recall vs candidate volume.
+   */
+  def cosineNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, dim: Int, nBits: Int = 8,
+                            nTables: Int = 4): DataFrame = {
+    val sigs = (0 until nTables).map { t =>
+      cosineLshSignature(col(vecCol), dim, nBits, seed = 42L + t)
+    }
+    val withBuckets = corpus.select(col(idCol),
+      posexplode(array(sigs: _*)).as(Seq("__t", "__b")))
+      .persist()
+    val candidates = withBuckets.as("a")
+      .hint("shuffle_hash")
+      .join(withBuckets.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__b") === col("b.__b") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
+    candidates
+      .join(vecs.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("__v", "__va"), Seq("id_a"))
+      .join(vecs.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("__v", "__vb"), Seq("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /**

@@ -137,6 +137,25 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Double](3).head == r.getLong(2).toDouble))
   }
 
+  test("cosine near-dup: LSH path finds planted near-duplicates") {
+    // plant true near-dups (the synthetic corpus has none: max pairwise
+    // cosine ~0.51, below the regime sign-LSH is designed for)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(5)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == (0 until 5).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet)
+    val lsh = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding",
+      0.99, dim = 64).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verification → no false positives
+    assert(lsh.size >= 4, s"LSH missed too many planted pairs: $lsh")
+  }
+
   test("cosine LSH signature buckets identical vectors together") {
     val sig = Similarity.cosineLshSignature(col("embedding"), dim = 64)
     val sigs = emb.limit(50).select(col("vec_id"), sig.as("s")).collect()
