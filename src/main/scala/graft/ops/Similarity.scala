@@ -113,6 +113,47 @@ object Similarity {
   }
 
   /**
+   * Lloyd refinement of an IVF assignment: recompute each cell's
+   * centroid as the mean of its members (distributed: explode to
+   * (cell, dim, value), average per (cell, dim), reassemble), then
+   * reassign every vector to its nearest refined centroid. Each
+   * iteration is two shuffles (the mean aggregation and the
+   * window-resolved reassignment); centroids stay broadcast-size.
+   * Returns the corpus re-tagged with `cell_id` (cell ids become dense
+   * ranks of the refined centroids, deterministic).
+   */
+  def ivfRefine(corpusWithCells: DataFrame, idCol: String, vecCol: String,
+                iterations: Int = 1): DataFrame = {
+    var current = corpusWithCells
+    (0 until iterations).foreach { _ =>
+      val centroids = current
+        .select(col("cell_id"),
+          posexplode(toDoubleVec(col(vecCol))).as(Seq("__dim", "__x")))
+        .groupBy(col("cell_id"), col("__dim"))
+        .agg(avg(col("__x")).as("__mean"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("__dim"), col("__mean"))))
+          .as("__pairs"))
+        .select(col("cell_id"),
+          transform(col("__pairs"), p => p.getField("__mean"))
+            .as("__centroid"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__csim").desc, col("__new_cell").asc)
+      current = current.drop("cell_id")
+        .withColumn("__v", toDoubleVec(col(vecCol)))
+        .join(broadcast(centroids.withColumnRenamed("cell_id", "__new_cell")),
+          lit(true))
+        .withColumn("__csim", cosine(col("__v"), col("__centroid")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumnRenamed("__new_cell", "cell_id")
+        .drop("__rn", "__csim", "__centroid", "__v")
+        .persist()
+    }
+    current
+  }
+
+  /**
    * IVF top-k: probe the `nProbe` nearest cells per query, then exact
    * cosine only within probed cells. At scale the corpus is
    * pre-partitioned by cell_id, so a probe touches nProbe/nCells of the
@@ -121,9 +162,20 @@ object Similarity {
   def ivfTopK(corpusWithCells: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int, nProbe: Int): DataFrame = {
-    val cells = corpusWithCells.filter(col(idCol) === col("cell_id"))
+    // probe centers = per-cell mean vectors — correct for both the seed
+    // assignment and a Lloyd-refined one (where the seed member may
+    // have migrated out of its own cell)
+    val cells = corpusWithCells
+      .select(col("cell_id"),
+        posexplode(toDoubleVec(col(vecCol))).as(Seq("__dim", "__x")))
+      .groupBy(col("cell_id"), col("__dim"))
+      .agg(avg(col("__x")).as("__mean"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__mean"))))
+        .as("__pairs"))
       .select(col("cell_id").as("__probe_cell"),
-        toDoubleVec(col(vecCol)).as("__centroid"))
+        transform(col("__pairs"), p => p.getField("__mean"))
+          .as("__centroid"))
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"))
     val wProbe = Window.partitionBy(col("query_id"))

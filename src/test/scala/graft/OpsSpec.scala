@@ -99,6 +99,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall") // probing half the cells
   }
 
+  test("Lloyd refinement keeps a valid assignment and helps recall") {
+    val seed = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    val refined = Similarity.ivfRefine(seed, "vec_id", "embedding", 2)
+    assert(refined.count() == emb.count())          // no rows lost
+    assert(refined.select("cell_id").distinct().count() <= 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfR = Similarity.ivfTopK(refined, queries, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivfR & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"refined IVF recall too low: $recall")
+  }
+
   test("text profile fields") {
     val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
     val r = TextAnalysis.profile(df, "doc_id", "text").collect()(0)
