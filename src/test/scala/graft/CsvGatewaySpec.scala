@@ -54,6 +54,19 @@ class CsvGatewaySpec extends SparkSpec {
     assert(df.select("b").as[String].head() == "x,y")
   }
 
+  test("csv audit report: counts, key uniqueness, coverage, malformed") {
+    val p = tempCsv("id,name,email\n1,a,x@y.co\n2,,\n2,c,z@w.io\nbad,row,x,EXTRA\n")
+    val spec = CsvSpec(p, quote = "\"")
+    val df = CsvSource.read(spark, spec)
+    val rep = graft.operators.CsvAudit.audit(df,
+      keys = Seq("id"), columns = Seq("name", "email"),
+      malformedCount = CsvSource.malformedCount(spark, spec))
+    assert(rep.rowCount == 3)
+    assert(rep.malformedCount == 1)
+    assert(!rep.keyIsUnique)          // id=2 twice
+    assert(rep.coverage == Map("name" -> 2, "email" -> 2))
+  }
+
   test("gateway registry, rebinding, sql passthrough, cleanup") {
     Gateway.withSession(spark) { gw =>
       val n1 = gw.freshName()
