@@ -280,11 +280,12 @@ object SparkEntry {
         shingleLen = 5, numHashes = 64, bands = 8,
         jaccardThreshold = 0.8)),
 
-    // exact n-gram Jaccard, deterministic length-band blocking (the
-    // moderate-threshold variant: cheap bands, ratio prefilter)
+    // exact n-gram Jaccard threshold join at a moderate threshold —
+    // rarest-first (frequency-ordered) prefix filtering keeps the
+    // candidate buckets tiny even though the prefix is half the doc
     "q_ngram_jaccard" -> ((s, dir) =>
-      TextDedup.ngramJaccardPairsBanded(t(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 5, threshold = 0.5, bandWidth = 32)),
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)),
 
     // exact Jaccard THRESHOLD JOIN via lossless prefix filtering
     // (AllPairs/PPJoin) — the high-threshold variant, no band caveat
@@ -585,8 +586,7 @@ object SparkEntry {
         | SELECT doc_id,
         |  list_distinct(list_transform(
         |    generate_series(1, greatest(1, length(norm) - 4)),
-        |    i -> substring(norm, i, 5))) AS s,
-        |  CAST(floor(length(norm) / 32) AS BIGINT) AS band
+        |    i -> substring(norm, i, 5))) AS s
         | FROM (SELECT doc_id,
         |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
         |       FROM documents)
@@ -596,7 +596,8 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         | FROM sh a JOIN sh b
-        |  ON a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1)
+        |  ON a.doc_id < b.doc_id
+        |   AND least(len(a.s), len(b.s)) >= 0.5 * greatest(len(a.s), len(b.s)))
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
 
     "q_jaccard_threshold" ->

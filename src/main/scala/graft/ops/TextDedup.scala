@@ -262,36 +262,192 @@ object TextDedup {
    * Exact n-gram Jaccard threshold join via LOSSLESS prefix filtering
    * (AllPairs/PPJoin family, deterministic — no probabilistic recall):
    *
-   * With shingle sets as sorted hash arrays (a global total order ≈ a
-   * random permutation), J(A,B) ≥ t implies |A∩B| ≥ t·|A| and ≥ t·|B|
-   * (union ≥ max size). Let prefix(X) = the first |X| − ⌈t·|X|⌉ + 1
-   * elements. The SMALLEST common element e must lie in both prefixes:
-   * were e outside prefix(A), all ≥ prefixLen elements before it in A
-   * would be non-shared, capping the overlap below ⌈t·|A|⌉ —
-   * contradiction. So joining the exploded prefixes finds every
-   * qualifying pair; the merge-intersection kernel then verifies
-   * exactly. Result = ALL pairs with Jaccard ≥ t (a true threshold
-   * join, plain-SQL oracle-expressible).
+   * With a GLOBAL total order on shingles, J(A,B) ≥ t implies
+   * |A∩B| ≥ t·|A| and ≥ t·|B| (union ≥ max size). Let prefix(X) = the
+   * first |X| − ⌈t·|X|⌉ + 1 elements in that order. The smallest common
+   * element e must lie in both prefixes: were e outside prefix(A), all
+   * ≥ prefixLen elements before it in A would be non-shared, capping
+   * the overlap below ⌈t·|A|⌉ — contradiction. So joining the exploded
+   * prefixes finds every qualifying pair; the merge-intersection kernel
+   * then verifies exactly. Result = ALL pairs with Jaccard ≥ t (a true
+   * threshold join, plain-SQL oracle-expressible).
    *
-   * Scale: candidates shuffle on the prefix hash (pseudorandom →
-   * well-spread keys); the size-ratio prefilter (implied by t) skips
-   * the kernel for hopeless candidates.
+   * The order is RAREST-FIRST (ascending global document frequency,
+   * hash tiebreak) — the AllPairs/PPJoin canonical ordering (Bayardo
+   * et al., WWW'07; Xiao et al., PPJoin). Prefixes then hold each
+   * document's rarest shingles, so join buckets are tiny even at
+   * moderate thresholds where the prefix is half the document (a
+   * hash-ordered prefix degrades to near-all-pairs there: corpus-common
+   * shingles land in every prefix).
+   *
+   * Scale: frequency counting and the candidate join are both keyed by
+   * shingle hash (well-spread); per-document re-ordering is one
+   * groupBy sized as the corpus token count; AQE handles residual
+   * bucket skew. The size-ratio prefilter (implied by t) skips the
+   * verify kernel for hopeless candidates.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 5,
-                        threshold: Double = 0.8): DataFrame = {
-    val prefixKernel = udf((hs: Array[Long]) => {
-      val n = hs.length
-      val p = n - math.ceil(threshold * n).toInt + 1
-      java.util.Arrays.copyOf(hs, math.max(1, math.min(p, n)))
-    })
+                        threshold: Double = 0.8,
+                        denseVocabLimit: Int = 1 << 14,
+                        denseBlocks: Int = 32): DataFrame = {
     val prepared = df
       .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .persist()
-    val prefixes = prepared
-      .select(col(idCol), size(col("__sh")).as("__n"),
-        posexplode(prefixKernel(col("__sh"))).as(Seq("__pos", "__h")))
+    val toks = prepared.select(col(idCol), explode(col("__sh")).as("__h"))
+    // adaptive dispatch on corpus statistics (the regimes need different
+    // algorithms): a SMALL shingle universe makes prefix filtering
+    // structurally useless — every shingle is corpus-common, so nearly
+    // every pair shares a "rare" prefix element — while making dense
+    // bitmap intersection cheap. Probe cardinality approximately first
+    // (one cheap agg) and only collect the exact vocabulary when it
+    // plausibly fits.
+    val idIntegral = prepared.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val approxV =
+      if (idIntegral && denseVocabLimit > 0)
+        toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
+      else Long.MaxValue
+    val vocabOpt =
+      if (approxV <= denseVocabLimit * 1.2) {
+        val v = toks.select(col("__h")).distinct()
+          .collect().map(_.getLong(0))
+        if (v.length <= denseVocabLimit) { java.util.Arrays.sort(v); Some(v) }
+        else None
+      } else None
+    vocabOpt match {
+      case Some(vocab) =>
+        val orig = prepared.schema(idCol).dataType
+        denseJaccardPairs(prepared, idCol, threshold, vocab, denseBlocks)
+          .select(col("id_a").cast(orig).as("id_a"),
+            col("id_b").cast(orig).as("id_b"), col("jaccard"))
+      case None =>
+        prefixJaccardPairs(prepared, toks, idCol, threshold)
+    }
+  }
+
+  /**
+   * Small-universe exact Jaccard: dictionary-encode each document's
+   * shingle set as a V-bit bitmap (V = vocabulary size, broadcast as a
+   * sorted hash dictionary) and compare documents tile-by-tile.
+   * Documents are assigned to `blocks` blocks; each unordered block
+   * pair is one task comparing its tile with popcount-AND kernels
+   * (~V/64 word ops per pair, branchless — several times faster than a
+   * merge-intersection of sorted arrays when V is small). The
+   * replication is n·blocks rows — the Afrati–Ullman communication-
+   * optimal scheme for all-pairs problems; at scale pick blocks so a
+   * tile (2n/blocks bitmaps) fits executor memory. The length-ratio
+   * prefilter (J ≥ t ⇒ min ≥ t·max) skips hopeless pairs before the
+   * kernel.
+   */
+  private def denseJaccardPairs(prepared: DataFrame, idCol: String,
+                                threshold: Double, vocab: Array[Long],
+                                blocks: Int): DataFrame = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val nWords = (vocab.length + 63) >>> 6
+    val bcVocab = spark.sparkContext.broadcast(vocab)
+    val toBits = udf((hs: Array[Long]) => {
+      val v = bcVocab.value
+      val words = new Array[Long](nWords)
+      var i = 0
+      while (i < hs.length) {
+        val r = java.util.Arrays.binarySearch(v, hs(i))
+        if (r >= 0) words(r >>> 6) |= 1L << (r & 63)
+        i += 1
+      }
+      words
+    })
+    val b = blocks
+    val t = threshold
+    val docs = prepared.select(
+      col(idCol).cast("long").as("id"),
+      size(col("__sh")).as("n"),
+      toBits(col("__sh")).as("bits"),
+      pmod(hash(col(idCol)), lit(b)).as("blk"))
+      .as[(Long, Int, Array[Long], Int)]
+    val expanded = docs.flatMap { case (id, n, bits, blk) =>
+      (0 until b).iterator.map { o =>
+        (math.min(blk, o) * b + math.max(blk, o), blk, id, n, bits)
+      }
+    }
+    expanded.groupByKey(_._1).flatMapGroups { (pk, it) =>
+      val lo = pk / b
+      val hi = pk % b
+      val las = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
+      val has = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
+      it.foreach { case (_, blk, id, n, bits) =>
+        if (blk == lo) las += ((id, n, bits)) else has += ((id, n, bits))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def compare(a: (Long, Int, Array[Long]), c: (Long, Int, Array[Long])): Unit = {
+        val (ida, na, ba) = a
+        val (idb, nb, bb) = c
+        if (math.min(na, nb) >= t * math.max(na, nb)) {
+          var inter = 0
+          var w = 0
+          while (w < nWords) {
+            inter += java.lang.Long.bitCount(ba(w) & bb(w))
+            w += 1
+          }
+          val jac = inter.toDouble / (na + nb - inter)
+          if (jac >= t) {
+            if (ida < idb) out += ((ida, idb, jac)) else out += ((idb, ida, jac))
+          }
+        }
+      }
+      if (lo == hi) {
+        var i = 0
+        while (i < las.length) {
+          var j = i + 1
+          while (j < las.length) { compare(las(i), las(j)); j += 1 }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < las.length) {
+          var j = 0
+          while (j < has.length) { compare(las(i), has(j)); j += 1 }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("id_a", "id_b", "jaccard")
+  }
+
+  /** Large-universe exact Jaccard: rarest-first prefix filtering (see
+    * [[ngramJaccardPairs]] scaladoc for the losslessness argument). */
+  private def prefixJaccardPairs(prepared: DataFrame, toks: DataFrame,
+                                 idCol: String, threshold: Double): DataFrame = {
+    // sort (docfreq, hash) ascending, emit the prefix as (pos, hash, n)
+    val prefixKernel = udf((ch: Seq[Long], hh: Seq[Long]) => {
+      val n = ch.length
+      val keys = new Array[(Long, Long)](n)
+      var i = 0
+      while (i < n) { keys(i) = (ch(i), hh(i)); i += 1 }
+      java.util.Arrays.sort(keys, implicitly[Ordering[(Long, Long)]])
+      val p = math.max(1, math.min(n - math.ceil(threshold * n).toInt + 1, n))
+      Array.tabulate(p)(i => (i, keys(i)._2, n))
+    })
+    val freqs = toks.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    val prefixes = toks
+      // shuffle-hash on __h; freqs is one row per distinct shingle but
+      // may exceed broadcast limits at scale (vocabulary-sized)
+      .hint("shuffle_hash")
+      .join(freqs, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__c")).as("__cs"), collect_list(col("__h")).as("__hs"))
+      .select(col(idCol),
+        explode(prefixKernel(col("__cs"), col("__hs"))).as("__p"))
+      .select(col(idCol), col("__p._1").as("__pos"), col("__p._2").as("__h"),
+        col("__p._3").as("__n"))
+      // both sides of the self-join read this — without a
+      // materialization barrier the freq join + reorder runs twice
+      .persist()
     val candidates = prefixes.as("a")
       // shuffle-hash: partition candidate generation by prefix hash; a
       // broadcast join would stream on the cached side's few partitions
@@ -299,17 +455,30 @@ object TextDedup {
       .join(prefixes.as("b"),
         col("a.__h") === col("b.__h") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      // positional filter (PPJoin): for the SMALLEST common element at
-      // 0-based positions (i, j), overlap ≤ min(|A|−i, |B|−j); J ≥ t
-      // needs overlap ≥ t·max(|A|,|B|) — a pair with J ≥ t always
-      // passes on its smallest common element, so dropping rows that
-      // fail loses nothing
+      // group-count positional filter (PPJoin family, LOSSLESS): per
+      // pair, cnt = |prefix(A) ∩ prefix(B)| and (pa, pb) = positions of
+      // the LARGEST common prefix element e*. Positions are monotone in
+      // the global order, so every common element < e* sits in both
+      // prefixes (all of A's elements below a prefix element are prefix
+      // elements) and is counted by cnt, while common elements > e*
+      // number ≤ min(|A|−1−pa, |B|−1−pb). Hence
+      //   overlap ≤ cnt + min(|A|−1−pa, |B|−1−pb),
+      // and J ≥ t ⟺ overlap·(1+t) ≥ t·(|A|+|B|) — pairs failing the
+      // bound provably fail the threshold. This replaces a bare
+      // distinct(): same shuffle, but hopeless pairs (the bulk, on
+      // corpora with heavy sub-threshold overlap) never reach the
+      // array-verify join.
+      .groupBy(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__n").as("__na"), col("b.__n").as("__nb"))
+      .agg(count(lit(1)).as("__cnt"),
+        max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"))
       .filter(
-        least(col("a.__n") - col("a.__pos"), col("b.__n") - col("b.__pos"))
-          .cast("double") >=
-          lit(threshold) * greatest(col("a.__n"), col("b.__n")))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+        (col("__cnt") +
+          least(col("__na") - 1 - col("__pa"), col("__nb") - 1 - col("__pb")))
+          .cast("double") * lit(1.0 + threshold) >=
+          lit(threshold) * (col("__na") + col("__nb")))
+      .select(col("id_a"), col("id_b"))
     val sh = prepared.select(col(idCol), col("__sh"))
     candidates
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "__sa"),

@@ -46,6 +46,20 @@ class OpsSpec extends SparkSpec {
       math.abs(banded.head._3 - 11.0 / 13.0) < 1e-9)
   }
 
+  test("dense and prefix jaccard paths return identical pairs") {
+    // real corpus slice: small vocabulary → default dispatch is dense;
+    // denseVocabLimit = 0 forces the rarest-first prefix path
+    val slice = docs.limit(80)
+    val dense = TextDedup.ngramJaccardPairs(slice, "doc_id", "text",
+      shingleLen = 5, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = TextDedup.ngramJaccardPairs(slice, "doc_id", "text",
+      shingleLen = 5, threshold = 0.4, denseVocabLimit = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dense == prefix)
+    assert(dense.nonEmpty) // the sf0.001 corpus has planted near-dups
+  }
+
   test("prefix threshold join finds pairs across disparate lengths") {
     // same prefix content, one doc twice as long: banded blocking with a
     // narrow band would miss this; the threshold join must evaluate it
