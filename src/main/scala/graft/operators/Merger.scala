@@ -78,6 +78,55 @@ object Merger {
   }
 
   /**
+   * Global 1-based rank of every row by `orderCol`, computed WITHOUT a
+   * single-partition window (the classic insert-pk scale-killer: a
+   * global `Window.orderBy` funnels every row through one task).
+   * Two-pass distributed dense rank instead:
+   *   1. range-repartition + sort within partitions by `orderCol`, so
+   *      partition i holds a contiguous ordered slice;
+   *   2. stamp `monotonically_increasing_id` (partitionId << 33 | local
+   *      offset) and persist — the barrier guarantees the offset
+   *      collection and the final projection see the SAME partition
+   *      layout (range boundaries come from sampling, so an unpersisted
+   *      plan could re-sample between jobs);
+   *   3. collect per-partition counts (≤ numPartitions rows — a tiny
+   *      driver agg), prefix-sum them into partition base offsets, and
+   *      broadcast-join the offsets back.
+   * rank = partitionBase + localOffset + 1 equals the global
+   * row_number by `orderCol` regardless of where sampling placed the
+   * boundaries, because partitions are ordered and internally sorted.
+   * Adds `rankCol` = `base` + rank (LongType).
+   */
+  private[graft] def withDistributedRank(df: DataFrame, orderCol: String,
+                                         rankCol: String, base: Long): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val LocalMask = (1L << 33) - 1
+    val ranged = df
+      .repartitionByRange(nParts, col(orderCol).asc)
+      .sortWithinPartitions(col(orderCol).asc)
+      .withColumn("__mono", monotonically_increasing_id())
+      .persist()
+    val parts = ranged
+      .groupBy(shiftright(col("__mono"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mono")).as("__mstart"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val offsets = parts.scanLeft(0L)(_ + _.getLong(1)).init
+    val offRows = parts.zip(offsets).map { case (r, off) =>
+      (r.getLong(0), r.getLong(2), off)
+    }.toSeq
+    import spark.implicits._
+    val offDf = offRows.toDF("__pid", "__mstart", "__off")
+    ranged
+      .withColumn("__pid", shiftright(col("__mono"), 33))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rankCol,
+        lit(base) + col("__off") + (col("__mono") - col("__mstart")) + 1)
+      .drop("__pid", "__mono", "__mstart", "__off")
+  }
+
+  /**
    * Run match + merge. `source` must be conformed; `target` is the
    * current target table state. Returns the new target, the source with
    * RETURNING write-backs applied, and the matched working source (for
@@ -148,14 +197,13 @@ object Merger {
     val (newTarget, insertedKeyMap) =
       if (spec.updateOnly) (newTargetUpdated, None)
       else {
-        // fresh pks: max(existing) + row_number ordered by source id —
+        // fresh pks: max(existing) + global rank by source id —
         // deterministic and unique; the max() is a single tiny agg.
         val maxPk = target.agg(max(col(pk)).cast("long")).collect()(0)
         val base = if (maxPk.isNullAt(0)) 0L else maxPk.getLong(0)
-        val wIns = Window.orderBy(col(SourceId).asc)
-        val withPk = unmatched.withColumn("__new_pk",
-          (lit(base) + row_number().over(wIns))
-            .cast(target.schema(pk).dataType))
+        val withPk = withDistributedRank(unmatched, SourceId, "__new_pk", base)
+          .withColumn("__new_pk",
+            col("__new_pk").cast(target.schema(pk).dataType))
         val insertVals: Map[String, Column] = {
           val exprs = spec.insertExpressions.map { case (c, tpl) =>
             c -> Template.toColumn(tpl, Some(c))
