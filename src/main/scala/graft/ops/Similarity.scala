@@ -216,28 +216,78 @@ object Similarity {
   }
 
   /**
-   * Embedding-cosine near-dup, LSH-bucketed scale path: candidates are
-   * pairs sharing a random-hyperplane sign bucket (probability rises
-   * with cosine: P(bit agrees) = 1 − θ/π per plane), verified exactly.
-   * Probabilistic recall — measured against [[cosineNearDupPairs]] in
-   * the specs; bucket count/width trade recall vs candidate volume.
+   * All-tables random-hyperplane signature kernel: one JIT'd pass per
+   * vector computing nTables × nBits sign bits (vs one interpreted
+   * array-cast + one UDF dot PER PLANE — 128 expression evals per row
+   * at 16×8). The plane matrix is closure-captured (nTables·nBits·dim
+   * doubles — a few KB, shipped once per executor with the task
+   * closure).
    */
-  def cosineNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, dim: Int, nBits: Int = 8,
-                            nTables: Int = 4): DataFrame = {
-    val sigs = (0 until nTables).map { t =>
-      cosineLshSignature(col(vecCol), dim, nBits, seed = 42L + t)
+  private def lshSignaturesKernel(dim: Int, nBits: Int, nTables: Int,
+                                  seed: Long) = {
+    val planes = Array.tabulate(nTables) { t =>
+      val rnd = new scala.util.Random(seed + t)
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
     }
+    udf((v: Array[Float]) => {
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        val table = planes(t)
+        var sig = 0L
+        var b = 0
+        while (b < nBits) {
+          val plane = table(b)
+          var s = 0.0
+          var i = 0
+          val n = math.min(v.length, plane.length)
+          while (i < n) { s += v(i) * plane(i); i += 1 }
+          if (s > 0) sig |= 1L << b
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      out
+    })
+  }
+
+  /** Candidate pairs sharing any sign-LSH bucket (the prune stage of
+    * [[cosineNearDupPairsLsh]], exposed so specs can assert candidate
+    * volume ≪ n²/2 — an LSH whose buckets don't prune silently degrades
+    * to brute force with extra steps). */
+  def cosineLshCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, nBits: Int = 16,
+                          nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val kernel = lshSignaturesKernel(dim, nBits, nTables, seed)
     val withBuckets = corpus.select(col(idCol),
-      posexplode(array(sigs: _*)).as(Seq("__t", "__b")))
+      posexplode(kernel(col(vecCol))).as(Seq("__t", "__b")))
       .persist()
-    val candidates = withBuckets.as("a")
+    withBuckets.as("a")
       .hint("shuffle_hash")
       .join(withBuckets.as("b"),
         col("a.__t") === col("b.__t") && col("a.__b") === col("b.__b") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /**
+   * Embedding-cosine near-dup, LSH-bucketed scale path: candidates are
+   * pairs sharing a random-hyperplane sign bucket (probability rises
+   * with cosine: P(bit agrees) = 1 − θ/π per plane), verified exactly.
+   * Probabilistic recall — measured against [[cosineNearDupPairs]] in
+   * the specs; bucket count/width trade recall vs candidate volume.
+   * Defaults (16 bits × 8 tables): a random orthogonal-ish pair
+   * collides with probability ≈ 8·2⁻¹⁶ ≈ 10⁻⁴ (buckets genuinely
+   * prune), while a 0.95-cosine near-dup still collides in ≥ 1 table
+   * with probability ≈ 0.98.
+   */
+  def cosineNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, dim: Int, nBits: Int = 16,
+                            nTables: Int = 8): DataFrame = {
+    val candidates =
+      cosineLshCandidates(corpus, idCol, vecCol, dim, nBits, nTables)
     val vecs = corpus.select(col(idCol), toDoubleVec(col(vecCol)).as("__v"))
     candidates
       .join(vecs.withColumnRenamed(idCol, "id_a")

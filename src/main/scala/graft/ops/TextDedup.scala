@@ -572,42 +572,115 @@ object TextDedup {
   }
 
   /**
-   * SimHash near-duplicate pairs: block on (maxHamming + 1) bit pieces —
-   * by pigeonhole, a pair with hamming distance ≤ maxHamming agrees on
-   * at least one piece — then verify with bit_count(xor) ≤ maxHamming.
-   * Lossless for any maxHamming ≤ 20 (pieces keep ≥ 3 bits so buckets
-   * stay selective); larger radii are rejected rather than silently
-   * losing recall.
+   * SimHash near-duplicate pairs, adaptive like [[ngramJaccardPairs]]:
+   *
+   * - Small corpora (≤ `denseLimit` docs) compare signatures
+   *   tile-by-tile — docs replicated to `denseBlocks` block-pair tasks
+   *   (16-byte rows), each pair one xor+popcount. At large radii on
+   *   clustered corpora the TRUE pair count is itself near-quadratic
+   *   (every blocking scheme's candidate set contains the output), so
+   *   the piece self-join's multi-million-row shuffle+distinct buys
+   *   nothing over the direct tiled compare whose kernel is ~4 ops.
+   * - Larger corpora block on (maxHamming + 1) bit pieces — by
+   *   pigeonhole, a pair with hamming ≤ maxHamming agrees on at least
+   *   one piece — then verify bit_count(xor) ≤ maxHamming. Lossless for
+   *   any maxHamming ≤ 20 (pieces keep ≥ 3 bits so buckets stay
+   *   selective); larger radii are rejected rather than silently losing
+   *   recall.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, denseLimit: Long = 200000L,
+                   denseBlocks: Int = 32): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 20,
       s"maxHamming must be in [0, 20] for lossless piece blocking, got $maxHamming")
-    val pieces = maxHamming + 1
-    val baseWidth = 64 / pieces
-    val remainder = 64 % pieces
-    // first `remainder` pieces get baseWidth+1 bits
-    val ranges = (0 until pieces).scanLeft((0, 0)) { case ((_, end), i) =>
-      val w = baseWidth + (if (i < remainder) 1 else 0)
-      (end, end + w)
-    }.tail
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val sigs = df.select(col(idCol), simhash64(toks).as("__sim"))
       .persist() // consumed by both sides of the block self-join
-    val blocks = sigs.select(col(idCol), col("__sim"),
-      posexplode(array(ranges.map { case (start, end) =>
-        val width = end - start
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        shiftright(col("__sim"), start).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("__q", "__qh")))
-    blocks.as("a")
-      .hint("shuffle_hash") // spread block buckets across cores
-      .join(blocks.as("b"),
-        col("a.__q") === col("b.__q") && col("a.__qh") === col("b.__qh") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val idIntegral = sigs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (idIntegral && sigs.count() <= denseLimit) {
+      val orig = sigs.schema(idCol).dataType
+      denseSimhashPairs(sigs, idCol, maxHamming, denseBlocks)
+        .select(col("id_a").cast(orig).as("id_a"),
+          col("id_b").cast(orig).as("id_b"), col("hamming"))
+    } else {
+      val pieces = maxHamming + 1
+      val baseWidth = 64 / pieces
+      val remainder = 64 % pieces
+      // first `remainder` pieces get baseWidth+1 bits
+      val ranges = (0 until pieces).scanLeft((0, 0)) { case ((_, end), i) =>
+        val w = baseWidth + (if (i < remainder) 1 else 0)
+        (end, end + w)
+      }.tail
+      val blocks = sigs.select(col(idCol), col("__sim"),
+        posexplode(array(ranges.map { case (start, end) =>
+          val width = end - start
+          val mask = if (width >= 64) -1L else (1L << width) - 1L
+          shiftright(col("__sim"), start).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("__q", "__qh")))
+      blocks.as("a")
+        .hint("shuffle_hash") // spread block buckets across cores
+        .join(blocks.as("b"),
+          col("a.__q") === col("b.__q") && col("a.__qh") === col("b.__qh") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    }
+  }
+
+  /** Tiled all-pairs hamming compare over 64-bit signatures (the
+    * small-corpus / large-radius regime of [[simhashPairs]]); same
+    * Afrati–Ullman block-pair replication as the dense Jaccard path. */
+  private def denseSimhashPairs(sigs: DataFrame, idCol: String,
+                                maxHamming: Int, blocks: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val b = blocks
+    val r = maxHamming
+    val docs = sigs.select(col(idCol).cast("long").as("id"),
+      col("__sim"), pmod(hash(col(idCol)), lit(b)).as("blk"))
+      .as[(Long, Long, Int)]
+    val expanded = docs.flatMap { case (id, sim, blk) =>
+      (0 until b).iterator.map { o =>
+        (math.min(blk, o) * b + math.max(blk, o), blk, id, sim)
+      }
+    }
+    expanded.groupByKey(_._1).flatMapGroups { (pk, it) =>
+      val lo = pk / b
+      val hi = pk % b
+      val las = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val has = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      it.foreach { case (_, blk, id, sim) =>
+        if (blk == lo) las += ((id, sim)) else has += ((id, sim))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      def compare(a: (Long, Long), c: (Long, Long)): Unit = {
+        val d = java.lang.Long.bitCount(a._2 ^ c._2)
+        if (d <= r) {
+          if (a._1 < c._1) out += ((a._1, c._1, d)) else out += ((c._1, a._1, d))
+        }
+      }
+      if (lo == hi) {
+        var i = 0
+        while (i < las.length) {
+          var j = i + 1
+          while (j < las.length) { compare(las(i), las(j)); j += 1 }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < las.length) {
+          var j = 0
+          while (j < has.length) { compare(las(i), has(j)); j += 1 }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("id_a", "id_b", "hamming")
   }
 }

@@ -84,6 +84,17 @@ class OpsSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).forall(_ > 0))
   }
 
+  test("dense and piece-blocked simhash paths return identical pairs") {
+    val slice = docs.limit(120)
+    val dense = TextDedup.simhashPairs(slice, "doc_id", "text", maxHamming = 12)
+      .as[(Long, Long, Int)].collect().toSet
+    val pieces = TextDedup.simhashPairs(slice, "doc_id", "text",
+      maxHamming = 12, denseLimit = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(dense == pieces)
+    assert(dense.nonEmpty)
+  }
+
   test("simhash rejects radii beyond the lossless blocking bound") {
     val df = Seq((1L, "a b c")).toDF("id", "t")
     intercept[IllegalArgumentException] {
@@ -189,5 +200,16 @@ class OpsSpec extends SparkSpec {
     val sig = Similarity.cosineLshSignature(col("embedding"), dim = 64)
     val sigs = emb.limit(50).select(col("vec_id"), sig.as("s")).collect()
     assert(sigs.map(_.getLong(1)).distinct.length > 1) // non-degenerate
+  }
+
+  test("cosine LSH buckets prune: candidates well below all-pairs") {
+    // full sf0.001 embeddings corpus (random-ish vectors): if the
+    // buckets carried no signal the candidate count would approach
+    // n(n-1)/2 and the "scale path" would be brute force in disguise
+    val n = emb.count()
+    val cand = Similarity.cosineLshCandidates(emb, "vec_id", "embedding",
+      dim = 64).count()
+    assert(cand < n * (n - 1) / 2 / 20,
+      s"LSH candidates $cand not pruning vs ${n * (n - 1) / 2} pairs")
   }
 }
