@@ -168,6 +168,28 @@ object SparkEntry {
         .select(col("event_id"), col(Matcher.TargetId), col(Matcher.MatchGroup))
     }),
 
+    // J5: nested matcher — a sub-matcher's groups spliced after the
+    // outer group, sharing one first-match-wins resolution
+    // (record_matcher.rb:48-58,92-102)
+    "q_match_nested" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .withColumn(Matcher.SourceId, col("event_id"))
+      val outer = MatchSpec(
+        groups = Seq(
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")),
+            constraints = Seq(MatchConstraint("value", "$S > 200")))),
+        targetPk = "c_custkey")
+      val nested = MatchSpec(
+        groups = Seq(
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")),
+            constraints = Seq(MatchConstraint("c_acctbal", "$T < 0"))),
+          ExactGroup(Seq(KeyPair("user_id", "c_custkey")))),
+        targetPk = "c_custkey")
+      Matcher.matchRecords(src, t(s, dir, "customer"),
+        outer.withNested(nested))
+        .select(col("event_id"), col(Matcher.TargetId), col(Matcher.MatchGroup))
+    }),
+
     // J4: auxiliary join table participating in the match condition
     "q_match_aux" -> ((s, dir) => {
       val src = t(s, dir, "lineitem")
@@ -412,6 +434,43 @@ object SparkEntry {
       WorkingTable.conform(raw, spec)
     }),
 
+    // S3: remove_expression pre-repair — a regex is stripped from the
+    // raw bytes BEFORE parsing and the arity check (csv_file.rb:30-38,
+    // spec/csv_driver_csv_file_spec.rb:48-66). The planted junk
+    // contains a delimiter, so rows only survive the malformed-row
+    // filter because the strip runs first.
+    "q_remove_expression" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_dirty_${Integer.toHexString(dir.hashCode)}")
+      val ev = t(s, dir, "events")
+      val dirtyType = when(col("event_id") % 7 === 0,
+        concat(lit("\","), col("event_type"))).otherwise(col("event_type"))
+      val line = concat_ws(",",
+        coalesce(col("event_id").cast("string"), lit("")),
+        coalesce(col("user_id").cast("string"), lit("")),
+        coalesce(dirtyType, lit("")),
+        coalesce(col("value").cast("string"), lit("")))
+      val header = s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row("event_id,user_id,event_type,value", 0)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__ord", org.apache.spark.sql.types.IntegerType))))
+      header.unionByName(ev.select(line.as("value"), lit(1).as("__ord")))
+        .coalesce(1).sortWithinPartitions(col("__ord")).select(col("value"))
+        .write.mode("overwrite").text(tmp.getAbsolutePath)
+      val raw = graft.sources.CsvSource.read(s,
+        graft.sources.CsvSpec(tmp.getAbsolutePath + "/*.txt",
+          quote = "", removeExpression = Some("\","),
+          dropMalformed = true))
+      val spec = new WorkingTableSpec()
+        .mapColumn("event_id", sqlType = "BIGINT")
+        .mapColumn("user_id", sqlType = "BIGINT")
+        .mapColumn("event_type")
+        .mapColumn("value", sqlType = "DOUBLE")
+      WorkingTable.conform(raw, spec)
+    }),
+
     // multimodal: batched (stub) decode — plumbing check, rows-only
     "q_multimodal_decode" -> ((s, dir) => {
       val payload = Multimodal.attachPayload(
@@ -476,6 +535,27 @@ object SparkEntry {
         |       r.grp AS working_exact_match_group
         |FROM events e LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
         | ON e.event_id = r.event_id""".stripMargin,
+
+    "q_match_nested" ->
+      """WITH cand AS (
+        | SELECT e.event_id, c.c_custkey AS tid, 1 AS grp FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey AND e.value > 200
+        | UNION ALL
+        | SELECT e.event_id, c.c_custkey, 2 FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey AND c.c_acctbal < 0
+        | UNION ALL
+        | SELECT e.event_id, c.c_custkey, 3 FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey),
+        |r AS (SELECT event_id, tid, grp,
+        |       row_number() OVER (PARTITION BY event_id ORDER BY grp, tid) rn
+        |      FROM cand)
+        |SELECT e.event_id, r.tid AS working_target_id,
+        |       r.grp AS working_exact_match_group
+        |FROM events e LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        | ON e.event_id = r.event_id""".stripMargin,
+
+    "q_remove_expression" ->
+      """SELECT event_id, user_id, event_type, value FROM events""",
 
     "q_match_aux" ->
       """WITH cand AS (
