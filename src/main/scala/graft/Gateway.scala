@@ -55,6 +55,12 @@ class Gateway(val spark: SparkSession) {
     p
   }
 
+  /** Per-name SQL-extension opt-in, the reference's `load_extension`
+    * surface (csv_driver.rb:170-175). The constructor already installs
+    * all (registration is idempotent), so this is a fidelity no-op that
+    * still validates the name. */
+  def loadExtension(name: String): Unit = Functions.loadExtension(spark, name)
+
   /** D3: raw SQL passthrough (csv_driver.rb:177-179). */
   def sql(q: String): DataFrame = spark.sql(q)
 
@@ -88,6 +94,11 @@ object Gateway {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet columns are unreadable in Spark 4
+      // without this; session construction is the right owner (a query
+      // builder mutating session conf would be a surprising side
+      // effect in a library)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,7 +28,12 @@ object SparkEntry {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
       // as long (spark.sql.legacy.parquet.nanosAsLong); convert to a
       // microsecond timestamp exactly like DuckDB does (truncation).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Library sessions set the conf at construction
+      // (Gateway.localSession); the harness receives a vanilla session
+      // from the driver, so default it here — but only when unset, not
+      // as a per-query-construction mutation.
+      if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else s.read.parquet(s"$dir/$name.parquet")

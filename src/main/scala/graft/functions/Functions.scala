@@ -71,13 +71,40 @@ object Functions {
   def trigramDistance(a: Column, b: Column): Column =
     lit(1.0) - trigramSimilarity(a, b)
 
+  /** Names installable one at a time via [[loadExtension]] — the
+    * reference's per-name opt-in list (csv_driver.rb:69-74,170-175). */
+  val ExtensionNames: Seq[String] = Seq(
+    "nb_parse_election_name", "nb_coerce_to_date_or_null",
+    "nb_is_email_address_valid", "trigram_similarity", "trigram_distance")
+
+  /**
+   * Per-name opt-in installation mirroring the reference's
+   * `load_extension(name)` (csv_driver.rb:170-175, spec
+   * csv_driver_spec.rb:157-167). Unknown names fail loudly like the
+   * reference's missing-file require would.
+   */
+  def loadExtension(spark: SparkSession, name: String): Unit = name match {
+    case "nb_parse_election_name"     => registerParseElection(spark)
+    case "nb_coerce_to_date_or_null"  => registerCoerceDate(spark)
+    case "nb_is_email_address_valid"  => registerEmailValid(spark)
+    case "trigram_similarity"         => registerTrigramSimilarity(spark)
+    case "trigram_distance"           => registerTrigramDistance(spark)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown SQL extension '$other' (known: ${ExtensionNames.mkString(", ")})")
+  }
+
   /**
    * Register all extensions under their reference names for use inside
    * `expr(...)` templates. Mirrors `driver.add_sql_function` /
-   * `load_sql_extensions` (csv_driver.rb:69-74,170-175) — but
-   * registration is idempotent and cheap so we always install all.
+   * `load_sql_extensions` (csv_driver.rb:69-74) — registration is
+   * idempotent and cheap, so the Gateway installs all up front;
+   * [[loadExtension]] is the per-name surface.
    */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
+    ExtensionNames.foreach(loadExtension(spark, _))
+
+  private def registerParseElection(spark: SparkSession): Unit =
     spark.udf.register("nb_parse_election_name",
       (d: String, t: String) => {
         if (d == null || t == null) null
@@ -101,27 +128,35 @@ object Functions {
           }
         }
       })
+
+  private def registerCoerceDate(spark: SparkSession): Unit =
     spark.udf.register("nb_coerce_to_date_or_null",
       (s: String) =>
         if (s == null) null
         else
           try java.sql.Date.valueOf(java.time.LocalDate.parse(s.trim.take(10)))
           catch { case _: Exception => null })
+
+  private def registerEmailValid(spark: SparkSession): Unit =
     spark.udf.register("nb_is_email_address_valid",
       (s: String) =>
         if (s == null || s.isEmpty) true
         else
           s.length >= 3 && s.length <= 100 && s.contains("@") &&
             s.matches("^\\S*\\.[a-zA-Z][a-zA-Z\\.]*[a-zA-Z]$"))
-    // native expressions (whole-stage codegen) rather than UDFs
-    import org.apache.spark.sql.graftshim.TrigramSimilarityExpr
+
+  // native expressions (whole-stage codegen) rather than UDFs
+  private def registerTrigramSimilarity(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "trigram_similarity",
-      exprs => TrigramSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
+      exprs => org.apache.spark.sql.graftshim.TrigramSimilarityExpr(
+        exprs(0), exprs(1)), "scala_udf")
+
+  private def registerTrigramDistance(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "trigram_distance",
       exprs => org.apache.spark.sql.catalyst.expressions.Subtract(
         org.apache.spark.sql.catalyst.expressions.Literal(1.0),
-        TrigramSimilarityExpr(exprs(0), exprs(1))), "scala_udf")
-  }
+        org.apache.spark.sql.graftshim.TrigramSimilarityExpr(
+          exprs(0), exprs(1))), "scala_udf")
 }

@@ -70,4 +70,17 @@ class FunctionsSpec extends SparkSpec {
         expr("nb_is_email_address_valid(e)").as("b"))
     assert(df.filter(col("a") =!= col("b")).count() == 0)
   }
+
+  test("loadExtension installs one named extension, rejects unknown") {
+    // fresh session state → isolated function registry
+    val s2 = spark.newSession()
+    assert(!s2.catalog.functionExists("nb_coerce_to_date_or_null"))
+    Functions.loadExtension(s2, "nb_coerce_to_date_or_null")
+    assert(s2.catalog.functionExists("nb_coerce_to_date_or_null"))
+    // only the requested one was installed
+    assert(!s2.catalog.functionExists("nb_parse_election_name"))
+    intercept[IllegalArgumentException] {
+      Functions.loadExtension(s2, "no_such_extension")
+    }
+  }
 }
