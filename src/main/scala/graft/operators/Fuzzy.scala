@@ -50,108 +50,213 @@ object Fuzzy {
     * bound is configurable for exactness-sensitive callers. */
   val DefaultMaxTrigramFreq: Long = 100000L
 
-  private def explodeTrigrams(df: DataFrame, idCol: String, strCol: String) = {
-    val tri = udf((s: String) =>
-      if (s == null) Array.empty[String]
-      else {
-        val set = Trigram.trigrams(s)
-        val arr = new Array[String](set.size())
-        set.toArray(arr)
-        arr
-      })
+  /** One side at or below this many rows switches candidate generation
+    * to a broadcast cross-kernel (exact same pair distances, no
+    * inverted-index shuffle). Trigram universes are tiny — a few
+    * thousand distinct trigrams cover a language — so posting lists on
+    * short-string corpora are fat and the index join degenerates the
+    * same way small-vocabulary prefix filtering does. */
+  val DefaultBroadcastLimit: Long = 100000L
+
+  /** Sorted distinct 64-bit hashes of a value's padded trigrams — the
+    * shared per-row prep for both candidate paths. */
+  private val triHashes = udf((s: String) => {
+    if (s == null) Array.empty[Long]
+    else {
+      val set = Trigram.trigrams(s)
+      val hs = new Array[Long](set.size())
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { hs(i) = graft.functions.FastHash.hash64(it.next()); i += 1 }
+      java.util.Arrays.sort(hs)
+      var out = 0
+      i = 0
+      while (i < hs.length) {
+        if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(hs, out)
+    }
+  })
+
+  /** Merge-intersection count of two sorted hash arrays (JIT'd). */
+  private val sharedCount = udf((a: Array[Long], b: Array[Long]) => {
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  })
+
+  private def prepTrigrams(df: DataFrame, idCol: String, strCol: String,
+                           nCol: String) =
     df.select(col(idCol), col(strCol))
       .filter(col(strCol).isNotNull)
-      .withColumn("__tris", tri(col(strCol)))
-      .withColumn("__n", size(col("__tris")))
-      .filter(col("__n") > 0)
-      .select(col(idCol), explode(col("__tris")).as("__tri"), col("__n"))
-  }
+      .withColumn("__sh", triHashes(col(strCol)))
+      .withColumn(nCol, size(col("__sh")))
+      .filter(col(nCol) > 0)
+      .select(col(idCol), col("__sh"), col(nCol))
 
   /**
-   * All (sourceId, targetId, distance) pairs with distance < limit,
-   * via the trigram inverted-index join.
+   * All (sourceId, targetId, distance) pairs with distance < limit.
+   * sim = shared/(|A| + |B| − shared) over the padded-trigram sets —
+   * the exact pg_trgm formula, computed algebraically.
+   *
+   * Small source sides broadcast and compare directly (one merge-
+   * intersection kernel per pair, streamed side repartitioned so the
+   * pair work spreads across cores); large ones go through the
+   * inverted-index join on trigram hashes with a frequency cap against
+   * ultra-common-trigram blow-up.
    */
   def candidatePairs(
       source: DataFrame, sourceId: String, sourceCol: String,
       target: DataFrame, targetId: String, targetCol: String,
       limit: Double = DefaultLimit,
-      maxTrigramFreq: Long = DefaultMaxTrigramFreq): DataFrame = {
-    // materialized: each side feeds both the frequency cap and the
-    // inverted-index join — without a barrier the trigram explosion
-    // would be recomputed per consumer
-    val sTri = explodeTrigrams(source, sourceId, sourceCol)
-      .withColumnRenamed("__n", "__sn").persist()
-    val tTri = explodeTrigrams(target, targetId, targetCol)
-      .withColumnRenamed("__n", "__tn").persist()
+      maxTrigramFreq: Long = DefaultMaxTrigramFreq,
+      broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
+    // materialized: each side feeds multiple consumers (count probe /
+    // frequency cap / join) — without a barrier the trigram prep would
+    // be recomputed per consumer
+    val sPrep = prepTrigrams(source, sourceId, sourceCol, "__sn").persist()
+    val tPrep = prepTrigrams(target, targetId, targetCol, "__tn").persist()
+    val nPart = source.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
 
-    // frequency cap against quadratic blow-up on ultra-common trigrams
-    val freqOk = sTri.groupBy("__tri").count()
-      .join(tTri.groupBy("__tri").count()
-        .withColumnRenamed("count", "tcount"), Seq("__tri"))
-      .filter(col("count") <= maxTrigramFreq && col("tcount") <= maxTrigramFreq)
-      .select("__tri")
+    if (sPrep.count() <= broadcastLimit) {
+      tPrep
+        // spread the streamed side: a persisted DF this small often sits
+        // in one partition, which would serialize every pair kernel
+        .repartition(nPart)
+        .crossJoin(broadcast(sPrep.withColumnRenamed("__sh", "__sh2")))
+        .withColumn("__shared", sharedCount(col("__sh"), col("__sh2")))
+        .withColumn("__sim",
+          col("__shared").cast("double") /
+            (col("__sn") + col("__tn") - col("__shared")))
+        .withColumn("distance", lit(1.0) - col("__sim"))
+        .filter(col("distance") < limit)
+        .select(col(sourceId), col(targetId), col("distance"))
+    } else {
+      val sTri = sPrep.select(col(sourceId),
+        explode(col("__sh")).as("__h"), col("__sn"))
+      val tTri = tPrep.select(col(targetId),
+        explode(col("__sh")).as("__h"), col("__tn"))
 
-    sTri
-      .hint("shuffle_hash") // partition the inverted-index join by trigram
-      .join(freqOk, Seq("__tri"))
-      .join(tTri, Seq("__tri"))
-      .groupBy(col(sourceId), col(targetId))
-      .agg(
-        count(lit(1)).as("__shared"),
-        first(col("__sn")).as("__sn"),
-        first(col("__tn")).as("__tn"))
-      .withColumn("__sim",
-        col("__shared").cast("double") /
-          (col("__sn") + col("__tn") - col("__shared")))
-      .withColumn("distance", lit(1.0) - col("__sim"))
-      .filter(col("distance") < limit)
-      .select(col(sourceId), col(targetId), col("distance"))
+      // frequency cap against quadratic blow-up on ultra-common trigrams
+      val freqOk = sTri.groupBy("__h").count()
+        .join(tTri.groupBy("__h").count()
+          .withColumnRenamed("count", "tcount"), Seq("__h"))
+        .filter(col("count") <= maxTrigramFreq && col("tcount") <= maxTrigramFreq)
+        .select("__h")
+
+      sTri
+        .hint("shuffle_hash") // partition the inverted-index join by trigram
+        .join(freqOk, Seq("__h"))
+        .join(tTri, Seq("__h"))
+        .groupBy(col(sourceId), col(targetId))
+        .agg(
+          count(lit(1)).as("__shared"),
+          first(col("__sn")).as("__sn"),
+          first(col("__tn")).as("__tn"))
+        .withColumn("__sim",
+          col("__shared").cast("double") /
+            (col("__sn") + col("__tn") - col("__shared")))
+        .withColumn("distance", lit(1.0) - col("__sim"))
+        .filter(col("distance") < limit)
+        .select(col(sourceId), col(targetId), col("distance"))
+    }
   }
 
+  /** Pair sets at or below this size are assigned on the driver with
+    * the literal sequential greedy (one collect of the already
+    * distance-filtered pairs) instead of iterative distributed rounds —
+    * the assignment is identical, the job count is not. */
+  val DefaultDriverAssignLimit: Long = 1000000L
+
   /**
-   * Deterministic greedy one-to-one assignment over candidate pairs.
-   * Returns (sourceId, targetId, distance) with each source and each
-   * target appearing at most once; pairs chosen nearest-first with
-   * (distance, sourceId, targetId) as the total order.
+   * Deterministic greedy one-to-one assignment over candidate pairs:
+   * EXACTLY the matching produced by scanning pairs in ascending
+   * (distance, sourceId, targetId) order and accepting every pair whose
+   * source and target are both still free.
+   *
+   * Distributed construction: rounds of LOCAL-MINIMUM pairs — a pair
+   * that ranks first for BOTH its source and its target over all
+   * remaining pairs is necessarily accepted by the sequential greedy
+   * (no earlier pair can touch either endpoint), so each round assigns
+   * all such pairs and drops their endpoints; induction on the global
+   * order gives exact equivalence. Note the weaker proposal scheme
+   * (per-source best, conflicts resolved per target AMONG PROPOSALS) is
+   * NOT equivalent: a target's true-best source may propose elsewhere,
+   * letting a farther pair win — e.g. pairs (s1,t1,.1),(s2,t1,.2),
+   * (s2,t2,.3),(s3,t2,.4) would assign s3→t2 where greedy assigns
+   * s2→t2.
+   *
+   * Small filtered pair sets (the common case — candidates are already
+   * thresholded) skip the loop: one sorted collect and a linear scan on
+   * the driver compute the same matching in one job.
    */
   def greedyAssign(pairs: DataFrame, sourceId: String, targetId: String,
-                   maxRounds: Int = 200): DataFrame = {
+                   maxRounds: Int = 200,
+                   driverLimit: Long = DefaultDriverAssignLimit): DataFrame = {
     val spark = pairs.sparkSession
-    // localCheckpoint (eager) per round: truncates the logical plan so
-    // the iterative loop cannot grow an unbounded lineage (driver OOM),
-    // and each round only re-scans the materialized pair set.
+    // localCheckpoint (eager): truncates the logical plan (the loop
+    // cannot grow an unbounded lineage) and materializes the pair set
+    // once so the count probe and the rounds re-scan, not recompute.
     var remaining = pairs.localCheckpoint()
-    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var round = 0
-    var done = false
-    while (!done && round < maxRounds) {
-      val bySource = Window.partitionBy(col(sourceId))
-        .orderBy(col("distance").asc, col(targetId).asc)
-      val best = remaining
-        .withColumn("__rs", row_number().over(bySource))
-        .filter(col("__rs") === 1).drop("__rs")
-      val byTarget = Window.partitionBy(col(targetId))
-        .orderBy(col("distance").asc, col(sourceId).asc)
-      val winners = best
-        .withColumn("__rt", row_number().over(byTarget))
-        .filter(col("__rt") === 1).drop("__rt")
-        .localCheckpoint()
-      if (winners.isEmpty) done = true
-      else {
-        rounds += winners
-        val next = remaining
-          .join(winners.select(col(sourceId)), Seq(sourceId), "left_anti")
-          .join(winners.select(col(targetId)), Seq(targetId), "left_anti")
-          .localCheckpoint()
-        remaining = next
-        if (next.isEmpty) done = true
+    if (remaining.count() <= driverLimit) {
+      val ordered = remaining
+        .orderBy(col("distance").asc, col(sourceId).asc, col(targetId).asc)
+        .collect()
+      val usedS = new java.util.HashSet[Any]
+      val usedT = new java.util.HashSet[Any]
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row]
+      val si = remaining.schema.fieldIndex(sourceId)
+      val ti = remaining.schema.fieldIndex(targetId)
+      ordered.foreach { r =>
+        if (!usedS.contains(r.get(si)) && !usedT.contains(r.get(ti))) {
+          usedS.add(r.get(si))
+          usedT.add(r.get(ti))
+          out.add(r)
+        }
       }
-      round += 1
+      spark.createDataFrame(out, pairs.schema)
+    } else {
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var round = 0
+      var done = false
+      while (!done && round < maxRounds) {
+        val bySource = Window.partitionBy(col(sourceId))
+          .orderBy(col("distance").asc, col(targetId).asc)
+        val byTarget = Window.partitionBy(col(targetId))
+          .orderBy(col("distance").asc, col(sourceId).asc)
+        val winners = remaining
+          .withColumn("__rs", row_number().over(bySource))
+          .withColumn("__rt", row_number().over(byTarget))
+          .filter(col("__rs") === 1 && col("__rt") === 1)
+          .drop("__rs", "__rt")
+          .localCheckpoint()
+        if (winners.isEmpty) done = true
+        else {
+          rounds += winners
+          val next = remaining
+            .join(winners.select(col(sourceId)), Seq(sourceId), "left_anti")
+            .join(winners.select(col(targetId)), Seq(targetId), "left_anti")
+            .localCheckpoint()
+          remaining = next
+          if (next.isEmpty) done = true
+        }
+        round += 1
+      }
+      if (rounds.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairs.schema)
+      else rounds.reduce(_ unionByName _)
     }
-    if (rounds.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairs.schema)
-    else rounds.reduce(_ unionByName _)
   }
 
   /**

@@ -199,20 +199,94 @@ object Similarity {
 
   /**
    * Embedding-cosine near-duplicate pairs, EXACT: all (id_a < id_b)
-   * pairs with cosine ≥ threshold. The corpus side is broadcast (a
-   * nested-loop pair scan — the correctness baseline and perfectly
-   * fine up to ~10⁴ vectors); the LSH variant below is the scale path.
+   * pairs with cosine ≥ threshold — the correctness baseline for the
+   * LSH scale path below. Physical plan: tiled block-pair compare
+   * (the Afrati–Ullman replication scheme shared with the dense
+   * Jaccard/simhash paths) — norms precomputed once per vector, one
+   * sequential-fold dot kernel per pair, no per-pair array widening.
+   * The accumulation order matches the SQL oracle's list folds
+   * bit-for-bit (dot and each squared norm are independent sequential
+   * sums; cosine = dot / (√na·√nb)). Non-integral id types fall back
+   * to a broadcast nested-loop join over the same kernel.
    */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"),
-      toDoubleVec(col(vecCol)).as("__va"))
-    val b = corpus.select(col(idCol).as("id_b"),
-      toDoubleVec(col(vecCol)).as("__vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+                         threshold: Double, blocks: Int = 32): DataFrame = {
+    val idIntegral = corpus.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!idIntegral) {
+      val a = corpus.select(col(idCol).as("id_a"),
+        toDoubleVec(col(vecCol)).as("__va"))
+      val b = corpus.select(col(idCol).as("id_b"),
+        toDoubleVec(col(vecCol)).as("__vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine", cosine(col("__va"), col("__vb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val orig = corpus.schema(idCol).dataType
+      val b = blocks
+      val t = threshold
+      val docs = corpus
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+          pmod(hash(col(idCol)), lit(b)).as("blk"))
+        .as[(Long, Array[Float], Int)]
+      val expanded = docs.flatMap { case (id, v, blk) =>
+        // norm once per vector — same sequential fold as the per-pair form
+        var na = 0.0
+        var i = 0
+        while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
+        val nrm = math.sqrt(na)
+        (0 until b).iterator.map { o =>
+          (math.min(blk, o) * b + math.max(blk, o), blk, id, nrm, v)
+        }
+      }
+      val pairs = expanded.groupByKey(_._1).flatMapGroups { (pk, it) =>
+        val lo = pk / b
+        val hi = pk % b
+        val las = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+        val has = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
+        it.foreach { case (_, blk, id, nrm, v) =>
+          if (blk == lo) las += ((id, nrm, v)) else has += ((id, nrm, v))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def compare(a: (Long, Double, Array[Float]), c: (Long, Double, Array[Float])): Unit = {
+          val (ida, nrmA, va) = a
+          val (idb, nrmB, vb) = c
+          var dot = 0.0
+          var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+          val cos = dot / (nrmA * nrmB)
+          if (cos >= t) {
+            if (ida < idb) out += ((ida, idb, cos)) else out += ((idb, ida, cos))
+          }
+        }
+        if (lo == hi) {
+          var i = 0
+          while (i < las.length) {
+            var j = i + 1
+            while (j < las.length) { compare(las(i), las(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < las.length) {
+            var j = 0
+            while (j < has.length) { compare(las(i), has(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.iterator
+      }.toDF("id_a", "id_b", "cosine")
+      pairs.select(col("id_a").cast(orig).as("id_a"),
+        col("id_b").cast(orig).as("id_b"), col("cosine"))
+    }
   }
 
   /**

@@ -28,6 +28,17 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("candidatePairs broadcast and inverted-index paths agree") {
+    val src = Seq((1L, "Jon Smith"), (2L, "Mary Jones"), (3L, "Bob")).toDF("sid", "s")
+    val tgt = Seq((10L, "John Smith"), (20L, "Marie Jones"), (30L, "Alice")).toDF("tid", "t")
+    val bc = Fuzzy.candidatePairs(src, "sid", "s", tgt, "tid", "t", limit = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val inv = Fuzzy.candidatePairs(src, "sid", "s", tgt, "tid", "t", limit = 0.9,
+      broadcastLimit = 0L).as[(Long, Long, Double)].collect().toSet
+    assert(bc == inv)
+    assert(bc.nonEmpty)
+  }
+
   test("greedyAssign is one-to-one and nearest-first") {
     // s1 prefers t1 (0.1) over t2 (0.2); s2 only matches t1 (0.3).
     // greedy: (s1,t1) wins; s2 can't take t1 → s2 gets nothing from t1,
@@ -38,6 +49,36 @@ class FuzzySpec extends SparkSpec {
     val asg = Fuzzy.greedyAssign(pairs, "sid", "tid")
       .as[(Long, Long, Double)].collect().toSet
     assert(asg == Set((1L, 10L, 0.1), (2L, 20L, 0.6)))
+  }
+
+  test("greedyAssign resolves conflict chains nearest-first (both paths)") {
+    // t2's true-best source s2 "proposes" t1 first; a proposal-style
+    // round scheme would wrongly give t2 to s3. Sequential greedy by
+    // (distance, sid, tid): s1-t1 (0.1), then s2-t2 (0.3); s3 unmatched.
+    val pairs = Seq(
+      (1L, 10L, 0.1), (2L, 10L, 0.2), (2L, 20L, 0.3), (3L, 20L, 0.4)
+    ).toDF("sid", "tid", "distance")
+    val want = Set((1L, 10L, 0.1), (2L, 20L, 0.3))
+    val driver = Fuzzy.greedyAssign(pairs, "sid", "tid")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(driver == want)
+    // driverLimit = 0 forces the distributed local-minimum rounds
+    val dist = Fuzzy.greedyAssign(pairs, "sid", "tid", driverLimit = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dist == want)
+  }
+
+  test("greedyAssign driver and distributed paths agree on random input") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 400).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong + 100L,
+        (rnd.nextInt(9) + 1) / 10.0)
+    }.distinct.toDF("sid", "tid", "distance")
+    val a = Fuzzy.greedyAssign(pairs, "sid", "tid")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Fuzzy.greedyAssign(pairs, "sid", "tid", driverLimit = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
   }
 
   test("greedyAssign ties break by (distance, sid, tid)") {
