@@ -86,68 +86,125 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Cosine between a float vector and a double centroid (sequential
+    * accumulation, shared by the assign/probe kernels). */
+  private def cosineFD(v: Array[Float], c: Array[Double]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) {
+      val x = v(i).toDouble
+      val y = c(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** (cell ids ascending, centroid matrix) for broadcast into kernels. */
+  private def collectCentroids(cells: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = cells.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)
+    }.sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Per-cell mean vectors via a JIT'd reduceGroups (elementwise sums
+    * with map-side partial combine — no interpreted array expressions,
+    * no per-dimension explode). Returns (cell_id, __centroid). */
+  private def cellMeans(corpusWithCells: DataFrame, vecCol: String): DataFrame = {
+    val spark = corpusWithCells.sparkSession
+    import spark.implicits._
+    corpusWithCells
+      .select(col("cell_id").cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (c, v) =>
+        val d = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+        (c, d, 1L)
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val (c, sa, na) = a
+        val sb = b._2
+        val s = new Array[Double](math.max(sa.length, sb.length))
+        var i = 0
+        while (i < s.length) {
+          s(i) = (if (i < sa.length) sa(i) else 0.0) +
+            (if (i < sb.length) sb(i) else 0.0)
+          i += 1
+        }
+        (c, s, na + b._3)
+      }
+      .map { case (c, (_, s, n)) =>
+        val m = new Array[Double](s.length)
+        var i = 0
+        while (i < s.length) { m(i) = s(i) / n; i += 1 }
+        (c, m)
+      }
+      .toDF("cell_id", "__centroid")
+  }
+
+  /** Nearest-centroid kernel: one narrow pass per vector (ties break to
+    * the lowest cell id — centroids arrive sorted ascending and only a
+    * strictly greater cosine replaces the best). */
+  private def assignKernel(cellIds: Array[Long], centroids: Array[Array[Double]]) =
+    udf((v: Array[Float]) => {
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < centroids.length) {
+        val s = cosineFD(v, centroids(i))
+        if (s > bestSim) { bestSim = s; best = i }
+        i += 1
+      }
+      cellIds(best)
+    })
+
   /**
    * IVF (inverted-file) coarse quantization: centroids are the first
    * `nCells` corpus vectors by id — a deterministic pseudo-k-means
    * seeding (good enough for cell routing; a Lloyd refinement can be
    * layered on without changing the plan shape).
    * Returns the corpus tagged with `cell_id`.
+   *
+   * Plan shape: centroids are collected once (nCells · dim doubles —
+   * broadcast-size by construction) and the assignment is a single
+   * narrow kernel pass over the corpus — no nCells-fold cross-join
+   * blowup, no per-vector window shuffle.
    */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int): DataFrame = {
-    val cells = corpus.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), toDoubleVec(col(vecCol)).as("__centroid"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__csim").desc, col("cell_id").asc)
+    val seeds = corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
+    val (cellIds, centroids) = collectCentroids(seeds)
     corpus
-      .withColumn("__v", toDoubleVec(col(vecCol)))
-      .join(broadcast(cells), lit(true))
-      .withColumn("__csim", cosine(col("__v"), col("__centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__csim", "__centroid", "__v")
-      // materialize: ivfTopK reads the assignment twice (centroid
-      // extraction + cell-pruned scan); without a barrier the whole
-      // cross-join assignment would run per consumer
+      .withColumn("cell_id", assignKernel(cellIds, centroids)(col(vecCol)))
+      // materialize: ivfTopK reads the assignment twice (probe-center
+      // means + cell-pruned scan); without a barrier the assignment
+      // would run per consumer
       .persist()
   }
 
   /**
    * Lloyd refinement of an IVF assignment: recompute each cell's
-   * centroid as the mean of its members (distributed: explode to
-   * (cell, dim, value), average per (cell, dim), reassemble), then
-   * reassign every vector to its nearest refined centroid. Each
-   * iteration is two shuffles (the mean aggregation and the
-   * window-resolved reassignment); centroids stay broadcast-size.
-   * Returns the corpus re-tagged with `cell_id` (cell ids become dense
-   * ranks of the refined centroids, deterministic).
+   * centroid as the mean of its members (JIT'd partial-combining
+   * aggregation, one shuffle on cell_id), then reassign every vector
+   * with the nearest-centroid kernel (narrow). Centroids stay
+   * broadcast-size. Returns the corpus re-tagged with `cell_id`.
    */
   def ivfRefine(corpusWithCells: DataFrame, idCol: String, vecCol: String,
                 iterations: Int = 1): DataFrame = {
     var current = corpusWithCells
     (0 until iterations).foreach { _ =>
-      val centroids = current
-        .select(col("cell_id"),
-          posexplode(toDoubleVec(col(vecCol))).as(Seq("__dim", "__x")))
-        .groupBy(col("cell_id"), col("__dim"))
-        .agg(avg(col("__x")).as("__mean"))
-        .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("__dim"), col("__mean"))))
-          .as("__pairs"))
-        .select(col("cell_id"),
-          transform(col("__pairs"), p => p.getField("__mean"))
-            .as("__centroid"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__csim").desc, col("__new_cell").asc)
+      val (cellIds, centroids) = collectCentroids(cellMeans(current, vecCol))
       current = current.drop("cell_id")
-        .withColumn("__v", toDoubleVec(col(vecCol)))
-        .join(broadcast(centroids.withColumnRenamed("cell_id", "__new_cell")),
-          lit(true))
-        .withColumn("__csim", cosine(col("__v"), col("__centroid")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .withColumnRenamed("__new_cell", "cell_id")
-        .drop("__rn", "__csim", "__centroid", "__v")
+        .withColumn("cell_id", assignKernel(cellIds, centroids)(col(vecCol)))
         .persist()
     }
     current
@@ -158,33 +215,48 @@ object Similarity {
    * cosine only within probed cells. At scale the corpus is
    * pre-partitioned by cell_id, so a probe touches nProbe/nCells of the
    * data. Approximate: recall measured against bruteForceTopK in tests.
+   *
+   * Probe centers are per-cell MEANS — correct for both the seed
+   * assignment and a Lloyd-refined one (where a seed member may have
+   * migrated out of its own cell). Cell selection is a per-query kernel
+   * over the broadcast centroid matrix (top-nProbe by cosine, lowest
+   * cell id on ties); only the exact in-cell scoring touches the
+   * cluster.
    */
   def ivfTopK(corpusWithCells: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int, nProbe: Int): DataFrame = {
-    // probe centers = per-cell mean vectors — correct for both the seed
-    // assignment and a Lloyd-refined one (where the seed member may
-    // have migrated out of its own cell)
-    val cells = corpusWithCells
-      .select(col("cell_id"),
-        posexplode(toDoubleVec(col(vecCol))).as(Seq("__dim", "__x")))
-      .groupBy(col("cell_id"), col("__dim"))
-      .agg(avg(col("__x")).as("__mean"))
-      .groupBy(col("cell_id"))
-      .agg(array_sort(collect_list(struct(col("__dim"), col("__mean"))))
-        .as("__pairs"))
-      .select(col("cell_id").as("__probe_cell"),
-        transform(col("__pairs"), p => p.getField("__mean"))
-          .as("__centroid"))
-    val q = queries.select(col(idCol).as("query_id"),
-      toDoubleVec(col(vecCol)).as("__qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("__psim").desc, col("__probe_cell").asc)
-    val probes = q.join(broadcast(cells), lit(true))
-      .withColumn("__psim", cosine(col("__qv"), col("__centroid")))
-      .withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("__probe_cell"))
+    val (cellIds, centroids) = collectCentroids(cellMeans(corpusWithCells, vecCol))
+    val probeKernel = udf((v: Array[Float]) => {
+      // top-nProbe by (cosine desc, cell id asc): selection over the
+      // (small) centroid set, stable because ids arrive ascending
+      val sims = new Array[Double](centroids.length)
+      var i = 0
+      while (i < centroids.length) { sims(i) = cosineFD(v, centroids(i)); i += 1 }
+      val picked = new Array[Long](math.min(nProbe, centroids.length))
+      val used = new Array[Boolean](centroids.length)
+      var p = 0
+      var exhausted = false
+      while (p < picked.length && !exhausted) {
+        var best = -1
+        var bestSim = Double.NegativeInfinity
+        i = 0
+        while (i < centroids.length) {
+          if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+          i += 1
+        }
+        if (best < 0) exhausted = true // all remaining sims NaN (zero vectors)
+        else {
+          used(best) = true
+          picked(p) = cellIds(best)
+          p += 1
+        }
+      }
+      if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
+    })
+    val probes = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("__qv"),
+      explode(probeKernel(col(vecCol))).as("__probe_cell"))
     val c = corpusWithCells.select(col(idCol).as("neighbor_id"),
       col("cell_id"), toDoubleVec(col(vecCol)).as("__cv"))
     val w = Window.partitionBy(col("query_id"))

@@ -102,22 +102,36 @@ object TextDedup {
     inter.toDouble / (na + nb - inter)
   })
 
-  /** Thresholded Jaccard kernel with a LOSSLESS early exit: J ≥ t iff
-    * overlap ≥ t·(na+nb)/(1+t); once inter + min(remaining) drops below
-    * that constant the pair provably fails, so we bail — the returned
-    * underestimate is still < t and gets filtered. Pairs ≥ t always
-    * complete the full merge, so their reported jaccard is exact. */
+  /** Smallest integer overlap x whose jaccard x/(s−x) passes the FINAL
+    * double compare `fl(x/(s−x)) >= t` — float-estimated, then adjusted
+    * with the exact final comparison so boundary pairs (J == t after
+    * rounding) are never mis-pruned. */
+  private def minPassingOverlap(s: Int, t: Double): Int = {
+    var need = math.max(0, math.ceil(t * s / (1.0 + t)).toInt - 1)
+    while (need <= s && need.toDouble / (s - need) < t) need += 1
+    need
+  }
+
+  /** Thresholded Jaccard kernel with a LOSSLESS early exit: once
+    * inter + min(remaining) drops below the smallest overlap that can
+    * pass the final compare, the pair provably fails, so we bail — the
+    * returned underestimate is still < t and gets filtered. Pairs ≥ t
+    * always complete the full merge, so their reported jaccard is
+    * exact. The exit threshold is an INTEGER derived from the final
+    * double compare itself (see [[minPassingOverlap]]) — a float bound
+    * like t·(na+nb)/(1+t) can round a hair above the true minimum and
+    * drop exact-boundary pairs. */
   private def jaccardAtLeastKernel(t: Double) =
     udf((a: Array[Long], b: Array[Long]) => {
       val na = a.length
       val nb = b.length
-      val minInter = t * (na + nb) / (1.0 + t)
+      val need = minPassingOverlap(na + nb, t)
       var i = 0
       var j = 0
       var inter = 0
       var live = true
       while (live && i < na && j < nb) {
-        if (inter + math.min(na - i, nb - j) < minInter) live = false
+        if (inter + math.min(na - i, nb - j) < need) live = false
         else {
           val x = a(i)
           val y = b(j)
@@ -423,14 +437,18 @@ object TextDedup {
     * [[ngramJaccardPairs]] scaladoc for the losslessness argument). */
   private def prefixJaccardPairs(prepared: DataFrame, toks: DataFrame,
                                  idCol: String, threshold: Double): DataFrame = {
-    // sort (docfreq, hash) ascending, emit the prefix as (pos, hash, n)
+    // sort (docfreq, hash) ascending, emit the prefix as (pos, hash, n).
+    // Prefix length n − ⌈t·n⌉ + 2: one slot more than the textbook
+    // n − ⌈t·n⌉ + 1, absorbing float rounding of ⌈t·n⌉ (e.g. t=0.4,
+    // n=30: fl(0.4·30)=12.000000000000002 → ceil 13 shortens the
+    // prefix and silently drops exact-boundary pairs).
     val prefixKernel = udf((ch: Seq[Long], hh: Seq[Long]) => {
       val n = ch.length
       val keys = new Array[(Long, Long)](n)
       var i = 0
       while (i < n) { keys(i) = (ch(i), hh(i)); i += 1 }
       java.util.Arrays.sort(keys, implicitly[Ordering[(Long, Long)]])
-      val p = math.max(1, math.min(n - math.ceil(threshold * n).toInt + 1, n))
+      val p = math.max(1, math.min(n - math.ceil(threshold * n).toInt + 2, n))
       Array.tabulate(p)(i => (i, keys(i)._2, n))
     })
     val freqs = toks.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
@@ -462,22 +480,29 @@ object TextDedup {
       // prefixes (all of A's elements below a prefix element are prefix
       // elements) and is counted by cnt, while common elements > e*
       // number ≤ min(|A|−1−pa, |B|−1−pb). Hence
-      //   overlap ≤ cnt + min(|A|−1−pa, |B|−1−pb),
-      // and J ≥ t ⟺ overlap·(1+t) ≥ t·(|A|+|B|) — pairs failing the
-      // bound provably fail the threshold. This replaces a bare
-      // distinct(): same shuffle, but hopeless pairs (the bulk, on
-      // corpora with heavy sub-threshold overlap) never reach the
-      // array-verify join.
+      //   overlap ≤ maxInter := min(cnt + min(|A|−1−pa, |B|−1−pb),
+      //                             min(|A|,|B|)).
+      // The pass test is the SAME division compare as the final filter
+      // — fl(maxInter/(|A|+|B|−maxInter)) ≥ t — which is lossless
+      // because x/(s−x) is monotone in x and fl is monotone, so the
+      // bound's rounded jaccard dominates the pair's rounded jaccard
+      // (a multiplicative form like overlap·(1+t) ≥ t·(na+nb) rounds
+      // differently from the final compare and can drop exact-boundary
+      // pairs). Replaces a bare distinct(): same shuffle, but hopeless
+      // pairs never reach the array-verify join.
       .groupBy(
         col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.__n").as("__na"), col("b.__n").as("__nb"))
       .agg(count(lit(1)).as("__cnt"),
         max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"))
-      .filter(
-        (col("__cnt") +
-          least(col("__na") - 1 - col("__pa"), col("__nb") - 1 - col("__pb")))
-          .cast("double") * lit(1.0 + threshold) >=
-          lit(threshold) * (col("__na") + col("__nb")))
+      .withColumn("__maxi",
+        least(
+          col("__cnt") +
+            least(col("__na") - 1 - col("__pa"), col("__nb") - 1 - col("__pb")),
+          least(col("__na"), col("__nb"))))
+      .filter(col("__maxi") > 0 &&
+        col("__maxi").cast("double") /
+          (col("__na") + col("__nb") - col("__maxi")) >= lit(threshold))
       .select(col("id_a"), col("id_b"))
     val sh = prepared.select(col(idCol), col("__sh"))
     candidates
@@ -485,9 +510,12 @@ object TextDedup {
         Seq("id_a"))
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "__sb"),
         Seq("id_b"))
-      // size prefilter implied by the threshold (J ≥ t ⇒ min ≥ t·max)
-      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
-        lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
+      // size prefilter implied by the threshold: J ≥ t ⇒ min/max ≥ t,
+      // checked with the same division compare as the final filter
+      // (multiplicative t·max rounds differently and can drop
+      // exact-boundary pairs)
+      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") /
+        greatest(size(col("__sa")), size(col("__sb"))) >= lit(threshold))
       .withColumn("jaccard", jaccardAtLeastKernel(threshold)(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -532,9 +560,12 @@ object TextDedup {
       .filter(col("id_a") < col("id_b") &&
         // count each pair once: in the band-pair where probe = max band
         col("__probe") === greatest(col("__ba"), col("__bb")))
-      // size prefilter implied by the threshold (J ≥ t ⇒ min ≥ t·max)
-      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
-        lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
+      // size prefilter implied by the threshold: J ≥ t ⇒ min/max ≥ t,
+      // checked with the same division compare as the final filter
+      // (multiplicative t·max rounds differently and can drop
+      // exact-boundary pairs)
+      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") /
+        greatest(size(col("__sa")), size(col("__sb"))) >= lit(threshold))
       .withColumn("jaccard", jaccardAtLeastKernel(threshold)(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Fuzzy, Merger}
+import graft.ops.TextDedup
+
+/**
+ * Property checks for the round-2 adaptive/dual-path operators: each
+ * pair of physical strategies must be OBSERVATIONALLY IDENTICAL — the
+ * dispatch is a plan decision, never a semantics decision. Generators
+ * are sampled with deterministic seeds (scalatestplus isn't on the
+ * offline classpath).
+ */
+class AdaptivePathPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val Rounds = 5
+
+  // random docs over a parameterized alphabet: small alphabets produce
+  // small shingle vocabularies (dense path), large ones big (prefix path)
+  private def genDocs(alphabet: Int): Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(8, 40)
+    docs <- Gen.listOfN(n,
+      Gen.listOfN(60, Gen.choose(0, alphabet - 1)).map(
+        _.map(i => ('a' + i % 26).toChar).mkString))
+  } yield docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+
+  test("jaccard dense and prefix paths agree across random corpora") {
+    (1 to Rounds).foreach { r =>
+      val alphabet = if (r % 2 == 0) 4 else 26
+      val df = sample(genDocs(alphabet), r).toDF("id", "t")
+      val t = 0.3 + 0.1 * (r % 3)
+      val dense = TextDedup.ngramJaccardPairs(df, "id", "t",
+        shingleLen = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = TextDedup.ngramJaccardPairs(df, "id", "t",
+        shingleLen = 3, threshold = t, denseVocabLimit = 0)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(dense == prefix, s"round $r (alphabet=$alphabet, t=$t)")
+    }
+  }
+
+  test("simhash dense and piece paths agree across random corpora") {
+    (1 to Rounds).foreach { r =>
+      val df = sample(genDocs(6), 100 + r)
+        .map { case (i, d) => (i, d.grouped(4).mkString(" ")) }
+        .toDF("id", "t")
+      val dense = TextDedup.simhashPairs(df, "id", "t", maxHamming = 10)
+        .as[(Long, Long, Int)].collect().toSet
+      val pieces = TextDedup.simhashPairs(df, "id", "t", maxHamming = 10,
+        denseLimit = 0)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(dense == pieces, s"round $r")
+    }
+  }
+
+  private val genPairs: Gen[Seq[(Long, Long, Double)]] = for {
+    n <- Gen.choose(5, 120)
+    ps <- Gen.listOfN(n, for {
+      s <- Gen.choose(0L, 25L)
+      t <- Gen.choose(100L, 125L)
+      d <- Gen.choose(1, 9)
+    } yield (s, t, d / 10.0))
+  } yield ps.distinct
+
+  test("greedy assignment: driver scan and distributed rounds agree") {
+    (1 to Rounds).foreach { r =>
+      val pairs = sample(genPairs, 200 + r).toDF("sid", "tid", "distance")
+      val a = Fuzzy.greedyAssign(pairs, "sid", "tid")
+        .as[(Long, Long, Double)].collect().toSet
+      val b = Fuzzy.greedyAssign(pairs, "sid", "tid", driverLimit = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(a == b, s"round $r")
+      // one-to-one
+      assert(a.map(_._1).size == a.size && a.map(_._2).size == a.size)
+    }
+  }
+
+  test("distributed rank equals the global row_number by order column") {
+    (1 to Rounds).foreach { r =>
+      val rows = sample(Gen.listOfN(200, Gen.choose(0L, 1000000L)), 300 + r)
+        .distinct.map(Tuple1(_))
+      val df = rows.toDF("working_source_id")
+      val ranked = Merger.withDistributedRank(
+        df, "working_source_id", "rk", base = 10L)
+        .select(col("working_source_id"), col("rk"))
+        .as[(Long, Long)].collect().toMap
+      val expected = df
+        .withColumn("rk", lit(10L) +
+          row_number().over(Window.orderBy(col("working_source_id"))))
+        .as[(Long, Long)].collect().toMap
+      assert(ranked == expected, s"round $r")
+    }
+  }
+
+  test("trigram candidate paths agree across random name sets") {
+    (1 to Rounds).foreach { r =>
+      val names = sample(genDocs(8), 400 + r)
+        .map { case (i, d) => (i, d.take(12)) }
+      val src = names.toDF("sid", "s")
+      val tgt = names.map { case (i, d) => (i + 1000, d.reverse) }
+        .toDF("tid", "t")
+      val bc = Fuzzy.candidatePairs(src, "sid", "s", tgt, "tid", "t",
+        limit = 0.95)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2, math.round(p._3 * 1e12))).toSet
+      val inv = Fuzzy.candidatePairs(src, "sid", "s", tgt, "tid", "t",
+        limit = 0.95, broadcastLimit = 0L)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2, math.round(p._3 * 1e12))).toSet
+      assert(bc == inv, s"round $r")
+    }
+  }
+}
