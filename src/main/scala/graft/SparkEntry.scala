@@ -483,6 +483,22 @@ object SparkEntry {
       Multimodal.decodeFeatures(payload, "doc_id")
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           element_at(col("feature"), 1).as("f_len"))
+    }),
+
+    // multimodal REAL decode: synthesize format-valid BMP/WAV bytes,
+    // then parse them back (headers, row stride, RIFF chunk walk) —
+    // the oracle recomputes the decoded features from their closed
+    // forms, so the gate verifies the write→parse round trip
+    "q_multimodal_decode_real" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(
+        t(s, dir, "documents").filter(col("doc_id") % 3 < 2),
+        "doc_id", "text")
+      Multimodal.decodeMedia(media, "doc_id")
+        .select(col("doc_id"), col("media_type"),
+          element_at(col("feature"), 1).as("f1"),
+          element_at(col("feature"), 2).as("f2"),
+          element_at(col("feature"), 3).as("f3"),
+          element_at(col("feature"), 4).as("f4"))
     })
   )
 
@@ -776,6 +792,26 @@ object SparkEntry {
 
     "q_csv_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    "q_multimodal_decode_real" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        | FROM documents WHERE doc_id % 3 < 2)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+        |   AS media_type,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(w AS DOUBLE)
+        |      ELSE CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) END AS f1,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(h AS DOUBLE)
+        |      ELSE 1.0 END AS f2,
+        | CASE WHEN doc_id % 3 = 0 THEN 24.0
+        |      ELSE 200.0 END AS f3,
+        | CASE WHEN doc_id % 3 = 0 THEN
+        |   CAST(w*h*(doc_id % 200) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
+        |        AS DOUBLE) / (w*h)
+        | ELSE CAST(200*(doc_id % 100) - 100 AS DOUBLE) / 200 END AS f4
+        |FROM p""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -177,6 +177,35 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Double](3).head == r.getLong(2).toDouble))
   }
 
+  test("real media decode round-trips synthesized BMP and WAV") {
+    val media = Multimodal.synthesizeMedia(docs.limit(30), "doc_id", "text")
+    val decoded = Multimodal.decodeMedia(media, "doc_id").collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Double](3)
+      (id % 3) match {
+        case 0 =>
+          val w = 8 + (id % 8).toDouble
+          val h = 8 + (id % 5).toDouble
+          assert(r.getString(1) == "image/bmp")
+          assert(f(0) == w && f(1) == h && f(2) == 24.0)
+          // closed-form mean: base + mean(x) + mean(y), no mod wrap
+          val want = ((id % 200) * w * h + h * (w * (w - 1) / 2) +
+            w * (h * (h - 1) / 2)) / (w * h)
+          assert(math.abs(f(3) - want) < 1e-9, s"doc $id bmp mean")
+        case 1 =>
+          assert(r.getString(1) == "audio/wav")
+          assert(f(0) == 8000 + (id % 4) * 4000.0 && f(1) == 1.0 && f(2) == 200.0)
+          assert(math.abs(f(3) - ((200 * (id % 100) - 100.0) / 200)) < 1e-9)
+        case _ =>
+          assert(r.getString(1) == "application/octet-stream") // stub fallback
+      }
+    }
+    // corrupted payloads fall back to the stub, not a crash
+    assert(Multimodal.decodeBmp("BMgarbage".getBytes).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVEtrunc".getBytes).isEmpty)
+  }
+
   test("cosine near-dup: LSH path finds planted near-duplicates") {
     // plant true near-dups (the synthetic corpus has none: max pairwise
     // cosine ~0.51, below the regime sign-LSH is designed for)
