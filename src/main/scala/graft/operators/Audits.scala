@@ -53,11 +53,13 @@ object Audits {
     df.groupBy(e.as("value")).agg(count(lit(1)).as("count"))
 
   /** A6: match-rate counts per match group from a matched working
-    * source (merge_audit_sql.rb:10-19, merge_audit.rb:20-34). */
+    * source (merge_audit_sql.rb:10-19, merge_audit.rb:20-34).
+    * Unordered: the relation is tiny (one row per group) and consumers
+    * that need order sort after collecting — a global sort in the plan
+    * buys nothing. */
   def matchGroupCounts(matched: DataFrame): DataFrame =
     matched.groupBy(col(Matcher.MatchGroup))
       .agg(count(lit(1)).as("count"))
-      .orderBy(col(Matcher.MatchGroup).asc_nulls_last)
 }
 
 /** Merge dry-run audit (merge_audit.rb): run ONLY the match phase, then

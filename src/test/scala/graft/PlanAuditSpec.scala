@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/**
+ * Physical-plan audit over the driver query inventory — the scale
+ * anti-patterns the engine must never reintroduce, asserted on real
+ * plans rather than trusted from scaladoc:
+ *
+ *  - no WindowExec without a partition spec (a global window funnels
+ *    the whole relation through ONE task — the round-1 insert-pk bug);
+ *  - no CartesianProductExec (a broadcast nested-loop from an
+ *    intentional small-side cross is fine; a partitioned cartesian is
+ *    always a mistake at scale);
+ *  - filters reach the parquet scans (PushedFilters non-empty where a
+ *    query filters a base table);
+ *  - column pruning reaches the scans (a 3-column aggregate must not
+ *    read a 16-column table).
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plansOf(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    Seq(df.queryExecution.sparkPlan)
+  }
+
+  private def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] =
+    p.collect(f) ++ p.subqueries.flatMap(collectAll(_)(f))
+
+  // queries whose construction runs driver-side actions are still fine
+  // to plan-audit: builders execute, the returned DF is what we check
+  private lazy val allNames = SparkEntry.queries.keys.toSeq.sorted
+
+  test("no query plan contains an unpartitioned window") {
+    allNames.foreach { name =>
+      plansOf(name).foreach { plan =>
+        val bad = collectAll(plan) {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty)
+          fail(s"$name has a global (unpartitioned) window:\n${bad.head}")
+      }
+    }
+  }
+
+  test("no query plan contains a partitioned cartesian product") {
+    allNames.foreach { name =>
+      plansOf(name).foreach { plan =>
+        val bad = collectAll(plan) { case c: CartesianProductExec => c }
+        assert(bad.isEmpty, s"$name has a CartesianProductExec")
+      }
+    }
+  }
+
+  test("no query plan contains a global sort over a base relation") {
+    // orderBy().limit() folds to TakeOrderedAndProject (fine); a bare
+    // global SortExec in a batch query is a full-relation range shuffle
+    allNames.foreach { name =>
+      plansOf(name).foreach { plan =>
+        val bad = collectAll(plan) { case s: SortExec if s.global => s }
+        assert(bad.isEmpty, s"$name has a global SortExec")
+      }
+    }
+  }
+
+  test("conform pushes its row filters into the events scan") {
+    val plan = plansOf("q_conform").head
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(_ != "[]"),
+      s"q_conform scan has no pushed filters: $pushed")
+  }
+
+  test("aggregates prune base-table columns at the scan") {
+    val plan = plansOf("q_group_records").head
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // lineitem has 16 columns; the query needs exactly 3
+    assert(scans.forall(_.output.length <= 3),
+      s"q_group_records reads ${scans.map(_.output.length)} columns")
+  }
+
+  test("metadata-only multimodal query never reads payload bytes") {
+    val plan = plansOf("q_multimodal_meta").head
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.forall(!_.output.map(_.name).contains("payload")))
+  }
+
+  test("dimension joins in the match family broadcast the small side") {
+    val plan = plansOf("q_match_aux").head
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "q_match_aux does not broadcast its dimension tables at sf0.001")
+  }
+}
