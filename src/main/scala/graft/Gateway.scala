@@ -68,6 +68,27 @@ class Gateway(val spark: SparkSession) {
     * (csv_driver.rb:192-195). */
   def getCount(q: String): Long = spark.sql(q).collect()(0).getLong(0)
 
+  /**
+   * Persist a target as a BUCKETED table on its merge key — the 100 TB
+   * co-location story for repeated imports: when both the conformed
+   * source and the target are bucketed (and bucket counts match), the
+   * match/merge equi-joins read pre-partitioned buckets and the plan
+   * carries NO Exchange on the join key. One bucketed write amortizes
+   * across every subsequent merge into that target
+   * (plan-asserted in BucketedMergeSpec).
+   */
+  def saveBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                   nBuckets: Int = 32): DataFrame = {
+    df.write
+      .format("parquet")
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", s"${spark.conf.get("spark.sql.warehouse.dir")}/$tableName")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
   /** D2: drop all working state (csv_driver.rb:84-94). */
   def cleanUp(): Unit = {
     registry.keys.foreach(n => spark.catalog.dropTempView(n))
