@@ -321,6 +321,18 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
+    // corpus-wide word-bigram frequencies, top-k with deterministic
+    // tiebreak — the n-gram language-statistics pass of a training-data
+    // pipeline (exercises wordShingles end to end)
+    "q_word_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextDedup.wordShingles(col("text"), 2)).as("gram"))
+        .filter(col("gram") =!= "")
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram").asc)
+        .limit(20)),
+
     // SimHash near-dup (xxhash64-based → rows-only check)
     "q_simhash" -> ((s, dir) =>
       TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -681,6 +693,20 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
         | count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_word_ngrams" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1])) AS grams
+        | FROM w WHERE len(words) >= 2),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT gram, count(*) AS n_docs FROM e WHERE gram <> ''
+        |GROUP BY gram ORDER BY n_docs DESC, gram ASC LIMIT 20""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (
