@@ -356,6 +356,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // symmetric int8 embedding quantization (storage/bandwidth path),
+    // exploded to scalar rows for hash-exact verification
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding")),
+
     // embedding-cosine near-dup, exact pairs (dedup-flavored)
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
@@ -745,6 +752,23 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id
         |   AND least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s)))
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH v AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        | FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+        |m AS (
+        | SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) AS maxabs
+        | FROM v)
+        |SELECT vec_id,
+        | CAST(unnest(generate_series(0, len(e) - 1)) AS INTEGER) AS dim,
+        | unnest(list_transform(generate_series(1, len(e)), i ->
+        |   CASE WHEN maxabs = 0 THEN 0
+        |        ELSE CAST(least(greatest(round(e[i] / (maxabs/127)), -127), 127)
+        |             AS INTEGER) END)) AS q,
+        | maxabs / 127 AS scale
+        |FROM m""".stripMargin,
 
     "q_embed_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

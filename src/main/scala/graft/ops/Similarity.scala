@@ -446,6 +446,48 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 quantization of an embedding column — the
+   * storage/bandwidth path of an embedding pipeline (4× smaller than
+   * float32; brute-force/IVF scoring can run on the quantized codes).
+   * Per vector: scale = maxAbs/127, q_i = clamp(round(v_i/scale),
+   * −127, 127). Returned exploded to scalar rows
+   * (id, dim, q, scale) so external engines can verify hash-exactly;
+   * max-abs is an order-free reduction (no float-sum ordering hazard)
+   * and the per-element arithmetic keeps the oracle's expression tree.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = udf((v: Array[Float]) => {
+      if (v == null) 0.0
+      else {
+        var m = 0.0
+        var i = 0
+        while (i < v.length) {
+          val a = math.abs(v(i).toDouble)
+          if (a > m) m = a
+          i += 1
+        }
+        m
+      }
+    })
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__maxabs", maxAbs(col(vecCol)))
+      .select(col(idCol), col("__maxabs"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(idCol), col("dim"),
+        when(col("__maxabs") === 0, lit(0))
+          .otherwise(least(greatest(
+            round(col("__x").cast("double") / (col("__maxabs") / lit(127.0))),
+            lit(-127.0)), lit(127.0)))
+          .cast("int").as("q"),
+        (col("__maxabs") / lit(127.0)).as("scale"))
+  }
+
+  /** Reconstruction of a quantized row: v̂ = q·scale (error ≤ scale/2,
+    * spec-asserted). */
+  def dequantize(q: Column, scale: Column): Column =
+    q.cast("double") * scale
+
+  /**
    * Random-hyperplane cosine LSH signature (nBits sign bits packed into
    * a long): vectors in the same bucket are cosine-close with high
    * probability. Hyperplane components are deterministic pseudo-gaussians

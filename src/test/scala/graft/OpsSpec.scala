@@ -231,6 +231,24 @@ class OpsSpec extends SparkSpec {
     assert(sigs.map(_.getLong(1)).distinct.length > 1) // non-degenerate
   }
 
+  test("int8 quantization bounds reconstruction error by scale/2") {
+    val q = Similarity.quantizeInt8(emb.limit(50), "vec_id", "embedding")
+    val joined = q.join(
+      emb.limit(50).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x"))),
+      Seq("vec_id", "dim"))
+      .select(col("x").cast("double").as("x"),
+        Similarity.dequantize(col("q"), col("scale")).as("xhat"),
+        col("scale"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val err = math.abs(r.getDouble(0) - r.getDouble(1))
+      assert(err <= r.getDouble(2) / 2 + 1e-12,
+        s"reconstruction error $err exceeds half-step ${r.getDouble(2) / 2}")
+    }
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
