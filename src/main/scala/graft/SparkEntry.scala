@@ -321,6 +321,17 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
+    // deterministic content-hash train/valid/test split — stable across
+    // runs, row order, and cluster size; per-split counts + value sums
+    "q_data_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split",
+          TextAnalysis.assignSplit(col("doc_id"), trainPct = 0.8,
+            validPct = 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
     // corpus-wide word-bigram frequencies, top-k with deterministic
     // tiebreak — the n-gram language-statistics pass of a training-data
     // pipeline (exercises wordShingles end to end)
@@ -699,6 +710,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
         | count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_data_split" ->
+      """SELECT CASE
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+        |  ELSE 'test' END AS split,
+        | count(*) AS n_docs, sum(n_chars) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_word_ngrams" ->

@@ -157,4 +157,28 @@ object TextAnalysis {
       qualityScore(t).as("quality"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /**
+   * Deterministic content-hash dataset split — the standard way to get
+   * train/valid/test assignments that are stable across runs, cluster
+   * sizes, and row order (a random() split is none of these): bucket by
+   * the first two hex chars of md5(key) (uniform over 0..255) and
+   * compare against hex thresholds. md5 is identical across engines,
+   * so the assignment is oracle-expressible in plain SQL — and more
+   * importantly, reproducible anywhere.
+   */
+  def assignSplit(key: Column, trainPct: Double = 0.8,
+                  validPct: Double = 0.1): Column = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 1.0,
+      "split fractions must be non-negative and sum to at most 1")
+    // "zz" sorts above every hex pair — a 100% bucket, since f"100"
+    // would compare lexicographically BELOW "ff"
+    def hex2(v: Int): String = if (v >= 256) "zz" else f"$v%02x"
+    val trainHex = hex2(math.round(trainPct * 256).toInt)
+    val validHex = hex2(math.round((trainPct + validPct) * 256).toInt)
+    val bucket = substring(md5(key.cast("string")), 1, 2)
+    when(bucket < trainHex, "train")
+      .when(bucket < validHex, "valid")
+      .otherwise("test")
+  }
 }

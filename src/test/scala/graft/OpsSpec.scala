@@ -231,6 +231,23 @@ class OpsSpec extends SparkSpec {
     assert(sigs.map(_.getLong(1)).distinct.length > 1) // non-degenerate
   }
 
+  test("content-hash split is deterministic, exhaustive, and ~proportional") {
+    val split = TextAnalysis.assignSplit(col("doc_id"), 0.8, 0.1)
+    val counts = docs.withColumn("s", split).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(counts.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(counts("train").toDouble / n > 0.7 && counts("train").toDouble / n < 0.9)
+    // rerun = identical assignment (content-hash, not random())
+    val again = docs.withColumn("s", split).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == again)
+    // 100% train edge: "zz" sentinel sorts above every hex bucket
+    val all = docs.withColumn("s", TextAnalysis.assignSplit(col("doc_id"), 1.0, 0.0))
+      .select("s").distinct().collect().map(_.getString(0)).toSeq
+    assert(all == Seq("train"))
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     val q = Similarity.quantizeInt8(emb.limit(50), "vec_id", "embedding")
     val joined = q.join(
