@@ -52,6 +52,35 @@ object Audits {
   def expressionDistribution(df: DataFrame, e: Column): DataFrame =
     df.groupBy(e.as("value")).agg(count(lit(1)).as("count"))
 
+  /**
+   * Sketch-based column profile — the 100 TB face of the exact audits
+   * above: one pass, no shuffle wider than the partial-aggregate
+   * buffers. Exact distinct counts and exact top-k (what
+   * [[distribution]] computes) shuffle every distinct value; at
+   * cluster scale the standard answer is HyperLogLog++ distinct
+   * estimates and t-digest percentiles, both mergeable partial
+   * aggregates. Error bound is spec-asserted against the exact
+   * answers (ApproxAuditSpec).
+   */
+  def approxProfile(df: DataFrame, columns: Seq[String],
+                    rsd: Double = 0.05,
+                    percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75))
+      : DataFrame = {
+    val numeric = df.schema.fields
+      .filter(f => columns.contains(f.name))
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSet
+    val aggs = columns.flatMap { c =>
+      Seq(approx_count_distinct(col(c), rsd).as(s"${c}__approx_distinct")) ++
+        (if (numeric.contains(c))
+          Seq(percentile_approx(col(c).cast("double"),
+            array(percentiles.map(lit): _*), lit(10000))
+            .as(s"${c}__percentiles"))
+        else Nil)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** A6: match-rate counts per match group from a matched working
     * source (merge_audit_sql.rb:10-19, merge_audit.rb:20-34).
     * Unordered: the relation is tiny (one row per group) and consumers

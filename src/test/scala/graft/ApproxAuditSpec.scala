@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Audits
+import graft.ops.TextAnalysis
+import graft.sources.ShardWriter
+
+/** The scale-path audit (sketches) and the shard-export sink. */
+class ApproxAuditSpec extends SparkSpec {
+
+  private lazy val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("approx profile distinct estimates land within the stated rsd") {
+    val prof = Audits.approxProfile(lineitem,
+      Seq("l_orderkey", "l_shipdate", "l_quantity"), rsd = 0.05).head()
+    def exact(c: String): Long =
+      lineitem.select(col(c)).distinct().count()
+    Seq("l_orderkey", "l_shipdate", "l_quantity").foreach { c =>
+      val est = prof.getAs[Long](s"${c}__approx_distinct").toDouble
+      val ex = exact(c).toDouble
+      assert(math.abs(est - ex) / ex <= 0.15, // 3x rsd headroom
+        s"$c: approx $est vs exact $ex")
+    }
+  }
+
+  test("approx percentiles bracket the exact medians") {
+    val prof = Audits.approxProfile(lineitem, Seq("l_quantity")).head()
+    val ps = prof.getSeq[Double](prof.fieldIndex("l_quantity__percentiles"))
+    val exact = lineitem.stat.approxQuantile("l_quantity",
+      Array(0.25, 0.5, 0.75), 0.0) // relativeError 0 = exact
+    ps.zip(exact).foreach { case (approx, ex) =>
+      assert(math.abs(approx - ex) <= math.max(1.0, ex * 0.05),
+        s"percentile approx $approx vs exact $ex")
+    }
+  }
+
+  test("shard export partitions by split, bounds files, and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val withSplit = docs.withColumn("split",
+      TextAnalysis.assignSplit(col("doc_id"), 0.8, 0.1))
+    ShardWriter.writeShards(withSplit, dir, "split", "doc_id",
+      shardsPerSplit = 4, maxRecordsPerFile = 50)
+
+    // partition directories exist
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.contains("split=train"))
+
+    // every data file respects the record bound
+    val trainFiles = new java.io.File(s"$dir/split=train")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(trainFiles.nonEmpty)
+    trainFiles.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 50, s"${f.getName} has $n rows > maxRecordsPerFile")
+    }
+
+    // exact round trip of rows (ids and split labels)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val orig = withSplit.select("doc_id", "split")
+    assert(back.select("doc_id", "split").exceptAll(orig).isEmpty &&
+      orig.exceptAll(back.select("doc_id", "split")).isEmpty)
+  }
+}
