@@ -321,6 +321,35 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
+    // benchmark-contamination check: per held-out doc, max shingle
+    // containment against the training corpus
+    "q_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.contaminationScores(
+        d.filter(col("doc_id") % 5 === 0),
+        d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", shingleLen = 5, threshold = 0.5)
+    }),
+
+    // PII scrubbing: plant synthetic emails/SSNs/phones, redact with
+    // the typed placeholders, report per-doc whether anything changed
+    "q_redact_pii" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" ssn 123-45-6789 end")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" call 555-123-4567 today")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), planted.as("__planted"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("__planted")).as("clean"),
+          (TextAnalysis.redactPii(col("__planted")) =!= col("__planted"))
+            .as("was_redacted"))
+    }),
+
     // deterministic content-hash train/valid/test split — stable across
     // runs, row order, and cluster size; per-split counts + value sums
     "q_data_split" -> ((s, dir) =>
@@ -711,6 +740,45 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
         | count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_contamination" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents)
+        | WHERE length(norm) > 0),
+        |te AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0),
+        |p AS (
+        | SELECT te.doc_id AS test_id,
+        |  CAST(len(list_intersect(te.s, tr.s)) AS DOUBLE) / len(te.s) AS c
+        | FROM te, tr)
+        |SELECT test_id, max(c) AS max_containment,
+        |       max(c) >= 0.5 AS contaminated
+        |FROM p GROUP BY test_id""".stripMargin,
+
+    "q_redact_pii" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE
+        |   WHEN doc_id % 5 = 0 THEN text || ' contact user' ||
+        |     CAST(doc_id AS VARCHAR) || '@example.com now'
+        |   WHEN doc_id % 5 = 1 THEN text || ' ssn 123-45-6789 end'
+        |   WHEN doc_id % 5 = 2 THEN text || ' call 555-123-4567 today'
+        |   ELSE text END AS planted
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, planted,
+        |  regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
+        | FROM p)
+        |SELECT doc_id, clean, clean <> planted AS was_redacted FROM r""".stripMargin,
 
     "q_data_split" ->
       """SELECT CASE

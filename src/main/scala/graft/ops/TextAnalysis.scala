@@ -159,6 +159,24 @@ object TextAnalysis {
   }
 
   /**
+   * PII redaction for training text: emails, US-style SSNs, and phone
+   * numbers replaced with typed placeholder tokens. Patterns are kept
+   * RE2-compatible (character classes and bounded repeats only — no
+   * backreferences/lookaround) so external engines apply the identical
+   * scrub; application order is fixed (email → ssn → phone) because
+   * the pattern domains can overlap on digit runs.
+   */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noSsn = regexp_replace(noEmail, SsnPattern, "<SSN>")
+    regexp_replace(noSsn, PhonePattern, "<PHONE>")
+  }
+
+  /**
    * Deterministic content-hash dataset split — the standard way to get
    * train/valid/test assignments that are stable across runs, cluster
    * sizes, and row order (a random() split is none of these): bucket by

@@ -604,6 +604,144 @@ object TextDedup {
       .distinct()
   }
 
+  // ---- Cross-corpus contamination --------------------------------------
+
+  /**
+   * Benchmark-contamination check: for every TEST document, the maximum
+   * shingle containment |T∩R|/|T| over all TRAIN documents — the
+   * standard train/test-leakage metric (a test doc most of whose
+   * shingles appear verbatim in one training doc is contaminated).
+   * Returns (test id, max_containment, contaminated).
+   *
+   * Small shingle universes (the dispatch probe mirrors
+   * [[ngramJaccardPairs]]) run a bitmap GRID: test docs are assigned to
+   * A-blocks and train docs to B-blocks, every (A,B) tile is one task
+   * comparing its bitmaps with popcount-AND — replication is
+   * test·B + train·A rows, the two-relation analogue of the all-pairs
+   * tiling. Large universes take a token join on shingle hashes with a
+   * per-pair group count. Both paths are exact and agree
+   * (AdaptivePathPropertiesSpec).
+   */
+  def contaminationScores(test: DataFrame, train: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleLen: Int = 5, threshold: Double = 0.5,
+                          denseVocabLimit: Int = 1 << 14,
+                          blocks: Int = 8): DataFrame = {
+    val tPrep = test
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0).persist()
+    val rPrep = train
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0).persist()
+    val toks = tPrep.select(explode(col("__sh")).as("__h"))
+      .union(rPrep.select(explode(col("__sh")).as("__h")))
+    val idIntegral = tPrep.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val approxV =
+      if (idIntegral && denseVocabLimit > 0)
+        toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
+      else Long.MaxValue
+    val vocabOpt =
+      if (approxV <= denseVocabLimit * 1.2) {
+        val v = toks.distinct().collect().map(_.getLong(0))
+        if (v.length <= denseVocabLimit) { java.util.Arrays.sort(v); Some(v) }
+        else None
+      } else None
+    val scores = vocabOpt match {
+      case Some(vocab) => denseContainment(tPrep, rPrep, idCol, vocab, blocks)
+      case None =>
+        val tTok = tPrep.select(col(idCol).as("test_id"),
+          size(col("__sh")).as("__tn"), explode(col("__sh")).as("__h"))
+        val rTok = rPrep.select(col(idCol).as("__train_id"),
+          explode(col("__sh")).as("__h"))
+        val matched = tTok.hint("shuffle_hash").join(rTok, Seq("__h"))
+          .groupBy(col("test_id"), col("__train_id"), col("__tn"))
+          .agg(count(lit(1)).as("__cnt"))
+          .withColumn("__c", col("__cnt").cast("double") / col("__tn"))
+          .groupBy(col("test_id"))
+          .agg(max(col("__c")).as("max_containment"))
+        // zero-overlap test docs produce no join rows but still score 0
+        tPrep.select(col(idCol).as("test_id"))
+          .join(matched, Seq("test_id"), "left")
+          .withColumn("max_containment",
+            coalesce(col("max_containment"), lit(0.0)))
+    }
+    val orig = tPrep.schema(idCol).dataType
+    scores
+      .select(col("test_id").cast(orig).as("test_id"),
+        col("max_containment"))
+      .withColumn("contaminated", col("max_containment") >= threshold)
+  }
+
+  /** Bitmap-grid max containment (small-universe path of
+    * [[contaminationScores]]): tiles of (test A-block × train B-block),
+    * per-tile local maxima reduced by one tiny final aggregation. */
+  private def denseContainment(tPrep: DataFrame, rPrep: DataFrame,
+                               idCol: String, vocab: Array[Long],
+                               blocks: Int): DataFrame = {
+    val spark = tPrep.sparkSession
+    import spark.implicits._
+    val nWords = (vocab.length + 63) >>> 6
+    val bcVocab = spark.sparkContext.broadcast(vocab)
+    val toBits = udf((hs: Array[Long]) => {
+      val v = bcVocab.value
+      val words = new Array[Long](nWords)
+      var i = 0
+      while (i < hs.length) {
+        val r = java.util.Arrays.binarySearch(v, hs(i))
+        if (r >= 0) words(r >>> 6) |= 1L << (r & 63)
+        i += 1
+      }
+      words
+    })
+    val b = blocks
+    // marker 0 = test (replicated across train blocks), 1 = train
+    val testDocs = tPrep.select(col(idCol).cast("long").as("id"),
+      size(col("__sh")).as("n"), toBits(col("__sh")).as("bits"),
+      pmod(hash(col(idCol)), lit(b)).as("blk"))
+      .as[(Long, Int, Array[Long], Int)]
+      .flatMap { case (id, n, bits, blk) =>
+        (0 until b).iterator.map(o => (blk * b + o, 0, id, n, bits))
+      }
+    val trainDocs = rPrep.select(col(idCol).cast("long").as("id"),
+      size(col("__sh")).as("n"), toBits(col("__sh")).as("bits"),
+      pmod(hash(col(idCol)), lit(b)).as("blk"))
+      .as[(Long, Int, Array[Long], Int)]
+      .flatMap { case (id, n, bits, blk) =>
+        (0 until b).iterator.map(o => (o * b + blk, 1, id, n, bits))
+      }
+    testDocs.union(trainDocs).groupByKey(_._1).flatMapGroups { (_, it) =>
+      val ts = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
+      val rs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      it.foreach { case (_, marker, id, n, bits) =>
+        if (marker == 0) ts += ((id, n, bits)) else rs += bits
+      }
+      if (rs.isEmpty) Iterator.empty
+      else ts.iterator.map { case (id, n, bits) =>
+        var best = 0.0
+        var r = 0
+        while (r < rs.length) {
+          val rb = rs(r)
+          var inter = 0
+          var w = 0
+          while (w < nWords) {
+            inter += java.lang.Long.bitCount(bits(w) & rb(w))
+            w += 1
+          }
+          val c = inter.toDouble / n
+          if (c > best) best = c
+          r += 1
+        }
+        (id, best)
+      }
+    }.groupByKey(_._1)
+      .mapGroups { (id, it) => (id, it.map(_._2).max) }
+      .toDF("test_id", "max_containment")
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /**

@@ -100,6 +100,22 @@ class AdaptivePathPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("contamination grid and token-join paths agree") {
+    (1 to Rounds).foreach { r =>
+      val alphabet = if (r % 2 == 0) 4 else 26
+      val all = sample(genDocs(alphabet), 500 + r).toDF("id", "t")
+      val test = all.filter(col("id") % 3 === 0)
+      val train = all.filter(col("id") % 3 =!= 0)
+      val dense = TextDedup.contaminationScores(test, train, "id", "t",
+        shingleLen = 3).as[(Long, Double, Boolean)].collect().toSet
+      val token = TextDedup.contaminationScores(test, train, "id", "t",
+        shingleLen = 3, denseVocabLimit = 0)
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(dense == token, s"round $r (alphabet=$alphabet)")
+      assert(dense.nonEmpty)
+    }
+  }
+
   test("trigram candidate paths agree across random name sets") {
     (1 to Rounds).foreach { r =>
       val names = sample(genDocs(8), 400 + r)
