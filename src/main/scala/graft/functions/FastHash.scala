@@ -31,4 +31,35 @@ object FastHash extends Serializable {
     h ^= h >>> 33
     h
   }
+
+  /** Sorted distinct 64-bit hash set of a string's k-char shingles —
+    * the per-document prep of every Jaccard/MinHash path, as a static
+    * JVM kernel so the native [[org.apache.spark.sql.graftshim.ShingleHashesExpr]]
+    * can call it from generated code. */
+  def shingleHashSet(s: String, k: Int): Array[Long] = {
+    if (s == null) return Array.emptyLongArray
+    val n = s.length
+    if (n == 0) return Array.emptyLongArray
+    val m = math.max(1, n - k + 1)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      // inline FNV-1a over the shingle window, avalanche at end
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+      hs(i) = fmix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place
+    var out = 0
+    var p = 0
+    while (p < m) {
+      if (out == 0 || hs(p) != hs(out - 1)) { hs(out) = hs(p); out += 1 }
+      p += 1
+    }
+    java.util.Arrays.copyOf(hs, out)
+  }
 }

@@ -74,40 +74,13 @@ object TextDedup {
   }
 
   /** Sorted distinct 64-bit hash set of the k-char shingles of a
-    * normalized string — one JIT'd pass per document. */
+    * normalized string — a NATIVE codegen'd Catalyst expression
+    * (org.apache.spark.sql.graftshim.ShingleHashesExpr): the whole
+    * normalize→hash→sort→dedupe prep stays inside WholeStageCodegen
+    * with no UDF closure/Row-conversion boundary. */
   def shingleHashes(text: Column, k: Int): Column = {
-    val kernel = udf((s: String) => {
-      if (s == null) Array.empty[Long]
-      else {
-        val n = s.length
-        if (n == 0) Array.empty[Long]
-        else {
-          val m = math.max(1, n - k + 1)
-          val hs = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            // inline FNV-1a over the shingle window, avalanche at end
-            var h = 0xcbf29ce484222325L
-            var j = i
-            val end = math.min(i + k, n)
-            while (j < end) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
-            hs(i) = FastHash.fmix64(h)
-            i += 1
-          }
-          java.util.Arrays.sort(hs)
-          // dedupe in place
-          var out = 0
-          var p = 0
-          while (p < m) {
-            if (out == 0 || hs(p) != hs(out - 1)) { hs(out) = hs(p); out += 1 }
-            p += 1
-          }
-          java.util.Arrays.copyOf(hs, out)
-        }
-      }
-    })
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    kernel(norm)
+    org.apache.spark.sql.graftshim.ShingleColumns.shingleHashes(norm, k)
   }
 
   /** Jaccard of two sorted distinct hash arrays: merge-intersection,
