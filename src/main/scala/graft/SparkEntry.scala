@@ -321,6 +321,15 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
+    // word-repetition quality metrics (Gopher-style filter inputs)
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("m.n_words").as("n_words"),
+          col("m.dup_word_frac").as("dup_word_frac"),
+          col("m.top_bigram_frac").as("top_bigram_frac"))),
+
     // benchmark-contamination check: per held-out doc, max shingle
     // containment against the training corpus
     "q_contamination" -> ((s, dir) => {
@@ -740,6 +749,25 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
         | count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, words, len(words) AS n,
+        |  CASE WHEN len(words) >= 2 THEN
+        |   list_transform(generate_series(1, len(words) - 1),
+        |     i -> words[i] || ' ' || words[i+1])
+        |  ELSE [] END AS grams
+        | FROM w)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+        | 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n AS dup_word_frac,
+        | CASE WHEN n < 2 THEN 0.0 ELSE
+        |  CAST(list_max(list_transform(grams,
+        |        x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / (n - 1)
+        | END AS top_bigram_frac
+        |FROM b""".stripMargin,
 
     "q_contamination" ->
       """WITH sh AS (

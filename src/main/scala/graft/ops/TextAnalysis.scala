@@ -159,6 +159,47 @@ object TextAnalysis {
   }
 
   /**
+   * Word-repetition metrics (Gopher/RefinedWeb-style quality-filter
+   * family): duplicate-word fraction and the share of the most frequent
+   * word bigram among all bigram occurrences (WITH repeats — unlike the
+   * distinct shingle sets of the dedup paths). High values mark
+   * boilerplate/looping text that quality filters drop before training.
+   * One JIT'd pass per document; both fractions are plain int/int
+   * divisions, so the SQL oracle reproduces them bit-exactly.
+   * Returns a struct (n_words, dup_word_frac, top_bigram_frac).
+   */
+  def repetitionMetrics(text: Column): Column = {
+    val kernel = udf((s: String) => {
+      if (s == null) (0, 0.0, 0.0)
+      else {
+        val toks = s.trim.toLowerCase.split("\\s+")
+        val n = toks.length
+        val words = new java.util.HashMap[String, Integer]
+        var i = 0
+        while (i < n) {
+          words.merge(toks(i), 1, (a, b) => a + b)
+          i += 1
+        }
+        val dupFrac = 1.0 - words.size.toDouble / n
+        var topBigram = 0
+        if (n >= 2) {
+          val bigrams = new java.util.HashMap[String, Integer]
+          i = 0
+          while (i < n - 1) {
+            val c = bigrams.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+            if (c > topBigram) topBigram = c
+            i += 1
+          }
+        }
+        val topFrac = if (n < 2) 0.0 else topBigram.toDouble / (n - 1)
+        (n, dupFrac, topFrac)
+      }
+    })
+    kernel(text).cast(
+      "struct<n_words:int,dup_word_frac:double,top_bigram_frac:double>")
+  }
+
+  /**
    * PII redaction for training text: emails, US-style SSNs, and phone
    * numbers replaced with typed placeholder tokens. Patterns are kept
    * RE2-compatible (character classes and bounded repeats only — no
