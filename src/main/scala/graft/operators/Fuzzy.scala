@@ -79,20 +79,29 @@ object Fuzzy {
     }
   })
 
-  /** Merge-intersection count of two sorted hash arrays (JIT'd). */
-  private val sharedCount = udf((a: Array[Long], b: Array[Long]) => {
-    var i = 0
-    var j = 0
-    var inter = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i)
-      val y = b(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    inter
-  })
+  /** Merge-intersection count of two sorted hash arrays, skipping the
+    * (sorted, usually empty) excluded set — the broadcast path must
+    * count exactly what the inverted-index path counts after its
+    * frequency cap, or the dispatch would change RESULTS, not plans. */
+  private def sharedCountExcluding(excluded: Array[Long]) =
+    udf((a: Array[Long], b: Array[Long]) => {
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i)
+        val y = b(j)
+        if (x == y) {
+          if (excluded.length == 0 ||
+            java.util.Arrays.binarySearch(excluded, x) < 0) inter += 1
+          i += 1
+          j += 1
+        }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter
+    })
 
   private def prepTrigrams(df: DataFrame, idCol: String, strCol: String,
                            nCol: String) =
@@ -114,12 +123,18 @@ object Fuzzy {
    * inverted-index join on trigram hashes with a frequency cap against
    * ultra-common-trigram blow-up.
    */
+  /** Cross-path pair budget: the broadcast nested loop runs |S|·|T|
+    * kernels with no pruning, so a small source against a huge target
+    * must still take the index path. */
+  val DefaultMaxCrossPairs: Long = 500000000L
+
   def candidatePairs(
       source: DataFrame, sourceId: String, sourceCol: String,
       target: DataFrame, targetId: String, targetCol: String,
       limit: Double = DefaultLimit,
       maxTrigramFreq: Long = DefaultMaxTrigramFreq,
-      broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
+      broadcastLimit: Long = DefaultBroadcastLimit,
+      maxCrossPairs: Long = DefaultMaxCrossPairs): DataFrame = {
     // materialized: each side feeds multiple consumers (count probe /
     // frequency cap / join) — without a barrier the trigram prep would
     // be recomputed per consumer
@@ -128,13 +143,31 @@ object Fuzzy {
     val nPart = source.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
 
-    if (sPrep.count() <= broadcastLimit) {
+    val sCount = sPrep.count()
+    lazy val tCount = tPrep.count()
+    if (sCount <= broadcastLimit && sCount * tCount <= maxCrossPairs) {
+      // result parity with the index path: its frequency cap drops
+      // ultra-common trigrams from the shared counts, so collect the
+      // (few) over-cap trigram hashes and skip them in the kernel too
+      val overCap: Array[Long] =
+        if (maxTrigramFreq == Long.MaxValue) Array.emptyLongArray
+        else {
+          val sOver = sPrep.select(explode(col("__sh")).as("__h"))
+            .groupBy("__h").count().filter(col("count") > maxTrigramFreq)
+          val tOver = tPrep.select(explode(col("__sh")).as("__h"))
+            .groupBy("__h").count().filter(col("count") > maxTrigramFreq)
+          val arr = sOver.select("__h").union(tOver.select("__h")).distinct()
+            .collect().map(_.getLong(0))
+          java.util.Arrays.sort(arr)
+          arr
+        }
       tPrep
         // spread the streamed side: a persisted DF this small often sits
         // in one partition, which would serialize every pair kernel
         .repartition(nPart)
         .crossJoin(broadcast(sPrep.withColumnRenamed("__sh", "__sh2")))
-        .withColumn("__shared", sharedCount(col("__sh"), col("__sh2")))
+        .withColumn("__shared",
+          sharedCountExcluding(overCap)(col("__sh"), col("__sh2")))
         .withColumn("__sim",
           col("__shared").cast("double") /
             (col("__sn") + col("__tn") - col("__shared")))

@@ -120,6 +120,7 @@ object Similarity {
     val spark = corpusWithCells.sparkSession
     import spark.implicits._
     corpusWithCells
+      .filter(col(vecCol).isNotNull)
       .select(col("cell_id").cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (c, v) =>
@@ -180,10 +181,11 @@ object Similarity {
    */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int): DataFrame = {
-    val seeds = corpus.orderBy(col(idCol).asc).limit(nCells)
+    val nonNull = corpus.filter(col(vecCol).isNotNull)
+    val seeds = nonNull.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
     val (cellIds, centroids) = collectCentroids(seeds)
-    corpus
+    nonNull
       .withColumn("cell_id", assignKernel(cellIds, centroids)(col(vecCol)))
       // materialize: ivfTopK reads the assignment twice (probe-center
       // means + cell-pruned scan); without a barrier the assignment
@@ -203,9 +205,14 @@ object Similarity {
     var current = corpusWithCells
     (0 until iterations).foreach { _ =>
       val (cellIds, centroids) = collectCentroids(cellMeans(current, vecCol))
-      current = current.drop("cell_id")
+      val next = current.drop("cell_id")
         .withColumn("cell_id", assignKernel(cellIds, centroids)(col(vecCol)))
         .persist()
+      next.count() // materialize before releasing the previous cache
+      // don't unpersist the caller's input (e.g. ivfAssign's), only
+      // the intermediate generations this loop created
+      if (current ne corpusWithCells) current.unpersist()
+      current = next
     }
     current
   }
@@ -254,7 +261,8 @@ object Similarity {
       }
       if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
     })
-    val probes = queries.select(col(idCol).as("query_id"),
+    val probes = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"),
       explode(probeKernel(col(vecCol))).as("__probe_cell"))
     val c = corpusWithCells.select(col(idCol).as("neighbor_id"),
@@ -283,11 +291,7 @@ object Similarity {
    */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, blocks: Int = 32): DataFrame = {
-    val idIntegral = corpus.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    val idIntegral = Dispatch.integralId(corpus, idCol)
     if (!idIntegral) {
       val a = corpus.select(col(idCol).as("id_a"),
         toDoubleVec(col(vecCol)).as("__va"))
@@ -406,7 +410,8 @@ object Similarity {
                           dim: Int, nBits: Int = 16,
                           nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val kernel = lshSignaturesKernel(dim, nBits, nTables, seed)
-    val withBuckets = corpus.select(col(idCol),
+    val withBuckets = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
       posexplode(kernel(col(vecCol))).as(Seq("__t", "__b")))
       .persist()
     withBuckets.as("a")

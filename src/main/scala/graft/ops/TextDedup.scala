@@ -316,11 +316,7 @@ object TextDedup {
     // bitmap intersection cheap. Probe cardinality approximately first
     // (one cheap agg) and only collect the exact vocabulary when it
     // plausibly fits.
-    val idIntegral = prepared.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    val idIntegral = Dispatch.integralId(prepared, idCol)
     val approxV =
       if (idIntegral && denseVocabLimit > 0)
         toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
@@ -608,11 +604,9 @@ object TextDedup {
       .filter(size(col("__sh")) > 0).persist()
     val toks = tPrep.select(explode(col("__sh")).as("__h"))
       .union(rPrep.select(explode(col("__sh")).as("__h")))
-    val idIntegral = tPrep.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    // the dense grid long-casts BOTH sides' ids
+    val idIntegral =
+      Dispatch.integralId(tPrep, idCol) && Dispatch.integralId(rPrep, idCol)
     val approxV =
       if (idIntegral && denseVocabLimit > 0)
         toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
@@ -630,22 +624,23 @@ object TextDedup {
           size(col("__sh")).as("__tn"), explode(col("__sh")).as("__h"))
         val rTok = rPrep.select(col(idCol).as("__train_id"),
           explode(col("__sh")).as("__h"))
-        val matched = tTok.hint("shuffle_hash").join(rTok, Seq("__h"))
+        tTok.hint("shuffle_hash").join(rTok, Seq("__h"))
           .groupBy(col("test_id"), col("__train_id"), col("__tn"))
           .agg(count(lit(1)).as("__cnt"))
           .withColumn("__c", col("__cnt").cast("double") / col("__tn"))
           .groupBy(col("test_id"))
           .agg(max(col("__c")).as("max_containment"))
-        // zero-overlap test docs produce no join rows but still score 0
-        tPrep.select(col(idCol).as("test_id"))
-          .join(matched, Seq("test_id"), "left")
-          .withColumn("max_containment",
-            coalesce(col("max_containment"), lit(0.0)))
     }
+    // zero-overlap test docs produce no rows on EITHER path (no join
+    // match / no populated tile) but still score 0.0 — restore them
+    // once here so the paths cannot diverge on the edge
     val orig = tPrep.schema(idCol).dataType
-    scores
-      .select(col("test_id").cast(orig).as("test_id"),
-        col("max_containment"))
+    val aligned = scores.select(col("test_id").cast(orig).as("test_id"),
+      col("max_containment"))
+    tPrep.select(col(idCol).as("test_id"))
+      .join(aligned, Seq("test_id"), "left")
+      .withColumn("max_containment",
+        coalesce(col("max_containment"), lit(0.0)))
       .withColumn("contaminated", col("max_containment") >= threshold)
   }
 
@@ -770,12 +765,19 @@ object TextDedup {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val sigs = df.select(col(idCol), simhash64(toks).as("__sim"))
       .persist() // consumed by both sides of the block self-join
-    val idIntegral = sigs.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
+    // piece blocking is selective when the per-piece bucket space
+    // dwarfs the explode factor (small radii: 2^(64/(r+1)) buckets per
+    // piece); at large radii buckets are few and the blocked self-join
+    // degenerates past the direct tiled compare. Small corpora take
+    // the tiles regardless — job overhead dominates either way.
+    val pieces0 = maxHamming + 1
+    val blockingSelective =
+      (1L << math.min(62, 64 / pieces0)) > 2L * pieces0
+    val takeDense = Dispatch.integralId(sigs, idCol) && {
+      val n = sigs.count()
+      n <= denseLimit && (n <= 5000 || !blockingSelective)
     }
-    if (idIntegral && sigs.count() <= denseLimit) {
+    if (takeDense) {
       val orig = sigs.schema(idCol).dataType
       denseSimhashPairs(sigs, idCol, maxHamming, denseBlocks)
         .select(col("id_a").cast(orig).as("id_a"),

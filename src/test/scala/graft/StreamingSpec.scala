@@ -43,10 +43,9 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count() == batch.count())
       // identical deduped key sets (first-arrival rows may differ in
       // non-key columns between engines; the key contract is the gate)
-      val key = concat_ws(" ", col("user_id").cast("string"),
-        col("event_type"), col("value").cast("string"))
-      val sKeys = streamed.select(md5(key)).distinct()
-      val bKeys = batch.select(md5(key)).distinct()
+      val key = xxhash64(col("user_id"), col("event_type"), col("value"))
+      val sKeys = streamed.select(key).distinct()
+      val bKeys = batch.select(key).distinct()
       assert(sKeys.exceptAll(bKeys).isEmpty && bKeys.exceptAll(sKeys).isEmpty)
     } finally q.stop()
   }
