@@ -150,7 +150,9 @@ object Fuzzy {
       // ultra-common trigrams from the shared counts, so collect the
       // (few) over-cap trigram hashes and skip them in the kernel too
       val overCap: Array[Long] =
-        if (maxTrigramFreq == Long.MaxValue) Array.emptyLongArray
+        // a trigram's doc-frequency is bounded by the side's row count,
+        // so corpora smaller than the cap provably have nothing over it
+        if (maxTrigramFreq >= math.max(sCount, tCount)) Array.emptyLongArray
         else {
           val sOver = sPrep.select(explode(col("__sh")).as("__h"))
             .groupBy("__h").count().filter(col("count") > maxTrigramFreq)
