@@ -305,35 +305,21 @@ object Similarity {
       val spark = corpus.sparkSession
       import spark.implicits._
       val orig = corpus.schema(idCol).dataType
-      val b = blocks
       val t = threshold
       val docs = corpus
         .filter(col(vecCol).isNotNull)
-        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-          pmod(hash(col(idCol)), lit(b)).as("blk"))
-        .as[(Long, Array[Float], Int)]
-      val expanded = docs.flatMap { case (id, v, blk) =>
-        // norm once per vector — same sequential fold as the per-pair form
-        var na = 0.0
-        var i = 0
-        while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
-        val nrm = math.sqrt(na)
-        (0 until b).iterator.map { o =>
-          (math.min(blk, o) * b + math.max(blk, o), blk, id, nrm, v)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          // norm once per vector — same sequential fold as the per-pair form
+          var na = 0.0
+          var i = 0
+          while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
+          (id, (math.sqrt(na), v))
         }
-      }
-      val pairs = expanded.groupByKey(_._1).flatMapGroups { (pk, it) =>
-        val lo = pk / b
-        val hi = pk % b
-        val las = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
-        val has = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float])]
-        it.foreach { case (_, blk, id, nrm, v) =>
-          if (blk == lo) las += ((id, nrm, v)) else has += ((id, nrm, v))
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        def compare(a: (Long, Double, Array[Float]), c: (Long, Double, Array[Float])): Unit = {
-          val (ida, nrmA, va) = a
-          val (idb, nrmB, vb) = c
+      val pairs = Tiles.selfPairs[(Double, Array[Float]), (Long, Long, Double)](
+        docs, blocks) {
+        case ((ida, (nrmA, va)), (idb, (nrmB, vb)), out) =>
           var dot = 0.0
           var i = 0
           val n = math.min(va.length, vb.length)
@@ -342,23 +328,6 @@ object Similarity {
           if (cos >= t) {
             if (ida < idb) out += ((ida, idb, cos)) else out += ((idb, ida, cos))
           }
-        }
-        if (lo == hi) {
-          var i = 0
-          while (i < las.length) {
-            var j = i + 1
-            while (j < las.length) { compare(las(i), las(j)); j += 1 }
-            i += 1
-          }
-        } else {
-          var i = 0
-          while (i < las.length) {
-            var j = 0
-            while (j < has.length) { compare(las(i), has(j)); j += 1 }
-            i += 1
-          }
-        }
-        out.iterator
       }.toDF("id_a", "id_b", "cosine")
       pairs.select(col("id_a").cast(orig).as("id_a"),
         col("id_b").cast(orig).as("id_b"), col("cosine"))

@@ -358,44 +358,14 @@ object TextDedup {
                                 blocks: Int): DataFrame = {
     val spark = prepared.sparkSession
     import spark.implicits._
-    val nWords = (vocab.length + 63) >>> 6
-    val bcVocab = spark.sparkContext.broadcast(vocab)
-    val toBits = udf((hs: Array[Long]) => {
-      val v = bcVocab.value
-      val words = new Array[Long](nWords)
-      var i = 0
-      while (i < hs.length) {
-        val r = java.util.Arrays.binarySearch(v, hs(i))
-        if (r >= 0) words(r >>> 6) |= 1L << (r & 63)
-        i += 1
-      }
-      words
-    })
-    val b = blocks
+    val (toBits, nWords) = Tiles.bitmapUdf(spark, vocab)
     val t = threshold
     val docs = prepared.select(
       col(idCol).cast("long").as("id"),
-      size(col("__sh")).as("n"),
-      toBits(col("__sh")).as("bits"),
-      pmod(hash(col(idCol)), lit(b)).as("blk"))
-      .as[(Long, Int, Array[Long], Int)]
-    val expanded = docs.flatMap { case (id, n, bits, blk) =>
-      (0 until b).iterator.map { o =>
-        (math.min(blk, o) * b + math.max(blk, o), blk, id, n, bits)
-      }
-    }
-    expanded.groupByKey(_._1).flatMapGroups { (pk, it) =>
-      val lo = pk / b
-      val hi = pk % b
-      val las = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
-      val has = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
-      it.foreach { case (_, blk, id, n, bits) =>
-        if (blk == lo) las += ((id, n, bits)) else has += ((id, n, bits))
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      def compare(a: (Long, Int, Array[Long]), c: (Long, Int, Array[Long])): Unit = {
-        val (ida, na, ba) = a
-        val (idb, nb, bb) = c
+      struct(size(col("__sh")).as("_1"), toBits(col("__sh")).as("_2")).as("p"))
+      .as[(Long, (Int, Array[Long]))]
+    Tiles.selfPairs[(Int, Array[Long]), (Long, Long, Double)](docs, blocks) {
+      case ((ida, (na, ba)), (idb, (nb, bb)), out) =>
         if (math.min(na, nb) >= t * math.max(na, nb)) {
           var inter = 0
           var w = 0
@@ -408,23 +378,6 @@ object TextDedup {
             if (ida < idb) out += ((ida, idb, jac)) else out += ((idb, ida, jac))
           }
         }
-      }
-      if (lo == hi) {
-        var i = 0
-        while (i < las.length) {
-          var j = i + 1
-          while (j < las.length) { compare(las(i), las(j)); j += 1 }
-          i += 1
-        }
-      } else {
-        var i = 0
-        while (i < las.length) {
-          var j = 0
-          while (j < has.length) { compare(las(i), has(j)); j += 1 }
-          i += 1
-        }
-      }
-      out.iterator
     }.toDF("id_a", "id_b", "jaccard")
   }
 
@@ -652,59 +605,30 @@ object TextDedup {
                                blocks: Int): DataFrame = {
     val spark = tPrep.sparkSession
     import spark.implicits._
-    val nWords = (vocab.length + 63) >>> 6
-    val bcVocab = spark.sparkContext.broadcast(vocab)
-    val toBits = udf((hs: Array[Long]) => {
-      val v = bcVocab.value
-      val words = new Array[Long](nWords)
-      var i = 0
-      while (i < hs.length) {
-        val r = java.util.Arrays.binarySearch(v, hs(i))
-        if (r >= 0) words(r >>> 6) |= 1L << (r & 63)
-        i += 1
-      }
-      words
-    })
-    val b = blocks
-    // marker 0 = test (replicated across train blocks), 1 = train
-    val testDocs = tPrep.select(col(idCol).cast("long").as("id"),
-      size(col("__sh")).as("n"), toBits(col("__sh")).as("bits"),
-      pmod(hash(col(idCol)), lit(b)).as("blk"))
-      .as[(Long, Int, Array[Long], Int)]
-      .flatMap { case (id, n, bits, blk) =>
-        (0 until b).iterator.map(o => (blk * b + o, 0, id, n, bits))
-      }
-    val trainDocs = rPrep.select(col(idCol).cast("long").as("id"),
-      size(col("__sh")).as("n"), toBits(col("__sh")).as("bits"),
-      pmod(hash(col(idCol)), lit(b)).as("blk"))
-      .as[(Long, Int, Array[Long], Int)]
-      .flatMap { case (id, n, bits, blk) =>
-        (0 until b).iterator.map(o => (o * b + blk, 1, id, n, bits))
-      }
-    testDocs.union(trainDocs).groupByKey(_._1).flatMapGroups { (_, it) =>
-      val ts = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
-      val rs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-      it.foreach { case (_, marker, id, n, bits) =>
-        if (marker == 0) ts += ((id, n, bits)) else rs += bits
-      }
-      if (rs.isEmpty) Iterator.empty
-      else ts.iterator.map { case (id, n, bits) =>
-        var best = 0.0
-        var r = 0
-        while (r < rs.length) {
-          val rb = rs(r)
-          var inter = 0
-          var w = 0
-          while (w < nWords) {
-            inter += java.lang.Long.bitCount(bits(w) & rb(w))
-            w += 1
+    val (toBits, nWords) = Tiles.bitmapUdf(spark, vocab)
+    def prep(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("id"),
+      struct(size(col("__sh")).as("_1"), toBits(col("__sh")).as("_2")).as("p"))
+      .as[(Long, (Int, Array[Long]))]
+    Tiles.grid[(Int, Array[Long]), (Long, Double)](
+      prep(tPrep), prep(rPrep), blocks) { (tests, trains, out) =>
+        if (trains.nonEmpty) tests.foreach { case (id, (n, bits)) =>
+          var best = 0.0
+          var r = 0
+          while (r < trains.length) {
+            val rb = trains(r)._2._2
+            var inter = 0
+            var w = 0
+            while (w < nWords) {
+              inter += java.lang.Long.bitCount(bits(w) & rb(w))
+              w += 1
+            }
+            val c = inter.toDouble / n
+            if (c > best) best = c
+            r += 1
           }
-          val c = inter.toDouble / n
-          if (c > best) best = c
-          r += 1
+          out += ((id, best))
         }
-        (id, best)
-      }
     }.groupByKey(_._1)
       .mapGroups { (id, it) => (id, it.map(_._2).max) }
       .toDF("test_id", "max_containment")
@@ -816,47 +740,15 @@ object TextDedup {
                                 maxHamming: Int, blocks: Int): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val b = blocks
     val r = maxHamming
-    val docs = sigs.select(col(idCol).cast("long").as("id"),
-      col("__sim"), pmod(hash(col(idCol)), lit(b)).as("blk"))
-      .as[(Long, Long, Int)]
-    val expanded = docs.flatMap { case (id, sim, blk) =>
-      (0 until b).iterator.map { o =>
-        (math.min(blk, o) * b + math.max(blk, o), blk, id, sim)
-      }
-    }
-    expanded.groupByKey(_._1).flatMapGroups { (pk, it) =>
-      val lo = pk / b
-      val hi = pk % b
-      val las = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      val has = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      it.foreach { case (_, blk, id, sim) =>
-        if (blk == lo) las += ((id, sim)) else has += ((id, sim))
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-      def compare(a: (Long, Long), c: (Long, Long)): Unit = {
-        val d = java.lang.Long.bitCount(a._2 ^ c._2)
+    val docs = sigs.select(col(idCol).cast("long").as("id"), col("__sim"))
+      .as[(Long, Long)]
+    Tiles.selfPairs[Long, (Long, Long, Int)](docs, blocks) {
+      case ((ida, sa), (idb, sb), out) =>
+        val d = java.lang.Long.bitCount(sa ^ sb)
         if (d <= r) {
-          if (a._1 < c._1) out += ((a._1, c._1, d)) else out += ((c._1, a._1, d))
+          if (ida < idb) out += ((ida, idb, d)) else out += ((idb, ida, d))
         }
-      }
-      if (lo == hi) {
-        var i = 0
-        while (i < las.length) {
-          var j = i + 1
-          while (j < las.length) { compare(las(i), las(j)); j += 1 }
-          i += 1
-        }
-      } else {
-        var i = 0
-        while (i < las.length) {
-          var j = 0
-          while (j < has.length) { compare(las(i), has(j)); j += 1 }
-          i += 1
-        }
-      }
-      out.iterator
     }.toDF("id_a", "id_b", "hamming")
   }
 }
