@@ -206,6 +206,7 @@ object Similarity {
     (0 until iterations).foreach { _ =>
       val (cellIds, centroids) = collectCentroids(cellMeans(current, vecCol))
       val next = current.drop("cell_id")
+        .filter(col(vecCol).isNotNull) // external assignments may carry nulls
         .withColumn("cell_id", assignKernel(cellIds, centroids)(col(vecCol)))
         .persist()
       next.count() // materialize before releasing the previous cache
@@ -265,8 +266,9 @@ object Similarity {
       .select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"),
       explode(probeKernel(col(vecCol))).as("__probe_cell"))
-    val c = corpusWithCells.select(col(idCol).as("neighbor_id"),
-      col("cell_id"), toDoubleVec(col(vecCol)).as("__cv"))
+    val c = corpusWithCells.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
+        col("cell_id"), toDoubleVec(col(vecCol)).as("__cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(probes), col("cell_id") === col("__probe_cell") &&
@@ -293,9 +295,10 @@ object Similarity {
                          threshold: Double, blocks: Int = 32): DataFrame = {
     val idIntegral = Dispatch.integralId(corpus, idCol)
     if (!idIntegral) {
-      val a = corpus.select(col(idCol).as("id_a"),
+      val nonNull = corpus.filter(col(vecCol).isNotNull)
+      val a = nonNull.select(col(idCol).as("id_a"),
         toDoubleVec(col(vecCol)).as("__va"))
-      val b = corpus.select(col(idCol).as("id_b"),
+      val b = nonNull.select(col(idCol).as("id_b"),
         toDoubleVec(col(vecCol)).as("__vb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("cosine", cosine(col("__va"), col("__vb")))

@@ -45,7 +45,7 @@ private[ops] object Tiles {
   }
 
   private def blockOf(id: Long, blocks: Int): Int =
-    (((FastHash.fmix64(id) >>> 1) % blocks).toInt + blocks) % blocks
+    ((FastHash.fmix64(id) >>> 1) % blocks).toInt // >>> 1 keeps it non-negative
 
   private def replicated[P](docs: Dataset[(Long, P)], blocks: Int,
                             marker: Int, ownBlockFirst: Boolean)(

@@ -110,12 +110,14 @@ object EventStream {
   def dedupEvents(events: DataFrame,
                   keyCols: Seq[String] = Seq("user_id", "event_type", "value"),
                   watermark: String = "2 hours"): DataFrame = {
-    // xxhash64 is type-aware and null-safe per column: a string
-    // concatenation key silently skips nulls and is ambiguous around
-    // separators, colliding distinct events onto one key and dropping
-    // them as duplicates
+    // per-column null sentinel BEFORE hashing: Spark's hash
+    // expressions skip null children entirely (the seed passes through
+    // unchanged), so hashing raw columns would let rows with different
+    // null layouts collide onto one key and be dropped as duplicates —
+    // the same failure mode as a null-skipping string concat
     val keyed = events.withColumn("__content_key",
-      xxhash64(keyCols.map(col): _*))
+      xxhash64(keyCols.map(c =>
+        coalesce(col(c).cast("string"), lit("<NULL>"))): _*))
     val deduped =
       if (keyed.isStreaming)
         keyed.withWatermark("ts", watermark)

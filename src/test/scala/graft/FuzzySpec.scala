@@ -39,6 +39,24 @@ class FuzzySpec extends SparkSpec {
     assert(bc.nonEmpty)
   }
 
+  test("candidatePairs paths agree when the frequency cap binds") {
+    // cap below the row counts → the broadcast path must collect and
+    // exclude the over-cap trigrams to stay parity with freqOk
+    val src = Seq((1L, "aaa bbb"), (2L, "aaa ccc"), (3L, "aaa ddd")).toDF("sid", "s")
+    val tgt = Seq((10L, "aaa bbb"), (20L, "aaa ccc"), (30L, "aaa eee")).toDF("tid", "t")
+    val bc = Fuzzy.candidatePairs(src, "sid", "s", tgt, "tid", "t",
+      limit = 0.99, maxTrigramFreq = 2L)
+      .as[(Long, Long, Double)].collect().toSet
+    val inv = Fuzzy.candidatePairs(src, "sid", "s", tgt, "tid", "t",
+      limit = 0.99, maxTrigramFreq = 2L, broadcastLimit = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bc == inv)
+    // and the cap actually changed something vs the uncapped run
+    val uncapped = Fuzzy.candidatePairs(src, "sid", "s", tgt, "tid", "t",
+      limit = 0.99).as[(Long, Long, Double)].collect().toSet
+    assert(bc != uncapped)
+  }
+
   test("greedyAssign is one-to-one and nearest-first") {
     // s1 prefers t1 (0.1) over t2 (0.2); s2 only matches t1 (0.3).
     // greedy: (s1,t1) wins; s2 can't take t1 → s2 gets nothing from t1,
