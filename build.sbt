@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen across 40+ queries in one JVM overflows the
+  // default 240 MB code cache; once it thrashes, the JIT deoptimizes
+  // and CPU-bound kernels run interpreted (10-40x slower, load-
+  // dependent). Reserve enough to hold every query's generated code.
+  "-XX:ReservedCodeCacheSize=1g",
 )

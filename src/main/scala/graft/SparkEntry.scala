@@ -813,7 +813,7 @@ object SparkEntry {
         |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
         |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
         |  ELSE 'test' END AS split,
-        | count(*) AS n_docs, sum(n_chars) AS total_chars
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_word_ngrams" ->

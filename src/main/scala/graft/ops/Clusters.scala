@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over a pair graph — the step that turns the
+ * pair-finding dedup operators ([[TextDedup.minhashLshPairs]],
+ * [[TextDedup.ngramJaccardPairs]], [[Similarity.embeddingNearDupPairs]])
+ * into actual deduplication: near-dup PAIRS are transitive in intent
+ * (a~b, b~c ⇒ one logical document), so the unit of removal is the
+ * connected component, with the minimum id as the deterministic
+ * representative.
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+ * literature; also the construction behind GraphFrames'
+ * connectedComponents). Each round is two aggregate+join passes keyed
+ * by node id — no per-node neighbor lists are ever materialized
+ * (high-degree nodes would OOM a collect_list), and convergence is
+ * O(log² n) rounds even on adversarial path graphs, where plain
+ * min-label propagation needs O(diameter) rounds. Every round ends in
+ * `localCheckpoint()` — iterative driver loops otherwise grow the
+ * logical plan unboundedly (round-1 lesson, see Fuzzy.greedyAssign).
+ *
+ * Scale notes: the edge set only shrinks toward one star per
+ * component (total work per round is O(|E|) shuffled on well-spread
+ * node-id keys); the convergence probe is a 2-row aggregate
+ * (count + order-independent hash-sum) per round, not a driver
+ * collect of edges.
+ */
+object Clusters {
+
+  /** (id, cluster_id) for EVERY node appearing in `pairs`, where
+    * cluster_id = min node id of the connected component. Ids are
+    * returned in the input column type. */
+  def connectedComponents(pairs: DataFrame, idACol: String,
+                          idBCol: String, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(idACol).dataType
+    val e0 = canon(pairs
+      .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v")))
+    var edges = e0.localCheckpoint()
+    var sig = edgeSignature(edges)
+    var rounds = 0
+    var converged = sig._1 == 0L // empty graph is already converged
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = edgeSignature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // At the star fixpoint every component is {(root, child)…} with
+    // root = component min; per-node min over the symmetrized edges is
+    // therefore the root (and roots map to themselves via least).
+    nodeMins(symmetrize(edges))
+      .select(col("u").cast(idType).as("id"),
+        col("m").cast(idType).as("cluster_id"))
+  }
+
+  /** Dedup by near-dup pairs: keep exactly one row (the minimum-id
+    * representative) per connected component, and every row that is in
+    * no pair. The complement of [[droppedByPairs]]. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                   idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val assign = connectedComponents(pairs, idACol, idBCol)
+      .withColumnRenamed("id", idCol)
+    df.join(assign, Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+  }
+
+  /** The rows removed by [[dedupByPairs]] with their surviving
+    * representative — the audit face of the dedup. */
+  def droppedByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                     idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val assign = connectedComponents(pairs, idACol, idBCol)
+      .withColumnRenamed("id", idCol)
+    df.join(assign, Seq(idCol))
+      .filter(col("cluster_id") =!= col(idCol))
+  }
+
+  // ---- internals --------------------------------------------------------
+
+  /** Undirected canonical form: u < v, no self loops, no duplicates. */
+  private def canon(e: DataFrame): DataFrame =
+    e.filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** m(u) = min(Γ(u) ∪ {u}) over a symmetrized edge set. */
+  private def nodeMins(se: DataFrame): DataFrame =
+    se.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+
+  /** Large-star: each node connects its strictly-larger neighbors to
+    * its min; preserves connectivity, strictly reduces large-edge
+    * potential (Kiveris et al. §3). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val se = symmetrize(e)
+    canon(se.join(nodeMins(se), Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")))
+  }
+
+  /** Small-star: each node connects its smaller-or-equal neighbors —
+    * and itself — to its min. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val se = symmetrize(e)
+    val m = nodeMins(se)
+    canon(se.filter(col("v") < col("u")).join(m, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v"))))
+  }
+
+  /** Order-independent edge-set signature: (|E|, Σ xxhash64(u,v) as
+    * decimal — ANSI mode makes a plain BIGINT sum overflow-throw).
+    * Equal signature ⇒ equal set up to a 2^-64-per-pair collision;
+    * the star state is a fixpoint, so a false "changed" only costs one
+    * extra round, and a collision between DIFFERENT consecutive edge
+    * sets is the only way to stop early — vanishingly unlikely and
+    * self-evident in the output if it ever happened. */
+  private def edgeSignature(e: DataFrame): (Long, BigDecimal) = {
+    val r = e.agg(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(BigDecimal(0))).as("h")).head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  }
+}

@@ -24,6 +24,15 @@ import graft.functions.FastHash
  *    length bands) so nothing is O(n²) at 100 TB, and per-document prep
  *    is persisted before any self-join so it cannot be re-evaluated per
  *    candidate pair.
+ *
+ * Cache contract (caller-owned, like [[Similarity.ivfAssign]]): the
+ * pair-finding functions persist their per-document prep, and the
+ * RETURNED lazy plan still references that cache — the library cannot
+ * unpersist it without un-doing the self-join dedup of work. A
+ * long-lived session running many of these should call
+ * `spark.catalog.clearCache()` between pipelines (as Bench does), or
+ * rely on Spark's LRU eviction (MEMORY_AND_DISK blocks are evictable;
+ * eviction costs recompute, never correctness).
  */
 object TextDedup {
 
@@ -366,7 +375,9 @@ object TextDedup {
       .as[(Long, (Int, Array[Long]))]
     Tiles.selfPairs[(Int, Array[Long]), (Long, Long, Double)](docs, blocks) {
       case ((ida, (na, ba)), (idb, (nb, bb)), out) =>
-        if (math.min(na, nb) >= t * math.max(na, nb)) {
+        // division form, matching the final `jac >= t` compare exactly —
+        // fl(t*max) can exceed the true bound and drop boundary pairs
+        if (math.min(na, nb).toDouble / math.max(na, nb) >= t) {
           var inter = 0
           var w = 0
           while (w < nWords) {

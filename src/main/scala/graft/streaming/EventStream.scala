@@ -103,21 +103,28 @@ object EventStream {
    * digest (xxhash64 over the selected columns), with a watermark bounding the
    * dedup state exactly like the batch pipeline bounds its shuffle:
    * duplicates separated by more than the watermark horizon are the
-   * retention trade-off, stated rather than hidden. Works identically
-   * under `spark.read` (global dedup) and `spark.readStream`
-   * (stateful dedup) — parity asserted in StreamingSpec.
+   * retention trade-off, stated rather than hidden. Under `spark.read`
+   * the dedup is global; under `spark.readStream` it is stateful. Both
+   * keep exactly one row per key (key-set parity asserted in
+   * StreamingSpec), but the SURVIVOR may differ: batch keeps
+   * min(ts, event_id), while the streaming path keeps the first row to
+   * ARRIVE — out-of-order arrival within the watermark can select a
+   * later-timestamped survivor.
    */
   def dedupEvents(events: DataFrame,
                   keyCols: Seq[String] = Seq("user_id", "event_type", "value"),
                   watermark: String = "2 hours"): DataFrame = {
-    // per-column null sentinel BEFORE hashing: Spark's hash
-    // expressions skip null children entirely (the seed passes through
-    // unchanged), so hashing raw columns would let rows with different
-    // null layouts collide onto one key and be dropped as duplicates —
-    // the same failure mode as a null-skipping string concat
+    // Null handling BEFORE hashing: Spark's hash expressions skip
+    // null children entirely (the seed passes through unchanged), so
+    // hashing raw columns would let rows with different null layouts
+    // collide onto one key and be dropped as duplicates. A string
+    // sentinel would itself collide with a column whose actual value
+    // IS the sentinel, so each key column contributes TWO never-null
+    // hash inputs: an is-null flag and the empty-coalesced value.
     val keyed = events.withColumn("__content_key",
-      xxhash64(keyCols.map(c =>
-        coalesce(col(c).cast("string"), lit("<NULL>"))): _*))
+      xxhash64(keyCols.flatMap(c => Seq(
+        isnull(col(c)),
+        coalesce(col(c).cast("string"), lit("")))): _*))
     val deduped =
       if (keyed.isStreaming)
         keyed.withWatermark("ts", watermark)

@@ -43,19 +43,30 @@ class ApproxAuditSpec extends SparkSpec {
     ShardWriter.writeShards(withSplit, dir, "split", "doc_id",
       shardsPerSplit = 4, maxRecordsPerFile = 50)
 
-    // partition directories exist
+    // nested (split, shard) partition directories exist
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
     assert(dirs.contains("split=train"))
+    val shardDirs = new java.io.File(s"$dir/split=train")
+      .listFiles().filter(_.isDirectory)
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.getName.startsWith("shard=")))
 
     // every data file respects the record bound
-    val trainFiles = new java.io.File(s"$dir/split=train")
-      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val trainFiles = shardDirs.flatMap(
+      _.listFiles().filter(_.getName.endsWith(".parquet")))
     assert(trainFiles.nonEmpty)
     trainFiles.foreach { f =>
       val n = spark.read.parquet(f.getAbsolutePath).count()
       assert(n <= 50, s"${f.getName} has $n rows > maxRecordsPerFile")
     }
+
+    // shard-directory membership is a pure function of the id
+    val withShard = spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("int").as("shard"))
+    val expected = withSplit.select(col("doc_id"),
+      pmod(hash(col("doc_id")), lit(4)).as("shard"))
+    assert(withShard.exceptAll(expected).isEmpty &&
+      expected.exceptAll(withShard).isEmpty)
 
     // exact round trip of rows (ids and split labels)
     val back = spark.read.parquet(dir)
