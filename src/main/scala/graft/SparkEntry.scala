@@ -321,6 +321,50 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
+    // pairs → CLUSTERS: connected components over the near-dup pair
+    // graph (alternating large-star/small-star), every doc labeled
+    // with its component's min doc_id (self if unpaired) — the step
+    // that turns pair-finding into actual deduplication
+    "q_cluster_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+      val assign = graft.ops.Clusters
+        .connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id")).join(assign, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }),
+
+    // as-of join (backward): each click event attached to the same
+    // user's most recent purchase at-or-before it — union + one window,
+    // no join (operators/AsOfJoin.scala)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // unique reference rows per (user, ts): deterministic max_by
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("p_event_id"), col("p_value"))
+    }),
+
+    // gap-based batch sessionization (6 h inactivity — the events
+    // fixture averages ~2 events/user/day, so shorter gaps degenerate
+    // to singleton sessions) — the oracle-checkable face of the
+    // streaming sessionization
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(
+        t(s, dir, "events"), gapMinutes = 360)),
+
     // word-repetition quality metrics (Gopher-style filter inputs)
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -381,6 +425,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("gram").asc)
         .limit(20)),
+
+    // top-k TF-IDF terms per document (deterministic, log-free idf —
+    // see TextAnalysis.tfIdfTopK for the bit-stability argument)
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopK(t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5)),
 
     // SimHash near-dup (xxhash64-based → rows-only check)
     "q_simhash" -> ((s, dir) =>
@@ -846,7 +897,8 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         | FROM sh a JOIN sh b
         |  ON a.doc_id < b.doc_id
-        |   AND least(len(a.s), len(b.s)) >= 0.5 * greatest(len(a.s), len(b.s)))
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.5)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
 
     "q_jaccard_threshold" ->
@@ -865,8 +917,98 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         | FROM sh a JOIN sh b
         |  ON a.doc_id < b.doc_id
-        |   AND least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s)))
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.8)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+
+    // connected components as a recursive transitive closure — fine at
+    // oracle scale (the pair graph is tiny); the Spark side uses
+    // large-star/small-star precisely because this closure is NOT the
+    // 100 TB answer
+    "q_cluster_dedup" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents)
+        | WHERE length(norm) > 0),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.5
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT u, v FROM edges
+        | UNION
+        | SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |  WHERE r.a <> e.v),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+        |         FROM reach GROUP BY a)
+        |SELECT d.doc_id AS doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, ts, value FROM events
+        | WHERE event_type = 'click'),
+        |r AS (
+        | SELECT user_id, ts, max(event_id) AS p_event_id,
+        |        max_by(value, event_id) AS p_value
+        | FROM events WHERE event_type = 'purchase'
+        | GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |       r.p_event_id, r.p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts, value,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        | FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents WHERE doc_id % 10 = 0),
+        |tfx AS (
+        | SELECT doc_id, term, count(*) AS tf FROM w
+        | WHERE term <> '' GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents
+        |      WHERE doc_id % 10 = 0),
+        |scored AS (
+        | SELECT t.doc_id, t.term, t.tf, d.df,
+        |  CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score
+        | FROM tfx t JOIN dfx d USING (term) CROSS JOIN n),
+        |r AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        | FROM scored)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 5""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH v AS (

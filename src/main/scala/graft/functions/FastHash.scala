@@ -62,4 +62,25 @@ object FastHash extends Serializable {
     }
     java.util.Arrays.copyOf(hs, out)
   }
+
+  /** Positional variant of [[shingleHashSet]]: hs(i) = hash of the
+    * shingle starting at 0-based char i — same window/hash rules, NOT
+    * sorted or deduped, so index i is the span position. */
+  def shingleHashesByPos(s: String, k: Int): Array[Long] = {
+    if (s == null) return Array.emptyLongArray
+    val n = s.length
+    if (n == 0) return Array.emptyLongArray
+    val m = math.max(1, n - k + 1)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+      hs(i) = fmix64(h)
+      i += 1
+    }
+    hs
+  }
 }

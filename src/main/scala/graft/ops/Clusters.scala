@@ -33,9 +33,17 @@ object Clusters {
 
   /** (id, cluster_id) for EVERY node appearing in `pairs`, where
     * cluster_id = min node id of the connected component. Ids are
-    * returned in the input column type. */
+    * returned in the input column type.
+    *
+    * Adaptive finish (the Fuzzy.greedyAssign pattern): star rounds
+    * only run while the edge set exceeds `driverFinishLimit`; below
+    * it, one collect + linear union-find ends the loop — near-dup
+    * graphs usually ARE small (≤16 MB at the default limit), and the
+    * star rounds exist to contract the ones that are not. Set the
+    * limit to 0 to force the fully distributed path. */
   def connectedComponents(pairs: DataFrame, idACol: String,
-                          idBCol: String, maxRounds: Int = 64): DataFrame = {
+                          idBCol: String, maxRounds: Int = 64,
+                          driverFinishLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema(idACol).dataType
     val e0 = canon(pairs
@@ -44,7 +52,7 @@ object Clusters {
     var sig = edgeSignature(edges)
     var rounds = 0
     var converged = sig._1 == 0L // empty graph is already converged
-    while (!converged && rounds < maxRounds) {
+    while (!converged && sig._1 > driverFinishLimit && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextSig = edgeSignature(next)
       converged = nextSig == sig
@@ -52,13 +60,43 @@ object Clusters {
       sig = nextSig
       rounds += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    // At the star fixpoint every component is {(root, child)…} with
-    // root = component min; per-node min over the symmetrized edges is
-    // therefore the root (and roots map to themselves via least).
-    nodeMins(symmetrize(edges))
-      .select(col("u").cast(idType).as("id"),
-        col("m").cast(idType).as("cluster_id"))
+    require(converged || sig._1 <= driverFinishLimit,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    val assigned =
+      if (converged)
+        // At the star fixpoint every component is {(root, child)…} with
+        // root = component min; per-node min over the symmetrized edges
+        // is therefore the root (roots map to themselves via least).
+        nodeMins(symmetrize(edges)).select(col("u"), col("m"))
+      else
+        driverUnionFind(spark, edges)
+    assigned.select(col("u").cast(idType).as("id"),
+      col("m").cast(idType).as("cluster_id"))
+  }
+
+  /** Linear-time union-find over a collected edge set (only called
+    * under `driverFinishLimit`). */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are not guaranteed min-id mid-stream; a final find pass
+    // after all unions IS (unions always hang the larger root below
+    // the smaller one)
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    spark.createDataset(nodes.map(n => (n, find(n))).toIndexedSeq).toDF("u", "m")
   }
 
   /** Dedup by near-dup pairs: keep exactly one row (the minimum-id

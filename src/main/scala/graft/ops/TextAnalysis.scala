@@ -240,4 +240,40 @@ object TextAnalysis {
       .when(bucket < validHex, "valid")
       .otherwise("test")
   }
+
+  /**
+   * Top-k TF-IDF terms per document — the keyword/salience pass of a
+   * corpus profile. Plain counts + one double expression, so it is
+   * oracle-exact: score = CAST(tf AS DOUBLE) * n_docs / df (raw
+   * inverse-frequency ratio; a log-damped idf is a monotone transform
+   * of it per term, but libm `ln` is not bit-stable across engines —
+   * the ratio IS, because both sides evaluate the identical IEEE
+   * multiply-then-divide tree). Deterministic (score DESC, term ASC)
+   * tiebreak.
+   *
+   * Scale: tf is one shuffle on (doc, term); df is one shuffle on term
+   * (map-side combined); n_docs rides in as a broadcast 1-row cross
+   * join (NOT a global window); top-k is a per-doc window. Term
+   * cardinality, not corpus size, bounds the df side.
+   */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 5): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -608,6 +608,145 @@ object TextDedup {
       .withColumn("contaminated", col("max_containment") >= threshold)
   }
 
+  /**
+   * SPAN-LEVEL contamination report — the forensic face of
+   * [[contaminationScores]]: for every (test, train) pair whose
+   * distinct-shingle containment |T∩R|/|T| ≥ threshold, report how
+   * much leaked and WHERE in the test document:
+   * (test_id, train_id, n_shared, containment,
+   * span_start, span_end) — 1-based char positions in the normalized
+   * test text of the first/last shingle also present in the train doc
+   * (span_end = last start + shingleLen − 1).
+   *
+   * Same adaptive dispatch as the score pass: small universes take the
+   * bitmap grid with a positional membership scan per qualifying pair
+   * (the scan only runs AFTER the popcount gate passes, so its cost is
+   * per reported pair, not per candidate); large universes take a
+   * positional token join with count(DISTINCT) per pair. Paths agree
+   * exactly (AdaptivePathPropertiesSpec).
+   */
+  def contaminationSpans(test: DataFrame, train: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleLen: Int = 5, threshold: Double = 0.5,
+                         denseVocabLimit: Int = 1 << 14,
+                         blocks: Int = 8): DataFrame = {
+    val posKernel = udf((s: String) =>
+      graft.functions.FastHash.shingleHashesByPos(s, shingleLen))
+    def norm(c: Column) = lower(regexp_replace(trim(c), "\\s+", " "))
+    val tPrep = test
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__sh"),
+        posKernel(norm(col(textCol))).as("__ph"))
+      .filter(size(col("__sh")) > 0).persist()
+    val rPrep = train
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0).persist()
+    val toks = tPrep.select(explode(col("__sh")).as("__h"))
+      .union(rPrep.select(explode(col("__sh")).as("__h")))
+    val idIntegral =
+      Dispatch.integralId(tPrep, idCol) && Dispatch.integralId(rPrep, idCol)
+    val approxV =
+      if (idIntegral && denseVocabLimit > 0)
+        toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
+      else Long.MaxValue
+    val vocabOpt =
+      if (approxV <= denseVocabLimit * 1.2) {
+        val v = toks.distinct().collect().map(_.getLong(0))
+        if (v.length <= denseVocabLimit) { java.util.Arrays.sort(v); Some(v) }
+        else None
+      } else None
+    val orig = tPrep.schema(idCol).dataType
+    val pairs = vocabOpt match {
+      case Some(vocab) =>
+        denseSpans(tPrep, rPrep, idCol, vocab, blocks, shingleLen, threshold)
+      case None =>
+        val tTok = tPrep.select(col(idCol).as("test_id"),
+          size(col("__sh")).as("__tn"),
+          posexplode(col("__ph")).as(Seq("__pos0", "__h")))
+        val rTok = rPrep.select(col(idCol).as("train_id"),
+          explode(col("__sh")).as("__h"))
+        tTok.hint("shuffle_hash").join(rTok, Seq("__h"))
+          .groupBy(col("test_id"), col("train_id"), col("__tn"))
+          .agg(countDistinct(col("__h")).as("n_shared"),
+            (min(col("__pos0")) + 1).as("span_start"),
+            (max(col("__pos0")) + lit(shingleLen)).as("span_end"))
+          .withColumn("containment",
+            col("n_shared").cast("double") / col("__tn"))
+          .filter(col("containment") >= threshold)
+          .select(col("test_id"), col("train_id"), col("n_shared"),
+            col("containment"), col("span_start"), col("span_end"))
+    }
+    pairs.select(col("test_id").cast(orig).as("test_id"),
+      col("train_id").cast(orig).as("train_id"),
+      col("n_shared"), col("containment"),
+      col("span_start").cast("long").as("span_start"),
+      col("span_end").cast("long").as("span_end"))
+  }
+
+  /** Bitmap-grid span report (small-universe path of
+    * [[contaminationSpans]]). Test payloads carry (distinct count,
+    * bitmap, per-position vocab indices); train payloads reuse the
+    * same shape with an empty position array. */
+  private def denseSpans(tPrep: DataFrame, rPrep: DataFrame,
+                         idCol: String, vocab: Array[Long], blocks: Int,
+                         shingleLen: Int, threshold: Double): DataFrame = {
+    val spark = tPrep.sparkSession
+    import spark.implicits._
+    val (toBits, nWords) = Tiles.bitmapUdf(spark, vocab)
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    val toIdx = udf((ph: Array[Long]) => {
+      val v = vocabB.value
+      val out = new Array[Int](ph.length)
+      var i = 0
+      while (i < ph.length) {
+        out(i) = java.util.Arrays.binarySearch(v, ph(i)) // ≥ 0: in vocab
+        i += 1
+      }
+      out
+    })
+    val t = tPrep.select(col(idCol).cast("long").as("id"),
+      struct(size(col("__sh")).as("_1"), toBits(col("__sh")).as("_2"),
+        toIdx(col("__ph")).as("_3")).as("p"))
+      .as[(Long, (Int, Array[Long], Array[Int]))]
+    val r = rPrep.select(col(idCol).cast("long").as("id"),
+      struct(size(col("__sh")).as("_1"), toBits(col("__sh")).as("_2"),
+        typedLit(Array.emptyIntArray).as("_3")).as("p"))
+      .as[(Long, (Int, Array[Long], Array[Int]))]
+    Tiles.grid[(Int, Array[Long], Array[Int]),
+               (Long, Long, Long, Double, Long, Long)](t, r, blocks) {
+      (tests, trains, out) =>
+        tests.foreach { case (tid, (tn, tb, posIdx)) =>
+          trains.foreach { case (rid, (_, rb, _)) =>
+            var inter = 0
+            var w = 0
+            while (w < nWords) {
+              inter += java.lang.Long.bitCount(tb(w) & rb(w))
+              w += 1
+            }
+            val c = inter.toDouble / tn
+            // inter > 0 matches the join path, which cannot emit
+            // zero-overlap pairs (and keeps the span well-defined)
+            if (inter > 0 && c >= threshold) {
+              // positional scan only for qualifying pairs
+              var first = -1
+              var last = -1
+              var i = 0
+              while (i < posIdx.length) {
+                val ix = posIdx(i)
+                if (ix >= 0 && (rb(ix >> 6) & (1L << (ix & 63))) != 0L) {
+                  if (first < 0) first = i
+                  last = i
+                }
+                i += 1
+              }
+              out += ((tid, rid, inter.toLong, c,
+                (first + 1).toLong, (last + shingleLen).toLong))
+            }
+          }
+        }
+    }.toDF("test_id", "train_id", "n_shared", "containment",
+      "span_start", "span_end")
+  }
+
   /** Bitmap-grid max containment (small-universe path of
     * [[contaminationScores]]): tiles of (test A-block × train B-block),
     * per-tile local maxima reduced by one tiny final aggregation. */

@@ -47,6 +47,37 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /**
+   * Batch sessionization — the oracle-checkable face of the stateful
+   * streaming sessionization below: a session is a maximal run of a
+   * user's events with inter-event gaps <= `gapMinutes`. One window
+   * pass (lag → new-session flag → running sum = session index) and
+   * one aggregate; both shuffles key on user_id, value totals go
+   * through DECIMAL (exact, order-independent). Timestamps are
+   * returned as epoch micros so engine timestamp types never enter
+   * the comparison.
+   */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("__new_session",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_idx", sum(col("__new_session")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+  }
+
   /** Per-user session state for flatMapGroupsWithState. */
   case class SessionState(count: Long, totalValue: Double, lastTs: Long)
   case class SessionUpdate(user_id: Long, events_in_session: Long,

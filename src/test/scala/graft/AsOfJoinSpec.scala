@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** As-of join vs a brute-force per-row reference: backward direction,
+  * >= tie visibility, deterministic tiebreak, no-match nulls. */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of matches brute force incl. ties and no-match rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val left = (1 to 200).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(50).toLong))         // id, key, ts
+    val right = (1 to 120).map(i =>
+      (1000L + i, (i % 9).toLong, rnd.nextInt(50).toLong, i * 1.5)) // rid, key, ts, payload
+
+    val l = left.toDF("event_id", "k", "ts")
+    val r = right.toDF("rid", "k", "ts", "pv")
+      // unique (k, ts): keep max rid's payload, like the gated query
+      .groupBy("k", "ts").agg(max("rid").as("p_rid"), max_by(col("pv"), col("rid")).as("p_pv"))
+
+    val got = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("p_rid", "p_pv"))
+      .collect().map(row => (row.getLong(0),
+        Option(row.get(3)).map(_.asInstanceOf[Long]))).toMap
+
+    val rightDeduped = right.groupBy { case (_, k, ts, _) => (k, ts) }
+      .map { case ((k, ts), rows) => (rows.map(_._1).max, k, ts) }
+    val want = left.map { case (id, k, ts) =>
+      val cands = rightDeduped.filter(rr => rr._2 == k && rr._3 <= ts)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(rr => (rr._3, rr._1))._1))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("equal-timestamp right row is visible to the left row (>= semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L)).toDF("event_id", "k", "ts")
+    val r = Seq((100L, 1L, 10L, 5.0)).toDF("p_rid", "k", "ts", "p_pv")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("p_rid", "p_pv"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(3) == 100L && out(0).getDouble(4) == 5.0)
+  }
+
+  test("payload name collision is rejected") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L)).toDF("event_id", "k", "ts")
+    val r = Seq((100L, 1L, 10L)).toDF("event_id", "k", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("event_id"))
+    }
+  }
+}

@@ -25,10 +25,14 @@ class ClustersSpec extends SparkSpec {
     byRoot.values.flatMap(ns => { val m = ns.min; ns.map(_ -> m) }).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  // driverFinishLimit = 0 forces the distributed star rounds — the
+  // path under test; the adaptive driver finish is covered separately
+  private def run(edges: Seq[(Long, Long)],
+                  driverFinishLimit: Long = 0L): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("id_a", "id_b")
-    Clusters.connectedComponents(df, "id_a", "id_b")
+    Clusters.connectedComponents(df, "id_a", "id_b",
+        driverFinishLimit = driverFinishLimit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -62,6 +66,15 @@ class ClustersSpec extends SparkSpec {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
       assert(run(edges) == ufComponents(edges))
     }
+  }
+
+  test("adaptive driver finish equals the distributed result") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).filter(e => e._1 != e._2)
+    assert(run(edges, driverFinishLimit = 1L << 20) == ufComponents(edges))
+    // and with a limit small enough that star rounds run first
+    assert(run(edges, driverFinishLimit = 10L) == ufComponents(edges))
   }
 
   test("empty pair set yields empty assignment") {
