@@ -384,6 +384,16 @@ object SparkEntry {
         "doc_id", "text", shingleLen = 5, threshold = 0.5)
     }),
 
+    // span-level contamination forensics: WHERE in each test doc the
+    // leaked shingles sit, per qualifying (test, train) pair
+    "q_contamination_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextDedup.contaminationSpans(
+        d.filter(col("doc_id") % 5 === 0),
+        d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", shingleLen = 5, threshold = 0.5)
+    }),
+
     // PII scrubbing: plant synthetic emails/SSNs/phones, redact with
     // the typed placeholders, report per-doc whether anything changed
     "q_redact_pii" -> ((s, dir) => {
@@ -955,6 +965,44 @@ object SparkEntry {
         |         FROM reach GROUP BY a)
         |SELECT d.doc_id AS doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+
+    "q_contamination_spans" ->
+      """WITH tn AS (
+        | SELECT doc_id AS test_id, norm FROM (
+        |   SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |   FROM documents WHERE doc_id % 5 = 0)
+        | WHERE length(norm) > 0),
+        |rn AS (
+        | SELECT doc_id AS train_id, norm FROM (
+        |   SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |   FROM documents WHERE doc_id % 5 <> 0)
+        | WHERE length(norm) > 0),
+        |tpos AS (
+        | SELECT test_id, pos, substring(norm, pos, 5) AS g FROM (
+        |   SELECT test_id, norm,
+        |     unnest(generate_series(1, greatest(1, length(norm) - 4))) AS pos
+        |   FROM tn)),
+        |tcnt AS (SELECT test_id, count(DISTINCT g) AS tn_cnt
+        |         FROM tpos GROUP BY test_id),
+        |rset AS (
+        | SELECT DISTINCT train_id, g FROM (
+        |   SELECT train_id, substring(norm, pos, 5) AS g FROM (
+        |     SELECT train_id, norm,
+        |       unnest(generate_series(1, greatest(1, length(norm) - 4))) AS pos
+        |     FROM rn))),
+        |m AS (
+        | SELECT t.test_id, r.train_id, t.g, t.pos
+        | FROM tpos t JOIN rset r ON t.g = r.g),
+        |p AS (
+        | SELECT test_id, train_id, count(DISTINCT g) AS n_shared,
+        |        min(pos) AS span_start, max(pos) + 4 AS span_end
+        | FROM m GROUP BY test_id, train_id)
+        |SELECT p.test_id, p.train_id, CAST(p.n_shared AS BIGINT) AS n_shared,
+        | CAST(p.n_shared AS DOUBLE) / c.tn_cnt AS containment,
+        | CAST(p.span_start AS BIGINT) AS span_start,
+        | CAST(p.span_end AS BIGINT) AS span_end
+        |FROM p JOIN tcnt c USING (test_id)
+        |WHERE CAST(p.n_shared AS DOUBLE) / c.tn_cnt >= 0.5""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (

@@ -137,11 +137,15 @@ object Merger {
     val pk = ms.targetPk
     val withId = Matcher.withSourceId(source)
     val exact = Matcher.matchRecords(withId, target, ms)
+    // persisted: the match join feeds THREE consumers (update's
+    // best-per-target, insert's unmatched set, returning's key map) —
+    // without the barrier the source×target shuffle join runs once per
+    // consumer. Caller-owned cache (see TextDedup's contract note).
     val matched =
-      if (ms.fuzzyColumns.nonEmpty)
+      (if (ms.fuzzyColumns.nonEmpty)
         Fuzzy.fuzzyMatch(exact, target, pk, ms.fuzzyColumns,
           ms.groups.size, ms.fuzzyLimit)
-      else exact
+      else exact).persist()
 
     val corr = mergeableColumns(withId, target, spec)
 
@@ -235,25 +239,30 @@ object Merger {
     val updatedSource: DataFrame =
       if (spec.returnToSource.isEmpty) withId
       else {
+        // ONE source-keyed map of every row's post-merge target key:
+        // matched rows address by match key, inserted rows by their
+        // generated pk (the sets are disjoint — inserts come from the
+        // unmatched side), so a union + single join replaces the
+        // former two left joins against the source.
         val matchedMap =
           if (spec.insertOnly) // no update phase → no matched write-back
             matched.filter(lit(false))
-              .select(col(SourceId), col(TargetId))
+              .select(col(SourceId), col(TargetId).as("__ret_key"))
           else
             matched.filter(col(TargetId).isNotNull)
-              .select(col(SourceId), col(TargetId))
-        var src = withId.as("src")
-          .join(matchedMap.as("m"), Seq(SourceId), "left")
-        insertedKeyMap match {
-          case Some(ins) => src = src.join(ins.as("i"), Seq(SourceId), "left")
-          case None      => src = src.withColumn("__ret_pk", lit(null))
+              .select(col(SourceId), col(TargetId).as("__ret_key"))
+        val retMap = insertedKeyMap match {
+          case Some(ins) => matchedMap.unionByName(
+            ins.select(col(SourceId), col("__ret_pk").as("__ret_key")))
+          case None => matchedMap
         }
-        val retKey = coalesce(col(TargetId), col("__ret_pk"))
+        var src = withId.as("src")
+          .join(retMap.as("m"), Seq(SourceId), "left")
         val retTargetCols = spec.returnToSource.map(_._1).distinct
         val tvals = newTarget.select(
-          col(pk).as("__ret_key") +:
+          col(pk).as("__tv_key") +:
             retTargetCols.map(c => col(c).as(s"__tv_$c")): _*)
-        src = src.join(tvals, retKey === col("__ret_key"), "left")
+        src = src.join(tvals, col("__ret_key") === col("__tv_key"), "left")
         val outCols = withId.columns.map { c =>
           spec.returnToSource.find(_._2 == c) match {
             case Some((tcol, _)) =>

@@ -116,6 +116,28 @@ class AdaptivePathPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("contamination span grid and positional-join paths agree") {
+    (1 to Rounds).foreach { r =>
+      val alphabet = if (r % 2 == 0) 4 else 26
+      val all = sample(genDocs(alphabet), 900 + r).toDF("id", "t")
+      val test = all.filter(col("id") % 3 === 0)
+      val train = all.filter(col("id") % 3 =!= 0)
+      def canonical(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Double, Long, Long)].collect()
+          .map(x => (x._1, x._2, x._3, math.round(x._4 * 1e12), x._5, x._6))
+          .toSet
+      val dense = canonical(TextDedup.contaminationSpans(test, train, "id", "t",
+        shingleLen = 3, threshold = 0.3))
+      val token = canonical(TextDedup.contaminationSpans(test, train, "id", "t",
+        shingleLen = 3, threshold = 0.3, denseVocabLimit = 0))
+      assert(dense == token, s"round $r (alphabet=$alphabet)")
+      // a 4-letter alphabet (64-shingle vocab) guarantees heavy overlap;
+      // 26 letters makes random cross-doc containment ~0, so only the
+      // small-alphabet rounds must be non-trivial
+      if (alphabet == 4) assert(dense.nonEmpty, s"round $r produced no pairs")
+    }
+  }
+
   test("trigram candidate paths agree across random name sets") {
     (1 to Rounds).foreach { r =>
       val names = sample(genDocs(8), 400 + r)
