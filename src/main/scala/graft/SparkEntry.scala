@@ -321,6 +321,23 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
+    // END-TO-END pipeline composition: exact dedup → near-dup cluster
+    // dedup → content-hash split → per-split corpus stats. One gate
+    // proving the operators COMPOSE (each stage is also gated alone).
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val uniq = TextDedup.exactDedup(docs, "doc_id", "text")
+      val pairs = TextDedup.ngramJaccardPairs(uniq, "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+      val kept = graft.ops.Clusters.dedupByPairs(uniq, "doc_id", pairs)
+      kept.withColumn("split",
+          TextAnalysis.assignSplit(col("doc_id"), trainPct = 0.8,
+            validPct = 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // pairs → CLUSTERS: connected components over the near-dup pair
     // graph (alternating large-star/small-star), every doc labeled
     // with its component's min doc_id (self if unpaired) — the step
@@ -930,6 +947,49 @@ object SparkEntry {
         |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
         |       / greatest(len(a.s), len(b.s)) >= 0.8)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE uniq AS (
+        | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (
+        | SELECT doc_id, text, n_chars FROM documents
+        | WHERE doc_id IN (SELECT doc_id FROM uniq)),
+        |sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM d)
+        | WHERE length(norm) > 0),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.5
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT u, v FROM edges
+        | UNION
+        | SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |  WHERE r.a <> e.v),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+        |         FROM reach GROUP BY a),
+        |kept AS (
+        | SELECT d.doc_id, d.n_chars FROM d LEFT JOIN comp c USING (doc_id)
+        | WHERE c.cid IS NULL OR c.cid = d.doc_id)
+        |SELECT CASE
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+        |  ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM kept GROUP BY 1""".stripMargin,
 
     // connected components as a recursive transitive closure — fine at
     // oracle scale (the pair graph is tiny); the Spark side uses

@@ -37,21 +37,9 @@ object FastHash extends Serializable {
     * JVM kernel so the native [[org.apache.spark.sql.graftshim.ShingleHashesExpr]]
     * can call it from generated code. */
   def shingleHashSet(s: String, k: Int): Array[Long] = {
-    if (s == null) return Array.emptyLongArray
-    val n = s.length
-    if (n == 0) return Array.emptyLongArray
-    val m = math.max(1, n - k + 1)
-    val hs = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      // inline FNV-1a over the shingle window, avalanche at end
-      var h = 0xcbf29ce484222325L
-      var j = i
-      val end = math.min(i + k, n)
-      while (j < end) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
-      hs(i) = fmix64(h)
-      i += 1
-    }
+    val hs = shingleHashesByPos(s, k)
+    val m = hs.length
+    if (m == 0) return hs
     java.util.Arrays.sort(hs)
     // dedupe in place
     var out = 0
@@ -63,8 +51,9 @@ object FastHash extends Serializable {
     java.util.Arrays.copyOf(hs, out)
   }
 
-  /** Positional variant of [[shingleHashSet]]: hs(i) = hash of the
-    * shingle starting at 0-based char i — same window/hash rules, NOT
+  /** Positional variant of [[shingleHashSet]] (and the single home of
+    * the window + hash rules — the set form is sort+dedupe of this):
+    * hs(i) = hash of the shingle starting at 0-based char i — NOT
     * sorted or deduped, so index i is the span position. */
   def shingleHashesByPos(s: String, k: Int): Array[Long] = {
     if (s == null) return Array.emptyLongArray
@@ -74,6 +63,7 @@ object FastHash extends Serializable {
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
+      // inline FNV-1a over the shingle window, avalanche at end
       var h = 0xcbf29ce484222325L
       var j = i
       val end = math.min(i + k, n)

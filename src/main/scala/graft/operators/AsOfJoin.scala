@@ -60,7 +60,17 @@ object AsOfJoin {
         lit(null).cast(org.apache.spark.sql.types.StructType(
           payload.map(p => org.apache.spark.sql.types.StructField(
             p, right.schema(p).dataType, nullable = true)))))
+    // ASOF null semantics (matching the SQL form `l.key = r.key AND
+    // l.ts >= r.ts`): a null-ts or null-key right row can never
+    // satisfy the predicate, so drop it — otherwise Spark's NULLS
+    // FIRST ordering would attach a null-ts payload to every left row,
+    // and Window.partitionBy (which groups null keys, unlike join
+    // equality) would match null-key rows to each other. Null-ts LEFT
+    // rows need no special case: they sort before every right row of
+    // their key and correctly see no carried payload.
     val r = right
+      .filter(col(rightTs).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
       .withColumn(ts, col(rightTs))
       .withColumn(side, lit(0))
       .withColumn(tb, tiebreak.map(col(_).cast("long")).getOrElse(lit(0L)))

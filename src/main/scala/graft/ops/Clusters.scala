@@ -44,10 +44,43 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, idACol: String,
                           idBCol: String, maxRounds: Int = 64,
                           driverFinishLimit: Long = 1L << 20): DataFrame = {
-    val spark = pairs.sparkSession
     val idType = pairs.schema(idACol).dataType
-    val e0 = canon(pairs
-      .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v")))
+    if (Dispatch.integralId(pairs, idACol) && Dispatch.integralId(pairs, idBCol)) {
+      val e0 = canon(pairs.select(col(idACol).cast("long").as("u"),
+        col(idBCol).cast("long").as("v")))
+      ccLongs(e0, maxRounds, driverFinishLimit)
+        .select(col("u").cast(idType).as("id"),
+          col("m").cast(idType).as("cluster_id"))
+    } else {
+      // non-integral ids (strings, UUIDs): dictionary-encode through an
+      // ORDER-PRESERVING long surrogate (distributed rank by id — the
+      // same machinery as Merger's insert-pk), run the long algorithm,
+      // and map back. Rank ascending ⇒ min surrogate ↔ min id, so the
+      // representative stays the minimum original id. The dictionary is
+      // persisted: it feeds edge encoding AND the two decode joins
+      // (caller-owned cache, see TextDedup's contract note).
+      val dict = graft.operators.Merger.withDistributedRank(
+        pairs.select(col(idACol).as("n"))
+          .unionByName(pairs.select(col(idBCol).as("n")))
+          .filter(col("n").isNotNull).distinct(),
+        "n", "__sid", 0L).persist()
+      val enc = canon(pairs
+        .join(dict.select(col("n").as(idACol), col("__sid").as("u")), Seq(idACol))
+        .join(dict.select(col("n").as(idBCol), col("__sid").as("v")), Seq(idBCol))
+        .select(col("u"), col("v")))
+      ccLongs(enc, maxRounds, driverFinishLimit)
+        .join(dict.select(col("__sid").as("u"), col("n").as("id")), Seq("u"))
+        .join(dict.select(col("__sid").as("m"), col("n").as("cluster_id")), Seq("m"))
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+    }
+  }
+
+  /** The long-keyed core: (u, v) canonical edges → (u, m) per-node
+    * component minima. */
+  private def ccLongs(e0: DataFrame, maxRounds: Int,
+                      driverFinishLimit: Long): DataFrame = {
+    val spark = e0.sparkSession
     var edges = e0.localCheckpoint()
     var sig = edgeSignature(edges)
     var rounds = 0
@@ -70,8 +103,7 @@ object Clusters {
         nodeMins(symmetrize(edges)).select(col("u"), col("m"))
       else
         driverUnionFind(spark, edges)
-    assigned.select(col("u").cast(idType).as("id"),
-      col("m").cast(idType).as("cluster_id"))
+    assigned.select(col("u"), col("m"))
   }
 
   /** Linear-time union-find over a collected edge set (only called

@@ -325,18 +325,8 @@ object TextDedup {
     // bitmap intersection cheap. Probe cardinality approximately first
     // (one cheap agg) and only collect the exact vocabulary when it
     // plausibly fits.
-    val idIntegral = Dispatch.integralId(prepared, idCol)
-    val approxV =
-      if (idIntegral && denseVocabLimit > 0)
-        toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
-      else Long.MaxValue
-    val vocabOpt =
-      if (approxV <= denseVocabLimit * 1.2) {
-        val v = toks.select(col("__h")).distinct()
-          .collect().map(_.getLong(0))
-        if (v.length <= denseVocabLimit) { java.util.Arrays.sort(v); Some(v) }
-        else None
-      } else None
+    val vocabOpt = Dispatch.denseVocab(toks, col("__h"),
+      Dispatch.integralId(prepared, idCol), denseVocabLimit)
     vocabOpt match {
       case Some(vocab) =>
         val orig = prepared.schema(idCol).dataType
@@ -569,18 +559,9 @@ object TextDedup {
     val toks = tPrep.select(explode(col("__sh")).as("__h"))
       .union(rPrep.select(explode(col("__sh")).as("__h")))
     // the dense grid long-casts BOTH sides' ids
-    val idIntegral =
-      Dispatch.integralId(tPrep, idCol) && Dispatch.integralId(rPrep, idCol)
-    val approxV =
-      if (idIntegral && denseVocabLimit > 0)
-        toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
-      else Long.MaxValue
-    val vocabOpt =
-      if (approxV <= denseVocabLimit * 1.2) {
-        val v = toks.distinct().collect().map(_.getLong(0))
-        if (v.length <= denseVocabLimit) { java.util.Arrays.sort(v); Some(v) }
-        else None
-      } else None
+    val vocabOpt = Dispatch.denseVocab(toks, col("__h"),
+      Dispatch.integralId(tPrep, idCol) && Dispatch.integralId(rPrep, idCol),
+      denseVocabLimit)
     val scores = vocabOpt match {
       case Some(vocab) => denseContainment(tPrep, rPrep, idCol, vocab, blocks)
       case None =>
@@ -642,18 +623,9 @@ object TextDedup {
       .filter(size(col("__sh")) > 0).persist()
     val toks = tPrep.select(explode(col("__sh")).as("__h"))
       .union(rPrep.select(explode(col("__sh")).as("__h")))
-    val idIntegral =
-      Dispatch.integralId(tPrep, idCol) && Dispatch.integralId(rPrep, idCol)
-    val approxV =
-      if (idIntegral && denseVocabLimit > 0)
-        toks.agg(approx_count_distinct(col("__h"))).head.getLong(0)
-      else Long.MaxValue
-    val vocabOpt =
-      if (approxV <= denseVocabLimit * 1.2) {
-        val v = toks.distinct().collect().map(_.getLong(0))
-        if (v.length <= denseVocabLimit) { java.util.Arrays.sort(v); Some(v) }
-        else None
-      } else None
+    val vocabOpt = Dispatch.denseVocab(toks, col("__h"),
+      Dispatch.integralId(tPrep, idCol) && Dispatch.integralId(rPrep, idCol),
+      denseVocabLimit)
     val orig = tPrep.schema(idCol).dataType
     val pairs = vocabOpt match {
       case Some(vocab) =>

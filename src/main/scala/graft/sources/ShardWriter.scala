@@ -24,6 +24,9 @@ object ShardWriter {
                   idCol: String, shardsPerSplit: Int = 8,
                   maxRecordsPerFile: Long = 1L << 20): Unit = {
     require(shardsPerSplit > 0, "shardsPerSplit must be positive")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — writeShards materializes " +
+        "its own; rename the existing column first")
     df.withColumn("shard", pmod(hash(col(idCol)), lit(shardsPerSplit)))
       .repartition(col(splitCol), col("shard"))
       .sortWithinPartitions(col(splitCol), col("shard"), col(idCol))

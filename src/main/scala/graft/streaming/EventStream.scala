@@ -58,9 +58,13 @@ object EventStream {
    * the comparison.
    */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // NULLS LAST to match SQL-default ordering (Spark asc is NULLS
+    // FIRST, DuckDB/ANSI default is NULLS LAST — a null-ts event must
+    // sort to the same place in both engines or session assignment
+    // diverges)
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
     val running = byUser.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val gapUs = gapMinutes.toLong * 60L * 1000000L

@@ -96,6 +96,19 @@ class ClustersSpec extends SparkSpec {
     assert(dropped == Map(3L -> 1L, 5L -> 1L, 8L -> 7L))
   }
 
+  test("string ids cluster via the order-preserving surrogate path") {
+    import spark.implicits._
+    val pairs = Seq(("doc-b", "doc-c"), ("doc-c", "doc-a"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // representative = lexicographic min of the component
+    assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "x" -> "x", "y" -> "x"))
+    assert(Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .schema("id").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("id type is preserved (int ids)") {
     import spark.implicits._
     val pairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
