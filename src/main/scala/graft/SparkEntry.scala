@@ -321,6 +321,39 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleLen = 5, threshold = 0.8)),
 
+    // tumbling-window aggregate — the STREAMING transform run in batch
+    // mode, oracle-gated (same code path readStream uses; parity with
+    // an actual stream is asserted in StreamingSpec)
+    "q_windowed_counts" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"), col("total_value"))),
+
+    // URL extraction (planted deterministically — the fixture corpus
+    // has no URLs): first URL, registrable host, path
+    "q_url_extract" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see https://sub"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example-site.org/p/"), col("doc_id").cast("string"),
+          lit(" end"))).otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.urlParts(planted).as("u"))
+        .select(col("doc_id"), col("u.url").as("url"),
+          col("u.domain").as("domain"), col("u.path").as("path"),
+          (col("u.url") =!= "").as("has_url"))
+    }),
+
+    // deterministic stratified hash sampling: source 'src0' at 1/2,
+    // everything else at 1/4 — membership is a pure function of the
+    // id (reproducible subsets at 100 TB: no RNG, no seed plumbing)
+    "q_sample_strata" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(when(col("source") === "src0",
+          TextAnalysis.sampleByHash(col("doc_id"), 0.5))
+          .otherwise(TextAnalysis.sampleByHash(col("doc_id"), 0.25)))
+        .select(col("doc_id"), col("source"))),
+
     // END-TO-END pipeline composition: exact dedup → near-dup cluster
     // dedup → content-hash split → per-split corpus stats. One gate
     // proving the operators COMPOSE (each stage is also gated alone).
@@ -480,6 +513,17 @@ object SparkEntry {
       val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
       Similarity.ivfTopK(assigned, emb.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // product-quantized ANN: 64 floats → 16 byte codes, ADC shortlist,
+    // exact cosine re-rank (recall vs brute force spec-asserted;
+    // hash-seeded training → rows-only check)
+    "q_simsearch_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", cb, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -947,6 +991,35 @@ object SparkEntry {
         |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
         |       / greatest(len(a.s), len(b.s)) >= 0.8)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+
+    "q_windowed_counts" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_url_extract" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |   text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.example-site.org/p/' || CAST(doc_id AS VARCHAR) || ' end'
+        |  ELSE text END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_extract(t, 'https?://[A-Za-z0-9.-]+(/[^ ]*)?', 0) AS url,
+        | regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        | regexp_extract(t, 'https?://[A-Za-z0-9.-]+(/[^ ]*)', 1) AS path,
+        | regexp_extract(t, 'https?://[A-Za-z0-9.-]+(/[^ ]*)?', 0) <> ''
+        |   AS has_url
+        |FROM p""".stripMargin,
+
+    "q_sample_strata" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE WHEN source = 'src0'
+        | THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        | ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |END""".stripMargin,
 
     "q_pipeline_e2e" ->
       """WITH RECURSIVE uniq AS (

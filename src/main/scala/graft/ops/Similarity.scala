@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -480,5 +482,219 @@ object Similarity {
         .otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  // ---- Product quantization (Jégou et al., TPAMI'11) --------------------
+
+  /** codebook(subspace)(code) = centroid of that subspace, as doubles.
+    * Vectors are L2-normalized before training/encoding, so squared-L2
+    * ADC distance is a monotone proxy for cosine (‖a−b‖² = 2 − 2·cosθ
+    * on the unit sphere) and the exact re-rank stays cosine. */
+  type PqCodebook = Array[Array[Array[Double]]]
+
+  private def l2normalize(v: Array[Float]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  /** Squared L2 between a subvector of `v` (offset, len) and a centroid. */
+  private def subDist(v: Array[Double], off: Int, c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) { val t = v(off + i) - c(i); d += t * t; i += 1 }
+    d
+  }
+
+  /**
+   * Train a PQ codebook: `m` subspaces × `k` centroids, deterministic
+   * seeding (sub-centroids from the first k corpus vectors by id, like
+   * ivfAssign), then `iterations` of distributed Lloyd — each
+   * iteration is ONE pass: per-partition sum/count accumulators
+   * (m·k·subDim doubles, ~KBs) collected and meaned on the driver.
+   * Empty clusters keep their previous centroid. Requires m | dim.
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 16, k: Int = 32, iterations: Int = 3): PqCodebook = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val seeds = vecs.orderBy(col(idCol).asc).limit(k).collect()
+      .map(r => l2normalize(r._2))
+    require(seeds.nonEmpty, "pqTrain: empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqTrain: m=$m must divide dim=$dim")
+    val subDim = dim / m
+    var codebook: PqCodebook = Array.tabulate(m, k) { (s, c) =>
+      val src = seeds(c % seeds.length)
+      java.util.Arrays.copyOfRange(src, s * subDim, (s + 1) * subDim)
+    }
+    (0 until iterations).foreach { _ =>
+      val cbB = spark.sparkContext.broadcast(codebook)
+      val partials = vecs.mapPartitions { it =>
+        val cb = cbB.value
+        val sums = Array.ofDim[Double](m, k, subDim)
+        val counts = Array.ofDim[Long](m, k)
+        it.foreach { case (_, vf) =>
+          val v = l2normalize(vf)
+          var s = 0
+          while (s < m) {
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < k) {
+              val d = subDist(v, s * subDim, cb(s)(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            var i = 0
+            while (i < subDim) { sums(s)(best)(i) += v(s * subDim + i); i += 1 }
+            counts(s)(best) += 1
+            s += 1
+          }
+        }
+        Iterator.single((sums, counts))
+      }.collect()
+      codebook = Array.tabulate(m, k) { (s, c) =>
+        val n = partials.map(_._2(s)(c)).sum
+        if (n == 0) codebook(s)(c)
+        else {
+          val sum = new Array[Double](subDim)
+          partials.foreach { p =>
+            var i = 0
+            while (i < subDim) { sum(i) += p._1(s)(c)(i); i += 1 }
+          }
+          var i = 0
+          while (i < subDim) { sum(i) /= n; i += 1 }
+          sum
+        }
+      }
+    }
+    codebook
+  }
+
+  /** Encode each vector as m one-byte codes (nearest sub-centroid per
+    * subspace) — dim·4 bytes → m bytes, the 100 TB memory story.
+    * Returns (id, pq_codes BINARY). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: PqCodebook): DataFrame = {
+    val m = codebook.length
+    val k = codebook(0).length
+    val subDim = codebook(0)(0).length
+    val cbB = corpus.sparkSession.sparkContext.broadcast(codebook)
+    val enc = udf((vf: Array[Float]) => {
+      val cb = cbB.value
+      val v = l2normalize(vf)
+      val codes = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = subDist(v, s * subDim, cb(s)(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        s += 1
+      }
+      codes
+    })
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), enc(col(vecCol)).as("pq_codes"))
+  }
+
+  /**
+   * PQ top-k with exact re-rank: ADC (asymmetric distance — per query
+   * ONE m×k lookup table, then each corpus row costs m table reads)
+   * selects a `shortlistFactor`·k candidate set per query; the
+   * shortlist is re-scored with exact cosine against the original
+   * vectors and the final top-k ranked (cosine desc, id asc).
+   * Queries are broadcast; the corpus pass is one narrow scan of the
+   * m-byte codes — at scale the codes table is ~dim·4/m smaller than
+   * the vectors, and only |shortlist| rows ever touch the originals.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebook: PqCodebook, k: Int,
+             shortlistFactor: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = codebook.length
+    val kCent = codebook(0).length
+    val subDim = codebook(0)(0).length
+    val qArr = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, l2normalize(v)) }
+    val qB = spark.sparkContext.broadcast(qArr)
+    val cbB = spark.sparkContext.broadcast(codebook)
+    val shortlist = math.max(k * shortlistFactor, k)
+
+    val encoded = pqEncode(corpus, idCol, vecCol, codebook)
+      .select(col(idCol).cast("long").as("neighbor_id"), col("pq_codes"))
+      .as[(Long, Array[Byte])]
+    val candidates = encoded.mapPartitions { it =>
+      val cb = cbB.value
+      val qs = qB.value
+      // per-query ADC tables, built once per partition
+      val tables = qs.map { case (_, qv) =>
+        val t = Array.ofDim[Double](m, kCent)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < kCent) { t(s)(c) = subDist(qv, s * subDim, cb(s)(c)); c += 1 }
+          s += 1
+        }
+        t
+      }
+      // bounded per-query top-shortlist (max-heaps over adc distance)
+      val heaps = qs.map(_ =>
+        new java.util.PriorityQueue[(Double, Long)](shortlist + 1,
+          Ordering.by[(Double, Long), Double](_._1).reverse))
+      it.foreach { case (nid, codes) =>
+        var q = 0
+        while (q < qs.length) {
+          if (qs(q)._1 != nid) {
+            val t = tables(q)
+            var d = 0.0
+            var s = 0
+            while (s < m) { d += t(s)(codes(s) & 0xff); s += 1 }
+            val h = heaps(q)
+            if (h.size < shortlist) h.add((d, nid))
+            else if (d < h.peek()._1) { h.poll(); h.add((d, nid)) }
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zip(qs.iterator).flatMap { case (h, (qid, _)) =>
+        h.iterator().asScala.map { case (d, nid) => (qid, nid, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = candidates
+      .withColumn("__rs", row_number().over(wShort))
+      .filter(col("__rs") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank on the shortlist only
+    val qDf = qArr.toSeq.toDF("query_id", "__qv")
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        toDoubleVec(col(vecCol)).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 }

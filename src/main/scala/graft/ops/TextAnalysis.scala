@@ -241,6 +241,40 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** URL parts of the FIRST http(s) URL in `text` as a struct
+    * (url, domain, path) — '' when absent (regexp_extract semantics,
+    * identical in Spark and DuckDB). The pattern is deliberately
+    * RE2-simple: scheme, host of [A-Za-z0-9.-], optional
+    * non-space path. */
+  def urlParts(text: Column): Column = {
+    val full = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+    val host = "https?://([A-Za-z0-9.-]+)"
+    struct(
+      regexp_extract(text, full, 0).as("url"),
+      regexp_extract(text, host, 1).as("domain"),
+      regexp_extract(text, "https?://[A-Za-z0-9.-]+(/[^ ]*)", 1).as("path"))
+  }
+
+  /**
+   * Deterministic hash sample: keep a row iff the first 8 md5 hex
+   * chars of its key fall under `fraction` of the bucket space — the
+   * same mechanism as [[assignSplit]], so membership is stable across
+   * runs, row order, and cluster size, and composes with it (disjoint
+   * hash prefixes ⇒ independent decisions). Content-hash sampling is
+   * how a 100 TB pipeline takes reproducible subsets: no RNG state,
+   * no seed plumbing, re-runs and backfills agree.
+   */
+  def sampleByHash(key: Column, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    // 'zzzzzzzz' sorts above every hex string — the 100% bucket
+    // (f"$n%08x" of 16^8 would be '100000000', which compares BELOW
+    // most hex strings; same trap as assignSplit's 2-char version)
+    val space = 1L << 32
+    val bound = math.round(fraction * space)
+    val hex = if (bound >= space) "zzzzzzzz" else f"$bound%08x"
+    substring(md5(key.cast("string")), 1, 8) < hex
+  }
+
   /**
    * Top-k TF-IDF terms per document — the keyword/salience pass of a
    * corpus profile. Plain counts + one double expression, so it is

@@ -139,6 +139,28 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"refined IVF recall too low: $recall")
   }
 
+  test("PQ encodes to m bytes and ADC+rerank recall beats the shortlist bar") {
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, k = 32,
+      iterations = 3)
+    assert(cb.length == 16 && cb(0).length == 32 && cb(0)(0).length == 4)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    assert(codes.count() == emb.count())
+    assert(codes.select("pq_codes").head().getAs[Array[Byte]](0).length == 16)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", cb,
+      k = 3, shortlistFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (pq & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    // determinism: same codebook, same result
+    val again = Similarity.pqTopK(emb, queries, "vec_id", "embedding", cb,
+      k = 3, shortlistFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq == again)
+  }
+
   test("text profile fields") {
     val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
     val r = TextAnalysis.profile(df, "doc_id", "text").collect()(0)
@@ -246,6 +268,36 @@ class OpsSpec extends SparkSpec {
     val all = docs.withColumn("s", TextAnalysis.assignSplit(col("doc_id"), 1.0, 0.0))
       .select("s").distinct().collect().map(_.getString(0)).toSeq
     assert(all == Seq("train"))
+  }
+
+  test("hash sampling is deterministic, ~proportional, nested, and exact at 0/1") {
+    def ids(frac: Double): Set[Long] =
+      docs.filter(TextAnalysis.sampleByHash(col("doc_id"), frac))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count().toDouble
+    val half = ids(0.5)
+    val quarter = ids(0.25)
+    assert(math.abs(half.size / n - 0.5) < 0.15)
+    assert(math.abs(quarter.size / n - 0.25) < 0.12)
+    // same hash axis ⇒ smaller fractions are SUBSETS of larger ones
+    assert(quarter.subsetOf(half))
+    assert(ids(0.5) == half)          // rerun identical
+    assert(ids(0.0).isEmpty && ids(1.0).size == n.toLong)
+  }
+
+  test("urlParts extracts first URL, domain, path; empty when absent") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "go to https://a.example.org/x/y now or http://b.org/z"),
+      (2L, "https://bare-host.net trailing"),
+      (3L, "no links at all")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.urlParts(col("t")).as("u"))
+      .select(col("id"), col("u.url"), col("u.domain"), col("u.path"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(rows(1L) == ("https://a.example.org/x/y", "a.example.org", "/x/y"))
+    assert(rows(2L) == ("https://bare-host.net", "bare-host.net", ""))
+    assert(rows(3L) == ("", "", ""))
   }
 
   test("int8 quantization bounds reconstruction error by scale/2") {
