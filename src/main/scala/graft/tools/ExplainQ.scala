@@ -1,0 +1,17 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args(0)
+    args.drop(1).foreach { q =>
+      println(s"==== $q ====")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
