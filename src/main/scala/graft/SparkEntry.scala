@@ -486,6 +486,21 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("gram").asc)
         .limit(20)),
 
+    // frequency-ordered token vocabulary (the dictionary half of a
+    // tokenizer): top-256 tokens, id = deterministic rank
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabDf(s,
+        TextAnalysis.buildVocab(t(s, dir, "documents"), "text", 256))),
+
+    // dictionary encoding: (doc, pos, token_id), OOV = -1 against a
+    // deliberately tiny top-64 vocabulary so both branches are exercised
+    "q_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", 64)
+      TextAnalysis.tokenize(docs.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", vocab)
+    }),
+
     // top-k TF-IDF terms per document (deterministic, log-free idf —
     // see TextAnalysis.tfIdfTopK for the bit-stability argument)
     "q_tfidf" -> ((s, dir) =>
@@ -1169,6 +1184,38 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_vocab" ->
+      """WITH w AS (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM w
+        |      WHERE term <> '' GROUP BY term),
+        |r AS (SELECT term, n,
+        |       row_number() OVER (ORDER BY n DESC, term ASC) AS rk FROM c)
+        |SELECT term, CAST(rk - 1 AS INTEGER) AS token_id,
+        | n AS n_occurrences
+        |FROM r WHERE rk <= 256""".stripMargin,
+
+    "q_tokenize" ->
+      """WITH w AS (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM w
+        |      WHERE term <> '' GROUP BY term),
+        |r AS (SELECT term,
+        |       row_number() OVER (ORDER BY n DESC, term ASC) AS rk FROM c),
+        |v AS (SELECT term, rk FROM r WHERE rk <= 64),
+        |t AS (SELECT doc_id,
+        |       string_split_regex(lower(trim(text)), '\s+') AS words
+        |      FROM documents WHERE doc_id % 25 = 0),
+        |p AS (SELECT doc_id,
+        |       unnest(generate_series(1, len(words))) AS i, words FROM t),
+        |wp AS (SELECT doc_id, i - 1 AS pos, words[i] AS term
+        |       FROM p WHERE words[i] <> '')
+        |SELECT wp.doc_id, CAST(wp.pos AS INTEGER) AS pos,
+        | COALESCE(CAST(v.rk - 1 AS INTEGER), -1) AS token_id
+        |FROM wp LEFT JOIN v ON wp.term = v.term""".stripMargin,
 
     "q_tfidf" ->
       """WITH w AS (

@@ -276,6 +276,51 @@ object TextAnalysis {
   }
 
   /**
+   * Frequency-ordered token vocabulary: the top `maxSize` whitespace
+   * tokens by (count DESC, token ASC), with token_id = rank position —
+   * the dictionary half of a tokenizer pipeline. Deterministic by
+   * construction (total tiebreak order). The result is collected: a
+   * vocabulary is driver-sized BY DEFINITION (maxSize bounds it), and
+   * `orderBy().limit()` folds to TakeOrderedAndProject — a per-partition
+   * top-k plus one merge, NOT a global sort.
+   */
+  def buildVocab(df: DataFrame, textCol: String,
+                 maxSize: Int = 4096): Array[(String, Long)] =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(maxSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** The vocabulary as a relation (term, token_id, n_occurrences). */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession,
+              vocab: Array[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    vocab.zipWithIndex
+      .map { case ((t, n), i) => (t, i, n) }.toSeq
+      .toDF("term", "token_id", "n_occurrences")
+  }
+
+  /**
+   * Dictionary-encode documents: (id, pos, token_id) with `oovId` for
+   * out-of-vocabulary tokens. `pos` is the 0-based index in the raw
+   * whitespace token array (empty tokens keep their slot, so positions
+   * are stable under vocabulary changes). The vocabulary joins in as a
+   * BROADCAST local relation — the corpus-side pass is narrow.
+   */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+               vocab: Array[(String, Long)], oovId: Int = -1): DataFrame = {
+    val vdf = vocabDf(df.sparkSession, vocab).select(col("term"),
+      col("token_id").as("__tid"))
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .join(broadcast(vdf), Seq("term"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("__tid"), lit(oovId)).as("token_id"))
+  }
+
+  /**
    * Top-k TF-IDF terms per document — the keyword/salience pass of a
    * corpus profile. Plain counts + one double expression, so it is
    * oracle-exact: score = CAST(tf AS DOUBLE) * n_docs / df (raw

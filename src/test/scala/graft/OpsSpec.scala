@@ -318,6 +318,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab + tokenize: rank ids, OOV fallback, stable positions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "  the   the  rare ")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", maxSize = 3)
+    // counts: the=5, sat=2, then alphabetical among count-1 terms → cat
+    assert(vocab.map(_._1).toSeq == Seq("the", "sat", "cat"))
+    assert(vocab.map(_._2).toSeq == Seq(5L, 2L, 1L))
+    val enc = TextAnalysis.tokenize(docs, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // doc 1: the(0) cat(2) sat(1) on(OOV) the(0) mat(OOV)
+    assert(enc((1L, 0)) == 0 && enc((1L, 1)) == 2 && enc((1L, 2)) == 1)
+    assert(enc((1L, 3)) == -1 && enc((1L, 4)) == 0 && enc((1L, 5)) == -1)
+    // doc 3: leading blank keeps slot 0 empty-filtered; positions come
+    // from the raw split so "rare" sits at its whitespace-derived index
+    assert(enc.keys.filter(_._1 == 3L).map(_._2).toSet.size == 3)
+    assert(enc.count { case ((d, _), tid) => d == 3L && tid == 0 } == 2)
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
