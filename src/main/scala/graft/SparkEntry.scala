@@ -501,6 +501,18 @@ object SparkEntry {
         "doc_id", "text", vocab)
     }),
 
+    // GPT-style sequence packing: concat docs in id order, cut every
+    // 512 tokens; distributed prefix sum, pure integer arithmetic
+    "q_seq_pack" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
+
+    // per-sequence occupancy over the packing (every sequence full at
+    // 512 toks except the ragged last)
+    "q_pack_stats" -> ((s, dir) =>
+      graft.ops.Packing.packStats(graft.ops.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 512))),
+
     // top-k TF-IDF terms per document (deterministic, log-free idf —
     // see TextAnalysis.tfIdfTopK for the bit-stability argument)
     "q_tfidf" -> ((s, dir) =>
@@ -1237,6 +1249,53 @@ object SparkEntry {
         |   PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
         | FROM scored)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS nt
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+        |  CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS o
+        | FROM n WHERE nt > 0),
+        |s AS (
+        | SELECT doc_id, nt, o,
+        |  unnest(generate_series(o // 512, (o + nt - 1) // 512)) AS seq_id
+        | FROM p)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        | CAST(greatest(0, seq_id * 512 - o) AS BIGINT) AS doc_start,
+        | CAST(least((seq_id + 1) * 512 - o, nt)
+        |   - greatest(0, seq_id * 512 - o) AS BIGINT) AS n_toks
+        |FROM s""".stripMargin,
+
+    "q_pack_stats" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS nt
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+        |  CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS o
+        | FROM n WHERE nt > 0),
+        |s AS (
+        | SELECT doc_id, nt, o,
+        |  unnest(generate_series(o // 512, (o + nt - 1) // 512)) AS seq_id
+        | FROM p),
+        |x AS (
+        | SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(least((seq_id + 1) * 512 - o, nt)
+        |    - greatest(0, seq_id * 512 - o) AS BIGINT) AS n_toks
+        | FROM s)
+        |SELECT seq_id, count(*) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_toks
+        |FROM x GROUP BY seq_id""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH v AS (

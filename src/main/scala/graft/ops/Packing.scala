@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Sequence packing for LLM training corpora: concatenate documents in
+ * a deterministic order and chunk the resulting token stream into
+ * fixed-length training sequences (the standard GPT-style pretraining
+ * layout — documents may span sequence boundaries). A 100 TB corpus is
+ * trillions of tokens, so the global token offset of each document is
+ * the scale-sensitive part; it is computed as a DISTRIBUTED exclusive
+ * prefix sum, never a single-partition window.
+ */
+object Packing {
+
+  /**
+   * Exclusive prefix sum of `weightCol` in `orderCol` order, added as
+   * `cumCol` (LongType). The classic two-pass construction:
+   *
+   *   1. range-repartition + sort within partitions by `orderCol`, so
+   *      partition i holds a contiguous ordered slice, then persist —
+   *      the barrier guarantees pass 2 sees the SAME layout (range
+   *      boundaries come from sampling; an unpersisted plan could
+   *      re-sample between jobs). Same reasoning as
+   *      `Merger.withDistributedRank`.
+   *   2. per-partition weight totals (one tiny collect, ≤ nParts
+   *      rows), driver-side prefix sum into partition base offsets,
+   *      then one shuffle-FREE mapPartitions pass that streams each
+   *      sorted partition with a running sum seeded at its base.
+   *
+   * A `Window.partitionBy(pid)` would re-shuffle the full data by pid
+   * hash; the mapPartitions pass reuses the range layout directly —
+   * per-partition imperative streaming is exactly what the row
+   * iterator is for here.
+   *
+   * `orderCol` must be a unique key (ties within a partition would
+   * make the running order, and thus the prefix sums, run-dependent).
+   */
+  def withPrefixSum(df: DataFrame, orderCol: String, weight: Column,
+                    cumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // `spark_partition_id()` is stamped BEFORE persist, so the pid
+    // VALUES are baked into the cache when pass 1 materializes it
+    // under genuine shuffle tasks. Pass 2 must read pids from the
+    // rows, NEVER from TaskContext: a downstream `coalesce(1)` (or
+    // any partition-collapsing parent) re-runs the closure with a
+    // different task partition id, while row-carried pids stay true.
+    val ranged = df
+      .withColumn("__w", weight.cast(LongType))
+      .repartitionByRange(nParts, col(orderCol).asc)
+      .sortWithinPartitions(col(orderCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__w")).as("__tot")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases = new Array[Long](nParts + 1)
+    var i = 0
+    while (i < nParts) {
+      bases(i + 1) = bases(i) + totals.getOrElse(i, 0L)
+      i += 1
+    }
+    val bcBases = spark.sparkContext.broadcast(bases)
+    val outSchema = StructType(
+      ranged.schema.fields.filterNot(f => f.name == "__w" || f.name == "__pid")
+        :+ StructField(cumCol, LongType, nullable = false))
+    val wIdx = ranged.schema.fieldIndex("__w")
+    val pIdx = ranged.schema.fieldIndex("__pid")
+    val keep = ranged.schema.fields.indices
+      .filterNot(i => i == wIdx || i == pIdx).toArray
+    ranged.mapPartitions { it =>
+      val bs = bcBases.value
+      var cur = -1
+      var run = 0L
+      it.map { r =>
+        // partitions arrive contiguously even when a parent collapses
+        // several of them into one closure invocation — reset the
+        // running sum at every pid change
+        val pid = r.getInt(pIdx)
+        if (pid != cur) { cur = pid; run = bs(pid) }
+        val w = r.getLong(wIdx)
+        val out = Row.fromSeq(keep.map(r.get).toSeq :+ run)
+        run += w
+        out
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /**
+   * Pack documents into fixed-capacity training sequences: documents
+   * are laid out in `idCol` order as one continuous token stream and
+   * cut every `seqLen` tokens; a document overlapping k sequences
+   * yields k rows. Output: (id, seq_id, doc_start, n_toks) where
+   * `doc_start` is the 0-based token index INSIDE the document where
+   * the slice begins — exactly the index map a data loader needs to
+   * materialize sequence `seq_id`. All arithmetic is integer (`DIV`),
+   * so results are engine-exact. Empty documents carry no tokens and
+   * are dropped (they occupy no stream positions).
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val withN = docs
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_toks_doc"))
+      .filter(col("n_toks_doc") > 0)
+    val cum = withPrefixSum(withN, idCol, col("n_toks_doc"), "__off")
+    val L = lit(seqLen.toLong)
+    cum
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__off DIV $seqLen"),
+        expr(s"(__off + n_toks_doc - 1) DIV $seqLen"))))
+      .select(col(idCol), col("seq_id").cast(LongType).as("seq_id"),
+        greatest(lit(0L), col("seq_id") * L - col("__off")).as("doc_start"),
+        (least((col("seq_id") + 1) * L - col("__off"), col("n_toks_doc"))
+          - greatest(lit(0L), col("seq_id") * L - col("__off"))).as("n_toks"))
+  }
+
+  /**
+   * Per-sequence occupancy report over `packSequences` output — the
+   * sanity view a pipeline operator watches: every sequence must hold
+   * exactly `seqLen` tokens except the ragged last one.
+   */
+  def packStats(packed: DataFrame): DataFrame =
+    packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+      .orderBy(col("seq_id").asc)
+}

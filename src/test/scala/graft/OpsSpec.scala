@@ -339,6 +339,47 @@ class OpsSpec extends SparkSpec {
     assert(enc.count { case ((d, _), tid) => d == 3L && tid == 0 } == 2)
   }
 
+  test("sequence packing: contiguous layout, boundary spans, full seqs") {
+    import graft.ops.Packing
+    val df = Seq(
+      (1L, "a b c"),          // stream 0-2: all in seq0
+      (2L, "d e f g h"),      // stream 3-7: doc toks 0 in seq0, 1-4 in seq1
+      (3L, "   "),            // empty — dropped
+      (4L, "i"),              // stream 8: doc tok 0 in seq2
+      (5L, "j k l m n o")     // stream 9-14: doc toks 0-2 seq2, 3-5 seq3
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc_start is the token index INSIDE the document where the slice
+    // of sequence seq_id begins (what an index-mapped loader reads)
+    assert(out == Set(
+      (1L, 0L, 0L, 3L), (2L, 0L, 0L, 1L), (2L, 1L, 1L, 4L),
+      (4L, 2L, 0L, 1L), (5L, 2L, 0L, 3L), (5L, 3L, 3L, 3L)))
+    // every sequence holds exactly seqLen tokens except the last
+    val stats = Packing.packStats(
+      Packing.packSequences(docs, "doc_id", "text", seqLen = 512))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(stats.init.forall(_._2 == 512L), "non-final sequence not full")
+    assert(stats.last._2 <= 512L && stats.last._2 > 0L)
+  }
+
+  test("distributed prefix sum matches single-partition window") {
+    import graft.ops.Packing
+    val df = docs.select($"doc_id",
+      length($"text").cast("long").as("w")).repartition(7)
+    // coalesce(1) before the action: a collapsed parent partition runs
+    // the pass-2 closure under ONE task id — offsets must still come
+    // from the row-carried pids (regression: Verify's single-file
+    // write produced per-partition restarts)
+    val got = Packing.withPrefixSum(df, "doc_id", $"w", "cum")
+      .select($"doc_id", $"cum").coalesce(1).as[(Long, Long)].collect().toMap
+    val rows = df.orderBy($"doc_id").as[(Long, Long)].collect()
+    val want = rows.zip(rows.scanLeft(0L)(_ + _._2))
+      .map { case ((id, _), acc) => (id, acc) }.toMap
+    assert(got == want)
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
