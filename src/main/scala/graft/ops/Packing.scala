@@ -128,5 +128,4 @@ object Packing {
   def packStats(packed: DataFrame): DataFrame =
     packed.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
-      .orderBy(col("seq_id").asc)
 }

@@ -359,7 +359,7 @@ class OpsSpec extends SparkSpec {
     // every sequence holds exactly seqLen tokens except the last
     val stats = Packing.packStats(
       Packing.packSequences(docs, "doc_id", "text", seqLen = 512))
-      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
     assert(stats.init.forall(_._2 == 512L), "non-final sequence not full")
     assert(stats.last._2 <= 512L && stats.last._2 > 0L)
   }
