@@ -501,6 +501,28 @@ object SparkEntry {
         "doc_id", "text", vocab)
     }),
 
+    // exact per-group quantiles (linear interpolation — Spark
+    // `percentile` and DuckDB `quantile_cont` share the (n-1)p+1
+    // definition, and integer inputs keep the interpolation bit-exact)
+    "q_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"))),
+
+    // data mixing: per-language sampling rates over one corpus pass,
+    // content-deterministic (md5-threshold) and nested across reweights
+    "q_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.filter(TextAnalysis.mixtureSample(col("doc_id"), col("lang"),
+          Seq("en" -> 0.5, "zh" -> 1.0, "de" -> 0.25, "fr" -> 0.1,
+            "es" -> 0.0)))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // GPT-style sequence packing: concat docs in id order, cut every
     // 512 tokens; distributed prefix sum, pure integer arithmetic
     "q_seq_pack" -> ((s, dir) =>
@@ -1249,6 +1271,24 @@ object SparkEntry {
         |   PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
         | FROM scored)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | quantile_cont(n_chars, 0.5) AS p50,
+        | quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_mixture" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        | CASE lang
+        |  WHEN 'en' THEN '80000000'
+        |  WHEN 'zh' THEN 'zzzzzzzz'
+        |  WHEN 'de' THEN '40000000'
+        |  WHEN 'fr' THEN '1999999a'
+        |  WHEN 'es' THEN '00000000'
+        |  ELSE '00000000' END""".stripMargin,
 
     "q_seq_pack" ->
       """WITH n AS (

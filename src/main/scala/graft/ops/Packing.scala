@@ -38,6 +38,12 @@ object Packing {
    *
    * `orderCol` must be a unique key (ties within a partition would
    * make the running order, and thus the prefix sums, run-dependent).
+   *
+   * Cache contract (caller-owned, like [[TextDedup]]): the ranged
+   * layout stays persisted because the returned plan reads it; callers
+   * running many pipelines in one session should
+   * `spark.catalog.clearCache()` between them (as Verify/Bench do) or
+   * rely on LRU eviction (costs recompute, never correctness).
    */
   def withPrefixSum(df: DataFrame, orderCol: String, weight: Column,
                     cumCol: String): DataFrame = {

@@ -276,6 +276,23 @@ object TextAnalysis {
   }
 
   /**
+   * Weighted mixture sampling — the data-mixing step of corpus
+   * assembly: each row's keep decision uses the per-class rate of its
+   * `cls` value (e.g. upsample books, downsample web). Built on
+   * [[sampleByHash]], so decisions are content-deterministic AND
+   * nested: raising a class's rate only ADDS rows, it never swaps the
+   * kept subset — reweighting a 100 TB mix between runs touches only
+   * the delta. Classes absent from `rates` use `defaultRate`.
+   */
+  def mixtureSample(key: Column, cls: Column,
+                    rates: Seq[(String, Double)],
+                    defaultRate: Double = 0.0): Column =
+    rates.foldRight(sampleByHash(key, defaultRate)) {
+      case ((c, r), acc) => when(cls === lit(c), sampleByHash(key, r))
+        .otherwise(acc)
+    }
+
+  /**
    * Frequency-ordered token vocabulary: the top `maxSize` whitespace
    * tokens by (count DESC, token ASC), with token_id = rank position —
    * the dictionary half of a tokenizer pipeline. Deterministic by

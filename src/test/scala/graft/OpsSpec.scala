@@ -339,6 +339,23 @@ class OpsSpec extends SparkSpec {
     assert(enc.count { case ((d, _), tid) => d == 3L && tid == 0 } == 2)
   }
 
+  test("mixture sampling: rates honored, nested across reweights") {
+    val byLang = docs.select($"doc_id", $"lang")
+    def kept(rates: Seq[(String, Double)]) = byLang
+      .filter(TextAnalysis.mixtureSample($"doc_id", $"lang", rates))
+      .select($"doc_id").as[Long].collect().toSet
+    val full = kept(Seq("en" -> 1.0))           // default 0: only en kept
+    val half = kept(Seq("en" -> 0.5))
+    val enIds = byLang.filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(full == enIds)
+    assert(half.subsetOf(full), "raising a rate must only ADD rows")
+    val frac = half.size.toDouble / full.size
+    assert(frac > 0.3 && frac < 0.7, s"0.5 rate sampled $frac")
+    // zero-rate class contributes nothing; unknown classes use default
+    assert(kept(Seq("en" -> 0.0)).isEmpty)
+  }
+
   test("sequence packing: contiguous layout, boundary spans, full seqs") {
     import graft.ops.Packing
     val df = Seq(
