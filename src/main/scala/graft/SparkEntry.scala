@@ -501,6 +501,27 @@ object SparkEntry {
         "doc_id", "text", vocab)
     }),
 
+    // BPE trainer statistics (first merge iteration): corpus-wide
+    // counts of adjacent character pairs inside words, top-50 with a
+    // total tiebreak order — pure codegen (explode+substring, no HOFs)
+    "q_bpe_pairs" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+      w.select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)
+    }),
+
+    // deterministic global shuffle: dense 0-based training positions
+    // in md5(id+salt) order, distributed rank (no global window)
+    "q_shuffle" -> ((s, dir) =>
+      graft.ops.Packing.shufflePositions(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "epoch0")),
+
     // exact per-group quantiles (linear interpolation — Spark
     // `percentile` and DuckDB `quantile_cont` share the (n-1)p+1
     // definition, and integer inputs keep the interpolation bit-exact)
@@ -1271,6 +1292,26 @@ object SparkEntry {
         |   PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
         | FROM scored)
         |SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        | FROM documents),
+        |p AS (
+        | SELECT substring(w, i, 2) AS pair
+        | FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+        |       FROM w WHERE length(w) >= 2)),
+        |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair),
+        |r AS (SELECT pair, n,
+        |       row_number() OVER (ORDER BY n DESC, pair ASC) AS rk FROM c)
+        |SELECT pair, n FROM r WHERE rk <= 50""".stripMargin,
+
+    "q_shuffle" ->
+      """SELECT doc_id, lang,
+        | row_number() OVER (ORDER BY
+        |   md5(CAST(doc_id AS VARCHAR) || ':epoch0')
+        |     || lpad(CAST(doc_id AS VARCHAR), 20, '0')) - 1 AS pos
+        |FROM documents""".stripMargin,
 
     "q_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

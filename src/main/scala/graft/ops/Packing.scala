@@ -127,6 +127,26 @@ object Packing {
   }
 
   /**
+   * Deterministic global shuffle — training-order randomization:
+   * every row gets a dense position 0..n-1 in the order of a
+   * content-derived pseudorandom key (md5 of id + salt), so the
+   * "shuffled" order is reproducible across runs, clusters, and
+   * partition counts, and changes wholesale with the salt. The id is
+   * zero-padded INTO the sort key, making it total even under digest
+   * ties. Rank is `Merger.withDistributedRank` — never a
+   * single-partition window.
+   */
+  def shufflePositions(df: DataFrame, idCol: String,
+                       salt: String): DataFrame = {
+    val keyed = df.withColumn("__skey",
+      concat(md5(concat(col(idCol).cast("string"), lit(":" + salt))),
+        lpad(col(idCol).cast("string"), 20, "0")))
+    graft.operators.Merger
+      .withDistributedRank(keyed, "__skey", "pos", -1L)
+      .drop("__skey")
+  }
+
+  /**
    * Per-sequence occupancy report over `packSequences` output — the
    * sanity view a pipeline operator watches: every sequence must hold
    * exactly `seqLen` tokens except the ragged last one.

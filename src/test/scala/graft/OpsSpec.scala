@@ -356,6 +356,21 @@ class OpsSpec extends SparkSpec {
     assert(kept(Seq("en" -> 0.0)).isEmpty)
   }
 
+  test("deterministic shuffle: dense permutation, salt-sensitive, stable") {
+    import graft.ops.Packing
+    val ids = docs.select($"doc_id")
+    def pos(salt: String) = Packing.shufflePositions(ids, "doc_id", salt)
+      .as[(Long, Long)].collect().toMap
+    val a = pos("epoch0")
+    assert(a.values.toSet == (0L until a.size.toLong).toSet,
+      "positions are not a dense 0..n-1 permutation")
+    assert(a == pos("epoch0"), "same salt must reproduce the same order")
+    val b = pos("epoch1")
+    // a different salt reshuffles essentially everything
+    val moved = a.count { case (id, p) => b(id) != p }
+    assert(moved > a.size * 9 / 10, s"only $moved of ${a.size} moved")
+  }
+
   test("sequence packing: contiguous layout, boundary spans, full seqs") {
     import graft.ops.Packing
     val df = Seq(
