@@ -5,11 +5,43 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Each query is fully evaluated through the
   * `noop` sink (a bare count() would let Catalyst prune the very
-  * expressions being measured). */
+  * expressions being measured).
+  *
+  * Measurement discipline (single-shot wall time under host contention
+  * mis-diagnosed two rounds):
+  *   - each query runs SPARK_GRAFT_REPS times (default 3); reported
+  *     wall time is the MEDIAN of the reps,
+  *   - process-CPU seconds are reported next to wall seconds (a
+  *     contended host inflates wall but not CPU),
+  *   - a query that throws gets an `"err"` entry in the JSON and the
+  *     process exits nonzero, so a regression can never read as a
+  *     speedup.
+  */
 object Bench {
+  private def processCpuSec(): Double = {
+    import java.lang.management.ManagementFactory
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9 // -1 if unavailable => negative delta, reported as -1 below
+      case _ => -1.0
+    }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,21 +59,39 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        var err: Option[String] = None
+        val walls = Seq.newBuilder[Double]
+        var cpuTotal = 0.0
+        var n = 0
+        while (n < reps && err.isEmpty) {
+          val c0 = processCpuSec()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          walls += (System.nanoTime() - t0) / 1e9
+          val c1 = processCpuSec()
+          if (c0 >= 0 && c1 >= 0) cpuTotal += (c1 - c0)
+          // operators persist their pair-join prep; drop it between reps
+          // so one rep's caches don't serve (or pressure) the next
+          spark.catalog.clearCache()
+          n += 1
+        }
+        val cpuMean = if (cpuTotal > 0 && n > 0) cpuTotal / n else -1.0
+        (name, median(walls.result()), cpuMean, err)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist their pair-join prep; drop it between queries
-      // so earlier queries' caches don't pressure later ones
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, w, _, _) => jsonStr(k) + ":" + w }
+      .mkString("{", ",", "}")
+    val cpu = results.map { case (k, _, c, _) => jsonStr(k) + ":" + c }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jsonStr(k) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nErr = results.count(_._4.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"sf":"$sfDir"}""")
     spark.stop()
+    if (nErr > 0) sys.exit(1)
   }
 }

@@ -232,6 +232,23 @@ object SparkEntry {
       Merger.merge(mergeSource(s, dir), mergeTarget(s, dir),
         mergeSpecBase).newTarget),
 
+    // S7 real-write gate: the SAME upsert routed through the production
+    // parquet write-commit path and re-read — every other merge gate
+    // evaluates through the noop sink / judge-side dump, which left the
+    // target-sink leg of the job lifecycle (import_job.rb:16-23)
+    // unexercised. Also exercises the MergeResult.unpersist() contract
+    // mid-query: the cache is released after the write commits.
+    "q_merge_upsert_written" -> ((s, dir) => {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_target_${Integer.toHexString(dir.hashCode)}")
+      val res = Merger.merge(mergeSource(s, dir), mergeTarget(s, dir),
+        mergeSpecBase)
+      res.newTarget.write.mode("overwrite").parquet(out.getAbsolutePath)
+      res.unpersist()
+      s.read.parquet(out.getAbsolutePath)
+    }),
+
     // M3: update_only
     "q_merge_update_only" -> ((s, dir) =>
       Merger.merge(mergeSource(s, dir), mergeTarget(s, dir),
@@ -689,8 +706,12 @@ object SparkEntry {
         .write.mode("overwrite")
         .option("header", "true").option("quote", "\"")
         .csv(tmp.getAbsolutePath)
+      // directory path, NOT a /*.csv glob: Spark probes glob paths for
+      // streaming-sink metadata and logs a FileNotFoundException WARN
+      // trace per read; the directory read is equivalent (_SUCCESS and
+      // other _-prefixed files are ignored) and silent
       val raw = graft.sources.CsvSource.read(s,
-        graft.sources.CsvSpec(tmp.getAbsolutePath + "/*.csv", quote = "\""))
+        graft.sources.CsvSpec(tmp.getAbsolutePath, quote = "\""))
       val spec = new WorkingTableSpec()
         .mapColumn("event_id", sqlType = "BIGINT")
         .mapColumn("user_id", sqlType = "BIGINT")
@@ -724,8 +745,9 @@ object SparkEntry {
       header.unionByName(ev.select(line.as("value"), lit(1).as("__ord")))
         .coalesce(1).sortWithinPartitions(col("__ord")).select(col("value"))
         .write.mode("overwrite").text(tmp.getAbsolutePath)
+      // directory path, not a /*.txt glob (see q_csv_roundtrip note)
       val raw = graft.sources.CsvSource.read(s,
-        graft.sources.CsvSpec(tmp.getAbsolutePath + "/*.txt",
+        graft.sources.CsvSpec(tmp.getAbsolutePath,
           quote = "", removeExpression = Some("\","),
           dropMalformed = true))
       val spec = new WorkingTableSpec()
@@ -874,6 +896,11 @@ object SparkEntry {
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_merge_upsert" -> (mergeOracleCtes +
+      "SELECT * FROM upd UNION ALL SELECT * FROM ins"),
+
+    // identical result set to q_merge_upsert; the Spark side differs
+    // only in traversing the parquet write→read round trip
+    "q_merge_upsert_written" -> (mergeOracleCtes +
       "SELECT * FROM upd UNION ALL SELECT * FROM ins"),
 
     "q_merge_update_only" -> (mergeOracleCtes + "SELECT * FROM upd"),

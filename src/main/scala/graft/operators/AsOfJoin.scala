@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
  * sorts BEFORE the left row of equal ts (side 0 < side 1), so an
  * equal-timestamp right row IS visible to the left row, matching
  * DuckDB ASOF (>= semantics); among equal-ts right rows the LAST in
- * (ts, tiebreak) order wins deterministically via the caller-supplied
- * tiebreak column.
+ * (ts, tiebreak, hash(payload)) order wins. The payload hash is always
+ * the final ordering key, so duplicate (key, ts) right rows — with or
+ * without a caller tiebreak — resolve to the SAME payload on every run
+ * and partition layout (rows whose hashes collide carry equal payloads
+ * up to 64-bit xxhash collision, so the attached value is identical
+ * either way).
  *
  * Scale: cost is sort-within-partition of |L|+|R| on (key, ts) — the
  * minimum any as-of formulation must pay — and skewed keys are
@@ -52,10 +56,12 @@ object AsOfJoin {
     val ts = "__asof_ts"
     val side = "__asof_side"
     val tb = "__asof_tb"
+    val tbh = "__asof_tbh" // deterministic payload-derived disambiguator
     val l = left
       .withColumn(ts, col(leftTs))
       .withColumn(side, lit(1))
       .withColumn(tb, lit(null).cast("long"))
+      .withColumn(tbh, lit(null).cast("long"))
       .withColumn("__asof_payload",
         lit(null).cast(org.apache.spark.sql.types.StructType(
           payload.map(p => org.apache.spark.sql.types.StructField(
@@ -74,13 +80,15 @@ object AsOfJoin {
       .withColumn(ts, col(rightTs))
       .withColumn(side, lit(0))
       .withColumn(tb, tiebreak.map(col(_).cast("long")).getOrElse(lit(0L)))
+      .withColumn(tbh, xxhash64(payload.map(col): _*))
       .withColumn("__asof_payload", struct(payload.map(col): _*))
     val rAligned = l.limit(0).unionByName(
-      r.select((keyCols ++ Seq(ts, side, tb, "__asof_payload")).map(col): _*),
+      r.select((keyCols ++ Seq(ts, side, tb, tbh, "__asof_payload")).map(col): _*),
       allowMissingColumns = true)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc, col(tb).asc_nulls_first)
+      .orderBy(col(ts).asc, col(side).asc, col(tb).asc_nulls_first,
+        col(tbh).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(rAligned)
       .withColumn("__asof_match",

@@ -32,7 +32,14 @@ final case class DedupResult(
     newTable: DataFrame,
     duplicates: DataFrame,
     reflexiveCount: Long,
-    symmetricCount: Long)
+    symmetricCount: Long,
+    /** The persisted match join the outputs are built on (general path
+      * only; the window fast path caches nothing). Caller-owned. */
+    private[graft] val cachedMatch: Option[DataFrame] = None) {
+  /** Release the match cache once the outputs have been consumed.
+    * Safe no-op on the fast path / after a prior call. */
+  def unpersist(): Unit = { cachedMatch.foreach(_.unpersist()); () }
+}
 
 object Deduper {
   import Matcher.{SourceId, TargetId, MatchGroup}
@@ -180,8 +187,9 @@ object Deduper {
     }
     val folded = joined.select(outCols.toIndexedSeq: _*)
     // cached stays persisted: the returned DataFrames are built on it
-    // and would otherwise recompute the whole match per caller action
-    // (harness/Gateway cache cleanup reclaims it)
-    DedupResult(folded, dupes, reflexive, symmetric)
+    // and would otherwise recompute the whole match per caller action.
+    // The handle rides in the result — DedupResult.unpersist() releases
+    // it (Gateway cache cleanup remains the backstop).
+    DedupResult(folded, dupes, reflexive, symmetric, Some(cached))
   }
 }

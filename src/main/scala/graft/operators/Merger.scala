@@ -58,10 +58,17 @@ final case class MergeSpec(
       * reference's destructive list mutation, SURVEY §7.5). */
     insertConstraints: Seq[MatchConstraint] = Nil)
 
+/** Outputs of a merge. `matched` is the match join feeding all phases;
+  * when more than one phase consumes it, `Merger.merge` persists it and
+  * the CALLER owns the cache: call `unpersist()` after the outputs have
+  * been evaluated (it is a safe no-op when nothing was persisted). */
 final case class MergeResult(
     newTarget: DataFrame,
     updatedSource: DataFrame,
-    matched: DataFrame)
+    matched: DataFrame) {
+  /** Release the match cache (blocking=false). No-op if not persisted. */
+  def unpersist(): Unit = { matched.unpersist(); () }
+}
 
 object Merger {
   import Matcher.{SourceId, TargetId, MatchGroup}
@@ -137,15 +144,24 @@ object Merger {
     val pk = ms.targetPk
     val withId = Matcher.withSourceId(source)
     val exact = Matcher.matchRecords(withId, target, ms)
-    // persisted: the match join feeds THREE consumers (update's
-    // best-per-target, insert's unmatched set, returning's key map) —
-    // without the barrier the source×target shuffle join runs once per
-    // consumer. Caller-owned cache (see TextDedup's contract note).
-    val matched =
-      (if (ms.fuzzyColumns.nonEmpty)
+    val matchPlan =
+      if (ms.fuzzyColumns.nonEmpty)
         Fuzzy.fuzzyMatch(exact, target, pk, ms.fuzzyColumns,
           ms.groups.size, ms.fuzzyLimit)
-      else exact).persist()
+      else exact
+    // Persist ONLY when >1 phase consumes the match join — without the
+    // barrier the source×target shuffle join would run once per
+    // consumer. updateOnly/insertOnly without RETURNING have exactly
+    // one consumer and skip the cache (no InMemoryRelation in the
+    // plan). Caller owns any cache created here: MergeResult.unpersist().
+    val returningUses =
+      if (spec.returnToSource.isEmpty) 0
+      else (if (spec.insertOnly) 0 else 1) + (if (spec.updateOnly) 0 else 1)
+    val nConsumers =
+      (if (spec.insertOnly) 0 else 1) +   // update phase: best-per-target
+      (if (spec.updateOnly) 0 else 1) +   // insert phase: unmatched set
+      returningUses                       // write-back key maps
+    val matched = if (nConsumers > 1) matchPlan.persist() else matchPlan
 
     val corr = mergeableColumns(withId, target, spec)
 

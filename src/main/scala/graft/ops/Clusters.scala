@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
  */
 object Clusters {
 
-  /** (id, cluster_id) for EVERY node appearing in `pairs`, where
-    * cluster_id = min node id of the connected component. Ids are
-    * returned in the input column type.
+  /** (id, cluster_id) for EVERY node appearing in `pairs` (self-loop
+    * pairs included: a node whose only edges are `(x, x)` is its own
+    * singleton cluster), where cluster_id = min node id of the
+    * connected component. Ids are returned in the input column type.
     *
     * Adaptive finish (the Fuzzy.greedyAssign pattern): star rounds
     * only run while the edge set exceeds `driverFinishLimit`; below
@@ -44,6 +45,27 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, idACol: String,
                           idBCol: String, maxRounds: Int = 64,
                           driverFinishLimit: Long = 1L << 20): DataFrame = {
+    val base = ccNonReflexive(pairs, idACol, idBCol, maxRounds,
+      driverFinishLimit)
+    // canon() drops self loops before the star rounds (they carry no
+    // connectivity), so a node appearing ONLY in (x, x) pairs is absent
+    // from `base` — re-attach those as their own singleton clusters.
+    // Only self-loop nodes can be missing, so the anti-join probe is
+    // sized by the (typically tiny, often empty) self-loop set.
+    val idType = pairs.schema(idACol).dataType
+    val selfIds = pairs
+      .filter(col(idACol).isNotNull && col(idACol) === col(idBCol))
+      .select(col(idACol).cast(idType).as("id")).distinct()
+    val missing = selfIds.join(base, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    base.unionByName(missing)
+  }
+
+  /** The pre-round core: assignments for nodes with ≥1 non-reflexive
+    * edge. */
+  private def ccNonReflexive(pairs: DataFrame, idACol: String,
+                             idBCol: String, maxRounds: Int,
+                             driverFinishLimit: Long): DataFrame = {
     val idType = pairs.schema(idACol).dataType
     if (Dispatch.integralId(pairs, idACol) && Dispatch.integralId(pairs, idBCol)) {
       val e0 = canon(pairs.select(col(idACol).cast("long").as("u"),

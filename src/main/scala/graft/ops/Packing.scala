@@ -38,6 +38,9 @@ object Packing {
    *
    * `orderCol` must be a unique key (ties within a partition would
    * make the running order, and thus the prefix sums, run-dependent).
+   * Null weights count as 0 (the row occupies no stream positions but
+   * still gets its offset) — coalesced at the cast so the streaming
+   * pass never unboxes a null.
    *
    * Cache contract (caller-owned, like [[TextDedup]]): the ranged
    * layout stays persisted because the returned plan reads it; callers
@@ -56,7 +59,7 @@ object Packing {
     // any partition-collapsing parent) re-runs the closure with a
     // different task partition id, while row-carried pids stay true.
     val ranged = df
-      .withColumn("__w", weight.cast(LongType))
+      .withColumn("__w", coalesce(weight.cast(LongType), lit(0L)))
       .repartitionByRange(nParts, col(orderCol).asc)
       .sortWithinPartitions(col(orderCol).asc)
       .withColumn("__pid", spark_partition_id())

@@ -655,10 +655,17 @@ object Similarity {
         }
         t
       }
-      // bounded per-query top-shortlist (max-heaps over adc distance)
+      // bounded per-query top-shortlist. Max-heaps over the TOTAL order
+      // (adc, neighbor_id) — adc alone would evict boundary ties by
+      // arrival order, making the shortlist SET depend on partition
+      // layout; with the id in the order, every partition keeps its
+      // lexicographically-smallest candidates and the global window
+      // below (same order) is deterministic end to end.
+      val heapOrd = Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long)
       val heaps = qs.map(_ =>
         new java.util.PriorityQueue[(Double, Long)](shortlist + 1,
-          Ordering.by[(Double, Long), Double](_._1).reverse))
+          heapOrd.reverse))
       it.foreach { case (nid, codes) =>
         var q = 0
         while (q < qs.length) {
@@ -669,7 +676,12 @@ object Similarity {
             while (s < m) { d += t(s)(codes(s) & 0xff); s += 1 }
             val h = heaps(q)
             if (h.size < shortlist) h.add((d, nid))
-            else if (d < h.peek()._1) { h.poll(); h.add((d, nid)) }
+            else {
+              val top = h.peek()
+              if (d < top._1 || (d == top._1 && nid < top._2)) {
+                h.poll(); h.add((d, nid))
+              }
+            }
           }
           q += 1
         }

@@ -44,6 +44,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(3) == 100L && out(0).getDouble(4) == 5.0)
   }
 
+  test("duplicate (key, ts) right rows resolve deterministically without a tiebreak") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 100).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(20).toLong))
+    // many duplicate (k, ts) right rows with DIFFERENT payloads and no
+    // caller tiebreak: the payload-hash disambiguator must pick the same
+    // winner on every run, partition count, and input row order
+    val right = (1 to 150).map(i =>
+      (1000L + i, (i % 5).toLong, rnd.nextInt(20).toLong, rnd.nextDouble()))
+    val l = left.toDF("event_id", "k", "ts")
+
+    val runs = Seq(1, 3, 7, 32).map { n =>
+      val r = rnd.shuffle(right).toDF("p_rid", "k", "ts", "p_pv").repartition(n)
+      AsOfJoin.backward(l.repartition(n), r, Seq("k"), "ts", "ts",
+        Seq("p_rid", "p_pv"))
+        .collect()
+        .map(row => (row.getLong(0),
+          (Option(row.get(3)), Option(row.get(4))))).toMap
+    }
+    assert(runs.forall(_ == runs.head))
+    // and the winner is the expected one: among rows of the max eligible
+    // ts, the max xxhash64(p_rid, p_pv)
+    val hashed = rnd.shuffle(right).toDF("p_rid", "k", "ts", "p_pv")
+      .withColumn("h", xxhash64(col("p_rid"), col("p_pv")))
+      .as[(Long, Long, Long, Double, Long)].collect()
+    val want = left.map { case (id, k, ts) =>
+      val cands = hashed.filter(rr => rr._2 == k && rr._3 <= ts)
+      id -> (if (cands.isEmpty) (None, None)
+             else {
+               val w = cands.maxBy(rr => (rr._3, rr._5))
+               (Some(w._1), Some(w._4))
+             })
+    }.toMap
+    assert(runs.head == want)
+  }
+
+  test("caller tiebreak still takes precedence over the payload hash") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L)).toDF("event_id", "k", "ts")
+    // two right rows tie on (k, ts); tiebreak column orders 200 last
+    val r = Seq((100L, 1L, 10L, 9.0, 2L), (200L, 1L, 10L, 1.0, 5L))
+      .toDF("p_rid", "k", "ts", "p_pv", "prio")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts",
+      Seq("p_rid", "p_pv"), tiebreak = Some("prio")).collect()
+    assert(out.length == 1 && out(0).getLong(3) == 200L)
+  }
+
   test("payload name collision is rejected") {
     import spark.implicits._
     val l = Seq((1L, 1L, 10L)).toDF("event_id", "k", "ts")

@@ -50,12 +50,28 @@ class ClustersSpec extends SparkSpec {
       (20, 21), (21, 22), (22, 23),            // chain
       (30, 31), (30, 32), (31, 32),            // clique
       (40, 41), (41, 40),                      // duplicate + reversed
-      (50, 50),                                // self loop ignored
+      (50, 50),                                // self-loop-only → singleton
       (60, 61)
     )
     val got = run(edges)
-    val want = ufComponents(edges.filter(e => e._1 != e._2))
+    val want = ufComponents(edges.filter(e => e._1 != e._2)) + (50L -> 50L)
     assert(got == want)
+  }
+
+  test("self-loop-only nodes are singleton clusters; mixed nodes not duplicated") {
+    import spark.implicits._
+    // node 2 has both a real edge and a self loop — must appear ONCE
+    // with its component min; node 5 only self-loops — singleton
+    val pairs = Seq((1L, 2L), (2L, 2L), (5L, 5L)).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(pairs, "id_a", "id_b")
+    assert(out.count() == 3)
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    // string surrogate path honors the same contract
+    val sPairs = Seq(("a", "b"), ("z", "z")).toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(sPairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map("a" -> "a", "b" -> "a", "z" -> "z"))
   }
 
   test("random graphs match union-find (property)") {

@@ -134,6 +134,57 @@ class MatcherMergerSpec extends SparkSpec {
     assert(res.duplicates.count() == 2)
   }
 
+  test("single-consumer merges skip the match cache; unpersist clears it") {
+    import org.apache.spark.storage.StorageLevel
+    // CacheManager matches by canonical plan: earlier tests cached an
+    // identical match plan, which would satisfy storageLevel lookups
+    // here — start from a clean cache
+    spark.catalog.clearCache()
+    // updateOnly without RETURNING: one consumer → no persist, so the
+    // newTarget plan contains no InMemoryRelation
+    val up = Merger.merge(source, target,
+      MergeSpec(matchSpec = spec, updateOnly = true))
+    assert(up.matched.storageLevel == StorageLevel.NONE)
+    assert(!up.newTarget.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"))
+    // insertOnly without RETURNING likewise
+    val ins = Merger.merge(source, target,
+      MergeSpec(matchSpec = spec, insertOnly = true))
+    assert(ins.matched.storageLevel == StorageLevel.NONE)
+    // full upsert: multi-consumer → persisted; unpersist() releases it
+    val res = Merger.merge(source, target, MergeSpec(matchSpec = spec))
+    assert(res.matched.storageLevel != StorageLevel.NONE)
+    res.newTarget.write.format("noop").mode("overwrite").save()
+    res.unpersist()
+    assert(res.matched.storageLevel == StorageLevel.NONE)
+  }
+
+  test("merge loop leaves no lingering cache entries after unpersist") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // updateOnly + RETURNING: two consumers → the match IS persisted
+    // each iteration, and (no insert phase) the loop creates no
+    // separately-contracted distributed-rank cache — so after
+    // unpersist() the persistent-RDD set must be exactly what it was
+    val src2 = source.withColumn("tgt_id", lit(null).cast("long"))
+    var tgt = target
+    (1 to 3).foreach { _ =>
+      val res = Merger.merge(src2, tgt, MergeSpec(
+        matchSpec = spec, updateOnly = true,
+        excludedColumns = Seq("tgt_id"),
+        mergeExpressions = Map("bal" -> "$T + $S"),
+        returnToSource = Seq(("id", "tgt_id"))))
+      assert(res.matched.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE)
+      res.newTarget.write.format("noop").mode("overwrite").save()
+      res.updatedSource.write.format("noop").mode("overwrite").save()
+      tgt = res.newTarget
+      res.unpersist()
+    }
+    assert(tgt.count() == 4)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
   test("merge audit reports per-group rates without mutation") {
     val rep = MergeAudit.audit(source, target, MergeSpec(matchSpec = spec))
     assert(rep.totalCount == 4)

@@ -412,6 +412,38 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("prefix sum treats null weights as zero (no NPE)") {
+    import graft.ops.Packing
+    val df = Seq((1L, Some(3L)), (2L, None), (3L, Some(5L)), (4L, None))
+      .toDF("doc_id", "w").repartition(3)
+    val got = Packing.withPrefixSum(df, "doc_id", $"w", "cum")
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    // null rows occupy no stream positions but still carry an offset
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 3L, 4L -> 8L))
+  }
+
+  test("pqTopK shortlist ADC ties resolve identically across partition layouts") {
+    // 60 IDENTICAL vectors → every corpus row has the SAME adc distance
+    // to the query; with shortlist = k·factor = 4 the heap boundary is
+    // all ties, so any arrival-order eviction would leak the partition
+    // layout into the result
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val tied = (1L to 60L).map(i => (i, base)) :+ (999L, base.map(-_))
+    val queries = Seq((0L, base)).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(tied.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", m = 4, k = 4, iterations = 2)
+    val runs = Seq(1, 5, 13).map { n =>
+      val corpus = tied.toDF("vec_id", "embedding").repartition(n)
+      Similarity.pqTopK(corpus, queries, "vec_id", "embedding", cb,
+        k = 2, shortlistFactor = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    assert(runs.forall(_ == runs.head))
+    // ties break toward the smallest neighbor ids end to end
+    assert(runs.head == Set((0L, 1L, 1), (0L, 2L, 2)))
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
