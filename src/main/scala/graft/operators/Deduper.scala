@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.types.Template
@@ -72,14 +71,23 @@ object Deduper {
    */
   private def dedupFast(table: DataFrame, spec: MergeSpec): DedupResult = {
     val pk = spec.matchSpec.targetPk
-    val keys = spec.matchSpec.groups.head.keys.map(k => col(k.sourceKey))
-    val wKey = Window.partitionBy(keys: _*)
-    // null keys never match in the join formulation (NULL ≠ NULL), but
-    // window partitioning groups them — force null-keyed rows to be
-    // their own survivors
+    val keyNames = spec.matchSpec.groups.head.keys.map(_.sourceKey)
+    val keys = keyNames.map(col)
+    // per-key min via AGGREGATE + join-back, not min().over(key window):
+    // the aggregate reduces a hot duplicate key map-side and the join
+    // back is AQE-skew-splittable, where a window partition funnels the
+    // whole hot key through one task (a 100 TB corpus WILL have a
+    // pathological duplicate group). The distinct-key side is small, so
+    // Spark broadcasts it when it fits.
+    // Null keys never match in the join formulation (NULL ≠ NULL) and a
+    // left join leaves their group-min null — force null-keyed rows to
+    // be their own survivors, same contract as before.
     val anyNullKey = keys.map(_.isNull).reduce(_ || _)
-    val tagged = table.withColumn("__survivor",
-      when(anyNullKey, col(pk)).otherwise(min(col(pk)).over(wKey)))
+    val mins = table.groupBy(keys: _*).agg(min(col(pk)).as("__gmin"))
+    val tagged = table.join(mins, keyNames, "left")
+      .withColumn("__survivor",
+        when(anyNullKey, col(pk)).otherwise(col("__gmin")))
+      .drop("__gmin")
     // null pks never participate in matching (join semantics); keep
     // them as survivors rather than letting null comparisons drop them
     val dupes0 = tagged.filter(
@@ -87,11 +95,16 @@ object Deduper {
     val survivors = tagged.filter(
       col(pk).isNull || col(pk) === col("__survivor"))
       .drop("__survivor")
-    // fold the min-pk duplicate into each survivor (M1 routing)
-    val wSurv = Window.partitionBy(col("__survivor")).orderBy(col(pk).asc)
+    // fold the min-pk duplicate into each survivor (M1 routing) —
+    // min_by aggregate for the same hot-key reason as above (and as
+    // Merger.bestPerTarget); pk is unique so the winner is well-defined
+    val dupeCols = dupes0.columns.filter(_ != "__survivor")
     val best = dupes0
-      .withColumn("__rn", row_number().over(wSurv))
-      .filter(col("__rn") === 1).drop("__rn")
+      .groupBy(col("__survivor"))
+      .agg(min_by(struct(dupeCols.map(col).toIndexedSeq: _*),
+        col(pk)).as("__bd"))
+      .select(col("__survivor") +:
+        dupeCols.map(c => col(s"__bd.$c").as(c)).toIndexedSeq: _*)
     val joined = survivors.as("t").join(best.as("s"),
       col(s"t.$pk") === col("s.__survivor"), "left")
     val hit = col("s.__survivor").isNotNull
@@ -152,11 +165,16 @@ object Deduper {
     val survivors = table.join(
       dupes.select(col(pk)).distinct(), Seq(pk), "left_anti")
 
-    // fold duplicate values into survivors (M1 routing, dupes as source)
-    val wTgt = Window.partitionBy(col(TargetId)).orderBy(col(pk).asc)
+    // fold duplicate values into survivors (M1 routing, dupes as
+    // source) — min_by aggregate, not a per-survivor window (hot-key
+    // funnel; see dedupFast / Merger.bestPerTarget)
+    val dupeCols = dupes.columns.filter(_ != TargetId)
     val bestPerSurvivor = dupes
-      .withColumn("__rn", row_number().over(wTgt))
-      .filter(col("__rn") === 1).drop("__rn")
+      .groupBy(col(TargetId))
+      .agg(min_by(struct(dupeCols.map(col).toIndexedSeq: _*),
+        col(pk)).as("__bd"))
+      .select(col(TargetId) +:
+        dupeCols.map(c => col(s"__bd.$c").as(c)).toIndexedSeq: _*)
 
     val corr = survivors.columns.toSeq
       .filterNot(spec.excludedColumns.contains)

@@ -235,6 +235,11 @@ object Fuzzy {
    * thresholded) skip the loop: one sorted collect and a linear scan on
    * the driver compute the same matching in one job.
    */
+  /** Diagnostic mirror of [[Clusters.lastFinishMode]]: "driver-scan" or
+    * "distributed-rounds" for the last greedyAssign on this JVM. */
+  private[graft] val lastAssignMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   def greedyAssign(pairs: DataFrame, sourceId: String, targetId: String,
                    maxRounds: Int = 200,
                    driverLimit: Long = DefaultDriverAssignLimit): DataFrame = {
@@ -243,7 +248,10 @@ object Fuzzy {
     // cannot grow an unbounded lineage) and materializes the pair set
     // once so the count probe and the rounds re-scan, not recompute.
     var remaining = pairs.localCheckpoint()
-    if (remaining.count() <= driverLimit) {
+    val nPairs = remaining.count()
+    lastAssignMode.set(
+      if (nPairs <= driverLimit) "driver-scan" else "distributed-rounds")
+    if (nPairs <= driverLimit) {
       val ordered = remaining
         .orderBy(col("distance").asc, col(sourceId).asc, col(targetId).asc)
         .collect()

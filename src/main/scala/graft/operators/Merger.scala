@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.types.Template
@@ -170,14 +169,21 @@ object Merger {
       if (spec.insertOnly) target
       else {
         // one source row per target: deterministic min working_source_id
-        // (Postgres UPDATE..FROM picks an arbitrary one; SURVEY §7.4)
-        val wTgt = Window.partitionBy(col(TargetId))
-          .orderBy(col(SourceId).asc)
-        val bestPerTarget = matched
-          .filter(col(TargetId).isNotNull)
-          .withColumn("__rn", row_number().over(wTgt))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
+        // (Postgres UPDATE..FROM picks an arbitrary one; SURVEY §7.4).
+        // min_by AGGREGATE, not a per-target window: an aggregate gets
+        // map-side partial combine, so a hot target key (millions of
+        // source rows matching one target) reduces in parallel instead
+        // of funneling its whole window partition through one task.
+        // Same result: SourceId is the unique working-source id, so the
+        // (min SourceId)-row per target is well-defined either way.
+        val hitRows = matched.filter(col(TargetId).isNotNull)
+        val restCols = hitRows.columns.filter(_ != TargetId)
+        val bestPerTarget = hitRows
+          .groupBy(col(TargetId))
+          .agg(min_by(struct(restCols.map(col).toIndexedSeq: _*),
+            col(SourceId)).as("__best"))
+          .select(col(TargetId) +:
+            restCols.map(c => col(s"__best.$c").as(c)).toIndexedSeq: _*)
         val joined = target.as("t").join(
           bestPerTarget.as("s"),
           col(s"t.$pk") === col(s"s.$TargetId"),

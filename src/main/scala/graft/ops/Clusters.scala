@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
  */
 object Clusters {
 
+  /** Diagnostic: how the LAST connectedComponents call on this JVM
+    * finished — "star-fixpoint" (fully distributed) or
+    * "driver-union-find" (budget-gated driver finish). For stress/spec
+    * assertions that the intended path engaged; not part of the API. */
+  private[graft] val lastFinishMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** (id, cluster_id) for EVERY node appearing in `pairs` (self-loop
     * pairs included: a node whose only edges are `(x, x)` is its own
     * singleton cluster), where cluster_id = min node id of the
@@ -118,13 +125,16 @@ object Clusters {
     require(converged || sig._1 <= driverFinishLimit,
       s"connectedComponents did not converge in $maxRounds rounds")
     val assigned =
-      if (converged)
+      if (converged) {
         // At the star fixpoint every component is {(root, child)…} with
         // root = component min; per-node min over the symmetrized edges
         // is therefore the root (roots map to themselves via least).
+        lastFinishMode.set("star-fixpoint")
         nodeMins(symmetrize(edges)).select(col("u"), col("m"))
-      else
+      } else {
+        lastFinishMode.set("driver-union-find")
         driverUnionFind(spark, edges)
+      }
     assigned.select(col("u"), col("m"))
   }
 

@@ -1,0 +1,216 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ExactGroup, Fuzzy, MatchSpec, MergeSpec, Merger}
+import graft.ops.Clusters
+
+/**
+ * Scale-stress of the driver budgets and skew behavior at ~10× the
+ * sf0.1 driver-bench volume. Three scenarios, each with a hard
+ * assertion (nonzero exit on violation):
+ *
+ *  1. Fuzzy.greedyAssign over a pair set far above
+ *     DefaultDriverAssignLimit: the distributed-rounds fallback must
+ *     engage and must compute the same greedy matching the driver-scan
+ *     path computes (unique distances ⇒ the matchings are identical).
+ *  2. Clusters.connectedComponents over an edge set far above
+ *     driverFinishLimit: star rounds must run (budget blocks the
+ *     driver finish), the budget-gated driver union-find must engage
+ *     when the contracted set fits, and both finishes must agree with
+ *     the fully distributed (limit=0) answer.
+ *  3. Merger.merge with a pathological hot key (half of a 10×-events
+ *     source matching ONE target row): the pipeline must complete with
+ *     no stage funneling into a single task (no task reads more than
+ *     MaxTaskShare of its stage's shuffle records).
+ *
+ * A task-level listener enforces the no-funnel property for EVERY
+ * scenario, not just the merge.
+ */
+object Stress {
+
+  private val MaxTaskShare = 0.5
+  private val MinStageRecords = 1000000L
+
+  /** per-stage (records per task) collected by the listener */
+  private val stageTasks =
+    new ConcurrentHashMap[Int, java.util.List[Long]]()
+
+  private final class FunnelListener extends SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        val recs = m.shuffleReadMetrics.recordsRead
+        stageTasks
+          .computeIfAbsent(t.stageId, _ =>
+            java.util.Collections.synchronizedList(
+              new java.util.ArrayList[Long]()))
+          .add(recs)
+      }
+    }
+  }
+
+  private def assertNoFunnel(tag: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    var checked = 0
+    stageTasks.asScala.foreach { case (stageId, recs) =>
+      val rs = recs.asScala.map(_.longValue()).toSeq
+      val total = rs.sum
+      if (total >= MinStageRecords && rs.size > 1) {
+        checked += 1
+        val maxShare = rs.max.toDouble / total
+        assert(maxShare <= MaxTaskShare,
+          f"[$tag] stage $stageId funnels: max task reads ${rs.max}%,d of " +
+            f"$total%,d shuffle records (${maxShare * 100}%.1f%%)")
+      }
+    }
+    println(f"[stress] $tag%-18s no-funnel OK ($checked large stages checked)")
+    stageTasks.clear()
+  }
+
+  private def tme[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[stress] $tag%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  /** order-independent content signature of a 2-col long frame
+    * (hash sum through decimal — a long sum of full-range xxhash64
+    * values overflows under ANSI) */
+  private def sig2(df: DataFrame, a: String, b: String): (Long, String) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(col(a), col(b)).cast("decimal(38,0)"))).collect()(0)
+    (r.getLong(0), String.valueOf(r.get(1)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as long like
+      // SparkEntry.t does (we don't touch the ts column here)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("STRESS_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new FunnelListener)
+    import spark.implicits._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // ---- 1. greedyAssign above the driver budget ----------------------
+    // 2.5M pairs (2.5× the 1M default limit), unique synthetic distances
+    val nPairs = 2500000L
+    val pairs = spark.range(nPairs).select(
+      (col("id") % 900000L).as("sid"),
+      ((col("id") * 7L) % 800000L).as("tid"),
+      ((col("id") * 2654435761L % 1000003L).cast("double") / 1000003.0 +
+        col("id").cast("double") / 1e18).as("distance"))
+    val distributed = tme("greedyAssign distributed (2.5M pairs)") {
+      val out = Fuzzy.greedyAssign(pairs, "sid", "tid")
+      val s = sig2(out, "sid", "tid")
+      assert(Fuzzy.lastAssignMode.get() == "distributed-rounds",
+        s"expected distributed fallback, got ${Fuzzy.lastAssignMode.get()}")
+      s
+    }
+    assertNoFunnel("greedyAssign")
+    val driverScan = tme("greedyAssign driver-scan (same pairs)") {
+      val out = Fuzzy.greedyAssign(pairs, "sid", "tid",
+        driverLimit = Long.MaxValue)
+      val s = sig2(out, "sid", "tid")
+      assert(Fuzzy.lastAssignMode.get() == "driver-scan")
+      s
+    }
+    stageTasks.clear() // driver path collects by design; not under test
+    assert(distributed == driverScan,
+      s"greedy matchings diverge: $distributed vs $driverScan")
+    println(s"[stress] greedyAssign agree: ${distributed._1} matches, sig ok")
+
+    // ---- 2. connectedComponents above driverFinishLimit ---------------
+    // 4M edges over 3M nodes: giant component + fringe. Star rounds must
+    // contract before any driver collect.
+    val edges = spark.range(4000000L).select(
+      ((col("id") * 48271L) % 3000000L).as("id_a"),
+      ((col("id") * 16807L + 1L) % 3000000L).as("id_b"))
+      .localCheckpoint()
+    val adaptive = tme("connectedComponents adaptive (4M edges)") {
+      val out = Clusters.connectedComponents(edges, "id_a", "id_b")
+      val s = sig2(out, "id", "cluster_id")
+      println(s"[stress]   finish mode: ${Clusters.lastFinishMode.get()}")
+      s
+    }
+    assertNoFunnel("cc-adaptive")
+    val fullyDistributed = tme("connectedComponents limit=0 (4M edges)") {
+      val out = Clusters.connectedComponents(edges, "id_a", "id_b",
+        driverFinishLimit = 0L)
+      val s = sig2(out, "id", "cluster_id")
+      assert(Clusters.lastFinishMode.get() == "star-fixpoint",
+        s"limit=0 must finish distributed, got ${Clusters.lastFinishMode.get()}")
+      s
+    }
+    assertNoFunnel("cc-distributed")
+    assert(adaptive == fullyDistributed,
+      s"CC answers diverge: $adaptive vs $fullyDistributed")
+    println(s"[stress] CC agree: ${adaptive._1} nodes assigned, sig ok")
+    // and the budget gate itself: a small contracted set must take the
+    // driver finish (engagement of the OTHER branch)
+    val smallEdges = spark.range(500000L).select(
+      (col("id") % 400000L).as("id_a"), ((col("id") * 31L) % 400000L).as("id_b"))
+    tme("connectedComponents driver finish (500k edges)") {
+      Clusters.connectedComponents(smallEdges, "id_a", "id_b")
+        .write.format("noop").mode("overwrite").save()
+      assert(Clusters.lastFinishMode.get() == "driver-union-find",
+        s"expected driver finish under budget, got ${Clusters.lastFinishMode.get()}")
+    }
+    stageTasks.clear()
+
+    // ---- 3. merge with a skewed hot key at 10× sf0.1 -------------------
+    // 10×-replicated events, half the rows remapped onto ONE user id
+    // that matches a single target row: the match join AND the
+    // best-per-target reduction both see the hot key.
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val tenX = (0 until 10).map(i =>
+      events.select(
+        (col("event_id") * 10 + i).as("event_id"),
+        col("user_id"), col("value")))
+      .reduce(_ unionByName _)
+    val skewed = tenX.select(
+      col("event_id"),
+      when(col("event_id") % 2 === 0, lit(7L))
+        .otherwise(col("user_id")).as("user_id"),
+      col("value"))
+    val nSrc = skewed.count()
+    println(f"[stress] skewed source rows: $nSrc%,d (half on user_id=7)")
+    val source = skewed
+      .select(
+        col("user_id").as("c_custkey"),
+        concat(lit("User#"), col("event_id").cast("string")).as("c_name"),
+        lit(1).as("c_nationkey"),
+        col("value").cast("double").as("c_acctbal"),
+        lit("HOT").as("c_mktsegment"),
+        col("event_id").as("working_source_id"))
+    val target = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 100)
+    val spec = MergeSpec(
+      matchSpec = MatchSpec(
+        groups = Seq(ExactGroup.onColumns("c_custkey")),
+        targetPk = "c_custkey"),
+      mergeExpressions = Map("c_acctbal" -> "$T + $S"))
+    tme(f"merge hot-key upsert ($nSrc%,d src rows)") {
+      val res = Merger.merge(source, target, spec)
+      res.newTarget.write.format("noop").mode("overwrite").save()
+      res.unpersist()
+    }
+    assertNoFunnel("merge-hot-key")
+
+    println("[stress] ALL OK")
+    spark.stop()
+  }
+}
