@@ -781,6 +781,21 @@ object SparkEntry {
           element_at(col("feature"), 2).as("f2"),
           element_at(col("feature"), 3).as("f3"),
           element_at(col("feature"), 4).as("f4"))
+    }),
+
+    // multimodal REAL decode round 2: zlib-compressed grayscale PNG
+    // (inflate + all-filter scanline reconstruction) and STEREO PCM WAV
+    // (multi-channel RIFF leg) — synthesized with closed-form features
+    // so the oracle checks the inflate→un-filter→mean pipeline exactly
+    "q_multimodal_png" -> ((s, dir) => {
+      val media = Multimodal.synthesizePngWav(
+        t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeMedia(media, "doc_id")
+        .select(col("doc_id"), col("media_type"),
+          element_at(col("feature"), 1).as("f1"),
+          element_at(col("feature"), 2).as("f2"),
+          element_at(col("feature"), 3).as("f3"),
+          element_at(col("feature"), 4).as("f4"))
     })
   )
 
@@ -1521,7 +1536,30 @@ object SparkEntry {
         |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
         | md5(text) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // PNG pixel (x,y) = id%200 + x + y ⇒ mean = base + (w−1)/2 + (h−1)/2,
+    // a multiple of 0.25 → the one double division on each side is exact.
+    // Stereo WAV frame sum = 3·(id%100) over 120 frames / 240 samples
+    // ⇒ mean = 1.5·(id%100), also exact.
+    "q_multimodal_png" ->
+      """WITH p AS (
+        | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+        |   AS media_type,
+        | CASE WHEN doc_id % 2 = 0 THEN CAST(w AS DOUBLE)
+        |      ELSE CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) END AS f1,
+        | CASE WHEN doc_id % 2 = 0 THEN CAST(h AS DOUBLE)
+        |      ELSE 2.0 END AS f2,
+        | CASE WHEN doc_id % 2 = 0 THEN 8.0
+        |      ELSE 120.0 END AS f3,
+        | CASE WHEN doc_id % 2 = 0 THEN
+        |   CAST(w*h*(doc_id % 200) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
+        |        AS DOUBLE) / (w*h)
+        | ELSE CAST(360 * (doc_id % 100) AS DOUBLE) / 240 END AS f4
+        |FROM p""".stripMargin
   )
 
   /** q_text_profile oracle — mirrors TextAnalysis.profile expression by

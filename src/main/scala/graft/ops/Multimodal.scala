@@ -230,6 +230,172 @@ object Multimodal {
       sum.toDouble / (nSamples.toLong * channels)))
   }
 
+  /** Format-valid PCM16 STEREO WAV (blockAlign 4), 120 frames with
+    * ch0 = id%100 + i%40 and ch1 = 2·(id%100) − i%40, so the
+    * interleaved mean is exactly 1.5·(id%100) — exercises the
+    * multi-channel leg of [[decodeWav]] with a closed-form oracle. */
+  def wavStereoBytes(id: Long): Array[Byte] = {
+    val frames = 120
+    val sampleRate = 8000 + (id % 4).toInt * 4000
+    val dataLen = frames * 2 * 2
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(sampleRate).putInt(sampleRate * 4)
+      .putShort(4).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val base = (id % 100).toInt
+    var i = 0
+    while (i < frames) {
+      b.putShort((base + i % 40).toShort)
+      b.putShort((2 * base - i % 40).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Format-valid 8-bit grayscale PNG (signature + IHDR + one IDAT +
+    * IEND, real CRC32s, zlib-deflated filter-0 scanlines), pixel
+    * (x, y) = id%200 + x + y like [[bmpBytes]] — so the mean has the
+    * same closed form and the full inflate→un-filter decode path is
+    * oracle-checkable. JDK zlib only; no codec library. */
+  def pngBytes(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 5).toInt
+    val base = (id % 200).toInt
+    val raw = new Array[Byte]((1 + w) * h)
+    var y = 0
+    var p = 0
+    while (y < h) {
+      raw(p) = 0 // filter type 0 (None) per scanline
+      p += 1
+      var x = 0
+      while (x < w) { raw(p) = (base + x + y).toByte; p += 1; x += 1 }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    var n = 0
+    while (!deflater.finished())
+      n += deflater.deflate(buf, n, buf.length - n)
+    deflater.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + data.length) // PNG is big-endian
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type 0 = grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no interlace
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse an 8-bit grayscale non-interlaced PNG for REAL: walk the
+    * chunk list, concatenate IDAT, inflate with JDK zlib, reconstruct
+    * scanlines through all five PNG filter types. Returns
+    * [width, height, bitDepth, mean pixel]; None when the bytes aren't
+    * a PNG this decoder supports. */
+  def decodePng(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null || bytes.length < 45) return None
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (!sig.indices.forall(i => (bytes(i) & 0xFF) == (sig(i) & 0xFF)))
+      return None
+    val b = ByteBuffer.wrap(bytes) // big-endian by default
+    var pos = 8
+    var w = 0; var h = 0; var depth = 0; var colorType = -1
+    var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && pos + 12 <= bytes.length) {
+      val len = b.getInt(pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" if len == 13 =>
+          w = b.getInt(pos + 8); h = b.getInt(pos + 12)
+          depth = bytes(pos + 16) & 0xFF
+          colorType = bytes(pos + 17) & 0xFF
+          interlace = bytes(pos + 20) & 0xFF
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => ended = true
+        case _      => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    if (!ended || w <= 0 || h <= 0 || depth != 8 || colorType != 0 ||
+      interlace != 0) return None
+    val raw = new Array[Byte]((1 + w) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var n = 0
+      while (n < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, n, raw.length - n)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        n += k
+      }
+      if (n < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // scanline reconstruction, bpp = 1 byte (grayscale 8-bit)
+    val img = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xFF
+      if (ft > 4) return None
+      var x = 0
+      while (x < w) {
+        val cur = raw(y * (w + 1) + 1 + x) & 0xFF
+        val a = if (x > 0) img(y * w + x - 1) else 0
+        val up = if (y > 0) img((y - 1) * w + x) else 0
+        val c = if (x > 0 && y > 0) img((y - 1) * w + x - 1) else 0
+        img(y * w + x) = ft match {
+          case 0 => cur
+          case 1 => (cur + a) & 0xFF
+          case 2 => (cur + up) & 0xFF
+          case 3 => (cur + (a + up) / 2) & 0xFF
+          case _ => // 4 = Paeth
+            val p0 = a + up - c
+            val pa = math.abs(p0 - a)
+            val pb = math.abs(p0 - up)
+            val pc = math.abs(p0 - c)
+            val pred = if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) up else c
+            (cur + pred) & 0xFF
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var sum = 0L
+    var i = 0
+    while (i < img.length) { sum += img(i); i += 1 }
+    Some(Array(w.toDouble, h.toDouble, depth.toDouble,
+      sum.toDouble / (w.toLong * h)))
+  }
+
+  /** Real-payload synthesis over the PNG/stereo-WAV pair: PNG for even
+    * ids, stereo PCM WAV for odd — the payload column shape
+    * [[decodeMedia]] consumes. */
+  def synthesizePngWav(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) =>
+      if (id % 2 == 0) pngBytes(id) else wavStereoBytes(id))
+    df.select(col(idCol), gen(col(idCol)).as("payload"))
+  }
+
   /** Attach REAL format-valid media payloads: BMP for id%3=0, WAV for
     * id%3=1, an opaque (stub-decoded) payload for id%3=2 — same
     * metadata struct contract as [[attachPayload]]. */
@@ -251,10 +417,12 @@ object Multimodal {
   }
 
   /**
-   * REAL batched decode: sniff magic bytes per payload and parse — BMP
-   * and PCM WAV genuinely (headers, stride, chunk walk), everything
-   * else through the documented [[stubDecode]] fallback. Same narrow
-   * mapPartitions batch shape as [[decodeFeatures]].
+   * REAL batched decode: sniff magic bytes per payload and parse — BMP,
+   * PCM WAV (mono or multi-channel) and 8-bit grayscale PNG genuinely
+   * (headers, stride, RIFF chunk walk, zlib inflate + filter
+   * reconstruction), everything else through the documented
+   * [[stubDecode]] fallback. Same narrow mapPartitions batch shape as
+   * [[decodeFeatures]].
    */
   def decodeMedia(withPayload: DataFrame, idCol: String,
                   batchSize: Int = 64): DataFrame = {
@@ -268,6 +436,7 @@ object Multimodal {
           val (mt, feats) = decodeBmp(payload)
             .map(("image/bmp", _))
             .orElse(decodeWav(payload).map(("audio/wav", _)))
+            .orElse(decodePng(payload).map(("image/png", _)))
             .getOrElse(("application/octet-stream", stubDecode(payload)))
           Row(r.getLong(idIdx), mt,
             if (payload == null) 0L else payload.length.toLong, feats.toSeq)

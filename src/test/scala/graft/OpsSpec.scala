@@ -228,6 +228,76 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeWav("RIFFxxxxWAVEtrunc".getBytes).isEmpty)
   }
 
+  test("PNG decode round-trips zlib-compressed payloads; stereo WAV leg") {
+    (0L to 40L).foreach { id =>
+      val f = Multimodal.decodePng(Multimodal.pngBytes(id))
+        .getOrElse(fail(s"png $id did not decode"))
+      val w = 8 + (id % 8).toDouble
+      val h = 8 + (id % 5).toDouble
+      assert(f(0) == w && f(1) == h && f(2) == 8.0)
+      val want = ((id % 200) * w * h + h * (w * (w - 1) / 2) +
+        w * (h * (h - 1) / 2)) / (w * h)
+      assert(f(3) == want, s"png $id mean") // exact: mean is a x.25 multiple
+      val wv = Multimodal.decodeWav(Multimodal.wavStereoBytes(id))
+        .getOrElse(fail(s"stereo wav $id did not decode"))
+      assert(wv(0) == 8000 + (id % 4) * 4000.0 && wv(1) == 2.0 &&
+        wv(2) == 120.0)
+      assert(wv(3) == 1.5 * (id % 100), s"wav $id interleaved mean")
+    }
+    assert(Multimodal.decodePng("PNGgarbage".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("PNG scanline reconstruction handles all five filter types") {
+    import java.nio.ByteBuffer
+    // known 5x5 image, row y encoded with filter type y (0..4)
+    val w = 5; val h = 5
+    val img = Array.tabulate(h, w)((y, x) => (x * 40 + y * 23) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw.write(ft)
+      for (x <- 0 until w) {
+        val cur = img(y)(x)
+        val a = if (x > 0) img(y)(x - 1) else 0
+        val up = if (y > 0) img(y - 1)(x) else 0
+        val c = if (x > 0 && y > 0) img(y - 1)(x - 1) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw.write((cur - pred) & 0xFF)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val buf = new Array[Byte](256); var n = 0
+    while (!defl.finished()) n += defl.deflate(buf, n, buf.length - n)
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", java.util.Arrays.copyOf(buf, n)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val f = Multimodal.decodePng(png).getOrElse(fail("filtered png"))
+    val wantMean = img.flatten.map(_.toLong).sum.toDouble / (w * h)
+    assert(f(0) == 5.0 && f(1) == 5.0 && f(2) == 8.0 && f(3) == wantMean)
+  }
+
   test("cosine near-dup: LSH path finds planted near-duplicates") {
     // plant true near-dups (the synthetic corpus has none: max pairwise
     // cosine ~0.51, below the regime sign-LSH is designed for)
