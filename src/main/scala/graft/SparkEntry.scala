@@ -532,6 +532,17 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // full BPE trainer (q_bpe_pairs is its first iteration): one
+    // corpus-scale word-count aggregate, then the driver merge loop on
+    // the bounded word-frequency table. Deterministic merge list; no
+    // SQL oracle (iterative vocabulary state) → rows-only gate, with
+    // OpsSpec asserting exact parity against a hand-computed reference
+    "q_bpe_train" -> ((s, dir) => {
+      val merges = TextAnalysis.trainBpeMerges(
+        t(s, dir, "documents"), "text", nMerges = 40)
+      TextAnalysis.bpeMergesDf(s, merges)
+    }),
+
     // deterministic global shuffle: dense 0-based training positions
     // in md5(id+salt) order, distributed rank (no global window)
     "q_shuffle" -> ((s, dir) =>

@@ -338,6 +338,121 @@ object TextAnalysis {
   }
 
   /**
+   * BPE trainer — the full iterative merge loop (`q_bpe_pairs` is only
+   * its first iteration's statistics). Spark-first split of work, the
+   * same decomposition HF/SentencePiece trainers use:
+   *
+   *   - the CORPUS-scale job is ONE word-count aggregate (shuffle on
+   *     word, map-side combined), truncated to the top `vocabLimit`
+   *     word forms by (count desc, word asc) — `orderBy().limit()`
+   *     folds to TakeOrderedAndProject, a per-partition top-k + merge,
+   *     not a global sort;
+   *   - the merge LOOP runs on the driver over that bounded
+   *     word-frequency table (the greedyAssign budget pattern): each
+   *     iteration costs O(table symbols), independent of corpus size.
+   *     A 100 TB corpus pays one aggregate, then the loop is constant.
+   *
+   * Deterministic end to end: the word table has a total order and the
+   * winning pair each round is max by (count, then lexicographically
+   * smallest (left, right)). Merging is leftmost-first within a word
+   * ("aaa" under (a,a) → [aa, a]). Returns (rank, left, right, freq)
+   * per learned merge; stops early when no adjacent pair remains.
+   */
+  def trainBpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+                     vocabLimit: Int = 65536): Array[(Int, String, String, Long)] = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(vocabLimit)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val syms = words.map { case (w, n) =>
+      (scala.collection.mutable.ArrayBuffer.from(w.map(_.toString)), n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (s, n) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bl: String = null
+        var br: String = null
+        var bc = -1L
+        counts.foreach { case ((l, r), c) =>
+          if (c > bc || (c == bc &&
+            (l < bl || (l == bl && r < br)))) { bc = c; bl = l; br = r }
+        }
+        out += ((rank, bl, br, bc))
+        val merged = bl + br
+        syms.foreach { case (s, _) =>
+          var i = 0
+          while (i < s.length - 1) {
+            if (s(i) == bl && s(i + 1) == br) { s(i) = merged; s.remove(i + 1) }
+            else i += 1
+          }
+        }
+        rank += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** The learned merges as a relation (rank, left, right, freq). */
+  def bpeMergesDf(spark: org.apache.spark.sql.SparkSession,
+                  merges: Array[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
+  /** Encode one word with learned merges: repeatedly contract the
+    * LOWEST-rank adjacent pair (the standard GPT-2-style BPE apply;
+    * ranks are unique so there are no ties). Driver/executor-side
+    * kernel for [[applyBpe]]. */
+  def bpeEncodeWord(word: String,
+                    ranks: collection.Map[(String, String), Int]): Seq[String] = {
+    val s = scala.collection.mutable.ArrayBuffer.from(word.map(_.toString))
+    var go = s.length > 1
+    while (go) {
+      var bi = -1
+      var bRank = Int.MaxValue
+      var i = 0
+      while (i < s.length - 1) {
+        val r = ranks.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+        if (r < bRank) { bRank = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) go = false
+      else { s(bi) = s(bi) + s(bi + 1); s.remove(bi + 1) }
+    }
+    s.toSeq
+  }
+
+  /**
+   * Tokenize the corpus with learned merges: (id, pos, subtokens) per
+   * word. The merge table broadcasts (it is vocab-sized); the corpus
+   * pass is a narrow per-word kernel — no shuffle.
+   */
+  def applyBpe(df: DataFrame, idCol: String, textCol: String,
+               merges: Array[(Int, String, String, Long)]): DataFrame = {
+    val rankMap = merges.map { case (r, l, rt, _) => (l, rt) -> r }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(rankMap)
+    val enc = udf((w: String) => bpeEncodeWord(w, bc.value))
+    df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col(idCol), col("pos"), enc(col("w")).as("subtokens"))
+  }
+
+  /**
    * Top-k TF-IDF terms per document — the keyword/salience pass of a
    * corpus profile. Plain counts + one double expression, so it is
    * oracle-exact: score = CAST(tf AS DOUBLE) * n_docs / df (raw

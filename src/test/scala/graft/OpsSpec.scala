@@ -514,6 +514,41 @@ class OpsSpec extends SparkSpec {
     assert(runs.head == Set((0L, 1L, 1), (0L, 2L, 2)))
   }
 
+  test("BPE trainer learns the classic merge sequence; encoder round-trips") {
+    // the canonical BPE example: {low×5, lower×2, newest×6, widest×3}
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", nMerges = 4)
+    // hand-computed: es(9) → est(9) → lo(7, beats "we"=6/"st"=0 after est;
+    // tie candidates counted over {l o w ×7, n e w est ×6, w i d est ×3})
+    // round 1 pair counts: es=9, st=9, we=8(lower 2 + newest 6), lo=7...
+    // max=9 tie (es, st) → lexicographically smaller "es" wins
+    assert(merges(0)._2 == "e" && merges(0)._3 == "s" && merges(0)._4 == 9L)
+    assert(merges(1)._2 == "es" && merges(1)._3 == "t" && merges(1)._4 == 9L)
+    assert(merges(2)._2 == "l" && merges(2)._3 == "o" && merges(2)._4 == 7L)
+    assert(merges(3)._2 == "lo" && merges(3)._3 == "w" && merges(3)._4 == 7L)
+    // encoder: subtokens concatenate back to the word; learned units appear
+    val enc = TextAnalysis.applyBpe(df, "doc_id", "text", merges)
+      .select("doc_id", "subtokens").as[(Long, Seq[String])].collect()
+    enc.foreach { case (id, toks) =>
+      assert(toks.mkString == corpus(id.toInt), s"doc $id reassembly")
+    }
+    val newestToks = enc.find(e => corpus(e._1.toInt) == "newest").get._2
+    assert(newestToks == Seq("n", "e", "w", "est"))
+    assert(enc.find(e => corpus(e._1.toInt) == "low").get._2 == Seq("low"))
+    // more merges never increase a word's token count
+    val fewer = TextAnalysis.applyBpe(df, "doc_id", "text", merges.take(2))
+      .select("doc_id", "subtokens").as[(Long, Seq[String])].collect()
+      .map(e => e._1 -> e._2.length).toMap
+    enc.foreach { case (id, toks) => assert(toks.length <= fewer(id)) }
+    // determinism across runs on the real corpus slice
+    val m1 = TextAnalysis.trainBpeMerges(docs.limit(200), "text", 15)
+    val m2 = TextAnalysis.trainBpeMerges(docs.limit(200), "text", 15)
+    assert(m1.toSeq == m2.toSeq && m1.length == 15)
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
