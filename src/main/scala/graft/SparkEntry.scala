@@ -361,6 +361,28 @@ object SparkEntry {
           (col("u.url") =!= "").as("has_url"))
     }),
 
+    // per-domain corpus stats — the domain-level quality/filtering view
+    // a pretraining pipeline curates by (count, summed quality, token
+    // mass per registered domain). Composes urlParts + qualityScore;
+    // quality sums go through DECIMAL(12,4) so the aggregate is
+    // order-free exact and the final double cast matches DuckDB
+    "q_domain_stats" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see https://sub"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example-site.org/p/"), col("doc_id").cast("string"),
+          lit(" end"))).otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(
+          TextAnalysis.urlParts(planted).getField("domain").as("domain"),
+          TextAnalysis.qualityScore(planted).as("q"),
+          TextAnalysis.tokenCount(planted).cast("long").as("nt"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q").cast("decimal(12,4)")).cast("double").as("sum_quality"),
+          sum(col("nt")).as("n_toks"))
+    }),
+
     // deterministic stratified hash sampling: source 'src0' at 1/2,
     // everything else at 1/4 — membership is a pure function of the
     // id (reproducible subsets at 100 TB: no RNG, no seed plumbing)
@@ -1483,6 +1505,8 @@ object SparkEntry {
 
     "q_text_profile" -> textProfileOracle,
 
+    "q_domain_stats" -> domainStatsOracle,
+
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
         | count(*) AS count
@@ -1572,6 +1596,50 @@ object SparkEntry {
         | ELSE CAST(360 * (doc_id % 100) AS DOUBLE) / 240 END AS f4
         |FROM p""".stripMargin
   )
+
+  /** q_domain_stats oracle — the quality sub-scores mirror
+    * textProfileOracle's proven-exact forms; sums ride DECIMAL(12,4)
+    * (order-free exact) and the hugeint count-sum casts to BIGINT. */
+  private def domainStatsOracle: String = {
+    val stops = graft.ops.TextAnalysis.StopwordLists.head._2
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH p AS (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN
+       |   text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+       |        || '.example-site.org/p/' || CAST(doc_id AS VARCHAR) || ' end'
+       |  ELSE text END AS t
+       | FROM documents),
+       |f AS (
+       | SELECT doc_id,
+       |  regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+       |  regexp_split_to_array(lower(trim(t)), '\\s+') AS toks,
+       |  CASE WHEN t IS NULL OR trim(t) = '' THEN 0
+       |       ELSE len(regexp_split_to_array(lower(trim(t)), '\\s+')) END AS n_toks,
+       |  length(t) - length(regexp_replace(t, '[.,!?;:()"'']', '', 'g')) AS n_punct,
+       |  length(t) AS n_chars,
+       |  length(regexp_replace(trim(t), '\\s+', '', 'g')) AS n_nospace
+       | FROM p),
+       |q AS (
+       | SELECT doc_id, domain, n_toks,
+       |  least(CAST(n_toks AS DOUBLE) / 20.0, 1.0) AS len_score,
+       |  CASE WHEN (CASE WHEN n_toks > 0
+       |              THEN CAST(n_nospace AS DOUBLE) / n_toks ELSE 0.0 END)
+       |            BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END AS shape_score,
+       |  1.0 - least((CASE WHEN n_chars > 0
+       |               THEN CAST(n_punct AS DOUBLE) / n_chars
+       |               ELSE 0.0 END) * 4.0, 1.0) AS punct_score,
+       |  CASE WHEN CAST(len(list_filter(toks, x -> list_contains([$stops], x)))
+       |            AS DOUBLE) / greatest(CAST(n_toks AS DOUBLE), 1.0) >= 0.01
+       |       THEN 1.0 ELSE 0.5 END AS stop_score
+       | FROM f)
+       |SELECT domain, count(*) AS n_docs,
+       | CAST(sum(CAST(round(len_score * 0.4 + shape_score * 0.2
+       |       + punct_score * 0.2 + stop_score * 0.2, 4) AS DECIMAL(12,4)))
+       |      AS DOUBLE) AS sum_quality,
+       | CAST(sum(n_toks) AS BIGINT) AS n_toks
+       |FROM q GROUP BY domain""".stripMargin
+  }
 
   /** q_text_profile oracle — mirrors TextAnalysis.profile expression by
     * expression (same normalization, same fold order, same rounding). */
