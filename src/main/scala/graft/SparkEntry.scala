@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
-import graft.ops.{Similarity, TextAnalysis, TextDedup, Multimodal}
+import graft.ops.{Retrieval, Similarity, TextAnalysis, TextDedup, Multimodal}
 
 /**
  * Driver contract — one named query per implemented operator from
@@ -22,6 +22,12 @@ import graft.ops.{Similarity, TextAnalysis, TextDedup, Multimodal}
  *  - every top-k has a deterministic tiebreak.
  */
 object SparkEntry {
+
+  /** Search workload for the BM25 gate — shared by query and oracle. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark join merge",
+    2L -> "fast scan filter",
+    3L -> "window agg group")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
@@ -382,6 +388,20 @@ object SparkEntry {
           sum(col("q").cast("decimal(12,4)")).cast("double").as("sum_quality"),
           sum(col("nt")).as("n_toks"))
     }),
+
+    // RAG-style sliding-window chunking: 32-token windows every 24
+    // tokens — pure narrow pass (no shuffle), chunk identity a function
+    // of (doc, offset) so ids are stable at any cluster size
+    "q_chunk" -> ((s, dir) =>
+      Retrieval.chunk(t(s, dir, "documents"), "doc_id", "text", 32, 24)),
+
+    // BM25 lexical top-k: three search queries against documents; the
+    // candidate set is the inverted-index access path (explode + term
+    // filter inside the scan stage), top-k per query through
+    // TakeOrderedAndProject — no global sort, no hot-key window
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Queries, 10)),
 
     // deterministic stratified hash sampling: source 'src0' at 1/2,
     // everything else at 1/4 — membership is a pure function of the
@@ -1507,6 +1527,26 @@ object SparkEntry {
 
     "q_domain_stats" -> domainStatsOracle,
 
+    "q_chunk" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n
+        | FROM documents),
+        |e AS (
+        | SELECT doc_id, toks,
+        |  unnest(generate_series(0, n - 1, 24)) AS s
+        | FROM f WHERE n > 0)
+        |SELECT doc_id,
+        | CAST(s // 24 AS BIGINT) AS chunk_id,
+        | CAST(s AS BIGINT) AS start_tok,
+        | CAST(len(toks[s + 1 : s + 32]) AS BIGINT) AS n_chunk_toks,
+        | array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "q_bm25" -> bm25Oracle,
+
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
         | count(*) AS count
@@ -1596,6 +1636,56 @@ object SparkEntry {
         | ELSE CAST(360 * (doc_id % 100) AS DOUBLE) / 240 END AS f4
         |FROM p""".stripMargin
   )
+
+  /** q_bm25 oracle — mirrors Retrieval.bm25TopK expression for
+    * expression: same tokenization, idf rounded to 7 before the product,
+    * the product rounded to 6 and summed as DECIMAL(18,6) (order-free
+    * exact), so the only engine-specific steps are ln and round —
+    * both proven to agree at these scales by the existing rounded
+    * oracles. Constants are interpolated from the same Scala doubles
+    * the query evaluates (shortest-repr round-trip). */
+  private def bm25Oracle: String = {
+    val k1 = 1.2; val b = 0.75
+    val qt = Bm25Queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    val termSet = Bm25Queries
+      .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |       ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS dl
+       | FROM documents),
+       |stats AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       | FROM base),
+       |qt(qid, term) AS (VALUES $qt),
+       |tf AS (
+       | SELECT doc_id, dl, term, count(*) AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+       | WHERE term IN ($termSet)
+       | GROUP BY doc_id, dl, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       | SELECT q.qid, t.doc_id,
+       |  sum(CAST(round(
+       |    round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 7)
+       |    * ((t.tf * ${k1 + 1.0}) /
+       |       (t.tf + $k1 * (1.0 - $b + ($b * t.dl) / s.avgdl))), 6)
+       |   AS DECIMAL(18,6))) AS sc
+       | FROM tf t
+       | CROSS JOIN stats s
+       | JOIN dfs d ON t.term = d.term
+       | JOIN qt q ON t.term = q.term
+       | GROUP BY q.qid, t.doc_id)
+       |SELECT qid, doc_id, CAST(sc AS DOUBLE) AS score
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= 10""".stripMargin
+  }
 
   /** q_domain_stats oracle — the quality sub-scores mirror
     * textProfileOracle's proven-exact forms; sums ride DECIMAL(12,4)

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Retrieval-side operators for a training-data / RAG pipeline: sliding
+ * token-window chunking and BM25 lexical top-k search.
+ *
+ * Both are designed 100 TB-first:
+ *  - [[chunk]] is a pure narrow pass (project + explode) — zero shuffle,
+ *    chunk identity is a deterministic function of (doc, offset), so a
+ *    re-run on any cluster size produces identical chunk ids.
+ *  - [[bm25TopK]] scores ONLY documents containing at least one query
+ *    term (the candidate set after an early broadcast-filter on the
+ *    exploded token stream — the inverted-index access path expressed
+ *    declaratively), aggregates per-term partials map-side, and takes
+ *    each query's top-k through TakeOrderedAndProject (per-partition
+ *    heap + driver merge of k·P rows) — no global sort, no single-task
+ *    window funnel on a hot query id.
+ *
+ * Scoring reproducibility: BM25 needs ln(), and libm last-ulp
+ * differences across engines would break hash-exact comparison, so
+ * per-term scores are rounded (idf to 7 decimals, the term product to
+ * 6) and summed as DECIMAL(18,6) — order-free exact — before the final
+ * cast back to double. The DuckDB oracle mirrors the exact expression
+ * shape, so every IEEE operation sees identical operands in identical
+ * order.
+ */
+object Retrieval {
+
+  /**
+   * Sliding-window token chunking (the RAG ingestion shape): one output
+   * row per (document, window start), windows starting every `stride`
+   * tokens and spanning up to `chunkSize` tokens. Blank documents yield
+   * no chunks; a final partial window is emitted (standard for
+   * retrieval — the tail of the document stays indexable).
+   *
+   * Columns: idCol, chunk_id = start/stride, start_tok, n_chunk_toks,
+   * chunk_text (space-rejoined, whitespace-normalized like
+   * [[TextAnalysis.tokens]]).
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = TextAnalysis.tokenCount(col(textCol))
+    df.select(col(idCol), toks.as("_toks"), n.as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), col("_n") - 1, lit(stride))).as("_start"))
+      .select(
+        col(idCol),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        col("_start").cast("long").as("start_tok"),
+        size(slice(col("_toks"), col("_start") + 1, lit(chunkSize)))
+          .cast("long").as("n_chunk_toks"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /**
+   * BM25 top-k search of a small query set against a document corpus.
+   *
+   * `queries` is driver-local (a search workload, not data-scale) and is
+   * broadcast into the candidate filter. Uses the BM25+-style
+   * always-positive idf = ln(1 + (N - df + 0.5)/(df + 0.5)); distinct
+   * query terms (duplicate terms in a query string score once).
+   *
+   * Output: qid, doc_id (named after idCol), score (double) — the top k
+   * candidates per query by (score desc, doc_id asc).
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k > 0)
+    val spark = docs.sparkSession
+
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+
+    // corpus stats: two scalars, driver-bounded by construction
+    val Array(nDocs, sumDl) = base
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    val avgdl = sumDl / nDocs
+
+    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    val termSet = qTerms.map(_._2).distinct
+
+    // inverted-index access path: explode → keep only query terms → tf.
+    // The isin filter is evaluated inside the scan's codegen stage, so
+    // non-matching tokens never reach the shuffle.
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(termSet: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // document frequency per term — tiny (≤ |terms| rows), broadcast back
+    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    import spark.implicits._
+    val qt = qTerms.toDF("qid", "term")
+
+    val idfR = round(
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 7)
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val termScore = round(idfR * tfNorm, 6).cast("decimal(18,6)")
+
+    val scored = tf
+      .join(broadcast(dfPerTerm), "term")
+      .join(broadcast(qt), "term")
+      .select(col("qid"), col(idCol), termScore.as("_s"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("_s")).as("_score"))
+
+    // per-query top-k: each branch compiles to TakeOrderedAndProject
+    // (distributed per-partition heaps, driver merges k rows/partition) —
+    // the scalable top-k physical shape, with no hot-key window.
+    queries.map(_._1).map { qid =>
+      scored.filter(col("qid") === qid)
+        .orderBy(col("_score").desc, col(idCol).asc)
+        .limit(k)
+    }.reduce(_.unionAll(_))
+      .select(col("qid"), col(idCol), col("_score").cast("double").as("score"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ops.{Multimodal, Retrieval, Similarity, TextAnalysis, TextDedup}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -547,6 +547,57 @@ class OpsSpec extends SparkSpec {
     val m1 = TextAnalysis.trainBpeMerges(docs.limit(200), "text", 15)
     val m2 = TextAnalysis.trainBpeMerges(docs.limit(200), "text", 15)
     assert(m1.toSeq == m2.toSeq && m1.length == 15)
+  }
+
+  test("chunking covers every token with stride overlap and stable ids") {
+    val df = Seq(
+      (1L, (1 to 50).map(i => s"w$i").mkString(" ")), // 50 tokens
+      (2L, "single"),                                 // 1 token
+      (3L, "   "),                                    // blank → no chunks
+      (4L, null.asInstanceOf[String])                 // null → no chunks
+    ).toDF("doc_id", "text")
+    val out = Retrieval.chunk(df, "doc_id", "text", 8, 6)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    assert(!out.contains(3L) && !out.contains(4L))
+    assert(out(2L).map(c => (c._2, c._3, c._4, c._5)).toSeq ==
+      Seq((0L, 0L, 1L, "single")))
+    val c1 = out(1L).sortBy(_._2)
+    // starts at every multiple of 6 below 50
+    assert(c1.map(_._3).toSeq == (0L until 50L by 6L).toSeq)
+    // all full except the tail; windows overlap by chunkSize - stride
+    assert(c1.init.forall(_._4 == 8L) && c1.last._4 == 50L - 48L)
+    // token coverage is exact: every position appears in some chunk
+    val covered = c1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 50L).toSet)
+    // chunk text is the slice it claims
+    assert(c1(1)._5 == (7 to 14).map(i => s"w$i").mkString(" "))
+  }
+
+  test("bm25 ranks term-dense short docs first and respects k") {
+    val df = Seq(
+      (1L, "spark spark spark join"),          // dense in query terms
+      (2L, "spark join " + ("pad " * 60).trim), // same terms, long doc
+      (3L, "spark alone here"),
+      (4L, "nothing relevant at all"),
+      (5L, "join join spark spark")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, "doc_id", "text",
+      Seq(7L -> "spark join"), k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(out.length == 3 && out.forall(_._1 == 7L))
+    // doc 4 has no query terms → never a candidate
+    assert(!out.map(_._2).contains(4L))
+    // both-term docs beat the one-term doc; short beats long
+    val rank = out.map(_._2).toSeq
+    assert(Set(rank(0), rank(1)) == Set(1L, 5L))
+    assert(out.find(_._2 == 2L).forall(s =>
+      s._3 < out.find(_._2 == 1L).get._3))
+    // deterministic across partition layouts
+    val out2 = Retrieval.bm25TopK(df.repartition(7), "doc_id", "text",
+      Seq(7L -> "spark join"), k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(out.toSeq == out2.toSeq)
   }
 
   test("cosine LSH buckets prune: candidates well below all-pairs") {
