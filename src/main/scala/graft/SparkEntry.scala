@@ -403,6 +403,12 @@ object SparkEntry {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Queries, 10)),
 
+    // corpus-trained bigram LM perplexity (add-α smoothing) — the
+    // count-based quality filter: two map-side-combined count tables,
+    // re-join by key, nothing on the driver but the V scalar
+    "q_lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
+
     // deterministic stratified hash sampling: source 'src0' at 1/2,
     // everything else at 1/4 — membership is a pure function of the
     // id (reproducible subsets at 100 TB: no RNG, no seed plumbing)
@@ -1547,6 +1553,38 @@ object SparkEntry {
 
     "q_bm25" -> bm25Oracle,
 
+    // mirrors TextAnalysis.bigramLmScore: decimal-point constants that
+    // are not binary-exact (0.1) are CAST to DOUBLE so DuckDB's
+    // decimal-literal typing can't diverge from Spark's double math
+    "q_lm_perplexity" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents
+        | WHERE text IS NOT NULL AND trim(text) <> ''),
+        |big AS (
+        | SELECT doc_id, w1 || ' ' || w2 AS gram, w1
+        | FROM (SELECT doc_id,
+        |        unnest(t[1 : len(t) - 1]) AS w1,
+        |        unnest(t[2 : len(t)]) AS w2
+        |       FROM toks WHERE len(t) >= 2)),
+        |cnt AS (SELECT gram, count(*) AS c12 FROM big GROUP BY gram),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |voc AS (SELECT count(DISTINCT tok) AS v
+        |        FROM (SELECT unnest(t) AS tok FROM toks)),
+        |sc AS (
+        | SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(round(ln((c.c12 + CAST(0.1 AS DOUBLE)) /
+        |        (x.c1 + CAST(0.1 AS DOUBLE) * v.v)), 6)
+        |       AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+        | FROM big b
+        | JOIN cnt c ON b.gram = c.gram
+        | JOIN ctx x ON b.w1 = x.w1
+        | CROSS JOIN voc v
+        | GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, avg_logprob,
+        | round(exp(-avg_logprob), 4) AS perplexity
+        |FROM sc""".stripMargin,
+
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
         | count(*) AS count
@@ -1674,7 +1712,7 @@ object SparkEntry {
        | SELECT q.qid, t.doc_id,
        |  sum(CAST(round(
        |    round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 7)
-       |    * ((t.tf * ${k1 + 1.0}) /
+       |    * ((t.tf * CAST(${k1 + 1.0} AS DOUBLE)) /
        |       (t.tf + $k1 * (1.0 - $b + ($b * t.dl) / s.avgdl))), 6)
        |   AS DECIMAL(18,6))) AS sc
        | FROM tf t

@@ -487,4 +487,70 @@ object TextAnalysis {
       .filter(col("__rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Ordered word-bigram OCCURRENCES ("w1 w2", duplicates kept) —
+    * [[TextDedup.wordShingles]] is distinct-per-document, which is
+    * right for Jaccard but wrong for language-model counting. JIT'd
+    * kernel for the same reason as wordShingles (the transform/concat
+    * HOF tree is CodegenFallback). Under 2 tokens → empty. */
+  def wordBigrams(text: Column): Column = {
+    val kernel = udf((s: String) => {
+      if (s == null) Array.empty[String]
+      else {
+        val toks = s.trim.toLowerCase.split("\\s+")
+        if (toks.length < 2 || (toks.length == 1 && toks(0).isEmpty))
+          Array.empty[String]
+        else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+      }
+    })
+    kernel(text)
+  }
+
+  /**
+   * Corpus-trained bigram language-model scoring with add-α smoothing —
+   * the count-based perplexity filter of a pretraining pipeline (the
+   * CCNet/KenLM shape: docs whose perplexity under a corpus LM is
+   * extreme are low-quality or out-of-domain).
+   *
+   * P(w2|w1) = (c(w1 w2) + α) / (ctx(w1) + α·V), where ctx(w1) is the
+   * number of bigram occurrences starting with w1 (so the conditional
+   * properly normalizes) and V is the distinct-token vocabulary size.
+   * Docs with fewer than 2 tokens yield no row.
+   *
+   * Scale: counting is two map-side-combined aggregates (bigram table
+   * bounded by observed-bigram cardinality, context table by vocabulary);
+   * scoring re-joins the bigram stream to those tables by key — the
+   * classic distributed count-based LM estimation, no driver state but
+   * the single V scalar.
+   *
+   * Reproducibility: per-bigram ln is rounded to 6 decimals and summed
+   * as DECIMAL(18,6) (order-free exact); avg_logprob is then one IEEE
+   * division (bit-exact cross-engine); perplexity = exp(-avg) rounded
+   * to 4.
+   */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val vCount = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+
+    val big = df
+      .select(col(idCol), explode(wordBigrams(col(textCol))).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val cnt = big.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+
+    val term = round(
+      log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * lit(vCount))),
+      6).cast("decimal(18,6)")
+    big.join(cnt, Seq("gram"))
+      .join(ctx, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("_sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
+  }
 }

@@ -600,6 +600,34 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("bigram LM matches hand-computed add-alpha probabilities") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams: "a b","b a","a b"
+      (2L, "a b"),
+      (3L, "c"),       // 1 token → no bigrams → no row
+      (4L, "  ")       // blank → excluded from vocab too
+    ).toDF("doc_id", "text")
+    // duplicates kept, order preserved
+    assert(df.filter($"doc_id" === 1L)
+      .select(TextAnalysis.wordBigrams($"text")).as[Seq[String]].head() ==
+      Seq("a b", "b a", "a b"))
+    val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // V=3 {a,b,c}; cnt: "a b"→3, "b a"→1; ctx: a→3, b→1; α=0.1
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pab = r6(math.log((3 + 0.1) / (3 + 0.1 * 3)))
+    val pba = r6(math.log((1 + 0.1) / (1 + 0.1 * 3)))
+    assert(out(1L)._2 == 3L && math.abs(out(1L)._3 - (2 * pab + pba) / 3) < 1e-12)
+    assert(out(2L)._2 == 1L && math.abs(out(2L)._3 - pab) < 1e-12)
+    // repeated rare transitions score lower than the common one
+    assert(out(1L)._3 < out(2L)._3 && out(1L)._4 > out(2L)._4)
+    // stable across partition layouts
+    val out2 = TextAnalysis.bigramLmScore(df.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out2 == out)
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
