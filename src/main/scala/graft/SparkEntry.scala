@@ -691,6 +691,15 @@ object SparkEntry {
       Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4, dim = 64)),
 
+    // SemDeDup semantic dedup: refined k-means cells bound the
+    // candidate pairs; survivors = min-id per cosine-threshold
+    // component (cell structure not SQL-expressible → rows-only;
+    // recall vs the exact baseline asserted in OpsSpec)
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 16, threshold = 0.4)
+        .select(col("vec_id"), col("label"))),
+
     // per-document text analysis profile
     "q_text_profile" -> ((s, dir) =>
       TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")),

@@ -709,4 +709,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /**
+   * SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-bucket the embedding space (IVF seed +
+   * Lloyd refinement), then exact cosine ONLY within a cell. The cell
+   * structure is what makes semantic dedup tractable at corpus scale —
+   * candidate generation is a self-equijoin on cell_id (shuffle-
+   * partitioned by cell, AQE-splittable), never an all-pairs compare.
+   * Approximate by construction: a near-dup pair split across two
+   * cells is missed (recall measured against the exact baseline in
+   * specs; the paper accepts the same trade).
+   *
+   * Returns (id_a < id_b, cosine ≥ threshold) pairs feeding
+   * [[graft.ops.Clusters.dedupByPairs]] — or [[semDedup]] below for
+   * the fused form.
+   */
+  def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, threshold: Double,
+                    refineIterations: Int = 2): DataFrame = {
+    val assigned = ivfRefine(
+      ivfAssign(corpus, idCol, vecCol, nCells),
+      idCol, vecCol, refineIterations)
+    val a = assigned.select(col("cell_id"),
+      col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("__va"))
+    val b = assigned.select(col("cell_id"),
+      col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("__vb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** SemDeDup survivors: one minimum-id representative per semantic
+    * near-dup component, plus every vector in no component. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, threshold: Double,
+               refineIterations: Int = 2): DataFrame =
+    Clusters.dedupByPairs(corpus, idCol,
+      semDedupPairs(corpus, idCol, vecCol, nCells, threshold,
+        refineIterations))
 }

@@ -628,6 +628,39 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("semdedup drops planted near-dups and keeps min-id survivors") {
+    // four well-separated axis clusters of 64-dim vectors; ids 100+
+    // are near-copies of ids 0-3 (tiny perturbation on one off-axis
+    // coordinate keeps cosine ≈ 1)
+    val dim = 64
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(axis) = 1f
+      v(axis + 8) = eps
+      v
+    }
+    val rows =
+      (0 until 4).map(a => (a.toLong, vec(a, 0f))) ++          // originals
+      (0 until 4).map(a => (100L + a, vec(a, 0.05f))) ++        // near-dups
+      (0 until 40).map(i => (200L + i, vec(8 + i % 4, 0.3f)))   // fillers
+    val df = rows.toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(df, "vec_id", "embedding",
+      nCells = 8, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // each near-copy collapses onto its min-id original
+    (0 until 4).foreach { a =>
+      assert(survivors.contains(a.toLong) && !survivors.contains(100L + a))
+    }
+    // cells achieve full recall here: pairs match the exact baseline
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.95).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cell = Similarity.semDedupPairs(df, "vec_id", "embedding",
+      nCells = 8, threshold = 0.95).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cell.subsetOf(exact), "cell pairs must be a subset of exact pairs")
+    assert((0 until 4).forall(a => cell.contains((a.toLong, 100L + a))))
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
