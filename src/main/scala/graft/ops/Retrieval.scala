@@ -113,12 +113,21 @@ object Retrieval {
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
     val termScore = round(idfR * tfNorm, 6).cast("decimal(18,6)")
 
-    val scored = tf
+    val scored0 = tf
       .join(broadcast(dfPerTerm), "term")
       .join(broadcast(qt), "term")
       .select(col("qid"), col(idCol), termScore.as("_s"))
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col("_s")).as("_score"))
+    // multi-query workloads read the candidate scores once per query
+    // branch below — persist so the corpus scan + tf shuffle run ONCE,
+    // not |queries| times (the ivfAssign multi-consumer barrier;
+    // spill-safe, bounded by the candidate set, released by
+    // catalog.clearCache or app end). Single-query calls skip the cache.
+    val scored =
+      if (queries.size > 1)
+        scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scored0
 
     // per-query top-k: each branch compiles to TakeOrderedAndProject
     // (distributed per-partition heaps, driver merges k rows/partition) —
