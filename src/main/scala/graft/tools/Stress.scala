@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{ExactGroup, Fuzzy, MatchSpec, MergeSpec, Merger}
-import graft.ops.Clusters
+import graft.ops.{Clusters, Similarity}
 
 /**
  * Scale-stress of the driver budgets and skew behavior at ~10× the
@@ -209,6 +209,49 @@ object Stress {
       res.unpersist()
     }
     assertNoFunnel("merge-hot-key")
+
+    // ---- 4. SemDeDup cell join at 10× embeddings -----------------------
+    // 50k vectors (10 replicas of each sf0.1 embedding under distinct
+    // ids): every replica group is an exact near-dup clique, and cell
+    // sizes grow 10× — the within-cell self-join must stay partitioned
+    // (no task absorbing a whole hot cell) and survivors must collapse
+    // the replica cliques.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val emb10 = (0 until 10).map(i =>
+      emb.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val nEmb = emb10.count()
+    tme(f"semDedup 10x ($nEmb%,d vectors, 256 cells)") {
+      val survivors = Similarity.semDedup(emb10, "vec_id", "embedding",
+        nCells = 256, threshold = 0.99, refineIterations = 1)
+      val nSurv = survivors.count()
+      // replica cliques (10 identical vectors each) must collapse ≥ 10×
+      assert(nSurv * 5 <= nEmb,
+        s"semDedup kept $nSurv of $nEmb — replica cliques not collapsing")
+      println(f"[stress] semDedup survivors: $nSurv%,d of $nEmb%,d")
+    }
+    assertNoFunnel("semdedup-10x")
+
+    // ---- 5. BM25 at 10× documents --------------------------------------
+    // 50k docs; the tf shuffle and candidate-score aggregate see 10×
+    // volume while the top-k branches still return k rows per query.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs10 = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_ unionByName _)
+    val nDocs = docs10.count()
+    tme(f"bm25 10x ($nDocs%,d docs, 3 queries)") {
+      val hits = graft.ops.Retrieval.bm25TopK(docs10, "doc_id", "text",
+        Seq(1L -> "spark join merge", 2L -> "fast scan filter",
+          3L -> "window agg group"), k = 10)
+      val n = hits.count()
+      assert(n == 30, s"expected 30 bm25 hits, got $n")
+    }
+    assertNoFunnel("bm25-10x")
 
     println("[stress] ALL OK")
     spark.stop()
