@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
-import graft.ops.{Retrieval, Similarity, TextAnalysis, TextDedup, Multimodal}
+import graft.ops.{QualityClassifier, Retrieval, Similarity, TextAnalysis, TextDedup, Multimodal}
 
 /**
  * Driver contract — one named query per implemented operator from
@@ -699,6 +699,21 @@ object SparkEntry {
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         nCells = 16, threshold = 0.4)
         .select(col("vec_id"), col("label"))),
+
+    // trainable quality classifier on heuristic weak labels — the
+    // fastText-shaped self-training loop (hashed uni+bigram features,
+    // one treeAggregate per epoch, driver holds only the weight
+    // vector). Float-reduction order makes last-ulp weight jitter
+    // inherent → rows-only; separability asserted in OpsSpec
+    "q_quality_classifier" -> ((s, dir) => {
+      val labeled = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.9).cast("int")
+          .as("weak_label"))
+      val model = QualityClassifier.train(labeled, "text", "weak_label",
+        dim = 4096, epochs = 15)
+      QualityClassifier.score(labeled, "doc_id", "text", model)
+        .join(labeled.select(col("doc_id"), col("weak_label")), "doc_id")
+    }),
 
     // per-document text analysis profile
     "q_text_profile" -> ((s, dir) =>

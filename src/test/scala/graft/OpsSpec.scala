@@ -661,6 +661,41 @@ class OpsSpec extends SparkSpec {
     assert((0 until 4).forall(a => cell.contains((a.toLong, 100L + a))))
   }
 
+  test("quality classifier separates planted vocabularies") {
+    val good = Seq("clean prose article", "well written prose",
+      "clean article text", "prose with clean structure",
+      "article of well formed text")
+    val bad = Seq("buy spam click now", "click spam offer buy",
+      "spam now buy click", "offer click buy spam",
+      "now spam offer click")
+    // replicate with ids so both classes span partitions
+    val rows = (0 until 20).flatMap { r =>
+      good.zipWithIndex.map { case (t, i) => (r * 100L + i, t, 1) } ++
+      bad.zipWithIndex.map { case (t, i) => (r * 100L + 50 + i, t, 0) }
+    }
+    val df = rows.toDF("doc_id", "text", "label").repartition(8)
+    val model = graft.ops.QualityClassifier.train(df, "text", "label",
+      dim = 1 << 12, epochs = 40)
+    val scored = graft.ops.QualityClassifier
+      .score(df, "doc_id", "text", model)
+      .join(df.select($"doc_id", $"label"), "doc_id")
+      .select($"label", $"quality_pred", $"quality_prob")
+      .as[(Int, Int, Double)].collect()
+    val acc = scored.count(r => r._1 == r._2).toDouble / scored.length
+    assert(acc >= 0.95, s"classifier accuracy $acc on separable data")
+    val meanGood = scored.filter(_._1 == 1).map(_._3).sum / 100
+    val meanBad = scored.filter(_._1 == 0).map(_._3).sum / 100
+    assert(meanGood > 0.7 && meanBad < 0.3,
+      s"probabilities not separated: good=$meanGood bad=$meanBad")
+    // featurize: deterministic, normalized, null/blank-safe
+    val (i1, v1) = graft.ops.QualityClassifier.featurize("a b a", 64)
+    val (i2, v2) = graft.ops.QualityClassifier.featurize("a b a", 64)
+    assert(i1.toSeq == i2.toSeq && v1.toSeq == v2.toSeq)
+    assert(math.abs(v1.sum - 1.0) < 1e-12) // L1-normalized
+    assert(graft.ops.QualityClassifier.featurize(null, 64)._1.isEmpty)
+    assert(graft.ops.QualityClassifier.featurize("   ", 64)._1.isEmpty)
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
