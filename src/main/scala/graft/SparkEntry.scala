@@ -710,7 +710,7 @@ object SparkEntry {
         (TextAnalysis.qualityScore(col("text")) >= 0.9).cast("int")
           .as("weak_label"))
       val model = QualityClassifier.train(labeled, "text", "weak_label",
-        dim = 4096, epochs = 15)
+        dim = 4096, epochs = 8, lr = 4.0)
       QualityClassifier.score(labeled, "doc_id", "text", model)
         .join(labeled.select(col("doc_id"), col("weak_label")), "doc_id")
     }),
@@ -779,6 +779,20 @@ object SparkEntry {
 
     // S1-S4 CSV dialect: write a CSV, re-read through CsvSource (header
     // sniff + all-text schema), conform types — must round-trip exactly
+    // S1-analogue for the LLM-corpus interchange format: export the
+    // documents table as JSONL and re-read it through an explicit
+    // schema — values, nulls, and escapes must survive the round trip
+    // (oracle = identity over the original parquet)
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_${Integer.toHexString(dir.hashCode)}")
+      val docs = t(s, dir, "documents")
+      graft.sources.JsonlSource.write(docs, tmp.getAbsolutePath)
+      graft.sources.JsonlSource.read(s,
+        graft.sources.JsonlSpec(tmp.getAbsolutePath, Some(docs.schema)))
+    }),
+
     "q_csv_roundtrip" -> ((s, dir) => {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"),
@@ -1646,6 +1660,9 @@ object SparkEntry {
 
     "q_csv_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_multimodal_decode_real" ->
       """WITH p AS (

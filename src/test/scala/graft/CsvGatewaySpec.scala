@@ -84,4 +84,36 @@ class CsvGatewaySpec extends SparkSpec {
     // cleanup dropped the view
     assert(!spark.catalog.tableExists("t_reg"))
   }
+
+  test("jsonl round trip preserves values, drops malformed lines") {
+    import graft.sources.{JsonlSource, JsonlSpec}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    // mixed valid/corrupt lines, plus escapes and a null field
+    val p = Files.createTempFile("graft_jsonl", ".jsonl")
+    Files.writeString(p,
+      """{"id": 1, "t": "hello \"quoted\" world"}
+        |{"id": 2, "t": null}
+        |not json at all
+        |{"id": 3, "t": "tab\tnewline\nend"}
+        |{"id": 4, "t":
+        |{"id": 5, "t": "ok"}
+        |""".stripMargin)
+    val spec = JsonlSpec(p.toString, Some(schema))
+    val rows = JsonlSource.read(spark, spec)
+      .as[(Option[Long], Option[String])].collect().toMap
+    assert(rows.keySet == Set(Some(1L), Some(2L), Some(3L), Some(5L)))
+    assert(rows(Some(1L)).contains("hello \"quoted\" world"))
+    assert(rows(Some(2L)).isEmpty)
+    assert(rows(Some(3L)).contains("tab\tnewline\nend"))
+    assert(JsonlSource.malformedCount(spark, spec) == 2L)
+    // write face round-trips through read with the same schema
+    val out = Files.createTempDirectory("graft_jsonl_out").toString
+    val df = Seq((10L, Some("x")), (11L, None)).toDF("id", "t")
+    JsonlSource.write(df, out)
+    val back = JsonlSource.read(spark, JsonlSpec(out, Some(schema)))
+      .as[(Long, Option[String])].collect().toSet
+    assert(back == Set((10L, Some("x")), (11L, None)))
+  }
 }
