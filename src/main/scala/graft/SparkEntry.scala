@@ -715,6 +715,17 @@ object SparkEntry {
         .join(labeled.select(col("doc_id"), col("weak_label")), "doc_id")
     }),
 
+    // text → hashed doc vectors → SemDeDup: semantic near-dup removal
+    // of a raw text corpus with NO precomputed embedding table
+    // (feature-hashing preserves cosine in expectation) — rows-only
+    // like q_semdedup; vector/collapse semantics asserted in OpsSpec
+    "q_text_semdedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        QualityClassifier.hashedDocVector(col("text")).as("embedding"))
+      Similarity.semDedup(vecs, "doc_id", "embedding",
+        nCells = 16, threshold = 0.9).select(col("doc_id"), col("source"))
+    }),
+
     // per-document text analysis profile
     "q_text_profile" -> ((s, dir) =>
       TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")),

@@ -101,6 +101,7 @@ object QualityClassifier {
       .map { case (t, y) => val (i, v) = featurize(t, dim); (i, v, y) }
       .persist() // featurize once, read every epoch
     val n = data.count().toDouble
+    require(n > 0, "training set is empty")
     val nPos = data.filter(_._3 >= 0.5).count().toDouble
     // inverse-frequency example weights, mean weight 1 over the corpus
     val (wPos, wNeg) =
@@ -134,6 +135,36 @@ object QualityClassifier {
       }
     } finally data.unpersist()
     Model(dim, w)
+  }
+
+  /**
+   * Deterministic hashed document vector — feature-hash the L1-
+   * normalized uni+bigram bag into a dense `dim`-float vector, then
+   * L2-normalize. Gives any text corpus an `Array[Float]` column
+   * compatible with the whole [[Similarity]] stack (semDedup, ANN,
+   * LSH) without an external embedding model: hashed sparse vectors
+   * preserve cosine in expectation (feature-hashing kernel
+   * approximation, Weinberger et al. 2009). Narrow pass, no shuffle;
+   * identical output at any cluster size.
+   */
+  def hashedDocVector(text: Column, dim: Int = 256): Column = {
+    require(dim > 0)
+    val kernel = udf((t: String) => {
+      val (idx, v) = featurize(t, dim)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < idx.length) { out(idx(i)) += v(i).toFloat; i += 1 }
+      var ss = 0.0
+      i = 0
+      while (i < dim) { ss += out(i).toDouble * out(i); i += 1 }
+      if (ss > 0) {
+        val inv = (1.0 / math.sqrt(ss)).toFloat
+        i = 0
+        while (i < dim) { out(i) *= inv; i += 1 }
+      }
+      out
+    })
+    kernel(text)
   }
 
   /** Score a corpus under a trained model: adds `quality_prob`

@@ -276,6 +276,11 @@ object Similarity {
     c.join(broadcast(probes), col("cell_id") === col("__probe_cell") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      // drop NaN cosines (zero-norm rows) BEFORE ranking: Spark's
+      // descending sort puts NaN first, which would rank a zero vector
+      // above every real neighbor — the JVM brute-force kernel path
+      // never selects NaN, and the two paths must agree
+      .filter(!isnan(col("cosine")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -420,7 +425,9 @@ object Similarity {
       .join(vecs.withColumnRenamed(idCol, "id_b")
         .withColumnRenamed("__v", "__vb"), Seq("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
+      // NaN guard as in semDedupPairs: Spark sorts NaN above numbers,
+      // so zero-norm vectors would otherwise pass the threshold
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
@@ -738,7 +745,11 @@ object Similarity {
     a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
+      // Spark orders NaN ABOVE every number, so a zero-norm vector's
+      // NaN cosine would pass `>= threshold` and weld its whole cell
+      // into one component; exclude it explicitly (Java kernel paths
+      // already do — NaN >= x is false on the JVM)
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 

@@ -696,6 +696,36 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.QualityClassifier.featurize("   ", 64)._1.isEmpty)
   }
 
+  test("hashed doc vectors: unit norm, cosine tracks text similarity") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat"),    // near dup
+      (4L, "catalyst optimizer rewrites logical plans into physical ones"),
+      (5L, "   ")
+    ).toDF("doc_id", "text")
+    val v = df.select($"doc_id",
+      graft.ops.QualityClassifier.hashedDocVector($"text", 256).as("e"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    def norm(a: Array[Float]): Double = math.sqrt(cos(a, a))
+    assert(math.abs(norm(v(1L)) - 1.0) < 1e-5)
+    assert(norm(v(5L)) == 0.0) // blank → zero vector
+    assert(cos(v(1L), v(2L)) > 0.999)              // identical text
+    assert(cos(v(1L), v(3L)) > cos(v(1L), v(4L)))  // near > unrelated
+    assert(cos(v(1L), v(4L)) < 0.5)
+    // composes with semDedup: the exact dup collapses onto min id
+    val surv = Similarity.semDedup(
+      df.select($"doc_id",
+        graft.ops.QualityClassifier.hashedDocVector($"text", 256)
+          .as("embedding")),
+      "doc_id", "embedding", nCells = 2, threshold = 0.99)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv.contains(1L) && !surv.contains(2L))
+    assert(surv.contains(4L))
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
