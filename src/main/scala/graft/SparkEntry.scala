@@ -23,8 +23,10 @@ import graft.ops.{QualityClassifier, Retrieval, Similarity, TextAnalysis, TextDe
  */
 object SparkEntry {
 
-  /** Search workload for the BM25 gate — shared by query and oracle. */
-  private val Bm25Queries: Seq[(Long, String)] = Seq(
+  /** Search workload for the BM25 gate — shared by query, oracle, and
+    * the 10× stress scenario (graft-visible so Stress cannot silently
+    * diverge from the gated workload). */
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
     1L -> "spark join merge",
     2L -> "fast scan filter",
     3L -> "window agg group")
@@ -788,8 +790,6 @@ object SparkEntry {
           expr("nb_coerce_to_date_or_null(maybe_date)").as("coerced_date"))
     }),
 
-    // S1-S4 CSV dialect: write a CSV, re-read through CsvSource (header
-    // sniff + all-text schema), conform types — must round-trip exactly
     // S1-analogue for the LLM-corpus interchange format: export the
     // documents table as JSONL and re-read it through an explicit
     // schema — values, nulls, and escapes must survive the round trip
@@ -804,6 +804,8 @@ object SparkEntry {
         graft.sources.JsonlSpec(tmp.getAbsolutePath, Some(docs.schema)))
     }),
 
+    // S1-S4 CSV dialect: write a CSV, re-read through CsvSource (header
+    // sniff + all-text schema), conform types — must round-trip exactly
     "q_csv_roundtrip" -> ((s, dir) => {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"),

@@ -97,8 +97,15 @@ object QualityClassifier {
     import spark.implicits._
     val data = df
       .select(col(textCol).cast("string"), col(labelCol).cast("double"))
-      .as[(String, Double)]
-      .map { case (t, y) => val (i, v) = featurize(t, dim); (i, v, y) }
+      .as[(String, java.lang.Double)]
+      .map { case (t, y) =>
+        // fail fast with a readable message instead of the encoder's
+        // opaque null-in-non-nullable-field error mid-epoch
+        require(y != null,
+          s"label column '$labelCol' contains nulls; labels must be 0/1")
+        val (i, v) = featurize(t, dim)
+        (i, v, y.doubleValue)
+      }
       .persist() // featurize once, read every epoch
     val n = data.count().toDouble
     require(n > 0, "training set is empty")

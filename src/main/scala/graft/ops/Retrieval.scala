@@ -76,9 +76,13 @@ object Retrieval {
     require(queries.nonEmpty && k > 0)
     val spark = docs.sparkSession
 
+    // tokenize ONCE: the stats aggregate below materializes this cache,
+    // and the tf path re-reads it instead of re-scanning + re-splitting
+    // the corpus (released before return, once `scored` is materialized)
     val base = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("_toks"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // corpus stats: two scalars, driver-bounded by construction
     val Array(nDocs, sumDl) = base
@@ -119,20 +123,22 @@ object Retrieval {
       .select(col("qid"), col(idCol), termScore.as("_s"))
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col("_s")).as("_score"))
-    // multi-query workloads read the candidate scores once per query
-    // branch below — persist so the corpus scan + tf shuffle run ONCE,
-    // not |queries| times (the ivfAssign multi-consumer barrier;
-    // spill-safe, bounded by the candidate set, released by
-    // catalog.clearCache or app end). Single-query calls skip the cache.
+    // every per-query top-k branch below reads the candidate scores, so
+    // persist them (spill-safe, bounded by the candidate set — much
+    // smaller than `base`), materialize, and release the token cache.
+    // The scored cache itself is released by catalog.clearCache or app
+    // end (it must outlive this call: the returned plan reads it).
     val scored =
-      if (queries.size > 1)
-        scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else scored0
+      scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    base.unpersist()
 
     // per-query top-k: each branch compiles to TakeOrderedAndProject
     // (distributed per-partition heaps, driver merges k rows/partition) —
     // the scalable top-k physical shape, with no hot-key window.
-    queries.map(_._1).map { qid =>
+    // Distinct qids: a caller-repeated qid already merged its terms in
+    // `scored`; duplicated branches would duplicate its output rows.
+    queries.map(_._1).distinct.map { qid =>
       scored.filter(col("qid") === qid)
         .orderBy(col("_score").desc, col(idCol).asc)
         .limit(k)

@@ -735,14 +735,13 @@ object Similarity {
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, threshold: Double,
                     refineIterations: Int = 2): DataFrame = {
-    val assigned = ivfRefine(
-      ivfAssign(corpus, idCol, vecCol, nCells),
-      idCol, vecCol, refineIterations)
+    val seeded = ivfAssign(corpus, idCol, vecCol, nCells)
+    val assigned = ivfRefine(seeded, idCol, vecCol, refineIterations)
     val a = assigned.select(col("cell_id"),
       col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("__va"))
     val b = assigned.select(col("cell_id"),
       col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("__vb"))
-    a.join(b, Seq("cell_id"))
+    val pairs = a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       // Spark orders NaN ABOVE every number, so a zero-norm vector's
@@ -751,6 +750,16 @@ object Similarity {
       // already do — NaN >= x is false on the JVM)
       .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
+      // pairs are re-read by connectedComponents' star rounds, so this
+      // cache is needed anyway; materializing it here lets the two
+      // corpus-sized upstream caches (seed assignment + refined
+      // generation) be released instead of leaking until clearCache —
+      // what survives is bounded by the near-dup match volume
+      .persist()
+    pairs.count()
+    if (assigned ne seeded) assigned.unpersist()
+    seeded.unpersist()
+    pairs
   }
 
   /** SemDeDup survivors: one minimum-id representative per semantic

@@ -498,8 +498,7 @@ object TextAnalysis {
       if (s == null) Array.empty[String]
       else {
         val toks = s.trim.toLowerCase.split("\\s+")
-        if (toks.length < 2 || (toks.length == 1 && toks(0).isEmpty))
-          Array.empty[String]
+        if (toks.length < 2) Array.empty[String]
         else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
       }
     })

@@ -246,8 +246,7 @@ object Stress {
     val nDocs = docs10.count()
     tme(f"bm25 10x ($nDocs%,d docs, 3 queries)") {
       val hits = graft.ops.Retrieval.bm25TopK(docs10, "doc_id", "text",
-        Seq(1L -> "spark join merge", 2L -> "fast scan filter",
-          3L -> "window agg group"), k = 10)
+        graft.SparkEntry.Bm25Queries, k = 10)
       val n = hits.count()
       assert(n == 30, s"expected 30 bm25 hits, got $n")
     }
