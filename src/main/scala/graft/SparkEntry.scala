@@ -725,7 +725,8 @@ object SparkEntry {
       val vecs = t(s, dir, "documents").select(col("doc_id"), col("source"),
         QualityClassifier.hashedDocVector(col("text")).as("embedding"))
       Similarity.semDedup(vecs, "doc_id", "embedding",
-        nCells = 16, threshold = 0.9).select(col("doc_id"), col("source"))
+        nCells = 64, threshold = 0.9, refineIterations = 1)
+        .select(col("doc_id"), col("source"))
     }),
 
     // per-document text analysis profile
