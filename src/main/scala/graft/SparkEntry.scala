@@ -411,6 +411,19 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // trigram stupid-backoff LM on a held-out hash split: counts from
+    // the 'train' split score the OTHER splits, so unseen trigrams
+    // actually exercise both backoff orders (scoring the training
+    // corpus itself never would)
+    "q_lm_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("split",
+        TextAnalysis.assignSplit(col("doc_id"), trainPct = 0.8,
+          validPct = 0.1))
+      TextAnalysis.trigramLmScore(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") =!= "train"), "doc_id", "text")
+    }),
+
     // deterministic stratified hash sampling: source 'src0' at 1/2,
     // everything else at 1/4 — membership is a pure function of the
     // id (reproducible subsets at 100 TB: no RNG, no seed plumbing)
@@ -1605,6 +1618,8 @@ object SparkEntry {
 
     "q_bm25" -> bm25Oracle,
 
+    "q_lm_backoff" -> trigramBackoffOracle,
+
     // mirrors TextAnalysis.bigramLmScore: decimal-point constants that
     // are not binary-exact (0.1) are CAST to DOUBLE so DuckDB's
     // decimal-literal typing can't diverge from Spark's double math
@@ -1729,6 +1744,82 @@ object SparkEntry {
         | ELSE CAST(360 * (doc_id % 100) AS DOUBLE) / 240 END AS f4
         |FROM p""".stripMargin
   )
+
+  /** q_lm_backoff oracle — mirrors TextAnalysis.trigramLmScore branch
+    * for branch: identical IEEE ratio trees, ln rounded to 6 →
+    * DECIMAL sums, inexact constants (0.4, 0.4²) interpolated from the
+    * same Scala doubles and CAST to DOUBLE (DuckDB decimal-literal
+    * typing). The split predicate is q_data_split's proven md5 form. */
+  private def trigramBackoffOracle: String = {
+    val b = 0.4
+    s"""WITH sp AS (
+       | SELECT doc_id, text,
+       |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+       |       THEN 'train' ELSE 'other' END AS split
+       | FROM documents),
+       |ttox AS (
+       | SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       | FROM sp
+       | WHERE split = 'train' AND text IS NOT NULL AND trim(text) <> ''),
+       |scal AS (
+       | SELECT count(*) AS n, count(DISTINCT tok) AS v
+       | FROM (SELECT unnest(t) AS tok FROM ttox)),
+       |tr3 AS (
+       | SELECT g, count(*) AS c123 FROM (
+       |  SELECT w1 || ' ' || w2 || ' ' || w3 AS g FROM (
+       |   SELECT unnest(t[1 : len(t) - 2]) AS w1,
+       |          unnest(t[2 : len(t) - 1]) AS w2,
+       |          unnest(t[3 : len(t)]) AS w3
+       |   FROM ttox WHERE len(t) >= 3)) GROUP BY g),
+       |tr2 AS (
+       | SELECT g2, count(*) AS cbi FROM (
+       |  SELECT w1 || ' ' || w2 AS g2 FROM (
+       |   SELECT unnest(t[1 : len(t) - 1]) AS w1,
+       |          unnest(t[2 : len(t)]) AS w2
+       |   FROM ttox WHERE len(t) >= 2)) GROUP BY g2),
+       |ctx AS (
+       | SELECT split_part(g2, ' ', 1) AS w,
+       |        CAST(sum(cbi) AS BIGINT) AS cctx
+       | FROM tr2 GROUP BY 1),
+       |uni AS (
+       | SELECT tok AS w3, count(*) AS c3
+       | FROM (SELECT unnest(t) AS tok FROM ttox) GROUP BY 1),
+       |st AS (
+       | SELECT doc_id, g,
+       |  split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS p12,
+       |  split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS s23,
+       |  split_part(g, ' ', 2) AS w2,
+       |  split_part(g, ' ', 3) AS w3
+       | FROM (
+       |  SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS g FROM (
+       |   SELECT doc_id,
+       |          unnest(t[1 : len(t) - 2]) AS w1,
+       |          unnest(t[2 : len(t) - 1]) AS w2,
+       |          unnest(t[3 : len(t)]) AS w3
+       |   FROM (SELECT doc_id,
+       |                string_split_regex(lower(trim(text)), '\\s+') AS t
+       |         FROM sp WHERE split <> 'train') WHERE len(t) >= 3))),
+       |sc AS (
+       | SELECT s.doc_id, count(*) AS n_trigrams,
+       |  CAST(sum(CAST(round(ln(
+       |    CASE WHEN t3.c123 IS NOT NULL THEN t3.c123 / b1.cbi
+       |         WHEN b2.cbi IS NOT NULL
+       |           THEN CAST($b AS DOUBLE) * (b2.cbi / cx.cctx)
+       |         ELSE CAST(${b * b} AS DOUBLE) *
+       |              ((coalesce(u.c3, 0) + 1) / (sl.n + sl.v))
+       |    END), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+       | FROM st s
+       | LEFT JOIN tr3 t3 ON s.g = t3.g
+       | LEFT JOIN tr2 b1 ON s.p12 = b1.g2
+       | LEFT JOIN tr2 b2 ON s.s23 = b2.g2
+       | LEFT JOIN ctx cx ON s.w2 = cx.w
+       | LEFT JOIN uni u ON s.w3 = u.w3
+       | CROSS JOIN scal sl
+       | GROUP BY s.doc_id)
+       |SELECT doc_id, n_trigrams, avg_logprob,
+       | round(exp(-avg_logprob), 4) AS perplexity
+       |FROM sc""".stripMargin
+  }
 
   /** q_bm25 oracle — mirrors Retrieval.bm25TopK expression for
     * expression: same tokenization, idf rounded to 7 before the product,

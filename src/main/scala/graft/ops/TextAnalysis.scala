@@ -488,22 +488,31 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
-  /** Ordered word-bigram OCCURRENCES ("w1 w2", duplicates kept) —
+  /** Ordered word n-gram OCCURRENCES (space-joined, duplicates kept) —
     * [[TextDedup.wordShingles]] is distinct-per-document, which is
     * right for Jaccard but wrong for language-model counting. JIT'd
     * kernel for the same reason as wordShingles (the transform/concat
-    * HOF tree is CodegenFallback). Under 2 tokens → empty. */
-  def wordBigrams(text: Column): Column = {
+    * HOF tree is CodegenFallback). Under n tokens → empty. */
+  def wordGramsOccur(text: Column, n: Int): Column = {
+    require(n >= 1)
     val kernel = udf((s: String) => {
       if (s == null) Array.empty[String]
       else {
         val toks = s.trim.toLowerCase.split("\\s+")
-        if (toks.length < 2) Array.empty[String]
-        else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+        if (toks.length < n) Array.empty[String]
+        else Array.tabulate(toks.length - n + 1) { i =>
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          sb.result()
+        }
       }
     })
     kernel(text)
   }
+
+  /** Ordered word-bigram occurrences ("w1 w2", duplicates kept). */
+  def wordBigrams(text: Column): Column = wordGramsOccur(text, 2)
 
   /**
    * Corpus-trained bigram language-model scoring with add-α smoothing —
@@ -550,6 +559,84 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(term).as("_sum"))
       .select(col(idCol), col("n_bigrams"),
         (col("_sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
+  }
+
+  /**
+   * Trigram stupid-backoff scoring (Brants et al. 2007, "Large Language
+   * Models in Machine Translation") of a held-out corpus under counts
+   * estimated on a TRAIN corpus — the honest perplexity-filter shape:
+   * scoring the training corpus itself never exercises backoff, so the
+   * API takes the two corpora separately (pair it with [[assignSplit]]).
+   *
+   *   S(w3|w1 w2) = c123/c12                      if the trigram was seen
+   *                 0.4 · c23/ctx(w2)             else if the bigram was
+   *                 0.4² · (c3+1)/(N+V)           else (add-one unigram,
+   *                                                OOV-safe — ln never
+   *                                                sees zero)
+   *
+   * where ctx(w2) counts train bigrams STARTING with w2 (proper
+   * conditional denominator) and N/V are train token count / distinct
+   * vocabulary.
+   *
+   * Scale: three map-side-combined count tables over the train corpus,
+   * LEFT-joined back onto the scored trigram stream by key — the
+   * distributed count-based LM shape of [[bigramLmScore]] with one more
+   * order; two scalars (N, V) on the driver. Reproducibility: identical
+   * IEEE ratio trees both engines, ln rounded to 6 → DECIMAL sums.
+   */
+  def trigramLmScore(train: DataFrame, scored: DataFrame, idCol: String,
+                     textCol: String, backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0, "backoff factor must be positive")
+    val trainNonblank = train
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    val Array(nToks, vocab) = trainNonblank
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count(lit(1)), countDistinct(col("tok")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+
+    val tri = train
+      .select(explode(wordGramsOccur(col(textCol), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c123"))
+    val bi = train
+      .select(explode(wordGramsOccur(col(textCol), 2)).as("g2"))
+    val biCnt = bi.groupBy(col("g2")).agg(count(lit(1)).as("cbi"))
+    val ctx = bi
+      .select(substring_index(col("g2"), " ", 1).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cctx"))
+    val uni = trainNonblank
+      .select(explode(tokens(col(textCol))).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("c3"))
+
+    val stream = scored
+      .select(col(idCol), explode(wordGramsOccur(col(textCol), 3)).as("g"))
+      .select(col(idCol), col("g"),
+        substring_index(col("g"), " ", 2).as("p12"),
+        substring_index(col("g"), " ", -2).as("s23"),
+        substring_index(substring_index(col("g"), " ", 2), " ", -1).as("w2"),
+        substring_index(col("g"), " ", -1).as("w3"))
+
+    val prob =
+      when(col("c123").isNotNull, col("c123") / col("c12"))
+        .when(col("c23").isNotNull,
+          lit(backoff) * (col("c23") / col("cw2")))
+        .otherwise(lit(backoff * backoff) *
+          ((coalesce(col("c3"), lit(0L)) + 1) / lit(nToks + vocab)))
+    val term = round(log(prob), 6).cast("decimal(18,6)")
+
+    stream
+      .join(tri, Seq("g"), "left")
+      .join(biCnt.withColumnRenamed("g2", "p12")
+        .withColumnRenamed("cbi", "c12"), Seq("p12"), "left")
+      .join(biCnt.withColumnRenamed("g2", "s23")
+        .withColumnRenamed("cbi", "c23"), Seq("s23"), "left")
+      .join(ctx.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cctx", "cw2"), Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(term).as("_sum"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("_sum").cast("double") / col("n_trigrams")).as("avg_logprob"))
       .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
   }
 }

@@ -726,6 +726,28 @@ class OpsSpec extends SparkSpec {
     assert(surv.contains(4L))
   }
 
+  test("trigram stupid backoff hits all three branches as hand-computed") {
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    // "a b c" seen; "b c z"/"c z b" fall through to unigram (z is OOV /
+    // "z b" unseen); "z b c" backs off to the seen bigram "b c"
+    val score = Seq((10L, "a b c z b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLmScore(train, score, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1 && out.head._2 == 4L)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=6 train tokens, V=3; ctx(b)=2; c("b c")=2; c3(b)=2
+    val pSeen = r6(math.log(2.0 / 2.0))                        // "a b c"
+    val pUniOov = r6(math.log(0.4 * 0.4 * (1.0 / 9.0)))        // "b c z", z OOV
+    val pUniB = r6(math.log(0.4 * 0.4 * (3.0 / 9.0)))          // "c z b"
+    val pBi = r6(math.log(0.4 * (2.0 / 2.0)))                  // "z b c"
+    val expected = (pSeen + pUniOov + pUniB + pBi) / 4
+    assert(math.abs(out.head._3 - expected) < 1e-9,
+      s"avg_logprob ${out.head._3} != $expected")
+    val r4 = BigDecimal(math.exp(-out.head._3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._4 == r4)
+  }
+
   test("cosine LSH buckets prune: candidates well below all-pairs") {
     // full sf0.001 embeddings corpus (random-ish vectors): if the
     // buckets carried no signal the candidate count would approach
