@@ -688,6 +688,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // IVF-PQ composition (the FAISS IVF-ADC shape): cell-probe pruning
+    // over 16-byte PQ codes + exact re-rank — doubly approximate →
+    // rows-only; recall + nProbe=nCells≡pure-PQ equivalence in OpsSpec
+    "q_simsearch_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding")
+      Similarity.ivfPqTopK(assigned, emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", cb, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // symmetric int8 embedding quantization (storage/bandwidth path),
     // exploded to scalar rows for hash-exact verification
     "q_embed_quantize" -> ((s, dir) =>

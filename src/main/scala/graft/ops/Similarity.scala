@@ -589,9 +589,10 @@ object Similarity {
 
   /** Encode each vector as m one-byte codes (nearest sub-centroid per
     * subspace) — dim·4 bytes → m bytes, the 100 TB memory story.
-    * Returns (id, pq_codes BINARY). */
+    * Returns (id, keep..., pq_codes BINARY); `keep` carries extra
+    * columns (e.g. an IVF cell_id) through unchanged. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebook: PqCodebook): DataFrame = {
+               codebook: PqCodebook, keep: Seq[String] = Nil): DataFrame = {
     val m = codebook.length
     val k = codebook(0).length
     val subDim = codebook(0)(0).length
@@ -616,7 +617,7 @@ object Similarity {
       codes
     })
     corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol), enc(col(vecCol)).as("pq_codes"))
+      .select(col(idCol) +: keep.map(col) :+ enc(col(vecCol)).as("pq_codes"): _*)
   }
 
   /**
@@ -712,6 +713,137 @@ object Similarity {
         toDoubleVec(col(vecCol)).as("__cv")), Seq("neighbor_id"))
       .join(broadcast(qDf), Seq("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /**
+   * IVF-PQ top-k — the FAISS IVF-ADC composition (Jégou et al. 2011,
+   * "Product Quantization for Nearest Neighbor Search" §V): route each
+   * query to its `nProbe` nearest cell-mean centroids, ADC-score only
+   * rows whose cell is probed for that query on their m-byte PQ codes
+   * (bounded per-partition heaps — the pqTopK shape), then exact-cosine
+   * re-rank of the shortlist. Doubly approximate (cell recall × code
+   * quantization); recall vs brute force is spec-asserted.
+   *
+   * Scale: the scan reads the m-byte codes column only (codes table is
+   * ~dim·4/m smaller than the vectors); ADC work is pruned to probed
+   * cells per query; at cluster scale partition the codes table BY
+   * cell_id so the probe prunes input splits too, not just compute.
+   * Only |shortlist| rows per query ever touch the original vectors.
+   */
+  def ivfPqTopK(corpusWithCells: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, codebook: PqCodebook,
+                k: Int, nProbe: Int, shortlistFactor: Int = 8): DataFrame = {
+    val spark = corpusWithCells.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val m = codebook.length
+    val kCent = codebook(0).length
+    val subDim = codebook(0)(0).length
+    val (cellIds, centroids) =
+      collectCentroids(cellMeans(corpusWithCells, vecCol))
+    val qArr = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    // driver-side probe selection, same rule as ivfTopK's kernel:
+    // top-nProbe by (cosine-to-cell-mean desc, lowest cell id on ties)
+    val probeSets: Array[Array[Long]] = qArr.map { case (_, qv) =>
+      val sims = centroids.map(c => cosineFD(qv, c))
+      val picked = new Array[Long](math.min(nProbe, centroids.length))
+      val used = new Array[Boolean](centroids.length)
+      var p = 0
+      var exhausted = false
+      while (p < picked.length && !exhausted) {
+        var best = -1
+        var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < centroids.length) {
+          if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+          i += 1
+        }
+        if (best < 0) exhausted = true
+        else { used(best) = true; picked(p) = cellIds(best); p += 1 }
+      }
+      if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
+    }
+    val qNorm = qArr.map { case (id, v) => (id, l2normalize(v)) }
+    val qB = spark.sparkContext.broadcast(qNorm)
+    val probesB = spark.sparkContext.broadcast(probeSets)
+    val cbB = spark.sparkContext.broadcast(codebook)
+    val shortlist = math.max(k * shortlistFactor, k)
+
+    val encoded = pqEncode(corpusWithCells, idCol, vecCol, codebook,
+      keep = Seq("cell_id"))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("cell_id").cast("long"), col("pq_codes"))
+      .as[(Long, Long, Array[Byte])]
+    val candidates = encoded.mapPartitions { it =>
+      val cb = cbB.value
+      val qs = qB.value
+      val probes = probesB.value
+      val tables = qs.map { case (_, qv) =>
+        val t = Array.ofDim[Double](m, kCent)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < kCent) { t(s)(c) = subDist(qv, s * subDim, cb(s)(c)); c += 1 }
+          s += 1
+        }
+        t
+      }
+      val heapOrd = Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long)
+      val heaps = qs.map(_ =>
+        new java.util.PriorityQueue[(Double, Long)](shortlist + 1,
+          heapOrd.reverse))
+      it.foreach { case (nid, cell, codes) =>
+        var q = 0
+        while (q < qs.length) {
+          // ADC only when this row's cell is probed for this query
+          // (nProbe is small — the linear membership scan beats a set)
+          var probed = false
+          val pc = probes(q)
+          var j = 0
+          while (j < pc.length && !probed) { probed = pc(j) == cell; j += 1 }
+          if (probed && qs(q)._1 != nid) {
+            val t = tables(q)
+            var d = 0.0
+            var s = 0
+            while (s < m) { d += t(s)(codes(s) & 0xff); s += 1 }
+            val h = heaps(q)
+            if (h.size < shortlist) h.add((d, nid))
+            else {
+              val top = h.peek()
+              if (d < top._1 || (d == top._1 && nid < top._2)) {
+                h.poll(); h.add((d, nid))
+              }
+            }
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zip(qs.iterator).flatMap { case (h, (qid, _)) =>
+        h.iterator().asScala.map { case (d, nid) => (qid, nid, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = candidates
+      .withColumn("__rs", row_number().over(wShort))
+      .filter(col("__rs") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qDf = qNorm.toSeq.toDF("query_id", "__qv")
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(corpusWithCells.select(col(idCol).cast("long").as("neighbor_id"),
+        toDoubleVec(col(vecCol)).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .filter(!isnan(col("cosine")))
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))

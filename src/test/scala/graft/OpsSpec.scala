@@ -161,6 +161,34 @@ class OpsSpec extends SparkSpec {
     assert(pq == again)
   }
 
+  test("IVF-PQ composition: probed-cell pruning with sane recall") {
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, k = 32,
+      iterations = 3)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(assigned, queries, "vec_id", "embedding",
+      cb, k = 3, nProbe = 4, shortlistFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivfpq & bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    // probing ALL cells must dominate the pruned recall (pure-PQ bound)
+    val allCells = Similarity.ivfPqTopK(assigned, queries, "vec_id",
+      "embedding", cb, k = 3, nProbe = 8, shortlistFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", cb,
+      k = 3, shortlistFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(allCells == pq,
+      "nProbe = nCells must equal the pure PQ answer")
+    // determinism across runs
+    val again = Similarity.ivfPqTopK(assigned, queries, "vec_id", "embedding",
+      cb, k = 3, nProbe = 4, shortlistFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq == again)
+  }
+
   test("text profile fields") {
     val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
     val r = TextAnalysis.profile(df, "doc_id", "text").collect()(0)
