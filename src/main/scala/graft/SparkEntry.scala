@@ -405,6 +405,16 @@ object SparkEntry {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Queries, 10)),
 
+    // deflate compression ratio — the long-range-repetition quality
+    // signal (compressible = templated/repetitive); zlib output is
+    // JVM-library-specific → rows-only, ordering pinned in OpsSpec
+    "q_compression" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.compressionRatio(col("text")), 4)
+            .as("compression_ratio"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))),
+
     // corpus-trained bigram LM perplexity (add-α smoothing) — the
     // count-based quality filter: two map-side-combined count tables,
     // re-join by key, nothing on the driver but the V scalar

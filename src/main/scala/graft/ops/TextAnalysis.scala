@@ -563,6 +563,36 @@ object TextAnalysis {
   }
 
   /**
+   * Deflate compression ratio of the UTF-8 text (zlib level 6):
+   * compressed bytes / raw bytes. Highly compressible text is
+   * repetitive or templated — the long-range-repetition quality signal
+   * the per-window [[repetitionMetrics]] can't see (Gopher/RefinedWeb
+   * use exactly this as a filter input). Blank/null → 1.0
+   * (incompressible by convention, so filters keyed "ratio < t" never
+   * select empty docs). Narrow JIT'd kernel, no shuffle; deterministic
+   * for a given JVM's zlib (gate is rows-only, specs assert ordering
+   * properties, not exact bytes).
+   */
+  def compressionRatio(text: Column): Column = {
+    val kernel = udf((s: String) => {
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, true)
+        try {
+          d.setInput(raw)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          n.toDouble / raw.length
+        } finally d.end()
+      }
+    })
+    kernel(text)
+  }
+
+  /**
    * Trigram stupid-backoff scoring (Brants et al. 2007, "Large Language
    * Models in Machine Translation") of a held-out corpus under counts
    * estimated on a TRAIN corpus — the honest perplexity-filter shape:

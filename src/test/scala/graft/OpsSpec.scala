@@ -189,6 +189,24 @@ class OpsSpec extends SparkSpec {
     assert(ivfpq == again)
   }
 
+  test("compression ratio orders repetitive below diverse text") {
+    val repeated = ("lorem ipsum " * 100).trim
+    val diverse = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq((1L, repeated), (2L, diverse), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextAnalysis.compressionRatio($"text").as("cr"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.1, s"repeated text should compress hard: ${r(1L)}")
+    assert(r(2L) > r(1L) * 3, s"diverse ${r(2L)} vs repeated ${r(1L)}")
+    assert(r(3L) == 1.0 && r(4L) == 1.0) // blank/null convention
+    // deterministic across partition layouts (same JVM zlib)
+    val r2 = df.repartition(5).select($"doc_id",
+      TextAnalysis.compressionRatio($"text").as("cr"))
+      .as[(Long, Double)].collect().toMap
+    assert(r == r2)
+  }
+
   test("text profile fields") {
     val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
     val r = TextAnalysis.profile(df, "doc_id", "text").collect()(0)
