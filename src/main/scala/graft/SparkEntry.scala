@@ -933,6 +933,19 @@ object SparkEntry {
     // (inflate + all-filter scanline reconstruction) and STEREO PCM WAV
     // (multi-channel RIFF leg) — synthesized with closed-form features
     // so the oracle checks the inflate→un-filter→mean pipeline exactly
+    // REAL GIF decode: header/palette walk + full variable-width LZW
+    // dictionary decode with only the JDK — features hash-exact
+    // against the synthesis pixel law's closed form
+    "q_multimodal_gif" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGif(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeMedia(media, "doc_id")
+        .select(col("doc_id"), col("media_type"),
+          element_at(col("feature"), 1).as("f1"),
+          element_at(col("feature"), 2).as("f2"),
+          element_at(col("feature"), 3).as("f3"),
+          element_at(col("feature"), 4).as("f4"))
+    }),
+
     "q_multimodal_png" -> ((s, dir) => {
       val media = Multimodal.synthesizePngWav(
         t(s, dir, "documents"), "doc_id")
@@ -1747,6 +1760,18 @@ object SparkEntry {
     // a multiple of 0.25 → the one double division on each side is exact.
     // Stereo WAV frame sum = 3·(id%100) over 120 frames / 240 samples
     // ⇒ mean = 1.5·(id%100), also exact.
+    "q_multimodal_gif" ->
+      """WITH p AS (
+        | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        | FROM documents)
+        |SELECT doc_id, 'image/gif' AS media_type,
+        | CAST(w AS DOUBLE) AS f1,
+        | CAST(h AS DOUBLE) AS f2,
+        | 8.0 AS f3,
+        | CAST(w*h*(doc_id % 200) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
+        |      AS DOUBLE) / (w*h) AS f4
+        |FROM p""".stripMargin,
+
     "q_multimodal_png" ->
       """WITH p AS (
         | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h

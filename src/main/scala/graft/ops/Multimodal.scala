@@ -390,6 +390,200 @@ object Multimodal {
   /** Real-payload synthesis over the PNG/stereo-WAV pair: PNG for even
     * ids, stereo PCM WAV for odd — the payload column shape
     * [[decodeMedia]] consumes. */
+  /** Format-valid GIF87a: grayscale 256-entry global palette (entry
+    * i = (i,i,i), so pixel value = palette index), one image, LZW
+    * stream written with the classic "uncompressed GIF" technique — a
+    * CLEAR code before every literal keeps every code 9 bits wide and
+    * the dictionary empty, which is valid LZW any conformant decoder
+    * (including [[decodeGif]]'s general one) must accept. Same pixel
+    * law as [[pngBytes]] (base + x + y, no wrap), so the mean has the
+    * same closed form the oracle computes. */
+  def gifBytes(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 5).toInt
+    val base = (id % 200).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7) // GCT present, 8-bit resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect ratio
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(0)    // no local table, not interlaced
+    out.write(8)    // LZW minimum code size
+    // 9-bit codes, LSB-first bit packing, CLEAR(256) before each literal
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nBits
+      nBits += 9
+      while (nBits >= 8) {
+        bits.write((acc & 0xFF).toInt)
+        acc >>>= 8
+        nBits -= 8
+      }
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { putCode(256); putCode(base + x + y); x += 1 }
+      y += 1
+    }
+    putCode(257) // end of information
+    if (nBits > 0) bits.write((acc & 0xFF).toInt)
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) { // 255-byte sub-blocks
+      val n = math.min(255, data.length - off)
+      out.write(n)
+      out.write(data, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Parse a GIF for REAL: header + logical screen descriptor, global
+    * color table, extension skipping, then a full variable-width LZW
+    * decode (dictionary rebuild, 9→12-bit growth, deferred clear) of
+    * the first image. Returns [width, height, bitDepth=8, mean of the
+    * palette red channel over the decoded pixels]; None when the bytes
+    * are not a GIF this decoder supports. */
+  def decodeGif(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null || bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    var pos = 6
+    pos += 4 // screen w/h (per-image size is authoritative below)
+    val packed = bytes(pos) & 0xFF
+    pos += 3 // packed, background, aspect
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xFF) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          while (pos < bytes.length && (bytes(pos) & 0xFF) != 0)
+            pos += 1 + (bytes(pos) & 0xFF)
+          pos += 1
+        case 0x2C =>
+          if (pos + 10 > bytes.length) return None
+          val w = u16(pos + 5); val h = u16(pos + 7)
+          val ipacked = bytes(pos + 9) & 0xFF
+          pos += 10
+          // interlace (ipacked & 0x40) permutes ROW ORDER only — the
+          // LZW stream and pixel multiset are identical, and every
+          // feature this decoder returns (w, h, depth, mean) is
+          // row-permutation-invariant, so both variants decode alike
+          var pal = palette
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (pos + 3 * n > bytes.length) return None
+            pal = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          if (pal == null || w <= 0 || h <= 0) return None
+          val minCode = bytes(pos) & 0xFF
+          pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < bytes.length && (bytes(pos) & 0xFF) != 0) {
+            val n = bytes(pos) & 0xFF
+            if (pos + 1 + n > bytes.length) return None
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          val d = data.toByteArray
+          // general LZW decode
+          val clear = 1 << minCode
+          val eoi = clear + 1
+          val prefix = new Array[Int](4096)
+          val suffix = new Array[Byte](4096)
+          var next = eoi + 1
+          var width = minCode + 1
+          var prev = -1
+          val pixels = new java.io.ByteArrayOutputStream(w * h)
+          val stack = new Array[Byte](4096)
+          def firstByte(code: Int): Byte = {
+            var c = code
+            while (c >= clear) c = prefix(c)
+            c.toByte
+          }
+          def emit(code: Int): Unit = {
+            var sp = 0
+            var c = code
+            while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+            pixels.write(c)
+            while (sp > 0) { sp -= 1; pixels.write(stack(sp)) }
+          }
+          var acc = 0L
+          var nBits = 0
+          var bi = 0
+          var done = false
+          while (!done && pixels.size < w * h) {
+            while (nBits < width && bi < d.length) {
+              acc |= (d(bi) & 0xFFL) << nBits
+              nBits += 8
+              bi += 1
+            }
+            if (nBits < width) done = true // truncated stream
+            else {
+              val code = (acc & ((1L << width) - 1)).toInt
+              acc >>>= width
+              nBits -= width
+              if (code == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+              else if (code == eoi) done = true
+              else if (code > next || (code == next && prev < 0)) return None
+              else {
+                if (prev >= 0 && next < 4096) {
+                  prefix(next) = prev
+                  suffix(next) =
+                    if (code == next) firstByte(prev) else firstByte(code)
+                  next += 1
+                  if (next == (1 << width) && width < 12) width += 1
+                }
+                emit(code)
+                prev = code
+              }
+            }
+          }
+          val px = pixels.toByteArray
+          if (px.length != w * h) return None
+          var sum = 0.0
+          var j = 0
+          while (j < px.length) {
+            val idx = px(j) & 0xFF
+            if (3 * idx + 2 >= pal.length) return None
+            sum += (pal(3 * idx) & 0xFF)
+            j += 1
+          }
+          return Some(Array(w.toDouble, h.toDouble, 8.0, sum / (w * h)))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF payloads for every id — the LZW leg of the real-decode gate. */
+  def synthesizeGif(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => gifBytes(id))
+    df.select(col(idCol), gen(col(idCol)).as("payload"))
+  }
+
   def synthesizePngWav(df: DataFrame, idCol: String): DataFrame = {
     val gen = udf((id: Long) =>
       if (id % 2 == 0) pngBytes(id) else wavStereoBytes(id))
@@ -437,6 +631,7 @@ object Multimodal {
             .map(("image/bmp", _))
             .orElse(decodeWav(payload).map(("audio/wav", _)))
             .orElse(decodePng(payload).map(("image/png", _)))
+            .orElse(decodeGif(payload).map(("image/gif", _)))
             .getOrElse(("application/octet-stream", stubDecode(payload)))
           Row(r.getLong(idIdx), mt,
             if (payload == null) 0L else payload.length.toLong, feats.toSeq)

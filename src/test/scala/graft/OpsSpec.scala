@@ -207,6 +207,41 @@ class OpsSpec extends SparkSpec {
     assert(r == r2)
   }
 
+  test("GIF LZW decode: round trip + ImageIO cross-implementation") {
+    // synthesis round trip with the closed-form mean
+    Seq(0L, 7L, 123L, 4567L).foreach { id =>
+      val Some(f) = Multimodal.decodeGif(Multimodal.gifBytes(id))
+      val w = 8 + (id % 8).toInt
+      val h = 8 + (id % 5).toInt
+      assert(f(0) == w && f(1) == h && f(2) == 8.0)
+      val mean = (w.toLong * h * (id % 200) + h.toLong * w * (w - 1) / 2 +
+        w.toLong * h * (h - 1) / 2).toDouble / (w * h)
+      assert(math.abs(f(3) - mean) < 1e-9, s"id=$id mean ${f(3)} != $mean")
+    }
+    // the JDK's own GIF writer is an independent, genuinely-compressing
+    // LZW implementation — our general decoder must agree with it
+    val w = 31; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var sum = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 5) % 256
+      img.getRaster.setSample(x, y, 0, v)
+      sum += v
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val Some(g) = Multimodal.decodeGif(bos.toByteArray)
+    assert(g(0) == w && g(1) == h)
+    assert(math.abs(g(3) - sum / (w * h)) < 1e-9,
+      s"ImageIO-encoded mean ${g(3)} != ${sum / (w * h)}")
+    // malformed payloads refuse instead of crashing
+    assert(Multimodal.decodeGif(null).isEmpty)
+    assert(Multimodal.decodeGif("GIF87a junk".getBytes).isEmpty)
+    assert(Multimodal.decodeGif(
+      Multimodal.gifBytes(5L).take(40)).isEmpty)
+  }
+
   test("text profile fields") {
     val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
     val r = TextAnalysis.profile(df, "doc_id", "text").collect()(0)
