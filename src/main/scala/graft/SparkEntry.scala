@@ -933,11 +933,9 @@ object SparkEntry {
     // (inflate + all-filter scanline reconstruction) and STEREO PCM WAV
     // (multi-channel RIFF leg) — synthesized with closed-form features
     // so the oracle checks the inflate→un-filter→mean pipeline exactly
-    // REAL GIF decode: header/palette walk + full variable-width LZW
-    // dictionary decode with only the JDK — features hash-exact
-    // against the synthesis pixel law's closed form
-    "q_multimodal_gif" -> ((s, dir) => {
-      val media = Multimodal.synthesizeGif(t(s, dir, "documents"), "doc_id")
+    "q_multimodal_png" -> ((s, dir) => {
+      val media = Multimodal.synthesizePngWav(
+        t(s, dir, "documents"), "doc_id")
       Multimodal.decodeMedia(media, "doc_id")
         .select(col("doc_id"), col("media_type"),
           element_at(col("feature"), 1).as("f1"),
@@ -946,9 +944,11 @@ object SparkEntry {
           element_at(col("feature"), 4).as("f4"))
     }),
 
-    "q_multimodal_png" -> ((s, dir) => {
-      val media = Multimodal.synthesizePngWav(
-        t(s, dir, "documents"), "doc_id")
+    // REAL GIF decode: header/palette walk + full variable-width LZW
+    // dictionary decode with only the JDK — features hash-exact
+    // against the synthesis pixel law's closed form
+    "q_multimodal_gif" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGif(t(s, dir, "documents"), "doc_id")
       Multimodal.decodeMedia(media, "doc_id")
         .select(col("doc_id"), col("media_type"),
           element_at(col("feature"), 1).as("f1"),
@@ -1760,18 +1760,6 @@ object SparkEntry {
     // a multiple of 0.25 → the one double division on each side is exact.
     // Stereo WAV frame sum = 3·(id%100) over 120 frames / 240 samples
     // ⇒ mean = 1.5·(id%100), also exact.
-    "q_multimodal_gif" ->
-      """WITH p AS (
-        | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
-        | FROM documents)
-        |SELECT doc_id, 'image/gif' AS media_type,
-        | CAST(w AS DOUBLE) AS f1,
-        | CAST(h AS DOUBLE) AS f2,
-        | 8.0 AS f3,
-        | CAST(w*h*(doc_id % 200) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
-        |      AS DOUBLE) / (w*h) AS f4
-        |FROM p""".stripMargin,
-
     "q_multimodal_png" ->
       """WITH p AS (
         | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
@@ -1789,6 +1777,20 @@ object SparkEntry {
         |   CAST(w*h*(doc_id % 200) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
         |        AS DOUBLE) / (w*h)
         | ELSE CAST(360 * (doc_id % 100) AS DOUBLE) / 240 END AS f4
+        |FROM p""".stripMargin,
+
+    // GIF shares pngBytes' pixel law (base + x + y, no wrap), so its
+    // mean is the same closed form; f3 = 8 (palette bit depth)
+    "q_multimodal_gif" ->
+      """WITH p AS (
+        | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        | FROM documents)
+        |SELECT doc_id, 'image/gif' AS media_type,
+        | CAST(w AS DOUBLE) AS f1,
+        | CAST(h AS DOUBLE) AS f2,
+        | 8.0 AS f3,
+        | CAST(w*h*(doc_id % 200) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
+        |      AS DOUBLE) / (w*h) AS f4
         |FROM p""".stripMargin
   )
 

@@ -496,6 +496,7 @@ object Multimodal {
             pos += 3 * n
           }
           if (pal == null || w <= 0 || h <= 0) return None
+          if (pos >= bytes.length) return None // truncated before LZW
           val minCode = bytes(pos) & 0xFF
           pos += 1
           if (minCode < 2 || minCode > 8) return None

@@ -632,91 +632,14 @@ object Similarity {
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, codebook: PqCodebook, k: Int,
-             shortlistFactor: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val m = codebook.length
-    val kCent = codebook(0).length
-    val subDim = codebook(0)(0).length
-    val qArr = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, v) => (id, l2normalize(v)) }
-    val qB = spark.sparkContext.broadcast(qArr)
-    val cbB = spark.sparkContext.broadcast(codebook)
-    val shortlist = math.max(k * shortlistFactor, k)
-
-    val encoded = pqEncode(corpus, idCol, vecCol, codebook)
-      .select(col(idCol).cast("long").as("neighbor_id"), col("pq_codes"))
-      .as[(Long, Array[Byte])]
-    val candidates = encoded.mapPartitions { it =>
-      val cb = cbB.value
-      val qs = qB.value
-      // per-query ADC tables, built once per partition
-      val tables = qs.map { case (_, qv) =>
-        val t = Array.ofDim[Double](m, kCent)
-        var s = 0
-        while (s < m) {
-          var c = 0
-          while (c < kCent) { t(s)(c) = subDist(qv, s * subDim, cb(s)(c)); c += 1 }
-          s += 1
-        }
-        t
-      }
-      // bounded per-query top-shortlist. Max-heaps over the TOTAL order
-      // (adc, neighbor_id) — adc alone would evict boundary ties by
-      // arrival order, making the shortlist SET depend on partition
-      // layout; with the id in the order, every partition keeps its
-      // lexicographically-smallest candidates and the global window
-      // below (same order) is deterministic end to end.
-      val heapOrd = Ordering.Tuple2(
-        Ordering.Double.TotalOrdering, Ordering.Long)
-      val heaps = qs.map(_ =>
-        new java.util.PriorityQueue[(Double, Long)](shortlist + 1,
-          heapOrd.reverse))
-      it.foreach { case (nid, codes) =>
-        var q = 0
-        while (q < qs.length) {
-          if (qs(q)._1 != nid) {
-            val t = tables(q)
-            var d = 0.0
-            var s = 0
-            while (s < m) { d += t(s)(codes(s) & 0xff); s += 1 }
-            val h = heaps(q)
-            if (h.size < shortlist) h.add((d, nid))
-            else {
-              val top = h.peek()
-              if (d < top._1 || (d == top._1 && nid < top._2)) {
-                h.poll(); h.add((d, nid))
-              }
-            }
-          }
-          q += 1
-        }
-      }
-      heaps.iterator.zip(qs.iterator).flatMap { case (h, (qid, _)) =>
-        h.iterator().asScala.map { case (d, nid) => (qid, nid, d) }
-      }
-    }.toDF("query_id", "neighbor_id", "adc")
-    val wShort = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    val short = candidates
-      .withColumn("__rs", row_number().over(wShort))
-      .filter(col("__rs") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank on the shortlist only
-    val qDf = qArr.toSeq.toDF("query_id", "__qv")
-    val wFinal = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    short
-      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        toDoubleVec(col(vecCol)).as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(qDf), Seq("query_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-  }
+             shortlistFactor: Int = 8): DataFrame =
+    // one synthetic cell + one probe = the IVF-PQ machinery with the
+    // cell structure degenerate: identical ADC/heap/re-rank semantics,
+    // ONE implementation to fix (the two bodies had already drifted on
+    // the NaN-cosine guard before this delegation)
+    ivfPqTopK(corpus.filter(col(vecCol).isNotNull)
+        .withColumn("cell_id", lit(0L)),
+      queries, idCol, vecCol, codebook, k, nProbe = 1, shortlistFactor)
 
   /**
    * IVF-PQ top-k — the FAISS IVF-ADC composition (Jégou et al. 2011,

@@ -575,21 +575,30 @@ object TextAnalysis {
    */
   def compressionRatio(text: Column): Column = {
     val kernel = udf((s: String) => {
-      if (s == null || s.isEmpty) 1.0
+      // trim-blank → 1.0, matching every other blank convention here
+      // (tokenCount, trainNonblank): a whitespace-only doc must not
+      // read as "highly compressible content"
+      if (s == null || s.trim.isEmpty) 1.0
       else {
         val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val d = new java.util.zip.Deflater(6, true)
-        try {
-          d.setInput(raw)
-          d.finish()
-          val buf = new Array[Byte](8192)
-          var n = 0L
-          while (!d.finished()) n += d.deflate(buf)
-          n.toDouble / raw.length
-        } finally d.end()
+        val d = DeflaterPool.get() // per-thread reuse: deflateInit/End
+        d.reset()                  // per row is native-alloc dominated
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n.toDouble / raw.length
       }
     })
     kernel(text)
+  }
+
+  /** Per-executor-thread Deflater reuse for [[compressionRatio]] —
+    * accessed statically on each executor, never serialized. */
+  private object DeflaterPool extends ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
   }
 
   /**
