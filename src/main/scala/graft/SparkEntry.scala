@@ -405,6 +405,13 @@ object SparkEntry {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Queries, 10)),
 
+    // PMI collocations: top-50 bigrams by pointwise mutual information
+    // (the phrase-detection statistic) — rounded-PMI ordering with a
+    // gram tiebreak keeps ranks engine-exact
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, k = 50)),
+
     // deflate compression ratio — the long-range-repetition quality
     // signal (compressible = templated/repetitive); zlib output is
     // JVM-library-specific → rows-only, ordering pinned in OpsSpec
@@ -1654,6 +1661,31 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
 
     "q_lm_backoff" -> trigramBackoffOracle,
+
+    // mirrors TextAnalysis.pmiCollocations: double ratio tree (c12·N
+    // overflows BIGINT at scale on the Spark side, so both engines
+    // compute in doubles), ln rounded to 6, rank on the ROUNDED value
+    "q_pmi" ->
+      """WITH big AS (
+        | SELECT w1 || ' ' || w2 AS gram, w1, w2 FROM (
+        |  SELECT unnest(t[1 : len(t) - 1]) AS w1,
+        |         unnest(t[2 : len(t)]) AS w2
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents) WHERE len(t) >= 2)),
+        |cnt AS (SELECT gram, w1, w2, count(*) AS c12
+        |        FROM big GROUP BY gram, w1, w2),
+        |u1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |u2 AS (SELECT w2, count(*) AS c2 FROM big GROUP BY w2),
+        |n AS (SELECT count(*) AS n_bigrams FROM big)
+        |SELECT c.gram, c.c12,
+        | round(ln((CAST(c.c12 AS DOUBLE) * n.n_bigrams) /
+        |          (CAST(u1.c1 AS DOUBLE) * u2.c2)), 6) AS pmi
+        |FROM cnt c
+        |JOIN u1 ON c.w1 = u1.w1
+        |JOIN u2 ON c.w2 = u2.w2
+        |CROSS JOIN n
+        |WHERE c.c12 >= 5
+        |ORDER BY pmi DESC, gram ASC LIMIT 50""".stripMargin,
 
     // mirrors TextAnalysis.bigramLmScore: decimal-point constants that
     // are not binary-exact (0.1) are CAST to DOUBLE so DuckDB's

@@ -563,6 +563,44 @@ object TextAnalysis {
   }
 
   /**
+   * PMI collocations — top-k word bigrams by pointwise mutual
+   * information over bigram events (the word2vec-phrases / collocation
+   * detection statistic): PMI = ln(c12·N / (c1·c2)) with c1 = w1's
+   * count as a bigram start, c2 = w2's count as a bigram end, N =
+   * total bigram occurrences. `minCount` suppresses rare-pair noise.
+   *
+   * Scale: three map-side-combined aggregates over one bigram pass,
+   * two broadcast-size join sides (vocab-bounded), top-k through
+   * TakeOrderedAndProject. The ratio is computed in doubles
+   * (c12·N overflows long at corpus scale) with the identical IEEE
+   * tree on both engines; PMI is rounded to 6 decimals and the
+   * ORDERING uses the rounded value + gram tiebreak, so ranks match
+   * the oracle exactly.
+   */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val big = df
+      .select(explode(wordGramsOccur(col(textCol), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val cnt = big.groupBy(col("gram"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = big.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val n = big.agg(count(lit(1)).as("n_bigrams"))
+    cnt.filter(col("c12") >= minCount)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        round(log((col("c12").cast("double") * col("n_bigrams")) /
+          (col("c1").cast("double") * col("c2"))), 6))
+      .orderBy(col("pmi").desc, col("gram").asc)
+      .limit(k)
+      .select(col("gram"), col("c12"), col("pmi"))
+  }
+
+  /**
    * Deflate compression ratio of the UTF-8 text (zlib level 6):
    * compressed bytes / raw bytes. Highly compressible text is
    * repetitive or templated — the long-range-repetition quality signal

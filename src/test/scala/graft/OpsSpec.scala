@@ -242,6 +242,28 @@ class OpsSpec extends SparkSpec {
       Multimodal.gifBytes(5L).take(40)).isEmpty)
   }
 
+  test("PMI collocations match hand-computed values and ordering") {
+    // corpus: "a b" x4, "a c" x2, "c c" x2 (as separate docs so the
+    // only bigrams are the ones planted)
+    val df = (Seq.fill(4)("a b") ++ Seq.fill(2)("a c") ++ Seq.fill(2)("c c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(df, "text", minCount = 2, k = 10)
+      .as[(String, Long, Double)].collect()
+    // N=8 bigrams; starts: a->6, c->2; ends: b->4, c->4
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      "a b" -> r6(math.log(4.0 * 8 / (6.0 * 4))),
+      "a c" -> r6(math.log(2.0 * 8 / (6.0 * 4))),
+      "c c" -> r6(math.log(2.0 * 8 / (2.0 * 4))))
+    assert(out.map(r => r._1 -> r._3).toMap == expected)
+    // ordering: "c c" (ln 2) > "a b" (ln 4/3) > "a c" (ln 2/3)
+    assert(out.map(_._1).toSeq == Seq("c c", "a b", "a c"))
+    // minCount suppresses rare pairs
+    val strict = TextAnalysis.pmiCollocations(df, "text", minCount = 3, k = 10)
+      .as[(String, Long, Double)].collect()
+    assert(strict.map(_._1).toSeq == Seq("a b"))
+  }
+
   test("text profile fields") {
     val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
     val r = TextAnalysis.profile(df, "doc_id", "text").collect()(0)
