@@ -833,6 +833,18 @@ object SparkEntry {
           expr("nb_coerce_to_date_or_null(maybe_date)").as("coerced_date"))
     }),
 
+    // columnar-format parity beyond parquet: ORC round trip through
+    // Spark's built-in datasource (typed schema preserved end to end —
+    // oracle = identity over the original parquet)
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_orc_${Integer.toHexString(dir.hashCode)}")
+      t(s, dir, "documents").write.mode("overwrite")
+        .orc(tmp.getAbsolutePath)
+      s.read.orc(tmp.getAbsolutePath)
+    }),
+
     // S1-analogue for the LLM-corpus interchange format: export the
     // documents table as JSONL and re-read it through an explicit
     // schema — values, nulls, and escapes must survive the round trip
@@ -1758,6 +1770,9 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, value FROM events",
 
     "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_multimodal_decode_real" ->
