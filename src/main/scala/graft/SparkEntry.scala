@@ -23,6 +23,14 @@ import graft.ops.{QualityClassifier, Retrieval, Similarity, TextAnalysis, TextDe
  */
 object SparkEntry {
 
+  /** Temp-dir disambiguator for the round-trip/write gates: stable
+    * within a run (bench reps overwrite-then-reread the same path) but
+    * distinct across processes, so two concurrent harness runs over the
+    * same data dir cannot race on a shared path, and `dir.hashCode`
+    * collisions across data dirs cannot silently share one. */
+  private def tmpToken(dir: String): String =
+    s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+
   /** Search workload for the BM25 gate — shared by query, oracle, and
     * the 10× stress scenario (graft-visible so Stress cannot silently
     * diverge from the gated workload). */
@@ -249,7 +257,7 @@ object SparkEntry {
     "q_merge_upsert_written" -> ((s, dir) => {
       val out = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_target_${Integer.toHexString(dir.hashCode)}")
+        s"graft_target_${tmpToken(dir)}")
       val res = Merger.merge(mergeSource(s, dir), mergeTarget(s, dir),
         mergeSpecBase)
       res.newTarget.write.mode("overwrite").parquet(out.getAbsolutePath)
@@ -839,7 +847,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> ((s, dir) => {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_orc_${Integer.toHexString(dir.hashCode)}")
+        s"graft_orc_${tmpToken(dir)}")
       t(s, dir, "documents").write.mode("overwrite")
         .orc(tmp.getAbsolutePath)
       s.read.orc(tmp.getAbsolutePath)
@@ -852,7 +860,7 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> ((s, dir) => {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_jsonl_${Integer.toHexString(dir.hashCode)}")
+        s"graft_jsonl_${tmpToken(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.JsonlSource.write(docs, tmp.getAbsolutePath)
       graft.sources.JsonlSource.read(s,
@@ -864,7 +872,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> ((s, dir) => {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_csv_${Integer.toHexString(dir.hashCode)}")
+        s"graft_csv_${tmpToken(dir)}")
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .coalesce(1)
@@ -893,7 +901,7 @@ object SparkEntry {
     "q_remove_expression" -> ((s, dir) => {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_dirty_${Integer.toHexString(dir.hashCode)}")
+        s"graft_dirty_${tmpToken(dir)}")
       val ev = t(s, dir, "events")
       val dirtyType = when(col("event_id") % 7 === 0,
         concat(lit("\","), col("event_type"))).otherwise(col("event_type"))

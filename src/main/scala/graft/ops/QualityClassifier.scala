@@ -103,6 +103,10 @@ object QualityClassifier {
         // opaque null-in-non-nullable-field error mid-epoch
         require(y != null,
           s"label column '$labelCol' contains nulls; labels must be 0/1")
+        // a label outside {0,1} would silently corrupt both the
+        // gradient and the class-balance weighting (nPos uses >= 0.5)
+        require(y.doubleValue == 0.0 || y.doubleValue == 1.0,
+          s"label column '$labelCol' contains $y; labels must be 0/1")
         val (i, v) = featurize(t, dim)
         (i, v, y.doubleValue)
       }

@@ -69,6 +69,12 @@ object Retrieval {
    *
    * Output: qid, doc_id (named after idCol), score (double) — the top k
    * candidates per query by (score desc, doc_id asc).
+   *
+   * Cache contract: the returned plan reads a persisted candidate-score
+   * DataFrame that must outlive this call. Long-lived sessions issuing
+   * many searches should call [[releaseCaches]] between searches (after
+   * consuming the previous result) — otherwise the entries stay cached
+   * until `catalog.clearCache()` or application end.
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, String)], k: Int,
@@ -126,12 +132,13 @@ object Retrieval {
     // every per-query top-k branch below reads the candidate scores, so
     // persist them (spill-safe, bounded by the candidate set — much
     // smaller than `base`), materialize, and release the token cache.
-    // The scored cache itself is released by catalog.clearCache or app
-    // end (it must outlive this call: the returned plan reads it).
+    // The scored cache must outlive this call (the returned plan reads
+    // it); it is registered for caller-driven release via releaseCaches.
     val scored =
       scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
     base.unpersist()
+    liveCaches.add(scored)
 
     // per-query top-k: each branch compiles to TakeOrderedAndProject
     // (distributed per-partition heaps, driver merges k rows/partition) —
@@ -144,5 +151,18 @@ object Retrieval {
         .limit(k)
     }.reduce(_.unionAll(_))
       .select(col("qid"), col(idCol), col("_score").cast("double").as("score"))
+  }
+
+  // persisted candidate-score frames whose plans have been handed to
+  // callers; a long-lived session releases them between searches
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every candidate cache handed out by [[bm25TopK]]. Call
+    * after the previous results are consumed; plans returned earlier
+    * recompute (correctly, just slower) if re-evaluated afterwards. */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(); df = liveCaches.poll() }
   }
 }

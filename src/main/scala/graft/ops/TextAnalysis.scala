@@ -498,7 +498,9 @@ object TextAnalysis {
     val kernel = udf((s: String) => {
       if (s == null) Array.empty[String]
       else {
-        val toks = s.trim.toLowerCase.split("\\s+")
+        // drop the empty token "".split produces for blank strings so
+        // n=1 matches the tokenCount=0 blank-document convention
+        val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
         if (toks.length < n) Array.empty[String]
         else Array.tabulate(toks.length - n + 1) { i =>
           val sb = new StringBuilder(toks(i))

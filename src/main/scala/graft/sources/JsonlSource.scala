@@ -44,12 +44,20 @@ object JsonlSource {
 
   /** Count of lines the reader dropped (A1 audit face, same contract
     * as CsvSource.malformedCount): raw line count minus parsed rows.
-    * Blank lines are ignored by both counts. */
+    * Blank lines are ignored by both counts.
+    *
+    * The parsed side counts through `.rdd` deliberately: a bare
+    * `.count()` is a count-only plan, and under column pruning Spark's
+    * JSON parser validates only line syntax — a well-formed line whose
+    * values violate the schema (type mismatch) would survive the count
+    * but be dropped by any real projected read. Materializing rows
+    * forces full-schema parsing, so this count matches what a consumer
+    * of `read` actually sees. */
   def malformedCount(spark: SparkSession, spec: JsonlSpec): Long = {
     val raw = spark.read.option("encoding", spec.encoding).text(spec.path)
       .filter(org.apache.spark.sql.functions.trim(
         org.apache.spark.sql.functions.col("value")) =!= "")
       .count()
-    math.max(0L, raw - read(spark, spec).count())
+    math.max(0L, raw - read(spark, spec).rdd.count())
   }
 }

@@ -250,6 +250,8 @@ object Stress {
       val n = hits.count()
       assert(n == 30, s"expected 30 bm25 hits, got $n")
     }
+    // result consumed — release the candidate cache (bm25TopK contract)
+    graft.ops.Retrieval.releaseCaches()
     assertNoFunnel("bm25-10x")
 
     println("[stress] ALL OK")

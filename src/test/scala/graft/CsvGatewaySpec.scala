@@ -116,4 +116,27 @@ class CsvGatewaySpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toSet
     assert(back == Set((10L, Some("x")), (11L, None)))
   }
+
+  test("jsonl malformedCount sees schema/type mismatches, not just syntax") {
+    import graft.sources.{JsonlSource, JsonlSpec}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    // line 2 is well-formed JSON but violates the schema (string id):
+    // a count-only plan under column pruning validates only syntax, so
+    // the audit must force full parsing to count it as dropped
+    val p = Files.createTempFile("graft_jsonl_ty", ".jsonl")
+    Files.writeString(p,
+      """{"id": 1, "t": "a"}
+        |{"id": "not_a_number", "t": "b"}
+        |{broken
+        |{"id": 4, "t": "d"}
+        |""".stripMargin)
+    val spec = JsonlSpec(p.toString, Some(schema))
+    // a projected read (what consumers actually do) drops both
+    val ids = JsonlSource.read(spark, spec)
+      .select($"id").as[Option[Long]].collect().flatten.toSet
+    assert(ids == Set(1L, 4L))
+    assert(JsonlSource.malformedCount(spark, spec) == 2L)
+  }
 }

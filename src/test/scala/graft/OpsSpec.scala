@@ -678,6 +678,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("bm25 ranks term-dense short docs first and respects k") {
+    val cachesBefore = spark.sparkContext.getPersistentRDDs.size
     val df = Seq(
       (1L, "spark spark spark join"),          // dense in query terms
       (2L, "spark join " + ("pad " * 60).trim), // same terms, long doc
@@ -701,6 +702,11 @@ class OpsSpec extends SparkSpec {
       Seq(7L -> "spark join"), k = 3)
       .as[(Long, Long, Double)].collect().sortBy(-_._3)
     assert(out.toSeq == out2.toSeq)
+    // cache contract: results consumed → releaseCaches drops the
+    // persisted candidate frames; a long-lived session doesn't leak
+    assert(spark.sparkContext.getPersistentRDDs.size > cachesBefore)
+    Retrieval.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
   test("bigram LM matches hand-computed add-alpha probabilities") {
@@ -714,6 +720,14 @@ class OpsSpec extends SparkSpec {
     assert(df.filter($"doc_id" === 1L)
       .select(TextAnalysis.wordBigrams($"text")).as[Seq[String]].head() ==
       Seq("a b", "b a", "a b"))
+    // n=1 on blank/whitespace matches the tokenCount=0 convention
+    // (no phantom "" unigram from split on an empty trim)
+    assert(df.filter($"doc_id" === 4L)
+      .select(TextAnalysis.wordGramsOccur($"text", 1)).as[Seq[String]]
+      .head().isEmpty)
+    assert(df.filter($"doc_id" === 3L)
+      .select(TextAnalysis.wordGramsOccur($"text", 1)).as[Seq[String]]
+      .head() == Seq("c"))
     val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
       .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
     assert(out.keySet == Set(1L, 2L))
@@ -797,6 +811,20 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(v1.sum - 1.0) < 1e-12) // L1-normalized
     assert(graft.ops.QualityClassifier.featurize(null, 64)._1.isEmpty)
     assert(graft.ops.QualityClassifier.featurize("   ", 64)._1.isEmpty)
+  }
+
+  test("classifier train rejects labels outside {0,1}") {
+    val df = Seq((1L, "good text", 1.0), (2L, "bad text", 2.0))
+      .toDF("doc_id", "text", "label")
+    val e = intercept[Exception] {
+      graft.ops.QualityClassifier.train(df, "text", "label",
+        dim = 64, epochs = 1)
+    }
+    // require fires on an executor; Spark wraps it — match the message
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("labels must be 0/1")), msgs(e).toString)
   }
 
   test("hashed doc vectors: unit norm, cosine tracks text similarity") {
