@@ -340,6 +340,20 @@ object SparkEntry {
         shingleLen = 5, numHashes = 64, bands = 8,
         jaccardThreshold = 0.8)),
 
+    // exact substring (duplicated-span) dedup: verbatim >=8-token runs
+    // appearing in more than one document, merged per doc into maximal
+    // token intervals — the suffix-array semantics of Lee et al. 2021
+    // distributed as k-gram fingerprints (integer output, hash-exact)
+    "q_substring_spans" -> ((s, dir) =>
+      TextDedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8)),
+
+    // cleaned-corpus face of the same: duplicated spans stripped, text
+    // rebuilt in normalized token form + kept/removed token accounting
+    "q_substring_clean" -> ((s, dir) =>
+      TextDedup.stripDuplicateSpans(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)),
+
     // exact n-gram Jaccard threshold join at a moderate threshold —
     // rarest-first (frequency-ordered) prefix filtering keeps the
     // candidate buckets tiny even though the prefix is half the doc
@@ -1169,6 +1183,88 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
         | count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_substring_spans" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> x <> '') AS tk
+        | FROM documents),
+        |pos AS (
+        | SELECT doc_id, tk,
+        |  CAST(unnest(generate_series(0, len(tk) - 8)) AS BIGINT) AS pos
+        | FROM toks),
+        |occ AS (
+        | SELECT doc_id, pos, array_to_string(tk[pos+1 : pos+8], ' ') AS g
+        | FROM pos),
+        |dup AS (SELECT g FROM occ GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (g)),
+        |w AS (
+        | SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS prev_end
+        | FROM hits),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM w)
+        |SELECT doc_id, min(pos) AS span_start, max(pos + 7) AS span_end,
+        | max(pos + 7) - min(pos) + 1 AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    "q_substring_clean" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> x <> '') AS tk
+        | FROM documents),
+        |pos AS (
+        | SELECT doc_id, tk,
+        |  CAST(unnest(generate_series(0, len(tk) - 8)) AS BIGINT) AS pos
+        | FROM toks),
+        |occ AS (
+        | SELECT doc_id, pos, array_to_string(tk[pos+1 : pos+8], ' ') AS g
+        | FROM pos),
+        |dup AS (SELECT g FROM occ GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (g)),
+        |w AS (
+        | SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS prev_end
+        | FROM hits),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM w),
+        |spans AS (
+        | SELECT doc_id, min(pos) AS s, max(pos + 7) AS e
+        | FROM isl GROUP BY doc_id, island),
+        |tok AS (
+        | SELECT doc_id, pos, tk[pos+1] AS tok FROM (
+        |  SELECT doc_id, tk,
+        |   CAST(unnest(generate_series(0, len(tk) - 1)) AS BIGINT) AS pos
+        |  FROM toks)),
+        |kept AS (
+        | SELECT t.doc_id, t.pos, t.tok FROM tok t
+        | WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |   WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)),
+        |reb AS (
+        | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |  count(*) AS kept_tokens
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        | coalesce(r.kept_tokens, 0) AS kept_tokens,
+        | n.n - coalesce(r.kept_tokens, 0) AS removed_tokens
+        |FROM documents d
+        |LEFT JOIN reb r ON r.doc_id = d.doc_id
+        |JOIN (SELECT doc_id, len(list_filter(
+        |        string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '')) AS n
+        |      FROM documents) n ON n.doc_id = d.doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH w AS (

@@ -168,6 +168,118 @@ object TextDedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  // ---- Exact substring (duplicated-span) dedup ---------------------------
+
+  /**
+   * Cross-document duplicated-substring spans: token runs of length
+   * >= k that appear verbatim in MORE THAN ONE document, reported per
+   * document as merged `[span_start, span_end]` token intervals
+   * (0-based, inclusive; tokens are the whitespace/lowercase
+   * convention of [[TextAnalysis.wordGramsOccur]]).
+   *
+   * This is the exact-substring flavor of training-data dedup
+   * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+   * Models Better"): MinHash/SimHash catch near-duplicate DOCUMENTS;
+   * this catches verbatim boilerplate/quotation SPANS inside otherwise
+   * distinct documents. The published implementation builds a corpus
+   * suffix array; Spark-first the same spans fall out of k-gram
+   * fingerprints, which distribute:
+   *
+   *  1. one row per token position: (doc, pos, xxhash64(k-gram)) —
+   *     8-byte fingerprints through the shuffle, never gram strings;
+   *  2. fingerprints seen in >= 2 distinct docs via a single
+   *     partial-aggregating groupBy — `min(doc) <> max(doc)` is the
+   *     2-distinct test without a countDistinct;
+   *  3. join back (same key => AQE reuses the exchange) and merge
+   *     overlapping/adjacent hits per doc with ONE keyed window
+   *     (partitioned by doc — bounded by document length, never
+   *     corpus-scale).
+   *
+   * No all-pairs comparison, no driver funnel; skewed (ubiquitous)
+   * k-grams hit the map-side combine in step 2, not a hot reducer.
+   * Intra-document repeats are deliberately excluded (those are
+   * repetition metrics, [[TextAnalysis.repetitionMetrics]]).
+   *
+   * Output: (idCol, span_start, span_end, span_tokens), one row per
+   * maximal duplicated span.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k-gram size must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val occ = df
+      .select(col(idCol), posexplode(
+        TextAnalysis.wordGramsOccur(col(textCol), k)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        xxhash64(col("g")).as("gh"))
+    val dup = occ
+      .groupBy(col("gh"))
+      .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select(col("gh"))
+    val hits = occ.join(dup, "gh").select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("_brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /**
+   * Cleaned corpus face of [[duplicateSpans]]: every document with its
+   * duplicated spans removed (normalized to the same lowercase /
+   * single-space token convention the spans index into). Documents
+   * fully covered by duplicated spans come back with an empty string;
+   * documents with no duplicated span come back whole. Output:
+   * (idCol, clean_text, kept_tokens, removed_tokens).
+   *
+   * Token positions anti-join the span intervals per document (equi on
+   * doc + a range predicate over the doc's few spans), then each doc
+   * reassembles order-deterministically via array_sort over (pos, tok)
+   * structs — per-document arrays, bounded by document length.
+   */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    // alias the span side: both frames share the source lineage, and a
+    // raw idCol === idCol would be built over identical attribute ids
+    // (resolves correctly via dataset-id disambiguation, but logs a
+    // "trivially true predicate" WARN per run)
+    val spans = duplicateSpans(df, idCol, textCol, k)
+      .select(col(idCol).as("_span_doc"),
+        col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.wordGramsOccur(col(textCol), 1))
+        .as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(spans,
+      col(idCol) === col("_span_doc") &&
+        col("pos").between(col("span_start"), col("span_end")),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("_n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("_n") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Deterministic affine hash params (seeded — reproducible runs). */

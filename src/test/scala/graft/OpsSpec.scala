@@ -16,6 +16,50 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("duplicate spans: cross-doc runs found, merged, intra-doc excluded") {
+    // docs 1 and 2 share the 6-token run "a b c d e f" (doc 2 shifted);
+    // doc 3 repeats its own trigram (intra-doc only → no span); doc 4
+    // is unrelated. k=3 → doc 1/2 hits at every window inside the run.
+    val df = Seq(
+      (1L, "a b c d e f x y z"),
+      (2L, "p q a b c d e f"),
+      (3L, "m n o m n o m n o"),
+      (4L, "unrelated words entirely here today")
+    ).toDF("id", "t")
+    val spans = TextDedup.duplicateSpans(df, "id", "t", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: tokens 0..5; doc 2: tokens 2..7 — one merged span each
+    assert(spans.toSeq == Seq((1L, 0L, 5L, 6L), (2L, 2L, 7L, 6L)))
+    // stable across partition layouts
+    val spans7 = TextDedup.duplicateSpans(df.repartition(7), "id", "t", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(spans7.toSeq == spans.toSeq)
+    // adjacent/overlapping hits merge into ONE maximal span, and a gap
+    // splits islands: docs 5/6 share two runs separated by a unique gap
+    val df2 = Seq(
+      (5L, "a b c GAPFIVE d e f"),
+      (6L, "a b c GAPSIX d e f")
+    ).toDF("id", "t")
+    val spans2 = TextDedup.duplicateSpans(df2, "id", "t", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(spans2.toSeq == Seq(
+      (5L, 0L, 2L, 3L), (5L, 4L, 6L, 3L),
+      (6L, 0L, 2L, 3L), (6L, 4L, 6L, 3L)))
+
+    // clean face: span tokens removed, normalized rebuild, accounting
+    val cleaned = TextDedup.stripDuplicateSpans(df, "id", "t", k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cleaned(1L)._2 == "x y z" && cleaned(1L)._3 == 3 && cleaned(1L)._4 == 6)
+    assert(cleaned(2L)._2 == "p q" && cleaned(2L)._3 == 2 && cleaned(2L)._4 == 6)
+    assert(cleaned(3L)._2 == "m n o m n o m n o" && cleaned(3L)._4 == 0)
+    assert(cleaned(4L)._2 == "unrelated words entirely here today")
+    // a fully-duplicated doc empties out but stays in the corpus
+    val df3 = Seq((7L, "z z z z"), (8L, "z z z z")).toDF("id", "t")
+    val all = TextDedup.stripDuplicateSpans(df3, "id", "t", k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(all(7L)._2 == "" && all(7L)._3 == 0 && all(7L)._4 == 4)
+  }
+
   test("minhash LSH finds near-identical pairs, verified by exact jaccard") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and agaim" // 1 char off
