@@ -79,29 +79,64 @@ object Fuzzy {
     }
   })
 
-  /** Merge-intersection count of two sorted hash arrays, skipping the
-    * (sorted, usually empty) excluded set — the broadcast path must
-    * count exactly what the inverted-index path counts after its
-    * frequency cap, or the dispatch would change RESULTS, not plans. */
-  private def sharedCountExcluding(excluded: Array[Long]) =
-    udf((a: Array[Long], b: Array[Long]) => {
-      var i = 0
+  /** Flat postings-list index over the broadcast (source) side — the
+    * in-memory equivalent of the reference's gist/gin trigram index,
+    * built once and probed per streamed row. Primitive arrays only, so
+    * the broadcast payload is compact and probe loops stay allocation-
+    * free. `keys` are the sorted distinct trigram hashes (frequency-cap
+    * survivors); postings for `keys(i)` are
+    * `postings(postStart(i) until postStart(i+1))`, each a source
+    * ordinal into `ids`/`setSizes`. */
+  private final class TrigramIndex(
+      val ids: Array[Any], val setSizes: Array[Int],
+      val keys: Array[Long], val postStart: Array[Int],
+      val postings: Array[Int]) extends Serializable
+
+  private def buildIndex(rows: Array[(Any, Array[Long], Int)],
+                         excluded: Array[Long]): TrigramIndex = {
+    val n = rows.length
+    val ids = new Array[Any](n)
+    val setSizes = new Array[Int](n)
+    var total = 0
+    rows.foreach(r => total += r._2.length)
+    // sort all (hash, ordinal) occurrences once, then slice runs
+    val occ = new Array[Long](total) // hash in high bits unusable (full 64-bit hash) — sort pairs instead
+    val ord = new Array[Int](total)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val (id, hs, sz) = rows(i)
+      ids(i) = id
+      setSizes(i) = sz
       var j = 0
-      var inter = 0
-      while (i < a.length && j < b.length) {
-        val x = a(i)
-        val y = b(j)
-        if (x == y) {
-          if (excluded.length == 0 ||
-            java.util.Arrays.binarySearch(excluded, x) < 0) inter += 1
-          i += 1
-          j += 1
-        }
-        else if (x < y) i += 1
-        else j += 1
+      while (j < hs.length) { occ(k) = hs(j); ord(k) = i; k += 1; j += 1 }
+      i += 1
+    }
+    // indirect sort by hash (stable within a hash is irrelevant: counts
+    // are order-free); excluded (over-cap) hashes are skipped below
+    val perm = Array.range(0, total).sortBy(occ(_))
+    val keysB = Array.newBuilder[Long]
+    val startB = Array.newBuilder[Int]
+    val postB = new Array[Int](total)
+    var out = 0
+    var p = 0
+    while (p < total) {
+      val h = occ(perm(p))
+      var q = p
+      while (q < total && occ(perm(q)) == h) q += 1
+      if (excluded.length == 0 ||
+        java.util.Arrays.binarySearch(excluded, h) < 0) {
+        keysB += h
+        startB += out
+        var r = p
+        while (r < q) { postB(out) = ord(perm(r)); out += 1; r += 1 }
       }
-      inter
-    })
+      p = q
+    }
+    startB += out
+    new TrigramIndex(ids, setSizes, keysB.result(), startB.result(),
+      java.util.Arrays.copyOf(postB, out))
+  }
 
   private def prepTrigrams(df: DataFrame, idCol: String, strCol: String,
                            nCol: String) =
@@ -163,19 +198,75 @@ object Fuzzy {
           java.util.Arrays.sort(arr)
           arr
         }
-      tPrep
+      // GIN-style probe, not a nested loop: a |S|·|T| merge-intersection
+      // cross-kernel costs |pairs|·setSize regardless of overlap; the
+      // postings probe costs one increment per actually-shared
+      // (trigram, source, target) co-occurrence — an order of magnitude
+      // less on realistic text — and only candidates sharing >=1
+      // surviving trigram are ever touched (exactly pg_trgm's % operator
+      // through its gin index). Counts (hence distances) are identical
+      // to the merge-intersection by construction.
+      val spark = source.sparkSession
+      val idx = buildIndex(
+        sPrep.collect().map(r =>
+          (r.get(0), r.getSeq[Long](1).toArray, r.getInt(2))),
+        overCap)
+      val bIdx = spark.sparkContext.broadcast(idx)
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(sourceId,
+          source.schema(sourceId).dataType),
+        org.apache.spark.sql.types.StructField(targetId,
+          target.schema(targetId).dataType),
+        org.apache.spark.sql.types.StructField("distance",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val pairsRdd = tPrep
         // spread the streamed side: a persisted DF this small often sits
-        // in one partition, which would serialize every pair kernel
+        // in one partition, which would serialize the probe work
         .repartition(nPart)
-        .crossJoin(broadcast(sPrep.withColumnRenamed("__sh", "__sh2")))
-        .withColumn("__shared",
-          sharedCountExcluding(overCap)(col("__sh"), col("__sh2")))
-        .withColumn("__sim",
-          col("__shared").cast("double") /
-            (col("__sn") + col("__tn") - col("__shared")))
-        .withColumn("distance", lit(1.0) - col("__sim"))
-        .filter(col("distance") < limit)
-        .select(col(sourceId), col(targetId), col("distance"))
+        .rdd.mapPartitions { it =>
+          val ix = bIdx.value
+          val nSrc = ix.ids.length
+          val counts = new Array[Int](nSrc)
+          val touched = new Array[Int](nSrc)
+          it.flatMap { row =>
+            val tid = row.get(0)
+            val sh = row.getSeq[Long](1)
+            val tn = row.getInt(2)
+            var nTouched = 0
+            val shIt = sh.iterator
+            while (shIt.hasNext) {
+              val h = shIt.next()
+              val ki = java.util.Arrays.binarySearch(ix.keys, h)
+              if (ki >= 0) {
+                var p = ix.postStart(ki)
+                val end = ix.postStart(ki + 1)
+                while (p < end) {
+                  val s = ix.postings(p)
+                  if (counts(s) == 0) { touched(nTouched) = s; nTouched += 1 }
+                  counts(s) += 1
+                  p += 1
+                }
+              }
+            }
+            val acc = Seq.newBuilder[org.apache.spark.sql.Row]
+            var t = 0
+            while (t < nTouched) {
+              val s = touched(t)
+              val shared = counts(s)
+              counts(s) = 0
+              // EXACT expression order of the index path: sim first,
+              // then distance, compared against limit — `sim > 1-limit`
+              // is not IEEE-equivalent at the boundary
+              val sim = shared.toDouble / (ix.setSizes(s) + tn - shared)
+              val dist = 1.0 - sim
+              if (dist < limit)
+                acc += org.apache.spark.sql.Row(ix.ids(s), tid, dist)
+              t += 1
+            }
+            acc.result()
+          }
+        }
+      spark.createDataFrame(pairsRdd, outSchema)
     } else {
       val sTri = sPrep.select(col(sourceId),
         explode(col("__sh")).as("__h"), col("__sn"))
