@@ -534,6 +534,16 @@ object SparkEntry {
       graft.streaming.EventStream.sessionizeBatch(
         t(s, dir, "events"), gapMinutes = 360)),
 
+    // streaming exact dedup, batch face: first event per content key
+    // by (ts, event_id) — the same transform runs stateful under
+    // readStream (dropDuplicatesWithinWatermark; replay parity in
+    // StreamingSpec). Timestamps exported as epoch micros so engine
+    // timestamp types never enter the oracle comparison.
+    "q_dedup_events" -> ((s, dir) =>
+      graft.streaming.EventStream.dedupEvents(t(s, dir, "events"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))),
+
     // word-repetition quality metrics (Gopher-style filter inputs)
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1563,6 +1573,16 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_dedup_events" ->
+      """WITH r AS (
+        | SELECT event_id, ts, user_id, event_type, value, props,
+        |  row_number() OVER (PARTITION BY user_id, event_type, value
+        |    ORDER BY ts, event_id) AS rn
+        | FROM events)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        | value, props
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q_vocab" ->
       """WITH w AS (

@@ -165,12 +165,14 @@ object EventStream {
         keyed.withWatermark("ts", watermark)
           .dropDuplicatesWithinWatermark("__content_key")
       else
-        // batch equivalence: first row per key by (ts, event_id)
+        // batch equivalence: first row per key by (ts, event_id) —
+        // NULLS LAST like sessionizeBatch, so the survivor choice
+        // matches ANSI/DuckDB default ordering
         keyed.withColumn("__rn",
           row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("__content_key"))
-              .orderBy(col("ts").asc, col("event_id").asc)))
+              .orderBy(col("ts").asc_nulls_last, col("event_id").asc)))
           .filter(col("__rn") === 1)
           .drop("__rn")
     deduped.drop("__content_key")
