@@ -544,6 +544,14 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // DSIR importance weights: per-doc bigram log-likelihood ratio
+    // between a target slice (doc_id % 10 = 0) and the raw corpus —
+    // the importance-resampling statistic for domain-targeted data
+    // selection (Xie et al. 2023)
+    "q_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("doc_id") % 10 === 0, n = 2)),
+
     // word-repetition quality metrics (Gopher-style filter inputs)
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1573,6 +1581,36 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_dsir" ->
+      """WITH g0 AS (
+        | SELECT doc_id, (doc_id % 10 = 0) AS t,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS tk
+        | FROM documents),
+        |p AS (SELECT doc_id, t, tk,
+        |       unnest(generate_series(1, len(tk) - 1)) AS i FROM g0),
+        |g AS (SELECT doc_id, t, tk[i] || ' ' || tk[i+1] AS gram FROM p),
+        |sc AS (SELECT gram,
+        |        sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |        sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+        |       FROM g GROUP BY gram),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |         CAST(sum(cr) AS BIGINT) AS nr, count(*) AS v FROM sc),
+        |lr AS (SELECT gram,
+        |        round(ln((ct + 0.5) / (CAST(nt AS DOUBLE) + 0.5 * v))
+        |            - ln((cr + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * v)), 7)
+        |          AS lr
+        |       FROM sc, tot),
+        |dg AS (SELECT doc_id, gram, count(*) AS c FROM g
+        |       GROUP BY doc_id, gram),
+        |w AS (SELECT dg.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |        CAST(sum(CAST(c * lr AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS weight
+        |      FROM dg JOIN lr USING (gram) GROUP BY dg.doc_id)
+        |SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
+        | coalesce(w.weight, 0.0) AS weight
+        |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id""".stripMargin,
 
     "q_dedup_events" ->
       """WITH r AS (

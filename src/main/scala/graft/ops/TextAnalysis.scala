@@ -565,6 +565,62 @@ object TextAnalysis {
   }
 
   /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every
+   * document by how much more likely its n-grams are under a TARGET
+   * distribution than under the RAW corpus distribution —
+   * `w(x) = Σ_g c(g,x)·(ln p_t(g) − ln p_r(g))`, add-alpha smoothed
+   * over the observed n-gram union. Selecting the top-weighted
+   * documents shifts the corpus mixture toward the target domain.
+   *
+   * Scale: one n-gram pass feeds two map-side-combined aggregates (the
+   * per-side gram counts and the three corpus scalars — both
+   * vocab-bounded), then one gram-keyed join back onto per-doc gram
+   * counts and a per-doc sum. No driver funnel; alpha = 0.5 (or any
+   * binary-exact constant) keeps the smoothing arithmetic IEEE-stable;
+   * per-gram log-ratios round to 7 decimals and the per-doc sum runs
+   * through DECIMAL(18,6) — order-free and oracle-exact.
+   *
+   * Output: (idCol, n_grams, weight) for every document with >= 1
+   * n-gram; docs come back with weight 0 when blank. `isTarget` marks
+   * the in-domain rows (they still receive weights — selection
+   * normally applies to the raw side, callers filter as needed).
+   */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, n: Int = 2,
+                  alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val grams = df.select(col(idCol), isTarget.as("_t"),
+      explode(wordGramsOccur(col(textCol), n)).as("gram"))
+    val sideCnt = grams.groupBy(col("gram")).agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
+    // three scalars off the (vocab-bounded) count table
+    val Seq(nt, nr, v) = sideCnt
+      .agg(coalesce(sum(col("ct")), lit(0L)),
+        coalesce(sum(col("cr")), lit(0L)), count(lit(1)))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val ratio = round(
+      log((col("ct") + lit(alpha)) / lit(nt + alpha * v)) -
+        log((col("cr") + lit(alpha)) / lit(nr + alpha * v)),
+      7)
+    val perGram = sideCnt.select(col("gram"), ratio.as("_lr"))
+    val docGram = grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("_c"))
+    val weights = docGram.join(perGram, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_c")).as("n_grams"),
+        sum((col("_c") * col("_lr")).cast("decimal(18,6)")).as("_w"))
+      .select(col(idCol), col("n_grams"),
+        col("_w").cast("double").as("weight"))
+    df.select(col(idCol)).join(weights, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /**
    * PMI collocations — top-k word bigrams by pointwise mutual
    * information over bigram events (the word2vec-phrases / collocation
    * detection statistic): PMI = ln(c12·N / (c1·c2)) with c1 = w1's

@@ -753,6 +753,32 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
+  test("dsir weights rank target-like documents above off-domain ones") {
+    // target domain: "spark sql" talk; raw pool: one in-domain doc, one
+    // off-domain doc, one blank
+    val df = Seq(
+      (1L, "spark sql spark sql spark sql", true),
+      (2L, "spark sql spark sql", false),   // looks like the target
+      (3L, "cats dogs cats dogs", false),   // off-domain
+      (4L, "  ", false)                     // blank → weight 0
+    ).toDF("doc_id", "text", "t")
+    val out = TextAnalysis
+      .dsirWeights(df, "doc_id", "text", $"t", n = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    assert(out(2L)._3 > 0, "in-domain raw doc should score positive")
+    assert(out(3L)._3 < 0, "off-domain raw doc should score negative")
+    assert(out(2L)._3 > out(3L)._3)
+    assert(out(4L)._2 == 0 && out(4L)._3 == 0.0)
+    // weight scales with evidence: doc 1 has more target grams than 2
+    assert(out(1L)._3 > out(2L)._3)
+    // deterministic across partition layouts
+    val out2 = TextAnalysis
+      .dsirWeights(df.repartition(5), "doc_id", "text", $"t", n = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out == out2)
+  }
+
   test("bigram LM matches hand-computed add-alpha probabilities") {
     val df = Seq(
       (1L, "a b a b"), // bigrams: "a b","b a","a b"
