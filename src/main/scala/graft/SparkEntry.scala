@@ -544,6 +544,18 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // point-in-interval range join via interval binning — the equi-key
+    // rewrite of a join Spark would otherwise run as a nested loop
+    "q_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 4).cast("double").as("lo"),
+        (col("n_nationkey") * 4 + lit(3.5)).as("hi"))
+      graft.operators.RangeJoin.binned(
+        t(s, dir, "events").select(col("event_id"), col("value")),
+        "value", iv, "lo", "hi", binWidth = 2.0)
+        .select(col("event_id"), col("n_nationkey"), col("value"))
+    }),
+
     // DSIR importance weights: per-doc bigram log-likelihood ratio
     // between a target slice (doc_id % 10 = 0) and the raw corpus —
     // the importance-resampling statistic for domain-targeted data
@@ -1581,6 +1593,12 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id, n.n_nationkey, e.value
+        |FROM events e JOIN nation n
+        |  ON e.value >= CAST(n.n_nationkey * 4 AS DOUBLE)
+        | AND e.value <= n.n_nationkey * 4 + 3.5""".stripMargin,
 
     "q_dsir" ->
       """WITH g0 AS (

@@ -753,6 +753,40 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
+  test("binned range join equals brute force, handles edges, no nested loop") {
+    import graft.operators.RangeJoin
+    val pts = Seq(
+      (1L, -3.0), (2L, 0.0), (3L, 2.5), (4L, 7.0), (5L, 100.0),
+      (6L, Double.NaN), (7L, 5.0)
+    ).toDF("pid", "p")
+      .union(Seq((8L, Option.empty[Double])).toDF("pid", "p"))
+    val ivs = Seq(
+      (10L, -5.0, -1.0),  // negative range
+      (11L, 0.0, 0.0),    // degenerate single point (boundary inclusive)
+      (12L, 2.0, 7.0),    // spans several bins
+      (13L, 9.0, 4.0),    // inverted → empty
+      (14L, 4.5, 5.5)     // overlaps 12
+    ).toDF("iid", "lo", "hi")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val got = key(RangeJoin.binned(pts, "p", ivs, "lo", "hi", 2.0))
+    val brute = key(pts.crossJoin(ivs)
+      .filter($"p" >= $"lo" && $"p" <= $"hi"))
+    assert(got == brute)
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L), (4L, 12L),
+      (7L, 12L), (7L, 14L)))
+    // auto bin width picks the same pairs
+    assert(key(RangeJoin.binnedAuto(pts, "p", ivs, "lo", "hi")) == brute)
+    // extreme widths stay correct (bins only change the plan, not rows)
+    assert(key(RangeJoin.binned(pts, "p", ivs, "lo", "hi", 0.25)) == brute)
+    assert(key(RangeJoin.binned(pts, "p", ivs, "lo", "hi", 1000.0)) == brute)
+    // the point of the operator: an equi-join, not a nested loop
+    val plan = RangeJoin.binned(pts, "p", ivs, "lo", "hi", 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("dsir weights rank target-like documents above off-domain ones") {
     // target domain: "spark sql" talk; raw pool: one in-domain doc, one
     // off-domain doc, one blank
