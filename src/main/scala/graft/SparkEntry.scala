@@ -544,6 +544,25 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // SCD2 history-preserving upsert: changed keys close their current
+    // version and append a new one; identical re-loads are no-ops
+    "q_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val target = c.select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_mktsegment").as("mktsegment"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val src = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0,
+            col("c_acctbal").cast("double") + 100.0)
+            .otherwise(col("c_acctbal").cast("double")).as("acctbal"),
+          col("c_mktsegment").as("mktsegment"))
+      graft.operators.Scd2.merge(target, src, "c_custkey",
+        Seq("acctbal", "mktsegment"), lit(100L))
+    }),
+
     // point-in-interval range join via interval binning — the equi-key
     // rewrite of a join Spark would otherwise run as a nested loop
     "q_range_join" -> ((s, dir) => {
@@ -1593,6 +1612,40 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_scd2" ->
+      """WITH target AS (
+        | SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  c_mktsegment AS mktsegment, CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to
+        | FROM customer),
+        |src AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN CAST(c_acctbal AS DOUBLE) + 100.0
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal,
+        |  c_mktsegment AS mktsegment
+        | FROM customer WHERE c_custkey % 2 = 0),
+        |j AS (
+        | SELECT t.c_custkey, t.acctbal, t.mktsegment, t.valid_from,
+        |  t.valid_to, s.c_custkey AS spk, s.acctbal AS s_acctbal,
+        |  s.mktsegment AS s_mktsegment
+        | FROM target t FULL OUTER JOIN src s
+        |   ON t.c_custkey = s.c_custkey),
+        |old_rows AS (
+        | SELECT c_custkey, acctbal, mktsegment, valid_from,
+        |  CASE WHEN spk IS NOT NULL AND NOT (
+        |        acctbal IS NOT DISTINCT FROM s_acctbal
+        |        AND mktsegment IS NOT DISTINCT FROM s_mktsegment)
+        |       THEN 100 ELSE valid_to END AS valid_to
+        | FROM j WHERE c_custkey IS NOT NULL),
+        |new_rows AS (
+        | SELECT spk AS c_custkey, s_acctbal AS acctbal,
+        |  s_mktsegment AS mktsegment, CAST(100 AS BIGINT) AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to
+        | FROM j WHERE spk IS NOT NULL AND (c_custkey IS NULL OR NOT (
+        |   acctbal IS NOT DISTINCT FROM s_acctbal
+        |   AND mktsegment IS NOT DISTINCT FROM s_mktsegment)))
+        |SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.event_id, n.n_nationkey, e.value

@@ -753,6 +753,44 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
+  test("scd2 merge closes changed versions, keeps history, is idempotent") {
+    import graft.operators.Scd2
+    def tgt(rows: Seq[(Long, String, Long, Option[Long])]) =
+      rows.toDF("k", "v", "valid_from", "valid_to")
+    // gen 0: keys 1..3 current since t=0, key 1 has a closed v0 row
+    val t0 = tgt(Seq(
+      (1L, "a0", -5L, Some(0L)),
+      (1L, "a1", 0L, None),
+      (2L, "b1", 0L, None),
+      (3L, "c1", 0L, None)))
+    // snapshot at t=10: key 1 changed, key 2 identical, key 4 new
+    // (key 3 absent → stays open)
+    val s1 = Seq((1L, "a2"), (2L, "b1"), (4L, "d1")).toDF("k", "v")
+    val t1 = Scd2.merge(t0, s1, "k", Seq("v"), lit(10L))
+    val rows = t1.as[(Long, String, Long, Option[Long])]
+      .collect().toSet
+    assert(rows == Set(
+      (1L, "a0", -5L, Some(0L)),  // old history untouched
+      (1L, "a1", 0L, Some(10L)),  // closed
+      (1L, "a2", 10L, None),      // new version
+      (2L, "b1", 0L, None),       // identical → untouched
+      (3L, "c1", 0L, None),       // absent from snapshot → open
+      (4L, "d1", 10L, None)))     // new key
+    // idempotent: replaying the same snapshot changes nothing
+    val t2 = Scd2.merge(t1, s1, "k", Seq("v"), lit(20L))
+    assert(t2.as[(Long, String, Long, Option[Long])].collect().toSet == rows)
+    // exactly one current row per key, always
+    val curPerKey = t2.filter($"valid_to".isNull)
+      .groupBy($"k").count().as[(Long, Long)].collect().toMap
+    assert(curPerKey.values.forall(_ == 1L))
+    // null-safe comparison: null -> value and value -> null both close
+    val tn = tgt(Seq((7L, null, 0L, None)))
+    val sn = Seq((7L, "x")).toDF("k", "v")
+    val closed = Scd2.merge(tn, sn, "k", Seq("v"), lit(5L))
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(closed == Set((7L, null, 0L, Some(5L)), (7L, "x", 5L, None)))
+  }
+
   test("binned range join equals brute force, handles edges, no nested loop") {
     import graft.operators.RangeJoin
     val pts = Seq(
