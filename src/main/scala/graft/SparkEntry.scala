@@ -544,6 +544,17 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // salted skew join: hot fact keys spread over saltFactor reducers,
+    // result row-for-row the plain inner join (which is the oracle)
+    "q_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        (col("user_id") % 25).cast("int").as("nk"), col("value"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+      graft.operators.SkewJoin.salted(ev, dim, Seq("nk"), saltFactor = 8)
+        .select(col("event_id"), col("n_name"), col("value"))
+    }),
+
     // SCD2 history-preserving upsert: changed keys close their current
     // version and append a new one; identical re-loads are no-ops
     "q_scd2" -> ((s, dir) => {
@@ -1612,6 +1623,11 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT e.event_id, n.n_name, e.value
+        |FROM events e JOIN nation n
+        |  ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey""".stripMargin,
 
     "q_scd2" ->
       """WITH target AS (

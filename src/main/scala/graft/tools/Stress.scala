@@ -254,6 +254,30 @@ object Stress {
     graft.ops.Retrieval.releaseCaches()
     assertNoFunnel("bm25-10x")
 
+    // ---- 6. Substring-dedup spans at 10× documents ----------------------
+    // The 10 replicas of every document make EVERY >=8-token window a
+    // cross-doc duplicate: worst-case hit density (a hit per token
+    // position corpus-wide). The fingerprint groupBy must stay
+    // map-side-combined and the per-doc windows bounded — no funneling —
+    // and every replica doc must come back fully covered by one span.
+    val nSpanDocs = docs10.count()
+    tme(f"duplicateSpans 10x ($nSpanDocs%,d docs, k=8)") {
+      val spans = graft.ops.TextDedup
+        .duplicateSpans(docs10, "doc_id", "text", k = 8)
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("span_tokens")).as("covered"))
+      val bad = perDoc.filter(col("n") =!= 1).count()
+      assert(bad == 0, s"$bad replica docs not covered by one merged span")
+      val nCovered = perDoc.count()
+      println(f"[stress] duplicateSpans: $nCovered%,d docs fully spanned")
+      // docs with >= 8 tokens must all be covered (replicas everywhere)
+      val eligible = docs10.filter(
+        graft.ops.TextAnalysis.tokenCount(col("text")) >= 8).count()
+      assert(nCovered == eligible,
+        s"covered $nCovered of $eligible eligible docs")
+    }
+    assertNoFunnel("substring-spans-10x")
+
     println("[stress] ALL OK")
     spark.stop()
   }

@@ -753,6 +753,31 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
+  test("salted join equals plain join and spreads a hot key across salts") {
+    import graft.operators.SkewJoin
+    // 2000 fact rows, 90% on one hot key
+    val fact = (1L to 2000L)
+      .map(i => (i, if (i % 10 == 0) (i % 3) + 1 else 0L, i * 1.5))
+      .toDF("rid", "k", "v")
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "name")
+    val salted = SkewJoin.salted(fact, dim, Seq("k"), saltFactor = 8)
+    val plain = fact.join(dim, Seq("k"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"rid", $"name").as[(Long, String)].collect().sorted.toSeq
+    assert(key(salted) == key(plain))
+    assert(key(salted).size == 2000)
+    // the hot key's rows actually land on several salts
+    val hotSalts = fact.filter($"k" === 0L)
+      .withColumn("__salt",
+        pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(8L)).cast("int"))
+      .select($"__salt").distinct().count()
+    assert(hotSalts >= 6, s"hot key spread over only $hotSalts salts")
+    // deterministic: same salts on re-run
+    assert(key(SkewJoin.salted(fact.repartition(13), dim, Seq("k"), 8)) ==
+      key(plain))
+  }
+
   test("scd2 merge closes changed versions, keeps history, is idempotent") {
     import graft.operators.Scd2
     def tgt(rows: Seq[(Long, String, Long, Option[Long])]) =
