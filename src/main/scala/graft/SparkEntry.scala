@@ -544,6 +544,15 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // BPE apply: encode the corpus with merges learned by the trainer
+    // (rows-only gate — the iterative merge contraction has no SQL
+    // oracle; OpsSpec pins the encoding semantics)
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.trainBpeMerges(docs, "text", nMerges = 40)
+      TextAnalysis.applyBpe(docs, "doc_id", "text", merges)
+    }),
+
     // salted skew join: hot fact keys spread over saltFactor reducers,
     // result row-for-row the plain inner join (which is the oracle)
     "q_salted_join" -> ((s, dir) => {
