@@ -544,6 +544,25 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // fixed-grid resample + forward fill over the event stream (6h
+    // buckets): gaps materialize with the last observed total
+    "q_resample" -> ((s, dir) =>
+      graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
+        "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
+
+    // per-type p05/p95 winsorization — outlier clamping with the same
+    // percentile interpolation the oracle's quantile_cont uses
+    "q_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val pct = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(pct), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p05")), col("p95"))
+            .as("value_w"))
+    }),
+
     // BPE apply: encode the corpus with merges learned by the trainer
     // (rows-only gate — the iterative merge contraction has no SQL
     // oracle; OpsSpec pins the encoding semantics)
@@ -1632,6 +1651,39 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_resample" ->
+      """WITH ob AS (
+        | SELECT user_id, epoch_us(ts) // 21600000000 AS b,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        | GROUP BY user_id, b),
+        |bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+        |           FROM ob GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b
+        |          FROM bounds),
+        |j AS (
+        | SELECT s.user_id, s.b, coalesce(o.n_events, 0) AS n_events,
+        |  o.total
+        | FROM spine s LEFT JOIN ob o
+        |   ON o.user_id = s.user_id AND o.b = s.b)
+        |SELECT user_id, b * 21600000000 AS bucket_start_us, n_events,
+        | last_value(total IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS total_ffill
+        |FROM j""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH p AS (
+        | SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |  quantile_cont(value, 0.95) AS p95
+        | FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        | least(greatest(e.value, p.p05), p.p95) AS value_w
+        |FROM events e JOIN p ON e.event_type = p.event_type
+        |WHERE e.value IS NOT NULL""".stripMargin,
 
     "q_salted_join" ->
       """SELECT e.event_id, n.n_name, e.value

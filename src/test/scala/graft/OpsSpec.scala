@@ -753,6 +753,34 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
+  test("resample fills gaps with the last observed total, per key") {
+    import graft.ops.Timeseries
+    // bucket = 10us; user 1 observes buckets 0, 3 (gap 1-2), user 2
+    // only bucket 5; null ts/key rows drop
+    val df = Seq(
+      (Some(1L), Some(2L), 10.0),   // u1 b0
+      (Some(1L), Some(7L), 5.0),    // u1 b0 (same bucket)
+      (Some(1L), Some(31L), 2.5),   // u1 b3
+      (Some(2L), Some(55L), 7.0),   // u2 b5
+      (Some(1L), None, 99.0),       // null ts → dropped
+      (None, Some(5L), 99.0)        // null key → dropped
+    ).toDF("user_id", "tsus", "value")
+      .select($"user_id", timestamp_micros($"tsus").as("ts"), $"value")
+    val out = Timeseries.resampleFfill(df, "user_id", "ts", "value", 10L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 2L, 15.0),   // observed: 10 + 5
+      (1L, 10L, 0L, 15.0),  // gap → carried
+      (1L, 20L, 0L, 15.0),  // gap → carried
+      (1L, 30L, 1L, 2.5),   // observed
+      (2L, 50L, 1L, 7.0)))  // single bucket, no spine beyond it
+    // stable across partition layouts
+    val out2 = Timeseries
+      .resampleFfill(df.repartition(7), "user_id", "ts", "value", 10L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out2 == out)
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import graft.operators.SkewJoin
     // 2000 fact rows, 90% on one hot key
