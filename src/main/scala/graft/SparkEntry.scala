@@ -544,6 +544,16 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // event-sequence funnel: follows within 30 minutes of a lead event
+    // of the same user — the batch face of the stream-stream interval
+    // join (StreamingSpec asserts replay parity)
+    "q_follow_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      graft.streaming.EventStream.followWithin(ev, ev,
+        maxDelay = "30 minutes")
+    }),
+
     // fixed-grid resample + forward fill over the event stream (6h
     // buckets): gaps materialize with the last observed total
     "q_resample" -> ((s, dir) =>
@@ -1651,6 +1661,18 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_follow_join" ->
+      """SELECT l.user_id, l.event_id AS lead_id, r.event_id AS follow_id,
+        | l.event_type AS lead_type, r.event_type AS follow_type,
+        | epoch_us(r.ts) - epoch_us(l.ts) AS delay_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+        | AND l.event_id <> r.event_id
+        |WHERE l.user_id IS NOT NULL AND l.ts IS NOT NULL
+        |  AND r.ts IS NOT NULL""".stripMargin,
 
     "q_resample" ->
       """WITH ob AS (

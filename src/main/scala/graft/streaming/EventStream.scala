@@ -178,6 +178,49 @@ object EventStream {
     deduped.drop("__content_key")
   }
 
+  /**
+   * Event-sequence (funnel) join: for every lead event, the follow
+   * events of the SAME key that happen within `(lead.ts, lead.ts +
+   * maxDelay]`-style bounds — here inclusive `[ts, ts + maxDelay]`,
+   * excluding the event itself. The classic "A followed by B within T"
+   * primitive behind funnels, attribution, and co-occurrence mining.
+   *
+   * Batch and stream share this one definition. Under `readStream`
+   * this is a genuine stream-stream inner join: the time-range
+   * predicate gives Spark the state-eviction bound and `watermark`
+   * caps late data — without the range condition the join state would
+   * grow forever (StreamingSpec asserts replay parity against the
+   * batch answer).
+   *
+   * Scale: an equi-join on the key with the time range as a residual —
+   * a hash join, never a nested loop; output is bounded by events per
+   * key within the delay horizon.
+   *
+   * Output: (keyCol, lead_id, follow_id, lead_type, follow_type,
+   * delay_us).
+   */
+  def followWithin(lead: DataFrame, follow: DataFrame,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   idCol: String = "event_id", typeCol: String = "event_type",
+                   maxDelay: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val l = wm(lead).select(col(keyCol).as("__k"), col(tsCol).as("__lts"),
+      col(idCol).as("lead_id"), col(typeCol).as("lead_type"))
+    val r = wm(follow).select(col(keyCol).as("__rk"), col(tsCol).as("__rts"),
+      col(idCol).as("follow_id"), col(typeCol).as("follow_type"))
+    l.join(r,
+        col("__k") === col("__rk") &&
+          col("__rts") >= col("__lts") &&
+          col("__rts") <= col("__lts") + expr(s"INTERVAL $maxDelay") &&
+          col("lead_id") =!= col("follow_id"))
+      .select(col("__k").as(keyCol), col("lead_id"), col("follow_id"),
+        col("lead_type"), col("follow_type"),
+        (unix_micros(col("__rts")) - unix_micros(col("__lts")))
+          .as("delay_us"))
+  }
+
   /** Run a streaming query over parquet input into a memory sink and
     * block until all available data is processed (test/demo harness). */
   def runToMemory(spark: SparkSession, inputDir: String, queryName: String,

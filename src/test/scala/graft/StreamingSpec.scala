@@ -50,6 +50,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream funnel join replays to the batch answer") {
+    // stage the fixture in a directory (file stream source needs one)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel")
+    spark.read.schema(EventStream.RawSchema)
+      .parquet(s"$sf0001/events.parquet")
+      .write.mode("append").parquet(dir.toString)
+    def stream() = EventStream.normalize(
+      spark.readStream.schema(EventStream.RawSchema).parquet(dir.toString))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val q = EventStream
+      .followWithin(stream(), stream(), maxDelay = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_follow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_follow")
+      val b = EventStream.normalize(spark.read
+        .schema(EventStream.RawSchema).parquet(dir.toString))
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val batch = EventStream.followWithin(b, b, maxDelay = "30 minutes")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize handles TimestampType ts (unit regression)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
