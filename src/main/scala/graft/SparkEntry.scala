@@ -544,6 +544,24 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // forward as-of: the next purchase at-or-after each click — the
+    // mirror of q_asof_join, traversed in descending time
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      AsOfJoin.forward(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("p_event_id"), col("p_value"))
+    }),
+
     // event-sequence funnel: follows within 30 minutes of a lead event
     // of the same user — the batch face of the stream-stream interval
     // join (StreamingSpec asserts replay parity)
@@ -1661,6 +1679,20 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, ts, value FROM events
+        | WHERE event_type = 'click'),
+        |r AS (
+        | SELECT user_id, ts, max(event_id) AS p_event_id,
+        |        max_by(value, event_id) AS p_value
+        | FROM events WHERE event_type = 'purchase'
+        | GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |       r.p_event_id, r.p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     "q_follow_join" ->
       """SELECT l.user_id, l.event_id AS lead_id, r.event_id AS follow_id,

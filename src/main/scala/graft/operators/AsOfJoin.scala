@@ -46,7 +46,26 @@ object AsOfJoin {
    */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               tiebreak: Option[String] = None): DataFrame = {
+               tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keyCols, leftTs, rightTs, payload, tiebreak,
+      forwardDir = false)
+
+  /** Forward as-of: attach the EARLIEST right row with
+    * right.ts >= left.ts (DuckDB `ASOF ... ON l.ts <= r.ts`) — the
+    * "next event after" direction. Same union+window construction
+    * traversed in descending time; equal-ts rights are visible
+    * (>= semantics) and resolve to the same deterministic winner as
+    * [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String],
+              tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keyCols, leftTs, rightTs, payload, tiebreak,
+      forwardDir = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   tiebreak: Option[String], forwardDir: Boolean)
+      : DataFrame = {
     require(payload.nonEmpty, "payload columns required")
     val leftCols = left.columns.toSeq
     require(payload.forall(!leftCols.contains(_)),
@@ -86,8 +105,14 @@ object AsOfJoin {
       r.select((keyCols ++ Seq(ts, side, tb, tbh, "__asof_payload")).map(col): _*),
       allowMissingColumns = true)
 
+    // forward = the same traversal in descending time. desc_nulls_first
+    // keeps null-ts LEFT rows ahead of every right row (Spark desc
+    // defaults NULLS LAST, which would hand them the latest payload);
+    // within an equal-ts group the (tb, tbh) asc order is unchanged, so
+    // both directions crown the same winner among duplicate rights.
+    val tsOrd = if (forwardDir) col(ts).desc_nulls_first else col(ts).asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc, col(tb).asc_nulls_first,
+      .orderBy(tsOrd, col(side).asc, col(tb).asc_nulls_first,
         col(tbh).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(rAligned)

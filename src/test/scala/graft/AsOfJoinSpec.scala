@@ -35,6 +35,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("forward as-of matches brute force and mirrors tie visibility") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val left = (1 to 200).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(50).toLong))
+    val right = (1 to 120).map(i =>
+      (1000L + i, (i % 9).toLong, rnd.nextInt(50).toLong, i * 1.5))
+    val l = left.toDF("event_id", "k", "ts")
+    val r = right.toDF("rid", "k", "ts", "pv")
+      .groupBy("k", "ts").agg(max("rid").as("p_rid"),
+        max_by(col("pv"), col("rid")).as("p_pv"))
+    val got = AsOfJoin.forward(l, r, Seq("k"), "ts", "ts",
+        Seq("p_rid", "p_pv"))
+      .collect().map(row => (row.getLong(0),
+        Option(row.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val rightDeduped = right.groupBy { case (_, k, ts, _) => (k, ts) }
+      .map { case ((k, ts), rows) => (rows.map(_._1).max, k, ts) }
+    val want = left.map { case (id, k, ts) =>
+      val cands = rightDeduped.filter(rr => rr._2 == k && rr._3 >= ts)
+      // nearest following ts; equal-ts candidates resolve like backward
+      id -> (if (cands.isEmpty) None
+             else Some(cands.minBy(rr => (rr._3, -rr._1))._1))
+    }.toMap
+    assert(got == want)
+    // equal-ts right row is visible forward too, and null-ts left rows
+    // match nothing (desc NULLS FIRST guard)
+    val le = Seq((1L, 1L, Some(10L)), (2L, 1L, Option.empty[Long]))
+      .toDF("event_id", "k", "ts")
+    val re = Seq((100L, 1L, 10L, 7.0)).toDF("p_rid", "k", "ts", "p_pv")
+      .select($"k", $"ts", $"p_rid", $"p_pv")
+    val out = AsOfJoin.forward(le, re, Seq("k"), "ts", "ts",
+        Seq("p_rid", "p_pv"))
+      .collect().map(row => (row.getLong(0),
+        Option(row.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out == Map(1L -> Some(100L), 2L -> None))
+  }
+
   test("equal-timestamp right row is visible to the left row (>= semantics)") {
     import spark.implicits._
     val l = Seq((1L, 1L, 10L)).toDF("event_id", "k", "ts")
