@@ -544,6 +544,17 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // PageRank centrality (3 iterations) over the supplier→part supply
+    // graph — the authority signal a web-corpus pipeline weights
+    // documents by; per-iteration DECIMAL sums + rounding make the
+    // iterative float computation oracle-exact
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (-col("l_suppkey").cast("long")).as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      graft.ops.Graphs.pageRank(edges, "src", "dst", iterations = 3)
+    }),
+
     // forward as-of: the next purchase at-or-after each click — the
     // mirror of q_asof_join, traversed in descending time
     "q_asof_forward" -> ((s, dir) => {
@@ -1679,6 +1690,43 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH e AS (
+        | SELECT -CAST(l_suppkey AS BIGINT) AS src,
+        |        CAST(l_partkey AS BIGINT) AS dst
+        | FROM lineitem),
+        |nodes AS (SELECT DISTINCT node FROM
+        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e
+        |       JOIN deg d ON d.src = e.src),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS "rank" FROM nodes),
+        |c1 AS (SELECT ed.dst,
+        |        sum(CAST(round(r."rank" / ed.deg, 12) AS DECIMAL(20,12)))
+        |          AS m
+        |       FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT n.node, round(CAST(0.15 AS DOUBLE) +
+        |         CAST(0.85 AS DOUBLE) *
+        |         coalesce(CAST(c1.m AS DOUBLE), 0.0), 7) AS "rank"
+        |       FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
+        |c2 AS (SELECT ed.dst,
+        |        sum(CAST(round(r."rank" / ed.deg, 12) AS DECIMAL(20,12)))
+        |          AS m
+        |       FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT n.node, round(CAST(0.15 AS DOUBLE) +
+        |         CAST(0.85 AS DOUBLE) *
+        |         coalesce(CAST(c2.m AS DOUBLE), 0.0), 7) AS "rank"
+        |       FROM nodes n LEFT JOIN c2 ON c2.dst = n.node),
+        |c3 AS (SELECT ed.dst,
+        |        sum(CAST(round(r."rank" / ed.deg, 12) AS DECIMAL(20,12)))
+        |          AS m
+        |       FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT n.node, round(CAST(0.15 AS DOUBLE) +
+        |         CAST(0.85 AS DOUBLE) *
+        |         coalesce(CAST(c3.m AS DOUBLE), 0.0), 7) AS "rank"
+        |       FROM nodes n LEFT JOIN c3 ON c3.dst = n.node)
+        |SELECT node, "rank" FROM r3""".stripMargin,
 
     "q_asof_forward" ->
       """WITH l AS (

@@ -753,6 +753,26 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
+  test("pagerank matches hand-computed iterations and is layout-stable") {
+    import graft.ops.Graphs
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Graphs.pageRank(edges, "src", "dst", iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    // it1: r = (1.0, 0.575, 1.425); it2 below (base .15, damping .85)
+    assert(math.abs(r(1L) - 1.36125) < 1e-6, r.toString)
+    assert(math.abs(r(2L) - 0.575) < 1e-6)
+    assert(math.abs(r(3L) - 1.06375) < 1e-6)
+    // source-only node keeps base rank; sink contributes nothing back
+    val edges2 = Seq((10L, 11L)).toDF("src", "dst")
+    val r2 = Graphs.pageRank(edges2, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r2(10L) == 0.15 && math.abs(r2(11L) - (0.15 + 0.85 * 0.15)) < 1e-6)
+    val r3 = Graphs.pageRank(edges.repartition(7), "src", "dst", 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r3 == r)
+  }
+
   test("resample fills gaps with the last observed total, per key") {
     import graft.ops.Timeseries
     // bucket = 10us; user 1 observes buckets 0, 3 (gap 1-2), user 2
