@@ -544,6 +544,47 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))),
 
+    // snapshot diff: row-level added/removed/changed audit between two
+    // versions of a table, with the differing column names
+    "q_table_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val after = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 11 === 0, lit("NEWSEG"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionAll(c.filter(col("c_custkey") % 100 === 1)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment")))
+      graft.operators.Audits.tableDiff(c, after, "c_custkey")
+    }),
+
+    // reciprocal-rank fusion: BM25 top-20 fused with a doc-length
+    // prior ranking — lexical + prior without score calibration
+    "q_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val bmRank = Retrieval
+        .bm25TopK(docs, "doc_id", "text", Bm25Queries, k = 20)
+        .withColumn("rank", row_number().over(wq))
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val top20 = docs
+        .orderBy(col("n_chars").asc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), col("n_chars"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val priorRank = top20
+        .crossJoin(Bm25Queries.map(_._1).distinct.toDF("qid"))
+        .withColumn("rank", row_number().over(wp))
+        .select(col("qid"), col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bmRank, priorRank), "qid", "doc_id")
+    }),
+
     // PageRank centrality (3 iterations) over the supplier→part supply
     // graph — the authority signal a web-corpus pipeline weights
     // documents by; per-iteration DECIMAL sums + rounding make the
@@ -2084,6 +2125,44 @@ object SparkEntry {
 
     "q_bm25" -> bm25Oracle,
 
+    "q_rrf" -> rrfOracle,
+
+    "q_table_diff" ->
+      """WITH b AS (
+        | SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |a AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 11 = 0 THEN 'NEWSEG'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer WHERE c_custkey % 7 <> 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey % 100 = 1),
+        |j AS (
+        | SELECT b.c_custkey AS bk, a.c_custkey AS ak,
+        |  b.c_acctbal AS b1, a.c_acctbal AS a1,
+        |  b.c_mktsegment AS b2, a.c_mktsegment AS a2
+        | FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey)
+        |SELECT coalesce(ak, bk) AS c_custkey,
+        | CASE WHEN bk IS NULL THEN 'added'
+        |      WHEN ak IS NULL THEN 'removed'
+        |      WHEN b1 IS NOT DISTINCT FROM a1
+        |       AND b2 IS NOT DISTINCT FROM a2 THEN 'unchanged'
+        |      ELSE 'changed' END AS status,
+        | CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+        |       AND NOT (b1 IS NOT DISTINCT FROM a1
+        |                AND b2 IS NOT DISTINCT FROM a2)
+        |      THEN array_to_string(list_filter([
+        |        CASE WHEN NOT (b1 IS NOT DISTINCT FROM a1)
+        |             THEN 'c_acctbal' END,
+        |        CASE WHEN NOT (b2 IS NOT DISTINCT FROM a2)
+        |             THEN 'c_mktsegment' END],
+        |        x -> x IS NOT NULL), ',')
+        |      ELSE '' END AS changed_cols
+        |FROM j""".stripMargin,
+
     "q_lm_backoff" -> trigramBackoffOracle,
 
     // mirrors TextAnalysis.pmiCollocations: double ratio tree (c12·N
@@ -2336,7 +2415,9 @@ object SparkEntry {
     * both proven to agree at these scales by the existing rounded
     * oracles. Constants are interpolated from the same Scala doubles
     * the query evaluates (shortest-repr round-trip). */
-  private def bm25Oracle: String = {
+  private def bm25Oracle: String = bm25OracleTopK(10)
+
+  private def bm25OracleTopK(limit: Int): String = {
     val k1 = 1.2; val b = 0.75
     val qt = Bm25Queries.flatMap { case (qid, q) =>
       q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
@@ -2376,7 +2457,35 @@ object SparkEntry {
        | GROUP BY q.qid, t.doc_id)
        |SELECT qid, doc_id, CAST(sc AS DOUBLE) AS score
        |FROM scored
-       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= 10""".stripMargin
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= $limit""".stripMargin
+  }
+
+  /** q_rrf oracle — bm25 top-20 (the proven-exact pipeline) fused with
+    * a document-length prior ranking; fusion terms ride DECIMAL. */
+  private def rrfOracle: String = {
+    val qids = Bm25Queries.map(_._1).distinct
+      .map(q => s"(CAST($q AS BIGINT))").mkString(", ")
+    s"""WITH bm AS (${bm25OracleTopK(20)}),
+       |bmr AS (
+       | SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |   ORDER BY score DESC, doc_id) AS rnk
+       | FROM bm),
+       |t20 AS (SELECT doc_id, n_chars FROM documents
+       |        ORDER BY n_chars, doc_id LIMIT 20),
+       |qids(qid) AS (VALUES $qids),
+       |pr AS (
+       | SELECT q.qid, t.doc_id, row_number() OVER (PARTITION BY q.qid
+       |   ORDER BY t.n_chars, t.doc_id) AS rnk
+       | FROM t20 t CROSS JOIN qids q),
+       |u AS (
+       | SELECT qid, doc_id,
+       |  CAST(round(CAST(1.0 AS DOUBLE) / (60 + rnk), 12)
+       |    AS DECIMAL(18,12)) AS t
+       | FROM (SELECT * FROM bmr UNION ALL SELECT * FROM pr)),
+       |f AS (SELECT qid, doc_id, sum(t) AS s FROM u GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, CAST(s AS DOUBLE) AS rrf_score FROM f
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |  ORDER BY s DESC, doc_id) <= 10""".stripMargin
   }
 
   /** q_domain_stats oracle — the quality sub-scores mirror

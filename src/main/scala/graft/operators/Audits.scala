@@ -21,6 +21,43 @@ object Audits {
     c.isNotNull && trim(c.cast("string")) =!= ""
 
   /**
+   * Snapshot diff: row-level comparison of two versions of a table by
+   * primary key — the audit a reproducible-corpus pipeline runs
+   * between snapshot N and N+1 before promoting it. One full-outer
+   * shuffle join on the key; change detection is null-safe column
+   * comparison over the (sorted) shared non-key columns, and changed
+   * rows carry the comma-joined list of differing columns.
+   *
+   * Output: (pk, status ∈ added|removed|changed|unchanged,
+   * changed_cols).
+   */
+  def tableDiff(before: DataFrame, after: DataFrame, pk: String)
+      : DataFrame = {
+    val cols = (before.columns.toSet
+      .intersect(after.columns.toSet) - pk).toSeq.sorted
+    require(cols.nonEmpty, "no shared non-key columns to compare")
+    val b = (pk +: cols).foldLeft(before.select((pk +: cols).map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"__b_$c")
+    }
+    val a = (pk +: cols).foldLeft(after.select((pk +: cols).map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"__a_$c")
+    }
+    val j = b.join(a, col(s"__b_$pk") === col(s"__a_$pk"), "full_outer")
+    val same = cols.map(c => col(s"__b_$c") <=> col(s"__a_$c"))
+      .reduce(_ && _)
+    val changedCols = array_compact(array(cols.map(c =>
+      when(!(col(s"__b_$c") <=> col(s"__a_$c")), lit(c))): _*))
+    j.select(
+      coalesce(col(s"__a_$pk"), col(s"__b_$pk")).as(pk),
+      when(col(s"__b_$pk").isNull, lit("added"))
+        .when(col(s"__a_$pk").isNull, lit("removed"))
+        .when(same, lit("unchanged"))
+        .otherwise(lit("changed")).as("status"),
+      when(col(s"__b_$pk").isNotNull && col(s"__a_$pk").isNotNull && !same,
+        concat_ws(",", changedCols)).otherwise(lit("")).as("changed_cols"))
+  }
+
+  /**
    * A2: per-column coverage — count of non-blank values per column,
    * single pass. Returns one row: total plus `<col>_coverage` counts.
    */

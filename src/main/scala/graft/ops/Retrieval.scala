@@ -153,6 +153,39 @@ object Retrieval {
       .select(col("qid"), col(idCol), col("_score").cast("double").as("score"))
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009): combine any number of
+   * per-query rankings into one, `score(d) = Σ_r 1/(kRrf + rank_r(d))`
+   * — the standard way to fuse lexical (BM25) with dense/prior
+   * rankings without score calibration.
+   *
+   * Each input carries (qidCol, docCol, rankCol); a document absent
+   * from a ranking simply contributes nothing (no imputed rank).
+   * Fusion terms round to 12 decimals and sum as DECIMAL, so the fused
+   * score is order-free and oracle-exact for any number of rankings;
+   * top-k per query resolves ties by document id.
+   *
+   * Scale: one union + one (qid, doc) aggregate + one qid-partitioned
+   * window over candidate sets already bounded by the input top-k's.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], qidCol: String, docCol: String,
+              rankCol: String = "rank", kRrf: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking required")
+    require(kRrf >= 1 && topK >= 1)
+    val terms = rankings.map(_.select(col(qidCol), col(docCol),
+      round(lit(1.0) / (lit(kRrf) + col(rankCol)), 12)
+        .cast("decimal(18,12)").as("_t"))).reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("_s").desc, col(docCol).asc)
+    terms.groupBy(col(qidCol), col(docCol))
+      .agg(sum(col("_t")).as("_s"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topK)
+      .select(col(qidCol), col(docCol),
+        col("_s").cast("double").as("rrf_score"))
+  }
+
   // persisted candidate-score frames whose plans have been handed to
   // callers; a long-lived session releases them between searches
   private val liveCaches =

@@ -753,6 +753,50 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
   }
 
+  test("table diff classifies added/removed/changed with column lists") {
+    import graft.operators.Audits
+    val before = Seq(
+      (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, null, 4.0)
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, "a", 1.0),      // unchanged
+      (2L, "B", 2.5),      // both columns changed
+      (4L, "x", 4.0),      // null -> value counts as a change
+      (5L, "new", 5.0)     // added; 3 removed
+    ).toDF("k", "s", "v")
+    val out = Audits.tableDiff(before, after, "k")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "unchanged" && out(1L)._3 == "")
+    assert(out(2L)._2 == "changed" && out(2L)._3 == "s,v")
+    assert(out(3L)._2 == "removed")
+    assert(out(4L)._2 == "changed" && out(4L)._3 == "s")
+    assert(out(5L)._2 == "added" && out(5L)._3 == "")
+    assert(out.size == 5)
+  }
+
+  test("rrf fusion matches hand computation and handles missing docs") {
+    // ranking A: d1, d2, d3; ranking B: d3, d1 (d2 absent from B)
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val b = Seq((1L, 30L, 1), (1L, 10L, 2))
+      .toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "qid", "doc_id", topK = 3)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    def term(r: Int) =
+      BigDecimal(1.0 / (60 + r)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // d1: 1/61 + 1/62; d3: 1/63 + 1/61; d2: 1/62 only
+    val d1 = (term(1) + term(2)).toDouble
+    val d3 = (term(3) + term(1)).toDouble
+    val d2 = term(2).toDouble
+    assert(out.map(_._2).toSeq == Seq(10L, 30L, 20L))
+    assert(math.abs(out(0)._3 - d1) < 1e-15 &&
+      math.abs(out(1)._3 - d3) < 1e-15 && math.abs(out(2)._3 - d2) < 1e-15)
+    // topK truncates per query deterministically
+    val top1 = Retrieval.rrfFuse(Seq(a, b), "qid", "doc_id", topK = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.toSeq.map(_._2) == Seq(10L))
+  }
+
   test("pagerank matches hand-computed iterations and is layout-stable") {
     import graft.ops.Graphs
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
