@@ -630,6 +630,34 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // weekly cohort retention over the event stream — who from each
+    // first-seen cohort is still active N weeks later
+    "q_retention" -> ((s, dir) =>
+      graft.ops.Timeseries.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts", bucketMicros = 7L * 86400 * 1000000)),
+
+    // trailing 7-day rolling count/sum per user — ONE keyed range
+    // window, not a time-range self-join
+    "q_rolling" -> ((s, dir) =>
+      graft.ops.Timeseries.rollingAgg(t(s, dir, "events"),
+        "user_id", "ts", "value", windowMicros = 7L * 86400 * 1000000,
+        idCols = Seq("event_id"))),
+
+    // join-key skew pre-flight: one-row shape report for the user_id
+    // key — the audit that decides whether q_salted_join's treatment
+    // is needed before a big run
+    "q_skew_audit" -> ((s, dir) =>
+      graft.operators.Audits.keySkew(t(s, dir, "events"), "user_id")),
+
+    // top-5 longest documents per (source, lang) bucket — grouped
+    // curation pick with a total order (unique doc_id last)
+    "q_group_topk" -> ((s, dir) =>
+      graft.ops.Ranking.groupedTopK(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+        Seq("source", "lang"),
+        Seq(col("n_chars").desc, col("doc_id").asc), k = 5)),
+
     // per-type p05/p95 winsorization — outlier clamping with the same
     // percentile interpolation the oracle's quantile_cont uses
     "q_winsorize" -> ((s, dir) => {
@@ -1817,6 +1845,54 @@ object SparkEntry {
         |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS total_ffill
         |FROM j""".stripMargin,
+
+    "q_retention" ->
+      """WITH active AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS b
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |first AS (SELECT user_id, min(b) AS cb FROM active GROUP BY 1),
+        |g AS (
+        | SELECT f.cb, a.b - f.cb AS bucket_offset, count(*) AS n_users
+        | FROM active a JOIN first f USING (user_id)
+        | GROUP BY 1, 2),
+        |sz AS (SELECT cb, count(*) AS cohort_size FROM first GROUP BY 1)
+        |SELECT g.cb * 604800000000 AS cohort_start_us, g.bucket_offset,
+        | g.n_users,
+        | CAST(g.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |   AS retention
+        |FROM g JOIN sz s ON g.cb = s.cb""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | count(*) OVER w AS n_win,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |   AS sum_win
+        |FROM events
+        |WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+    "q_skew_audit" ->
+      """WITH c AS (
+        | SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |top AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k DESC LIMIT 1),
+        |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, max(cnt) AS max_key_rows FROM c)
+        |SELECT a.n_rows, a.n_keys, a.max_key_rows, top.k AS top_key,
+        | CAST(a.n_rows AS DOUBLE) / CAST(a.n_keys AS DOUBLE)
+        |   AS mean_rows_per_key,
+        | CAST(a.max_key_rows AS DOUBLE) * CAST(a.n_keys AS DOUBLE)
+        |   / CAST(a.n_rows AS DOUBLE) AS skew_ratio
+        |FROM a CROSS JOIN top""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT doc_id, source, lang, n_chars,
+        | CAST(row_number() OVER (PARTITION BY source, lang
+        |   ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        |FROM documents
+        |QUALIFY rank <= 5""".stripMargin,
 
     "q_winsorize" ->
       """WITH p AS (

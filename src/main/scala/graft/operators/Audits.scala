@@ -58,6 +58,38 @@ object Audits {
   }
 
   /**
+   * Join-key skew audit: the pre-flight report that decides whether a
+   * planned join/aggregation key needs salting (`SkewJoin`) before a
+   * 100 TB run — per-key cardinality collapsed to one row of shape
+   * statistics. `skew_ratio` is max-key rows over mean rows/key (a
+   * uniform key reads ~1.0; a hot key reads ~its partition blow-up
+   * factor). Tie-break for the hottest key is the largest key value,
+   * so the report is layout-independent.
+   *
+   * Scale: one map-side-combined count per key, one one-row aggregate
+   * over key cardinality. Both engine-friendly at any size.
+   *
+   * Output: one row (n_rows, n_keys, max_key_rows, top_key,
+   * mean_rows_per_key, skew_ratio).
+   */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull) // null keys never join — not skew
+      .groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"),
+        max(struct(col("cnt"), col("k"))).as("_top"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("_top.k").as("top_key"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("mean_rows_per_key"),
+        (col("max_key_rows").cast("double") *
+          col("n_keys").cast("double") / col("n_rows").cast("double"))
+          .as("skew_ratio"))
+
+  /**
    * A2: per-column coverage — count of non-blank values per column,
    * single pass. Returns one row: total plus `<col>_coverage` counts.
    */

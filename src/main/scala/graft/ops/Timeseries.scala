@@ -54,4 +54,72 @@ object Timeseries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("total"), ignoreNulls = true).over(fill).as("total_ffill"))
   }
+
+  /**
+   * Cohort retention: assign each key to the bucket of its first
+   * activity, then count how many of that cohort are still active at
+   * each bucket offset — the curve a data pipeline reports for user or
+   * domain liveness. Buckets are integer floor-division of event-time
+   * micros (no calendar drift, same arithmetic as DuckDB `//` on the
+   * positive epoch range).
+   *
+   * Retention is `n_active / cohort_size` as one double division of
+   * exact integers — bit-identical across engines.
+   *
+   * Scale: distinct on (key, bucket) collapses event volume to
+   * activity cardinality first; everything after is keyed aggregates
+   * plus one join on the cohort bucket (cohort cardinality ≪ data —
+   * broadcast under AQE). No window, no global sort.
+   *
+   * Output: (cohort_start_us, bucket_offset, n_users, retention).
+   */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+                      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val active = df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("b"))
+      .distinct()
+    val first = active.groupBy(col(keyCol)).agg(min(col("b")).as("cb"))
+    val g = active.join(first, keyCol)
+      .groupBy(col("cb"), (col("b") - col("cb")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val size = first.groupBy(col("cb")).agg(count(lit(1)).as("cohort_size"))
+    g.join(size, "cb")
+      .select((col("cb") * bucketMicros).as("cohort_start_us"),
+        col("bucket_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  /**
+   * Per-key rolling time-window aggregate: for every row, the count
+   * and exact DECIMAL-summed value of the key's rows in the trailing
+   * `windowMicros` (inclusive range frame `[t - windowMicros, t]`,
+   * peer rows included — identical RANGE semantics in Spark and
+   * DuckDB, so the frame is value-defined and deterministic under
+   * duplicate timestamps).
+   *
+   * Scale: ONE keyed range window, no self-join — Spark evaluates it
+   * as a single sort within key partitions; a time-range self-join
+   * would shuffle the fact table twice and explode skewed keys.
+   *
+   * Output: input id columns + (ts_us, n_win, sum_win).
+   */
+  def rollingAgg(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, windowMicros: Long,
+                 idCols: Seq[String]): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive: $windowMicros")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select((idCols.map(col) :+ col(keyCol) :+
+        unix_micros(col(tsCol)).as("ts_us") :+
+        col(valueCol).cast("decimal(18,6)").as("_v")): _*)
+      .select((idCols.map(col) :+ col(keyCol) :+ col("ts_us") :+
+        count(lit(1)).over(w).as("n_win") :+
+        sum(col("_v")).over(w).cast("double").as("sum_win")): _*)
+  }
 }

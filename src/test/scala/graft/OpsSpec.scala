@@ -845,6 +845,84 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("cohort retention counts per-offset actives against cohort size") {
+    import graft.ops.Timeseries
+    // bucket = 10us. u1,u2 first in b0; u1 returns b1 and b2, u2 never.
+    // u3 first in b1, returns b2.
+    val df = Seq(
+      (1L, 1L), (1L, 12L), (1L, 25L), (2L, 3L), (3L, 15L), (3L, 22L),
+      (3L, 29L) // same bucket as 22 → one distinct active
+    ).toDF("user_id", "tsus")
+      .select($"user_id", timestamp_micros($"tsus").as("ts"))
+    val out = Timeseries.cohortRetention(df, "user_id", "ts", 10L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 2L, 1.0),   // cohort b0: u1,u2
+      (0L, 1L, 1L, 0.5),   // only u1 back
+      (0L, 2L, 1L, 0.5),
+      (10L, 0L, 1L, 1.0),  // cohort b1: u3
+      (10L, 1L, 1L, 1.0)))
+    val out2 = Timeseries
+      .cohortRetention(df.repartition(5), "user_id", "ts", 10L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out2 == out)
+  }
+
+  test("rolling range window sums the trailing interval inclusively") {
+    import graft.ops.Timeseries
+    val df = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 5L, 2.0), (3L, 1L, 10L, 4.0),
+      (4L, 1L, 10L, 8.0),  // duplicate ts → peer rows share a frame
+      (5L, 1L, 21L, 16.0), // 21-10=11 > 10 → drops rows at ts 0,5,10
+      (6L, 2L, 10L, 1.0)
+    ).toDF("event_id", "user_id", "tsus", "value")
+      .select($"event_id", $"user_id",
+        timestamp_micros($"tsus").as("ts"), $"value")
+    val out = Timeseries
+      .rollingAgg(df, "user_id", "ts", "value", 10L, Seq("event_id"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 0L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 5L, 2L, 3.0)))
+    // both ts=10 rows see the full frame incl. each other (peers)
+    assert(out(3L) == ((3L, 1L, 10L, 4L, 15.0)))
+    assert(out(4L) == ((4L, 1L, 10L, 4L, 15.0)))
+    assert(out(5L) == ((5L, 1L, 21L, 1L, 16.0))) // window slid past all
+    assert(out(6L) == ((6L, 2L, 10L, 1L, 1.0)))  // keys isolated
+  }
+
+  test("key skew report flags a hot key and ignores null keys") {
+    import graft.operators.Audits
+    val df = (Seq.fill(6)(Option(7L)) ++ Seq(Some(1L), Some(2L), None))
+      .toDF("k")
+    val out = Audits.keySkew(df, "k").collect().head
+    assert(out.getLong(0) == 8 && out.getLong(1) == 3) // nulls excluded
+    assert(out.getLong(2) == 6 && out.getString(3) == "7")
+    assert(out.getDouble(4) == 8.0 / 3.0)
+    assert(out.getDouble(5) == 6.0 * 3.0 / 8.0)
+    // tie on count → largest key string wins, any layout
+    val tied = Seq("a", "b", "b", "c", "c").toDF("k").repartition(4)
+    assert(Audits.keySkew(tied, "k").collect().head.getString(3) == "c")
+  }
+
+  test("grouped top-k keeps k rows per group under a total order") {
+    import graft.ops.Ranking
+    val df = Seq(
+      (1L, "s1", 10L), (2L, "s1", 30L), (3L, "s1", 20L), (4L, "s1", 30L),
+      (5L, "s2", 1L)
+    ).toDF("id", "grp", "sz")
+    val out = Ranking.groupedTopK(df, Seq("grp"),
+      Seq($"sz".desc, $"id".asc), k = 2)
+      .as[(Long, String, Long, Int)].collect().toSet
+    // tie at sz=30 broken by id: 2 before 4; id 4 takes rank 2
+    assert(out == Set((2L, "s1", 30L, 1), (4L, "s1", 30L, 2),
+      (5L, "s2", 1L, 1)))
+    val out2 = Ranking.groupedTopK(df.repartition(3), Seq("grp"),
+      Seq($"sz".desc, $"id".asc), k = 2)
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(out2 == out)
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import graft.operators.SkewJoin
     // 2000 fact rows, 90% on one hot key
