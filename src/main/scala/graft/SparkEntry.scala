@@ -391,6 +391,54 @@ object SparkEntry {
           (col("u.url") =!= "").as("has_url"))
     }),
 
+    // URL canonicalization + URL-level dedup: five syntactic variants
+    // of the same page (case, www, default port, utm params, fragment,
+    // trailing slash) planted per id-group; variants 0-2 must collapse
+    // to ONE canonical key and the first doc_id per key wins
+    "q_url_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = expr("doc_id div 15").cast("string")
+      val url = expr("(doc_id div 3) % 5") match { case v =>
+        when(v === 0, concat(lit("https://WWW.Example-Site.org/p/"), m, lit("/")))
+          .when(v === 1, concat(lit("https://example-site.org:443/p/"), m,
+            lit("?utm_source=x")))
+          .when(v === 2, concat(lit("https://www.example-site.org/p/"), m,
+            lit("#frag")))
+          .when(v === 3, concat(lit("https://Example-site.ORG/p/"), m,
+            lit("?id=7&utm_campaign=c&x=2")))
+          .otherwise(concat(lit("http://example-site.org:80/p/"), m,
+            lit("/?utm_a=1&utm_b=2")))
+      }
+      val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon", TextAnalysis.canonicalUrl(col("url")))
+        .withColumn("keep", row_number().over(w) === 1)
+    }),
+
+    // scrape cleaning: tag strip → entity decode → NFC (native
+    // codegen'd expression; Spark has no builtin) → whitespace
+    // collapse. Tags/entities/decomposed accents planted on a cadence
+    "q_clean_text" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 4 === 0,
+        concat(lit("<p class=\"x\">"), col("text"),
+          lit("</p> &amp; cafe" + "\u0301" + " &lt;tag&gt;")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.cleanText(planted).as("clean"))
+    }),
+
+    // incremental dedup: the day's batch (doc_id % 10 = 0) probed
+    // against the accepted corpus — exact hash index then ASYMMETRIC
+    // shingle-postings near-dup; never pairs the corpus with itself
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextDedup.incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleLen = 5, threshold = 0.5)
+    }),
+
     // per-domain corpus stats — the domain-level quality/filtering view
     // a pretraining pipeline curates by (count, summed quality, token
     // mass per registered domain). Composes urlParts + qualityScore;
@@ -2180,6 +2228,110 @@ object SparkEntry {
     "q_text_profile" -> textProfileOracle,
 
     "q_domain_stats" -> domainStatsOracle,
+
+    "q_url_canonical" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE (doc_id // 3) % 5
+        |   WHEN 0 THEN 'https://WWW.Example-Site.org/p/'
+        |     || CAST(doc_id // 15 AS VARCHAR) || '/'
+        |   WHEN 1 THEN 'https://example-site.org:443/p/'
+        |     || CAST(doc_id // 15 AS VARCHAR) || '?utm_source=x'
+        |   WHEN 2 THEN 'https://www.example-site.org/p/'
+        |     || CAST(doc_id // 15 AS VARCHAR) || '#frag'
+        |   WHEN 3 THEN 'https://Example-site.ORG/p/'
+        |     || CAST(doc_id // 15 AS VARCHAR) || '?id=7&utm_campaign=c&x=2'
+        |   ELSE 'http://example-site.org:80/p/'
+        |     || CAST(doc_id // 15 AS VARCHAR) || '/?utm_a=1&utm_b=2'
+        |  END AS url
+        | FROM documents WHERE doc_id % 3 = 0),
+        |c AS (
+        | SELECT doc_id, url,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         lower(regexp_extract(regexp_replace(url, '#.*', ''),
+        |           '^(https?://[^/?#]*)', 1)) ||
+        |         regexp_replace(regexp_replace(url, '#.*', ''),
+        |           '^https?://[^/?#]*', ''),
+        |         '^(https?://)www\.', '\1'),
+        |        ':(80|443)([/?#])', '\2'),
+        |       ':(80|443)$', ''),
+        |      'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
+        |     '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+        |    '[?&]$', ''),
+        |   '(.)/$', '\1') AS canon
+        | FROM p)
+        |SELECT doc_id, url, canon,
+        | row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1
+        |   AS keep
+        |FROM c""".stripMargin,
+
+    "q_clean_text" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |   '<p class="x">' || text || '</p> &amp; cafe' || chr(769)
+        |     || ' &lt;tag&gt;'
+        |  ELSE text END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | trim(regexp_replace(nfc_normalize(
+        |  replace(replace(replace(replace(replace(
+        |   regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |   '&amp;', '&')),
+        |  '\s+', ' ', 'g')) AS clean
+        |FROM p""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |hidx AS (
+        | SELECT md5(text) AS h, min(doc_id) AS cid
+        | FROM corpus GROUP BY 1),
+        |b0 AS (
+        | SELECT b.doc_id, b.text, e.cid AS exact_cid
+        | FROM batch b LEFT JOIN hidx e ON md5(b.text) = e.h),
+        |shc AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM corpus)
+        | WHERE length(norm) > 0),
+        |shb AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM b0 WHERE exact_cid IS NULL)
+        | WHERE length(norm) > 0),
+        |near AS (
+        | SELECT a.doc_id, min(c.doc_id) AS cid
+        | FROM shb a JOIN shc c
+        |  ON CAST(least(len(a.s), len(c.s)) AS DOUBLE)
+        |      / greatest(len(a.s), len(c.s)) >= 0.5
+        |   AND CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+        |       (len(a.s) + len(c.s) - len(list_intersect(a.s, c.s)))
+        |       >= 0.5
+        | GROUP BY 1)
+        |SELECT b0.doc_id,
+        | CASE WHEN b0.exact_cid IS NOT NULL THEN 'exact_dup'
+        |      WHEN n.cid IS NOT NULL THEN 'near_dup'
+        |      ELSE 'unique' END AS status,
+        | coalesce(b0.exact_cid, n.cid) AS dup_of
+        |FROM b0 LEFT JOIN near n ON b0.doc_id = n.doc_id""".stripMargin,
 
     "q_chunk" ->
       """WITH f AS (

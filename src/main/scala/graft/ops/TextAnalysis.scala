@@ -256,6 +256,59 @@ object TextAnalysis {
   }
 
   /**
+   * URL canonicalization — the normalization a web-corpus pipeline
+   * applies before URL-level dedup, so syntactic variants of one page
+   * collapse to one key. Rules (documented contract, applied in
+   * order):
+   *   1. strip the fragment (`#…`);
+   *   2. lowercase scheme and host (path/query case is significant);
+   *   3. drop a `www.` host prefix;
+   *   4. drop explicit default ports (`:80`, `:443`);
+   *   5. drop `utm_*` tracking parameters (and tidy separators);
+   *   6. strip one trailing `/`.
+   *
+   * Pure chained regexp_replace — whole-stage codegen, no UDF, safe
+   * in a 100 TB narrow pass.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^(https?://[^/?#]*)", 1)),
+      regexp_replace(noFrag, "^https?://[^/?#]*", ""))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, ":(80|443)([/?#])", "$2"), ":(80|443)$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noPort, "utm_[A-Za-z0-9_]*=[^&#]*&", ""),
+        "[?&]utm_[A-Za-z0-9_]*=[^&#]*", ""),
+      "[?&]$", "")
+    regexp_replace(noUtm, "(.)/$", "$1")
+  }
+
+  /**
+   * Text cleaning for scraped corpora: strip HTML tags, decode the
+   * five predefined entities, NFC-normalize (native codegen'd
+   * [[org.apache.spark.sql.graftshim.NfcNormalizeExpr]] — composed
+   * and decomposed spellings must hash identically downstream), then
+   * collapse runs of whitespace and trim. Narrow, UDF-free pass.
+   *
+   * Entity decode runs after tag strip (so `&lt;b&gt;` survives as
+   * literal text rather than becoming a strippable tag) and `&amp;`
+   * is decoded LAST — the standard order that keeps `&amp;lt;` from
+   * double-decoding.
+   */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, e, java.util.regex.Matcher.quoteReplacement(r)) }
+    val nfc = org.apache.spark.sql.graftshim.UnicodeColumns.nfcNormalize(decoded)
+    trim(regexp_replace(nfc, "\\s+", " "))
+  }
+
+  /**
    * Deterministic hash sample: keep a row iff the first 8 md5 hex
    * chars of its key fall under `fraction` of the bucket space — the
    * same mechanism as [[assignSplit]], so membership is stable across

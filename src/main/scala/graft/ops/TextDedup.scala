@@ -967,6 +967,68 @@ object TextDedup {
     }
   }
 
+  /**
+   * Incremental dedup: flag each NEW-batch document against an
+   * already-accepted corpus — the shape a continuously-crawled 100 TB
+   * pipeline actually runs (dedup the day's batch against the index;
+   * never re-pair the corpus against itself). Two stages:
+   *
+   *   1. exact: md5(content) probe against the corpus hash index
+   *      (min corpus id per hash is the canonical representative);
+   *   2. near: remaining batch docs probe the corpus shingle postings
+   *      — an ASYMMETRIC join (batch tokens × corpus tokens), so cost
+   *      scales with |batch| · sharing, not |corpus|²; the
+   *      length-ratio prefilter (J ≥ t ⇒ min/max ≥ t) prunes hopeless
+   *      pairs before the per-pair aggregate.
+   *
+   * Jaccard is one double division of exact integer intersection /
+   * union counts — engine-exact. `dup_of` is the smallest matching
+   * corpus id (exact stage wins over near), deterministic at any
+   * layout. Intra-batch duplicates are out of scope by design (run
+   * [[exactDupGroups]] within the batch for that).
+   *
+   * Output: one row per batch doc —
+   * (idCol, status ∈ exact_dup|near_dup|unique, dup_of).
+   */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, shingleLen: Int = 5,
+                       threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold: $threshold")
+    val hashIdx = corpus
+      .select(md5(col(textCol).cast("binary")).as("__h"),
+        col(idCol).as("__cid"))
+      .groupBy(col("__h")).agg(min(col("__cid")).as("__exact"))
+    val b0 = batch
+      .select(col(idCol), col(textCol), md5(col(textCol).cast("binary")).as("__h"))
+      .join(hashIdx, Seq("__h"), "left")
+    val bt = b0.filter(col("__exact").isNull)
+      .select(col(idCol).as("__bid"),
+        shingleHashes(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__bid"), size(col("__sh")).as("__blen"),
+        explode(col("__sh")).as("__t"))
+    val ct = corpus
+      .select(col(idCol).as("__cid"),
+        shingleHashes(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__cid"), size(col("__sh")).as("__clen"),
+        explode(col("__sh")).as("__t"))
+    val near = bt.join(ct, "__t")
+      .filter(least(col("__blen"), col("__clen")).cast("double") /
+        greatest(col("__blen"), col("__clen")) >= threshold)
+      .groupBy(col("__bid"), col("__cid"), col("__blen"), col("__clen"))
+      .agg(count(lit(1)).as("__i"))
+      .filter(col("__i").cast("double") /
+        (col("__blen") + col("__clen") - col("__i")) >= threshold)
+      .groupBy(col("__bid")).agg(min(col("__cid")).as("__near"))
+    b0.join(near, col(idCol) === col("__bid"), "left")
+      .select(col(idCol),
+        when(col("__exact").isNotNull, lit("exact_dup"))
+          .when(col("__near").isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("__exact"), col("__near")).as("dup_of"))
+  }
+
   /** Tiled all-pairs hamming compare over 64-bit signatures (the
     * small-corpus / large-radius regime of [[simhashPairs]]); same
     * Afrati–Ullman block-pair replication as the dense Jaccard path. */

@@ -77,5 +77,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         "trigram_distance"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Subtract(Literal(1.0), TrigramSimilarityExpr(exprs(0), exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalizeExpr(exprs(0))))
   }
 }

@@ -25,6 +25,9 @@ class ExtensionsSpec extends AnyFunSuite {
         "trigram_distance('abc', 'abc') AS d").collect()(0)
       assert(math.abs(r.getDouble(0) - 4.0 / 11.0) < 1e-9)
       assert(r.getDouble(1) == 0.0)
+      // nfc_normalize: decomposed e+U+0301 composes to U+00E9
+      val n = spark.sql("SELECT nfc_normalize('e" + "\u0301" + "') AS n").first
+      assert(n.getString(0) == "caf\u00e9".substring(3))
       // don't stop(): that would kill the shared SparkContext
     } finally {
       SparkSession.clearDefaultSession()

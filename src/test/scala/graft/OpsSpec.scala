@@ -845,6 +845,72 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("canonical url collapses syntactic variants and keeps real query") {
+    import graft.ops.TextAnalysis
+    val urls = Seq(
+      "https://WWW.Example-Site.org/p/7/",
+      "https://example-site.org:443/p/7?utm_source=x",
+      "https://www.example-site.org/p/7#frag",
+      "http://example-site.org:80/p/7/?utm_a=1&utm_b=2",
+      "https://Example-site.ORG/p/7?id=7&utm_campaign=c&x=2",
+      "https://a.org/x?utm_only=1",
+      "https://a.org/",
+      "https://a.org/UPPER/Case?Q=v"
+    ).toDF("u")
+    val out = urls.select(TextAnalysis.canonicalUrl($"u")).as[String].collect()
+    assert(out(0) == "https://example-site.org/p/7")
+    assert(out(1) == "https://example-site.org/p/7")
+    assert(out(2) == "https://example-site.org/p/7")
+    assert(out(3) == "http://example-site.org/p/7") // scheme differs: kept
+    assert(out(4) == "https://example-site.org/p/7?id=7&x=2")
+    assert(out(5) == "https://a.org/x")
+    assert(out(6) == "https://a.org")  // root slash stripped too
+    assert(out(7) == "https://a.org/UPPER/Case?Q=v") // path case kept
+  }
+
+  test("clean text strips tags, decodes entities, NFC-composes accents") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      "<p class=\"x\">a  b</p> &amp; cafe" + "\u0301" + " &lt;tag&gt;",
+      "plain   text\n\tok",
+      "&amp;lt; stays literal-ish"
+    ).toDF("t")
+    val out = df.select(TextAnalysis.cleanText($"t")).as[String].collect()
+    assert(out(0) == "a b & caf\u00e9 <tag>") // composed, tags gone
+    assert(out(1) == "plain text ok")
+    // &amp; decodes last: "&lt;" appears but is NOT re-decoded
+    assert(out(2) == "&lt; stays literal-ish")
+  }
+
+  test("incremental dedup flags batch docs against the corpus only") {
+    import graft.ops.TextDedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely different corpus content about spark engines"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact
+      (20L, "the quick brown fox jumps over the lazy dog tonite"),  // near
+      (30L, "completely unrelated new material with novel words"),  // unique
+      (40L, "")                                                     // blank
+    ).toDF("doc_id", "text")
+    val out = TextDedup
+      .incrementalDedup(corpus, batch, "doc_id", "text", 5, 0.5)
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) == (("exact_dup", Some(1L)))) // min of {1,11}
+    assert(out(20L) == (("near_dup", Some(1L))))
+    assert(out(30L) == (("unique", None)))
+    assert(out(40L) == (("unique", None)))
+    assert(out.size == 4)
+    val out2 = TextDedup.incrementalDedup(corpus.repartition(5),
+        batch.repartition(3), "doc_id", "text", 5, 0.5)
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out2 == out)
+  }
+
   test("cohort retention counts per-offset actives against cohort size") {
     import graft.ops.Timeseries
     // bucket = 10us. u1,u2 first in b0; u1 returns b1 and b2, u2 never.
