@@ -678,6 +678,42 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // stream-static enrichment (batch face, oracle-gated; streaming
+    // parity in StreamingSpec): events + broadcast customer dimension
+    "q_enrich" -> ((s, dir) =>
+      graft.streaming.EventStream.enrichStatic(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type")),
+        t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment")),
+        "user_id")),
+
+    // real pixel work on the multimodal path: nearest-neighbor BMP
+    // thumbnail (image-space mapping, true stride/padding) then
+    // re-decode — the mean is gated against the closed-form oracle
+    "q_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val rz = Multimodal
+            .resizeBmp(Multimodal.bmpBytes(id), 8, 8).get
+          val f = Multimodal.decodeBmp(rz).get
+          (id, f(0), f(1), f(3))
+        }.toDF("doc_id", "w_out", "h_out", "mean_blue")
+    }),
+
+    // Z-order (Morton) clustering key — the layout pass that gives
+    // parquet min/max pruning on BOTH join columns; pure bit
+    // arithmetic inside codegen, gated bit-for-bit against the oracle
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.ops.Layout.zOrder2(col("l_partkey"), col("l_suppkey"))
+            .as("zval"))),
+
     // weekly cohort retention over the event stream — who from each
     // first-seen cohort is still active N weeks later
     "q_retention" -> ((s, dir) =>
@@ -1894,6 +1930,27 @@ object SparkEntry {
         |   AS total_ffill
         |FROM j""".stripMargin,
 
+    "q_enrich" ->
+      """SELECT e.user_id, e.event_id, e.event_type, c.c_mktsegment
+        |   AS segment
+        |FROM events e LEFT JOIN customer c
+        |  ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH p AS (
+        | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |  doc_id % 200 AS base
+        | FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, 8.0 AS w_out, 8.0 AS h_out,
+        | CAST(64 * base
+        |  + 8 * list_sum(list_transform(generate_series(0, 7),
+        |      x -> (x * w) // 8))
+        |  + 8 * list_sum(list_transform(generate_series(0, 7),
+        |      y -> (y * h) // 8)) AS DOUBLE) / 64 AS mean_blue
+        |FROM p""".stripMargin,
+
+    "q_zorder" -> zOrderOracle,
+
     "q_retention" ->
       """WITH active AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS b
@@ -2686,6 +2743,19 @@ object SparkEntry {
        |SELECT qid, doc_id, CAST(sc AS DOUBLE) AS score
        |FROM scored
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= $limit""".stripMargin
+  }
+
+  /** q_zorder oracle — the Morton interleave spelled out as 42 bit
+    * terms OR-ed together (DuckDB's >> & << | operate on BIGINT);
+    * generated from the same `bits` constant the query uses, so both
+    * sides compute the identical integer. */
+  private def zOrderOracle: String = {
+    val terms = (0 until 21).flatMap(i => Seq(
+      s"(((l_partkey >> $i) & 1) << ${2 * i})",
+      s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
+    // single line: a '|' inside stripMargin's body would be eaten
+    s"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      s"CAST(${terms.mkString(" | ")} AS BIGINT) AS zval FROM lineitem"
   }
 
   /** q_rrf oracle — bm25 top-20 (the proven-exact pipeline) fused with

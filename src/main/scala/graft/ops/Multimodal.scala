@@ -189,6 +189,55 @@ object Multimodal {
       sum.toDouble / (w.toLong * h)))
   }
 
+  /**
+   * Nearest-neighbor resize of an uncompressed 24bpp BMP — the real
+   * pixel transform of the image-preprocess stage (thumbnailing before
+   * feature extraction), not a stub: walks the actual headers, maps in
+   * IMAGE space (`src = (dst · srcDim) / dstDim`, floor — storage is
+   * bottom-up so file rows are flipped on both sides), and emits a
+   * valid BMP with correct row stride/padding. None if the input isn't
+   * a 24bpp uncompressed BMP.
+   */
+  def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = math.abs(b.getInt(22))
+    val bpp = b.getShort(28).toInt
+    val compression = b.getInt(30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    val srcStride = ((3 * w + 3) / 4) * 4
+    if (dataOffset + srcStride.toLong * h > bytes.length) return None
+    val outStride = ((3 * outW + 3) / 4) * 4
+    val size = 14 + 40 + outStride * outH
+    val out = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    out.putInt(40).putInt(outW).putInt(outH).putShort(1).putShort(24)
+      .putInt(0).putInt(outStride * outH).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < outH) {
+      val imgY = outH - 1 - fileRow
+      val srcImgY = (imgY.toLong * h / outH).toInt
+      val srcOff = dataOffset + (h - 1 - srcImgY) * srcStride
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        out.put(bytes(srcOff + 3 * sx))
+          .put(bytes(srcOff + 3 * sx + 1))
+          .put(bytes(srcOff + 3 * sx + 2))
+        x += 1
+      }
+      var pad = 3 * outW
+      while (pad < outStride) { out.put(0.toByte); pad += 1 }
+      fileRow += 1
+    }
+    Some(out.array())
+  }
+
   /** Parse a PCM WAV by walking its RIFF chunk list: [sampleRate,
     * channels, nSamples, mean sample]. None if not PCM WAV. */
   def decodeWav(bytes: Array[Byte]): Option[Array[Double]] = {

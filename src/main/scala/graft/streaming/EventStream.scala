@@ -221,6 +221,19 @@ object EventStream {
           .as("delay_us"))
   }
 
+  /**
+   * Stream-static enrichment join — the standard "attach dimension
+   * attributes to the event stream" step, one code path for batch and
+   * readStream. The dimension is broadcast (small side by contract);
+   * in streaming mode Spark re-resolves the static side per
+   * micro-batch, so no state store and no watermark are involved.
+   * Left join: events with no dimension row pass through with nulls
+   * (an enrichment must never drop facts).
+   */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming query over parquet input into a memory sink and
     * block until all available data is processed (test/demo harness). */
   def runToMemory(spark: SparkSession, inputDir: String, queryName: String,

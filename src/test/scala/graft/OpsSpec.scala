@@ -845,6 +845,81 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("bmp resize maps nearest-neighbor in image space with real stride") {
+    import graft.ops.Multimodal
+    // source: id=1 → 9x9, base=1, pixel v = base + x + imgTopRow
+    val src = Multimodal.bmpBytes(1L)
+    val rz = Multimodal.resizeBmp(src, 4, 4).get
+    val f = Multimodal.decodeBmp(rz).get
+    assert(f(0) == 4.0 && f(1) == 4.0 && f(2) == 24.0)
+    // mean = base + mean(sx) + mean(sy); sx=sy=(k*9)/4 for k=0..3
+    val m = (0 until 4).map(k => k * 9 / 4)
+    assert(f(3) == 1.0 + 2.0 * m.sum / 4.0)
+    // identity resize reproduces the source decode exactly
+    val same = Multimodal.resizeBmp(src, 9, 9).get
+    assert(Multimodal.decodeBmp(same).get.sameElements(
+      Multimodal.decodeBmp(src).get))
+    // upscale stays in range and valid
+    val up = Multimodal.resizeBmp(src, 16, 16).get
+    val fu = Multimodal.decodeBmp(up).get
+    assert(fu(0) == 16.0 && fu(1) == 16.0)
+    // non-BMP bytes refuse
+    assert(Multimodal.resizeBmp("nope".getBytes, 4, 4).isEmpty)
+  }
+
+  test("zorder interleaves bits and tightens per-chunk column spans") {
+    import graft.ops.Layout
+    // x=3 (011), y=5 (101): z = x0 + y0<<1 + x1<<2 + y2<<5 = 39
+    val z = Seq((3, 5)).toDF("x", "y")
+      .select(Layout.zOrder2($"x", $"y")).as[Long].first
+    assert(z == 39L)
+    // zero stays zero; single high bit lands at 2*i (x) / 2*i+1 (y)
+    val probes = Seq((0, 0), (1 << 20, 0), (0, 1 << 20)).toDF("x", "y")
+      .select(Layout.zOrder2($"x", $"y")).as[Long].collect()
+    assert(probes.sameElements(Array(0L, 1L << 40, 1L << 41)))
+    // locality: sort a 64x64 grid by z, cut into 16 contiguous chunks;
+    // every chunk must span ≤ a quarter of each axis (perfect z-curve
+    // on a power-of-two grid gives 16 aligned 16x16 tiles)
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    val chunks = grid
+      .select($"x", $"y", Layout.zOrder2($"x", $"y").as("z"))
+      .orderBy($"z").as[(Int, Int, Long)].collect()
+      .grouped(256).toSeq
+    assert(chunks.size == 16)
+    chunks.foreach { c =>
+      val (xs, ys) = (c.map(_._1), c.map(_._2))
+      assert(xs.max - xs.min <= 15 && ys.max - ys.min <= 15)
+    }
+  }
+
+  test("zorder write produces range-disjoint sorted files") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    try {
+      val df = (1 to 4096).map(i => (i % 61, (i * 7) % 53, i)).toDF("x", "y", "id")
+      Layout.zOrderWrite(df, "x", "y", dir, numFiles = 4)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 4096 && back.columns.sorted.sameElements(
+        Array("id", "x", "y")))
+      // per-file z ranges are disjoint (range partitioning on z)
+      val ranges = back
+        .select(Layout.zOrder2($"x", $"y").as("z"),
+          input_file_name().as("f"))
+        .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+        .as[(String, Long, Long)].collect().map(r => (r._2, r._3))
+        .sortBy(_._1)
+      assert(ranges.size > 1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+        case _ =>
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("canonical url collapses syntactic variants and keeps real query") {
     import graft.ops.TextAnalysis
     val urls = Seq(

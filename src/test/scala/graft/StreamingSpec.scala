@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val q = EventStream.runToMemory(spark,
+      s"$sf0001/events.parquet", "stream_enrich",
+      df => EventStream.enrichStatic(
+        df.select(col("user_id"), col("event_id"), col("event_type")),
+        dim, "user_id"),
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("stream_enrich")
+      val batch = EventStream.enrichStatic(
+        EventStream.normalize(spark.read
+          .schema(EventStream.RawSchema).parquet(s"$sf0001/events.parquet"))
+          .select(col("user_id"), col("event_id"), col("event_type")),
+        dim, "user_id")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream funnel join replays to the batch answer") {
     // stage the fixture in a directory (file stream source needs one)
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel")
