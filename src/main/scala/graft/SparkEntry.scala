@@ -678,6 +678,34 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // deterministic Lloyd k-means (k=4, 2 update rounds): init from
+    // the 4 smallest ids, sequential-fold L2, DECIMAL mean sums —
+    // assignment gated bit-for-bit against the unrolled SQL oracle
+    "q_kmeans" -> ((s, dir) =>
+      graft.ops.KMeans.fit(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)),
+
+    // interval-OVERLAP join (both sides intervals) via first-shared-
+    // bin binning — span conflicts without the nested loop
+    "q_overlap_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), unix_micros(col("ts")).as("lo_us"),
+          (unix_micros(col("ts")) + (col("event_id") % 50) * 60000000L)
+            .as("hi_us"))
+      val l = ev.filter(col("event_id") % 17 === 0)
+        .select(col("event_id").as("a_id"), col("lo_us").as("a_lo"),
+          col("hi_us").as("a_hi"))
+      val r = ev.filter(col("event_id") % 23 === 0)
+        .select(col("event_id").as("b_id"), col("lo_us").as("b_lo"),
+          col("hi_us").as("b_hi"))
+      graft.operators.RangeJoin
+        .overlapBinned(l, "a_lo", "a_hi", r, "b_lo", "b_hi",
+          binWidth = 1800e6)
+        .select(col("a_id"), col("b_id"),
+          greatest(col("a_lo"), col("b_lo")).as("ov_lo_us"),
+          least(col("a_hi"), col("b_hi")).as("ov_hi_us"))
+    }),
+
     // stream-static enrichment (batch face, oracle-gated; streaming
     // parity in StreamingSpec): events + broadcast customer dimension
     "q_enrich" -> ((s, dir) =>
@@ -1930,6 +1958,20 @@ object SparkEntry {
         |   AS total_ffill
         |FROM j""".stripMargin,
 
+    "q_kmeans" -> kmeansOracle,
+
+    "q_overlap_join" ->
+      """WITH iv AS (
+        | SELECT event_id, epoch_us(ts) AS lo_us,
+        |  epoch_us(ts) + (event_id % 50) * 60000000 AS hi_us
+        | FROM events WHERE ts IS NOT NULL)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        | greatest(a.lo_us, b.lo_us) AS ov_lo_us,
+        | least(a.hi_us, b.hi_us) AS ov_hi_us
+        |FROM iv a JOIN iv b
+        |  ON a.event_id % 17 = 0 AND b.event_id % 23 = 0
+        |   AND a.lo_us <= b.hi_us AND b.lo_us <= a.hi_us""".stripMargin,
+
     "q_enrich" ->
       """SELECT e.user_id, e.event_id, e.event_type, c.c_mktsegment
         |   AS segment
@@ -2743,6 +2785,57 @@ object SparkEntry {
        |SELECT qid, doc_id, CAST(sc AS DOUBLE) AS score
        |FROM scored
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= $limit""".stripMargin
+  }
+
+  /** q_kmeans oracle — KMeans.fit unrolled to SQL: the same init
+    * (4 smallest ids), the same sequential left-fold squared-L2
+    * (`list_reduce` folds (t1+t2)+t3…, identical to Spark's
+    * `aggregate` starting at 0.0 since 0.0+t1 == t1), the same
+    * exact 2^-20-quantized integer mean sums, the same (dist, c)
+    * tie-break. Two update rounds, then the final assignment. */
+  private def kmeansOracle: String = {
+    val D = 64
+    val K = 4
+    def dist(e: String, cv: String) =
+      s"list_reduce(list_transform(generate_series(1, $D), " +
+        s"j -> (CAST($e[j] AS DOUBLE) - $cv[j]) * " +
+        s"(CAST($e[j] AS DOUBLE) - $cv[j])), (a, b) -> a + b)"
+    def assign(name: String, centTab: String) =
+      s"""$name AS (
+         | SELECT vec_id, c, d FROM (
+         |  SELECT vec_id, c, d,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |  FROM (SELECT e.vec_id, i.c,
+         |         ${dist("e.embedding", "i.cv")} AS d
+         |        FROM embeddings e CROSS JOIN $centTab i))
+         | WHERE rn = 1)""".stripMargin
+    def update(mName: String, cName: String, aTab: String, prevTab: String) =
+      s"""$mName AS (
+         | SELECT a.c, j.i,
+         |  CAST(sum(CAST(floor(CAST(e.embedding[j.i] AS DOUBLE)
+         |    * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) / 1048576.0 AS v
+         | FROM $aTab a JOIN embeddings e USING (vec_id)
+         | CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS i) j
+         | GROUP BY a.c, j.i),
+         |$cName AS (
+         | SELECT p.c, list(coalesce(m.v, p.cv[p.i]) ORDER BY p.i) AS cv
+         | FROM (SELECT c, unnest(generate_series(1, $D)) AS i, cv
+         |       FROM $prevTab) p
+         | LEFT JOIN $mName m ON m.c = p.c AND m.i = p.i
+         | GROUP BY p.c)""".stripMargin
+    s"""WITH init AS (
+       | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       | FROM (SELECT vec_id, embedding FROM embeddings
+       |       ORDER BY vec_id LIMIT $K)),
+       |${assign("a0", "init")},
+       |${update("m1", "c1", "a0", "init")},
+       |${assign("a1", "c1")},
+       |${update("m2", "c2", "a1", "c1")},
+       |${assign("a2", "c2")}
+       |SELECT vec_id, CAST(c AS INT) AS cluster, d AS dist
+       |FROM a2""".stripMargin
   }
 
   /** q_zorder oracle — the Morton interleave spelled out as 42 bit

@@ -66,6 +66,42 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /**
+   * Interval-OVERLAP join (both sides are intervals): pairs where
+   * `lLo <= rHi AND rLo <= lHi` — span-conflict detection, shift
+   * overlap, contamination-span reconciliation. Same binning scheme
+   * as [[binned]], but since BOTH sides replicate across bins a pair
+   * can meet in several bins; each pair is emitted exactly once via
+   * the FIRST-SHARED-BIN rule — only the bin containing
+   * `greatest(lLo, rLo)` emits (that bin is covered by both intervals
+   * whenever they overlap, and is unique) — so no post-join dedup
+   * shuffle. Catalyst sees a plain equi-join on the bin key; the
+   * overlap predicate and bin-ownership check ride as residuals in
+   * the hash-join probe. Inverted/null intervals drop.
+   */
+  def overlapBinned(left: DataFrame, lLo: String, lHi: String,
+                    right: DataFrame, rLo: String, rHi: String,
+                    binWidth: Double): DataFrame = {
+    require(binWidth > 0 && !binWidth.isNaN && !binWidth.isInfinite,
+      s"binWidth must be a positive finite number, got $binWidth")
+    val reserved = Seq("__bin", "__binr")
+    require(reserved.forall(c => !left.columns.contains(c) &&
+      !right.columns.contains(c)), "__bin/__binr are reserved")
+    def rep(df: DataFrame, lo: String, hi: String, binCol: String) = df
+      .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .withColumn(binCol, explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    val l = rep(left, lLo, lHi, "__bin")
+    val r = rep(right, rLo, rHi, "__binr")
+    l.join(r,
+        col("__bin") === col("__binr") &&
+          col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+          col("__bin") ===
+            floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
+      .drop("__bin", "__binr")
+  }
+
   /** Range join that measures the interval spans first and derives the
     * bin width from them (average span, clamped to a sane floor) — one
     * driver-bounded aggregate, then [[binned]]. Empty or degenerate

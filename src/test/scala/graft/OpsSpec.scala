@@ -845,6 +845,61 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("kmeans converges on separated blobs and is layout-deterministic") {
+    import graft.ops.KMeans
+    // two tight blobs around (0,0) and (10,10); ids 1,2 seed the init
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(10.0f, 10.1f)),
+      (3L, Seq(0.2f, -0.1f)), (4L, Seq(9.9f, 10.0f)),
+      (5L, Seq(-0.1f, 0.0f)), (6L, Seq(10.2f, 9.8f))
+    ).toDF("vec_id", "embedding")
+    val out = KMeans.fit(pts, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) == 0 && out(3L) == 0 && out(5L) == 0)
+    assert(out(2L) == 1 && out(4L) == 1 && out(6L) == 1)
+    val out2 = KMeans.fit(pts.repartition(5), "vec_id", "embedding", 2, 2)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out2 == out)
+    // an emptied cluster keeps its previous centroid (k=3 over 2 blobs:
+    // cluster of id=3's seed empties once 0-blob collapses into c0)
+    val k3 = KMeans.fit(pts, "vec_id", "embedding", k = 3, iters = 3)
+      .as[(Long, Int, Double)].collect()
+    assert(k3.length == 6) // still a total assignment, no crash
+  }
+
+  test("interval overlap join emits each overlapping pair exactly once") {
+    import graft.operators.RangeJoin
+    val a = Seq(
+      (1L, Some(0L), Some(100L)),   // spans many bins (width 10)
+      (2L, Some(50L), Some(60L)),
+      (3L, Some(200L), Some(210L)), // disjoint from all b
+      (4L, Some(30L), Some(20L)),   // inverted → dropped
+      (5L, None, Some(9L))          // null bound → dropped
+    ).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 90L, 130L),   // overlaps a1 in [90,100]
+      (11L, 100L, 100L),  // touches a1 exactly at 100 (inclusive)
+      (12L, 55L, 58L),    // inside a1 AND a2 — multi-bin a1 must not dup
+      (13L, 300L, 400L)
+    ).toDF("b_id", "b_lo", "b_hi")
+    val out = RangeJoin
+      .overlapBinned(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 10.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L)))
+    // equals the nested-loop reference on random-ish data, any layout
+    val bigA = (1L to 300L).map(i => (i, i * 7 % 500, i * 7 % 500 + i % 40))
+      .toDF("a_id", "a_lo", "a_hi").repartition(7)
+    val bigB = (1L to 200L).map(i => (i, i * 13 % 500, i * 13 % 500 + i % 25))
+      .toDF("b_id", "b_lo", "b_hi").repartition(3)
+    val binned = RangeJoin
+      .overlapBinned(bigA, "a_lo", "a_hi", bigB, "b_lo", "b_hi", 16.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    val ref = bigA.crossJoin(bigB)
+      .filter($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(binned == ref && ref.nonEmpty)
+  }
+
   test("bmp resize maps nearest-neighbor in image space with real stride") {
     import graft.ops.Multimodal
     // source: id=1 → 9x9, base=1, pixel v = base + x + imgTopRow
