@@ -975,11 +975,17 @@ object TextDedup {
    *
    *   1. exact: md5(content) probe against the corpus hash index
    *      (min corpus id per hash is the canonical representative);
-   *   2. near: remaining batch docs probe the corpus shingle postings
-   *      — an ASYMMETRIC join (batch tokens × corpus tokens), so cost
-   *      scales with |batch| · sharing, not |corpus|²; the
-   *      length-ratio prefilter (J ≥ t ⇒ min/max ≥ t) prunes hopeless
-   *      pairs before the per-pair aggregate.
+   *   2. near: remaining batch docs meet the corpus through the SAME
+   *      lossless rarest-first prefix scheme as [[ngramJaccardPairs]]
+   *      (AllPairs/PPJoin), just asymmetric: both sides' prefixes are
+   *      ordered by one shared (docfreq, hash) total order — built
+   *      over the union, so the order is consistent — the prefix join
+   *      crosses sides only, the positional upper bound discards
+   *      hopeless candidates losslessly, and survivors verify with
+   *      the exact merge-intersection kernel. A raw postings join
+   *      (every shared shingle a row) measured 26 s at sf0.1 —
+   *      corpus-common shingles explode it quadratically; prefixes
+   *      keep only each doc's rarest (1−t)·n+2 tokens in the join.
    *
    * Jaccard is one double division of exact integer intersection /
    * union counts — engine-exact. `dup_of` is the smallest matching
@@ -992,34 +998,51 @@ object TextDedup {
    */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, shingleLen: Int = 5,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       denseVocabLimit: Int = 1 << 14,
+                       denseBlocks: Int = 32): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold: $threshold")
     val hashIdx = corpus
       .select(md5(col(textCol).cast("binary")).as("__h"),
         col(idCol).as("__cid"))
       .groupBy(col("__h")).agg(min(col("__cid")).as("__exact"))
+    // persisted like ngramJaccardPairs' prepared frame: b0 feeds the
+    // dispatch probe, the near stage AND the final status join, and
+    // preparedC feeds probe + encode + verify — without the barrier
+    // the md5 index join and the shingle kernel re-run per consumer
     val b0 = batch
       .select(col(idCol), col(textCol), md5(col(textCol).cast("binary")).as("__h"))
       .join(hashIdx, Seq("__h"), "left")
-    val bt = b0.filter(col("__exact").isNull)
+      .persist()
+    val preparedB = b0.filter(col("__exact").isNull)
       .select(col(idCol).as("__bid"),
         shingleHashes(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .select(col("__bid"), size(col("__sh")).as("__blen"),
-        explode(col("__sh")).as("__t"))
-    val ct = corpus
+      .persist()
+    val preparedC = corpus
       .select(col(idCol).as("__cid"),
         shingleHashes(col(textCol), shingleLen).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .select(col("__cid"), size(col("__sh")).as("__clen"),
-        explode(col("__sh")).as("__t"))
-    val near = bt.join(ct, "__t")
-      .filter(least(col("__blen"), col("__clen")).cast("double") /
-        greatest(col("__blen"), col("__clen")) >= threshold)
-      .groupBy(col("__bid"), col("__cid"), col("__blen"), col("__clen"))
-      .agg(count(lit(1)).as("__i"))
-      .filter(col("__i").cast("double") /
-        (col("__blen") + col("__clen") - col("__i")) >= threshold)
+      .persist()
+    // same adaptive dispatch as ngramJaccardPairs: a small shared
+    // shingle universe makes prefixes structurally useless (every
+    // prefix token is corpus-common) while bitmap tiles are cheap
+    val idOk = Dispatch.integralId(preparedB, "__bid") &&
+      Dispatch.integralId(preparedC, "__cid")
+    val toksU = preparedB.select(explode(col("__sh")).as("__h"))
+      .unionAll(preparedC.select(explode(col("__sh")).as("__h")))
+    val pairs =
+      Dispatch.denseVocab(toksU, col("__h"), idOk, denseVocabLimit) match {
+        case Some(vocab) =>
+          val origB = preparedB.schema("__bid").dataType
+          val origC = preparedC.schema("__cid").dataType
+          denseAsymmetricNearPairs(preparedB, preparedC, threshold,
+            vocab, denseBlocks)
+            .select(col("__bid").cast(origB).as("__bid"),
+              col("__cid").cast(origC).as("__cid"))
+        case None => asymmetricNearPairs(preparedB, preparedC, threshold)
+      }
+    val near = pairs
       .groupBy(col("__bid")).agg(min(col("__cid")).as("__near"))
     b0.join(near, col(idCol) === col("__bid"), "left")
       .select(col(idCol),
@@ -1027,6 +1050,107 @@ object TextDedup {
           .when(col("__near").isNotNull, lit("near_dup"))
           .otherwise(lit("unique")).as("status"),
         coalesce(col("__exact"), col("__near")).as("dup_of"))
+  }
+
+  /** Small-universe asymmetric near-dup: bitmap-encode both sides over
+    * the shared vocabulary and run the bipartite block grid
+    * ([[Tiles.grid]]) — popcount-AND kernel per (batch, corpus) pair
+    * with the length-ratio prefilter, exactly the asymmetric face of
+    * [[denseJaccardPairs]]. Output (__bid, __cid) as longs. */
+  private def denseAsymmetricNearPairs(preparedB: DataFrame,
+                                       preparedC: DataFrame,
+                                       threshold: Double,
+                                       vocab: Array[Long],
+                                       blocks: Int): DataFrame = {
+    val spark = preparedB.sparkSession
+    import spark.implicits._
+    val (toBits, nWords) = Tiles.bitmapUdf(spark, vocab)
+    val t = threshold
+    def enc(df: DataFrame, id: String) = df.select(
+      col(id).cast("long").as("id"),
+      struct(size(col("__sh")).as("_1"), toBits(col("__sh")).as("_2")).as("p"))
+      .as[(Long, (Int, Array[Long]))]
+    Tiles.grid[(Int, Array[Long]), (Long, Long)](
+      enc(preparedB, "__bid"), enc(preparedC, "__cid"), blocks) {
+      case (ls, rs, out) =>
+        ls.foreach { case (bid, (na, ba)) =>
+          rs.foreach { case (cid, (nb, bb)) =>
+            if (math.min(na, nb).toDouble / math.max(na, nb) >= t) {
+              var inter = 0
+              var w = 0
+              while (w < nWords) {
+                inter += java.lang.Long.bitCount(ba(w) & bb(w))
+                w += 1
+              }
+              if (inter.toDouble / (na + nb - inter) >= t)
+                out += ((bid, cid))
+            }
+          }
+        }
+    }.toDF("__bid", "__cid")
+  }
+
+  /**
+   * Cross-side AllPairs/PPJoin: prefix candidates between a batch side
+   * (`__bid`, `__sh`) and a corpus side (`__cid`, `__sh`) under ONE
+   * shared (docfreq, hash) order built over the union of both sides —
+   * the losslessness of the prefix scheme needs a total order both
+   * sides agree on, nothing more. Mirrors [[prefixJaccardPairs]] step
+   * for step (prefix length n − ⌈t·n⌉ + 2, positional upper bound with
+   * the same division compare, exact merge-kernel verify); differs
+   * only in joining across sides instead of `id_a < id_b`, and no
+   * persist — each prefix frame feeds exactly one join.
+   * Output: (__bid, __cid) with exact Jaccard ≥ threshold.
+   */
+  private def asymmetricNearPairs(preparedB: DataFrame, preparedC: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val prefixKernel = udf((ch: Seq[Long], hh: Seq[Long]) => {
+      val n = ch.length
+      val keys = new Array[(Long, Long)](n)
+      var i = 0
+      while (i < n) { keys(i) = (ch(i), hh(i)); i += 1 }
+      java.util.Arrays.sort(keys, implicitly[Ordering[(Long, Long)]])
+      val p = math.max(1, math.min(n - math.ceil(threshold * n).toInt + 2, n))
+      Array.tabulate(p)(i => (i, keys(i)._2, n))
+    })
+    val bt = preparedB.select(col("__bid"), explode(col("__sh")).as("__h"))
+    val ct = preparedC.select(col("__cid"), explode(col("__sh")).as("__h"))
+    val freqs = bt.select(col("__h")).unionAll(ct.select(col("__h")))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    def prefixes(toks: DataFrame, id: String) = toks
+      .hint("shuffle_hash")
+      .join(freqs, Seq("__h"))
+      .groupBy(col(id))
+      .agg(collect_list(col("__c")).as("__cs"),
+        collect_list(col("__h")).as("__hs"))
+      .select(col(id), explode(prefixKernel(col("__cs"), col("__hs"))).as("__p"))
+      .select(col(id), col("__p._1").as("__pos"), col("__p._2").as("__h"),
+        col("__p._3").as("__n"))
+    val candidates = prefixes(bt, "__bid").as("a")
+      .hint("shuffle_hash")
+      .join(prefixes(ct, "__cid").as("b"), col("a.__h") === col("b.__h"))
+      .groupBy(col("a.__bid").as("__bid"), col("b.__cid").as("__cid"),
+        col("a.__n").as("__na"), col("b.__n").as("__nb"))
+      .agg(count(lit(1)).as("__cnt"),
+        max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"))
+      .withColumn("__maxi",
+        least(
+          col("__cnt") +
+            least(col("__na") - 1 - col("__pa"), col("__nb") - 1 - col("__pb")),
+          least(col("__na"), col("__nb"))))
+      .filter(col("__maxi") > 0 &&
+        col("__maxi").cast("double") /
+          (col("__na") + col("__nb") - col("__maxi")) >= lit(threshold))
+      .select(col("__bid"), col("__cid"))
+    candidates
+      .join(preparedB.withColumnRenamed("__sh", "__sa"), Seq("__bid"))
+      .join(preparedC.withColumnRenamed("__sh", "__sb"), Seq("__cid"))
+      .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") /
+        greatest(size(col("__sa")), size(col("__sb"))) >= lit(threshold))
+      .withColumn("__j",
+        jaccardAtLeastKernel(threshold)(col("__sa"), col("__sb")))
+      .filter(col("__j") >= threshold)
+      .select(col("__bid"), col("__cid"))
   }
 
   /** Tiled all-pairs hamming compare over 64-bit signatures (the
