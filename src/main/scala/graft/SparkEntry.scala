@@ -678,6 +678,29 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // exact heavy hitters (count > N/k) via per-partition Misra-Gries
+    // nomination + broadcast recount — no full-vocabulary shuffle
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.frequentItems(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= ""),
+        "tok", k = 50)),
+
+    // Bloom-prefiltered fact join: expensive orders (top ~2%) join
+    // lineitem with the fact side bloom-filtered before its shuffle —
+    // no false negatives, so the result IS the plain join (the gate)
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.ops.BloomJoin.prefiltered(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        dim, "o_orderkey")
+    }),
+
     // deterministic Lloyd k-means (k=4, 2 update rounds): init from
     // the 4 smallest ids, sequential-fold L2, DECIMAL mean sums —
     // assignment gated bit-for-bit against the unrolled SQL oracle
@@ -1957,6 +1980,24 @@ object SparkEntry {
         |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS total_ffill
         |FROM j""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |   AS tok
+        | FROM documents),
+        |t2 AS (SELECT tok FROM t WHERE tok <> '' AND tok IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM t2)
+        |SELECT t2.tok, count(*) AS cnt
+        |FROM t2 CROSS JOIN n
+        |GROUP BY t2.tok, n.n
+        |HAVING count(*) * 50 > n.n""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+        | l.l_extendedprice, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 350000.0""".stripMargin,
 
     "q_kmeans" -> kmeansOracle,
 

@@ -845,6 +845,50 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("heavy hitters finds exactly the items above N/k at any layout") {
+    import graft.ops.HeavyHitters
+    // 1000 rows: 'a' x400, 'b' x300, 'c' x200, 100 unique fillers
+    val data = (Seq.fill(400)("a") ++ Seq.fill(300)("b") ++
+      Seq.fill(200)("c") ++ (1 to 100).map("u" + _))
+    val df = data.toDF("tok")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      HeavyHitters.frequentItems(d, "tok", k)
+        .as[(String, Long)].collect().sorted.toSeq
+    // k=4: threshold 250 → a, b only (c == 200 not > 250)
+    assert(run(df, 4) == Seq(("a", 400L), ("b", 300L)))
+    // k=10: threshold 100 → a, b, c
+    assert(run(df, 10) == Seq(("a", 400L), ("b", 300L), ("c", 200L)))
+    // layout independence: adversarial partitioning, same answer
+    assert(run(df.repartition(13), 4) == run(df, 4))
+    assert(run(df.repartition(1), 10) == run(df, 10))
+    // nothing above threshold → empty
+    assert(run((1 to 50).map("x" + _).toDF("tok"), 5).isEmpty)
+  }
+
+  test("bloom prefiltered join equals the plain join and prunes the probe") {
+    import graft.ops.BloomJoin
+    val probe = (1L to 5000L).map(i => (i % 1000, i)).toDF("k", "rid")
+    val dim = Seq((3L, "a"), (7L, "b"), (999L, "c")).toDF("k", "name")
+    val out = BloomJoin.prefiltered(probe, dim, "k")
+      .select($"rid", $"name").as[(Long, String)].collect().sorted.toSeq
+    val plain = probe.join(dim, Seq("k"))
+      .select($"rid", $"name").as[(Long, String)].collect().sorted.toSeq
+    assert(out == plain && out.size == 15)
+    // empty build side → empty result, no crash
+    assert(BloomJoin.prefiltered(probe, dim.filter($"k" < 0), "k")
+      .count() == 0)
+    // build-side budget is enforced
+    intercept[IllegalArgumentException] {
+      BloomJoin.prefiltered(probe, probe.select($"k", $"rid".as("name")),
+        "k", maxBuildRows = 10)
+    }
+    // the bloom actually prunes: with fpp 1% and 3/1000 true keys the
+    // surviving probe fraction must be well under 10%
+    val bf = dim.stat.bloomFilter("k", 3, 0.01)
+    val kept = (0L until 1000L).count(bf.mightContainLong)
+    assert(kept < 100)
+  }
+
   test("kmeans converges on separated blobs and is layout-deterministic") {
     import graft.ops.KMeans
     // two tight blobs around (0,0) and (10,10); ids 1,2 seed the init
