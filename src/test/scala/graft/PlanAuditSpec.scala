@@ -96,6 +96,43 @@ class PlanAuditSpec extends SparkSpec {
       "q_match_aux does not broadcast its dimension tables at sf0.001")
   }
 
+  test("narrow per-row passes compile to zero exchanges") {
+    // z-order keying, scrape cleaning and BMP resize are pure per-row
+    // transforms: ANY exchange in their plan is a regression
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq("q_zorder", "q_clean_text", "q_multimodal_resize").foreach { name =>
+      val bad = collectAll(plansOf(name).head) {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(bad.isEmpty, s"$name shuffles: ${bad.size} exchanges")
+    }
+  }
+
+  test("stream-static enrichment broadcasts the dimension") {
+    val s = plansOf("q_enrich").head.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "q_enrich does not broadcast the customer dimension")
+  }
+
+  test("bloom prefilter runs on the probe side below the join") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = plansOf("q_bloom_join").head
+    val joins = collectAll(plan) {
+      case j: BroadcastHashJoinExec => j: SparkPlan
+      case j: ShuffledHashJoinExec => j: SparkPlan
+      case j: SortMergeJoinExec => j: SparkPlan
+    }
+    assert(joins.nonEmpty, "q_bloom_join lost its join")
+    // the UDF filter must appear strictly below the join (prefilter,
+    // not post-filter): search the join's children for a Filter whose
+    // condition mentions the bloom UDF
+    val below = joins.flatMap(_.children).flatMap(c => collectAll(c) {
+      case f: FilterExec if f.condition.toString.contains("UDF") => f
+    })
+    assert(below.nonEmpty, "bloom UDF filter is not below the join")
+  }
+
   test("query inventory source has no silently-shadowed duplicate keys") {
     // Map literals dedupe duplicate keys silently (last wins): adding a
     // second "q_x" entry replaces the first with NO failure anywhere —
