@@ -278,6 +278,37 @@ object Stress {
     }
     assertNoFunnel("substring-spans-10x")
 
+    // ---- 7. incremental dedup at 10× -----------------------------------
+    // Corpus = 9 replicas of every doc; batch = the 10th replica, half
+    // byte-identical (exact path must catch ALL of them via the md5
+    // index) and half with one appended unique token (md5 misses; the
+    // near path must catch the long ones). Both the hash index and the
+    // adaptive near join see 45k corpus docs.
+    val incCorpus = docs10.filter(col("doc_id") < 9L * 10000000L)
+    val incBatch = docs.select(
+      (col("doc_id") + lit(9L * 10000000L)).as("doc_id"),
+      when(col("doc_id") % 2 === 1,
+        concat(col("text"), lit(" zz"), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+    tme(f"incrementalDedup 10x (45k corpus, 5k batch)") {
+      val flags = graft.ops.TextDedup.incrementalDedup(
+        incCorpus, incBatch, "doc_id", "text", shingleLen = 5,
+        threshold = 0.5)
+      val byStatus = flags.groupBy(col("status")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every even batch doc is byte-identical to its corpus replicas
+      // (null text aside), so the exact path must flag all of them
+      val evens = incBatch
+        .filter(col("doc_id") % 2 === 0 && col("text").isNotNull).count()
+      assert(byStatus.getOrElse("exact_dup", 0L) >= evens,
+        s"exact path missed identical replicas: $byStatus vs $evens evens")
+      assert(byStatus.getOrElse("near_dup", 0L) * 2 >=
+        byStatus.getOrElse("unique", 0L),
+        s"near path caught too little: $byStatus")
+      println(s"[stress] incrementalDedup: $byStatus")
+    }
+    assertNoFunnel("incremental-dedup-10x")
+
     println("[stress] ALL OK")
     spark.stop()
   }
