@@ -995,6 +995,17 @@ object SparkEntry {
           expr("percentile(n_chars, 0.5)").as("p50"),
           expr("percentile(n_chars, 0.9)").as("p90"))),
 
+    // equi-depth decile bucketing per event type — the feature-
+    // engineering face of q_quantiles: every row gets its decile under
+    // a total order (value, event_id), one keyed window
+    "q_ntile" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(10).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))
+            .orderBy(col("value").asc, col("event_id").asc))
+            .as("decile"))),
+
     // data mixing: per-language sampling rates over one corpus pass,
     // content-deterministic (md5-threshold) and nested across reweights
     "q_mixture" -> ((s, dir) => {
@@ -2256,6 +2267,12 @@ object SparkEntry {
         | quantile_cont(n_chars, 0.5) AS p50,
         | quantile_cont(n_chars, 0.9) AS p90
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT event_id, event_type, value,
+        | CAST(ntile(10) OVER (PARTITION BY event_type
+        |   ORDER BY value ASC, event_id ASC) AS INT) AS decile
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
 
     "q_mixture" ->
       """SELECT doc_id, lang, source FROM documents
