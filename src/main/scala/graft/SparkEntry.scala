@@ -678,6 +678,19 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // Matryoshka truncation: 64 → 16 dims + exact L2 renormalize,
+    // exploded to (vec_id, i, v) scalar rows for hash verification
+    "q_mrl_truncate" -> ((s, dir) =>
+      Similarity.mrlTruncate(t(s, dir, "embeddings"), "embedding", 16)
+        .select(col("vec_id"),
+          posexplode(col("embedding_mrl")).as(Seq("i", "v")))),
+
+    // k-anonymity audit: (lang, source) groups re-identifiable below
+    // k=50 — the privacy pre-flight before a corpus release
+    "q_kanon" -> ((s, dir) =>
+      graft.operators.Audits.kAnonymity(
+        t(s, dir, "documents"), Seq("lang", "source"), k = 50)),
+
     // exact heavy hitters (count > N/k) via per-partition Misra-Gries
     // nomination + broadcast recount — no full-vocabulary shuffle
     "q_heavy_hitters" -> ((s, dir) =>
@@ -1991,6 +2004,27 @@ object SparkEntry {
         |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS total_ffill
         |FROM j""".stripMargin,
+
+    "q_mrl_truncate" ->
+      """WITH s AS (
+        | SELECT vec_id,
+        |  list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS vv
+        | FROM embeddings),
+        |n AS (
+        | SELECT vec_id, vv,
+        |  sqrt(list_reduce(list_transform(vv, x -> x * x),
+        |    (a, b) -> a + b)) AS nrm
+        | FROM s)
+        |SELECT vec_id, CAST(ix.ix - 1 AS INT) AS i,
+        | CASE WHEN nrm = 0.0 THEN vv[ix.ix]
+        |      ELSE vv[ix.ix] / nrm END AS v
+        |FROM n CROSS JOIN
+        | (SELECT unnest(generate_series(1, 16)) AS ix) ix""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT lang, source, count(*) AS group_size
+        |FROM documents GROUP BY 1, 2
+        |HAVING count(*) < 50""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH t AS (

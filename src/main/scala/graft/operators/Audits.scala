@@ -90,6 +90,22 @@ object Audits {
           .as("skew_ratio"))
 
   /**
+   * k-anonymity audit: group sizes under a quasi-identifier column
+   * set, returning every combination re-identifiable below `k` — the
+   * privacy pre-flight a training-data release runs before shipping
+   * (a group of 1 under (zip, birth_year, gender)-style quasi keys IS
+   * a person). Empty result ⇒ the table is k-anonymous under those
+   * columns. One map-side-combined aggregate; no skew surface beyond
+   * the groupBy itself.
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi cols and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
+  /**
    * A2: per-column coverage — count of non-blank values per column,
    * single pass. Returns one row: total plus `<col>_coverage` counts.
    */

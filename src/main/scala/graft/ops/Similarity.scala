@@ -26,6 +26,29 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /**
+   * Matryoshka (MRL) truncation: slice an embedding to its leading
+   * `dims` components and L2-renormalize — the storage/recall
+   * trade-off switch for MRL-trained embedding models (use 64 of 768
+   * dims at 12× less memory, re-rank survivors with the full vector).
+   *
+   * Engine-exact by construction: the squared norm is a SEQUENTIAL
+   * left fold from 0.0 (fixed IEEE tree), sqrt and the per-component
+   * division are single IEEE ops. All-zero prefixes return the zero
+   * vector (guarded division) rather than NaN.
+   *
+   * Output: input row + `<vecCol>_mrl` (array<double>, length `dims`).
+   */
+  def mrlTruncate(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    val sliced = transform(slice(col(vecCol), 1, dims),
+      x => x.cast("double"))
+    val norm = sqrt(aggregate(sliced, lit(0.0), (acc, x) => acc + x * x))
+    df.withColumn(s"${vecCol}_mrl",
+      when(norm === 0.0, sliced)
+        .otherwise(transform(sliced, x => x / norm)))
+  }
+
   /** Widen array<float> → array<double> (deterministic element cast). */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 

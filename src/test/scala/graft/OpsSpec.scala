@@ -845,6 +845,38 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("mrl truncation renormalizes the slice and guards zero vectors") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 100.0f)),  // slice (3,4) → norm 5
+      (2L, Seq(0.0f, 0.0f, 9.0f))     // zero prefix → zero vector
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mrlTruncate(df, "embedding", 2)
+      .select($"vec_id", $"embedding_mrl")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0))
+    // truncated-then-normalized vectors are unit length (when nonzero)
+    val n = out(1L).map(x => x * x).sum
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
+  test("k-anonymity audit reports only under-k quasi-identifier groups") {
+    import graft.operators.Audits
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("de", "web"), ("de", "book"),
+      ("fr", null.asInstanceOf[String])
+    ).toDF("lang", "source")
+    val out = Audits.kAnonymity(df, Seq("lang", "source"), k = 3)
+      .as[(String, Option[String], Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (en, web) has 3 >= k → absent; the others violate
+    assert(out.size == 3)
+    assert(out(("de", Some("web"))) == 1 && out(("de", Some("book"))) == 1)
+    assert(out(("fr", None)) == 1) // null quasi values group too
+  }
+
   test("heavy hitters finds exactly the items above N/k at any layout") {
     import graft.ops.HeavyHitters
     // 1000 rows: 'a' x400, 'b' x300, 'c' x200, 100 unique fillers
