@@ -678,6 +678,24 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // hot-topics composition: the streaming windowed-counts face piped
+    // into grouped top-k — top 3 event types per hour window
+    "q_window_topk" -> ((s, dir) =>
+      graft.ops.Ranking.groupedTopK(
+        graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
+          .select(unix_micros(col("window_start")).as("ws_us"),
+            col("event_type"), col("n")),
+        Seq("ws_us"), Seq(col("n").desc, col("event_type").asc), k = 3)),
+
+    // synchronous label propagation (2 rounds) over the supplier-part
+    // graph — deterministic communities, unrolled-SQL-gated
+    "q_labelprop" -> ((s, dir) =>
+      graft.ops.Graphs.labelPropagation(
+        t(s, dir, "lineitem").select(
+          (-col("l_suppkey").cast("long")).as("src"),
+          col("l_partkey").cast("long").as("dst")),
+        "src", "dst", iterations = 2)),
+
     // Matryoshka truncation: 64 → 16 dims + exact L2 renormalize,
     // exploded to (vec_id, i, v) scalar rows for hash verification
     "q_mrl_truncate" -> ((s, dir) =>
@@ -2005,6 +2023,18 @@ object SparkEntry {
         |   AS total_ffill
         |FROM j""".stripMargin,
 
+    "q_window_topk" ->
+      """WITH c AS (
+        | SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT ws_us, event_type, n,
+        | CAST(row_number() OVER (PARTITION BY ws_us
+        |   ORDER BY n DESC, event_type ASC) AS INT) AS rank
+        |FROM c QUALIFY rank <= 3""".stripMargin,
+
+    "q_labelprop" -> labelPropOracle,
+
     "q_mrl_truncate" ->
       """WITH s AS (
         | SELECT vec_id,
@@ -2877,6 +2907,34 @@ object SparkEntry {
        |SELECT qid, doc_id, CAST(sc AS DOUBLE) AS score
        |FROM scored
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= $limit""".stripMargin
+  }
+
+  /** q_labelprop oracle — Graphs.labelPropagation unrolled: the same
+    * symmetrized multigraph, per-round neighbor-label counts with the
+    * same (count desc, label asc) argmax, `iterations` rounds. */
+  private def labelPropOracle: String = {
+    val iters = 2
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         | SELECT e.u, l.label, count(*) AS c
+         | FROM e JOIN l${i - 1} l ON e.v = l.node
+         | GROUP BY 1, 2),
+         |l$i AS (
+         | SELECT u AS node, label FROM (
+         |  SELECT u, label,
+         |   row_number() OVER (PARTITION BY u
+         |     ORDER BY c DESC, label ASC) AS rn
+         |  FROM c$i)
+         | WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       | SELECT -CAST(l_suppkey AS BIGINT) AS u,
+       |        CAST(l_partkey AS BIGINT) AS v
+       | FROM lineitem),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+       |$rounds
+       |SELECT node, label FROM l$iters""".stripMargin
   }
 
   /** q_kmeans oracle — KMeans.fit unrolled to SQL: the same init

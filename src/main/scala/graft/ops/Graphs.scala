@@ -72,4 +72,51 @@ object Graphs {
     eDeg.unpersist()
     rank
   }
+
+  /**
+   * Synchronous label propagation (community detection / weak-label
+   * spreading), fixed iteration count, fully deterministic: labels
+   * start as the node's own id, each round every node takes the label
+   * with the highest (edge-multiplicity-weighted) count among its
+   * neighbors, ties broken by the SMALLEST label — so the result is a
+   * pure function of the multigraph, independent of partitioning.
+   * Synchronous LPA can oscillate on bipartite structures; a fixed
+   * small iteration count is the standard remedy and is what the
+   * oracle unrolls.
+   *
+   * Scale: per round one keyed join (edges × labels on the neighbor
+   * id) + one keyed aggregate + one keyed window. Same persist/
+   * materialize/release discipline as [[pageRank]].
+   *
+   * Output: (node, label).
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var labels = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var prev: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val counts = e
+        .join(labels.withColumnRenamed("node", "__n"), col("v") === col("__n"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("__c").desc, col("label").asc)
+      val next = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("u").as("node"), col("label"))
+        .persist()
+      next.count() // materialize before releasing the previous round
+      if (prev != null) prev.unpersist()
+      prev = next
+      labels = next
+    }
+    e.unpersist()
+    labels
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -521,6 +521,36 @@ object Similarity {
     * ADC distance is a monotone proxy for cosine (‖a−b‖² = 2 − 2·cosθ
     * on the unit sphere) and the exact re-rank stays cosine. */
   type PqCodebook = Array[Array[Array[Double]]]
+
+  /** Persist a trained PQ codebook as parquet (one row per (subspace,
+    * centroid) with the center as array<double>) — train once on a
+    * corpus sample, reuse across sessions/jobs without retraining;
+    * doubles round-trip parquet bit-exactly. */
+  def savePqCodebook(spark: SparkSession, codebook: PqCodebook,
+                     path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- codebook.indices
+      c <- codebook(s).indices
+    } yield (s, c, codebook(s)(c).toSeq)
+    rows.toDF("subspace", "centroid", "center")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a codebook written by [[savePqCodebook]]. The collect is
+    * m·k rows (codebook-sized, driver-bounded by construction). */
+  def loadPqCodebook(spark: SparkSession, path: String): PqCodebook = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("centroid"), col("center"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = rows.map(_._1).max + 1
+    val out: PqCodebook = Array.ofDim(m)
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      out(s) = rs.sortBy(_._2).map(_._3.toArray).toArray
+    }
+    out
+  }
 
   private def l2normalize(v: Array[Float]): Array[Double] = {
     var n = 0.0

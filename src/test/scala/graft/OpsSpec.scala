@@ -845,6 +845,53 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("pq codebook round-trips parquet bit-exactly and reranks the same") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 8,
+      iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqcb").toString
+    try {
+      Similarity.savePqCodebook(spark, cb, dir)
+      val back = Similarity.loadPqCodebook(spark, dir)
+      assert(back.length == cb.length)
+      cb.indices.foreach { s =>
+        assert(back(s).length == cb(s).length)
+        cb(s).indices.foreach { c =>
+          assert(java.util.Arrays.equals(back(s)(c), cb(s)(c)),
+            s"centroid ($s,$c) changed across the round-trip")
+        }
+      }
+      // identical codebook ⇒ identical search results
+      val q = emb.filter($"vec_id" % 20 === 0)
+      def hits(b: Similarity.PqCodebook) =
+        Similarity.pqTopK(emb, q, "vec_id", "embedding", b, k = 3)
+          .select($"query_id", $"neighbor_id", $"rank")
+          .as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(hits(back) == hits(cb))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("label propagation takes the weighted-majority neighbor label") {
+    import graft.ops.Graphs
+    // triangle {1,2,3} + pendant 4-3; doubled edge 1-2 weights the count
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r1 = Graphs.labelPropagation(edges, "src", "dst", 1)
+      .as[(Long, Long)].collect().toMap
+    // round 1: node 1 sees {2,2,3} → 2; node 2 sees {1,1,3} → 1;
+    // node 3 sees {2,1,4} tie → min 1; node 4 sees {3} → 3
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    val r2 = Graphs.labelPropagation(edges.repartition(7), "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    // round 2 from r1: node 1 sees l(2)=1,l(2)=1,l(3)=1 → 1;
+    // node 2 sees l(1)=2,l(1)=2,l(3)=1 → 2; node 3 sees l(2)=1,l(1)=2,
+    // l(4)=3 tie(1,2,3 each once) → 1; node 4 sees l(3)=1 → 1
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("mrl truncation renormalizes the slice and guards zero vectors") {
     import graft.ops.Similarity
     val df = Seq(
