@@ -678,6 +678,19 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // audio preprocess: PCM WAV decimation ÷4 (real chunk re-emission)
+    // then re-decode — rate, frame count and mean gated in closed form
+    "q_multimodal_decimate" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val out = Multimodal.decimateWav(Multimodal.wavBytes(id), 4).get
+          val f = Multimodal.decodeWav(out).get
+          (id, f(0), f(2), f(3))
+        }.toDF("doc_id", "rate_out", "n_out", "mean_out")
+    }),
+
     // hot-topics composition: the streaming windowed-counts face piped
     // into grouped top-k — top 3 event types per hour window
     "q_window_topk" -> ((s, dir) =>
@@ -2022,6 +2035,18 @@ object SparkEntry {
         |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS total_ffill
         |FROM j""".stripMargin,
+
+    "q_multimodal_decimate" ->
+      """WITH p AS (
+        | SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sr,
+        |  doc_id % 100 AS base
+        | FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, CAST(sr // 4 AS DOUBLE) AS rate_out,
+        | 50.0 AS n_out,
+        | CAST(50 * base - 1250 +
+        |  list_sum(list_transform(generate_series(0, 49),
+        |    k -> (4 * k) % 50)) AS DOUBLE) / 50 AS mean_out
+        |FROM p""".stripMargin,
 
     "q_window_topk" ->
       """WITH c AS (

@@ -47,4 +47,40 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** What [[compact]] found and did. */
+  case class CompactStats(filesBefore: Int, bytesBefore: Long,
+                          filesAfter: Int)
+
+  /**
+   * Small-files compaction: rewrite a parquet directory into
+   * ~`targetBytes` files. Streaming ingests and fine-grained
+   * partitioned writes leave thousands of KB-sized files; at 100 TB
+   * every one is a scheduler task, a namenode entry and an open-file
+   * round-trip, so periodic compaction is part of operating the store,
+   * not an optimization.
+   *
+   * The rewrite lands in `<path>.__compact` first and swaps in only
+   * after the write commits — same job-commit atomicity contract as
+   * the rest of the engine (SURVEY §2.10 D5): a crash mid-swap leaves
+   * either the old directory or the new one, never a half state.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath).filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    val after = fs.listStatus(hPath).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
+    CompactStats(files.length, bytes, after)
+  }
 }

