@@ -678,6 +678,23 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // domain blocklist filter: broadcast LEFT ANTI join on the
+    // registrable domain — the crawl-exclusion step before any dedup
+    "q_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see https://sub"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example-site.org/p/"), col("doc_id").cast("string"),
+          lit(" end"))).otherwise(col("text"))
+      val blocked = Seq("sub1.example-site.org", "sub4.example-site.org")
+        .toDF("domain")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.urlParts(planted).getField("domain").as("domain"))
+        .join(broadcast(blocked), Seq("domain"), "left_anti")
+    }),
+
     // audio preprocess: PCM WAV decimation ÷4 (real chunk re-emission)
     // then re-decode — rate, frame count and mean gated in closed form
     "q_multimodal_decimate" -> ((s, dir) => {
@@ -2035,6 +2052,21 @@ object SparkEntry {
         |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS total_ffill
         |FROM j""".stripMargin,
+
+    "q_blocklist" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |   text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.example-site.org/p/' || CAST(doc_id AS VARCHAR)
+        |        || ' end'
+        |  ELSE text END AS t
+        | FROM documents)
+        |SELECT regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1)
+        |   AS domain, doc_id
+        |FROM p
+        |WHERE regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1) NOT IN
+        | ('sub1.example-site.org', 'sub4.example-site.org')""".stripMargin,
 
     "q_multimodal_decimate" ->
       """WITH p AS (
