@@ -678,6 +678,16 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // margin-based bitext mining (ratio margin): align the even-id
+    // "language" with the odd-id one; hub penalty via top-4 mean cos
+    "q_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mineBitext(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+    }),
+
     // domain blocklist filter: broadcast LEFT ANTI join on the
     // registrable domain — the crawl-exclusion step before any dedup
     "q_blocklist" -> ((s, dir) => {
@@ -2052,6 +2062,43 @@ object SparkEntry {
         |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS total_ffill
         |FROM j""".stripMargin,
+
+    "q_bitext_mine" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        | FROM embeddings),
+        |s AS (SELECT vec_id, e FROM v WHERE vec_id % 2 = 0),
+        |t AS (SELECT vec_id, e FROM v WHERE vec_id % 2 = 1),
+        |fs AS (
+        | SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |  list_aggregate(list_transform(generate_series(1, len(s.e)),
+        |    i -> s.e[i] * t.e[i]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(generate_series(1, len(s.e)),
+        |    i -> s.e[i] * s.e[i]), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(generate_series(1, len(t.e)),
+        |    i -> t.e[i] * t.e[i]), 'sum'))) AS cosine
+        | FROM s CROSS JOIN t),
+        |fk AS (SELECT * FROM (
+        |  SELECT src_id, tgt_id, cosine, row_number() OVER (
+        |   PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS rank
+        |  FROM fs) WHERE rank <= 4),
+        |bk AS (SELECT * FROM (
+        |  SELECT src_id, tgt_id, cosine, row_number() OVER (
+        |   PARTITION BY tgt_id ORDER BY cosine DESC, src_id ASC) AS rank
+        |  FROM fs) WHERE rank <= 4),
+        |af AS (SELECT src_id, list_reduce(list(cosine ORDER BY rank),
+        |  (a, b) -> a + b) / 4.0 AS af FROM fk GROUP BY src_id),
+        |ab AS (SELECT tgt_id, list_reduce(list(cosine ORDER BY rank),
+        |  (a, b) -> a + b) / 4.0 AS ab FROM bk GROUP BY tgt_id),
+        |m AS (
+        | SELECT fk.src_id, fk.tgt_id, fk.cosine,
+        |  fk.cosine / ((af.af + ab.ab) / 2.0) AS margin
+        | FROM fk JOIN af ON fk.src_id = af.src_id
+        |         JOIN ab ON fk.tgt_id = ab.tgt_id)
+        |SELECT src_id, tgt_id, cosine, margin FROM (
+        | SELECT m.*, row_number() OVER (PARTITION BY src_id
+        |   ORDER BY margin DESC, tgt_id ASC) AS rn FROM m)
+        |WHERE rn = 1 AND margin >= CAST(1.0 AS DOUBLE)""".stripMargin,
 
     "q_blocklist" ->
       """WITH p AS (

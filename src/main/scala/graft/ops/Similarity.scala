@@ -111,6 +111,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019, ratio
+   * margin): align two embedding sets (source/target language) by
+   * scoring each forward nearest-neighbor candidate against how
+   * "promiscuous" both endpoints are —
+   * `margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2)` with avgK
+   * the mean cosine of the endpoint's top-k in the OTHER side. A hub
+   * vector that is everyone's neighbor gets a high denominator and
+   * stops winning — the fix that makes raw-cosine mining usable.
+   *
+   * Keeps each source's best candidate by margin (ties → smallest
+   * target id) at `margin >= threshold`. Engine-exact: cosines are
+   * the sequential kernel (proven bit-identical to the SQL oracle),
+   * the top-k mean folds in RANK order from 0.0, and the margin is a
+   * fixed IEEE expression tree.
+   *
+   * Scale: two [[bruteForceTopK]] passes (broadcast queries — swap in
+   * the IVF/PQ variants for large sides), two k-row-per-id aggregates,
+   * two joins on candidate ids. Output: (src_id, tgt_id, cosine,
+   * margin).
+   */
+  def mineBitext(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 4,
+                 threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val fwd = bruteForceTopK(tgt, src, idCol, vecCol, k)
+    val bwd = bruteForceTopK(src, tgt, idCol, vecCol, k)
+    def avgK(df: DataFrame, outId: String, outAvg: String) =
+      df.groupBy(col("query_id"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("cosine"))))
+          .as("__cs"))
+        .select(col("query_id").as(outId),
+          (aggregate(col("__cs"), lit(0.0),
+            (acc, s) => acc + s.getField("cosine")) / lit(k.toDouble))
+            .as(outAvg))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cosine"))
+      .join(avgK(fwd, "__src", "__af"), col("src_id") === col("__src"))
+      .join(avgK(bwd, "__tgt", "__ab"), col("tgt_id") === col("__tgt"))
+      .withColumn("margin",
+        col("cosine") / ((col("__af") + col("__ab")) / lit(2.0)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+  }
+
   /** Cosine between a float vector and a double centroid (sequential
     * accumulation, shared by the assign/probe kernels). */
   private def cosineFD(v: Array[Float], c: Array[Double]): Double = {

@@ -845,6 +845,30 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("bitext mining pairs true translations and penalizes hubs") {
+    import graft.ops.Similarity
+    // src: x-axis and y-axis vectors; tgt: near-copies + a hub equally
+    // close to everything — margin must prefer the true matches
+    val src = Seq(
+      (10L, Seq(1.0f, 0.0f)), (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (11L, Seq(1.0f, 0.01f)), (13L, Seq(0.02f, 1.0f)),
+      (15L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .mineBitext(src, tgt, "vec_id", "embedding", k = 2, threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out == Map(10L -> 11L, 12L -> 13L))
+    // layout-stable
+    val out2 = Similarity.mineBitext(src.repartition(3), tgt.repartition(2),
+        "vec_id", "embedding", k = 2, threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out2 == out)
+  }
+
   test("wav decimation keeps every k-th frame across channels") {
     import graft.ops.Multimodal
     // mono: id=1 → 200 samples base=1, rate 12000
