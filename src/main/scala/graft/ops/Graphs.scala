@@ -42,10 +42,16 @@ object Graphs {
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+    // loop invariants are persisted PRE-PARTITIONED on their join keys:
+    // InMemoryRelation keeps the hash partitioning, so each iteration's
+    // edge×rank join and nodes×contrib join read the cache co-located
+    // instead of re-shuffling the (large) edge side every round
     val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct().persist()
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).persist()
     val eDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
       .persist()
     var rank = nodes.select(col("node"), lit(1.0).as("rank"))
     var prev: DataFrame = null
@@ -96,7 +102,10 @@ object Graphs {
     require(iterations >= 1, "iterations must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    // pre-partitioned on the join key (see pageRank): every round's
+    // edge×label join reads the cached edges co-located
     val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
       .persist()
     var labels = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
