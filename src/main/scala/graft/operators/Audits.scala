@@ -90,6 +90,29 @@ object Audits {
           .as("skew_ratio"))
 
   /**
+   * Schema drift audit: the column-level companion to [[tableDiff]] —
+   * what changed STRUCTURALLY between snapshot N and N+1 before any
+   * row is compared. Pure metadata (no job runs); one row per drifted
+   * column with status ∈ added|removed|type_changed and both type
+   * strings. Empty result ⇒ schemas compatible.
+   */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val b = before.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (a.keySet -- b.keySet).toSeq.sorted.map(c =>
+        (c, "added", null.asInstanceOf[String], a(c))) ++
+      (b.keySet -- a.keySet).toSeq.sorted.map(c =>
+        (c, "removed", b(c), null.asInstanceOf[String])) ++
+      (b.keySet & a.keySet).toSeq.sorted.collect {
+        case c if b(c) != a(c) => (c, "type_changed", b(c), a(c))
+      }
+    rows.toDF("column", "status", "type_before", "type_after")
+  }
+
+  /**
    * k-anonymity audit: group sizes under a quasi-identifier column
    * set, returning every combination re-identifiable below `k` — the
    * privacy pre-flight a training-data release runs before shipping

@@ -845,6 +845,20 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("schema drift reports added, removed and retyped columns") {
+    import graft.operators.Audits
+    val before = Seq((1L, "a", 1.0)).toDF("id", "s", "v")
+    val after = Seq((1L, 2, true)).toDF("id", "v", "fresh")
+    val out = Audits.schemaDrift(before, after)
+      .as[(String, String, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("fresh") == (("fresh", "added", None, Some("boolean"))))
+    assert(out("s") == (("s", "removed", Some("string"), None)))
+    assert(out("v") == (("v", "type_changed", Some("double"), Some("int"))))
+    assert(out.size == 3)
+    assert(Audits.schemaDrift(before, before).count() == 0)
+  }
+
   test("bitext mining pairs true translations and penalizes hubs") {
     import graft.ops.Similarity
     // src: x-axis and y-axis vectors; tgt: near-copies + a hub equally
