@@ -70,7 +70,17 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hPath).filter(s =>
+    val entries = fs.listStatus(hPath)
+    // a hive-partitioned layout (key=value subdirectories) must be
+    // compacted per partition — a flat rewrite would demote partition
+    // directories into plain data columns and lose pruning
+    val subdirs = entries.filter(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"$path contains ${subdirs.length} subdirectories " +
+        s"(partitioned layout?) — compact each partition directory " +
+        "instead of the root")
+    val files = entries.filter(s =>
       s.isFile && !s.getPath.getName.startsWith("_"))
     val bytes = files.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

@@ -919,6 +919,15 @@ class OpsSpec extends SparkSpec {
     assert(after.count() == 10000)
     assert(after.agg(sum($"id")).as[Long].first == sumBefore)
     assert(after.columns.sorted.sameElements(Array("id", "s")))
+    // a partitioned layout refuses a root-level compaction
+    val pdir = java.nio.file.Files.createTempDirectory("graft_compact_p")
+      .resolve("t").toString
+    df.limit(100).write.partitionBy("id").parquet(pdir)
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, pdir)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(pdir).getParentFile)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir).getParentFile)
   }
