@@ -678,6 +678,21 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // video-side frame sampling on a REAL multi-frame container:
+    // 6-frame animated GIF (one true LZW stream per frame), keep every
+    // 2nd frame, re-decode each — per-frame means gated in closed form
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val fs = Multimodal
+            .frameSample(Multimodal.gifAnimBytes(id, 6), 2).get
+          fs.zipWithIndex.map { case (f, i) =>
+            (id, i * 2, f(0), f(1), f(3)) }
+        }.toDF("doc_id", "frame_idx", "w", "h", "mean_red")
+    }),
+
     // margin-based bitext mining (ratio margin): align the even-id
     // "language" with the odd-id one; hub penalty via top-4 mean cos
     "q_bitext_mine" -> ((s, dir) => {
@@ -2062,6 +2077,18 @@ object SparkEntry {
         |   ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS total_ffill
         |FROM j""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH p AS (
+        | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |  doc_id % 200 AS base
+        | FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT unnest([0, 2, 4]) AS fi)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        | CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h,
+        | CAST(w*h*(base + 3*fi) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
+        |   AS DOUBLE) / (w*h) AS mean_red
+        |FROM p CROSS JOIN f""".stripMargin,
 
     "q_bitext_mine" ->
       """WITH v AS (SELECT vec_id,

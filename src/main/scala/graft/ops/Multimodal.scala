@@ -494,27 +494,13 @@ object Multimodal {
   /** Real-payload synthesis over the PNG/stereo-WAV pair: PNG for even
     * ids, stereo PCM WAV for odd — the payload column shape
     * [[decodeMedia]] consumes. */
-  /** Format-valid GIF87a: grayscale 256-entry global palette (entry
-    * i = (i,i,i), so pixel value = palette index), one image, LZW
-    * stream written with the classic "uncompressed GIF" technique — a
-    * CLEAR code before every literal keeps every code 9 bits wide and
-    * the dictionary empty, which is valid LZW any conformant decoder
-    * (including [[decodeGif]]'s general one) must accept. Same pixel
-    * law as [[pngBytes]] (base + x + y, no wrap), so the mean has the
-    * same closed form the oracle computes. */
-  def gifBytes(id: Long): Array[Byte] = {
-    val w = 8 + (id % 8).toInt
-    val h = 8 + (id % 5).toInt
-    val base = (id % 200).toInt
-    val out = new java.io.ByteArrayOutputStream()
+  /** One GIF image descriptor + real 9-bit LZW stream (CLEAR before
+    * every literal — valid, dictionary-free) for pixel values
+    * `value(x, y)`; shared by the single- and multi-frame writers. */
+  private def writeGifFrame(out: java.io.ByteArrayOutputStream,
+                            w: Int, h: Int,
+                            value: (Int, Int) => Int): Unit = {
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    out.write("GIF87a".getBytes("US-ASCII"))
-    u16(w); u16(h)
-    out.write(0xF7) // GCT present, 8-bit resolution, 256 entries
-    out.write(0)    // background color index
-    out.write(0)    // aspect ratio
-    var i = 0
-    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
     out.write(0x2C) // image descriptor
     u16(0); u16(0); u16(w); u16(h)
     out.write(0)    // no local table, not interlaced
@@ -535,7 +521,7 @@ object Multimodal {
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { putCode(256); putCode(base + x + y); x += 1 }
+      while (x < w) { putCode(256); putCode(value(x, y)); x += 1 }
       y += 1
     }
     putCode(257) // end of information
@@ -549,17 +535,61 @@ object Multimodal {
       off += n
     }
     out.write(0)    // block terminator
+  }
+
+  private def gifHeader(out: java.io.ByteArrayOutputStream,
+                        w: Int, h: Int): Unit = {
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7) // GCT present, 8-bit resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect ratio
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+  }
+
+  /** Format-valid single-frame GIF (grayscale GCT, real LZW), pixel
+    * `id%200 + x + y`. */
+  def gifBytes(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 5).toInt
+    val base = (id % 200).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    gifHeader(out, w, h)
+    writeGifFrame(out, w, h, (x, y) => base + x + y)
     out.write(0x3B) // trailer
     out.toByteArray
   }
 
-  /** Parse a GIF for REAL: header + logical screen descriptor, global
-    * color table, extension skipping, then a full variable-width LZW
-    * decode (dictionary rebuild, 9→12-bit growth, deferred clear) of
-    * the first image. Returns [width, height, bitDepth=8, mean of the
-    * palette red channel over the decoded pixels]; None when the bytes
-    * are not a GIF this decoder supports. */
-  def decodeGif(bytes: Array[Byte]): Option[Array[Double]] = {
+  /** Format-valid MULTI-frame GIF — `frames` image descriptors, each
+    * with its own real LZW stream; frame f's pixel (x, y) value is
+    * `id%200 + 3f + x + y` (closed-form per-frame mean for the
+    * oracle). The structural "video": frame sampling runs against a
+    * real container with a real per-frame decode. */
+  def gifAnimBytes(id: Long, frames: Int): Array[Byte] = {
+    require(frames >= 1, s"frames must be >= 1: $frames")
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 5).toInt
+    val base = (id % 200).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    gifHeader(out, w, h)
+    var f = 0
+    while (f < frames) {
+      val b = base + 3 * f
+      writeGifFrame(out, w, h, (x, y) => b + x + y)
+      f += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** All frames of a (possibly multi-image) GIF, each as
+    * [width, height, 8, mean-palette-red] — the same real LZW decode
+    * as [[decodeGif]], continued past the first image descriptor.
+    * None if the container or any frame is malformed. */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Array[Array[Double]]] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     if (bytes == null || bytes.length < 14) return None
     val hdr = new String(bytes, 0, 6, "US-ASCII")
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
@@ -577,7 +607,8 @@ object Multimodal {
     }
     while (pos < bytes.length) {
       (bytes(pos) & 0xFF) match {
-        case 0x3B => return None // trailer before any image
+        case 0x3B => // trailer: done
+          return if (frames.isEmpty) None else Some(frames.toArray)
         case 0x21 => // extension: label + sub-blocks
           pos += 2
           while (pos < bytes.length && (bytes(pos) & 0xFF) != 0)
@@ -604,7 +635,8 @@ object Multimodal {
           val minCode = bytes(pos) & 0xFF
           pos += 1
           if (minCode < 2 || minCode > 8) return None
-          // concatenate data sub-blocks
+          // concatenate data sub-blocks (terminator consumed below so
+          // the block walk can continue to the NEXT frame/trailer)
           val data = new java.io.ByteArrayOutputStream()
           while (pos < bytes.length && (bytes(pos) & 0xFF) != 0) {
             val n = bytes(pos) & 0xFF
@@ -612,6 +644,7 @@ object Multimodal {
             data.write(bytes, pos + 1, n)
             pos += 1 + n
           }
+          pos += 1 // consume the 0x00 block terminator
           val d = data.toByteArray
           // general LZW decode
           val clear = 1 << minCode
@@ -676,11 +709,31 @@ object Multimodal {
             sum += (pal(3 * idx) & 0xFF)
             j += 1
           }
-          return Some(Array(w.toDouble, h.toDouble, 8.0, sum / (w * h)))
+          frames += Array(w.toDouble, h.toDouble, 8.0, sum / (w * h))
         case _ => return None
       }
     }
-    None
+    if (frames.isEmpty) None else Some(frames.toArray)
+  }
+
+  /** Parse a GIF for REAL (first frame): header + logical screen
+    * descriptor, global color table, extension skipping, then a full
+    * variable-width LZW decode (dictionary rebuild, 9→12-bit growth,
+    * deferred clear). Returns [width, height, bitDepth=8, mean of the
+    * palette red channel]; None when the bytes are not a GIF this
+    * decoder supports. */
+  def decodeGif(bytes: Array[Byte]): Option[Array[Double]] =
+    decodeGifFrames(bytes).map(_.head)
+
+  /** Frame sampling: every `k`-th frame's features (indices 0, k, 2k,
+    * …) — the video-side preprocess step (sample frames before
+    * feature extraction), run on a REAL multi-frame container with a
+    * real per-frame decode, not a stub. */
+  def frameSample(bytes: Array[Byte], k: Int): Option[Array[Array[Double]]] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    decodeGifFrames(bytes).map(_.zipWithIndex.collect {
+      case (f, i) if i % k == 0 => f
+    })
   }
 
   /** GIF payloads for every id — the LZW leg of the real-decode gate. */

@@ -883,6 +883,27 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("gif frame sampling decodes every k-th frame of a real animation") {
+    import graft.ops.Multimodal
+    // id=2 → 10x10, base=2; 5 frames, sample every 2nd → frames 0,2,4
+    val anim = Multimodal.gifAnimBytes(2L, 5)
+    val all = Multimodal.decodeGifFrames(anim).get
+    assert(all.length == 5)
+    val sampled = Multimodal.frameSample(anim, 2).get
+    assert(sampled.length == 3)
+    // frame f mean = base + 3f + 2*mean(0..9) = 2 + 3f + 9
+    sampled.zipWithIndex.foreach { case (f, i) =>
+      assert(f(0) == 10.0 && f(1) == 10.0 && f(2) == 8.0)
+      assert(f(3) == 2.0 + 3.0 * (i * 2) + 9.0)
+    }
+    // k=1 keeps all; single-frame decode still works via the delegate
+    assert(Multimodal.frameSample(anim, 1).get.length == 5)
+    assert(Multimodal.decodeGif(Multimodal.gifBytes(2L)).get
+      .sameElements(all.head))
+    // non-gif refuses
+    assert(Multimodal.frameSample("nope".getBytes, 2).isEmpty)
+  }
+
   test("wav decimation keeps every k-th frame across channels") {
     import graft.ops.Multimodal
     // mono: id=1 → 200 samples base=1, rate 12000
