@@ -554,6 +554,17 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     }),
 
+    // quality-aware dedup: survivor per near-dup component is the
+    // LONGEST doc (n_chars desc, doc_id tiebreak), not the min id
+    "q_cluster_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+      graft.ops.Clusters.dedupByPairsBest(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", pairs,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+    }),
+
     // as-of join (backward): each click event attached to the same
     // user's most recent purchase at-or-before it — union + one window,
     // no join (operators/AsOfJoin.scala)
@@ -1920,6 +1931,43 @@ object SparkEntry {
         |         FROM reach GROUP BY a)
         |SELECT d.doc_id AS doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+
+    "q_cluster_dedup_best" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents)
+        | WHERE length(norm) > 0),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.5
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT u, v FROM edges
+        | UNION
+        | SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |  WHERE r.a <> e.v),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+        |         FROM reach GROUP BY a),
+        |assigned AS (
+        | SELECT d.doc_id, d.n_chars, coalesce(c.cid, d.doc_id) AS cid
+        | FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, n_chars FROM (
+        | SELECT doc_id, n_chars, row_number() OVER (PARTITION BY cid
+        |   ORDER BY n_chars DESC, doc_id ASC) AS rn
+        | FROM assigned)
+        |WHERE rn = 1""".stripMargin,
 
     "q_contamination_spans" ->
       """WITH tn AS (

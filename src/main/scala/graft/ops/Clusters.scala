@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -173,6 +173,30 @@ object Clusters {
     df.join(assign, Seq(idCol), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
+  }
+
+  /**
+   * Quality-aware dedup: like [[dedupByPairs]] but the survivor of
+   * each duplicate component is the best row under a caller-supplied
+   * TOTAL order (pass a unique id as the last sort key), not the
+   * smallest id — "keep the longest / highest-quality copy", which is
+   * what a training-data pipeline actually wants. One extra keyed
+   * window over [[dedupByPairs]]'s plan; singletons survive untouched.
+   */
+  def dedupByPairsBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                       order: Seq[Column],
+                       idACol: String = "id_a",
+                       idBCol: String = "id_b"): DataFrame = {
+    require(order.nonEmpty, "order must be a non-empty total order")
+    val assign = connectedComponents(pairs, idACol, idBCol)
+      .withColumnRenamed("id", idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__c")).orderBy(order: _*)
+    df.join(assign, Seq(idCol), "left")
+      .withColumn("__c", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__c", "__rn", "cluster_id")
   }
 
   /** The rows removed by [[dedupByPairs]] with their surviving

@@ -883,6 +883,24 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("quality-aware dedup keeps the best row per component") {
+    import graft.ops.Clusters
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L),  // component {1,2,3}: 2 wins (tie→id)
+      (4L, 5L),                          // singleton survives
+      (5L, 1L), (6L, 7L)                 // component {5,6}: 6 wins
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Clusters.dedupByPairsBest(docs, "doc_id", pairs,
+      Seq($"quality".desc, $"doc_id".asc))
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(out == Seq(2L, 4L, 6L))
+    val out2 = Clusters.dedupByPairsBest(docs.repartition(5), "doc_id",
+      pairs.repartition(3), Seq($"quality".desc, $"doc_id".asc))
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(out2 == out)
+  }
+
   test("gif frame sampling decodes every k-th frame of a real animation") {
     import graft.ops.Multimodal
     // id=2 → 10x10, base=2; 5 frames, sample every 2nd → frames 0,2,4
