@@ -1092,6 +1092,27 @@ object SparkEntry {
           expr("percentile(n_chars, 0.5)").as("p50"),
           expr("percentile(n_chars, 0.9)").as("p90"))),
 
+    // per-type z-score normalization — exact DECIMAL first/second
+    // moments, one fixed IEEE tree for mean/var/z on both engines;
+    // degenerate groups (n<2 or zero variance) emit z=0
+    "q_zscore" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val nD = col("n").cast("double")
+      val s1 = col("s1")
+      val s2 = col("s2")
+      val mean = s1 / nD
+      val variance = (nD * s2 - s1 * s1) / (nD * (nD - lit(1.0)))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,6)"))
+          .cast("double").as("s2"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("n") < 2 || !(variance > 0.0), lit(0.0))
+            .otherwise((col("value") - mean) / sqrt(variance)).as("z"))
+    }),
+
     // equi-depth decile bucketing per event type — the feature-
     // engineering face of q_quantiles: every row gets its decile under
     // a total order (value, event_id), one keyed window
@@ -2510,6 +2531,25 @@ object SparkEntry {
         | quantile_cont(n_chars, 0.5) AS p50,
         | quantile_cont(n_chars, 0.9) AS p90
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_zscore" ->
+      """WITH a AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS s2
+        | FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | CASE WHEN a.n < 2 OR NOT (
+        |   (CAST(a.n AS DOUBLE) * a.s2 - a.s1 * a.s1)
+        |     / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)) > 0.0)
+        |  THEN 0.0
+        |  ELSE (e.value - a.s1 / CAST(a.n AS DOUBLE)) /
+        |   sqrt((CAST(a.n AS DOUBLE) * a.s2 - a.s1 * a.s1)
+        |     / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)))
+        | END AS z
+        |FROM events e JOIN a ON e.event_type = a.event_type
+        |WHERE e.value IS NOT NULL""".stripMargin,
 
     "q_ntile" ->
       """SELECT event_id, event_type, value,
