@@ -1197,6 +1197,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("zorder layout skips row groups for single-column predicates") {
+    import graft.ops.Layout
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // 64x64 grid; z-order means a tight x-predicate touches only the
+    // files whose x-span intersects — measured as rows READ from the
+    // scan (parquet row-group stats pruning), not rows after filter
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    def rowsReadWith(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter($"x" < 8)
+      // collect() drives THIS Dataset's QueryExecution — count() would
+      // build a different plan whose metrics we couldn't read back
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zdir = java.nio.file.Files
+      .createTempDirectory("graft_zprune").toString
+    val rdir = java.nio.file.Files
+      .createTempDirectory("graft_rprune").toString
+    try {
+      Layout.zOrderWrite(grid, "x", "y", zdir, numFiles = 16)
+      grid.orderBy(rand(7)).repartition(16)
+        .write.mode("overwrite").parquet(rdir)
+      val zRead = rowsReadWith(zdir)
+      val rRead = rowsReadWith(rdir)
+      // random layout: every row group spans all x → reads everything;
+      // z layout: x<8 lives in the first z-range files only
+      assert(rRead == 4096, s"random layout read $rRead")
+      assert(zRead <= 1024, s"z layout read $zRead of 4096")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rdir))
+    }
+  }
+
   test("zorder write produces range-disjoint sorted files") {
     import graft.ops.Layout
     val dir = java.nio.file.Files
