@@ -1092,6 +1092,31 @@ object SparkEntry {
           expr("percentile(n_chars, 0.5)").as("p50"),
           expr("percentile(n_chars, 0.9)").as("p90"))),
 
+    // per-type percent-rank (empirical CDF position) under rank ties —
+    // the distribution-free normalization
+    "q_percent_rank" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("value").asc))
+            .as("pr"))),
+
+    // per-type robust scaling (median/IQR) — the outlier-insensitive
+    // normalization; quantiles use the SAME interpolation as the
+    // oracle's quantile_cont (proven by q_quantiles/q_winsorize)
+    "q_robust_scale" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val q = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(!(col("q3") - col("q1") > 0.0), lit(0.0))
+            .otherwise((col("value") - col("med")) /
+              (col("q3") - col("q1"))).as("scaled"))
+    }),
+
     // per-type z-score normalization — exact DECIMAL first/second
     // moments, one fixed IEEE tree for mean/var/z on both engines;
     // degenerate groups (n<2 or zero variance) emit z=0
@@ -2531,6 +2556,25 @@ object SparkEntry {
         | quantile_cont(n_chars, 0.5) AS p50,
         | quantile_cont(n_chars, 0.9) AS p90
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT event_id, event_type, value,
+        | percent_rank() OVER (PARTITION BY event_type
+        |   ORDER BY value ASC) AS pr
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH q AS (
+        | SELECT event_type,
+        |  quantile_cont(value, 0.25) AS q1,
+        |  quantile_cont(value, 0.5) AS med,
+        |  quantile_cont(value, 0.75) AS q3
+        | FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | CASE WHEN NOT (q.q3 - q.q1 > 0.0) THEN 0.0
+        |      ELSE (e.value - q.med) / (q.q3 - q.q1) END AS scaled
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |WHERE e.value IS NOT NULL""".stripMargin,
 
     "q_zscore" ->
       """WITH a AS (

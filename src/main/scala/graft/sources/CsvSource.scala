@@ -151,6 +151,31 @@ object CsvSource {
     f(line)
   }
 
+  /**
+   * Dead-letter ingestion: the raw lines [[read]] with `dropMalformed`
+   * would DISCARD — wrong quote-aware field count after the optional
+   * repair regex — returned as (line, n_fields, expected) so a
+   * pipeline can quarantine them for inspection/replay instead of
+   * silently shrinking the load (the operational companion to
+   * [[malformedCount]]: same predicate, the rows themselves). Narrow
+   * pass; no shuffle.
+   */
+  def quarantine(spark: SparkSession, spec: CsvSpec): DataFrame = {
+    val schema = sniffSchema(spark, spec)
+    val lines = spark.read.option("encoding", spec.encoding).text(spec.path)
+    val cleaned = spec.removeExpression match {
+      case Some(re) =>
+        lines.withColumn("value", regexp_replace(col("value"), re, ""))
+      case None => lines
+    }
+    val headerLine = cleaned.limit(1).collect()(0).getString(0)
+    cleaned.filter(col("value") =!= lit(headerLine))
+      .select(col("value").as("line"),
+        csvArity(col("value"), spec).as("n_fields"))
+      .filter(col("n_fields") =!= lit(schema.size))
+      .withColumn("expected", lit(schema.size))
+  }
+
   /** Count of malformed rows (for CSVAudit, A1/csv_audit.rb:119-133):
     * total raw data lines minus parsed rows. */
   def malformedCount(spark: SparkSession, spec: CsvSpec): Long = {

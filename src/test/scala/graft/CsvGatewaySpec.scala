@@ -38,6 +38,19 @@ class CsvGatewaySpec extends SparkSpec {
     assert(CsvSource.malformedCount(spark, CsvSpec(p, quote = "\"")) == 2)
   }
 
+  test("quarantine returns exactly the dropped lines with field counts") {
+    val p = tempCsv("a,b\n1,x\n2,y,EXTRA\n3\n4,z\n")
+    val spec = CsvSpec(p, quote = "\"")
+    val bad = CsvSource.quarantine(spark, spec)
+      .as[(String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(bad == Seq(("2,y,EXTRA", 3, 2), ("3", 1, 2)))
+    // good + quarantined partition the data lines exactly
+    assert(CsvSource.read(spark, spec).count() + bad.size == 4)
+    // a clean file quarantines nothing
+    val clean = tempCsv("a,b\n1,x\n")
+    assert(CsvSource.quarantine(spark, CsvSpec(clean, quote = "\"")).count() == 0)
+  }
+
   test("quote-aware delimiter handling (reference default quote ^)") {
     val p = tempCsv("a,b\n1,^x,y^\n")
     val df = CsvSource.read(spark, CsvSpec(p)) // default quote ^
