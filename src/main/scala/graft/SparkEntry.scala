@@ -554,6 +554,17 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     }),
 
+    // the audit face of cluster dedup: every dropped doc with its
+    // surviving representative — what a reviewer actually reads
+    "q_dedup_dropped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+      graft.ops.Clusters
+        .droppedByPairs(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id").as("kept_id"))
+    }),
+
     // quality-aware dedup: survivor per near-dup component is the
     // LONGEST doc (n_chars desc, doc_id tiebreak), not the min id
     "q_cluster_dedup_best" -> ((s, dir) => {
@@ -1977,6 +1988,37 @@ object SparkEntry {
         |         FROM reach GROUP BY a)
         |SELECT d.doc_id AS doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+
+    "q_dedup_dropped" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents)
+        | WHERE length(norm) > 0),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.5
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT u, v FROM edges
+        | UNION
+        | SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |  WHERE r.a <> e.v),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+        |         FROM reach GROUP BY a)
+        |SELECT doc_id, cid AS kept_id FROM comp
+        |WHERE cid <> doc_id""".stripMargin,
 
     "q_cluster_dedup_best" ->
       """WITH RECURSIVE sh AS (
