@@ -886,6 +886,13 @@ object SparkEntry {
         "user_id", "ts", "value", windowMicros = 7L * 86400 * 1000000,
         idCols = Seq("event_id"))),
 
+    // join fan-out pre-flight: exact predicted output size of
+    // events×orders on the customer key — no row of either table joins
+    "q_join_audit" -> ((s, dir) =>
+      graft.operators.Audits.joinFanout(
+        t(s, dir, "events"), "user_id",
+        t(s, dir, "orders"), "o_custkey")),
+
     // join-key skew pre-flight: one-row shape report for the user_id
     // key — the audit that decides whether q_salted_join's treatment
     // is needed before a big run
@@ -2402,6 +2409,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+
+    "q_join_audit" ->
+      """WITH l AS (
+        | SELECT user_id AS k, count(*) AS lc FROM events
+        | WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (
+        | SELECT o_custkey AS k, count(*) AS rc FROM orders
+        | WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT l.lc, r.rc FROM l JOIN r USING (k)),
+        |ls AS (SELECT CAST(sum(lc) AS BIGINT) AS l_rows,
+        |       count(*) AS l_keys FROM l),
+        |rs AS (SELECT CAST(sum(rc) AS BIGINT) AS r_rows,
+        |       count(*) AS r_keys FROM r),
+        |js AS (SELECT count(*) AS matched_keys,
+        |  CAST(coalesce(sum(lc * rc), 0) AS BIGINT) AS est_output_rows,
+        |  CAST(coalesce(max(lc * rc), 0) AS BIGINT) AS max_key_fanout
+        | FROM j)
+        |SELECT * FROM ls CROSS JOIN rs CROSS JOIN js""".stripMargin,
 
     "q_skew_audit" ->
       """WITH c AS (

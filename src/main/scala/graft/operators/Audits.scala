@@ -90,6 +90,37 @@ object Audits {
           .as("skew_ratio"))
 
   /**
+   * Join fan-out audit: the pre-flight that predicts a join's output
+   * size EXACTLY before running it — `Σ_k cnt_left(k) · cnt_right(k)`
+   * over matching keys, plus both sides' row/key counts. A join whose
+   * est_output_rows dwarfs its inputs is a many-to-many key mistake
+   * about to materialize; at 100 TB you want that as one cheap
+   * aggregate, not as a 3-hour failed stage. Null keys are excluded
+   * (they never join).
+   *
+   * Scale: two map-side-combined key counts + one join on distinct
+   * keys + a one-row aggregate — no row of either table is joined.
+   */
+  def joinFanout(left: DataFrame, leftKey: String,
+                 right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__lc"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__rc"))
+    val j = l.join(r, Seq("__k"))
+    val sides = l.agg(sum(col("__lc")).as("l_rows"),
+        count(lit(1)).as("l_keys"))
+      .crossJoin(r.agg(sum(col("__rc")).as("r_rows"),
+        count(lit(1)).as("r_keys")))
+    sides.crossJoin(
+      j.agg(count(lit(1)).as("matched_keys"),
+        coalesce(sum(col("__lc") * col("__rc")), lit(0L))
+          .as("est_output_rows"),
+        coalesce(max(col("__lc") * col("__rc")), lit(0L))
+          .as("max_key_fanout")))
+  }
+
+  /**
    * Schema drift audit: the column-level companion to [[tableDiff]] —
    * what changed STRUCTURALLY between snapshot N and N+1 before any
    * row is compared. Pure metadata (no job runs); one row per drifted

@@ -883,6 +883,23 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("join fan-out audit predicts the exact join output size") {
+    import graft.operators.Audits
+    val l = Seq(1L, 1L, 1L, 2L, 3L).map(k => (k, "l")).toDF("k", "s")
+    val r = Seq(1L, 1L, 2L, 4L).map(k => (k, "r")).toDF("j", "s2")
+    val row = Audits.joinFanout(l, "k", r, "j").collect().head
+    val actual = l.join(r, col("k") === col("j")).count()
+    assert(row.getLong(0) == 5 && row.getLong(1) == 3)  // left rows/keys
+    assert(row.getLong(2) == 4 && row.getLong(3) == 3)  // right rows/keys
+    assert(row.getLong(4) == 2)                         // matched keys
+    assert(row.getLong(5) == actual && actual == 7)     // 3*2 + 1*1
+    assert(row.getLong(6) == 6)                         // hot key 1
+    // disjoint keys → zero prediction, no nulls
+    val z = Audits.joinFanout(l, "k", r.filter(col("j") > 100), "j")
+      .collect().head
+    assert(z.getLong(4) == 0 && z.getLong(5) == 0 && z.getLong(6) == 0)
+  }
+
   test("quality-aware dedup keeps the best row per component") {
     import graft.ops.Clusters
     val docs = Seq(
