@@ -883,6 +883,34 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("edge invariants: idempotent canonicalization, degenerate inputs") {
+    import graft.ops.{TextAnalysis, TextDedup}
+    import graft.operators.Audits
+    // canonical urls are a fixpoint: canonical(canonical(u)) == canonical(u)
+    val urls = Seq(
+      "https://WWW.A.org:443/p/1/?utm_a=1&id=2#f",
+      "http://b.org:80/", "https://c.org/x?q=1",
+      "https://www.d.org/p/2/?utm_x=9").toDF("u")
+    val once = urls.select(TextAnalysis.canonicalUrl($"u").as("c"))
+    val twice = once.select(TextAnalysis.canonicalUrl($"c").as("c"))
+    assert(once.as[String].collect().toSeq ==
+      twice.as[String].collect().toSeq)
+    // diffing a table against itself reports everything unchanged
+    val t0 = Seq((1L, "a", 1.0), (2L, null, 2.0)).toDF("k", "s", "v")
+    val self = Audits.tableDiff(t0, t0, "k")
+      .select($"status").as[String].collect()
+    assert(self.length == 2 && self.forall(_ == "unchanged"))
+    // incremental dedup: empty batch → empty; empty corpus → all unique
+    val corpus = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    val batch = Seq((2L, "some corpus text here")).toDF("doc_id", "text")
+    assert(TextDedup.incrementalDedup(corpus, batch.limit(0),
+      "doc_id", "text", 5, 0.5).count() == 0)
+    val vsEmpty = TextDedup.incrementalDedup(corpus.limit(0), batch,
+      "doc_id", "text", 5, 0.5)
+      .as[(Long, String, Option[Long])].collect()
+    assert(vsEmpty.toSeq == Seq((2L, "unique", None)))
+  }
+
   test("join fan-out audit predicts the exact join output size") {
     import graft.operators.Audits
     val l = Seq(1L, 1L, 1L, 2L, 3L).map(k => (k, "l")).toDF("k", "s")
