@@ -886,6 +886,27 @@ object SparkEntry {
         "user_id", "ts", "value", windowMicros = 7L * 86400 * 1000000,
         idCols = Seq("event_id"))),
 
+    // funnel conversion rates: for each (lead, follow) event-type pair
+    // the share of lead events followed within 30 min — the summary a
+    // product pipeline reports over the sequence join
+    "q_funnel_rate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val conv = graft.streaming.EventStream
+        .followWithin(ev, ev, maxDelay = "30 minutes")
+        .select(col("lead_type"), col("follow_type"), col("lead_id"))
+        .distinct()
+        .groupBy(col("lead_type"), col("follow_type"))
+        .agg(count(lit(1)).as("n_converted"))
+      val totals = ev.groupBy(col("event_type").as("lead_type"))
+        .agg(count(lit(1)).as("n_leads"))
+      conv.join(totals, "lead_type")
+        .select(col("lead_type"), col("follow_type"),
+          col("n_converted"), col("n_leads"),
+          (col("n_converted").cast("double") /
+            col("n_leads").cast("double")).as("conversion"))
+    }),
+
     // join fan-out pre-flight: exact predicted output size of
     // events×orders on the customer key — no row of either table joins
     "q_join_audit" -> ((s, dir) =>
@@ -2409,6 +2430,29 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+
+    "q_funnel_rate" ->
+      """WITH f AS (
+        | SELECT DISTINCT l.event_type AS lead_type,
+        |  r.event_type AS follow_type, l.event_id AS lead_id
+        | FROM events l JOIN events r
+        |   ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+        |  AND l.event_id <> r.event_id
+        | WHERE l.user_id IS NOT NULL AND l.ts IS NOT NULL
+        |   AND r.ts IS NOT NULL),
+        |conv AS (
+        | SELECT lead_type, follow_type, count(*) AS n_converted
+        | FROM f GROUP BY 1, 2),
+        |tot AS (
+        | SELECT event_type AS lead_type, count(*) AS n_leads
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1)
+        |SELECT c.lead_type, c.follow_type, c.n_converted, t.n_leads,
+        | CAST(c.n_converted AS DOUBLE) / CAST(t.n_leads AS DOUBLE)
+        |   AS conversion
+        |FROM conv c JOIN tot t ON c.lead_type = t.lead_type""".stripMargin,
 
     "q_join_audit" ->
       """WITH l AS (
