@@ -91,6 +91,11 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._4.isDefined)
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"sf":"$sfDir"}""")
+    // Second, short line AFTER the big one: the driver's tail capture
+    // truncates long output, so the verdict-relevant totals must also
+    // appear in a line that always fits (<200 chars).
+    val cpuSum = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -908,11 +908,18 @@ object SparkEntry {
     }),
 
     // join fan-out pre-flight: exact predicted output size of
-    // events×orders on the customer key — no row of either table joins
+    // events×orders on the customer key — no row of either table
+    // joins. The operator's overflow-proof DECIMAL(38,0) estimates
+    // cross the gate boundary as DOUBLE (the float-parity convention;
+    // exact below 2^53, which covers every test SF)
     "q_join_audit" -> ((s, dir) =>
       graft.operators.Audits.joinFanout(
         t(s, dir, "events"), "user_id",
-        t(s, dir, "orders"), "o_custkey")),
+        t(s, dir, "orders"), "o_custkey")
+        .withColumn("est_output_rows",
+          col("est_output_rows").cast("double"))
+        .withColumn("max_key_fanout",
+          col("max_key_fanout").cast("double"))),
 
     // join-key skew pre-flight: one-row shape report for the user_id
     // key — the audit that decides whether q_salted_join's treatment
@@ -944,11 +951,15 @@ object SparkEntry {
 
     // BPE apply: encode the corpus with merges learned by the trainer
     // (rows-only gate — the iterative merge contraction has no SQL
-    // oracle; OpsSpec pins the encoding semantics)
+    // oracle; OpsSpec pins the encoding semantics). The subtoken list
+    // is flattened to one space-joined string: the checker sorts rows
+    // in pandas, which cannot order an array column.
     "q_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = TextAnalysis.trainBpeMerges(docs, "text", nMerges = 40)
       TextAnalysis.applyBpe(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("subtokens")).as("subtokens"))
     }),
 
     // salted skew join: hot fact keys spread over saltFactor reducers,
@@ -1260,6 +1271,24 @@ object SparkEntry {
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding")
       Similarity.ivfPqTopK(assigned, emb.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", cb, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // IVF-PQ over its PERSISTED layout: codes hive-partitioned by
+    // cell_id (saveIvfPqIndex) so the probe filter prunes input
+    // splits, then the same ADC/re-rank kernel — rows-only like the
+    // other simsearch gates; indexed≡in-memory equality and measured
+    // file skipping are spec-asserted in OpsSpec
+    "q_simsearch_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_${tmpToken(dir)}").getAbsolutePath
+      Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nCells = 16)
+      Similarity.ivfPqTopKIndexed(s, idx,
+        emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -2467,8 +2496,8 @@ object SparkEntry {
         |rs AS (SELECT CAST(sum(rc) AS BIGINT) AS r_rows,
         |       count(*) AS r_keys FROM r),
         |js AS (SELECT count(*) AS matched_keys,
-        |  CAST(coalesce(sum(lc * rc), 0) AS BIGINT) AS est_output_rows,
-        |  CAST(coalesce(max(lc * rc), 0) AS BIGINT) AS max_key_fanout
+        |  CAST(coalesce(sum(lc * rc), 0) AS DOUBLE) AS est_output_rows,
+        |  CAST(coalesce(max(lc * rc), 0) AS DOUBLE) AS max_key_fanout
         | FROM j)
         |SELECT * FROM ls CROSS JOIN rs CROSS JOIN js""".stripMargin,
 
@@ -2849,13 +2878,17 @@ object SparkEntry {
         |      regexp_replace(
         |       regexp_replace(
         |        regexp_replace(
-        |         lower(regexp_extract(regexp_replace(url, '#.*', ''),
-        |           '^(https?://[^/?#]*)', 1)) ||
-        |         regexp_replace(regexp_replace(url, '#.*', ''),
-        |           '^https?://[^/?#]*', ''),
-        |         '^(https?://)www\.', '\1'),
-        |        ':(80|443)([/?#])', '\2'),
-        |       ':(80|443)$', ''),
+        |         regexp_replace(
+        |          regexp_replace(
+        |           lower(regexp_extract(regexp_replace(url, '#.*', ''),
+        |             '^(https?://[^/?#]*)', 1)) ||
+        |           regexp_replace(regexp_replace(url, '#.*', ''),
+        |             '^https?://[^/?#]*', ''),
+        |           '^(https?://)www\.', '\1'),
+        |          '^(http://[^/?#]*):80([/?#])', '\1\2'),
+        |         '^(http://[^/?#]*):80$', '\1'),
+        |        '^(https://[^/?#]*):443([/?#])', '\1\2'),
+        |       '^(https://[^/?#]*):443$', '\1'),
         |      'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
         |     '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
         |    '[?&]$', ''),

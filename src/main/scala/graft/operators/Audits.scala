@@ -112,11 +112,18 @@ object Audits {
         count(lit(1)).as("l_keys"))
       .crossJoin(r.agg(sum(col("__rc")).as("r_rows"),
         count(lit(1)).as("r_keys")))
+    // per-key products multiply in DECIMAL(38,0), not long: a silent
+    // non-ANSI long overflow (hot key with ~1e10 rows on both sides →
+    // ~1e20 product) is exactly the many-to-many blow-up this audit
+    // exists to catch, and would otherwise be reported as a garbage
+    // negative estimate
+    val prod = col("__lc").cast("decimal(38,0)") *
+      col("__rc").cast("decimal(38,0)")
     sides.crossJoin(
       j.agg(count(lit(1)).as("matched_keys"),
-        coalesce(sum(col("__lc") * col("__rc")), lit(0L))
+        coalesce(sum(prod), lit(0).cast("decimal(38,0)"))
           .as("est_output_rows"),
-        coalesce(max(col("__lc") * col("__rc")), lit(0L))
+        coalesce(max(prod), lit(0).cast("decimal(38,0)"))
           .as("max_key_fanout")))
   }
 

@@ -98,7 +98,6 @@ object Graphs {
    */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "iterations must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -114,10 +113,19 @@ object Graphs {
       val counts = e
         .join(labels.withColumnRenamed("node", "__n"), col("v") === col("__n"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy(col("u"))
-        .orderBy(col("__c").desc, col("label").asc)
-      val next = counts.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // Per-node argmax (most frequent label, smallest label on ties)
+      // as a min_by AGGREGATE, not a row_number window: a window
+      // partition cannot be split, so a web-graph hub with millions of
+      // distinct neighbor labels would funnel into one task; an
+      // aggregate gets map-side partial combine and the hot key
+      // reduces in parallel (same rewrite as Merger.bestPerTarget).
+      // min of struct(-count, label) = max count, then min label —
+      // lexicographic struct order keeps the tiebreak generic over
+      // any orderable label type.
+      val next = counts
+        .groupBy(col("u"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("__nc"), col("label"))).as("label"))
         .select(col("u").as("node"), col("label"))
         .persist()
       next.count() // materialize before releasing the previous round

@@ -48,6 +48,22 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /**
+   * Hive-partition a table by a bounded-cardinality cell/bucket column
+   * (`<path>/<cellCol>=N/…`), coalescing each cell's rows into one
+   * file per cell first — the storage face of the IVF family: a
+   * reader's `cellCol IN (…)` filter becomes partition pruning, so
+   * unselected cells' files are never OPENED (input-split pruning,
+   * stronger than row-group stat skipping). One shuffle on the cell
+   * id; suitable only for columns with file-count-sized cardinality
+   * (IVF cells, layout buckets) — a high-cardinality key here would
+   * produce a directory per value.
+   */
+  def writeCellPartitioned(df: DataFrame, cellCol: String,
+                           path: String): Unit =
+    df.repartition(col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
   /** What [[compact]] found and did. */
   case class CompactStats(filesBefore: Int, bytesBefore: Long,
                           filesAfter: Int)
@@ -62,8 +78,14 @@ object Layout {
    *
    * The rewrite lands in `<path>.__compact` first and swaps in only
    * after the write commits — same job-commit atomicity contract as
-   * the rest of the engine (SURVEY §2.10 D5): a crash mid-swap leaves
-   * either the old directory or the new one, never a half state.
+   * the rest of the engine (SURVEY §2.10 D5). The swap is
+   * rename-aside / rename-in / delete-aside: the old data is never
+   * deleted before the new directory is in place, so a crash at any
+   * point leaves the full table recoverable (at `path`, or at
+   * `path.__old` with the compacted copy in `path.__compact`). The
+   * only reader-visible gap is the metadata-only window between the
+   * two renames — microseconds, vs. the unbounded recursive delete a
+   * delete-then-rename swap would expose.
    */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
@@ -85,10 +107,16 @@ object Layout {
     val bytes = files.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val aside = new org.apache.hadoop.fs.Path(path + ".__old")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // swap: move the live directory aside, move the compacted one in,
+    // THEN delete the old copy — the original data exists on disk at
+    // every instant (never delete-before-replace)
+    fs.delete(aside, true) // clear stale leftover from a prior crash
+    require(fs.rename(hPath, aside), s"rename $hPath -> $aside failed")
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    fs.delete(aside, true)
     val after = fs.listStatus(hPath).count(s =>
       s.isFile && !s.getPath.getName.startsWith("_"))
     CompactStats(files.length, bytes, after)

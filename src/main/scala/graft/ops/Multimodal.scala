@@ -205,10 +205,15 @@ object Multimodal {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val dataOffset = b.getInt(10)
     val w = b.getInt(18)
-    val h = math.abs(b.getInt(22))
+    // negative biHeight = top-down row order; the row mapping below
+    // assumes bottom-up storage, so accepting |h| would silently emit
+    // a vertically flipped thumbnail — refuse like the other
+    // unsupported variants instead (decodeBmp's whole-image mean is
+    // orientation-insensitive, so abs stays correct there)
+    val h = b.getInt(22)
     val bpp = b.getShort(28).toInt
     val compression = b.getInt(30)
-    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
     val srcStride = ((3 * w + 3) / 4) * 4
     if (dataOffset + srcStride.toLong * h > bytes.length) return None
     val outStride = ((3 * outW + 3) / 4) * 4

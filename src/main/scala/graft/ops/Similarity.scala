@@ -179,6 +179,34 @@ object Similarity {
   }
 
   /** (cell ids ascending, centroid matrix) for broadcast into kernels. */
+  /** Driver-side probe selection, same rule as ivfTopK's kernel:
+    * per query the top-nProbe cells by (cosine-to-cell-mean desc,
+    * lowest cell id on ties). Shared by [[ivfPqTopK]] and the
+    * persisted-index path so the two can never drift. */
+  private def selectProbes(qArr: Array[(Long, Array[Float])],
+                           cellIds: Array[Long],
+                           centroids: Array[Array[Double]],
+                           nProbe: Int): Array[Array[Long]] =
+    qArr.map { case (_, qv) =>
+      val sims = centroids.map(c => cosineFD(qv, c))
+      val picked = new Array[Long](math.min(nProbe, centroids.length))
+      val used = new Array[Boolean](centroids.length)
+      var p = 0
+      var exhausted = false
+      while (p < picked.length && !exhausted) {
+        var best = -1
+        var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < centroids.length) {
+          if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+          i += 1
+        }
+        if (best < 0) exhausted = true
+        else { used(best) = true; picked(p) = cellIds(best); p += 1 }
+      }
+      if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
+    }
+
   private def collectCentroids(cells: DataFrame): (Array[Long], Array[Array[Double]]) = {
     val rows = cells.collect().map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray)
@@ -585,6 +613,66 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(path)
   }
 
+  /**
+   * Persist a full IVF-PQ index as a STORAGE LAYOUT, not just a
+   * codebook: the corpus is cell-assigned and written hive-partitioned
+   * BY cell_id (`<path>/codes/cell_id=N/…`, via
+   * [[Layout.writeCellPartitioned]]), so a query's probe filter prunes
+   * INPUT SPLITS — files of unprobed cells are never opened, which at
+   * 100 TB turns nProbe/nCells into an I/O fraction, not just a
+   * compute fraction (spec-proven via scan metrics, same technique as
+   * the z-order spec). Beside the codes: `<path>/cells` holds the
+   * per-cell mean vectors (the probe-routing centroids — nCells·dim
+   * doubles, broadcast-size) and `<path>/codebook` the trained PQ
+   * codebook. The codes files keep the original vectors so the exact
+   * re-rank of a probed shortlist reads only pruned files too.
+   */
+  def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     path: String, nCells: Int, m: Int = 16, k: Int = 32,
+                     iterations: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    val assigned = ivfAssign(corpus, idCol, vecCol, nCells)
+    val cb = pqTrain(corpus, idCol, vecCol, m, k, iterations)
+    val codes = pqEncode(assigned, idCol, vecCol, cb,
+      keep = Seq("cell_id", vecCol))
+    Layout.writeCellPartitioned(codes, "cell_id", s"$path/codes")
+    cellMeans(assigned, vecCol)
+      .write.mode("overwrite").parquet(s"$path/cells")
+    savePqCodebook(spark, cb, s"$path/codebook")
+    assigned.unpersist()
+  }
+
+  /**
+   * IVF-PQ top-k over a [[saveIvfPqIndex]] layout. Probe cells are
+   * chosen per query against the SAVED cell means; the codes table is
+   * read with `cell_id IN (union of all queries' probes)`, which hive
+   * partition pruning turns into never opening an unprobed cell's
+   * files; the ADC/heap/re-rank kernel is delegated to [[ivfPqTopK]]
+   * (ONE implementation — the same reason pqTopK delegates). The
+   * delegate re-selects each query's probes over the pruned subset:
+   * every query's true top-nProbe cells are in the union by
+   * construction, and cells outside a query's true top-nProbe can't
+   * outrank them, so the subset selection picks the same cells.
+   */
+  def ivfPqTopKIndexed(spark: SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int,
+                       shortlistFactor: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cb = loadPqCodebook(spark, s"$path/codebook")
+    val (cellIds, centroids) =
+      collectCentroids(spark.read.parquet(s"$path/cells"))
+    val qArr = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val probed = selectProbes(qArr, cellIds, centroids, nProbe)
+      .flatten.distinct.sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell_id").isin(probed: _*))
+    ivfPqTopK(codes, queries, idCol, vecCol, cb, k, nProbe,
+      shortlistFactor)
+  }
+
   /** Load a codebook written by [[savePqCodebook]]. The collect is
     * m·k rows (codebook-sized, driver-bounded by construction). */
   def loadPqCodebook(spark: SparkSession, path: String): PqCodebook = {
@@ -771,35 +859,24 @@ object Similarity {
     val qArr = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
-    // driver-side probe selection, same rule as ivfTopK's kernel:
-    // top-nProbe by (cosine-to-cell-mean desc, lowest cell id on ties)
-    val probeSets: Array[Array[Long]] = qArr.map { case (_, qv) =>
-      val sims = centroids.map(c => cosineFD(qv, c))
-      val picked = new Array[Long](math.min(nProbe, centroids.length))
-      val used = new Array[Boolean](centroids.length)
-      var p = 0
-      var exhausted = false
-      while (p < picked.length && !exhausted) {
-        var best = -1
-        var bestSim = Double.NegativeInfinity
-        var i = 0
-        while (i < centroids.length) {
-          if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
-          i += 1
-        }
-        if (best < 0) exhausted = true
-        else { used(best) = true; picked(p) = cellIds(best); p += 1 }
-      }
-      if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
-    }
+    val probeSets: Array[Array[Long]] =
+      selectProbes(qArr, cellIds, centroids, nProbe)
     val qNorm = qArr.map { case (id, v) => (id, l2normalize(v)) }
     val qB = spark.sparkContext.broadcast(qNorm)
     val probesB = spark.sparkContext.broadcast(probeSets)
     val cbB = spark.sparkContext.broadcast(codebook)
     val shortlist = math.max(k * shortlistFactor, k)
 
-    val encoded = pqEncode(corpusWithCells, idCol, vecCol, codebook,
-      keep = Seq("cell_id"))
+    // reuse precomputed codes when the corpus already carries them
+    // (the saveIvfPqIndex layout stores m-byte codes beside the
+    // vectors; the encoder is deterministic, so codes written with
+    // this codebook are byte-identical to a re-encode) — otherwise
+    // encode in-flight
+    val withCodes =
+      if (corpusWithCells.columns.contains("pq_codes")) corpusWithCells
+      else pqEncode(corpusWithCells, idCol, vecCol, codebook,
+        keep = Seq("cell_id"))
+    val encoded = withCodes
       .select(col(idCol).cast("long").as("neighbor_id"),
         col("cell_id").cast("long"), col("pq_codes"))
       .as[(Long, Long, Array[Byte])]

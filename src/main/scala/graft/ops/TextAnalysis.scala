@@ -276,8 +276,13 @@ object TextAnalysis {
       lower(regexp_extract(noFrag, "^(https?://[^/?#]*)", 1)),
       regexp_replace(noFrag, "^https?://[^/?#]*", ""))
     val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    // scheme-anchored default-port strip: :80 is only a default for
+    // http and :443 only for https — http://host:443/x is a real
+    // non-default port and must NOT collapse onto http://host/x
+    // (URL-level dedup would drop a distinct document)
     val noPort = regexp_replace(
-      regexp_replace(noWww, ":(80|443)([/?#])", "$2"), ":(80|443)$", "")
+      regexp_replace(noWww, "^(http://[^/?#]*):80(?=[/?#]|$)", "$1"),
+      "^(https://[^/?#]*):443(?=[/?#]|$)", "$1")
     val noUtm = regexp_replace(
       regexp_replace(
         regexp_replace(noPort, "utm_[A-Za-z0-9_]*=[^&#]*&", ""),

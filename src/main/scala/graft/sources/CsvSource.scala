@@ -168,8 +168,13 @@ object CsvSource {
         lines.withColumn("value", regexp_replace(col("value"), re, ""))
       case None => lines
     }
-    val headerLine = cleaned.limit(1).collect()(0).getString(0)
-    cleaned.filter(col("value") =!= lit(headerLine))
+    // an empty input has no header row — return the (empty) frame
+    // with the contract schema instead of throwing on collect()(0)
+    val noHeader = cleaned.limit(1).collect().headOption match {
+      case Some(r) => cleaned.filter(col("value") =!= lit(r.getString(0)))
+      case None => cleaned
+    }
+    noHeader
       .select(col("value").as("line"),
         csvArity(col("value"), spec).as("n_fields"))
       .filter(col("n_fields") =!= lit(schema.size))

@@ -233,6 +233,56 @@ class OpsSpec extends SparkSpec {
     assert(ivfpq == again)
   }
 
+  test("persisted IVF-PQ index: probes prune input splits, results match") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx").toString
+    try {
+      Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", dir,
+        nCells = 8, m = 16, k = 32, iterations = 3)
+      // the layout prunes at the INPUT-SPLIT level: a 2-cell probe
+      // filter must never open the other cells' files — measured from
+      // the scan's own metrics (numFiles/numOutputRows), the z-order
+      // spec's technique
+      val all = spark.read.parquet(s"$dir/codes")
+      val totalRows = all.count()
+      val totalFiles = all.select(input_file_name()).distinct().count()
+      val want = all.filter(col("cell_id").isin(0L, 1L)).count()
+      assert(want > 0 && want < totalRows)
+      val probedDf = spark.read.parquet(s"$dir/codes")
+        .filter(col("cell_id").isin(0L, 1L))
+      probedDf.collect() // drives THIS Dataset's QueryExecution
+      val scans = probedDf.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      val rowsRead = scans.map(_.metrics("numOutputRows").value).sum
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      assert(rowsRead == want,
+        s"scan read $rowsRead rows, expected only the probed cells' $want")
+      assert(filesRead < totalFiles,
+        s"scan opened $filesRead of $totalFiles files — no split pruning")
+      // and the indexed query path equals the in-memory composition
+      // (same codebook/assignment seeding is deterministic; the probe
+      // union provably preserves each query's own probe set)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16,
+        k = 32, iterations = 3)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+      val direct = Similarity.ivfPqTopK(assigned, queries, "vec_id",
+        "embedding", cb, k = 3, nProbe = 2, shortlistFactor = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val indexed = Similarity.ivfPqTopKIndexed(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2, shortlistFactor = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(indexed == direct,
+        s"indexed path diverges: ${indexed.size} vs ${direct.size} rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("compression ratio orders repetitive below diverse text") {
     val repeated = ("lorem ipsum " * 100).trim
     val diverse = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
@@ -915,17 +965,27 @@ class OpsSpec extends SparkSpec {
     import graft.operators.Audits
     val l = Seq(1L, 1L, 1L, 2L, 3L).map(k => (k, "l")).toDF("k", "s")
     val r = Seq(1L, 1L, 2L, 4L).map(k => (k, "r")).toDF("j", "s2")
-    val row = Audits.joinFanout(l, "k", r, "j").collect().head
+    val audit = Audits.joinFanout(l, "k", r, "j")
+    // the estimates are DECIMAL(38,0), not long: a hot key with ~1e10
+    // rows on both sides multiplies past Long range, and a silent
+    // non-ANSI wraparound is exactly the blow-up this audit exists to
+    // catch
+    assert(audit.schema("est_output_rows").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    assert(audit.schema("max_key_fanout").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val row = audit.collect().head
     val actual = l.join(r, col("k") === col("j")).count()
     assert(row.getLong(0) == 5 && row.getLong(1) == 3)  // left rows/keys
     assert(row.getLong(2) == 4 && row.getLong(3) == 3)  // right rows/keys
     assert(row.getLong(4) == 2)                         // matched keys
-    assert(row.getLong(5) == actual && actual == 7)     // 3*2 + 1*1
-    assert(row.getLong(6) == 6)                         // hot key 1
+    assert(row.getDecimal(5).longValueExact == actual && actual == 7)
+    assert(row.getDecimal(6).longValueExact == 6)       // hot key 1
     // disjoint keys → zero prediction, no nulls
     val z = Audits.joinFanout(l, "k", r.filter(col("j") > 100), "j")
       .collect().head
-    assert(z.getLong(4) == 0 && z.getLong(5) == 0 && z.getLong(6) == 0)
+    assert(z.getLong(4) == 0 && z.getDecimal(5).longValueExact == 0 &&
+      z.getDecimal(6).longValueExact == 0)
   }
 
   test("quality-aware dedup keeps the best row per component") {
@@ -1061,6 +1121,23 @@ class OpsSpec extends SparkSpec {
     // node 2 sees l(1)=2,l(1)=2,l(3)=1 → 2; node 3 sees l(2)=1,l(1)=2,
     // l(4)=3 tie(1,2,3 each once) → 1; node 4 sees l(3)=1 → 1
     assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("label propagation argmax is an aggregate, not a window") {
+    import graft.ops.Graphs
+    // structural hub-safety: a row_number window partition cannot be
+    // split, so a hub node with millions of distinct neighbor labels
+    // would funnel one task; the per-node argmax must be a min_by
+    // aggregate (map-side partial combine) — same discipline as
+    // Merger.bestPerTarget. Scenario 8 of tools/Stress drives the
+    // 1.5M-degree case; this pins the plan shape per-commit.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val out = Graphs.labelPropagation(edges, "src", "dst", 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "labelPropagation must not use a per-node window for its argmax")
+    assert(plan.contains("min_by"),
+      "expected the min_by(label, struct(-count, label)) aggregate")
   }
 
   test("mrl truncation renormalizes the slice and guards zero vectors") {
