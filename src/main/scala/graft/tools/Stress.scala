@@ -309,6 +309,56 @@ object Stress {
     }
     assertNoFunnel("incremental-dedup-10x")
 
+    // ---- 8. graph family with a power-law hub --------------------------
+    // One hub node adjacent to 1.5M distinct spokes (each carrying a
+    // distinct initial label) + a disjoint 1M-edge random tail: the
+    // labelPropagation argmax sees 1.5M distinct labels voting on ONE
+    // node — the web-graph shape that funnels a per-node row_number
+    // window into a single task. The min_by aggregate must keep every
+    // large stage under the no-funnel share while the deterministic
+    // fixpoint semantics hold; pageRank's in-sum and CC's star rounds
+    // take the same hub.
+    val nSpokes = 1500000L
+    val hubEdges = spark.range(nSpokes)
+      .select(lit(0L).as("src"), (col("id") + 1L).as("dst"))
+    val tailEdges = spark.range(1000000L).select(
+      ((col("id") * 48271L) % 400000L + 2000000L).as("src"),
+      ((col("id") * 16807L + 1L) % 400000L + 2000000L).as("dst"))
+    val graph = hubEdges.unionByName(tailEdges).localCheckpoint()
+    tme(f"labelPropagation hub ($nSpokes%,d-degree node)") {
+      val labels = graft.ops.Graphs
+        .labelPropagation(graph, "src", "dst", iterations = 2).persist()
+      // round 1: spokes adopt hub's label 0, hub takes min spoke label
+      // 1; round 2: 1.5M spoke votes of 0 → hub 0, spokes back to 1
+      val hubLabel = labels.filter(col("node") === 0L)
+        .select(col("label")).as[Long].collect()(0)
+      assert(hubLabel == 0L, s"hub label drifted: $hubLabel")
+      val spokeLabel = labels.filter(col("node") === 5L)
+        .select(col("label")).as[Long].collect()(0)
+      assert(spokeLabel == 1L, s"spoke label drifted: $spokeLabel")
+      labels.unpersist()
+    }
+    assertNoFunnel("labelprop-hub")
+    tme(f"pageRank hub ($nSpokes%,d in-degree)") {
+      // reversed: every spoke points AT the hub, so the contribution
+      // sum on dst sees the full fan-in on one key
+      val ranks = graft.ops.Graphs.pageRank(
+        graph.select(col("dst").as("src"), col("src").as("dst")),
+        "src", "dst", iterations = 2)
+      val hubRank = ranks.filter(col("node") === 0L)
+        .select(col("rank")).as[Double].collect()(0)
+      assert(hubRank > 100000.0, s"hub rank lost its fan-in: $hubRank")
+      ranks.unpersist()
+    }
+    assertNoFunnel("pagerank-hub")
+    tme(f"connectedComponents hub ($nSpokes%,d-star)") {
+      val cc = Clusters.connectedComponents(graph, "src", "dst")
+      val starSize = cc.filter(col("cluster_id") === 0L).count()
+      assert(starSize == nSpokes + 1,
+        s"hub star fragmented: $starSize of ${nSpokes + 1}")
+    }
+    assertNoFunnel("cc-hub")
+
     println("[stress] ALL OK")
     spark.stop()
   }
