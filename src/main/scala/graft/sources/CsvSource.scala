@@ -43,12 +43,14 @@ object CsvSource {
     * (csv_file.rb:154-171: headers are sniffed, lowercased, and become
     * TEXT columns). */
   def sniffSchema(spark: SparkSession, spec: CsvSpec): StructType = {
-    val header = spark.read
+    val first = spark.read
       .option("encoding", spec.encoding)
       .text(spec.path)
       .limit(1)
-      .collect()(0)
-      .getString(0)
+      .collect()
+    // an empty input has no header row — zero columns, not a crash
+    if (first.isEmpty) return new StructType()
+    val header = first(0).getString(0)
     val cleaned = spec.removeExpression
       .map(re => header.replaceAll(re, ""))
       .getOrElse(header)
@@ -180,6 +182,38 @@ object CsvSource {
       .filter(col("n_fields") =!= lit(schema.size))
       .withColumn("expected", lit(schema.size))
   }
+
+  /**
+   * Replay leg of the dead-letter round trip: parse a frame of raw
+   * CSV line strings — the shape [[quarantine]] emits, after the
+   * caller corrected them — through the SAME sniffed schema and
+   * dialect as [[read]]. Lines whose quote-aware arity is STILL wrong
+   * are dropped again (re-run [[quarantine]]-style inspection on the
+   * difference if needed); a correction can't smuggle a
+   * wrong-shape row past the contract the main read enforces.
+   * Narrow, no shuffle — same plan shape as the repair path.
+   */
+  def replay(spark: SparkSession, spec: CsvSpec, corrected: DataFrame,
+             lineCol: String = "line"): DataFrame = {
+    val schema = sniffSchema(spark, spec)
+    val opts = Map(
+      "sep" -> spec.delimiter,
+      "quote" -> (if (spec.quote.isEmpty) " " else spec.quote),
+      "mode" -> "PERMISSIVE")
+    corrected
+      .select(col(lineCol).cast("string").as("value"))
+      .filter(col("value").isNotNull &&
+        csvArity(col("value"), spec) === lit(schema.size))
+      .select(from_csv(col("value"), schema, opts).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** [[read]] plus corrected quarantine lines in one frame — the full
+    * ingest-inspect-fix-replay loop as a single call. */
+  def readWithReplay(spark: SparkSession, spec: CsvSpec,
+                     corrected: DataFrame,
+                     lineCol: String = "line"): DataFrame =
+    read(spark, spec).unionByName(replay(spark, spec, corrected, lineCol))
 
   /** Count of malformed rows (for CSVAudit, A1/csv_audit.rb:119-133):
     * total raw data lines minus parsed rows. */

@@ -51,6 +51,35 @@ class CsvGatewaySpec extends SparkSpec {
     assert(CsvSource.quarantine(spark, CsvSpec(clean, quote = "\"")).count() == 0)
   }
 
+  test("quarantine of an empty input returns an empty frame, not a crash") {
+    val p = tempCsv("")
+    val spec = CsvSpec(p, quote = "\"")
+    val bad = CsvSource.quarantine(spark, spec)
+    assert(bad.count() == 0)
+    assert(bad.columns.toSeq == Seq("line", "n_fields", "expected"))
+  }
+
+  test("replay re-ingests corrected quarantine lines under the same contract") {
+    val p = tempCsv("a,b\n1,x\n2,y,EXTRA\n3\n4,z\n")
+    val spec = CsvSpec(p, quote = "\"")
+    val bad = CsvSource.quarantine(spark, spec)
+      .as[(String, Int, Int)].collect().sortBy(_._1)
+    assert(bad.length == 2)
+    // operator fixes the lines: strip the extra field, fill the short
+    // row — plus one line left broken, which must NOT sneak through
+    val corrected = Seq("2,y", "3,fixed", "still,broken,row")
+      .toDF("line")
+    val replayed = CsvSource.replay(spark, spec, corrected)
+    assert(replayed.columns.toSeq == Seq("a", "b"))
+    assert(replayed.as[(String, String)].collect().toSet ==
+      Set(("2", "y"), ("3", "fixed")))
+    // the fused round trip: clean read + corrections in one frame
+    val full = CsvSource.readWithReplay(spark, spec, corrected)
+    assert(full.count() == 4) // 2 clean + 2 replayed
+    assert(full.select("a").as[String].collect().toSet ==
+      Set("1", "4", "2", "3"))
+  }
+
   test("quote-aware delimiter handling (reference default quote ^)") {
     val p = tempCsv("a,b\n1,^x,y^\n")
     val df = CsvSource.read(spark, CsvSpec(p)) // default quote ^
