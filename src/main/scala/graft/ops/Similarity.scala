@@ -667,10 +667,18 @@ object Similarity {
       .as[(Long, Array[Float])].collect()
     val probed = selectProbes(qArr, cellIds, centroids, nProbe)
       .flatten.distinct.sorted
+    val probedSet = probed.toSet
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell_id").isin(probed: _*))
+    // the delegate re-selects per-query probes; hand it the SAVED
+    // means (restricted to probed cells) instead of letting it
+    // re-aggregate them from the pruned corpus — at scale that pass
+    // reads every probed row once for nothing
+    val kept = cellIds.indices.filter(i => probedSet(cellIds(i)))
     ivfPqTopK(codes, queries, idCol, vecCol, cb, k, nProbe,
-      shortlistFactor)
+      shortlistFactor,
+      probeCenters = Some((kept.map(cellIds).toArray,
+        kept.map(centroids).toArray)))
   }
 
   /** Load a codebook written by [[savePqCodebook]]. The collect is
@@ -825,10 +833,16 @@ object Similarity {
     // one synthetic cell + one probe = the IVF-PQ machinery with the
     // cell structure degenerate: identical ADC/heap/re-rank semantics,
     // ONE implementation to fix (the two bodies had already drifted on
-    // the NaN-cosine guard before this delegation)
+    // the NaN-cosine guard before this delegation). The probe center
+    // is a dummy ones vector — with a single cell the selection can
+    // only ever pick it (NaN only for an all-zero query, which finds
+    // nothing either way), and supplying it skips the full-corpus
+    // cell-means pass the delegate would otherwise run.
     ivfPqTopK(corpus.filter(col(vecCol).isNotNull)
         .withColumn("cell_id", lit(0L)),
-      queries, idCol, vecCol, codebook, k, nProbe = 1, shortlistFactor)
+      queries, idCol, vecCol, codebook, k, nProbe = 1, shortlistFactor,
+      probeCenters = Some((Array(0L),
+        Array(Array.fill(codebook.length * codebook(0)(0).length)(1.0)))))
 
   /**
    * IVF-PQ top-k — the FAISS IVF-ADC composition (Jégou et al. 2011,
@@ -847,15 +861,21 @@ object Similarity {
    */
   def ivfPqTopK(corpusWithCells: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, codebook: PqCodebook,
-                k: Int, nProbe: Int, shortlistFactor: Int = 8): DataFrame = {
+                k: Int, nProbe: Int, shortlistFactor: Int = 8,
+                probeCenters: Option[(Array[Long], Array[Array[Double]])] =
+                  None): DataFrame = {
     val spark = corpusWithCells.sparkSession
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val m = codebook.length
     val kCent = codebook(0).length
     val subDim = codebook(0)(0).length
-    val (cellIds, centroids) =
-      collectCentroids(cellMeans(corpusWithCells, vecCol))
+    // probe-routing centroids: computing cell means is a full
+    // aggregation pass over the corpus, so callers that already hold
+    // them (the persisted index; pqTopK's degenerate single cell)
+    // pass them in and skip the pass
+    val (cellIds, centroids) = probeCenters.getOrElse(
+      collectCentroids(cellMeans(corpusWithCells, vecCol)))
     val qArr = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
