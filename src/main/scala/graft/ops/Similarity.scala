@@ -629,10 +629,23 @@ object Similarity {
    */
   def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                      path: String, nCells: Int, m: Int = 16, k: Int = 32,
-                     iterations: Int = 3): Unit = {
+                     iterations: Int = 3,
+                     trainFraction: Double = 1.0): Unit = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0,1]: $trainFraction")
     val spark = corpus.sparkSession
     val assigned = ivfAssign(corpus, idCol, vecCol, nCells)
-    val cb = pqTrain(corpus, idCol, vecCol, m, k, iterations)
+    // codebook training runs `iterations` full passes over its input;
+    // at corpus scale train on a deterministic content-hash sample
+    // (stable across runs, cluster sizes, and row order — same
+    // convention as assignSplit; a seeded sample() is none of those).
+    // Codes are still computed for EVERY row — only training samples.
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(xxhash64(col(idCol)), lit(10000L)) <
+          lit(math.round(trainFraction * 10000)))
+    val cb = pqTrain(trainSet, idCol, vecCol, m, k, iterations)
     val codes = pqEncode(assigned, idCol, vecCol, cb,
       keep = Seq("cell_id", vecCol))
     Layout.writeCellPartitioned(codes, "cell_id", s"$path/codes")

@@ -283,6 +283,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index trained on a content-hash sample keeps sane recall") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_sample").toString
+    try {
+      // codebook from ~half the corpus (deterministic hash sample) —
+      // the 100 TB shape, where Lloyd passes can't read every row
+      Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", dir,
+        nCells = 8, m = 16, k = 32, iterations = 3, trainFraction = 0.5)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val hits = Similarity.ivfPqTopKIndexed(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (hits & bf).size.toDouble / bf.size
+      assert(recall >= 0.4, s"sample-trained recall too low: $recall")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("compression ratio orders repetitive below diverse text") {
     val repeated = ("lorem ipsum " * 100).trim
     val diverse = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
