@@ -1549,6 +1549,19 @@ object SparkEntry {
           element_at(col("feature"), 2).as("f2"),
           element_at(col("feature"), 3).as("f3"),
           element_at(col("feature"), 4).as("f4"))
+    }),
+
+    // REAL JPEG decode via the JDK's bundled imageio reader (huffman +
+    // IDCT ship in every stock JVM — no external codec library). JPEG
+    // is lossy and decoder-specific, so the gate is rows-only and
+    // projects only the deterministic faces (type, byte count, dims);
+    // the decoded-mean accuracy is spec-bounded in OpsSpec
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpeg(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeMedia(media, "doc_id")
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"))
     })
   )
 

@@ -11,11 +11,16 @@ import org.apache.spark.sql.types._
  * struct; decode / feature-extraction modeled as BATCHED per-partition
  * transforms with a real schema and partitioning story.
  *
- * The actual media codecs are NOT in this container, so the decode step
- * is a clearly-marked deterministic STUB (see [[stubDecode]]) — the
+ * Five formats decode GENUINELY: BMP, PCM WAV, PNG and GIF by
+ * hand-written container/codec parsing (headers, stride, RIFF walk,
+ * zlib inflate + filter reconstruction, variable-width LZW), and JPEG
+ * through the JDK's built-in javax.imageio reader (huffman + IDCT ship
+ * in every JDK — no external library). Only formats whose codecs
+ * genuinely aren't in a stock JVM (MP3, MP4/H.264 class) fall back to
+ * the clearly-marked deterministic STUB (see [[stubDecode]]); the
  * Spark-side contract (binary column, metadata struct, batch-shaped
- * mapPartitions, post-decode schema) is real and tested. Swapping in a
- * true decoder is a one-function change.
+ * mapPartitions, post-decode schema) is identical either way, so
+ * swapping in an external codec is a one-function change.
  *
  * Scale notes: payloads ride parquet binary columns (dictionary-free,
  * large row groups); decode is a narrow mapPartitions (no shuffle) whose
@@ -101,11 +106,13 @@ object Multimodal {
   //
   // BMP and PCM WAV need no codec library — their containers are plain
   // little-endian structs — so for these two the decode step is REAL
-  // header/stride/chunk parsing, not a stub. Codec-dependent formats
-  // (JPEG, MP3, MP4...) still fall back to [[stubDecode]], documented
-  // above. Payload synthesis writes format-valid bytes whose decoded
-  // features have closed forms, so an external SQL oracle can verify
-  // the full write→parse round trip hash-exactly.
+  // header/stride/chunk parsing, not a stub; PNG/GIF decode via
+  // hand-written inflate-filter/LZW walks below, and JPEG via the
+  // JDK's bundled reader. Only MP3/MP4-class formats fall back to
+  // [[stubDecode]], documented above. Payload synthesis writes
+  // format-valid bytes whose decoded features have closed forms
+  // (except lossy JPEG), so an external SQL oracle can verify the
+  // write→parse round trip hash-exactly for the lossless formats.
 
   import java.nio.{ByteBuffer, ByteOrder}
 
@@ -138,6 +145,72 @@ object Multimodal {
       fileRow += 1
     }
     b.array()
+  }
+
+  /** Format-valid baseline JPEG via the JDK's built-in encoder
+    * (javax.imageio ships in every JDK — no external codec library):
+    * a w×h gradient keyed by id. JPEG is lossy, so decoded pixel
+    * values have no closed form — spec/rows-only territory by
+    * construction, unlike [[bmpBytes]]/[[wavBytes]]. */
+  def jpegBytes(id: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val base = (id % 128).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (base + 4 * x + 2 * y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * JPEG decode via the JDK's built-in reader — a REAL codec path for
+   * the JPEG class (huffman + IDCT live in the JDK, not an external
+   * library), leaving only MP3/MP4-class formats on the documented
+   * [[stubDecode]]. Sniffs the FF D8 FF SOI magic, decodes, and emits
+   * [width, height, meanR, meanG, meanB]. Decoded pixels are
+   * IDCT-implementation-specific, so this face is spec/rows-only and
+   * never enters an SQL-oracle gate. None when the payload isn't a
+   * JPEG or the reader rejects it.
+   */
+  def decodeJpeg(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null || bytes.length < 3 ||
+      (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8 ||
+      (bytes(2) & 0xFF) != 0xFF) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      var r = 0L
+      var g = 0L
+      var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xFF
+          g += (p >> 8) & 0xFF
+          b += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(Array(w.toDouble, h.toDouble,
+        r.toDouble / n, g.toDouble / n, b.toDouble / n))
+    } catch { case _: Exception => None }
   }
 
   /** Format-valid PCM16 mono WAV (RIFF + fmt + data), 200 samples
@@ -747,6 +820,11 @@ object Multimodal {
     df.select(col(idCol), gen(col(idCol)).as("payload"))
   }
 
+  def synthesizeJpeg(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => jpegBytes(id))
+    df.select(col(idCol), gen(col(idCol)).as("payload"))
+  }
+
   def synthesizePngWav(df: DataFrame, idCol: String): DataFrame = {
     val gen = udf((id: Long) =>
       if (id % 2 == 0) pngBytes(id) else wavStereoBytes(id))
@@ -795,6 +873,7 @@ object Multimodal {
             .orElse(decodeWav(payload).map(("audio/wav", _)))
             .orElse(decodePng(payload).map(("image/png", _)))
             .orElse(decodeGif(payload).map(("image/gif", _)))
+            .orElse(decodeJpeg(payload).map(("image/jpeg", _)))
             .getOrElse(("application/octet-stream", stubDecode(payload)))
           Row(r.getLong(idIdx), mt,
             if (payload == null) 0L else payload.length.toLong, feats.toSeq)

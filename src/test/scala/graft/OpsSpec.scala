@@ -403,6 +403,31 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "unknown")
   }
 
+  test("jpeg decode via the JDK reader recovers dims and gradient mean") {
+    (0L to 5L).foreach { id =>
+      val bytes = Multimodal.jpegBytes(id)
+      // SOI magic present; a real JFIF stream, not a stub token
+      assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+      val Some(f) = Multimodal.decodeJpeg(bytes)
+      assert(f(0) == 16.0 && f(1) == 16.0)
+      // gradient v = id%128 + 4x + 2y (no wrap for these ids), so the
+      // true mean is base + 45; JPEG is lossy — bound, don't equate
+      val want = (id % 128) + 45.0
+      assert(math.abs(f(2) - want) < 3.0, s"id $id meanR ${f(2)} vs $want")
+      // grayscale source: channel means agree within codec error
+      assert(math.abs(f(2) - f(3)) < 2.0 && math.abs(f(3) - f(4)) < 2.0)
+    }
+    // non-JPEG and degenerate payloads are refused, not mis-decoded
+    assert(Multimodal.decodeJpeg(null).isEmpty)
+    assert(Multimodal.decodeJpeg(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeJpeg(
+      Array(0xFF, 0xD8, 0xFF, 0x00).map(_.toByte)).isEmpty)
+    // and the decodeMedia chain routes JPEGs to the real decoder
+    val media = Multimodal.synthesizeJpeg(docs.limit(6), "doc_id")
+    val out = Multimodal.decodeMedia(media, "doc_id").collect()
+    assert(out.nonEmpty && out.forall(_.getString(1) == "image/jpeg"))
+  }
+
   test("multimodal payload + metadata + stub decode plumbing") {
     val withPayload = Multimodal.attachPayload(docs.limit(10), "doc_id", "text")
     assert(withPayload.schema("payload").dataType.typeName == "binary")
