@@ -873,6 +873,23 @@ object SparkEntry {
           graft.ops.Layout.zOrder2(col("l_partkey"), col("l_suppkey"))
             .as("zval"))),
 
+    // parquet bloom-filter layout: write orders through
+    // Layout.bloomFilterWrite (per-row-group bloom on the key), read
+    // the copy back through a key lookup — the gate proves write/read
+    // fidelity of the bloom-optioned files; the row-group SKIPPING is
+    // measured in OpsSpec from scan metrics (1 of 8 groups read)
+    "q_bloom_layout" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bloomlayout_${tmpToken(dir)}")
+      graft.ops.Layout.bloomFilterWrite(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Map("o_orderkey" -> 20000L), tmp.getAbsolutePath, numFiles = 8)
+      s.read.parquet(tmp.getAbsolutePath)
+        .filter(col("o_orderkey") % 997 === 0)
+    }),
+
     // weekly cohort retention over the event stream — who from each
     // first-seen cohort is still active N weeks later
     "q_retention" -> ((s, dir) =>
@@ -2445,6 +2462,10 @@ object SparkEntry {
         |FROM p""".stripMargin,
 
     "q_zorder" -> zOrderOracle,
+
+    "q_bloom_layout" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
 
     "q_retention" ->
       """WITH active AS (

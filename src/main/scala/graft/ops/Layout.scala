@@ -64,6 +64,42 @@ object Layout {
     df.repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(path)
 
+  /**
+   * Write parquet with per-row-group bloom filters on the named
+   * columns — the third pruning face beside [[zOrderWrite]] (min/max
+   * range skipping on clustered columns) and [[writeCellPartitioned]]
+   * (input-split pruning on bounded-cardinality cells): POINT lookups
+   * on a high-cardinality, unclustered key. Such a key's min/max
+   * spans every file (random layout), so `key = x` stat-prunes
+   * nothing; its distinct-count overflows parquet's dictionary page
+   * mid-chunk, so exact dictionary row-group filtering is unavailable
+   * either. A bloom filter per row group answers "definitely absent"
+   * for equality probes and the reader skips the group — no sort, no
+   * re-layout, composable with whatever clustering the table already
+   * has (z-order the range columns, bloom the lookup keys).
+   *
+   * `expectedNdv` sizes the filter per column (per row group):
+   * unset, parquet guesses and either wastes footer bytes or
+   * saturates into all-maybes at exactly the cardinality bloom
+   * exists for — so callers pass ~rows-per-file for a unique key.
+   * Pure writer options on a plain repartition write; read-side
+   * skipping is parquet-mr's standard eq-predicate bloom check,
+   * on by default under Spark's pushed filters.
+   */
+  def bloomFilterWrite(df: DataFrame, bloomNdv: Map[String, Long],
+                       path: String, numFiles: Int): Unit = {
+    require(bloomNdv.nonEmpty, "no bloom columns given")
+    val missing = bloomNdv.keySet -- df.columns.toSet
+    require(missing.isEmpty, s"bloom columns not in frame: $missing")
+    var w = df.repartition(numFiles).write.mode("overwrite")
+    bloomNdv.foreach { case (c, ndv) =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      if (ndv > 0)
+        w = w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** What [[compact]] found and did. */
   case class CompactStats(filesBefore: Int, bytesBefore: Long,
                           filesAfter: Int)
