@@ -1336,6 +1336,18 @@ object SparkEntry {
         nCells = 16, threshold = 0.4)
         .select(col("vec_id"), col("label"))),
 
+    // PCA whitening of the embedding table — deterministic training
+    // (order-free quantized-long moments + fixed-sweep Jacobi), but
+    // the eigensolve has no SQL form → rows-only; spectrum/orthonormal
+    // /whitening invariants asserted in OpsSpec. Scalar pc columns by
+    // design: flat doubles survive the driver's pandas row sort.
+    "q_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.ops.Pca.train(emb, "embedding", k = 4)
+      graft.ops.Pca.project(emb, "vec_id", "embedding", model,
+        whiten = true)
+    }),
+
     // trainable quality classifier on heuristic weak labels — the
     // fastText-shaped self-training loop (hashed uni+bigram features,
     // one treeAggregate per epoch, driver holds only the weight

@@ -997,17 +997,32 @@ object Similarity {
    * Returns (id_a < id_b, cosine ≥ threshold) pairs feeding
    * [[graft.ops.Clusters.dedupByPairs]] — or [[semDedup]] below for
    * the fused form.
+   *
+   * `maxCellSize` bounds the within-cell quadratic term: cells above
+   * the cap switch from the all-pairs self-join to a star compare
+   * against 8 deterministic per-cell representatives (rationale at
+   * the branch below). Unlimited by default — small-corpus callers
+   * keep exact within-cell pair semantics.
    */
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, threshold: Double,
-                    refineIterations: Int = 2): DataFrame = {
+                    refineIterations: Int = 2,
+                    maxCellSize: Int = Int.MaxValue): DataFrame = {
+    require(maxCellSize > 1, s"maxCellSize must exceed 1: $maxCellSize")
     val seeded = ivfAssign(corpus, idCol, vecCol, nCells)
     val assigned = ivfRefine(seeded, idCol, vecCol, refineIterations)
-    val a = assigned.select(col("cell_id"),
-      col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("__va"))
-    val b = assigned.select(col("cell_id"),
-      col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("__vb"))
-    val pairs = a.join(b, Seq("cell_id"))
+    // per-cell sizes: ≤ nCells rows, broadcast back onto the members
+    // so the two regimes below split on a narrow flag, not a shuffle
+    val sizes = assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("__csz"))
+    val tagged = assigned.join(broadcast(sizes), Seq("cell_id"))
+    val a = tagged.filter(col("__csz") <= maxCellSize)
+      .select(col("cell_id"),
+        col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("__va"))
+    val b = tagged.filter(col("__csz") <= maxCellSize)
+      .select(col("cell_id"),
+        col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("__vb"))
+    val allPairs = a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       // Spark orders NaN ABOVE every number, so a zero-norm vector's
@@ -1016,6 +1031,43 @@ object Similarity {
       // already do — NaN >= x is false on the JVM)
       .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
+    // oversized cells — the embedding family's hub-key case (a dense
+    // near-dup region routes millions of rows into one cell, and the
+    // within-cell self-join above goes quadratic on exactly the input
+    // that produces near-quadratic output). For COMPONENT-forming
+    // pairs, connectivity is enough: compare each member to 8
+    // deterministic per-cell representatives (argmin of 8 salted
+    // hashes — min_by aggregates, partial-combined map-side, the same
+    // de-funnel idiom as Merger.bestPerTarget; no window, no
+    // collect_list). A giant near-dup clique stays fully connected
+    // through its reps at O(c·8) cost; a diffuse oversized cell loses
+    // the member-member pairs whose endpoints are both far from every
+    // rep — the same approximate-by-construction trade the cell
+    // structure itself already makes, now with a bounded worst case.
+    val over = tagged.filter(col("__csz") > maxCellSize)
+    val repAggs = (0 until 8).map(i =>
+      min_by(struct(col(idCol).as("__rid"),
+        toDoubleVec(col(vecCol)).as("__rv")),
+        xxhash64(col(idCol), lit(i))).as(s"__rep$i"))
+    val reps = over.groupBy(col("cell_id"))
+      .agg(repAggs.head, repAggs.tail: _*)
+      .select(col("cell_id"), explode(array(
+        (0 until 8).map(i => col(s"__rep$i")): _*)).as("__rep"))
+      .select(col("cell_id"), col("__rep.__rid").as("__rid"),
+        col("__rep.__rv").as("__rv"))
+      .dropDuplicates("cell_id", "__rid")
+    val starPairs = over
+      .select(col("cell_id"), col(idCol).as("__mid"),
+        toDoubleVec(col(vecCol)).as("__mv"))
+      .join(broadcast(reps), Seq("cell_id"))
+      .filter(col("__mid") =!= col("__rid"))
+      .withColumn("cosine", cosine(col("__mv"), col("__rv")))
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
+      .select(least(col("__mid"), col("__rid")).as("id_a"),
+        greatest(col("__mid"), col("__rid")).as("id_b"), col("cosine"))
+      // a rep-rep pair arises once from each side's member scan
+      .dropDuplicates("id_a", "id_b")
+    val pairs = allPairs.unionByName(starPairs)
       // pairs are re-read by connectedComponents' star rounds, so this
       // cache is needed anyway; materializing it here lets the two
       // corpus-sized upstream caches (seed assignment + refined
@@ -1032,8 +1084,9 @@ object Similarity {
     * near-dup component, plus every vector in no component. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int, threshold: Double,
-               refineIterations: Int = 2): DataFrame =
+               refineIterations: Int = 2,
+               maxCellSize: Int = Int.MaxValue): DataFrame =
     Clusters.dedupByPairs(corpus, idCol,
       semDedupPairs(corpus, idCol, vecCol, nCells, threshold,
-        refineIterations))
+        refineIterations, maxCellSize))
 }

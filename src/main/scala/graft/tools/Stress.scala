@@ -359,6 +359,37 @@ object Stress {
     }
     assertNoFunnel("cc-hub")
 
+    // ---- 9. semDedup giant cell under the size cap ---------------------
+    // 500k EXACT copies of one embedding route into a single cell —
+    // the embedding family's hub: the uncapped within-cell self-join
+    // is ~1.25e11 pairs and would never finish, so completing AT ALL
+    // is the evidence the star path engaged. maxCellSize=10k switches
+    // the cell to the 8-rep star compare (O(c·8) member-rep pairs, a
+    // broadcast join — members never shuffle); the clique must still
+    // collapse onto its min id through rep connectivity.
+    val cliqueN = 500000L
+    val oneVec = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding"))
+    val giant = spark.range(cliqueN)
+      .select(col("id").as("vec_id"))
+      .crossJoin(broadcast(oneVec))
+    val tail = emb.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      col("embedding"))
+    val corpus9 = giant.unionByName(tail).localCheckpoint()
+    tme(f"semDedup giant cell ($cliqueN%,d-row clique, cap 10k)") {
+      val survivors = Similarity.semDedup(corpus9, "vec_id", "embedding",
+        nCells = 64, threshold = 0.99, refineIterations = 1,
+        maxCellSize = 10000).persist()
+      val cliqueSurv = survivors.filter(col("vec_id") < cliqueN).count()
+      assert(cliqueSurv == 1L,
+        s"giant clique kept $cliqueSurv survivors — rep connectivity broke")
+      val nSurv = survivors.count()
+      println(f"[stress] giant-cell survivors: $nSurv%,d of " +
+        f"${cliqueN + emb.count()}%,d")
+      survivors.unpersist()
+    }
+    assertNoFunnel("semdedup-giant-cell")
+
     println("[stress] ALL OK")
     spark.stop()
   }

@@ -1811,6 +1811,114 @@ class OpsSpec extends SparkSpec {
     assert((0 until 4).forall(a => cell.contains((a.toLong, 100L + a))))
   }
 
+  test("semdedup cell cap: giant clique still collapses, small cells exact") {
+    val dim = 16
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(axis) = 1f
+      v((axis + 4) % dim) = eps
+      v
+    }
+    // one EXACT-duplicate clique of 600 vectors (identical embeddings
+    // → deterministic single-cell routing, lowest cell id on ties) —
+    // the hub cell — plus two 2-member near-dup clusters that become
+    // their own seed cells (ids 1/2/3 are the three seeds)
+    val clique = (Seq(2L) ++ (1000L until 1599L)).map(i => (i, vec(0, 0.02f)))
+    val smalls = Seq((1L, vec(4, 0f)), (5L, vec(4, 0.03f)),
+      (3L, vec(8, 0f)), (6L, vec(8, 0.03f)))
+    val df = (clique ++ smalls).toDF("vec_id", "embedding").repartition(8)
+    val capped = Similarity.semDedup(df, "vec_id", "embedding",
+      nCells = 3, threshold = 0.95, maxCellSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    // the clique's cell is oversized (600 > 100) yet stays fully
+    // connected through the 8 salted-min reps: only min id 2 survives;
+    // sub-cap cells keep exact all-pairs semantics (1 and 3 survive
+    // their planted near-dups 5 and 6)
+    assert(capped == Set(1L, 2L, 3L),
+      s"expected {1,2,3}, got ${capped.toSeq.sorted.take(10)}…")
+    // with the cap disabled the survivor set is identical here —
+    // star connectivity loses no component on a clique
+    val uncapped = Similarity.semDedup(df, "vec_id", "embedding",
+      nCells = 3, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(capped == uncapped)
+  }
+
+  test("jacobi eigensolve recovers a known 2x2 spectrum") {
+    import graft.ops.Pca
+    val (eig, v) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = (0 until 2).sortBy(i => -eig(i))
+    assert(math.abs(eig(order(0)) - 3.0) < 1e-12)
+    assert(math.abs(eig(order(1)) - 1.0) < 1e-12)
+    // top eigenvector is ±(1,1)/sqrt2
+    val c = Array(v(0)(order(0)), v(1)(order(0)))
+    assert(math.abs(math.abs(c(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(c(0) - c(1)) < 1e-12)
+  }
+
+  test("pca recovers planted rotated directions; projection whitens") {
+    import graft.ops.Pca
+    val dim = 6
+    // rank-2 data on rotated axes u=(.6,.8,0..), v=(-.8,.6,0..):
+    // a has ~33x the variance of b, so u must come out first
+    val rows = (0 until 1200).map { i =>
+      val a = ((i * 37) % 201 - 100) / 10.0f   // roughly uniform [-10,10]
+      val b = ((i * 53) % 41 - 20) / 10.0f     // roughly uniform [-2,2]
+      val x = new Array[Float](dim)
+      x(0) = 0.6f * a - 0.8f * b
+      x(1) = 0.8f * a + 0.6f * b
+      (i.toLong, x)
+    }
+    val df = (rows :+ (9999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val m = Pca.train(df, "embedding", k = 2)
+    assert(m.n == 1200 && m.dim == dim)          // null row skipped
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0)
+    // components orthonormal and aligned with the planted axes
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1) < 1e-9)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-9)
+    val u = Array(0.6, 0.8, 0, 0, 0, 0)
+    val v = Array(-0.8, 0.6, 0, 0, 0, 0)
+    assert(math.abs(math.abs(dot(m.components(0), u)) - 1) < 1e-3)
+    assert(math.abs(math.abs(dot(m.components(1), v)) - 1) < 1e-3)
+    // whitened projection: each direction has ~unit population variance
+    val pcs = Pca.project(df, "vec_id", "embedding", m, whiten = true)
+    assert(pcs.columns.toSeq == Seq("vec_id", "pc0", "pc1"))
+    val stats = pcs.filter(col("pc0").isNotNull)
+      .agg(avg(col("pc0")), avg(col("pc0") * col("pc0")),
+        avg(col("pc1") * col("pc1")))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(stats._1) < 1e-3)
+    assert(math.abs(stats._2 - 1.0) < 0.02, s"pc0 var ${stats._2}")
+    assert(math.abs(stats._3 - 1.0) < 0.02, s"pc1 var ${stats._3}")
+    // null vector projects to null scalars
+    assert(pcs.filter(col("vec_id") === 9999L && col("pc0").isNull)
+      .count() == 1)
+  }
+
+  test("pca training is bit-identical across partition layouts") {
+    import graft.ops.Pca
+    val rows = (0 until 500).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (((i * 31 + d * 17) % 97) - 48) / 7.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m3 = Pca.train(df.repartition(3), "embedding", k = 3)
+    val m13 = Pca.train(df.repartition(13), "embedding", k = 3)
+    // quantized-long moments make the model exactly reproducible —
+    // not approximately: the doubles must be bit-equal
+    assert(m3.mean.toSeq == m13.mean.toSeq)
+    assert(m3.eigenvalues.toSeq == m13.eigenvalues.toSeq)
+    assert(m3.components.map(_.toSeq).toSeq ==
+      m13.components.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Pca.train(df, "embedding", k = 9)
+    }
+  }
+
   test("quality classifier separates planted vocabularies") {
     val good = Seq("clean prose article", "well written prose",
       "clean article text", "prose with clean structure",
