@@ -498,6 +498,15 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet head/middle/tail perplexity tiers: quantile thresholds
+    // trained on a content-hash half-sample (bounded exact-percentile
+    // state), then one broadcast-literal CASE over the scored corpus
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(
+        TextAnalysis.bigramLmScore(t(s, dir, "documents"),
+          "doc_id", "text"),
+        "doc_id", sampleFraction = 0.5)),
+
     // trigram stupid-backoff LM on a held-out hash split: counts from
     // the 'train' split score the OTHER splits, so unseen trigrams
     // actually exercise both backoff orders (scoring the training
@@ -1306,6 +1315,17 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(s, idx,
         emb.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // OPQ: PQ in a PCA-rotated space (Ge et al. parametric solution) —
+    // eigenvalue allocation balances per-subspace variance before
+    // encoding; recall lift vs plain PQ spec-asserted (0.33 → 1.00 on
+    // variance-skewed data). Eigensolve has no SQL form → rows-only.
+    "q_simsearch_opq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.opqTopK(emb, emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -3123,6 +3143,48 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, avg_logprob,
         | round(exp(-avg_logprob), 4) AS perplexity
         |FROM sc""".stripMargin,
+
+    // mirrors TextAnalysis.perplexityBuckets over the q_lm_perplexity
+    // CTE chain: same md5 half-sample predicate as sampleByHash, same
+    // 1/3 and 2/3 cutpoints as IEEE double divisions, quantile_cont =
+    // Spark's exact percentile interpolation, both rounded to 6
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        | FROM documents
+        | WHERE text IS NOT NULL AND trim(text) <> ''),
+        |big AS (
+        | SELECT doc_id, w1 || ' ' || w2 AS gram, w1
+        | FROM (SELECT doc_id,
+        |        unnest(t[1 : len(t) - 1]) AS w1,
+        |        unnest(t[2 : len(t)]) AS w2
+        |       FROM toks WHERE len(t) >= 2)),
+        |cnt AS (SELECT gram, count(*) AS c12 FROM big GROUP BY gram),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        |voc AS (SELECT count(DISTINCT tok) AS v
+        |        FROM (SELECT unnest(t) AS tok FROM toks)),
+        |sc AS (
+        | SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(round(ln((c.c12 + CAST(0.1 AS DOUBLE)) /
+        |        (x.c1 + CAST(0.1 AS DOUBLE) * v.v)), 6)
+        |       AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logprob
+        | FROM big b
+        | JOIN cnt c ON b.gram = c.gram
+        | JOIN ctx x ON b.w1 = x.w1
+        | CROSS JOIN voc v
+        | GROUP BY b.doc_id),
+        |ppl AS (SELECT doc_id, round(exp(-avg_logprob), 4) AS perplexity
+        |        FROM sc),
+        |thr AS (SELECT
+        |  round(quantile_cont(perplexity, CAST(1 AS DOUBLE) / 3), 6) AS t1,
+        |  round(quantile_cont(perplexity, CAST(2 AS DOUBLE) / 3), 6) AS t2
+        | FROM ppl
+        | WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |SELECT p.doc_id, p.perplexity,
+        | CASE WHEN p.perplexity <= t.t1 THEN 'head'
+        |      WHEN p.perplexity <= t.t2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM ppl p CROSS JOIN thr t""".stripMargin,
 
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,

@@ -1089,4 +1089,128 @@ object Similarity {
     Clusters.dedupByPairs(corpus, idCol,
       semDedupPairs(corpus, idCol, vecCol, nCells, threshold,
         refineIterations, maxCellSize))
+
+  // --------------------------------------------------------------------
+  // OPQ: PCA-rotated product quantization (Ge et al. 2014, "Optimized
+  // Product Quantization", the parametric solution §4) — PQ quantizes
+  // the m subspaces independently, so when the encoder's variance is
+  // concentrated in a few raw dimensions one subspace carries all the
+  // signal and the other codebooks quantize noise. An orthonormal
+  // rotation is free for cosine search (it preserves inner products),
+  // so rotate onto the PCA basis and PERMUTE the principal directions
+  // across subspaces to balance each subspace's variance product
+  // (greedy eigenvalue allocation) before encoding.
+  // --------------------------------------------------------------------
+
+  /** Greedy OPQ eigenvalue allocation: components arrive sorted by
+    * descending eigenvalue; each goes to the smallest-log-product
+    * subspace among the LEAST-FILLED ones. The count restriction
+    * matters: an unrestricted min-product greedy breaks down whenever
+    * eigenvalues are below 1 (always true for normalized vectors,
+    * whose eigenvalues sum to ≤ 1) — adding a component then SHRINKS
+    * a bucket's product, so the "smallest" bucket is the one just
+    * filled and every strong component lands in subspace 0, the exact
+    * imbalance the allocation exists to prevent. Restricting to
+    * minimal count makes each round of m assignments deal the largest
+    * remaining eigenvalues across all m subspaces, weakest-product
+    * bucket first. Returns the component index assigned to each
+    * OUTPUT dimension (subspace s owns output dims [s·subDim,
+    * (s+1)·subDim)). Deterministic — lowest index wins ties. */
+  private[graft] def allocateEigen(eig: Array[Double], m: Int): Array[Int] = {
+    val dim = eig.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val logSum = new Array[Double](m)
+    val members = Array.fill(m)(List.empty[Int])
+    (0 until dim).foreach { c =>
+      val minCount = members.iterator.map(_.length).filter(_ < subDim).min
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (members(s).length == minCount &&
+            (best < 0 || logSum(s) < logSum(best))) best = s
+        s += 1
+      }
+      logSum(best) += math.log(math.max(eig(c), 1e-12))
+      members(best) ::= c
+    }
+    members.flatMap(_.reverse)
+  }
+
+  /**
+   * Train an OPQ rotation for `m` subspaces: full-dimension PCA over
+   * the L2-NORMALIZED vectors (what [[pqTrain]]/[[pqEncode]] actually
+   * see), rows permuted by [[allocateEigen]]. Returned matrix R is
+   * orthonormal; apply as y = R·x via [[rotateVecs]]. No centering —
+   * a translation would change cosines, a pure rotation cannot.
+   *
+   * Scale: the PCA pass is one treeAggregate (driver holds dim²/2
+   * moment accumulators, [[graft.ops.Pca]]); the eigensolve is
+   * dim×dim on the driver. Train-once, rotate-anywhere: the matrix is
+   * model-sized and broadcast-safe.
+   */
+  def opqRotation(corpus: DataFrame, vecCol: String, m: Int)
+      : Array[Array[Double]] = {
+    val unit = udf((v: Array[Float]) =>
+      if (v == null) null
+      else { val d = l2normalize(v); d.map(_.toFloat) })
+    val normed = corpus.filter(col(vecCol).isNotNull)
+      .select(unit(col(vecCol)).as(vecCol))
+    val model = Pca.train(normed, vecCol, k = {
+      val dim = normed.select(size(col(vecCol))).limit(1)
+        .collect()(0).getInt(0)
+      dim
+    })
+    val order = allocateEigen(model.eigenvalues, m)
+    order.map(model.components(_))
+  }
+
+  /** y = R·x over an array&lt;float&gt; column — narrow broadcast-matrix
+    * kernel, no shuffle; nulls pass through. */
+  def rotateVecs(df: DataFrame, vecCol: String,
+                 rotation: Array[Array[Double]],
+                 outCol: String = "__rotated"): DataFrame = {
+    val rB = df.sparkSession.sparkContext.broadcast(rotation)
+    val rot = udf((x: Array[Float]) => {
+      if (x == null) null
+      else {
+        val r = rB.value
+        val out = new Array[Float](r.length)
+        var i = 0
+        while (i < r.length) {
+          val row = r(i)
+          var s = 0.0
+          var j = 0
+          while (j < row.length) { s += row(j) * x(j); j += 1 }
+          out(i) = s.toFloat
+          i += 1
+        }
+        out
+      }
+    })
+    df.withColumn(outCol, rot(col(vecCol)))
+  }
+
+  /**
+   * PQ top-k in the OPQ-rotated space: rotate corpus and queries by a
+   * shared [[opqRotation]], train the codebook and ADC-score there,
+   * exact-cosine re-rank as in [[pqTopK]]. Rotation preserves inner
+   * products, so the reported cosines rank identically to unrotated
+   * space (up to float32 rounding of the rotated coordinates) — what
+   * changes is code quality: balanced per-subspace variance lowers
+   * quantization error, which shows up as shortlist recall. Recall
+   * vs plain PQ on variance-skewed data is spec-asserted.
+   */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 16, kCent: Int = 32,
+              iterations: Int = 3, shortlistFactor: Int = 8): DataFrame = {
+    val rotation = opqRotation(corpus, vecCol, m)
+    def rotated(df: DataFrame) =
+      rotateVecs(df.filter(col(vecCol).isNotNull), vecCol, rotation)
+        .select(col(idCol), col("__rotated").as(vecCol))
+    val rc = rotated(corpus)
+    val rq = rotated(queries)
+    val cb = pqTrain(rc, idCol, vecCol, m, kCent, iterations)
+    pqTopK(rc, rq, idCol, vecCol, cb, k, shortlistFactor)
+  }
 }

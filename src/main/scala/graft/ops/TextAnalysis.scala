@@ -623,6 +623,50 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data" §4.3): rank documents by LM perplexity and split the corpus
+   * into head / middle / tail tiers at trained quantile cutoffs — the
+   * coarse quality split of a pretraining mix (head = most fluent,
+   * tail = candidate discard). Feed it [[bigramLmScore]] (or
+   * [[trigramLmScore]]) output.
+   *
+   * Thresholds train on a [[sampleByHash]] content-hash sample, NOT
+   * the full corpus: Spark's exact `percentile` buffers every value
+   * it aggregates, so the trained side must be bounded —
+   * `sampleFraction` is the knob, and CCNet itself fits cutoffs on a
+   * fraction of the crawl. The bucketing pass is then a narrow
+   * broadcast-literal CASE: no shuffle, no window — the ntile()
+   * alternative would funnel the corpus through one unpartitioned
+   * window. Only the two threshold scalars touch the driver.
+   *
+   * Float parity: thresholds round to 6 decimals in-engine before
+   * the compare; perplexities arrive 4-decimal rounded, so a
+   * sub-1e-6 cross-engine difference in quantile interpolation
+   * cannot flip a bucket.
+   */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+                        pplCol: String = "perplexity",
+                        sampleFraction: Double = 1.0,
+                        cuts: (Double, Double) = (1.0 / 3, 2.0 / 3))
+      : DataFrame = {
+    require(cuts._1 > 0 && cuts._1 < cuts._2 && cuts._2 < 1,
+      s"cuts must satisfy 0 < c1 < c2 < 1: $cuts")
+    val samp = scored.filter(sampleByHash(col(idCol), sampleFraction))
+    val thrRow = samp.agg(
+      round(percentile(col(pplCol), lit(cuts._1)), 6),
+      round(percentile(col(pplCol), lit(cuts._2)), 6)).head()
+    require(!thrRow.isNullAt(0),
+      s"threshold sample is empty (fraction=$sampleFraction) — " +
+        "raise sampleFraction or check the scored frame")
+    val (t1, t2) = (thrRow.getDouble(0), thrRow.getDouble(1))
+    scored.select(col(idCol), col(pplCol),
+      when(col(pplCol) <= t1, "head")
+        .when(col(pplCol) <= t2, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al. 2023, "Data Selection
    * for Language Models via Importance Resampling"): score every
    * document by how much more likely its n-grams are under a TARGET

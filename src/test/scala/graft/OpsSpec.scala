@@ -1899,6 +1899,105 @@ class OpsSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("opq: eigen allocation balances, rotation orthonormal, recall lifts") {
+    // spectrum with 4 strong directions: each of the 4 subspaces must
+    // receive exactly one (greedy min-log-product allocation)
+    val alloc = Similarity.allocateEigen(
+      Array(8.0, 4.0, 2.0, 1.0) ++ Array.fill(12)(1e-4), m = 4)
+    assert(alloc.sorted.toSeq == (0 until 16))
+    val bySub = alloc.grouped(4).toArray
+    assert(bySub.forall(_.count(_ < 4) == 1),
+      s"strong components not spread: ${bySub.map(_.toSeq).toSeq}")
+    // sub-1 eigenvalues (every normalized-vector spectrum): adding a
+    // component SHRINKS a bucket's product, which defeated an
+    // unrestricted min-product greedy — the least-filled restriction
+    // must still deal one strong component per subspace
+    val allocSub1 = Similarity.allocateEigen(
+      Array(0.5, 0.25, 0.12, 0.06) ++ Array.fill(12)(1e-6), m = 4)
+    assert(allocSub1.grouped(4).toArray.forall(_.count(_ < 4) == 1),
+      s"sub-1 spectrum not spread: ${allocSub1.toSeq}")
+
+    // adversarial-for-PQ corpus: ALL variance lives in dims 0-3 = raw
+    // subspace 0, the rest is low-amplitude noise — plain PQ burns
+    // three codebooks on noise while one codebook quantizes a 4-D
+    // signal with 16 centroids
+    val dim = 16
+    // splitmix-style mix — a LINEAR i·a+j·b mod m generator makes the
+    // "independent" dims perfectly correlated across i (difference is
+    // a constant), collapsing the data to 1-D and the OPQ advantage
+    // with it; the signal must actually span 4 dimensions
+    def h(i: Int, j: Int): Double = {
+      var z = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      (z & 0x3FF).toDouble / 512.0 - 1.0
+    }
+    val amp = Array(10.0, 8.0, 6.0, 5.0)
+    val rows = (0 until 1500).map { i =>
+      val x = new Array[Float](dim)
+      var d = 0
+      while (d < 4) { x(d) = (h(i, d) * amp(d)).toFloat; d += 1 }
+      while (d < dim) { x(d) = (h(i, d) * 0.05).toFloat; d += 1 }
+      (i.toLong, x)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(6)
+
+    val rot = Similarity.opqRotation(df, "embedding", m = 4)
+    assert(rot.length == dim && rot.forall(_.length == dim))
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-6, s"R not orthonormal at ($i,$j): $d")
+    }
+
+    val queries = df.filter(col("vec_id") % 30 === 0)
+    val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)
+    val pq = Similarity.pqTopK(df, queries, "vec_id", "embedding", cb,
+      k = 10, shortlistFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val opq = Similarity.opqTopK(df, queries, "vec_id", "embedding",
+      k = 10, m = 4, kCent = 16, shortlistFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = (pq & bf).size.toDouble / bf.size
+    val opqRecall = (opq & bf).size.toDouble / bf.size
+    info(f"recall@10, shortlist 4x: pq $pqRecall%.3f  opq $opqRecall%.3f")
+    assert(opqRecall >= pqRecall,
+      s"rotation hurt recall: opq $opqRecall < pq $pqRecall")
+    assert(opqRecall >= 0.7, s"opq recall too low: $opqRecall")
+  }
+
+  test("perplexity buckets: ordered tiers cover every doc, sample guard") {
+    import graft.ops.TextAnalysis
+    // bucket logic is LM-independent — feed synthetic distinct
+    // perplexities (7i mod 97 is a permutation; 97 prime)
+    val scored = (1L to 90L).map(i => (i, (i * 7 % 97 + 1).toDouble))
+      .toDF("doc_id", "perplexity")
+    val b = TextAnalysis.perplexityBuckets(scored, "doc_id",
+      sampleFraction = 1.0).persist()
+    assert(b.count() == 90 && b.select("doc_id").distinct().count() == 90)
+    val by = b.groupBy("bucket").count().as[(String, Long)]
+      .collect().toMap
+    assert(by.keySet == Set("head", "middle", "tail"))
+    // trained on the full set with thirds cuts → tier sizes near 30
+    assert(by.values.forall(c => c >= 25 && c <= 35), by.toString)
+    // tiers are ORDERED: head ppl <= middle ppl <= tail ppl
+    def agg2(bucket: String, f: org.apache.spark.sql.Column) =
+      b.filter(col("bucket") === bucket).agg(f).head().getDouble(0)
+    assert(agg2("head", max(col("perplexity"))) <=
+      agg2("middle", min(col("perplexity"))))
+    assert(agg2("middle", max(col("perplexity"))) <=
+      agg2("tail", min(col("perplexity"))))
+    b.unpersist()
+    // an empty threshold sample must refuse, not silently tail-bucket
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(scored, "doc_id",
+        sampleFraction = 0.0)
+    }
+  }
+
   test("pca training is bit-identical across partition layouts") {
     import graft.ops.Pca
     val rows = (0 until 500).map { i =>
