@@ -962,6 +962,13 @@ object SparkEntry {
         Seq("source", "lang"),
         Seq(col("n_chars").desc, col("doc_id").asc), k = 5)),
 
+    // deterministic exact-30-per-source subsample: content-hash order
+    // makes the pick reproducible AND nested across budget changes
+    "q_sample_k" -> ((s, dir) =>
+      graft.ops.Ranking.hashSampleK(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source"), "doc_id", k = 30)),
+
     // per-type p05/p95 winsorization — outlier clamping with the same
     // percentile interpolation the oracle's quantile_cont uses
     "q_winsorize" -> ((s, dir) => {
@@ -2587,6 +2594,13 @@ object SparkEntry {
         |   ORDER BY n_chars DESC, doc_id) AS INT) AS rank
         |FROM documents
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q_sample_k" ->
+      """SELECT doc_id, source,
+        | CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+        |FROM documents
+        |QUALIFY rank <= 30""".stripMargin,
 
     "q_winsorize" ->
       """WITH p AS (

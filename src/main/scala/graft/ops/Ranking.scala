@@ -32,4 +32,25 @@ object Ranking {
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * Deterministic EXACT-k-per-group subsample — the corpus-assembly
+   * "take k documents per source, reproducibly". [[groupedTopK]]
+   * under a content-hash order (`md5(id)`, id tiebreak = total
+   * order): like [[graft.ops.TextAnalysis.sampleByHash]] the picked
+   * subset is stable across runs, row order, and cluster size — but
+   * with an exact count per group instead of a rate. The hash order
+   * also makes budgets NESTED: the k=1000 pick is a strict prefix of
+   * the k=2000 pick, so raising a group's budget between corpus
+   * builds only ADDS rows. Groups smaller than k pass through whole.
+   *
+   * Scale: one keyed window per group-hash partition, no global
+   * sort; a hot group costs its partition sort (row_number evaluates
+   * streaming over the sorted run — nothing beyond the sort
+   * materializes). Output: input columns + `rank` (1..k).
+   */
+  def hashSampleK(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  k: Int): DataFrame =
+    groupedTopK(df, groupCols,
+      Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc), k)
 }

@@ -1619,6 +1619,27 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("hashSampleK: exact per-group counts, nested budgets, stable") {
+    import graft.ops.Ranking
+    val df = (1L to 300L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val k10 = Ranking.hashSampleK(df.repartition(7), Seq("source"),
+      "doc_id", 10)
+    val counts = k10.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.size == 3 && counts.values.forall(_ == 10), counts)
+    // content-hash order nests budgets: the k=10 pick is a strict
+    // subset of the k=20 pick, regardless of partition layout
+    val s10 = k10.select("doc_id").as[Long].collect().toSet
+    val s20 = Ranking.hashSampleK(df.repartition(3), Seq("source"),
+      "doc_id", 20).select("doc_id").as[Long].collect().toSet
+    assert(s10.size == 30 && s20.size == 60 && s10.subsetOf(s20))
+    // groups smaller than k pass through whole
+    val tiny = Ranking.hashSampleK(df.filter($"doc_id" <= 5),
+      Seq("source"), "doc_id", 10)
+    assert(tiny.count() == 5)
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import graft.operators.SkewJoin
     // 2000 fact rows, 90% on one hot key
