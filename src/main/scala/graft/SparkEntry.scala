@@ -969,6 +969,23 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         Seq("source"), "doc_id", k = 30)),
 
+    // token-budget mixture assembly: 4000-token mix at 50/25/12.5/12.5
+    // weights (binary-exact doubles) — src0's share exceeds its supply
+    // so it caps at rate 1, unlisted sources drop; keep decision is
+    // the deterministic md5 sampler
+    "q_token_mixture" -> ((s, dir) => {
+      val withTok = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val rates = TextAnalysis.mixtureRates(withTok, "source", "n_tok",
+        budget = 4000L,
+        weights = Seq("src0" -> 0.5, "src1" -> 0.25,
+          "src2" -> 0.125, "src3" -> 0.125))
+      withTok.filter(TextAnalysis.mixtureSample(col("doc_id"),
+          col("source"), rates))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // per-type p05/p95 winsorization — outlier clamping with the same
     // percentile interpolation the oracle's quantile_cont uses
     "q_winsorize" -> ((s, dir) => {
@@ -2601,6 +2618,35 @@ object SparkEntry {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
         |FROM documents
         |QUALIFY rank <= 30""".stripMargin,
+
+    // mirrors mixtureRates + mixtureSample: binary-exact weight
+    // literals, rate = least(1, budget*w / tokens) as IEEE doubles,
+    // md5 bound = round(rate * 2^32) rendered %08x (rate 1 -> the
+    // always-true 'zzzzzzzz' bucket, same as sampleByHash)
+    "q_token_mixture" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+        |    AS n_tok
+        | FROM documents),
+        |tot AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS t
+        |        FROM tok GROUP BY source),
+        |rates AS (SELECT source,
+        |  least(CAST(1 AS DOUBLE), CAST(4000 AS DOUBLE) *
+        |   (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |     WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125 END) / t)
+        |   AS rate
+        | FROM tot
+        | WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+        |SELECT k.doc_id, k.source
+        |FROM tok k JOIN rates r ON k.source = r.source
+        |WHERE CASE
+        | WHEN CAST(round(r.rate * 4294967296.0) AS BIGINT) >= 4294967296
+        |  THEN TRUE
+        | ELSE substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8) <
+        |  printf('%08x', CAST(round(r.rate * 4294967296.0) AS BIGINT))
+        |END""".stripMargin,
 
     "q_winsorize" ->
       """WITH p AS (

@@ -1191,6 +1191,28 @@ object Similarity {
     df.withColumn(outCol, rot(col(vecCol)))
   }
 
+  /** Persist an OPQ rotation as parquet (one row per output dim with
+    * its direction as array&lt;double&gt;) — train once, rotate anywhere;
+    * doubles round-trip parquet bit-exactly, so saved-then-loaded
+    * rotations produce byte-identical codes. */
+  def saveOpqRotation(spark: SparkSession, rotation: Array[Array[Double]],
+                      path: String): Unit = {
+    import spark.implicits._
+    rotation.indices.map(r => (r, rotation(r).toSeq))
+      .toDF("row_idx", "direction")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a rotation written by [[saveOpqRotation]] (dim rows —
+    * model-sized, driver-bounded by construction). */
+  def loadOpqRotation(spark: SparkSession, path: String)
+      : Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("row_idx"), col("direction"))
+      .as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+  }
+
   /**
    * PQ top-k in the OPQ-rotated space: rotate corpus and queries by a
    * shared [[opqRotation]], train the codebook and ADC-score there,

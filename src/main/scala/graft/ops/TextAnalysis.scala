@@ -351,6 +351,41 @@ object TextAnalysis {
     }
 
   /**
+   * Token-budget mixture rates — the "assemble an N-token mix: 50%
+   * web, 25% code, …" step of corpus construction. For each (class,
+   * weight): rate = min(1, budget·weight / class_tokens). Classes
+   * only DOWNSAMPLE — a deficit class caps at rate 1 and lands under
+   * its target share (upsampling means duplication, an epoch policy
+   * for the caller, not a sampler's job); classes without a weight
+   * row rate 0. Feed the result straight to [[mixtureSample]] for
+   * the content-deterministic keep decision — because that sampler
+   * is nested, re-budgeting between corpus builds only adds or
+   * removes the delta.
+   *
+   * Scale: one map-side-combined aggregate bounded by class
+   * cardinality; the driver holds |weights| rate scalars. Same
+   * corpus + budget + weights ⇒ bit-identical rates (IEEE ops over
+   * exact long counts).
+   */
+  def mixtureRates(df: DataFrame, clsCol: String, tokenCol: String,
+                   budget: Long, weights: Seq[(String, Double)])
+      : Seq[(String, Double)] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be non-empty and non-negative")
+    val totals = df.groupBy(col(clsCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.map { case (c, w) =>
+      val avail = totals.getOrElse(c, 0L)
+      val rate =
+        if (avail <= 0 || w <= 0) 0.0
+        else math.min(1.0, budget.toDouble * w / avail.toDouble)
+      c -> rate
+    }
+  }
+
+  /**
    * Frequency-ordered token vocabulary: the top `maxSize` whitespace
    * tokens by (count DESC, token ASC), with token_id = rank position —
    * the dictionary half of a tokenizer pipeline. Deterministic by

@@ -1619,6 +1619,27 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("mixtureRates: deficit caps at 1, proportional else, absent -> 0") {
+    import graft.ops.TextAnalysis
+    // class a: 100 tokens, class b: 400 tokens
+    val df = Seq(("a", 60), ("a", 40), ("b", 150), ("b", 250))
+      .toDF("cls", "tok")
+    val r = TextAnalysis.mixtureRates(df, "cls", "tok", budget = 400L,
+      weights = Seq("a" -> 0.5, "b" -> 0.5, "c" -> 0.1)).toMap
+    // a's share (200) exceeds its 100 tokens -> cap 1; b: 200/400;
+    // c has no rows -> 0
+    assert(r == Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.0), r.toString)
+    // applying the rates through mixtureSample keeps ALL of the
+    // capped class (rate 1 = the always-true bucket)
+    val kept = df.filter(TextAnalysis.mixtureSample(col("tok"),
+      col("cls"), TextAnalysis.mixtureRates(df, "cls", "tok", 400L,
+        Seq("a" -> 0.5, "b" -> 0.5))))
+    assert(kept.filter(col("cls") === "a").count() == 2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mixtureRates(df, "cls", "tok", 0L, Seq("a" -> 1.0))
+    }
+  }
+
   test("hashSampleK: exact per-group counts, nested budgets, stable") {
     import graft.ops.Ranking
     val df = (1L to 300L).map(i => (i, s"src${i % 3}"))
@@ -1970,6 +1991,17 @@ class OpsSpec extends SparkSpec {
       val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
       val expect = if (i == j) 1.0 else 0.0
       assert(math.abs(d - expect) < 1e-6, s"R not orthonormal at ($i,$j): $d")
+    }
+    // parquet round-trip is bit-exact (train once, rotate anywhere)
+    val rotDir = java.nio.file.Files
+      .createTempDirectory("graft_opq_rot").toString
+    try {
+      Similarity.saveOpqRotation(spark, rot, rotDir)
+      val loaded = Similarity.loadOpqRotation(spark, rotDir)
+      assert(loaded.map(_.toSeq).toSeq == rot.map(_.toSeq).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(rotDir))
     }
 
     val queries = df.filter(col("vec_id") % 30 === 0)
