@@ -310,6 +310,20 @@ object SparkEntry {
       Audits.expressionDistribution(t(s, dir, "events"),
         col("value") > 50.0)),
 
+    // lossless blocked Levenshtein self-join (Ed-Join rarest-prefix
+    // candidates + banded verify) on a customer-name subset — every
+    // pair within 2 edits, oracle = the plain quadratic form
+    "q_edit_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 4 === 0)
+      val a = c.select(col("c_custkey").as("a_id"),
+        col("c_name").as("a_name"))
+      val b = c.select(col("c_custkey").as("b_id"),
+        col("c_name").as("b_name"))
+      graft.operators.EditJoin.editJoin(
+        a, "a_id", "a_name", b, "b_id", "b_name", maxDist = 2)
+        .filter(col("a_id") < col("b_id"))
+    }),
+
     // J6: trigram fuzzy KNN + greedy 1:1 (no SQL oracle: iterative).
     // Source = perturbed document snippets (e→3 leetspeak); the fuzzy
     // matcher should re-link most of them to their original document.
@@ -664,6 +678,26 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(bmRank, priorRank), "qid", "doc_id")
     }),
 
+    // retrieval-quality eval: a longest-doc-first run per query term
+    // scored against containment-derived graded qrels (rel 2 for en
+    // docs, 1 otherwise) — recall@10 / MRR@10 / nDCG@10 per query
+    "q_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq((1L, "the"), (2L, "data"), (3L, "der"))
+      val cand = terms.map { case (qid, term) =>
+        docs.filter(col("text").contains(term))
+          .select(lit(qid).as("qid"), col("doc_id"),
+            col("n_chars").cast("double").as("score"),
+            (lit(1) + when(col("lang") === "en", 1).otherwise(0)).as("rel"))
+      }.reduce(_ unionAll _)
+      val run = graft.ops.Ranking.groupedTopK(cand, Seq("qid"),
+        Seq(col("score").desc, col("doc_id").asc), k = 20)
+        .select(col("qid"), col("doc_id"), col("score"))
+      val qrels = cand.select(col("qid"), col("doc_id"), col("rel"))
+      Retrieval.evalRanking(run, "qid", "doc_id", "score",
+        qrels, "rel", k = 10)
+    }),
+
     // PageRank centrality (3 iterations) over the supplier→part supply
     // graph — the authority signal a web-corpus pipeline weights
     // documents by; per-iteration DECIMAL sums + rounding make the
@@ -781,6 +815,21 @@ object SparkEntry {
           (-col("l_suppkey").cast("long")).as("src"),
           col("l_partkey").cast("long").as("dst")),
         "src", "dst", iterations = 2)),
+
+    // per-node triangle counts on the co-purchase projection graph
+    // (parts sharing an order form a clique — every ≥3-item order
+    // contributes triangles); degree-ordered orientation bounds hub
+    // fan-out, oracle uses the orientation-free id-order form
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+      val e = li
+        .join(li.select(col("l_orderkey"), col("p").as("p2")), "l_orderkey")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.ops.Graphs.triangleCount(e, "src", "dst")
+    }),
 
     // Matryoshka truncation: 64 → 16 dims + exact L2 renormalize,
     // exploded to (vec_id, i, v) scalar rows for hash verification
@@ -1675,6 +1724,14 @@ object SparkEntry {
         | END AS point_wkt
         |FROM base""".stripMargin,
 
+    "q_edit_join" ->
+      """WITH c AS (
+        | SELECT c_custkey, c_name FROM customer WHERE c_custkey % 4 = 0)
+        |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
     "q_exact_match" ->
       """WITH cand AS (
         | SELECT e.event_id, c.c_custkey AS tid, 1 AS grp FROM events e
@@ -2445,6 +2502,25 @@ object SparkEntry {
 
     "q_labelprop" -> labelPropOracle,
 
+    "q_triangles" ->
+      """WITH li AS (
+        | SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+        | FROM lineitem WHERE l_orderkey % 7 = 0),
+        |e AS (
+        | SELECT DISTINCT a.p AS a, b.p AS b
+        | FROM li a JOIN li b
+        |   ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |tri AS (
+        | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM e e1 JOIN e e2 ON e2.a = e1.b
+        | WHERE EXISTS (SELECT 1 FROM e e3
+        |               WHERE e3.a = e1.a AND e3.b = e2.b)),
+        |corners AS (
+        | SELECT x AS node FROM tri
+        | UNION ALL SELECT y FROM tri
+        | UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS triangles FROM corners GROUP BY node""".stripMargin,
+
     "q_mrl_truncate" ->
       """WITH s AS (
         | SELECT vec_id,
@@ -3108,6 +3184,47 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
 
     "q_rrf" -> rrfOracle,
+
+    "q_retrieval_eval" ->
+      """WITH q(qid, term) AS (VALUES (1, 'the'), (2, 'data'), (3, 'der')),
+        |cand AS (
+        | SELECT CAST(q.qid AS BIGINT) AS qid, d.doc_id,
+        |        CAST(d.n_chars AS DOUBLE) AS score,
+        |        CAST(1 + CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END
+        |             AS DOUBLE) AS rel
+        | FROM q JOIN documents d ON contains(d.text, q.term)),
+        |run AS (
+        | SELECT qid, doc_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, doc_id ASC) AS rnk
+        | FROM cand QUALIFY rnk <= 20),
+        |ranked AS (SELECT qid, doc_id, rnk FROM run WHERE rnk <= 10),
+        |rel AS (
+        | SELECT qid, doc_id, rel,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY rel DESC, doc_id ASC) AS i
+        | FROM cand),
+        |base AS (
+        | SELECT qid, count(*) AS n_rel,
+        |   sum(CASE WHEN i <= 10 THEN
+        |     CAST(round((power(CAST(2 AS DOUBLE), rel) - 1)
+        |       / log2(i + 1), 7) AS DECIMAL(18,7)) END) AS idcg
+        | FROM rel GROUP BY qid),
+        |hits AS (
+        | SELECT r.qid, count(*) AS hits,
+        |   sum(CAST(round((power(CAST(2 AS DOUBLE), rel.rel) - 1)
+        |     / log2(r.rnk + 1), 7) AS DECIMAL(18,7))) AS dcg,
+        |   max(round(CAST(1 AS DOUBLE) / r.rnk, 7)) AS rr
+        | FROM ranked r JOIN rel
+        |   ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+        | GROUP BY r.qid)
+        |SELECT b.qid, b.n_rel,
+        |  coalesce(h.hits, 0) AS hits,
+        |  round(coalesce(h.hits, 0) / b.n_rel, 6) AS recall,
+        |  coalesce(h.rr, CAST(0 AS DOUBLE)) AS mrr,
+        |  round(CAST(coalesce(h.dcg, 0) AS DOUBLE)
+        |    / CAST(b.idcg AS DOUBLE), 6) AS ndcg
+        |FROM base b LEFT JOIN hits h ON h.qid = b.qid""".stripMargin,
 
     "q_table_diff" ->
       """WITH b AS (

@@ -136,4 +136,69 @@ object Graphs {
     e.unpersist()
     labels
   }
+
+  /**
+   * Exact per-node triangle counts on an undirected (multi)edge list —
+   * the clustering-coefficient / community-density signal a web-graph
+   * quality pipeline reads per host (spam farms are triangle-sparse;
+   * organic link neighborhoods are triangle-dense).
+   *
+   * Semantics: the input is canonicalized to a SIMPLE undirected graph
+   * (self-loops dropped, parallel/reversed duplicates collapse), and
+   * each triangle {a,b,c} contributes 1 to each of its three corners.
+   * Nodes in no triangle are absent from the output.
+   *
+   * Scale shape (the MapReduce triangle-counting result of Suri &
+   * Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+   * Reducer"): edges are ORIENTED from the endpoint with lower
+   * (degree, id) to the higher, which bounds every node's out-degree
+   * by O(sqrt(m)) — a 10M-degree web hub emits wedges from its
+   * (small-out-degree) neighbors instead of pairing its own neighbor
+   * list quadratically in one task. Wedge generation is then one
+   * equi-join of the oriented list with itself on the middle vertex,
+   * and triangle closure one left-semi equi-join back against the
+   * oriented list; each triangle materializes exactly once (its
+   * orientation-order is unique). Per-corner counts are a map-side-
+   * combined aggregate over the exploded corners — no window, no
+   * driver collect. The triangle SET is orientation-independent, so
+   * the oracle can use the simpler id-order orientation and match
+   * hash-exactly.
+   *
+   * Output: (node, triangles); the returned frame is persisted
+   * (caller may unpersist after consuming), same contract as
+   * [[pageRank]].
+   */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+    // total order (degree, id): orient a->b iff a precedes b under it
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("x"), col("b").as("y")))
+          .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .persist()
+    oriented.count() // materialize once; read three times below
+    val wedges = oriented
+      .join(oriented.select(col("x").as("y"), col("y").as("z")), "y")
+    val triangles = wedges
+      .join(oriented.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
+    val counts = triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .persist()
+    counts.count() // materialize before releasing the oriented list
+    oriented.unpersist()
+    counts
+  }
 }

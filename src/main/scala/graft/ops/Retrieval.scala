@@ -186,6 +186,73 @@ object Retrieval {
         col("_s").cast("double").as("rrf_score"))
   }
 
+  /**
+   * Offline ranking-quality evaluation of a retrieval run against a
+   * relevance-judgment set (qrels): per-query recall@k, MRR@k and
+   * nDCG@k — the IR evaluation triple, TREC conventions (graded gains
+   * `2^rel − 1`, `log2(rank+1)` position discount, a query is scored
+   * only if it has at least one relevant judgment).
+   *
+   * `run` is a search RESULT (qid, doc, score): top-k-per-query by
+   * construction, so the per-query rank window sorts partitions
+   * bounded by the run depth — and `qrels` is a judgment set, bounded
+   * per query by labeling budget, so its ideal-order window is
+   * equally safe. Neither is corpus-scale. Rows of `qrels` with
+   * rel <= 0 are ignored (explicit negatives).
+   *
+   * Cross-engine float discipline (hash-exact like [[bm25TopK]]):
+   * every per-hit term (gain/log2 discount, 1/rank) rounds to 7
+   * decimals and sums as DECIMAL(18,7) — order-free — and the final
+   * per-query ratios round to 6. `pow(2, rel)` on small integral rel
+   * is IEEE-exact on both engines; log2's possible last-ulp
+   * difference is absorbed by the 7-decimal term rounding.
+   *
+   * Output: (qid, n_rel, hits, recall, mrr, ndcg) — one row per query
+   * with >= 1 relevant judgment; a query whose run retrieved nothing
+   * relevant scores 0 across the board (standard trec_eval behavior).
+   */
+  def evalRanking(run: DataFrame, qidCol: String, docCol: String,
+                  scoreCol: String, qrels: DataFrame, relCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rel = qrels.filter(col(relCol) > 0)
+      .select(col(qidCol), col(docCol),
+        col(relCol).cast("double").as("__rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    val ranked = run.select(col(qidCol), col(docCol), col(scoreCol))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+    val hits = ranked.join(rel, Seq(qidCol, docCol))
+      .groupBy(col(qidCol))
+      .agg(
+        count(lit(1)).as("__hits"),
+        sum(round((pow(lit(2.0), col("__rel")) - 1.0) /
+          log2(col("__rank") + 1), 7).cast("decimal(18,7)")).as("__dcg"),
+        max(round(lit(1.0) / col("__rank"), 7)).as("__rr"))
+    // ideal DCG: the judgment set's own top-k gains (rel desc, doc asc)
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("__rel").desc, col(docCol).asc)
+    val relRanked = rel.withColumn("__i", row_number().over(wi))
+    val base = relRanked
+      .groupBy(col(qidCol))
+      .agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__i") <= k,
+          round((pow(lit(2.0), col("__rel")) - 1.0) /
+            log2(col("__i") + 1), 7).cast("decimal(18,7)"))).as("__idcg"))
+    base.join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        round(coalesce(col("__hits"), lit(0L)) / col("n_rel"), 6)
+          .as("recall"),
+        coalesce(col("__rr"), lit(0.0)).as("mrr"),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)) /
+          col("__idcg").cast("double"), 6).as("ndcg"))
+  }
+
   // persisted candidate-score frames whose plans have been handed to
   // callers; a long-lived session releases them between searches
   private val liveCaches =

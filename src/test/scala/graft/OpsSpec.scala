@@ -819,7 +819,12 @@ class OpsSpec extends SparkSpec {
   }
 
   test("bm25 ranks term-dense short docs first and respects k") {
-    val cachesBefore = spark.sparkContext.getPersistentRDDs.size
+    // track cache identity, not count: Spark's ContextCleaner may
+    // asynchronously unpersist unreferenced cached RDDs left behind by
+    // OTHER suites (PlanAuditSpec constructs eager gates) at any
+    // moment, so a global size comparison is racy — only the entries
+    // bm25 itself adds must be gone after releaseCaches
+    val cachesBefore = spark.sparkContext.getPersistentRDDs.keySet
     val df = Seq(
       (1L, "spark spark spark join"),          // dense in query terms
       (2L, "spark join " + ("pad " * 60).trim), // same terms, long doc
@@ -845,9 +850,11 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
     // cache contract: results consumed → releaseCaches drops the
     // persisted candidate frames; a long-lived session doesn't leak
-    assert(spark.sparkContext.getPersistentRDDs.size > cachesBefore)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachesBefore)
+      .nonEmpty)
     Retrieval.releaseCaches()
-    assert(spark.sparkContext.getPersistentRDDs.size == cachesBefore)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachesBefore)
+      .isEmpty)
   }
 
   test("table diff classifies added/removed/changed with column lists") {
@@ -892,6 +899,78 @@ class OpsSpec extends SparkSpec {
     val top1 = Retrieval.rrfFuse(Seq(a, b), "qid", "doc_id", topK = 1)
       .as[(Long, Long, Double)].collect()
     assert(top1.toSeq.map(_._2) == Seq(10L))
+  }
+
+  test("evalRanking computes recall/mrr/ndcg per query, trec conventions") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val log2_3 = math.log(3) / math.log(2)
+    // q1: rel = {d1:2, d2:1, d3:1}; run = d5(9), d1(8), d2(7); k=2
+    //   -> only d1 hits, at rank 2 (d2 is cut by k)
+    // q2: rel = {d9:1}; run = d5 only -> zero row
+    // q3: run rows but no positive qrels (rel 0 negative) -> absent
+    val run = Seq(
+      (1L, 5L, 9.0), (1L, 1L, 8.0), (1L, 2L, 7.0),
+      (2L, 5L, 1.0), (3L, 7L, 1.0))
+      .toDF("qid", "doc_id", "score")
+    val qrels = Seq(
+      (1L, 1L, 2), (1L, 2L, 1), (1L, 3L, 1),
+      (2L, 9L, 1), (3L, 7L, 0))
+      .toDF("qid", "doc_id", "rel")
+    val out = Retrieval.evalRanking(run, "qid", "doc_id", "score",
+      qrels, "rel", k = 2)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (_, nRel, hits, recall, mrr, ndcg) = out(1L)
+    assert(nRel == 3 && hits == 1)
+    assert(recall == r(1.0 / 3, 6))
+    assert(mrr == 0.5)
+    val dcg = r(3.0 / log2_3, 7)            // gain 2^2-1 at rank 2
+    val idcg = r(3.0, 7) + r(1.0 / log2_3, 7) // rel 2 @1, rel 1 @2
+    assert(ndcg == r(dcg / idcg, 6), s"ndcg $ndcg")
+    assert(out(2L) == ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("edit join finds exactly the brute-force pair set") {
+    import graft.operators.EditJoin
+    // a mix that exercises every path: normal words (gram prefix),
+    // short strings below the run bound (length replication), the
+    // empty string, repetitive low-entropy strings, near-duplicates
+    val words = Seq(
+      "kitten", "sitting", "kitchen", "mitten", "mittens", "bitten",
+      "abcdefghij", "abcdefghix", "xbcdefghij", "zzzzzzzzzz",
+      "aaaaaaaaaaaa", "aaaabaaaaaaa", "abababababab",
+      "ab", "abc", "ba", "b", "", "xy", "xyz",
+      "the quick brown fox", "the quick brown fax", "a quick brown fox")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "s")
+    val a = df.select(col("id").as("a_id"), col("s").as("a_s"))
+    val b = df.select(col("id").as("b_id"), col("s").as("b_s"))
+    for (k <- Seq(1, 2, 3)) {
+      val got = EditJoin.editJoin(a, "a_id", "a_s", b, "b_id", "b_s", k)
+        .filter(col("a_id") < col("b_id"))
+        .as[(Long, Long, Int)].collect().toSet
+      val want = a.crossJoin(b)
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_s"), col("b_s")).as("d"))
+        .filter(col("d") <= k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want,
+        s"k=$k missing=${want -- got} extra=${got -- want}")
+      assert(got.nonEmpty)
+    }
+    // cross-frame flavor with q=3, layout-shuffled input
+    val got3 = EditJoin.editJoin(a.repartition(7), "a_id", "a_s",
+      b.repartition(5), "b_id", "b_s", maxDist = 2, q = 3)
+      .filter(col("a_id") < col("b_id"))
+      .as[(Long, Long, Int)].collect().toSet
+    val want2 = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_s"), col("b_s")).as("d"))
+      .filter(col("d") <= 2).as[(Long, Long, Int)].collect().toSet
+    assert(got3 == want2)
   }
 
   test("pagerank matches hand-computed iterations and is layout-stable") {
@@ -1185,6 +1264,29 @@ class OpsSpec extends SparkSpec {
       "labelPropagation must not use a per-node window for its argmax")
     assert(plan.contains("min_by"),
       "expected the min_by(label, struct(-count, label)) aggregate")
+  }
+
+  test("triangle counts: cliques, bowties, multi-edge collapse, layout") {
+    import graft.ops.Graphs
+    // K4: 4 triangles, every node corners 3 of them; pendant 5-1 joins
+    // none; self-loops and parallel/reversed duplicates collapse
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((2L, 1L), (1L, 1L), (5L, 1L), (1L, 5L)))
+      .toDF("src", "dst")
+    val r = Graphs.triangleCount(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r.toString)
+    // bowtie {1,2,3} + {1,4,5}: the shared corner counts both
+    val bow = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L), (1L, 5L))
+      .toDF("src", "dst")
+    val rb = Graphs.triangleCount(bow, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(rb == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    val rb2 = Graphs.triangleCount(bow.repartition(7), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(rb2 == rb)
   }
 
   test("mrl truncation renormalizes the slice and guards zero vectors") {
