@@ -314,7 +314,7 @@ object SparkEntry {
     // candidates + banded verify) on a customer-name subset — every
     // pair within 2 edits, oracle = the plain quadratic form
     "q_edit_join" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_custkey") % 4 === 0)
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 8 === 0)
       val a = c.select(col("c_custkey").as("a_id"),
         col("c_name").as("a_name"))
       val b = c.select(col("c_custkey").as("b_id"),
@@ -1726,7 +1726,7 @@ object SparkEntry {
 
     "q_edit_join" ->
       """WITH c AS (
-        | SELECT c_custkey, c_name FROM customer WHERE c_custkey % 4 = 0)
+        | SELECT c_custkey, c_name FROM customer WHERE c_custkey % 8 = 0)
         |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
         |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
