@@ -489,6 +489,18 @@ object SparkEntry {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Queries, 10)),
 
+    // persisted BM25 inverted index (term-bucketed postings + bloom
+    // filters): save once, search without re-tokenizing the corpus —
+    // bit-identical to q_bm25, so it shares that oracle
+    "q_bm25_indexed" -> ((s, dir) => {
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bm25_${tmpToken(dir)}").getAbsolutePath
+      Retrieval.saveBm25Index(t(s, dir, "documents"), "doc_id", "text",
+        idx, nBuckets = 16)
+      Retrieval.bm25TopKIndexed(s, idx, "doc_id", Bm25Queries, k = 10)
+    }),
+
     // PMI collocations: top-50 bigrams by pointwise mutual information
     // (the phrase-detection statistic) — rounded-PMI ordering with a
     // gram tiebreak keeps ranks engine-exact
@@ -3182,6 +3194,11 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "q_bm25" -> bm25Oracle,
+
+    // the indexed route is bit-identical to the direct route by
+    // construction (one scoring kernel, corpus-wide stats at save
+    // time), so it verifies against the same SQL
+    "q_bm25_indexed" -> bm25Oracle,
 
     "q_rrf" -> rrfOracle,
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -96,10 +96,7 @@ object Retrieval {
       .head().toSeq.map(_.asInstanceOf[Long].toDouble).toArray
     val avgdl = sumDl / nDocs
 
-    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, q) =>
-      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (qid, t))
-    }
+    val qTerms = splitQueryTerms(queries)
     val termSet = qTerms.map(_._2).distinct
 
     // inverted-index access path: explode → keep only query terms → tf.
@@ -114,6 +111,124 @@ object Retrieval {
     // document frequency per term — tiny (≤ |terms| rows), broadcast back
     val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+    val out = scoreTopK(tf, dfPerTerm, qTerms,
+      queries.map(_._1).distinct, nDocs, avgdl, idCol, k, k1, b)
+    base.unpersist()
+    out
+  }
+
+  private def splitQueryTerms(
+      queries: Seq[(Long, String)]): Seq[(Long, String)] =
+    queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+
+  /**
+   * Persist a BM25 inverted index as a STORAGE LAYOUT — the lexical
+   * sibling of [[graft.ops.Similarity.saveIvfPqIndex]]: tokenize the
+   * corpus ONCE, then search any number of query workloads without
+   * re-reading or re-tokenizing 100 TB of text.
+   *
+   * Terms are too many to hive-partition individually, so postings
+   * hash into `nBuckets` term buckets (`<path>/postings/bucket=N/…`):
+   * a query's terms map to at most |terms| buckets, and the bucket
+   * filter prunes INPUT SPLITS — unprobed buckets' files are never
+   * opened. Within a bucket's files a parquet bloom filter on `term`
+   * skips row groups the pushed `term IN (…)` can't match (the
+   * [[Layout.bloomFilterWrite]] face — min/max stats are useless on a
+   * hash-ordered term column). Beside the postings:
+   * `<path>/terms/bucket=N` holds per-term document frequencies
+   * (pruned the same way at query time) and `<path>/stats` the two
+   * corpus scalars + the bucket count, making the layout
+   * self-describing.
+   *
+   * Postings carry (term, id, tf, dl) — dl denormalized per posting
+   * so scoring never joins a doc-lengths table.
+   */
+  def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, nBuckets: Int = 64,
+                    termNdvPerBucket: Long = 1L << 17): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term",
+        termNdvPerBucket.toString)
+      .parquet(s"$path/postings")
+    // df per term from the WRITTEN postings: one read, same bucketing
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/terms")
+    base.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
+      lit(nBuckets).as("n_buckets"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    base.unpersist()
+  }
+
+  /**
+   * BM25 top-k over a [[saveBm25Index]] layout — bit-identical to
+   * [[bm25TopK]] on the same corpus (the scoring/top-k kernel is the
+   * same code; document frequencies and corpus stats were computed
+   * corpus-wide at save time). Reads only the probed term buckets:
+   * the bucket filter is partition pruning (files of other buckets
+   * never open) and the term filter rides the parquet bloom filters
+   * within them.
+   */
+  def bm25TopKIndexed(spark: SparkSession, path: String, idCol: String,
+                      queries: Seq[(Long, String)], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k > 0)
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").cast("long"), col("sum_dl").cast("long"),
+        col("n_buckets").cast("int"))
+      .as[(Long, Long, Int)].head()
+    val (nDocs, sumDl, nBuckets) = stats
+    val avgdl = sumDl.toDouble / nDocs
+    val qTerms = splitQueryTerms(queries)
+    val termSet = qTerms.map(_._2).distinct
+    // bucket ids via the SAME hash expression the writer used
+    // (|termSet| rows through a local plan — driver-bounded)
+    val buckets = termSet.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .as[Long].collect().distinct.sorted
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(termSet: _*))
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val dfPerTerm = spark.read.parquet(s"$path/terms")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(termSet: _*))
+      .select(col("term"), col("df"))
+    scoreTopK(tf, dfPerTerm, qTerms, queries.map(_._1).distinct,
+      nDocs.toDouble, avgdl, idCol, k, k1, b)
+  }
+
+  /** The ONE BM25 scoring + top-k kernel, shared by [[bm25TopK]] and
+    * [[bm25TopKIndexed]] — identical expression tree on both paths, so
+    * the persisted-index route is bit-identical to the direct route.
+    * `tf` must carry (idCol, dl, term, tf); `dfPerTerm` (term, df). */
+  private def scoreTopK(tf: DataFrame, dfPerTerm: DataFrame,
+                        qTerms: Seq[(Long, String)], qids: Seq[Long],
+                        nDocs: Double, avgdl: Double, idCol: String,
+                        k: Int, k1: Double, b: Double): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
     val qt = qTerms.toDF("qid", "term")
 
@@ -131,13 +246,12 @@ object Retrieval {
       .agg(sum(col("_s")).as("_score"))
     // every per-query top-k branch below reads the candidate scores, so
     // persist them (spill-safe, bounded by the candidate set — much
-    // smaller than `base`), materialize, and release the token cache.
+    // smaller than the corpus), materialize, and release upstream.
     // The scored cache must outlive this call (the returned plan reads
     // it); it is registered for caller-driven release via releaseCaches.
     val scored =
       scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
-    base.unpersist()
     liveCaches.add(scored)
 
     // per-query top-k: each branch compiles to TakeOrderedAndProject
@@ -145,7 +259,7 @@ object Retrieval {
     // the scalable top-k physical shape, with no hot-key window.
     // Distinct qids: a caller-repeated qid already merged its terms in
     // `scored`; duplicated branches would duplicate its output rows.
-    queries.map(_._1).distinct.map { qid =>
+    qids.map { qid =>
       scored.filter(col("qid") === qid)
         .orderBy(col("_score").desc, col(idCol).asc)
         .limit(k)

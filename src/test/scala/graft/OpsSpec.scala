@@ -857,6 +857,47 @@ class OpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("persisted BM25 index: bit-equal to direct search, buckets prune") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    try {
+      Retrieval.saveBm25Index(docs, "doc_id", "text", dir, nBuckets = 8)
+      val queries = Seq(7L -> "data spark table", 9L -> "filter")
+      val direct = Retrieval.bm25TopK(docs, "doc_id", "text", queries, 5)
+        .as[(Long, Long, Double)].collect().toSet
+      val indexed = Retrieval
+        .bm25TopKIndexed(spark, dir, "doc_id", queries, 5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(indexed == direct, // bit-equal: ONE scoring kernel
+        s"indexed diverges: ${indexed.size} vs ${direct.size}")
+      Retrieval.releaseCaches()
+      // bucket filter prunes input splits: a 1-bucket probe must not
+      // open the other buckets' files (z-order spec's technique)
+      val all = spark.read.parquet(s"$dir/postings")
+      val totalFiles = all.select(input_file_name()).distinct().count()
+      val want = all.filter(col("bucket") === 0).count()
+      assert(want > 0 && want < all.count())
+      val probed = spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket") === 0)
+      probed.collect()
+      val scans = probed.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.map(_.metrics("numOutputRows").value).sum == want)
+      assert(scans.map(_.metrics("numFiles").value).sum < totalFiles,
+        "bucket filter did not prune input splits")
+      // empty-term and no-hit queries behave like the direct path
+      val oddQ = Seq(1L -> "zzzznotaterm", 2L -> "")
+      val odd = Retrieval.bm25TopKIndexed(spark, dir, "doc_id", oddQ, 5)
+        .as[(Long, Long, Double)].collect()
+      assert(odd.isEmpty)
+      Retrieval.releaseCaches()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("table diff classifies added/removed/changed with column lists") {
     import graft.operators.Audits
     val before = Seq(
