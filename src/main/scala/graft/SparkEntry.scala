@@ -589,6 +589,19 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     }),
 
+    // leakage-proof split: near-dup components assigned to splits as
+    // a unit (split key = component representative), so no test doc
+    // has a near-duplicate in train — the contamination a row-level
+    // hash split cannot prevent
+    "q_split_leakproof" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+      graft.ops.Clusters.leakSafeSplit(
+        docs.select(col("doc_id")), "doc_id", pairs,
+        trainPct = 0.8, validPct = 0.1)
+    }),
+
     // the audit face of cluster dedup: every dropped doc with its
     // surviving representative — what a reviewer actually reads
     "q_dedup_dropped" -> ((s, dir) => {
@@ -1030,6 +1043,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         Seq("source"), "doc_id", k = 30)),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis):
+    // 100 docs picked with probability ∝ length, content-hash uniform
+    // + rounded-score/id tiebreak so the pick is engine-exact
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ops.Ranking.weightedSampleK(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), k = 100)),
+
     // token-budget mixture assembly: 4000-token mix at 50/25/12.5/12.5
     // weights (binary-exact doubles) — src0's share exceeds its supply
     // so it caps at rate 1, unlisted sources drop; keep decision is
@@ -1131,6 +1152,57 @@ object SparkEntry {
         .select(col("doc_id"), col("m.n_words").as("n_words"),
           col("m.dup_word_frac").as("dup_word_frac"),
           col("m.top_bigram_frac").as("top_bigram_frac"))),
+
+    // Gopher document-quality rules: the published MassiveWeb metric
+    // set + keep/drop CASE in one narrow pass. Symbol/bullet/ellipsis
+    // structure is planted deterministically (the fixture text has
+    // none) so every rule fires on some doc
+    "q_gopher_rules" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" ### tail trails off ..."),
+            lit("\n- bullet one\n- bullet two")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit("\nshort trailing thought …")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), planted.as("t2"))
+        .select(col("doc_id"),
+          TextAnalysis.gopherMetrics(col("t2")).as("m"))
+        .select(col("doc_id"), col("m.n_words").as("n_words"),
+          col("m.mean_word_len").as("mean_word_len"),
+          col("m.frac_alpha_words").as("frac_alpha_words"),
+          col("m.symbol_ratio").as("symbol_ratio"),
+          col("m.frac_bullet_lines").as("frac_bullet_lines"),
+          col("m.frac_ellipsis_lines").as("frac_ellipsis_lines"),
+          col("m.n_stopwords").as("n_stopwords"),
+          TextAnalysis.gopherPass(col("m"), minWords = 20,
+            minStopwords = 1).as("keep"))
+    }),
+
+    // C4 line/document cleaning: the published line rules (terminal
+    // punctuation, >=5 words, no "javascript") + document rules
+    // ("lorem ipsum", '{', >=3 surviving lines). The fixture text is
+    // single-line and unpunctuated, so the gate builds a deterministic
+    // 5-line document around it: 3 clean sentences, 1 short line, 1
+    // unpunctuated line, with javascript/lorem planted by doc_id mod —
+    // every rule fires, and the oracle reconstructs the same lines
+    "q_c4_filter" -> ((s, dir) => {
+      val line1 = concat(lit("The opening sentence keeps "),
+        substring(col("text"), 1, 30), lit(" going fine."))
+      val line4 = when(col("doc_id") % 7 === 0,
+        lit("This javascript line would pollute the corpus badly."))
+        .otherwise(lit("Another clean sentence with enough words here!"))
+      val line5 = when(col("doc_id") % 11 === 0,
+        lit("Lorem ipsum dolor sit amet forever."))
+        .otherwise(concat(lit("Closing thoughts from source "),
+          col("source"), lit(" wrap this up?")))
+      val t2 = concat_ws("\n", line1, lit("too short"),
+        lit("unpunctuated line with plenty of words present"),
+        line4, line5)
+      TextAnalysis.c4Filter(
+        t(s, dir, "documents").select(col("doc_id"), t2.as("text")),
+        "doc_id", "text", minLineWords = 5, minLines = 3)
+    }),
 
     // benchmark-contamination check: per held-out doc, max shingle
     // containment against the training corpus
@@ -1993,6 +2065,92 @@ object SparkEntry {
         | END AS top_bigram_frac
         |FROM b""".stripMargin,
 
+    // mirrors gopherMetrics + gopherPass on the same planted text:
+    // every count is reconstructed (words, alpha words, #/.../…
+    // symbols, bullet and ellipsis lines, stopword presence) and the
+    // keep CASE compares the identical rounded doubles
+    "q_gopher_rules" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' ### tail trails off ...'
+        |         || chr(10) || '- bullet one' || chr(10) || '- bullet two'
+        |       WHEN doc_id % 7 = 1 THEN text || chr(10)
+        |         || 'short trailing thought …'
+        |       ELSE text END AS t2
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, trim(t2) AS t,
+        |  string_split_regex(trim(t2), '\s+') AS words,
+        |  string_split(t2, chr(10)) AS lines
+        | FROM p),
+        |x AS (
+        | SELECT doc_id, len(words) AS n,
+        |  list_sum(list_transform(words, w -> length(w))) AS sum_len,
+        |  len(list_filter(words,
+        |    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |  length(t) - length(replace(t, '#', '')) AS n_hash,
+        |  (length(t) - length(replace(t, '...', ''))) // 3 AS n_dots,
+        |  length(t) - length(replace(t, '…', '')) AS n_ell,
+        |  len(lines) AS n_lines,
+        |  len(list_filter(lines,
+        |    l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+        |  len(list_filter(lines,
+        |    l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS n_elll,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    sw -> list_contains(list_transform(words, w -> lower(w)),
+        |      sw))) AS n_stop
+        | FROM m)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+        | round(sum_len / n, 4) AS mean_word_len,
+        | round(n_alpha / n, 4) AS frac_alpha_words,
+        | round((n_hash + n_dots + n_ell) / n, 4) AS symbol_ratio,
+        | round(n_bullet / n_lines, 4) AS frac_bullet_lines,
+        | round(n_elll / n_lines, 4) AS frac_ellipsis_lines,
+        | CAST(n_stop AS INTEGER) AS n_stopwords,
+        | (n >= 20 AND n <= 100000
+        |  AND round(sum_len / n, 4) >= 3.0 AND round(sum_len / n, 4) <= 10.0
+        |  AND round((n_hash + n_dots + n_ell) / n, 4) < 0.1
+        |  AND round(n_alpha / n, 4) >= 0.8
+        |  AND round(n_bullet / n_lines, 4) < 0.9
+        |  AND round(n_elll / n_lines, 4) < 0.3
+        |  AND n_stop >= 1) AS keep
+        |FROM x""".stripMargin,
+
+    // mirrors c4Filter on the same 5 planted lines: line rules
+    // (terminal punct, >=5 words, no "javascript"), then the document
+    // rules on the assembled text ('lorem ipsum', '{', >=3 kept)
+    "q_c4_filter" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  'The opening sentence keeps ' || substring(text, 1, 30)
+        |    || ' going fine.' || chr(10) || 'too short' || chr(10)
+        |    || 'unpunctuated line with plenty of words present'
+        |    || chr(10)
+        |    || CASE WHEN doc_id % 7 = 0
+        |       THEN 'This javascript line would pollute the corpus badly.'
+        |       ELSE 'Another clean sentence with enough words here!' END
+        |    || chr(10)
+        |    || CASE WHEN doc_id % 11 = 0
+        |       THEN 'Lorem ipsum dolor sit amet forever.'
+        |       ELSE 'Closing thoughts from source ' || source
+        |         || ' wrap this up?' END AS t2
+        | FROM documents),
+        |k AS (
+        | SELECT doc_id, t2,
+        |  list_filter(string_split(t2, chr(10)),
+        |   l -> regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |    AND NOT contains(lower(trim(l)), 'javascript')) AS kept,
+        |  len(string_split(t2, chr(10))) AS n_lines
+        | FROM p)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+        | CAST(len(kept) AS INTEGER) AS n_lines_kept,
+        | CAST(n_lines - len(kept) AS INTEGER) AS n_lines_dropped
+        |FROM k
+        |WHERE NOT contains(lower(t2), 'lorem ipsum')
+        | AND NOT contains(t2, '{')
+        | AND len(kept) >= 3""".stripMargin,
+
     "q_contamination" ->
       """WITH sh AS (
         | SELECT doc_id,
@@ -2200,6 +2358,50 @@ object SparkEntry {
         |         FROM reach GROUP BY a)
         |SELECT d.doc_id AS doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+
+    // the cluster CTE of q_cluster_dedup + q_data_split's md5 CASE on
+    // the component representative: every member of a near-dup
+    // cluster draws the same split
+    "q_split_leakproof" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents)
+        | WHERE length(norm) > 0),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.5
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT u, v FROM edges
+        | UNION
+        | SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |  WHERE r.a <> e.v),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+        |         FROM reach GROUP BY a),
+        |asg AS (
+        | SELECT d.doc_id AS doc_id,
+        |  coalesce(c.cid, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        | CASE
+        |  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cd'
+        |   THEN 'train'
+        |  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+        |   THEN 'valid'
+        |  ELSE 'test' END AS split
+        |FROM asg""".stripMargin,
 
     "q_dedup_dropped" ->
       """WITH RECURSIVE sh AS (
@@ -2706,6 +2908,18 @@ object SparkEntry {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
         |FROM documents
         |QUALIFY rank <= 30""".stripMargin,
+
+    // Efraimidis–Spirakis with a content-hash uniform: u from the
+    // first 8 md5 hex digits (DuckDB parses '0x…' casts), score
+    // ln(u)/w rounded to 6 with a doc_id tiebreak — engine-exact
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        | round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |     1, 8) AS BIGINT) + 0.5) / 4294967296.0) / n_chars,
+        |   6) AS score
+        |FROM documents
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
 
     // mirrors mixtureRates + mixtureSample: binary-exact weight
     // literals, rate = least(1, budget*w / tokens) as IEEE doubles,

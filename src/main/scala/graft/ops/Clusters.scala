@@ -199,6 +199,37 @@ object Clusters {
       .drop("__c", "__rn", "cluster_id")
   }
 
+  /**
+   * Leakage-proof train/valid/test split: assign EVERY member of a
+   * near-dup component to the same split, so a test document never has
+   * a near-duplicate in train (the eval-contamination failure mode a
+   * row-level hash split cannot prevent — the two copies hash
+   * independently and straddle the boundary). The split key is the
+   * component representative (min id; the row's own id when unpaired),
+   * pushed through [[graft.ops.TextAnalysis.assignSplit]]'s md5
+   * buckets, so assignment stays deterministic across runs, row order,
+   * and cluster size — and adding documents to a component never moves
+   * the component.
+   *
+   * Scale: the O(log² n) alternating-star component loop plus one
+   * broadcast-sized left join and a narrow md5 CASE; nothing beyond
+   * [[dedupByPairs]]'s plan shape.
+   *
+   * Output: input columns + `cluster_id` (the representative) +
+   * `split`.
+   */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    trainPct: Double = 0.8, validPct: Double = 0.1,
+                    idACol: String = "id_a",
+                    idBCol: String = "id_b"): DataFrame = {
+    val assign = connectedComponents(pairs, idACol, idBCol)
+      .withColumnRenamed("id", idCol)
+    df.join(assign, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split", graft.ops.TextAnalysis.assignSplit(
+        col("cluster_id"), trainPct, validPct))
+  }
+
   /** The rows removed by [[dedupByPairs]] with their surviving
     * representative — the audit face of the dedup. */
   def droppedByPairs(df: DataFrame, idCol: String, pairs: DataFrame,

@@ -53,4 +53,38 @@ object Ranking {
                   k: Int): DataFrame =
     groupedTopK(df, groupCols,
       Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc), k)
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement — k rows where
+   * each row's inclusion probability is proportional to its weight
+   * (sample long documents / high-quality sources more often), via
+   * Efraimidis–Spirakis (IPL 2006): every row gets an independent
+   * uniform u and the k largest u^(1/w) win. Ordering by u^(1/w) is
+   * ordering by ln(u)/w (exp/ln are monotone), so the score is the
+   * numerically-tamer ln(u)/w.
+   *
+   * `u` is content-derived — `(first 8 md5 hex digits + 0.5) / 2^32`,
+   * the same hash-uniform trick as [[graft.ops.TextAnalysis
+   * .sampleByHash]] — so the sample is reproducible across runs, row
+   * order, and cluster size, with no RNG seed plumbing. The score is
+   * rounded to 6 decimals with an id tiebreak (the cross-engine float
+   * discipline: an engine's last-ulp `ln` difference cannot flip the
+   * selection).
+   *
+   * Scale: one narrow scoring pass + TakeOrdered(k) — per-partition
+   * top-k heaps merged on the driver, no global sort, no shuffle of
+   * the data. Weights must be positive.
+   *
+   * Output: input columns + `score`, ordered score desc / id asc.
+   */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: Column,
+                      k: Int): DataFrame = {
+    require(k >= 1)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    val score = round(log(u) / weightCol, 6)
+    df.withColumn("score", score)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -911,4 +911,121 @@ object TextAnalysis {
         (col("_sum").cast("double") / col("n_trigrams")).as("avg_logprob"))
       .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
   }
+
+  /**
+   * C4-style line/document cleaning (Raffel et al. 2020, §2.2 — the
+   * public heuristics behind the C4 corpus), re-expressed as array
+   * expressions over the line list — one narrow pass, no UDF, no
+   * shuffle (reference scope: the load-time text cleanup family of
+   * `csv_file.rb`, generalized to web-corpus rules):
+   *
+   *  - line rules (applied to each trimmed line): keep only lines that
+   *    end in terminal punctuation (`.` `!` `?` `"`), have at least
+   *    `minLineWords` whitespace words, and do not contain the word
+   *    "javascript" (case-insensitive);
+   *  - document rules: drop documents whose ORIGINAL text contains
+   *    "lorem ipsum" (boilerplate) or `{` (code), or that retain
+   *    fewer than `minLines` lines after line filtering.
+   *
+   * Returns surviving docs as (id, text = kept lines re-joined with
+   * `\n`, n_lines_kept, n_lines_dropped). The line lambda runs as an
+   * interpreted higher-order function — still a distributed narrow
+   * pass; at 100 TB it scales with input like every other scan-only
+   * operator here.
+   */
+  def c4Filter(df: DataFrame, idCol: String, textCol: String,
+               minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1 && minLines >= 1)
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minLineWords &&
+        !lower(t).contains("javascript")
+    })
+    df.select(col(idCol), col(textCol), kept.as("__kept"),
+        size(lines).as("__n_lines"))
+      .filter(!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{") &&
+        size(col("__kept")) >= minLines)
+      .select(col(idCol), array_join(col("__kept"), "\n").as("text"),
+        size(col("__kept")).as("n_lines_kept"),
+        (col("__n_lines") - size(col("__kept"))).as("n_lines_dropped"))
+  }
+
+  /** The eight Gopher "stop words" whose presence gates a document
+    * (Rae et al. 2021, table A1 rule 7). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher document-quality metrics (Rae et al. 2021, appendix A1.1 —
+   * the public MassiveWeb filter rules), one struct per document from
+   * a single narrow pass:
+   *
+   *  - `n_words` whitespace words; `mean_word_len`;
+   *  - `frac_alpha_words` — share of words containing a letter;
+   *  - `symbol_ratio` — (`#` chars + `...`/`…` occurrences) / words;
+   *  - `frac_bullet_lines` — lines starting with `-` `*` `•`;
+   *  - `frac_ellipsis_lines` — lines ending with `...` or `…`;
+   *  - `n_stopwords` — how many of the eight [[GopherStopwords]]
+   *    appear at least once.
+   *
+   * All fractions are int/int divisions rounded to 4 decimals (the
+   * cross-engine float discipline); empty documents yield zero counts
+   * and null-free zeros so the downstream pass/fail CASE is total.
+   */
+  def gopherMetrics(text: Column): Column = {
+    val t = trim(text)
+    val words = split(t, "\\s+")
+    val n = when(t === "" || text.isNull, lit(0)).otherwise(size(words))
+    val sumLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nDots = floor((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("int")
+    val nEll = length(t) - length(regexp_replace(t, "…", ""))
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val nEllLines = size(filter(lines, l =>
+      trim(l).rlike("(\\.\\.\\.|…)$")))
+    val lowerWords = transform(words, lower(_))
+    val nStop = size(filter(
+      array(GopherStopwords.map(lit): _*),
+      sw => array_contains(lowerWords, sw)))
+    val frac4 = (num: Column, den: Column) =>
+      when(den === 0, lit(0.0)).otherwise(round(num / den, 4))
+    struct(
+      n.as("n_words"),
+      frac4(sumLen, n).as("mean_word_len"),
+      frac4(nAlpha, n).as("frac_alpha_words"),
+      frac4(nHash + nDots + nEll, n).as("symbol_ratio"),
+      frac4(nBullet, nLines).as("frac_bullet_lines"),
+      frac4(nEllLines, nLines).as("frac_ellipsis_lines"),
+      when(n === 0, lit(0)).otherwise(nStop).as("n_stopwords"))
+  }
+
+  /**
+   * The Gopher keep/drop decision over [[gopherMetrics]] — the
+   * published thresholds as one boolean CASE: 50 ≤ words ≤ 100k,
+   * 3 ≤ mean word length ≤ 10, symbol ratio < 0.1, ≥ 80% alphabetic
+   * words, < 90% bullet lines, < 30% ellipsis lines, ≥ 2 stop words.
+   * Thresholds are parameters so corpus-specific tuning stays one
+   * call-site change.
+   */
+  def gopherPass(m: Column, minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanWl: Double = 3.0, maxMeanWl: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 minAlphaFrac: Double = 0.8,
+                 maxBulletFrac: Double = 0.9,
+                 maxEllipsisFrac: Double = 0.3,
+                 minStopwords: Int = 2): Column =
+    m("n_words") >= minWords && m("n_words") <= maxWords &&
+      m("mean_word_len") >= minMeanWl && m("mean_word_len") <= maxMeanWl &&
+      m("symbol_ratio") < maxSymbolRatio &&
+      m("frac_alpha_words") >= minAlphaFrac &&
+      m("frac_bullet_lines") < maxBulletFrac &&
+      m("frac_ellipsis_lines") < maxEllipsisFrac &&
+      m("n_stopwords") >= minStopwords
 }

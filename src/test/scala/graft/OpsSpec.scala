@@ -2325,4 +2325,115 @@ class OpsSpec extends SparkSpec {
     assert(cand < n * (n - 1) / 2 / 20,
       s"LSH candidates $cand not pruning vs ${n * (n - 1) / 2} pairs")
   }
+
+  test("c4Filter applies the published line and document rules") {
+    val good = "This sentence has plenty of words in it."
+    val df = Seq(
+      // survives: 3 clean lines kept, short/unpunct/javascript dropped
+      (1L, s"$good\ntiny line\nno terminal punctuation on this line\n" +
+        s"A javascript mention drops this whole line.\n$good\n$good"),
+      // dropped: only 2 lines survive the line rules
+      (2L, s"$good\n$good"),
+      // dropped: lorem ipsum in the ORIGINAL text (even though the
+      // offending line itself would also be dropped by punctuation)
+      (3L, s"$good\n$good\n$good\nlorem ipsum dolor sit amet"),
+      // dropped: code brace
+      (4L, s"$good\n$good\n$good\nvar x = {}.")
+    ).toDF("id", "t")
+    val out = TextAnalysis.c4Filter(df, "id", "t")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L))
+    val (_, text, kept, dropped) = out.head
+    assert(text == s"$good\n$good\n$good" && kept == 3 && dropped == 3)
+    // case-insensitivity of the javascript rule; quote counts as
+    // terminal punctuation
+    val df2 = Seq((5L, "He said \"stop right there now\"\n" +
+      s"Calling JavaScript from here drops the line.\n$good\n$good")).toDF("id", "t")
+    val o2 = TextAnalysis.c4Filter(df2, "id", "t")
+      .as[(Long, String, Int, Int)].collect()
+    assert(o2.head._3 == 3 && !o2.head._2.toLowerCase.contains("javascript"))
+  }
+
+  test("gopherMetrics counts symbols/lines/stopwords; pass gates") {
+    val text = "The quick brown fox # jumps... over 42 lazy dogs …\n" +
+      "- bullet line here\nplain line trails off ..."
+    val m = Seq((1L, text)).toDF("id", "t")
+      .select(TextAnalysis.gopherMetrics(col("t")).as("m"))
+      .select("m.n_words", "m.mean_word_len", "m.frac_alpha_words",
+        "m.symbol_ratio", "m.frac_bullet_lines", "m.frac_ellipsis_lines",
+        "m.n_stopwords")
+      .as[(Int, Double, Double, Double, Double, Double, Int)].head()
+    // 20 whitespace words; symbols: one '#', two '...' (one inside
+    // 'jumps...'), one '…' = 4
+    assert(m._1 == 20)
+    assert(m._4 == BigDecimal(4.0 / 20).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // words without a letter: '#', '42', '…', '-', '...' → 15 of 20
+    assert(m._3 == BigDecimal(15.0 / 20).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m._5 == BigDecimal(1.0 / 3).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) // 1 of 3 lines bullet
+    assert(m._6 == BigDecimal(2.0 / 3).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) // '…' and '...' enders
+    assert(m._7 == 1) // only 'the'
+    // empty text: all-zero metrics, no nulls
+    val z = Seq((2L, "")).toDF("id", "t")
+      .select(TextAnalysis.gopherMetrics(col("t")).as("m"))
+      .select("m.n_words", "m.mean_word_len", "m.n_stopwords")
+      .as[(Int, Double, Int)].head()
+    assert(z == ((0, 0.0, 0)))
+    // pass: thresholds bind — a clean 60-word doc passes, the symbol-
+    // heavy one fails on symbol_ratio
+    val clean = (1 to 60).map(i => s"word$i the of").mkString(" ")
+    val pass = Seq((1L, clean), (2L, ("### " * 30) + "the of end here"))
+      .toDF("id", "t")
+      .select(col("id"),
+        TextAnalysis.gopherPass(TextAnalysis.gopherMetrics(col("t")))
+          .as("p")).as[(Long, Boolean)].collect().toMap
+    assert(pass(1L) && !pass(2L))
+  }
+
+  test("weightedSampleK: deterministic, weight-proportional, exact k") {
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) 50.0 else 1.0)) // heavy evens, light odds
+    val df = rows.toDF("id", "w")
+    val picked = graft.ops.Ranking.weightedSampleK(df, "id", col("w"), 200)
+      .as[(Long, Double, Double)].collect()
+    assert(picked.length == 200)
+    // 50x weight ⇒ evens dominate (E-S inclusion ∝ weight): expect
+    // ≫ the unweighted 100, allow slack for hash noise
+    val evens = picked.count(_._1 % 2 == 0)
+    assert(evens > 170, s"evens $evens not dominating at 50x weight")
+    // stable across partition layouts and row order
+    val again = graft.ops.Ranking
+      .weightedSampleK(df.repartition(13).orderBy(col("id").desc),
+        "id", col("w"), 200)
+      .as[(Long, Double, Double)].collect()
+    assert(again.map(_._1).toSet == picked.map(_._1).toSet)
+    // k >= n returns everything
+    assert(graft.ops.Ranking.weightedSampleK(df.limit(5), "id", col("w"),
+      100).count() == 5)
+  }
+
+  test("leakSafeSplit keeps near-dup components in one split") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val df = (1L to 12L).toDF("id")
+    val out = graft.ops.Clusters.leakSafeSplit(df, "id", pairs)
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // components collapse to min-id representative
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct == Seq(10L))
+    // all members share the representative's split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    // unpaired rows: own id, own split — identical to the row-level
+    // hash split, so the leak-safe split degrades to it gracefully
+    val solo = byId(7L)
+    assert(solo._2 == 7L)
+    val expected = df.select(col("id"),
+      TextAnalysis.assignSplit(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(solo._3 == expected(7L))
+  }
 }
