@@ -1179,6 +1179,29 @@ object SparkEntry {
             minStopwords = 1).as("keep"))
     }),
 
+    // intra-doc line dedup + Gopher duplicate-line metrics: repeated
+    // boilerplate lines planted (a nav/footer string twice, and the
+    // whole body repeated for doc_id%3==0), first occurrence kept
+    "q_line_dedup" -> ((s, dir) => {
+      val t2 = concat_ws("\n", col("text"),
+        lit("subscribe to our newsletter"),
+        substring(col("text"), 1, 25),
+        lit("subscribe to our newsletter"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(lit("closing line for doc "),
+            col("doc_id").cast("string"))))
+      TextAnalysis.dedupLinesWithMetrics(
+        t(s, dir, "documents").select(col("doc_id"), t2.as("text")),
+        "doc_id", "text")
+    }),
+
+    // character-distribution entropy (bits/char): the cheap gibberish
+    // detector — explode collapses map-side to docs×alphabet rows,
+    // p·log2(p) through the round-12 DECIMAL sum
+    "q_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id",
+        "text")),
+
     // C4 line/document cleaning: the published line rules (terminal
     // punctuation, >=5 words, no "javascript") + document rules
     // ("lorem ipsum", '{', >=3 surviving lines). The fixture text is
@@ -1422,6 +1445,20 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         emb, emb.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // hard-negative mining: top-k nearest NON-relevant vectors per
+    // query (qrels = matching residues mod 7), ranks dense after the
+    // exclusion — the near-miss training examples for a dual encoder
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+      val qrels = queries.select(col("vec_id").as("query_id"))
+        .join(emb.select(col("vec_id").as("rel_id")),
+          col("rel_id") % 7 === col("query_id") % 7)
+      Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+          qrels, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -2115,6 +2152,50 @@ object SparkEntry {
         |  AND round(n_elll / n_lines, 4) < 0.3
         |  AND n_stop >= 1) AS keep
         |FROM x""".stripMargin,
+
+    // mirrors dedupLinesWithMetrics: keep-first via 1-based
+    // list_position == index, both fractions as int/int divisions
+    "q_line_dedup" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  text || chr(10) || 'subscribe to our newsletter' || chr(10)
+        |   || substring(text, 1, 25) || chr(10)
+        |   || 'subscribe to our newsletter' || chr(10)
+        |   || CASE WHEN doc_id % 3 = 0 THEN text
+        |      ELSE 'closing line for doc ' || CAST(doc_id AS VARCHAR)
+        |      END AS t2
+        | FROM documents),
+        |l AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM p),
+        |f AS (
+        | SELECT doc_id, ls,
+        |  list_filter(list_transform(ls, (x, i) -> {'l': x, 'i': i}),
+        |    s -> list_position(ls, s.l) = s.i) AS fs
+        | FROM l)
+        |SELECT doc_id,
+        | array_to_string(list_transform(fs, s -> s.l), chr(10)) AS text,
+        | CAST(len(ls) AS INTEGER) AS n_lines,
+        | round((len(ls) - len(fs)) / len(ls), 4) AS dup_line_frac,
+        | CASE WHEN list_sum(list_transform(ls, x -> length(x))) = 0
+        |  THEN 0.0
+        |  ELSE round((list_sum(list_transform(ls, x -> length(x)))
+        |    - list_sum(list_transform(fs, s -> length(s.l))))
+        |    / list_sum(list_transform(ls, x -> length(x))), 4)
+        |  END AS dup_char_frac
+        |FROM f""".stripMargin,
+
+    // mirrors charEntropy: same grouped counts, p·log2(p) rounded to
+    // 12 through an order-free DECIMAL sum, entropy rounded to 6
+    "q_char_entropy" ->
+      """WITH c AS (
+        | SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        | FROM documents),
+        |cf AS (SELECT doc_id, ch, count(*) AS k FROM c
+        |       WHERE ch <> '' GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(k) AS n FROM cf GROUP BY 1)
+        |SELECT cf.doc_id AS doc_id, CAST(n.n AS BIGINT) AS n_chars_counted,
+        | round(-CAST(sum(CAST(round((k / n.n) * log2(k / n.n), 12)
+        |   AS DECIMAL(20,12))) AS DOUBLE), 6) AS entropy
+        |FROM cf JOIN n USING (doc_id) GROUP BY 1, 2""".stripMargin,
 
     // mirrors c4Filter on the same 5 planted lines: line rules
     // (terminal punct, >=5 words, no "javascript"), then the document
@@ -3257,6 +3338,28 @@ object SparkEntry {
         |   sqrt(list_aggregate(list_transform(generate_series(1, len(v.e)),
         |    i -> v.e[i] * v.e[i]), 'sum'))) AS cosine
         | FROM q JOIN v ON q.query_id <> v.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // q_embed_topk's kernel with the qrels exclusion (and self-pair)
+    // applied BEFORE ranking, so negatives rank dense 1..k
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 20 = 0),
+        |scored AS (
+        | SELECT q.query_id, v.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(q.qe)),
+        |    i -> q.qe[i] * v.e[i]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(generate_series(1, len(q.qe)),
+        |    i -> q.qe[i] * q.qe[i]), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(generate_series(1, len(v.e)),
+        |    i -> v.e[i] * v.e[i]), 'sum'))) AS cosine
+        | FROM q JOIN v ON q.query_id <> v.vec_id
+        |  AND v.vec_id % 7 <> q.query_id % 7),
         |ranked AS (SELECT query_id, neighbor_id,
         |  row_number() OVER (PARTITION BY query_id
         |                     ORDER BY cosine DESC, neighbor_id ASC) AS rank

@@ -112,6 +112,40 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for retrieval/contrastive training: for each
+   * query, the k HIGHEST-cosine corpus vectors that are NOT relevant
+   * (per `qrels`) — the near-miss examples a dual encoder or reranker
+   * trains against (random negatives are too easy; the hard ones sit
+   * just past the relevant set). Ranks are assigned AFTER the
+   * exclusion, so the output is a dense 1..k per query.
+   *
+   * `qrels` carries (query_id, rel_id); self-pairs are always
+   * excluded. Scale: the scoring pass is [[bruteForceTopK]]'s
+   * broadcast-queries kernel (swap in the IVF/PQ shortlist for large
+   * corpora); the exclusion is one anti-join on (query, neighbor) —
+   * qrels is judgment-sized (human labels), so Catalyst broadcasts
+   * it. Output: (query_id, neighbor_id, rank, cosine).
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, qrels: DataFrame,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(qrels.select(col("query_id"), col("rel_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /**
    * Margin-based bitext mining (Artetxe & Schwenk 2019, ratio
    * margin): align two embedding sets (source/target language) by
    * scoring each forward nearest-neighbor candidate against how

@@ -953,6 +953,76 @@ object TextAnalysis {
         (col("__n_lines") - size(col("__kept"))).as("n_lines_dropped"))
   }
 
+  /**
+   * Intra-document line dedup + the Gopher duplicate-line metrics
+   * (Rae et al. 2021, A1.2): boilerplate pages repeat nav/footer lines
+   * inside one document, and the published filter thresholds both the
+   * duplicate-LINE fraction and the duplicate-line CHARACTER fraction
+   * (long repeated lines matter more than short ones). Keeps the
+   * FIRST occurrence of each exact line, preserving order.
+   *
+   * Pure array expressions (keep-first = `array_position(lines, l) ==
+   * index`), one narrow pass, no shuffle — the 100 TB shape of every
+   * other per-doc metric here. Quadratic in a document's LINE count
+   * (position scan per line), fine where lines-per-doc is bounded;
+   * both fractions are int/int divisions rounded to 4 (the
+   * cross-engine discipline).
+   *
+   * Output: (id, text = deduped lines re-joined, n_lines,
+   * dup_line_frac, dup_char_frac).
+   */
+  def dedupLinesWithMetrics(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val idx = transform(lines, (l, i) =>
+      struct(l.as("l"), i.as("i")))
+    val firsts = filter(idx, s =>
+      array_position(lines, s("l")) === s("i") + 1)
+    val sumLen = (a: Column) => aggregate(a, lit(0),
+      (acc, s) => acc + length(s("l")))
+    df.select(col(idCol), lines.as("__ls"), idx.as("__ix"),
+        firsts.as("__fs"))
+      .select(col(idCol),
+        array_join(transform(col("__fs"), _("l")), "\n").as("text"),
+        size(col("__ls")).as("n_lines"),
+        round((size(col("__ls")) - size(col("__fs"))) /
+          size(col("__ls")), 4).as("dup_line_frac"),
+        when(sumLen(col("__ix")) === 0, lit(0.0))
+          .otherwise(round((sumLen(col("__ix")) - sumLen(col("__fs"))) /
+            sumLen(col("__ix")), 4)).as("dup_char_frac"))
+  }
+
+  /**
+   * Character-distribution Shannon entropy (bits/char) — the cheap
+   * gibberish detector: natural language sits ~3.5–4.5 bits, repeated
+   * filler and base64/hex blobs fall outside. Explode → count is the
+   * scale shape: a document's characters sit in one input row, so
+   * map-side partial aggregation collapses them to (doc, distinct
+   * char) pairs before any shuffle — network volume is docs×alphabet,
+   * not corpus characters. The p·log2(p) terms go through the
+   * round-12 DECIMAL sum (order-free ⇒ bit-identical on any cluster
+   * layout and in the oracle), final entropy rounded to 6.
+   *
+   * Output: (id, n_chars_counted, entropy).
+   */
+  def charEntropy(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val chars = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .filter(col("__c") =!= "")
+    val cnt = chars.groupBy(col(idCol), col("__c"))
+      .agg(count(lit(1)).as("__k"))
+    val p = col("__k") / col("__n")
+    val term = round(p * log(2.0, p), 12).cast("decimal(20,12)")
+    cnt
+      .withColumn("__n", sum(col("__k"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("n_chars_counted"),
+        round(-sum(term).cast("double"), 6).as("entropy"))
+  }
+
   /** The eight Gopher "stop words" whose presence gates a document
     * (Rae et al. 2021, table A1 rule 7). */
   val GopherStopwords: Seq[String] =

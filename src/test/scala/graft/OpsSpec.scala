@@ -2415,6 +2415,60 @@ class OpsSpec extends SparkSpec {
       100).count() == 5)
   }
 
+  test("dedupLinesWithMetrics keeps first occurrence, exact fractions") {
+    val df = Seq(
+      (1L, "nav bar\nreal content here\nnav bar\nmore content\nnav bar"),
+      (2L, "alpha\nbeta\ngamma")).toDF("id", "t")
+    val out = TextAnalysis.dedupLinesWithMetrics(df, "id", "t")
+      .as[(Long, String, Int, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val d1 = out(1L)
+    // order preserved, duplicates gone
+    assert(d1._2 == "nav bar\nreal content here\nmore content")
+    assert(d1._3 == 5 && d1._4 == 0.4) // 2 of 5 lines were repeats
+    // char fraction: 2 repeated 'nav bar' lines = 14 of 56 chars
+    val tot = "nav bar".length * 3 + "real content here".length +
+      "more content".length
+    assert(d1._5 == BigDecimal(14.0 / tot).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val d2 = out(2L)
+    assert(d2._2 == "alpha\nbeta\ngamma" && d2._4 == 0.0 && d2._5 == 0.0)
+  }
+
+  test("charEntropy: exact bits for uniform distributions") {
+    val df = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa")).toDF("id", "t")
+    val out = TextAnalysis.charEntropy(df, "id", "t")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 1.0)))   // two chars, p=1/2 each
+    assert(out(2L) == ((2L, 4L, 2.0)))   // four chars, p=1/4 each
+    assert(out(3L)._3 == 0.0)            // degenerate: one symbol
+    // partition-layout invariance (the DECIMAL sum is order-free)
+    val big = (1L to 50L).map(i => (i, s"text sample number $i with spread"))
+      .toDF("id", "t")
+    val a = TextAnalysis.charEntropy(big, "id", "t")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = TextAnalysis.charEntropy(big.repartition(7), "id", "t")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("hardNegatives excludes qrels and ranks densely after") {
+    import graft.ops.Similarity
+    // query 0 at e0; corpus: 1 (relevant, nearest), 2, 3, 4 at
+    // decreasing alignment — with 1 excluded the negatives are 2,3,4
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0)), (1L, v(0.99, 0.14)), (2L, v(0.9, 0.44)),
+      (3L, v(0.7, 0.71)), (4L, v(0.1, 0.99))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0L)
+    val qrels = Seq((0L, 1L)).toDF("query_id", "rel_id")
+    val out = Similarity.hardNegatives(emb, queries, "vec_id",
+        "embedding", qrels, k = 3)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 4L))
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3)) // dense after exclusion
+  }
+
   test("leakSafeSplit keeps near-dup components in one split") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val df = (1L to 12L).toDF("id")
