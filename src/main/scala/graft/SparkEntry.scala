@@ -1329,6 +1329,28 @@ object SparkEntry {
       TextAnalysis.bpeMergesDf(s, merges)
     }),
 
+    // unigram-LM (SentencePiece-family) tokenizer trainer: the other
+    // major subword family beside BPE. Same bounded-driver shape as
+    // q_bpe_train — one corpus word-count aggregate, then driver EM
+    // over the bounded word table. Iterative vocabulary state → no
+    // SQL oracle; OpsSpec pins exact parity on a hand-checked corpus
+    "q_unigram_train" -> ((s, dir) => {
+      val vocab = TextAnalysis.trainUnigramLm(
+        t(s, dir, "documents"), "text", vocabSize = 60)
+      TextAnalysis.unigramVocabDf(s, vocab)
+    }),
+
+    // unigram apply: Viterbi-segment the corpus under the trained
+    // vocab (broadcast table, narrow pass). Pieces flattened to one
+    // space-joined string — the checker cannot sort an array column
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.trainUnigramLm(docs, "text", vocabSize = 60)
+      TextAnalysis.applyUnigram(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("pieces")).as("pieces"))
+    }),
+
     // deterministic global shuffle: dense 0-based training positions
     // in md5(id+salt) order, distributed rank (no global window)
     "q_shuffle" -> ((s, dir) =>

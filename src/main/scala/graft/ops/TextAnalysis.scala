@@ -546,6 +546,161 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+   * unigram model — the other major subword family beside
+   * [[trainBpeMerges]]'s BPE). Same 100 TB shape as the BPE trainer:
+   * ONE distributed word-frequency aggregate bounded to the top
+   * `vocabLimit` word forms (TakeOrdered, not a global sort), then a
+   * driver loop whose cost is table-sized, corpus-independent.
+   *
+   * Documented simplifications vs the paper, chosen for determinism:
+   *   - seed = all substrings up to `maxPieceLen` of the bounded word
+   *     table, scored by occurrence-weighted frequency, top
+   *     `seedFactor`·vocabSize kept (single chars always kept);
+   *   - hard EM (Viterbi counts) instead of forward–backward
+   *     expected counts: each iteration re-segments the word table
+   *     by the current piece scores and re-estimates p(piece) from
+   *     the winning segmentations;
+   *   - final vocab = top `vocabSize` by (count desc, piece asc),
+   *     single chars always retained, probabilities renormalized.
+   *
+   * Everything after the one aggregate is driver arithmetic over a
+   * sorted array — bit-deterministic on any partition layout.
+   * Returns (piece, log_prob) sorted by (log_prob desc, piece asc).
+   */
+  def trainUnigramLm(df: DataFrame, textCol: String, vocabSize: Int,
+                     maxPieceLen: Int = 6, emIters: Int = 3,
+                     seedFactor: Int = 4,
+                     vocabLimit: Int = 65536): Array[(String, Double)] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 0)
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(vocabLimit)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // seed: substring occurrence frequencies over the bounded table
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var len = 1
+        while (len <= maxPieceLen && i + len <= w.length) {
+          val p = w.substring(i, i + len)
+          seedCounts.update(p, seedCounts.getOrElse(p, 0L) + n)
+          len += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seedCounts.keysIterator.filter(_.length == 1).toArray.sorted
+    val multi = seedCounts.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedFactor * vocabSize - chars.length))
+      .map(_._1)
+    var vocab: Array[String] = chars ++ multi
+
+    def estimate(pieces: Array[String]): collection.Map[String, Double] = {
+      // scores from current counts; first round uses seed frequencies
+      val total = pieces.iterator.map(seedCounts.getOrElse(_, 1L)).sum.toDouble
+      pieces.iterator.map(p =>
+        p -> math.log(seedCounts.getOrElse(p, 1L) / total)).toMap
+    }
+    var scores: collection.Map[String, Double] = estimate(vocab)
+    val UnkLp = -1e3 // any in-vocab path beats a path through UNK
+
+    var iter = 0
+    while (iter < emIters) {
+      // E: Viterbi-segment the word table; count winning pieces
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, n) =>
+        viterbiPieces(w, scores, maxPieceLen, UnkLp).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+        }
+      }
+      // M: re-score from counts; unused pieces drop (chars survive via
+      // the final union); prune to vocabSize on the LAST iteration
+      val kept0 = counts.toArray.sortBy { case (p, c) => (-c, p) }
+      val kept =
+        if (iter == emIters - 1) {
+          val top = kept0.take(vocabSize).map(_._1).toSet
+          (top ++ chars).toArray.sorted.map(p =>
+            (p, counts.getOrElse(p, 0L).max(1L)))
+        } else kept0 ++ chars.filterNot(counts.contains).map((_, 1L))
+      val tot = kept.iterator.map(_._2).sum.toDouble
+      scores = kept.iterator.map { case (p, c) =>
+        p -> math.log(c / tot)
+      }.toMap
+      vocab = kept.map(_._1)
+      iter += 1
+    }
+    vocab.map(p => (p, scores(p)))
+      .sortBy { case (p, lp) => (-lp, p) }
+  }
+
+  /** Viterbi best segmentation of `w` under piece log-probs: maximize
+    * Σ log p; ties prefer the LONGER trailing piece (smaller start),
+    * unknown single chars cost `unkLp`. Deterministic. */
+  def viterbiPieces(w: String, scores: collection.Map[String, Double],
+                    maxPieceLen: Int, unkLp: Double): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val piece = w.substring(i, j)
+        val lp = scores.get(piece) match {
+          case Some(v) => v
+          case None => if (j - i == 1) unkLp else Double.NegativeInfinity
+        }
+        val cand = best(i) + lp
+        // strict > with ascending i ⇒ ties keep the smallest i, i.e.
+        // the longest piece ending at j — the deterministic tiebreak
+        if (cand > best(j)) { best(j) = cand; back(j) = i }
+        i += 1
+      }
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) { out.prepend(w.substring(back(k), k)); k = back(k) }
+    out.toSeq
+  }
+
+  /** The learned unigram vocab as a relation (piece, log_prob rounded
+    * to 6 — driver doubles are deterministic, rounding makes them
+    * comparison-stable). */
+  def unigramVocabDf(spark: org.apache.spark.sql.SparkSession,
+                     vocab: Array[(String, Double)]): DataFrame = {
+    import spark.implicits._
+    vocab.toSeq.toDF("piece", "log_prob")
+      .select(col("piece"), round(col("log_prob"), 6).as("log_prob"))
+  }
+
+  /**
+   * Segment the corpus with a trained unigram vocab: (id, pos,
+   * pieces) per word — the vocab broadcasts (vocab-sized), the corpus
+   * pass is a narrow per-word Viterbi, no shuffle (the [[applyBpe]]
+   * shape).
+   */
+  def applyUnigram(df: DataFrame, idCol: String, textCol: String,
+                   vocab: Array[(String, Double)],
+                   maxPieceLen: Int = 6): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(vocab.toMap)
+    val seg = udf((w: String) =>
+      viterbiPieces(w, bc.value, maxPieceLen, -1e3))
+    df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col(idCol), col("pos"), seg(col("w")).as("pieces"))
+  }
+
+  /**
    * Top-k TF-IDF terms per document — the keyword/salience pass of a
    * corpus profile. Plain counts + one double expression, so it is
    * oracle-exact: score = CAST(tf AS DOUBLE) * n_docs / df (raw

@@ -793,6 +793,52 @@ class OpsSpec extends SparkSpec {
     assert(m1.toSeq == m2.toSeq && m1.length == 15)
   }
 
+  test("unigram-LM tokenizer: Viterbi semantics, whole-word pieces, determinism") {
+    // viterbiPieces directly: greedy-beating path choice
+    val sc = Map("ab" -> math.log(0.5), "c" -> math.log(0.3),
+      "abc" -> math.log(0.1), "a" -> math.log(0.05), "b" -> math.log(0.05))
+    assert(TextAnalysis.viterbiPieces("abc", sc, 6, -1e3) == Seq("ab", "c"))
+    // exact score tie (p(ab)=p(a)p(b)) prefers the longer trailing piece
+    val tie = Map("ab" -> math.log(0.25),
+      "a" -> math.log(0.5), "b" -> math.log(0.5))
+    assert(TextAnalysis.viterbiPieces("ab", tie, 6, -1e3) == Seq("ab"))
+    // OOV chars fall back to UNK singles, never crash
+    assert(TextAnalysis.viterbiPieces("xy", Map.empty[String, Double], 6, -1e3)
+      == Seq("x", "y"))
+    assert(TextAnalysis.viterbiPieces("", sc, 6, -1e3).isEmpty)
+
+    // trainer on the classic corpus: frequent whole words become pieces
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    // seedFactor 16: at vocabSize 8 the default seed (4×8−10 chars = 22
+    // multi pieces) prunes the rarer words before EM can score them
+    val vocab = TextAnalysis.trainUnigramLm(df, "text", vocabSize = 8,
+      seedFactor = 16)
+    val pieces = vocab.map(_._1).toSet
+    // single-term paths dominate multi-term ones (each extra piece adds a
+    // negative log), so every corpus word survives as its own piece
+    assert(Set("low", "lower", "newest", "widest").subsetOf(pieces))
+    // single chars are always retained
+    assert(corpus.flatMap(_.toSeq).map(_.toString).toSet.subsetOf(pieces))
+    // renormalized: probabilities sum to 1
+    assert(math.abs(vocab.map(v => math.exp(v._2)).sum - 1.0) < 1e-9)
+
+    // segmenter: pieces reassemble; known words encode as one piece
+    val seg = TextAnalysis.applyUnigram(df, "doc_id", "text", vocab)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect()
+    seg.foreach { case (id, ps) =>
+      assert(ps.mkString == corpus(id.toInt), s"doc $id reassembly")
+    }
+    assert(seg.find(e => corpus(e._1.toInt) == "newest").get._2 == Seq("newest"))
+
+    // determinism across runs and partition layouts on real data
+    val v1 = TextAnalysis.trainUnigramLm(docs.limit(200).repartition(7), "text", 40)
+    val v2 = TextAnalysis.trainUnigramLm(docs.limit(200).repartition(3), "text", 40)
+    assert(v1.toSeq == v2.toSeq)
+  }
+
   test("chunking covers every token with stride overlap and stable ids") {
     val df = Seq(
       (1L, (1 to 50).map(i => s"w$i").mkString(" ")), // 50 tokens
