@@ -1195,6 +1195,51 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // corpus Zipf / type-token profile: rank-frequency slope over the
+    // top-200 terms + TTR, one row
+    "q_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfStats(t(s, dir, "documents"), "text", topN = 200)),
+
+    // vocabulary coverage: per-doc OOV rate under the corpus top-500
+    // term vocab (ties broken term-asc on both engines)
+    "q_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.buildVocab(docs, "text", maxSize = 500)
+        .map(_._1).toSeq
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab)
+    }),
+
+    // clipped n-gram overlap (ROUGE-2 / BLEU-2 with clipping) between
+    // adjacent-doc pairs; the reference is seeded with the candidate's
+    // first 80 chars so every pair has real partial overlap
+    "q_ngram_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.as("a")
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"), col("a.text").as("cand"),
+          concat(substring(col("a.text"), 1, 80), lit(" "),
+            col("b.text")).as("ref"))
+      TextAnalysis.ngramOverlap(pairs, "doc_id", "cand", "ref", n = 2)
+    }),
+
+    // CROSS-corpus boilerplate strip (C4's corpus-wide line removal):
+    // lines whose trimmed form appears in >=20 distinct docs drop
+    // everywhere. Planted: a banner in every doc, an indented banner
+    // variant (trim-matched), a half-corpus cookie line, and per-doc
+    // unique footer/closing lines that must survive
+    "q_boilerplate" -> ((s, dir) => {
+      val t2 = concat_ws("\n", col("text"),
+        lit("subscribe to our newsletter"),
+        when(col("doc_id") % 2 === 0, lit("  cookie consent required"))
+          .otherwise(concat(lit("footer for doc "),
+            col("doc_id").cast("string"))),
+        lit("   subscribe to our newsletter"),
+        concat(lit("closing line for doc "), col("doc_id").cast("string")))
+      TextAnalysis.stripBoilerplate(
+        t(s, dir, "documents").select(col("doc_id"), t2.as("text")),
+        "doc_id", "text", minDocs = 20)
+    }),
+
     // character-distribution entropy (bits/char): the cheap gibberish
     // detector — explode collapses map-side to docs×alphabet rows,
     // p·log2(p) through the round-12 DECIMAL sum
@@ -1468,6 +1513,18 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // kNN label spread: every non-seed vector classified by majority
+    // vote of its 5 nearest seeds (vec_id % 10 == 0 keep their true
+    // label); vote ties break to the smallest label
+    "q_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassify(
+        emb.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding")),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", k = 5)
     }),
 
     // hard-negative mining: top-k nearest NON-relevant vectors per
@@ -2204,6 +2261,143 @@ object SparkEntry {
         |    / list_sum(list_transform(ls, x -> length(x))), 4)
         |  END AS dup_char_frac
         |FROM f""".stripMargin,
+
+    // mirrors zipfStats: round-12 ln points in rank order, sequential
+    // list folds, one fixed IEEE slope expression
+    "q_zipf" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |   '\s+'), x -> x <> '')) AS t
+        | FROM documents),
+        |c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types
+        | FROM c),
+        |top AS (
+        | SELECT n, row_number() OVER (ORDER BY n DESC, t ASC) AS r
+        | FROM c ORDER BY n DESC, t ASC LIMIT 200),
+        |ls AS (
+        | SELECT list(round(ln(r), 12) ORDER BY r) AS xs,
+        |  list(round(ln(n), 12) ORDER BY r) AS ys,
+        |  count(*) AS m
+        | FROM top),
+        |s AS (
+        | SELECT m,
+        |  list_aggregate(xs, 'sum') AS sx,
+        |  list_aggregate(ys, 'sum') AS sy,
+        |  list_aggregate(list_transform(generate_series(1, m),
+        |    i -> xs[i] * ys[i]), 'sum') AS sxy,
+        |  list_aggregate(list_transform(xs, x -> x * x), 'sum') AS sxx
+        | FROM ls)
+        |SELECT n_tokens, n_types, round(n_types / n_tokens, 6) AS ttr,
+        | round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+        |FROM tot, s""".stripMargin,
+
+    // mirrors vocabCoverage: same tokenization, top-500 by
+    // (count desc, term asc), left join, int/int rate
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '')) AS tk
+        | FROM documents),
+        |v AS (
+        | SELECT term FROM (
+        |  SELECT tk AS term, count(*) AS n FROM tok GROUP BY 1
+        |  ORDER BY n DESC, term ASC LIMIT 500)),
+        |a AS (
+        | SELECT t.doc_id AS doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_oov
+        | FROM tok t LEFT JOIN v ON t.tk = v.term GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        | coalesce(n_oov, 0) AS n_oov,
+        | CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |  ELSE round(coalesce(n_oov, 0) / n_tokens, 6) END AS oov_rate
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // mirrors ngramOverlap: same tokenization, bigrams by position,
+    // clipped multiset intersection via least() over grouped counts,
+    // F1 composed from the unrounded IEEE ratios
+    "q_ngram_overlap" ->
+      """WITH pr AS (
+        | SELECT a.doc_id AS doc_id, a.text AS cand,
+        |  substring(a.text, 1, 80) || ' ' || b.text AS ref
+        | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |tk AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(cand)), '\s+'),
+        |    x -> x <> '') AS ct,
+        |  list_filter(string_split_regex(lower(trim(ref)), '\s+'),
+        |    x -> x <> '') AS rt
+        | FROM pr),
+        |cg AS (
+        | SELECT doc_id, ct[i] || ' ' || ct[i + 1] AS g
+        | FROM (SELECT doc_id, ct,
+        |   CAST(unnest(generate_series(1, len(ct) - 1)) AS BIGINT) AS i
+        |  FROM tk)),
+        |rg AS (
+        | SELECT doc_id, rt[i] || ' ' || rt[i + 1] AS g
+        | FROM (SELECT doc_id, rt,
+        |   CAST(unnest(generate_series(1, len(rt) - 1)) AS BIGINT) AS i
+        |  FROM tk)),
+        |cc AS (SELECT doc_id, g, count(*) AS c FROM cg GROUP BY 1, 2),
+        |rc AS (SELECT doc_id, g, count(*) AS r FROM rg GROUP BY 1, 2),
+        |ov AS (
+        | SELECT cc.doc_id AS doc_id,
+        |  CAST(sum(least(c, r)) AS INTEGER) AS ovl
+        | FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+        | GROUP BY 1),
+        |tot AS (
+        | SELECT doc_id,
+        |  CAST(greatest(len(ct) - 1, 0) AS INTEGER) AS n_cand,
+        |  CAST(greatest(len(rt) - 1, 0) AS INTEGER) AS n_ref
+        | FROM tk)
+        |SELECT t.doc_id AS doc_id, n_cand, n_ref,
+        | coalesce(ovl, 0) AS overlap,
+        | CASE WHEN n_cand = 0 THEN 0.0
+        |  ELSE round(coalesce(ovl, 0) / n_cand, 6) END AS "precision",
+        | CASE WHEN n_ref = 0 THEN 0.0
+        |  ELSE round(coalesce(ovl, 0) / n_ref, 6) END AS recall,
+        | CASE WHEN coalesce(ovl, 0) = 0 THEN 0.0
+        |  ELSE round(2 * (coalesce(ovl, 0) / n_cand)
+        |    * (coalesce(ovl, 0) / n_ref)
+        |    / (coalesce(ovl, 0) / n_cand + coalesce(ovl, 0) / n_ref), 6)
+        |  END AS f1
+        |FROM tot t LEFT JOIN ov USING (doc_id)""".stripMargin,
+
+    // mirrors stripBoilerplate on the same planted lines: distinct
+    // (doc, trimmed line) evidence, >=20-doc bar, anti-join strip,
+    // ORDER BY pos reassembly
+    "q_boilerplate" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  text || chr(10) || 'subscribe to our newsletter' || chr(10)
+        |   || CASE WHEN doc_id % 2 = 0 THEN '  cookie consent required'
+        |      ELSE 'footer for doc ' || CAST(doc_id AS VARCHAR) END
+        |   || chr(10) || '   subscribe to our newsletter' || chr(10)
+        |   || 'closing line for doc ' || CAST(doc_id AS VARCHAR) AS t2
+        | FROM documents),
+        |l AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM p),
+        |x AS (
+        | SELECT doc_id, ls[i + 1] AS line, i AS pos
+        | FROM (SELECT doc_id, ls,
+        |   CAST(unnest(generate_series(0, len(ls) - 1)) AS BIGINT) AS i
+        |  FROM l)),
+        |bl AS (
+        | SELECT trim(line) AS t FROM x WHERE trim(line) <> ''
+        | GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20),
+        |k AS (SELECT doc_id, pos, line FROM x
+        |      WHERE trim(line) NOT IN (SELECT t FROM bl)),
+        |r AS (
+        | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |  count(*) AS kept
+        | FROM k GROUP BY 1)
+        |SELECT p.doc_id AS doc_id, coalesce(r.text, '') AS text,
+        | CAST(len(l.ls) AS INTEGER) AS n_lines,
+        | CAST(len(l.ls) - coalesce(r.kept, 0) AS INTEGER) AS n_removed
+        |FROM p JOIN l USING (doc_id) LEFT JOIN r USING (doc_id)""".stripMargin,
 
     // mirrors charEntropy: same grouped counts, p·log2(p) rounded to
     // 12 through an order-free DECIMAL sum, entropy rounded to 6
@@ -3365,6 +3559,40 @@ object SparkEntry {
         |                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
         | FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // q_embed_topk's kernel scoring non-seeds against the mod-10
+    // seeds, then a two-stage vote: count per label, argmax by
+    // (votes desc, label asc)
+    "q_knn_classify" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label
+        | FROM embeddings),
+        |q AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+        |sd AS (SELECT vec_id AS sid, e AS se, label
+        |       FROM v WHERE vec_id % 10 = 0),
+        |scored AS (
+        | SELECT q.vec_id, sd.sid, sd.label,
+        |  list_aggregate(list_transform(generate_series(1, len(q.e)),
+        |    i -> q.e[i] * sd.se[i]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(generate_series(1, len(q.e)),
+        |    i -> q.e[i] * q.e[i]), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(generate_series(1, len(sd.se)),
+        |    i -> sd.se[i] * sd.se[i]), 'sum'))) AS cosine
+        | FROM q JOIN sd ON q.vec_id <> sd.sid),
+        |top AS (
+        | SELECT vec_id, label FROM (
+        |  SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, sid ASC) AS rk
+        |  FROM scored)
+        | WHERE rk <= 5),
+        |votes AS (
+        | SELECT vec_id, label, count(*) AS n FROM top GROUP BY 1, 2)
+        |SELECT vec_id, label AS pred_label, CAST(n AS INTEGER) AS votes
+        |FROM (SELECT vec_id, label, n, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY n DESC, label ASC) AS rk
+        |  FROM votes)
+        |WHERE rk = 1""".stripMargin,
 
     // q_embed_topk's kernel with the qrels exclusion (and self-pair)
     // applied BEFORE ranking, so negatives rank dense 1..k

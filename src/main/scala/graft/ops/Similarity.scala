@@ -146,6 +146,45 @@ object Similarity {
   }
 
   /**
+   * kNN label spread — classify unlabeled vectors by majority vote of
+   * their k nearest LABELED seeds (cosine): the standard cheap way to
+   * scale a small human-labeled quality/topic/language set to a full
+   * corpus before training a real classifier (and the baseline said
+   * classifier must beat). Vote ties break to the smallest label, so
+   * the result is deterministic end to end.
+   *
+   * Scale: seeds are label-budget sized (humans labeled them) →
+   * broadcast; the corpus side is one narrow scored pass, a top-k
+   * window partitioned by the corpus id (bounded at |seeds| rows per
+   * partition — no hub risk), and the argmax vote is the merge
+   * family's `min_by(struct(-votes, label))` aggregate, not a second
+   * window. Swap the scored pass for the IVF/PQ shortlist when the
+   * seed set outgrows a broadcast.
+   *
+   * Output: (id, pred_label, votes).
+   */
+  def knnClassify(unlabeled: DataFrame, seeds: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = unlabeled.select(col(idCol), toDoubleVec(col(vecCol)).as("__qv"))
+    val s = seeds.select(col(idCol).as("__sid"),
+      toDoubleVec(col(vecCol)).as("__sv"), col(labelCol).as("__lb"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__sid").asc)
+    q.join(broadcast(s), col(idCol) =!= col("__sid"))
+      .withColumn("__cos", cosine(col("__qv"), col("__sv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col(idCol), col("__lb"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__votes")).as("nv"),
+        col("__lb").as("lb"))).as("__w"))
+      .select(col(idCol), col("__w.lb").as("pred_label"),
+        (-col("__w.nv")).cast("int").as("votes"))
+  }
+
+  /**
    * Margin-based bitext mining (Artetxe & Schwenk 2019, ratio
    * margin): align two embedding sets (source/target language) by
    * scoring each forward nearest-neighbor candidate against how

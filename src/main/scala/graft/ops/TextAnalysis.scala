@@ -701,6 +701,112 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-level Zipf / type-token profile — the one-glance "is this
+   * corpus natural language" check (a healthy crawl has a rank-
+   * frequency slope near −1; template/spam farms and synthetic text
+   * bend it): token and type counts, type-token ratio, and the
+   * log-log least-squares slope over the top `topN` rank-frequency
+   * points.
+   *
+   * Scale: ONE partially-aggregated term-count shuffle; totals are a
+   * single aggregate and the regression reads only the bounded top-N
+   * table (TakeOrdered → driver, the [[buildVocab]] idiom — 200 rows
+   * regardless of corpus size). Cross-engine: ln(rank)/ln(count) are
+   * rounded to 12, products and sums fold sequentially in rank order
+   * (the sequential-fold parity trick), and the slope is one fixed
+   * IEEE expression tree, rounded to 6.
+   *
+   * Output: one row (n_tokens, n_types, ttr, zipf_slope).
+   */
+  def zipfStats(df: DataFrame, textCol: String,
+                topN: Int = 200): DataFrame = {
+    require(topN >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")), count(lit(1))).head()
+    val (nTokens, nTypes) = (tot.getLong(0), tot.getLong(1))
+    val top = counts.orderBy(col("n").desc, col("t").asc).limit(topN)
+      .select(col("n")).as[Long].collect()
+    def r12(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var (sx, sy, sxy, sxx) = (0.0, 0.0, 0.0, 0.0)
+    var i = 0
+    while (i < top.length) {
+      val x = r12(math.log((i + 1).toDouble))
+      val y = r12(math.log(top(i).toDouble))
+      sx += x; sy += y; sxy += x * y; sxx += x * x
+      i += 1
+    }
+    val m = top.length.toDouble
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    def r6(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    Seq((nTokens, nTypes, r6(nTypes.toDouble / nTokens), r6(slope)))
+      .toDF("n_tokens", "n_types", "ttr", "zipf_slope")
+  }
+
+  /** Persist a trained unigram vocab (train once on 100 TB, segment
+    * anywhere). Doubles round-trip parquet bit-exactly, so a reloaded
+    * vocab produces byte-identical segmentations. */
+  def saveUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+                       vocab: Array[(String, Double)],
+                       path: String): Unit = {
+    import spark.implicits._
+    vocab.toSeq.toDF("piece", "log_prob")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a vocab written by [[saveUnigramVocab]], restoring the
+    * trainer's (log_prob desc, piece asc) order. Model-sized. */
+  def loadUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[(String, Double)] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("piece"), col("log_prob"))
+      .as[(String, Double)].collect()
+      .sortBy { case (p, lp) => (-lp, p) }
+  }
+
+  /**
+   * Per-document vocabulary coverage / OOV rate under a fixed term
+   * vocabulary — the "will my tokenizer cover this corpus" check run
+   * before committing to a vocab, and the per-doc quality signal
+   * (high OOV rate ⇒ gibberish, wrong language, or domain shift).
+   *
+   * The vocab joins in as a BROADCAST local relation (vocab-sized);
+   * the corpus pass is explode → one partially-aggregated groupBy on
+   * the id the explode already carried. Blank docs come back with
+   * zero counts, never disappear.
+   *
+   * Output: (id, n_tokens, n_oov, oov_rate).
+   */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vdf = vocab.toDF("__term").distinct()
+    val agg = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .join(broadcast(vdf), col("__tok") === col("__term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("__term").isNull, 1).otherwise(0))
+          .cast("int").as("n_oov"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0)) === 0, lit(0.0))
+          .otherwise(round(col("n_oov") / col("n_tokens"), 6))
+          .as("oov_rate"))
+  }
+
+  /**
    * Top-k TF-IDF terms per document — the keyword/salience pass of a
    * corpus profile. Plain counts + one double expression, so it is
    * oracle-exact: score = CAST(tf AS DOUBLE) * n_docs / df (raw
@@ -1253,4 +1359,117 @@ object TextAnalysis {
       m("frac_bullet_lines") < maxBulletFrac &&
       m("frac_ellipsis_lines") < maxEllipsisFrac &&
       m("n_stopwords") >= minStopwords
+
+  /**
+   * Clipped n-gram overlap between a candidate and a reference text —
+   * ROUGE-n recall / BLEU-style clipped precision / F1, the standard
+   * generation-eval and distillation-filter metric (Lin 2004;
+   * Papineni et al. 2002). Counting is multiset with clipping:
+   * overlap = Σ_g min(count_cand(g), count_ref(g)).
+   *
+   * Scale shape: explode → per-(id, gram) counts partial-aggregate
+   * map-side (a doc's repeats of one gram never cross the network),
+   * the overlap join keys on (id, gram) so it co-partitions with both
+   * count aggregates, and the totals are narrow `size()` arithmetic —
+   * no window, no driver state, row count = input pairs.
+   *
+   * Ratios are int/int IEEE divisions and F1 is composed from the
+   * UNROUNDED ratios in one expression tree (bit-exact cross-engine
+   * per the repo float discipline), all rounded to 6 at the end.
+   *
+   * Output: (id, n_cand, n_ref, overlap, precision, recall, f1).
+   */
+  def ngramOverlap(df: DataFrame, idCol: String, candCol: String,
+                   refCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    def counts(c: String, out: String) = df
+      .select(col(idCol), explode(wordGramsOccur(col(c), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as(out))
+    val ov = counts(candCol, "__c")
+      .join(counts(refCol, "__r"), Seq(idCol, "__g"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("__c"), col("__r"))).cast("int").as("__ov"))
+    val o = coalesce(col("__ov"), lit(0))
+    val p = o / col("n_cand")
+    val r = o / col("n_ref")
+    df.select(col(idCol),
+        size(wordGramsOccur(col(candCol), n)).as("n_cand"),
+        size(wordGramsOccur(col(refCol), n)).as("n_ref"))
+      .join(ov, Seq(idCol), "left")
+      .select(col(idCol), col("n_cand"), col("n_ref"),
+        o.as("overlap"),
+        when(col("n_cand") === 0, lit(0.0))
+          .otherwise(round(p, 6)).as("precision"),
+        when(col("n_ref") === 0, lit(0.0))
+          .otherwise(round(r, 6)).as("recall"),
+        when(o === 0, lit(0.0))
+          .otherwise(round(lit(2) * p * r / (p + r), 6)).as("f1"))
+  }
+
+  /**
+   * CROSS-corpus boilerplate line detection — the complement of
+   * [[dedupLinesWithMetrics]] (which dedups WITHIN a document): nav
+   * menus, cookie banners and footer lines repeat across *documents*,
+   * so the unit of evidence is "how many distinct docs contain this
+   * line" (distinct-docs, not raw occurrences — one spammy document
+   * repeating its own footer a million times is intra-doc repetition,
+   * not corpus boilerplate). C4 (Raffel et al. 2020 §2.2) removes
+   * such lines corpus-wide; this is that step's learnable half.
+   *
+   * Scale shape: (id, trimmed line) `distinct` collapses map-side
+   * before its one shuffle (per-doc repeats never cross the network),
+   * then the line count is a second partially-aggregated shuffle.
+   * Blank lines are never boilerplate (formatting, not content).
+   *
+   * Output: (line, n_docs) for trimmed lines in ≥ `minDocs` docs.
+   */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "boilerplate needs cross-document evidence")
+    df.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol), trim(col("__line")).as("line"))
+      .filter(col("line") =!= "")
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /**
+   * Strip [[boilerplateLines]] from every document: a line is dropped
+   * wherever its TRIMMED form is in the learned set; surviving lines
+   * keep their original text and order. Docs reduced to nothing come
+   * back with empty text, never disappear (corpus row count is load-
+   * bearing downstream).
+   *
+   * The strip join is a LEFT ANTI on the trimmed line — AQE broadcasts
+   * the learned set when it is small (the common case: lines crossing
+   * the `minDocs` bar are a sliver of distinct lines), and the
+   * reassembly `collect_list` is per-document sized, grouped on the
+   * id the explode already carried.
+   *
+   * Output: (id, text, n_lines, n_removed).
+   */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int): DataFrame = {
+    val bl = boilerplateLines(df, idCol, textCol, minDocs)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val kept = lines
+      .join(bl, trim(lines("__line")) === bl("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          _("__line")), "\n").as("__text"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as("text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L)))
+          .cast("int").as("n_removed"))
+  }
 }

@@ -2481,6 +2481,90 @@ class OpsSpec extends SparkSpec {
     assert(d2._2 == "alpha\nbeta\ngamma" && d2._4 == 0.0 && d2._5 == 0.0)
   }
 
+  test("unigram vocab persists bit-exactly; vocabCoverage counts OOV") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(6)("newest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainUnigramLm(corpus, "text", vocabSize = 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("uni").toString + "/vocab"
+    TextAnalysis.saveUnigramVocab(spark, vocab, dir)
+    val back = TextAnalysis.loadUnigramVocab(spark, dir)
+    assert(back.toSeq == vocab.toSeq) // order AND doubles bit-exact
+    // reloaded vocab segments byte-identically
+    val a = TextAnalysis.applyUnigram(corpus, "doc_id", "text", vocab)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect().toSet
+    val b = TextAnalysis.applyUnigram(corpus, "doc_id", "text", back)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect().toSet
+    assert(a == b)
+
+    val df = Seq(
+      (1L, "the cat and the dog"), // all in vocab
+      (2L, "the qxzv"),            // 1 of 2 OOV
+      (3L, "   "),                 // blank → zero counts, row kept
+      (4L, "zzz yyy")).toDF("id", "t")
+    val out = TextAnalysis.vocabCoverage(df, "id", "t",
+        Seq("the", "cat", "and", "dog"))
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5, 0, 0.0)))
+    assert(out(2L) == ((2L, 2, 1, 0.5)))
+    assert(out(3L) == ((3L, 0, 0, 0.0)))
+    assert(out(4L) == ((4L, 2, 2, 1.0)))
+    assert(out.size == 4)
+  }
+
+  test("ngramOverlap: clipped bigram precision/recall/F1, hand-computed") {
+    val df = Seq(
+      // overlap 4 of 5 both sides ("the cat" clips at min(1,2)=1)
+      (1L, "the cat sat on the mat", "the cat sat on the cat"),
+      // multiset clipping: cand has "a b"x2, ref only 1 → overlap 1
+      (2L, "a b a b a", "a b c"),
+      // disjoint → zero overlap, zero scores, nonzero totals
+      (3L, "x y", "p q"),
+      // empty candidate → no grams, total guards kick in
+      (4L, "", "a b")).toDF("id", "cand", "ref")
+    val out = TextAnalysis.ngramOverlap(df, "id", "cand", "ref", n = 2)
+      .as[(Long, Int, Int, Int, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5, 5, 4, 0.8, 0.8, 0.8)))
+    assert(out(2L) == ((2L, 4, 2, 1, 0.25, 0.5, 0.333333)))
+    assert(out(3L) == ((3L, 1, 1, 0, 0.0, 0.0, 0.0)))
+    assert(out(4L) == ((4L, 0, 1, 0, 0.0, 0.0, 0.0)))
+    // ROUGE-1: unigram recall on a containment pair is exact
+    val u = TextAnalysis.ngramOverlap(
+      Seq((1L, "alpha beta", "alpha beta gamma delta")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", n = 1)
+      .as[(Long, Int, Int, Int, Double, Double, Double)].collect().head
+    assert(u == ((1L, 2, 4, 2, 1.0, 0.5, 0.666667)))
+  }
+
+  test("stripBoilerplate drops cross-doc lines, keeps unique and blank lines") {
+    // banner in all 4 docs (one indented — trim-matched); "shared by
+    // two" sits below the bar; unique lines and blanks survive
+    val df = Seq(
+      (1L, "banner line\ncontent one\n\nshared by two"),
+      (2L, "  banner line\ncontent two\nshared by two"),
+      (3L, "banner line\ncontent three"),
+      (4L, "content four\nbanner line")).toDF("id", "t")
+    val bl = TextAnalysis.boilerplateLines(df, "id", "t", minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(bl == Map("banner line" -> 4L))
+    val out = TextAnalysis.stripBoilerplate(df, "id", "t", minDocs = 3)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "content one\n\nshared by two", 4, 1)))
+    assert(out(2L) == ((2L, "content two\nshared by two", 3, 1)))
+    assert(out(3L) == ((3L, "content three", 2, 1)))
+    assert(out(4L) == ((4L, "content four", 2, 1)))
+    // a doc that is ALL boilerplate comes back empty, not missing
+    val df2 = df.union(Seq((5L, "banner line")).toDF("id", "t"))
+    val out2 = TextAnalysis.stripBoilerplate(df2, "id", "t", minDocs = 3)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out2.size == 5 && out2(5L) == ((5L, "", 1, 1)))
+    // distinct-docs evidence: intra-doc repetition is NOT boilerplate
+    val spam = Seq((1L, Seq.fill(50)("own footer").mkString("\n")),
+      (2L, "other")).toDF("id", "t")
+    assert(TextAnalysis.boilerplateLines(spam, "id", "t", 3).count() == 0)
+  }
+
   test("charEntropy: exact bits for uniform distributions") {
     val df = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa")).toDF("id", "t")
     val out = TextAnalysis.charEntropy(df, "id", "t")
@@ -2513,6 +2597,51 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
     assert(out.map(_._2).toSeq == Seq(2L, 3L, 4L))
     assert(out.map(_._3).toSeq == Seq(1, 2, 3)) // dense after exclusion
+  }
+
+  test("knnClassify: majority vote, deterministic tie to smallest label") {
+    import graft.ops.Similarity
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seeds = Seq(
+      (10L, v(1, 0), 5), (11L, v(0.95, 0.1), 5),
+      (20L, v(0, 1), 3), (21L, v(0.1, 0.95), 3)).toDF(
+      "vec_id", "embedding", "label")
+    // near +x: top-3 seeds are 10, 11, then one y-seed → 5 wins 2:1
+    val qx = Seq((1L, v(1, 0.05))).toDF("vec_id", "embedding")
+    val ox = Similarity.knnClassify(qx, seeds, "vec_id", "embedding",
+      "label", k = 3).as[(Long, Int, Int)].collect().head
+    assert(ox == ((1L, 5, 2)))
+    // diagonal query, k=2 with one axis seed each: 1–1 vote tie →
+    // smaller label (3) wins
+    val seeds2 = Seq((10L, v(1, 0), 5), (20L, v(0, 1), 3)).toDF(
+      "vec_id", "embedding", "label")
+    val qd = Seq((2L, v(1, 1))).toDF("vec_id", "embedding")
+    val od = Similarity.knnClassify(qd, seeds2, "vec_id", "embedding",
+      "label", k = 2).as[(Long, Int, Int)].collect().head
+    assert(od == ((2L, 3, 1)))
+    // string labels order lexicographically in the same tiebreak
+    val seeds3 = Seq((10L, v(1, 0), "zeta"), (20L, v(0, 1), "alpha"))
+      .toDF("vec_id", "embedding", "label")
+    val os = Similarity.knnClassify(qd, seeds3, "vec_id", "embedding",
+      "label", k = 2).as[(Long, String, Int)].collect().head
+    assert(os == ((2L, "alpha", 1)))
+  }
+
+  test("zipfStats: exact slope -1 on a perfect Zipf corpus") {
+    // counts 12/r for ranks 1..4 → ln n = ln 12 − ln r, exactly linear
+    val words = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val out = TextAnalysis.zipfStats(df, "text", topN = 200)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(out._1 == 25L && out._2 == 4L)
+    assert(out._3 == 0.16)        // 4/25
+    assert(out._4 == -1.0)        // collinear points → exact LS slope
+    // partition-layout invariance (driver fold is rank-ordered)
+    val a = TextAnalysis.zipfStats(df.repartition(7), "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(a == out)
   }
 
   test("leakSafeSplit keeps near-dup components in one split") {
