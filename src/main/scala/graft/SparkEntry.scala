@@ -41,17 +41,23 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-      // as long (spark.sql.legacy.parquet.nanosAsLong); convert to a
-      // microsecond timestamp exactly like DuckDB does (truncation).
-      // Library sessions set the conf at construction
-      // (Gateway.localSession); the harness receives a vanilla session
-      // from the driver, so default it here — but only when unset, not
-      // as a per-query-construction mutation.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark 4 only reads as a long under
+      // spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP
+      // (MICROS); adapt on the column's resolved type rather than
+      // assuming either fixture layout. Either way the result is the
+      // session-zoned microsecond timestamp DuckDB sees (UTC session,
+      // so the NTZ→TZ cast is wall-clock-identical).
       if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   // ---- shared builders ---------------------------------------------------
@@ -111,6 +117,77 @@ object SparkEntry {
       |  FROM src s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
       |  WHERE t.c_custkey IS NULL)
       |""".stripMargin
+
+  /** Probabilistic-linkage fields shared by gate, oracle and spec:
+    * name agreement within 1 edit (m=0.95, u=0.05), segment equality
+    * (m=0.9, u=0.2). Weight literals derive from ProbLink.weights on
+    * the driver, so the oracle embeds the identical decimals. */
+  private[graft] val ProblinkNameW = ProbLink.weights(0.95, 0.05)
+  private[graft] val ProblinkSegW = ProbLink.weights(0.9, 0.2)
+
+  private def problinkFields = Seq(
+    ProbLink.LinkField("name", 0.95, 0.05, "name", "c_name",
+      (s, t) => levenshtein(s, t) <= 1),
+    ProbLink.LinkField("seg", 0.9, 0.2, "seg", "c_mktsegment",
+      (s, t) => s === t))
+
+  /** Blocked, scored candidate pairs for the probabilistic-linkage
+    * family: source = every 4th customer with a deterministic
+    * SQL-reproducible perturbation (name+X on custkey%3, segment
+    * blanked on custkey%5), target = customer, blocked on nationkey. */
+  private def problinkScored(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val src = cust.filter(col("c_custkey") % 4 === 0).select(
+      col("c_custkey").as("src_id"), col("c_nationkey"),
+      when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("X")))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("seg"))
+    val tgt = cust.select(col("c_custkey").as("tgt_id"),
+      col("c_nationkey"), col("c_name"), col("c_mktsegment"))
+    ProbLink.scorePairs(src, "src_id", tgt, "tgt_id",
+      Seq(("c_nationkey", "c_nationkey")), problinkFields)
+  }
+
+  /** DuckDB oracle for the probabilistic-linkage gates; the weight
+    * decimals interpolate from the SAME driver-side ProbLink.weights
+    * call the Spark plan uses, so both engines add identical literals. */
+  private def problinkOracle(best: Boolean): String = {
+    val (nA, nD) = ProblinkNameW
+    val (sA, sD) = ProblinkSegW
+    val ctes =
+      s"""WITH src AS (
+         | SELECT c_custkey AS src_id, c_nationkey,
+         |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS name,
+         |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+         | FROM customer WHERE c_custkey % 4 = 0),
+         |p AS (
+         | SELECT s.src_id, t.c_custkey AS tgt_id,
+         |  levenshtein(s.name, t.c_name) <= 1 AS agree_name,
+         |  s.seg = t.c_mktsegment AS agree_seg
+         | FROM src s JOIN customer t ON s.c_nationkey = t.c_nationkey),
+         |w AS (
+         | SELECT src_id, tgt_id, agree_name, agree_seg,
+         |  (CASE WHEN agree_name THEN CAST($nA AS DECIMAL(28,6))
+         |        ELSE CAST($nD AS DECIMAL(28,6)) END +
+         |   CASE WHEN agree_seg THEN CAST($sA AS DECIMAL(28,6))
+         |        ELSE CAST($sD AS DECIMAL(28,6)) END) AS mw
+         | FROM p)
+         |""".stripMargin
+    if (!best)
+      ctes +
+        """SELECT src_id, tgt_id, agree_name, agree_seg,
+          | CAST(mw AS DOUBLE) AS match_weight
+          |FROM w""".stripMargin
+    else
+      ctes +
+        """SELECT src_id, tgt_id, CAST(mw AS DOUBLE) AS match_weight
+          |FROM (SELECT src_id, tgt_id, mw,
+          |       row_number() OVER (PARTITION BY src_id
+          |                          ORDER BY mw DESC, tgt_id) AS rn
+          |      FROM w WHERE mw >= 0)
+          |WHERE rn = 1""".stripMargin
+  }
 
   /** Flagship: the reference's central use case — conform + staged match
     * + merge (SURVEY §7.2) — on sf0.001. */
@@ -342,6 +419,39 @@ object SparkEntry {
           round(col("distance"), 6).as("distance"))
     }),
 
+    // Fellegi-Sunter probabilistic linkage: nationkey-blocked pairs of
+    // (deterministically perturbed customer) x customer, scored by the
+    // log2 Bayes factor of name/segment agreement; driver-rounded
+    // decimal weight literals make the score hash-exact cross-engine
+    "q_problink" -> ((s, dir) =>
+      problinkScored(s, dir)
+        .select(col("src_id"), col("tgt_id"),
+          col("agree_name"), col("agree_seg"),
+          col("match_weight").cast("double").as("match_weight"))),
+
+    // one-target-per-source resolution of the same scored pairs: max
+    // weight, ties to the smallest target id, below-threshold sources
+    // dropped — a min_by AGGREGATE (hot-source-key safe), not a window
+    "q_problink_best" -> ((s, dir) =>
+      ProbLink.bestLinks(problinkScored(s, dir), "src_id", "tgt_id",
+        minWeight = BigDecimal(0))
+        .select(col("src_id"), col("tgt_id"),
+          col("match_weight").cast("double").as("match_weight"))),
+
+    // EM-fitted (m, u, lambda) over the agreement patterns (Winkler
+    // 1988) — iterative, no SQL oracle; decimal-summed responsibilities
+    // make the fit bit-identical across partition layouts (spec'd)
+    "q_problink_em" -> ((s, dir) => {
+      val fit = ProbLink.emFit(problinkScored(s, dir),
+        Seq("name", "seg"), iterations = 3)
+      import s.implicits._
+      fit.fields.map(f => (f.name,
+          BigDecimal(f.m).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(f.u).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(fit.lambda).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble))
+        .toDF("field", "m", "u", "lambda")
+    }),
+
     // ---- training-data pipeline extensions ----
 
     // exact hash-groupBy dedup
@@ -353,6 +463,24 @@ object SparkEntry {
       TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 5, numHashes = 64, bands = 8,
         jaccardThreshold = 0.8)),
+
+    // persisted MinHash-LSH index: shingle/minhash/band two thirds of
+    // the corpus ONCE into a band-partitioned bloom-filtered layout,
+    // then dedup the remaining third against the saved index (the
+    // incremental-crawl storage face; hash-seeded LSH → rows-only)
+    "q_minhash_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mhidx_${tmpToken(dir)}").getAbsolutePath
+      TextDedup.saveMinhashIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", tmp)
+      TextDedup.minhashProbeIndexed(s, tmp,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        jaccardThreshold = 0.8)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
 
     // exact substring (duplicated-span) dedup: verbatim >=8-token runs
     // appearing in more than one document, merged per doc into maximal
@@ -1931,6 +2059,10 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    "q_problink" -> problinkOracle(best = false),
+
+    "q_problink_best" -> problinkOracle(best = true),
 
     "q_exact_match" ->
       """WITH cand AS (

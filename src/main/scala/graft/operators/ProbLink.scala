@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fellegi–Sunter probabilistic record linkage — the probabilistic face
+ * of the reference's staged matcher (record_matcher.rb:16-30,
+ * fuzzy_merger.rb:1-12). The reference encodes linkage judgement as a
+ * hand-ordered cascade of exact groups plus one trigram distance bound;
+ * the published generalization (Fellegi & Sunter 1969, the model behind
+ * Splink / fastLink) scores every blocked candidate pair by the log2
+ * Bayes factor its field agreements imply and lets ONE threshold govern
+ * accept/reject:
+ *
+ *   weight(pair) = Σ_k  log2(m_k / u_k)              if field k agrees
+ *                       log2((1-m_k) / (1-u_k))      if it disagrees
+ *                       0                            if either side null
+ *
+ * where m_k = P(agree_k | match) and u_k = P(agree_k | non-match).
+ * A missing value carries no evidence (the standard convention), so
+ * sparse fields degrade gracefully instead of torpedoing the score.
+ *
+ * Spark-first shape, 100 TB posture:
+ *  - candidate generation is a plain blocked equi-join — Catalyst/AQE
+ *    owns broadcast-vs-shuffle and skew splitting, exactly like the
+ *    exact-match family ([[Matcher.matchRecords]]);
+ *  - scoring is a narrow codegen pass: the per-field weights are
+ *    computed ONCE on the driver from (m, u) and injected as DECIMAL
+ *    literals, so the per-pair work is a CASE chain + exact decimal
+ *    adds (order-free, layout-invariant — the float-parity playbook);
+ *  - [[bestLinks]] resolves one-target-per-source with the merge
+ *    family's `min_by(struct(-weight, tie))` AGGREGATE, not a window:
+ *    a hot source id partial-aggregates map-side instead of funneling
+ *    one task ([[Merger]] round-5 rewrite, [[graft.ops.Graphs]]
+ *    round-7 rewrite);
+ *  - [[emFit]] is the unsupervised trainer: one aggregate job per EM
+ *    iteration, responsibilities rounded to 9 decimals and summed as
+ *    DECIMAL (exact ⇒ the fitted model is bit-identical on any
+ *    partition layout); the driver holds only O(#fields) scalars.
+ */
+object ProbLink {
+
+  /** One compared field: `agree(sourceCol, targetCol)` must evaluate to
+    * a nullable boolean (null = missing ⇒ no evidence). */
+  final case class LinkField(name: String, m: Double, u: Double,
+                             sourceCol: String, targetCol: String,
+                             agree: (Column, Column) => Column) {
+    require(m > 0 && m < 1, s"m out of (0,1): $m")
+    require(u > 0 && u < 1, s"u out of (0,1): $u")
+  }
+
+  /** Fitted parameters of one field after [[emFit]]. */
+  final case class FieldFit(name: String, m: Double, u: Double)
+
+  /** EM output: P(match) prior and per-field (m, u). */
+  final case class EmResult(lambda: Double, fields: Seq[FieldFit])
+
+  /** (agreement, disagreement) log2 weights for (m, u), rounded to 6
+    * decimals — rounded on the DRIVER so the executor-side arithmetic
+    * (and any SQL oracle embedding the same literals) is exact decimal
+    * addition with no cross-engine transcendental drift. */
+  def weights(m: Double, u: Double): (BigDecimal, BigDecimal) = {
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+    (r6(log2(m / u)), r6(log2((1 - m) / (1 - u))))
+  }
+
+  /**
+   * Score all blocked candidate pairs. Output: the id columns, one
+   * `agree_<field>` boolean per field, `match_weight` (DECIMAL(28,6),
+   * exact) and `match_prob` (double, the logistic of
+   * `priorLogOdds + weight` — derived per-row, for human consumption;
+   * cross-engine gates should compare the exact weight).
+   *
+   * `blockKeys` are (sourceCol, targetCol) equi-keys; blocking is the
+   * caller's recall/cost dial exactly as in the reference's match
+   * groups. Both inputs are projected to the compared columns only
+   * before the join, so the shuffle carries nothing it doesn't need.
+   */
+  def scorePairs(source: DataFrame, sourceId: String,
+                 target: DataFrame, targetId: String,
+                 blockKeys: Seq[(String, String)],
+                 fields: Seq[LinkField],
+                 priorLogOdds: Double = 0.0): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one blocking key required")
+    require(fields.nonEmpty, "at least one compared field required")
+    val s = source.select(
+      (col(sourceId).as("__sid")) +:
+        blockKeys.zipWithIndex.map { case ((sc, _), i) => col(sc).as(s"__bk$i") } ++:
+        fields.map(f => col(f.sourceCol).as(s"__s_${f.name}")): _*)
+    val t = target.select(
+      (col(targetId).as("__tid")) +:
+        blockKeys.zipWithIndex.map { case ((_, tc), i) => col(tc).as(s"__bk$i") } ++:
+        fields.map(f => col(f.targetCol).as(s"__t_${f.name}")): _*)
+    val joined = s.join(t, blockKeys.indices.map(i => s"__bk$i"))
+    val agreeCols = fields.map { f =>
+      f.agree(col(s"__s_${f.name}"), col(s"__t_${f.name}")).as(s"agree_${f.name}")
+    }
+    val zero = lit(BigDecimal(0).bigDecimal).cast("decimal(28,6)")
+    val weightSum = fields.map { f =>
+      val (wa, wd) = weights(f.m, f.u)
+      val a = col(s"agree_${f.name}")
+      when(a.isNull, zero)
+        .when(a, lit(wa.bigDecimal).cast("decimal(28,6)"))
+        .otherwise(lit(wd.bigDecimal).cast("decimal(28,6)"))
+    }.reduce(_ + _).cast("decimal(28,6)")
+    joined
+      .select((col("__sid").as(sourceId) +: col("__tid").as(targetId) +:
+        agreeCols): _*)
+      .withColumn("match_weight", weightSum)
+      .withColumn("match_prob",
+        lit(1.0) / (lit(1.0) +
+          pow(lit(2.0), -(lit(priorLogOdds) + col("match_weight").cast("double")))))
+  }
+
+  /**
+   * One best target per source: max weight, ties to the smallest
+   * target id — as a partial-aggregating `min_by`, never a window
+   * (hot-source-key safe). Pairs below `minWeight` are discarded
+   * first, so an unlinkable source row yields no output row (the
+   * caller's anti-join face, as in [[Merger]] insert-remaining).
+   */
+  def bestLinks(scored: DataFrame, sourceId: String, targetId: String,
+                minWeight: BigDecimal): DataFrame =
+    scored
+      .filter(col("match_weight") >=
+        lit(minWeight.bigDecimal).cast("decimal(28,6)"))
+      .groupBy(col(sourceId))
+      .agg(min_by(
+        struct(col(targetId), col("match_weight")),
+        struct((-col("match_weight")).as("__nw"), col(targetId))).as("__best"))
+      .select(col(sourceId), col(s"__best.$targetId").as(targetId),
+        col("__best.match_weight").as("match_weight"))
+
+  /**
+   * Unsupervised (m, u, λ) estimation by EM over the agreement
+   * patterns (Winkler 1988's application of EM to the FS model; what
+   * Splink's `estimate_parameters_using_expectation_maximisation`
+   * does). Input is any frame carrying `agree_<field>` booleans —
+   * [[scorePairs]] output works as-is.
+   *
+   * E-step responsibilities are computed per-row from the CURRENT
+   * driver-side params (pure IEEE, layout-independent), rounded to 9
+   * decimals and aggregated as DECIMAL(38,9) — exact, order-free sums,
+   * so the fitted model is bit-identical across partition layouts and
+   * cluster sizes. One job per iteration; the aggregate row carries
+   * 2 + 4·|fields| scalars (model-sized driver state, like
+   * [[graft.ops.QualityClassifier]]'s gradient).
+   *
+   * Null agreements are excluded from that field's m/u update (no
+   * evidence in, no parameter mass out) but still contribute to λ.
+   */
+  def emFit(pairs: DataFrame, fieldNames: Seq[String], iterations: Int,
+            initM: Double = 0.9, initU: Double = 0.1,
+            initLambda: Double = 0.1): EmResult = {
+    require(fieldNames.nonEmpty, "no fields")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    def clamp(x: Double): Double = math.max(1e-6, math.min(1 - 1e-6, x))
+    var lambda = initLambda
+    var m = fieldNames.map(_ => initM).toArray
+    var u = fieldNames.map(_ => initU).toArray
+    val cached = pairs.select(
+      fieldNames.map(n => col(s"agree_$n")): _*).persist()
+    try {
+      (1 to iterations).foreach { _ =>
+        // E-step: r = λ·Πm-terms / (λ·Πm-terms + (1-λ)·Πu-terms),
+        // null fields contribute factor 1 to both products
+        def prodExpr(params: Array[Double]): Column =
+          fieldNames.zipWithIndex.map { case (n, i) =>
+            val a = col(s"agree_$n")
+            when(a.isNull, lit(1.0))
+              .when(a, lit(params(i)))
+              .otherwise(lit(1.0 - params(i)))
+          }.reduce(_ * _)
+        val num = lit(lambda) * prodExpr(m)
+        val den = num + lit(1.0 - lambda) * prodExpr(u)
+        val r = round(num / den, 9).cast("decimal(38,9)")
+        val withR = cached.withColumn("__r", r)
+        // M-step sufficient statistics in one aggregate
+        val aggs =
+          Seq(count(lit(1)).as("n"), sum(col("__r")).as("sr")) ++
+            fieldNames.flatMap { n =>
+              val a = col(s"agree_$n")
+              val one = lit(BigDecimal(1).bigDecimal).cast("decimal(38,9)")
+              Seq(
+                sum(when(a === true, col("__r")).otherwise(lit(0))).as(s"srA_$n"),
+                sum(when(a.isNotNull, col("__r")).otherwise(lit(0))).as(s"srN_$n"),
+                sum(when(a === true, one - col("__r")).otherwise(lit(0))).as(s"scA_$n"),
+                sum(when(a.isNotNull, one - col("__r")).otherwise(lit(0))).as(s"scN_$n"))
+            }
+        val row = withR.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val n = row.getAs[Long]("n").toDouble
+        def d(name: String): Double = {
+          val v = row.getAs[java.math.BigDecimal](name)
+          if (v == null) 0.0 else v.doubleValue()
+        }
+        lambda = clamp(d("sr") / n)
+        m = fieldNames.map { nm =>
+          val den = d(s"srN_$nm"); clamp(if (den == 0) 0.5 else d(s"srA_$nm") / den)
+        }.toArray
+        u = fieldNames.map { nm =>
+          val den = d(s"scN_$nm"); clamp(if (den == 0) 0.5 else d(s"scA_$nm") / den)
+        }.toArray
+      }
+    } finally cached.unpersist()
+    EmResult(lambda,
+      fieldNames.zipWithIndex.map { case (n, i) => FieldFit(n, m(i), u(i)) })
+  }
+}

@@ -18,19 +18,40 @@ import org.apache.spark.sql.types._
  */
 object EventStream {
 
-  /** The events table schema as the streaming reader needs it
-    * (ts arrives as TIMESTAMP(NANOS) → long ns under nanosAsLong;
-    * normalize to a microsecond timestamp exactly like the batch path). */
+  /** The events table schema as the streaming reader needs it. The
+    * fixture has shipped ts as both TIMESTAMP(NANOS) (→ long ns under
+    * nanosAsLong) and plain TIMESTAMP(MICROS); this is the CURRENT
+    * layout — streaming readers that must not trust it should infer
+    * from the file footer instead ([[rawSchemaFor]]), which is what
+    * [[runToMemory]] does. */
   val RawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Footer-inferred schema of a parquet events path — the file stream
+    * source demands an explicit schema, and inferring it from the batch
+    * reader (one footer read, driver-side) keeps the stream robust to
+    * fixture-layout changes instead of hard-coding one. */
+  def rawSchemaFor(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** Normalize ts to a session-zoned microsecond timestamp whatever
+    * the raw layout resolved to: long nanoseconds (legacy
+    * TIMESTAMP(NANOS) under nanosAsLong — truncating div, exactly like
+    * DuckDB), TIMESTAMP_NTZ micros (cast; wall-clock-identical under
+    * the UTC session), or already a timestamp (pass through). */
   def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Tumbling-window per-type aggregate with a watermark for state
     * eviction (append-mode capable). */
@@ -253,7 +274,7 @@ object EventStream {
         d.toString
       }
     val stream = spark.readStream
-      .schema(RawSchema)
+      .schema(rawSchemaFor(spark, inputDir))
       .parquet(dir)
     val q = transform(normalize(stream)).writeStream
       .outputMode(mode)

@@ -94,8 +94,9 @@ object Stress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long like
-      // SparkEntry.t does (we don't touch the ts column here)
+      // events.ts has shipped as TIMESTAMP(NANOS) in some fixture
+      // generations; keep the legacy conf so that layout reads as long
+      // (we don't touch the ts column here either way)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.driver.memory", sys.env.getOrElse("STRESS_DRIVER_MEM", "8g"))
       .getOrCreate()

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProbLink
+import graft.operators.ProbLink.LinkField
+
+class ProbLinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nameField =
+    LinkField("name", 0.95, 0.05, "s_name", "t_name",
+      (s, t) => levenshtein(s, t) <= 1)
+  private val cityField =
+    LinkField("city", 0.9, 0.2, "s_city", "t_city", (s, t) => s === t)
+
+  test("weights are the driver-rounded log2 Bayes factors") {
+    assert(ProbLink.weights(0.95, 0.05) ==
+      (BigDecimal("4.247928"), BigDecimal("-4.247928")))
+    // log2(0.1/0.8) = -3 exactly
+    assert(ProbLink.weights(0.9, 0.2) ==
+      (BigDecimal("2.169925"), BigDecimal("-3.000000")))
+  }
+
+  test("scorePairs: agreement pattern -> exact decimal weight; null = no evidence") {
+    val src = Seq(
+      (1L, 10, "ann smith", "rome"),
+      (2L, 10, "bob jones", null.asInstanceOf[String]))
+      .toDF("sid", "blk", "s_name", "s_city")
+    val tgt = Seq(
+      (7L, 10, "ann smith", "rome"),   // agree both vs sid=1
+      (8L, 10, "xyz totally", "rome")) // disagree name, agree city
+      .toDF("tid", "blk", "t_name", "t_city")
+    val out = ProbLink.scorePairs(src, "sid", tgt, "tid",
+      Seq(("blk", "blk")), Seq(nameField, cityField))
+      .select($"sid", $"tid", $"match_weight".cast("string"), $"match_prob")
+      .as[(Long, Long, String, Double)].collect().sortBy(r => (r._1, r._2))
+    val byPair = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair((1L, 7L)) == "6.417853")   // 4.247928 + 2.169925
+    assert(byPair((1L, 8L)) == "-2.078003")  // -4.247928 + 2.169925
+    // null city on sid=2: only the name term contributes
+    assert(byPair((2L, 7L)) == "-4.247928")
+    assert(byPair((2L, 8L)) == "-4.247928")
+    // match_prob is monotone in the weight
+    val probs = out.map(r => ((r._1, r._2), r._4)).toMap
+    assert(probs((1L, 7L)) > 0.98 && probs((1L, 8L)) < 0.5)
+  }
+
+  test("bestLinks: max weight per source, ties to smallest target, threshold drops") {
+    val scored = Seq(
+      (1L, 7L, "3.500000"), (1L, 8L, "6.000000"),  // 8 wins on weight
+      (2L, 4L, "2.000000"), (2L, 3L, "2.000000"),  // tie -> tid 3
+      (3L, 9L, "-1.000000"))                       // below threshold
+      .toDF("sid", "tid", "w")
+      .withColumn("match_weight", $"w".cast("decimal(28,6)")).drop("w")
+    val best = ProbLink.bestLinks(scored, "sid", "tid", BigDecimal(0))
+      .select($"sid", $"tid").as[(Long, Long)].collect().toMap
+    assert(best == Map(1L -> 8L, 2L -> 3L))
+  }
+
+  test("emFit recovers planted (m, u, lambda) and is partition-layout invariant") {
+    // 100 matches: name agrees 95%, city agrees 90%;
+    // 900 non-matches: name agrees 4%, city agrees 20% — planted by
+    // index arithmetic, fully deterministic
+    val rows = (0 until 1000).map { i =>
+      val isMatch = i < 100
+      val name = if (isMatch) i % 20 != 0 else i % 25 == 0
+      val city = if (isMatch) i % 10 != 0 else i % 5 == 0
+      (name, city)
+    }
+    val pairs = rows.toDF("agree_name", "agree_city")
+    val fit = ProbLink.emFit(pairs, Seq("name", "city"), iterations = 20)
+    assert(math.abs(fit.lambda - 0.1) < 0.05, s"lambda ${fit.lambda}")
+    val m = fit.fields.map(f => f.name -> f.m).toMap
+    val u = fit.fields.map(f => f.name -> f.u).toMap
+    assert(m("name") > 0.8 && u("name") < 0.1, s"name ${m("name")}/${u("name")}")
+    assert(m("city") > 0.7 && u("city") < 0.3, s"city ${m("city")}/${u("city")}")
+    // decimal-summed responsibilities => bit-identical across layouts
+    val fit3 = ProbLink.emFit(pairs.repartition(3), Seq("name", "city"), 20)
+    val fit13 = ProbLink.emFit(pairs.repartition(13), Seq("name", "city"), 20)
+    assert(fit3 == fit13 && fit3 == fit)
+  }
+
+  test("emFit: null agreements carry no parameter mass but count toward lambda") {
+    val pairs = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, null), (true, null), (false, null), (false, null))
+      .toDF("agree_name", "agree_city")
+    val fit = ProbLink.emFit(pairs, Seq("name", "city"), iterations = 3)
+    // the all-null field falls back to 0.5/0.5 (no evidence either way)
+    val city = fit.fields.find(_.name == "city").get
+    assert(city.m == 0.5 && city.u == 0.5)
+  }
+}
