@@ -1171,4 +1171,156 @@ object TextDedup {
         }
     }.toDF("id_a", "id_b", "hamming")
   }
+
+  // ---- persisted MinHash-LSH index (the near-dup storage face) ---------
+
+  /**
+   * Persist a MinHash-LSH index of a corpus — the near-duplicate
+   * sibling of [[graft.ops.Retrieval.saveBm25Index]] and
+   * `Similarity.saveIvfPqIndex`: shingle/minhash/band 100 TB ONCE, then
+   * dedup every future crawl batch against the saved layout instead of
+   * re-preparing the corpus per run ([[incrementalDedup]] recomputes
+   * corpus shingles on each call; this is its amortized face).
+   *
+   * Layout:
+   *  - `bands/` — (id, bh) hive-partitioned by `band` (the probe join
+   *    co-partitions by construction) with a parquet bloom filter on
+   *    `bh` (band hashes are uniform — min/max stats prune nothing;
+   *    the bloom answers "this row group has no such bucket" for the
+   *    pushed-down probe keys);
+   *  - `sets/` — (id, sorted shingle-hash array) with a bloom on `id`
+   *    for the verification fetch;
+   *  - `meta/` — one row of (shingle_len, num_hashes, bands, seed):
+   *    probes MUST hash identically, so they read the params rather
+   *    than trust the caller to repeat them.
+   */
+  def saveMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                       path: String, shingleLen: Int = 5,
+                       numHashes: Int = 128, bands: Int = 32,
+                       seed: Long = 42L,
+                       bhNdvPerGroup: Long = 1L << 17): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val prepared = df
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__shh"))
+      .filter(size(col("__shh")) > 0)
+      .withColumn("__bands",
+        bandHashes(minhashSignatureFromHashes(col("__shh"), numHashes, seed),
+          bands, rows))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prepared
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bh")))
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .option("parquet.bloom.filter.enabled#bh", "true")
+      .option("parquet.bloom.filter.expected.ndv#bh", bhNdvPerGroup.toString)
+      .parquet(s"$path/bands")
+    prepared.select(col(idCol), col("__shh"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#" + idCol, "true")
+      .parquet(s"$path/sets")
+    Seq((shingleLen, numHashes, bands, seed))
+      .toDF("shingle_len", "num_hashes", "bands", "seed")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    prepared.unpersist()
+  }
+
+  /**
+   * Probe a new batch against a [[saveMinhashIndex]] layout: for each
+   * batch doc, every indexed corpus doc sharing an LSH band bucket,
+   * verified with exact Jaccard ≥ `jaccardThreshold`.
+   *
+   * Scale shape (the incremental-crawl asymmetry, never corpus×corpus):
+   *  1. the batch is prepared with the SAVED params (meta read);
+   *  2. the index scan is prefiltered by a budget-gated driver Bloom
+   *     over the batch's (band, bh) keys — built on the batch side
+   *     (small by definition of the shape) and applied BELOW the index
+   *     scan's exchange, the [[graft.ops.BloomJoin]] contract — so
+   *     corpus band rows that cannot match never shuffle; batches too
+   *     big for the budget fall back to the plain co-partitioned join;
+   *  3. candidate (batch, corpus) pairs fetch corpus shingle sets from
+   *     `sets/` (Bloom-prefiltered on id the same way) and verify with
+   *     the exact merge-intersection kernel.
+   *
+   * Returns (batch_id, corpus_id, jaccard) — every qualifying pair, so
+   * the caller picks min/best per its own survivor policy.
+   */
+  /** Probe size (in exploded band rows) at or below which the band
+    * hashes are collected and pushed down as an IN literal — ~300 docs
+    * at 32 bands; the "is this handful of docs already indexed" shape. */
+  val pushdownKeyLimit: Long = 10000L
+
+  def minhashProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame, idCol: String,
+                          textCol: String, jaccardThreshold: Double,
+                          maxBloomKeys: Long = 10L * 1000 * 1000): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("shingle_len").cast("int"), col("num_hashes").cast("int"),
+        col("bands").cast("int"), col("seed").cast("long"))
+      .as[(Int, Int, Int, Long)].head()
+    val (shingleLen, numHashes, nBands, seed) = meta
+    val rows = numHashes / nBands
+    // one long key packs (band, 32-bit band hash) for the bloom/join
+    def packed(band: Column, bh: Column): Column =
+      band.cast("long") * lit(4294967296L) +
+        (bh.cast("long") bitwiseAND lit(0xFFFFFFFFL))
+    val bprep = batch
+      .select(col(idCol).as("__bid"),
+        shingleHashes(col(textCol), shingleLen).as("__bsh"))
+      .filter(size(col("__bsh")) > 0)
+      .withColumn("__bands",
+        bandHashes(minhashSignatureFromHashes(col("__bsh"), numHashes, seed),
+          nBands, rows))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = bprep
+      .select(col("__bid"),
+        posexplode(col("__bands")).as(Seq("band", "bh")))
+      .withColumn("__k", packed(col("band"), col("bh")))
+    // row count, not distinct — BloomJoin's build budget is row-based
+    val keyCount = bBands.count()
+    // point-lookup fast path: a small probe's band hashes become a
+    // pushed-down IN literal, so the parquet bloom filters on bh skip
+    // whole row groups (min/max stats are useless on uniform hashes —
+    // this is what the blooms were written for); bigger probes keep the
+    // driver-Bloom prefilter, and over-budget ones the plain join
+    val iBandsRaw = spark.read.parquet(s"$path/bands")
+    val iBands =
+      (if (keyCount > 0 && keyCount <= pushdownKeyLimit) {
+        val bhs = bprep.select(explode(col("__bands")).as("bh"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        iBandsRaw.filter(col("bh").isin(bhs: _*))
+      } else iBandsRaw)
+        .withColumn("__k", packed(col("band"), col("bh")))
+        .select(col(idCol).cast("long").as("__cid"), col("__k"))
+    val joined =
+      if (keyCount > 0 && keyCount <= maxBloomKeys)
+        BloomJoin.prefiltered(iBands,
+          bBands.select(col("__k"), col("__bid")), "__k")
+      else iBands.hint("shuffle_hash")
+        .join(bBands.select(col("__k"), col("__bid")), Seq("__k"))
+    val candidates = joined.select(col("__bid"), col("__cid")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = spark.read.parquet(s"$path/sets")
+      .select(col(idCol).cast("long").as("__cid"),
+        col("__shh").as("__csh"))
+    val cids = candidates.select(col("__cid")).distinct()
+    val nCids = cids.count()
+    val corpusSets =
+      if (nCids > 0 && nCids <= maxBloomKeys)
+        BloomJoin.prefiltered(sets, cids, "__cid")
+      else sets.join(cids, Seq("__cid"))
+    // bprep/candidates stay cached until the caller's action completes;
+    // release is caller-owned (Bench clears caches between reps), the
+    // bm25TopK convention
+    candidates
+      .join(corpusSets, Seq("__cid"))
+      .join(bprep.select(col("__bid"), col("__bsh")), Seq("__bid"))
+      .withColumn("jaccard", jaccardKernel(col("__bsh"), col("__csh")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"),
+        col("jaccard"))
+  }
 }

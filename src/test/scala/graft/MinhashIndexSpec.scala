@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextDedup
+
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(i: Int): String =
+    s"the quick brown fox number $i jumps over the lazy dog while " +
+      s"reciting paragraph $i of a long and winding synthetic corpus text"
+
+  private def corpus = (0 until 200)
+    .map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+
+  // batch: 0-49 near-copies of corpus docs (one char appended),
+  // 50-59 novel text — ids offset by 1000
+  private def batch = ((0 until 50).map(i => (1000L + i, doc(i) + "!")) ++
+    (50 until 60).map(i =>
+      (1000L + i, s"completely unrelated content block $i with nothing shared")))
+    .toDF("doc_id", "text")
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mh_$tag").toString
+
+  test("index probe finds planted near-dups and nothing for novel docs") {
+    val dir = freshDir("parity")
+    TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir)
+    val out = TextDedup.minhashProbeIndexed(spark, dir, batch,
+      "doc_id", "text", jaccardThreshold = 0.8)
+      .select($"batch_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    // every near-copy links back to its source doc at high jaccard
+    val bySource = out.groupBy(_._1)
+    (0 until 50).foreach { i =>
+      val hits = bySource.getOrElse(1000L + i, Array())
+      assert(hits.exists(h => h._2 == i && h._3 >= 0.9),
+        s"near-copy of doc $i not found: ${hits.mkString(",")}")
+    }
+    // novel docs match nothing
+    (50 until 60).foreach { i =>
+      assert(!bySource.contains(1000L + i), s"novel doc $i matched")
+    }
+  }
+
+  test("pushdown, driver-bloom, and plain-join paths agree exactly") {
+    val dir = freshDir("paths")
+    TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir)
+    def run(maxBloomKeys: Long) =
+      TextDedup.minhashProbeIndexed(spark, dir, batch, "doc_id", "text",
+        jaccardThreshold = 0.8, maxBloomKeys = maxBloomKeys)
+        .select($"batch_id", $"corpus_id", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaPushdownAndBloom = run(10L * 1000 * 1000) // small probe: IN + bloom
+    val viaPlainJoin = run(0)                        // over budget: plain join
+    assert(viaPushdownAndBloom == viaPlainJoin && viaPushdownAndBloom.nonEmpty)
+  }
+
+  test("probe hashes with the SAVED params, not the caller defaults") {
+    val dir = freshDir("meta")
+    // non-default everything: if the probe re-hashed with defaults the
+    // band hashes could not collide with the stored ones
+    TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir,
+      shingleLen = 4, numHashes = 64, bands = 16, seed = 7L)
+    val out = TextDedup.minhashProbeIndexed(spark, dir, batch,
+      "doc_id", "text", jaccardThreshold = 0.8)
+      .select($"batch_id").distinct().as[Long].collect()
+    assert(out.length >= 45, s"only ${out.length} near-copies re-linked")
+  }
+
+  test("small probes push their band hashes into the bands scan") {
+    val dir = freshDir("push")
+    TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir)
+    val one = batch.filter($"doc_id" === 1000L)
+    val probe = TextDedup.minhashProbeIndexed(spark, dir, one,
+      "doc_id", "text", jaccardThreshold = 0.8)
+    // collect THIS Dataset so the inspected QueryExecution is the one
+    // that ran (the bloom-layout spec template)
+    assert(probe.collect().length >= 1)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        // AQE query stages are leaves to collect(); descend explicitly
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        // the probe caches its candidate pairs — the bands scan lives
+        // inside the InMemoryRelation's cached plan, not this tree
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allScans(m.relation.cachedPlan)
+        case s: FileSourceScanExec => Seq(s)
+      }.flatten
+    val scans = allScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("bands"))
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(_.contains("In(bh")),
+      s"bands scan has no pushed IN filter on bh: $pushed")
+  }
+}
