@@ -896,6 +896,25 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // first-order Markov transition matrix over per-user event
+    // sequences (keyed window + two map-side-combined aggregates);
+    // probability is one long/long IEEE division — engine-exact
+    "q_transitions" -> ((s, dir) =>
+      graft.ops.Timeseries.transitionMatrix(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+
+    // grouping sets: ROLLUP revenue over (nation, segment) — subtotal
+    // and grand-total rows from ONE pass (Catalyst expands the sets;
+    // no per-level re-aggregation), DECIMAL sums for exact parity
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))),
+
     // video-side frame sampling on a REAL multi-frame container:
     // 6-frame animated GIF (one true LZW stream per frame), keep every
     // 2nd frame, re-decode each — per-frame means gated in closed form
@@ -3033,6 +3052,26 @@ object SparkEntry {
         | AND l.event_id <> r.event_id
         |WHERE l.user_id IS NOT NULL AND l.ts IS NOT NULL
         |  AND r.ts IS NOT NULL""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type AS src,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id) AS dst
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |c AS (SELECT src, dst, count(*) AS n FROM seq
+        |      WHERE dst IS NOT NULL GROUP BY src, dst),
+        |tot AS (SELECT src, sum(n) AS tn FROM c GROUP BY src)
+        |SELECT c.src, c.dst, c.n, ROUND(c.n / t.tn, 6) AS p
+        |FROM c JOIN tot t ON c.src = t.src""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_nationkey, c_mktsegment)""".stripMargin,
 
     "q_resample" ->
       """WITH ob AS (

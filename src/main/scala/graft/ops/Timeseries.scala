@@ -122,4 +122,39 @@ object Timeseries {
         count(lit(1)).over(w).as("n_win") :+
         sum(col("_v")).over(w).cast("double").as("sum_win")): _*)
   }
+
+  /**
+   * First-order Markov transition matrix over per-key event sequences:
+   * for each ordered pair of consecutive event types within a key,
+   * the transition count and the row-normalized probability — the
+   * user-journey summary behind funnel design, anomaly detection
+   * (impossible transitions), and sequence-model sanity checks.
+   *
+   * Ordering within a key is (ts, tieCol) — the tie column makes the
+   * sequence total and the output deterministic under duplicate
+   * timestamps. `lead` runs over ONE key-partitioned window (bounded
+   * per key, the sessionize shape — never global); the counts are a
+   * map-side-combined aggregate and the normalizer joins back on the
+   * source type (type-cardinality rows, broadcast under AQE).
+   * Probability is one IEEE long/long division — engine-exact.
+   *
+   * Output: (src, dst, n, p).
+   */
+  def transitionMatrix(df: DataFrame, keyCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val steps = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol), col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val counts = steps.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("__tn"))
+    counts.join(totals, Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n") / col("__tn"), 6).as("p"))
+  }
 }

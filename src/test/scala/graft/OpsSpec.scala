@@ -1776,6 +1776,33 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == ((6L, 2L, 10L, 1L, 1.0)))  // keys isolated
   }
 
+  test("transition matrix: keyed sequences, tie-broken order, row-normalized") {
+    import graft.ops.Timeseries
+    // user 1: a -> b -> a (ties at tsus=5 broken by event_id: 2 then 3)
+    // user 2: b -> b; a lone event contributes no transition
+    val df = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 5L, "b"), (3L, 1L, 5L, "a"),
+      (4L, 2L, 0L, "b"), (5L, 2L, 9L, "b"), (6L, 3L, 0L, "c")
+    ).toDF("event_id", "user_id", "tsus", "event_type")
+      .select($"event_id", $"user_id",
+        timestamp_micros($"tsus").as("ts"), $"event_type")
+    val out = Timeseries
+      .transitionMatrix(df, "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 1.0)),
+      ("b", "a") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 0.5))))
+    // layout-invariant (the tie column pins the sequence)
+    val out7 = Timeseries
+      .transitionMatrix(df.repartition(7), "user_id", "event_type", "ts",
+        "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out7 == out)
+  }
+
   test("key skew report flags a hot key and ignores null keys") {
     import graft.operators.Audits
     val df = (Seq.fill(6)(Option(7L)) ++ Seq(Some(1L), Some(2L), None))
