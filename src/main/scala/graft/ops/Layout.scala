@@ -143,18 +143,35 @@ object Layout {
     val bytes = files.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
-    val aside = new org.apache.hadoop.fs.Path(path + ".__old")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: move the live directory aside, move the compacted one in,
-    // THEN delete the old copy — the original data exists on disk at
-    // every instant (never delete-before-replace)
-    fs.delete(aside, true) // clear stale leftover from a prior crash
-    require(fs.rename(hPath, aside), s"rename $hPath -> $aside failed")
-    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
-    fs.delete(aside, true)
+    atomicSwap(spark, tmp.toString, path)
     val after = fs.listStatus(hPath).count(s =>
       s.isFile && !s.getPath.getName.startsWith("_"))
     CompactStats(files.length, bytes, after)
+  }
+
+  /**
+   * Rename-aside / rename-in / delete-aside directory swap: promote a
+   * fully-written `tmpPath` to `destPath` such that the previous data
+   * exists on disk at every instant (never delete-before-replace). A
+   * crash leaves the table recoverable — at `destPath`, or at
+   * `destPath.__old` with the new copy still in `tmpPath`; the only
+   * reader-visible gap is the metadata-only window between the two
+   * renames. Shared by [[compact]] and the streaming
+   * [[graft.streaming.MergeSink]] store promotion.
+   */
+  def atomicSwap(spark: org.apache.spark.sql.SparkSession,
+                 tmpPath: String, destPath: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val aside = new org.apache.hadoop.fs.Path(destPath + ".__old")
+    require(fs.exists(tmp), s"tmp dir missing: $tmpPath")
+    fs.delete(aside, true) // clear stale leftover from a prior crash
+    if (fs.exists(dest))
+      require(fs.rename(dest, aside), s"rename $dest -> $aside failed")
+    require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    fs.delete(aside, true)
   }
 }
