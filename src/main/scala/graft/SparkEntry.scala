@@ -126,8 +126,11 @@ object SparkEntry {
   private[graft] val ProblinkSegW = ProbLink.weights(0.9, 0.2)
 
   private def problinkFields = Seq(
+    // banded levenshtein: the 3-arg form early-exits above the bound
+    // (O(len·k) instead of the full DP table) and returns -1 there, so
+    // ">= 0" IS "distance <= 1" — the oracle's plain `<= 1` agrees
     ProbLink.LinkField("name", 0.95, 0.05, "name", "c_name",
-      (s, t) => levenshtein(s, t) <= 1),
+      (s, t) => levenshtein(s, t, 1) >= 0),
     ProbLink.LinkField("seg", 0.9, 0.2, "seg", "c_mktsegment",
       (s, t) => s === t))
 
@@ -135,9 +138,10 @@ object SparkEntry {
     * family: source = every 4th customer with a deterministic
     * SQL-reproducible perturbation (name+X on custkey%3, segment
     * blanked on custkey%5), target = customer, blocked on nationkey. */
-  private def problinkScored(s: SparkSession, dir: String): DataFrame = {
+  private def problinkScored(s: SparkSession, dir: String,
+                             srcMod: Int = 8): DataFrame = {
     val cust = t(s, dir, "customer")
-    val src = cust.filter(col("c_custkey") % 4 === 0).select(
+    val src = cust.filter(col("c_custkey") % srcMod === 0).select(
       col("c_custkey").as("src_id"), col("c_nationkey"),
       when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("X")))
         .otherwise(col("c_name")).as("name"),
@@ -160,7 +164,7 @@ object SparkEntry {
          | SELECT c_custkey AS src_id, c_nationkey,
          |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS name,
          |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
-         | FROM customer WHERE c_custkey % 4 = 0),
+         | FROM customer WHERE c_custkey % 8 = 0),
          |p AS (
          | SELECT s.src_id, t.c_custkey AS tgt_id,
          |  levenshtein(s.name, t.c_name) <= 1 AS agree_name,
@@ -440,9 +444,12 @@ object SparkEntry {
 
     // EM-fitted (m, u, lambda) over the agreement patterns (Winkler
     // 1988) — iterative, no SQL oracle; decimal-summed responsibilities
-    // make the fit bit-identical across partition layouts (spec'd)
+    // make the fit bit-identical across partition layouts (spec'd).
+    // Estimation runs on a deterministic source SAMPLE (every 16th
+    // customer) — the Splink discipline: at 100 TB you estimate m/u on
+    // a sample and score the full corpus with the fitted params
     "q_problink_em" -> ((s, dir) => {
-      val fit = ProbLink.emFit(problinkScored(s, dir),
+      val fit = ProbLink.emFit(problinkScored(s, dir, srcMod = 16),
         Seq("name", "seg"), iterations = 3)
       import s.implicits._
       fit.fields.map(f => (f.name,
@@ -474,9 +481,12 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir"),
         s"graft_mhidx_${tmpToken(dir)}").getAbsolutePath
       TextDedup.saveMinhashIndex(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", tmp)
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", tmp,
+        numHashes = 32, bands = 8)
+      // small-batch probe (every 9th doc): the incremental-crawl
+      // asymmetry, and small enough to ride the pushdown fast path
       TextDedup.minhashProbeIndexed(s, tmp,
-        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 9 === 0), "doc_id", "text",
         jaccardThreshold = 0.8)
         .select(col("batch_id"), col("corpus_id"),
           round(col("jaccard"), 6).as("jaccard"))

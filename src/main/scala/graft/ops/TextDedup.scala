@@ -1255,7 +1255,8 @@ object TextDedup {
   def minhashProbeIndexed(spark: org.apache.spark.sql.SparkSession,
                           path: String, batch: DataFrame, idCol: String,
                           textCol: String, jaccardThreshold: Double,
-                          maxBloomKeys: Long = 10L * 1000 * 1000): DataFrame = {
+                          maxBloomKeys: Long = 10L * 1000 * 1000,
+                          pushdownLimit: Long = pushdownKeyLimit): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("shingle_len").cast("int"), col("num_hashes").cast("int"),
@@ -1279,39 +1280,53 @@ object TextDedup {
       .select(col("__bid"),
         posexplode(col("__bands")).as(Seq("band", "bh")))
       .withColumn("__k", packed(col("band"), col("bh")))
-    // row count, not distinct — BloomJoin's build budget is row-based
-    val keyCount = bBands.count()
     // point-lookup fast path: a small probe's band hashes become a
     // pushed-down IN literal, so the parquet bloom filters on bh skip
     // whole row groups (min/max stats are useless on uniform hashes —
-    // this is what the blooms were written for); bigger probes keep the
-    // driver-Bloom prefilter, and over-budget ones the plain join
+    // this is what the blooms were written for) and no driver Bloom is
+    // needed on top (the scan is already key-filtered). The size test
+    // is collect-with-limit — ONE job instead of a count plus a
+    // second collect, keeping the point-lookup path low-latency.
     val iBandsRaw = spark.read.parquet(s"$path/bands")
+    val bhProbe = bprep.select(explode(col("__bands")).as("bh"))
+      .distinct().limit(pushdownLimit.toInt + 1).collect()
+    val smallProbe = bhProbe.length <= pushdownLimit
     val iBands =
-      (if (keyCount > 0 && keyCount <= pushdownKeyLimit) {
-        val bhs = bprep.select(explode(col("__bands")).as("bh"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        iBandsRaw.filter(col("bh").isin(bhs: _*))
-      } else iBandsRaw)
+      (if (smallProbe) iBandsRaw.filter(col("bh").isin(bhProbe.map(_.getInt(0)).toSeq: _*))
+       else iBandsRaw)
         .withColumn("__k", packed(col("band"), col("bh")))
         .select(col(idCol).cast("long").as("__cid"), col("__k"))
     val joined =
-      if (keyCount > 0 && keyCount <= maxBloomKeys)
-        BloomJoin.prefiltered(iBands,
-          bBands.select(col("__k"), col("__bid")), "__k")
-      else iBands.hint("shuffle_hash")
-        .join(bBands.select(col("__k"), col("__bid")), Seq("__k"))
+      if (smallProbe)
+        iBands.join(bBands.select(col("__k"), col("__bid")), Seq("__k"))
+      else {
+        // row count, not distinct — BloomJoin's build budget is row-based
+        val keyCount = bBands.count()
+        if (keyCount > 0 && keyCount <= maxBloomKeys)
+          BloomJoin.prefiltered(iBands,
+            bBands.select(col("__k"), col("__bid")), "__k")
+        else iBands.hint("shuffle_hash")
+          .join(bBands.select(col("__k"), col("__bid")), Seq("__k"))
+      }
     val candidates = joined.select(col("__bid"), col("__cid")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = spark.read.parquet(s"$path/sets")
       .select(col(idCol).cast("long").as("__cid"),
         col("__shh").as("__csh"))
+    // same collect-with-limit discipline for the verification fetch:
+    // a small candidate set becomes a pushed-down IN on the sets
+    // table's id (rides its bloom filter); big ones build the driver
+    // Bloom; over-budget ones join plain
     val cids = candidates.select(col("__cid")).distinct()
-    val nCids = cids.count()
+    val cidProbe = cids.limit(pushdownLimit.toInt + 1).collect()
     val corpusSets =
-      if (nCids > 0 && nCids <= maxBloomKeys)
-        BloomJoin.prefiltered(sets, cids, "__cid")
-      else sets.join(cids, Seq("__cid"))
+      if (cidProbe.length <= pushdownLimit)
+        sets.filter(col("__cid").isin(cidProbe.map(_.getLong(0)).toSeq: _*))
+      else {
+        val nCids = cids.count()
+        if (nCids <= maxBloomKeys) BloomJoin.prefiltered(sets, cids, "__cid")
+        else sets.join(cids, Seq("__cid"))
+      }
     // bprep/candidates stay cached until the caller's action completes;
     // release is caller-owned (Bench clears caches between reps), the
     // bm25TopK convention

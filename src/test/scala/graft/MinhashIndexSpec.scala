@@ -48,14 +48,17 @@ class MinhashIndexSpec extends SparkSpec {
   test("pushdown, driver-bloom, and plain-join paths agree exactly") {
     val dir = freshDir("paths")
     TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir)
-    def run(maxBloomKeys: Long) =
+    def run(maxBloomKeys: Long, pushdownLimit: Long) =
       TextDedup.minhashProbeIndexed(spark, dir, batch, "doc_id", "text",
-        jaccardThreshold = 0.8, maxBloomKeys = maxBloomKeys)
+        jaccardThreshold = 0.8, maxBloomKeys = maxBloomKeys,
+        pushdownLimit = pushdownLimit)
         .select($"batch_id", $"corpus_id", $"jaccard")
         .as[(Long, Long, Double)].collect().toSet
-    val viaPushdownAndBloom = run(10L * 1000 * 1000) // small probe: IN + bloom
-    val viaPlainJoin = run(0)                        // over budget: plain join
-    assert(viaPushdownAndBloom == viaPlainJoin && viaPushdownAndBloom.nonEmpty)
+    val viaPushdown = run(10L * 1000 * 1000, TextDedup.pushdownKeyLimit)
+    val viaDriverBloom = run(10L * 1000 * 1000, 0) // pushdown off -> bloom
+    val viaPlainJoin = run(0, 0)                   // both off -> plain join
+    assert(viaPushdown == viaDriverBloom && viaDriverBloom == viaPlainJoin &&
+      viaPushdown.nonEmpty)
   }
 
   test("probe hashes with the SAVED params, not the caller defaults") {
