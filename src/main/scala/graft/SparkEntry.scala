@@ -1178,6 +1178,14 @@ object SparkEntry {
         .withColumn("max_key_fanout",
           col("max_key_fanout").cast("double"))),
 
+    // referential integrity: event user_ids with no customer row —
+    // the orphan-FK pre-flight before a star join drops or null-fills
+    // facts; distinct-key anti-join, no fact row joined
+    "q_fk_orphans" -> ((s, dir) =>
+      graft.operators.Audits.orphanKeys(
+        t(s, dir, "events"), "user_id",
+        t(s, dir, "customer"), "c_custkey")),
+
     // join-key skew pre-flight: one-row shape report for the user_id
     // key — the audit that decides whether q_salted_join's treatment
     // is needed before a big run
@@ -3358,6 +3366,23 @@ object SparkEntry {
         |  CAST(coalesce(max(lc * rc), 0) AS DOUBLE) AS max_key_fanout
         | FROM j)
         |SELECT * FROM ls CROSS JOIN rs CROSS JOIN js""".stripMargin,
+
+    "q_fk_orphans" ->
+      """WITH fc AS (
+        | SELECT user_id AS k, count(*) AS n FROM events
+        | WHERE user_id IS NOT NULL GROUP BY 1),
+        |o AS (
+        | SELECT fc.k, fc.n FROM fc
+        | LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) d
+        |   ON fc.k = d.c_custkey
+        | WHERE d.c_custkey IS NULL)
+        |SELECT
+        | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM fc) AS fact_rows,
+        | (SELECT count(*) FROM fc) AS fact_keys,
+        | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM o) AS orphan_rows,
+        | (SELECT count(*) FROM o) AS orphan_keys,
+        | (SELECT CAST(min(k) AS VARCHAR) FROM o) AS sample_orphan_key,
+        | (SELECT count(*) FROM events WHERE user_id IS NULL) AS null_fk_rows""".stripMargin,
 
     "q_skew_audit" ->
       """WITH c AS (

@@ -128,6 +128,37 @@ object Audits {
   }
 
   /**
+   * Referential-integrity audit: which fact-side foreign keys have no
+   * dimension row — the orphan check every star-schema load should run
+   * before its joins silently drop (inner) or null-fill (left) facts.
+   * One row: fact row/key totals, orphan row/key counts, null-FK rows
+   * (reported separately — a null FK is a modeling choice, an orphan
+   * is a bug), and the smallest orphan key as a deterministic
+   * debugging exemplar.
+   *
+   * Scale: the fact side collapses to one map-side-combined key count
+   * first, so the anti-join runs on distinct keys (dimension-sized,
+   * broadcast under AQE) — no row of the fact table is joined.
+   */
+  def orphanKeys(fact: DataFrame, fk: String,
+                 dim: DataFrame, pk: String): DataFrame = {
+    val fc = fact.filter(col(fk).isNotNull)
+      .groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__n"))
+    val orphans = fc.join(
+      dim.select(col(pk).as("__k")).distinct(), Seq("__k"), "left_anti")
+    val nullRows = fact.filter(col(fk).isNull)
+      .agg(count(lit(1)).as("null_fk_rows"))
+    fc.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("fact_rows"),
+        count(lit(1)).as("fact_keys"))
+      .crossJoin(orphans.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("orphan_rows"),
+        count(lit(1)).as("orphan_keys"),
+        min(col("__k")).cast("string").as("sample_orphan_key")))
+      .crossJoin(nullRows)
+  }
+
+  /**
    * Schema drift audit: the column-level companion to [[tableDiff]] —
    * what changed STRUCTURALLY between snapshot N and N+1 before any
    * row is compared. Pure metadata (no job runs); one row per drifted

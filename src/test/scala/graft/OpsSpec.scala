@@ -1803,6 +1803,26 @@ class OpsSpec extends SparkSpec {
     assert(out7 == out)
   }
 
+  test("orphan-key audit separates orphans from null FKs") {
+    import graft.operators.Audits
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Audits.orphanKeys(fact, "fk", dim, "pk").collect().head
+    assert(r.getAs[Long]("fact_rows") == 5)       // null FK excluded
+    assert(r.getAs[Long]("fact_keys") == 4)
+    assert(r.getAs[Long]("orphan_rows") == 2)     // keys 8, 9
+    assert(r.getAs[Long]("orphan_keys") == 2)
+    assert(r.getAs[String]("sample_orphan_key") == "8")
+    assert(r.getAs[Long]("null_fk_rows") == 1)
+    // fully-covered fact: zero orphans, null exemplar
+    val clean = Audits.orphanKeys(
+      Seq(1L, 2L).toDF("fk"), "fk", dim, "pk").collect().head
+    assert(clean.getAs[Long]("orphan_rows") == 0 &&
+      clean.getAs[Long]("orphan_keys") == 0 &&
+      clean.getAs[String]("sample_orphan_key") == null)
+  }
+
   test("key skew report flags a hot key and ignores null keys") {
     import graft.operators.Audits
     val df = (Seq.fill(6)(Option(7L)) ++ Seq(Some(1L), Some(2L), None))
