@@ -193,6 +193,27 @@ object SparkEntry {
           |WHERE rn = 1""".stripMargin
   }
 
+  /** Oracle for q_er_resolve: every blocked source, left-joined to its
+    * best accepted link (same CTEs as the best-gate oracle). */
+  private def problinkResolveOracle: String =
+    problinkOracle(best = true).replace(
+      """SELECT src_id, tgt_id, CAST(mw AS DOUBLE) AS match_weight
+        |FROM (SELECT src_id, tgt_id, mw,
+        |       row_number() OVER (PARTITION BY src_id
+        |                          ORDER BY mw DESC, tgt_id) AS rn
+        |      FROM w WHERE mw >= 0)
+        |WHERE rn = 1""".stripMargin,
+      """, b AS (
+        | SELECT src_id, tgt_id, mw
+        | FROM (SELECT src_id, tgt_id, mw,
+        |        row_number() OVER (PARTITION BY src_id
+        |                           ORDER BY mw DESC, tgt_id) AS rn
+        |       FROM w WHERE mw >= 6)
+        | WHERE rn = 1)
+        |SELECT s.src_id, b.tgt_id, CAST(b.mw AS DOUBLE) AS match_weight
+        |FROM (SELECT DISTINCT src_id FROM w) s
+        |LEFT JOIN b ON s.src_id = b.src_id""".stripMargin)
+
   /** Flagship: the reference's central use case — conform + staged match
     * + merge (SURVEY §7.2) — on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -441,6 +462,22 @@ object SparkEntry {
         minWeight = BigDecimal(0))
         .select(col("src_id"), col("tgt_id"),
           col("match_weight").cast("double").as("match_weight"))),
+
+    // the ER workflow end-to-end: every source row leaves resolved
+    // (best target + weight) or explicitly unmatched (nulls) — the
+    // left-join face of bestLinks, i.e. the reference's
+    // working_target_id contract in Fellegi-Sunter form
+    "q_er_resolve" -> ((s, dir) => {
+      val scored = problinkScored(s, dir)
+      // threshold 6 needs BOTH fields to agree: the segment-blanked
+      // sources stay unmatched, exercising the null face
+      val best = ProbLink.bestLinks(scored, "src_id", "tgt_id",
+        minWeight = BigDecimal(6))
+      scored.select(col("src_id")).distinct()
+        .join(best, Seq("src_id"), "left")
+        .select(col("src_id"), col("tgt_id"),
+          col("match_weight").cast("double").as("match_weight"))
+    }),
 
     // EM-fitted (m, u, lambda) over the agreement patterns (Winkler
     // 1988) — iterative, no SQL oracle; decimal-summed responsibilities
@@ -1177,6 +1214,23 @@ object SparkEntry {
           col("est_output_rows").cast("double"))
         .withColumn("max_key_fanout",
           col("max_key_fanout").cast("double"))),
+
+    // mergeable distinct-count sketches: per-type HLL sketch table
+    // rolled up per type AND to the grand total by UNIONING registers
+    // (sketch once, answer any rollup later — never re-scan, never add
+    // estimates). DataSketches HLL registers are order-invariant maxes
+    // so the estimates are deterministic; no SQL oracle (rows-only),
+    // mergeability and error bounds spec-pinned.
+    "q_sketch_rollup" -> ((s, dir) => {
+      val sk = graft.operators.Audits.distinctSketches(
+        t(s, dir, "events"), Seq("event_type"), "user_id")
+      val perType = graft.operators.Audits
+        .rollupSketches(sk, Seq("event_type"))
+      val total = graft.operators.Audits.rollupSketches(sk, Nil)
+        .select(lit("__ALL__").as("event_type"), col("n_rows"),
+          col("approx_distinct"))
+      perType.unionByName(total)
+    }),
 
     // referential integrity: event user_ids with no customer row —
     // the orphan-FK pre-flight before a star join drops or null-fills
@@ -2100,6 +2154,8 @@ object SparkEntry {
     "q_problink" -> problinkOracle(best = false),
 
     "q_problink_best" -> problinkOracle(best = true),
+
+    "q_er_resolve" -> problinkResolveOracle,
 
     "q_exact_match" ->
       """WITH cand AS (

@@ -266,6 +266,46 @@ object Audits {
   def matchGroupCounts(matched: DataFrame): DataFrame =
     matched.groupBy(col(Matcher.MatchGroup))
       .agg(count(lit(1)).as("count"))
+
+  /**
+   * Pre-aggregated distinct-count sketches per dimension group — the
+   * MERGEABLE face of [[approxProfile]]'s approx_count_distinct and
+   * the idiomatic 100 TB distinct-count architecture: sketch each
+   * partition/day ONCE into a tiny table (one DataSketches HLL per
+   * group, ≤ 2^lgK registers each), persist it as plain parquet, and
+   * answer any later rollup by UNIONING sketches ([[rollupSketches]])
+   * instead of re-scanning the corpus. HLL register state is a
+   * per-register max, so sketches — and every estimate derived from
+   * them — are deterministic under any row order or partition layout,
+   * and unioning the parts equals sketching the whole (spec-pinned
+   * exactly).
+   *
+   * Output: one row per `dims` group — n_rows (exact) + `sketch`
+   * (binary, mergeable).
+   */
+  def distinctSketches(df: DataFrame, dims: Seq[String], valueCol: String,
+                       lgK: Int = 12): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension column")
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+  }
+
+  /**
+   * Roll a [[distinctSketches]] table up to a coarser grouping: union
+   * the sketches, estimate at the end. `keepDims` may be empty for the
+   * grand total (one row). Exact row counts sum; distinct counts come
+   * from the merged registers — never from adding estimates (distinct
+   * doesn't sum).
+   */
+  def rollupSketches(sketches: DataFrame, keepDims: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      sum(col("n_rows")).cast("long").as("n_rows"),
+      hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"))
+    if (keepDims.isEmpty) sketches.agg(aggs.head, aggs.tail: _*)
+    else sketches.groupBy(keepDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }
 
 /** Merge dry-run audit (merge_audit.rb): run ONLY the match phase, then

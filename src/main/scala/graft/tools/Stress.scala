@@ -391,6 +391,31 @@ object Stress {
     }
     assertNoFunnel("semdedup-giant-cell")
 
+    // ---- 10. persisted minhash index at 10× -----------------------------
+    // Index the 45k-doc corpus (9 replicas of every doc) once, probe
+    // the 10th replica: 5k probe docs × 8 bands = 40k band keys —
+    // ABOVE the pushdown tier, so this exercises the driver-Bloom
+    // prefilter path at volume. Half the batch is byte-identical
+    // (jaccard 1.0 — must ALL re-link), half has one appended unique
+    // token (near-identical char shingles — must still re-link at the
+    // 0.8 threshold).
+    val mhDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_mhidx").toString
+    tme(f"minhash index 10x (45k corpus, 5k batch, bloom tier)") {
+      graft.ops.TextDedup.saveMinhashIndex(
+        incCorpus, "doc_id", "text", mhDir, numHashes = 32, bands = 8)
+      val probe = graft.ops.TextDedup.minhashProbeIndexed(
+        spark, mhDir, incBatch, "doc_id", "text", jaccardThreshold = 0.8)
+      val linked = probe.select(col("batch_id")).distinct().count()
+      val eligible = incBatch.filter(col("text").isNotNull &&
+        length(col("text")) >= 10).count()
+      assert(linked >= (eligible * 95) / 100,
+        s"only $linked of $eligible probe docs re-linked")
+      println(f"[stress] minhash index: $linked%,d of $eligible%,d " +
+        "probe docs re-linked")
+    }
+    assertNoFunnel("minhash-index-10x")
+
     println("[stress] ALL OK")
     spark.stop()
   }

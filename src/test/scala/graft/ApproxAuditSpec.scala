@@ -75,4 +75,46 @@ class ApproxAuditSpec extends SparkSpec {
     assert(back.select("doc_id", "split").exceptAll(orig).isEmpty &&
       orig.exceptAll(back.select("doc_id", "split")).isEmpty)
   }
+
+  test("distinct sketches: mergeable, order-invariant, parquet-persistable") {
+    import graft.operators.Audits
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0 until 20000).map { i =>
+      (if (i % 2 == 0) "a" else "b", (i % 3000).toLong)
+    }
+    val df = rows.toDF("grp", "uid")
+    val whole = Audits.distinctSketches(df, Seq("grp"), "uid")
+    val est = Audits.rollupSketches(whole, Seq("grp"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // within the HLL error bound of the exact distinct (1500 per group)
+    est.values.foreach(e =>
+      assert(math.abs(e - 1500) < 1500 * 0.05, s"estimate $e vs 1500"))
+    // union of the halves == sketching the whole (register-exact)
+    val h1 = Audits.distinctSketches(
+      df.filter($"uid" % 2 === 0), Seq("grp"), "uid")
+    val h2 = Audits.distinctSketches(
+      df.filter($"uid" % 2 =!= 0), Seq("grp"), "uid")
+    val merged = Audits.rollupSketches(h1.unionByName(h2), Seq("grp"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(merged == est)
+    // row order / partition layout cannot change the registers
+    val shuffled = Audits.rollupSketches(
+      Audits.distinctSketches(df.repartition(13), Seq("grp"), "uid"),
+      Seq("grp")).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(shuffled == est)
+    // persist the sketch table, roll up from the files
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketches").toString
+    whole.write.mode("overwrite").parquet(dir)
+    val fromDisk = Audits.rollupSketches(
+      spark.read.parquet(dir), Seq("grp"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(fromDisk == est)
+    // grand total from the PERSISTED per-group sketches
+    val total = Audits.rollupSketches(spark.read.parquet(dir), Nil)
+      .as[(Long, Long)].collect().head
+    assert(total._1 == 20000 && math.abs(total._2 - 3000) < 3000 * 0.05)
+  }
 }
