@@ -138,20 +138,35 @@ object SparkEntry {
     * family: source = every 4th customer with a deterministic
     * SQL-reproducible perturbation (name+X on custkey%3, segment
     * blanked on custkey%5), target = customer, blocked on nationkey. */
-  private def problinkScored(s: SparkSession, dir: String,
-                             srcMod: Int = 8): DataFrame = {
-    val cust = t(s, dir, "customer")
-    val src = cust.filter(col("c_custkey") % srcMod === 0).select(
+  private def problinkSrc(s: SparkSession, dir: String,
+                          srcMod: Int): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") % srcMod === 0).select(
       col("c_custkey").as("src_id"), col("c_nationkey"),
       when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("X")))
         .otherwise(col("c_name")).as("name"),
       when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
         .otherwise(col("c_mktsegment")).as("seg"))
-    val tgt = cust.select(col("c_custkey").as("tgt_id"),
+
+  private def problinkTgt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("tgt_id"),
       col("c_nationkey"), col("c_name"), col("c_mktsegment"))
-    ProbLink.scorePairs(src, "src_id", tgt, "tgt_id",
+
+  private def problinkScored(s: SparkSession, dir: String,
+                             srcMod: Int = 8): DataFrame =
+    ProbLink.scorePairs(problinkSrc(s, dir, srcMod), "src_id",
+      problinkTgt(s, dir), "tgt_id",
       Seq(("c_nationkey", "c_nationkey")), problinkFields)
-  }
+
+  /** Graded (multi-level) comparison for the Splink-model gate: exact
+    * name beats within-1-edit beats else; segment stays two-level. */
+  private[graft] val ProblinkGradedName = ProbLink.GradedField(
+    "name", "name", "c_name", Seq(
+      ProbLink.LinkLevel("exact", 0.7, 0.02, (s, t) => s === t),
+      ProbLink.LinkLevel("close", 0.25, 0.05,
+        (s, t) => levenshtein(s, t, 1) >= 0)))
+  private[graft] val ProblinkGradedSeg = ProbLink.GradedField(
+    "seg", "seg", "c_mktsegment", Seq(
+      ProbLink.LinkLevel("eq", 0.9, 0.2, (s, t) => s === t)))
 
   /** DuckDB oracle for the probabilistic-linkage gates; the weight
     * decimals interpolate from the SAME driver-side ProbLink.weights
@@ -213,6 +228,34 @@ object SparkEntry {
         |SELECT s.src_id, b.tgt_id, CAST(b.mw AS DOUBLE) AS match_weight
         |FROM (SELECT DISTINCT src_id FROM w) s
         |LEFT JOIN b ON s.src_id = b.src_id""".stripMargin)
+
+  /** DuckDB oracle for the graded-comparison gate — level weights
+    * interpolate from the SAME gradedWeights call the plan uses. */
+  private def problinkGradedOracle: String = {
+    val nw = ProbLink.gradedWeights(ProblinkGradedName)
+    val sw = ProbLink.gradedWeights(ProblinkGradedSeg)
+    s"""WITH src AS (
+       | SELECT c_custkey AS src_id, c_nationkey,
+       |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS name,
+       |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+       | FROM customer WHERE c_custkey % 8 = 0),
+       |p AS (
+       | SELECT s.src_id, t.c_custkey AS tgt_id,
+       |  CASE WHEN s.name = t.c_name THEN 0
+       |       WHEN levenshtein(s.name, t.c_name) <= 1 THEN 1
+       |       ELSE 2 END AS level_name,
+       |  CASE WHEN s.seg = t.c_mktsegment THEN 0 ELSE 1 END AS level_seg
+       | FROM src s JOIN customer t ON s.c_nationkey = t.c_nationkey)
+       |SELECT src_id, tgt_id, level_name, level_seg,
+       | CAST(
+       |  CASE level_name WHEN 0 THEN CAST(${nw(0)} AS DECIMAL(28,6))
+       |                  WHEN 1 THEN CAST(${nw(1)} AS DECIMAL(28,6))
+       |                  ELSE CAST(${nw(2)} AS DECIMAL(28,6)) END +
+       |  CASE level_seg WHEN 0 THEN CAST(${sw(0)} AS DECIMAL(28,6))
+       |                 ELSE CAST(${sw(1)} AS DECIMAL(28,6)) END
+       | AS DOUBLE) AS match_weight
+       |FROM p""".stripMargin
+  }
 
   /** Flagship: the reference's central use case — conform + staged match
     * + merge (SURVEY §7.2) — on sf0.001. */
@@ -461,6 +504,19 @@ object SparkEntry {
       ProbLink.bestLinks(problinkScored(s, dir), "src_id", "tgt_id",
         minWeight = BigDecimal(0))
         .select(col("src_id"), col("tgt_id"),
+          col("match_weight").cast("double").as("match_weight"))),
+
+    // graded (multi-level) FS comparisons — the full Splink model:
+    // exact-name evidence outweighs within-1-edit evidence outweighs
+    // the catch-all; level picked by a first-match-wins codegen CASE,
+    // weights exact decimal literals as in the binary gates
+    "q_problink_graded" -> ((s, dir) =>
+      ProbLink.scorePairsGraded(
+        problinkSrc(s, dir, srcMod = 8), "src_id", problinkTgt(s, dir),
+        "tgt_id", Seq(("c_nationkey", "c_nationkey")),
+        Seq(ProblinkGradedName, ProblinkGradedSeg))
+        .select(col("src_id"), col("tgt_id"),
+          col("level_name"), col("level_seg"),
           col("match_weight").cast("double").as("match_weight"))),
 
     // the ER workflow end-to-end: every source row leaves resolved
@@ -2156,6 +2212,8 @@ object SparkEntry {
     "q_problink_best" -> problinkOracle(best = true),
 
     "q_er_resolve" -> problinkResolveOracle,
+
+    "q_problink_graded" -> problinkGradedOracle,
 
     "q_exact_match" ->
       """WITH cand AS (

@@ -115,6 +115,95 @@ object ProbLink {
           pow(lit(2.0), -(lit(priorLogOdds) + col("match_weight").cast("double")))))
   }
 
+  /** One ordered agreement level of a [[GradedField]]: the first level
+    * whose predicate holds wins. `m`/`u` are P(level | match) and
+    * P(level | non-match); across the declared levels plus the
+    * implicit catch-all they must each sum to 1, so the catch-all's
+    * probabilities are `1 - Σm` / `1 - Σu`. */
+  final case class LinkLevel(name: String,
+                             m: Double, u: Double,
+                             predicate: (Column, Column) => Column)
+
+  /** A multi-level comparison (the full Fellegi–Sunter/Splink model —
+    * "exact name" carries more evidence than "name within 1 edit",
+    * which carries more than "else"): ordered levels, first match
+    * wins, the catch-all level is implicit. */
+  final case class GradedField(name: String, sourceCol: String,
+                               targetCol: String,
+                               levels: Seq[LinkLevel]) {
+    require(levels.nonEmpty, s"$name: at least one level")
+    private val sm = levels.map(_.m).sum
+    private val su = levels.map(_.u).sum
+    require(sm > 0 && sm < 1 && su > 0 && su < 1,
+      s"$name: level m/u sums must leave room for the catch-all " +
+        s"(got Σm=$sm, Σu=$su)")
+    /** Catch-all (m, u). */
+    def elseM: Double = 1 - sm
+    def elseU: Double = 1 - su
+  }
+
+  /** Per-level log2 weights of a graded field (declared levels in
+    * order, then the catch-all), rounded to 6 on the driver exactly
+    * like [[weights]]. */
+  def gradedWeights(f: GradedField): Seq[BigDecimal] = {
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+    f.levels.map(l => r6(log2(l.m / l.u))) :+ r6(log2(f.elseM / f.elseU))
+  }
+
+  /**
+   * [[scorePairs]] with multi-level comparisons: output carries one
+   * `level_<field>` int per field (0-based declared level, #levels =
+   * catch-all, null = missing value ⇒ no evidence) and the same exact
+   * DECIMAL `match_weight`. Same plan shape — blocked equi-join plus a
+   * narrow codegen CASE chain over driver-rounded literals.
+   */
+  def scorePairsGraded(source: DataFrame, sourceId: String,
+                       target: DataFrame, targetId: String,
+                       blockKeys: Seq[(String, String)],
+                       fields: Seq[GradedField],
+                       priorLogOdds: Double = 0.0): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one blocking key required")
+    require(fields.nonEmpty, "at least one compared field required")
+    val s = source.select(
+      (col(sourceId).as("__sid")) +:
+        blockKeys.zipWithIndex.map { case ((sc, _), i) => col(sc).as(s"__bk$i") } ++:
+        fields.map(f => col(f.sourceCol).as(s"__s_${f.name}")): _*)
+    val t = target.select(
+      (col(targetId).as("__tid")) +:
+        blockKeys.zipWithIndex.map { case ((_, tc), i) => col(tc).as(s"__bk$i") } ++:
+        fields.map(f => col(f.targetCol).as(s"__t_${f.name}")): _*)
+    val joined = s.join(t, blockKeys.indices.map(i => s"__bk$i"))
+    val levelCols = fields.map { f =>
+      val sc = col(s"__s_${f.name}")
+      val tc = col(s"__t_${f.name}")
+      val base = when(sc.isNull || tc.isNull, lit(null).cast("int"))
+      f.levels.zipWithIndex
+        .foldLeft(base) { case (acc, (l, i)) =>
+          acc.when(l.predicate(sc, tc), lit(i))
+        }
+        .otherwise(lit(f.levels.size))
+        .as(s"level_${f.name}")
+    }
+    val zero = lit(BigDecimal(0).bigDecimal).cast("decimal(28,6)")
+    val weightSum = fields.map { f =>
+      val ws = gradedWeights(f)
+      val lv = col(s"level_${f.name}")
+      val base = when(lv.isNull, zero)
+      ws.zipWithIndex.foldLeft(base) { case (acc, (w, i)) =>
+        acc.when(lv === i, lit(w.bigDecimal).cast("decimal(28,6)"))
+      }.otherwise(zero)
+    }.reduce(_ + _).cast("decimal(28,6)")
+    joined
+      .select((col("__sid").as(sourceId) +: col("__tid").as(targetId) +:
+        levelCols): _*)
+      .withColumn("match_weight", weightSum)
+      .withColumn("match_prob",
+        lit(1.0) / (lit(1.0) +
+          pow(lit(2.0), -(lit(priorLogOdds) + col("match_weight").cast("double")))))
+  }
+
   /**
    * One best target per source: max weight, ties to the smallest
    * target id — as a partial-aggregating `min_by`, never a window

@@ -81,6 +81,36 @@ class ProbLinkSpec extends SparkSpec {
     assert(fit3 == fit13 && fit3 == fit)
   }
 
+  test("graded comparisons: first matching level wins, exact decimal weights") {
+    import graft.operators.ProbLink.{GradedField, LinkLevel}
+    val graded = GradedField("name", "s_name", "t_name", Seq(
+      LinkLevel("exact", 0.7, 0.02, (s, t) => s === t),
+      LinkLevel("close", 0.25, 0.05, (s, t) => levenshtein(s, t) <= 1)))
+    // log2(.7/.02)=5.129283, log2(.25/.05)=2.321928, log2(.05/.93)=-4.217231
+    val ws = ProbLink.gradedWeights(graded)
+    assert(ws.map(_.toString) ==
+      Seq("5.129283", "2.321928", "-4.217231"))
+    val src = Seq((1L, 10, "ann"), (2L, 10, "bob"),
+      (3L, 10, null.asInstanceOf[String])).toDF("sid", "blk", "s_name")
+    val tgt = Seq((7L, 10, "ann"), (8L, 10, "anX"), (9L, 10, "zzzzz"))
+      .toDF("tid", "blk", "t_name")
+    val out = ProbLink.scorePairsGraded(src, "sid", tgt, "tid",
+      Seq(("blk", "blk")), Seq(graded))
+      .select($"sid", $"tid", $"level_name", $"match_weight".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3))).toMap
+    assert(out((1L, 7L)) == ((0, "5.129283")))  // exact beats close
+    assert(out((1L, 8L)) == ((1, "2.321928")))  // ann vs anX: 1 edit
+    assert(out((1L, 9L)) == ((2, "-4.217231"))) // catch-all
+    assert(out((3L, 7L)) == ((-1, "0.000000"))) // null: no evidence
+    // level probabilities must leave room for the catch-all
+    intercept[IllegalArgumentException] {
+      GradedField("bad", "a", "b", Seq(
+        LinkLevel("x", 0.8, 0.5, (s, t) => s === t),
+        LinkLevel("y", 0.2, 0.5, (s, t) => s === t)))
+    }
+  }
+
   test("emFit: null agreements carry no parameter mass but count toward lambda") {
     val pairs = Seq[(java.lang.Boolean, java.lang.Boolean)](
       (true, null), (true, null), (false, null), (false, null))
