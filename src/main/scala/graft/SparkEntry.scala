@@ -519,6 +519,41 @@ object SparkEntry {
           col("level_name"), col("level_seg"),
           col("match_weight").cast("double").as("match_weight"))),
 
+    // blocking-rule pre-flight: exact pair counts per candidate rule
+    // from per-key counts (Splink's count_comparisons; no pair
+    // materialized) — the dial a 100 TB linkage job turns FIRST
+    "q_blocking_profile" -> ((s, dir) => {
+      val src = problinkSrc(s, dir, srcMod = 8)
+      val tgt = problinkTgt(s, dir)
+      ProbLink.blockingProfile(src, tgt, Seq(
+        ("nation", Seq(("c_nationkey", "c_nationkey"))),
+        ("segment", Seq(("seg", "c_mktsegment"))),
+        ("nation_segment",
+          Seq(("c_nationkey", "c_nationkey"), ("seg", "c_mktsegment")))))
+        .select(col("rule"),
+          col("est_pairs").cast("double").as("est_pairs"),
+          col("matched_keys"),
+          col("max_block_pairs").cast("double").as("max_block_pairs"))
+    }),
+
+    // graded EM on the level patterns (rows-only; iterative) — fit the
+    // full per-level (m, u) tables from a deterministic source sample
+    "q_problink_em_graded" -> ((s, dir) => {
+      val scored = ProbLink.scorePairsGraded(
+        problinkSrc(s, dir, srcMod = 16), "src_id", problinkTgt(s, dir),
+        "tgt_id", Seq(("c_nationkey", "c_nationkey")),
+        Seq(ProblinkGradedName, ProblinkGradedSeg))
+      val fit = ProbLink.emFitGraded(scored,
+        Seq(("name", 3), ("seg", 2)), iterations = 3)
+      import s.implicits._
+      fit.fields.flatMap(f => f.levels.zipWithIndex.map { case ((m, u), li) =>
+        (f.name, li,
+          BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(u).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(fit.lambda).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      }).toDF("field", "level", "m", "u", "lambda")
+    }),
+
     // the ER workflow end-to-end: every source row leaves resolved
     // (best target + weight) or explicitly unmatched (nulls) — the
     // left-join face of bestLinks, i.e. the reference's
@@ -2214,6 +2249,40 @@ object SparkEntry {
     "q_er_resolve" -> problinkResolveOracle,
 
     "q_problink_graded" -> problinkGradedOracle,
+
+    "q_blocking_profile" ->
+      """WITH src AS (
+        | SELECT c_custkey AS src_id, c_nationkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+        | FROM customer WHERE c_custkey % 8 = 0),
+        |r1 AS (
+        | SELECT 'nation' AS rule,
+        |  CAST(coalesce(sum(sc * tc), 0) AS DOUBLE) AS est_pairs,
+        |  count(*) AS matched_keys,
+        |  CAST(coalesce(max(sc * tc), 0) AS DOUBLE) AS max_block_pairs
+        | FROM (SELECT c_nationkey AS k, count(*) AS sc FROM src GROUP BY 1) s
+        | JOIN (SELECT c_nationkey AS k, count(*) AS tc FROM customer GROUP BY 1) t
+        |   USING (k)),
+        |r2 AS (
+        | SELECT 'segment',
+        |  CAST(coalesce(sum(sc * tc), 0) AS DOUBLE),
+        |  count(*),
+        |  CAST(coalesce(max(sc * tc), 0) AS DOUBLE)
+        | FROM (SELECT seg AS k, count(*) AS sc FROM src GROUP BY 1) s
+        | JOIN (SELECT c_mktsegment AS k, count(*) AS tc FROM customer GROUP BY 1) t
+        |   USING (k)),
+        |r3 AS (
+        | SELECT 'nation_segment',
+        |  CAST(coalesce(sum(sc * tc), 0) AS DOUBLE),
+        |  count(*),
+        |  CAST(coalesce(max(sc * tc), 0) AS DOUBLE)
+        | FROM (SELECT c_nationkey AS k1, seg AS k2, count(*) AS sc
+        |       FROM src GROUP BY 1, 2) s
+        | JOIN (SELECT c_nationkey AS k1, c_mktsegment AS k2, count(*) AS tc
+        |       FROM customer GROUP BY 1, 2) t
+        |   USING (k1, k2))
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |UNION ALL SELECT * FROM r3""".stripMargin,
 
     "q_exact_match" ->
       """WITH cand AS (

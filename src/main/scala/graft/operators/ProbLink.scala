@@ -241,6 +241,139 @@ object ProbLink {
    * Null agreements are excluded from that field's m/u update (no
    * evidence in, no parameter mass out) but still contribute to λ.
    */
+  /**
+   * Blocking-rule profiler (Splink's pre-flight `count_comparisons`):
+   * the EXACT pair count each candidate blocking rule would generate,
+   * with the hottest block — computed entirely from per-key counts
+   * (Σ cnt_s·cnt_t over matching keys, the [[graft.operators.Audits
+   * .joinFanout]] arithmetic), so no candidate pair is materialized.
+   * This is the dial a linkage job turns FIRST at 100 TB: a rule
+   * whose estimate is 10^13 never runs; one with 10^8 does.
+   *
+   * `rules` maps rule name → (sourceCol, targetCol) equi-keys.
+   * Output: one row per rule — (rule, est_pairs, matched_keys,
+   * max_block_pairs), DECIMAL(38,0) exact.
+   */
+  def blockingProfile(source: DataFrame, target: DataFrame,
+                      rules: Seq[(String, Seq[(String, String)])]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    rules.map { case (name, keys) =>
+      require(keys.nonEmpty, s"rule $name has no keys")
+      val sc = source
+        .filter(keys.map { case (k, _) => col(k).isNotNull }.reduce(_ && _))
+        .groupBy(keys.zipWithIndex.map { case ((k, _), i) =>
+          col(k).as(s"__k$i") }: _*)
+        .agg(count(lit(1)).as("__sc"))
+      val tc = target
+        .filter(keys.map { case (_, k) => col(k).isNotNull }.reduce(_ && _))
+        .groupBy(keys.zipWithIndex.map { case ((_, k), i) =>
+          col(k).as(s"__k$i") }: _*)
+        .agg(count(lit(1)).as("__tc"))
+      val prod = col("__sc").cast("decimal(38,0)") *
+        col("__tc").cast("decimal(38,0)")
+      sc.join(tc, keys.indices.map(i => s"__k$i"))
+        .agg(
+          coalesce(sum(prod), lit(0).cast("decimal(38,0)")).as("est_pairs"),
+          count(lit(1)).as("matched_keys"),
+          coalesce(max(prod), lit(0).cast("decimal(38,0)"))
+            .as("max_block_pairs"))
+        .select(lit(name).as("rule"), col("est_pairs"),
+          col("matched_keys"), col("max_block_pairs"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Graded EM output: per field, (m, u) per level (declared levels
+    * in order, catch-all last; each column sums to 1). */
+  final case class GradedFit(name: String, levels: Seq[(Double, Double)])
+  final case class EmGradedResult(lambda: Double, fields: Seq[GradedFit])
+
+  /**
+   * EM for the multi-level model: estimate λ and per-(field, level)
+   * (m, u) from `level_<field>` columns ([[scorePairsGraded]] output).
+   * Same discipline as [[emFit]] — responsibilities rounded to 9
+   * decimals, DECIMAL sums (bit-identical fit at any layout), one
+   * aggregate job per iteration, O(Σ levels) driver state. Null levels
+   * carry no evidence and are excluded from that field's update.
+   * Level probabilities are floored at 1e-6 and renormalized per field
+   * each M-step (a level nobody hits must not zero out the product).
+   */
+  def emFitGraded(pairs: DataFrame, fields: Seq[(String, Int)],
+                  iterations: Int,
+                  initLambda: Double = 0.1): EmGradedResult = {
+    require(fields.nonEmpty, "no fields")
+    require(fields.forall(_._2 >= 2), "each field needs >= 2 levels")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    var lambda = initLambda
+    // init: matches concentrate on level 0, non-matches on the last
+    var m = fields.map { case (_, k) =>
+      Array.tabulate(k)(i => if (i == 0) 0.7 else 0.3 / (k - 1))
+    }.toArray
+    var u = fields.map { case (_, k) =>
+      Array.tabulate(k)(i => if (i == k - 1) 0.7 else 0.3 / (k - 1))
+    }.toArray
+    val cached = pairs.select(
+      fields.map { case (n, _) => col(s"level_$n") }: _*).persist()
+    try {
+      (1 to iterations).foreach { _ =>
+        def prodExpr(params: Array[Array[Double]]): Column =
+          fields.zipWithIndex.map { case ((n, k), fi) =>
+            val lv = col(s"level_$n")
+            (0 until k).foldLeft(when(lv.isNull, lit(1.0))) {
+              case (acc, li) => acc.when(lv === li, lit(params(fi)(li)))
+            }.otherwise(lit(1.0))
+          }.reduce(_ * _)
+        val num = lit(lambda) * prodExpr(m)
+        val den = num + lit(1.0 - lambda) * prodExpr(u)
+        val r = round(num / den, 9).cast("decimal(38,9)")
+        val withR = cached.withColumn("__r", r)
+        val one = lit(BigDecimal(1).bigDecimal).cast("decimal(38,9)")
+        val aggs =
+          Seq(count(lit(1)).as("n"), sum(col("__r")).as("sr")) ++
+            fields.flatMap { case (n, k) =>
+              val lv = col(s"level_$n")
+              Seq(
+                sum(when(lv.isNotNull, col("__r")).otherwise(lit(0)))
+                  .as(s"srN_$n"),
+                sum(when(lv.isNotNull, one - col("__r")).otherwise(lit(0)))
+                  .as(s"scN_$n")) ++
+                (0 until k).flatMap { li =>
+                  Seq(
+                    sum(when(lv === li, col("__r")).otherwise(lit(0)))
+                      .as(s"srL_${n}_$li"),
+                    sum(when(lv === li, one - col("__r")).otherwise(lit(0)))
+                      .as(s"scL_${n}_$li"))
+                }
+            }
+        val row = withR.agg(aggs.head, aggs.tail: _*).collect()(0)
+        def d(name: String): Double = {
+          val v = row.getAs[java.math.BigDecimal](name)
+          if (v == null) 0.0 else v.doubleValue()
+        }
+        def clampNorm(xs: Array[Double]): Array[Double] = {
+          val c = xs.map(x => math.max(1e-6, x))
+          val s = c.sum
+          c.map(_ / s)
+        }
+        lambda = math.max(1e-6, math.min(1 - 1e-6,
+          d("sr") / row.getAs[Long]("n").toDouble))
+        m = fields.zipWithIndex.map { case ((n, k), fi) =>
+          val den = d(s"srN_$n")
+          if (den == 0) m(fi)
+          else clampNorm(Array.tabulate(k)(li => d(s"srL_${n}_$li") / den))
+        }.toArray
+        u = fields.zipWithIndex.map { case ((n, k), fi) =>
+          val den = d(s"scN_$n")
+          if (den == 0) u(fi)
+          else clampNorm(Array.tabulate(k)(li => d(s"scL_${n}_$li") / den))
+        }.toArray
+      }
+    } finally cached.unpersist()
+    EmGradedResult(lambda,
+      fields.zipWithIndex.map { case ((n, k), fi) =>
+        GradedFit(n, (0 until k).map(li => (m(fi)(li), u(fi)(li))))
+      })
+  }
+
   def emFit(pairs: DataFrame, fieldNames: Seq[String], iterations: Int,
             initM: Double = 0.9, initU: Double = 0.1,
             initLambda: Double = 0.1): EmResult = {

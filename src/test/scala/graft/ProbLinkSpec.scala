@@ -111,6 +111,52 @@ class ProbLinkSpec extends SparkSpec {
     }
   }
 
+  test("graded EM recovers planted level profiles, layout-invariant") {
+    // 200 matches: level 0 80% / level 1 15% / else; 1800 non-matches:
+    // level 2 90% / level 1 8% / else — planted by index arithmetic
+    val rows = (0 until 2000).map { i =>
+      val isMatch = i < 200
+      val lv =
+        if (isMatch) { if (i % 20 < 16) 0 else if (i % 20 < 19) 1 else 2 }
+        else { if (i % 50 < 45) 2 else if (i % 50 < 49) 1 else 0 }
+      Tuple1(lv)
+    }
+    val pairs = rows.toDF("level_name")
+    val fit = ProbLink.emFitGraded(pairs, Seq(("name", 3)), iterations = 25)
+    // a one-feature categorical mixture is only weakly identifiable, so
+    // assert the recovered DIRECTION, not exact probabilities: the
+    // latent match class concentrates on exact agreement, the latent
+    // non-match class on the catch-all
+    val lv = fit.fields.head.levels
+    assert(lv(0)._1 > 3 * lv(0)._2, s"level0 ${lv(0)}")
+    assert(lv(2)._2 > 2 * lv(2)._1, s"level2 ${lv(2)}")
+    // m and u each sum to 1 across levels
+    assert(math.abs(lv.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(lv.map(_._2).sum - 1.0) < 1e-9)
+    val fit7 = ProbLink.emFitGraded(pairs.repartition(7),
+      Seq(("name", 3)), iterations = 25)
+    assert(fit7 == fit)
+  }
+
+  test("blocking profile: exact pair arithmetic per rule") {
+    import graft.operators.ProbLink
+    val src = Seq((1L, 10, "a"), (2L, 10, "a"), (3L, 20, "b"),
+      (4L, 99, "a")).toDF("sid", "zip", "city")
+    val tgt = Seq((7L, 10, "a"), (8L, 10, "b"), (9L, 20, "b"))
+      .toDF("tid", "zip", "city")
+    val out = ProbLink.blockingProfile(src, tgt, Seq(
+      ("zip", Seq(("zip", "zip"))),
+      ("zip_city", Seq(("zip", "zip"), ("city", "city")))))
+      .select($"rule", $"est_pairs".cast("long"), $"matched_keys",
+        $"max_block_pairs".cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // zip 10: 2 src x 2 tgt = 4; zip 20: 1 x 1; zip 99 unmatched
+    assert(out("zip") == ((5L, 2L, 4L)))
+    // (10,a): 2x1=2; (20,b): 1x1=1; (10,b) src-side absent
+    assert(out("zip_city") == ((3L, 2L, 2L)))
+  }
+
   test("emFit: null agreements carry no parameter mass but count toward lambda") {
     val pairs = Seq[(java.lang.Boolean, java.lang.Boolean)](
       (true, null), (true, null), (false, null), (false, null))
