@@ -73,6 +73,13 @@ class MinhashIndexSpec extends SparkSpec {
     assert(out.length >= 45, s"only ${out.length} near-copies re-linked")
   }
 
+  test("writer validates its params") {
+    intercept[IllegalArgumentException] {
+      TextDedup.saveMinhashIndex(corpus, "doc_id", "text",
+        freshDir("bad"), numHashes = 100, bands = 32) // 32 ∤ 100
+    }
+  }
+
   test("small probes push their band hashes into the bands scan") {
     val dir = freshDir("push")
     TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir)

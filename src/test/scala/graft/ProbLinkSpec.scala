@@ -81,6 +81,21 @@ class ProbLinkSpec extends SparkSpec {
     assert(fit3 == fit13 && fit3 == fit)
   }
 
+  test("scorePairs blocks on multiple keys (conjunction)") {
+    val src = Seq((1L, 10, "x", "ann"), (2L, 10, "y", "bob"))
+      .toDF("sid", "zip", "grp", "s_name")
+    val tgt = Seq((7L, 10, "x", "ann"), (8L, 10, "z", "ann"),
+      (9L, 20, "x", "ann")).toDF("tid", "zip", "grp", "t_name")
+    val out = ProbLink.scorePairs(src, "sid", tgt, "tid",
+      Seq(("zip", "zip"), ("grp", "grp")),
+      Seq(LinkField("name", 0.9, 0.1, "s_name", "t_name",
+        (s, t) => s === t)))
+      .select($"sid", $"tid").as[(Long, Long)].collect().toSet
+    // only (1,7) shares BOTH zip and grp; (1,8) differs in grp,
+    // (1,9) in zip, sid=2 matches nothing on both keys
+    assert(out == Set((1L, 7L)))
+  }
+
   test("graded comparisons: first matching level wins, exact decimal weights") {
     import graft.operators.ProbLink.{GradedField, LinkLevel}
     val graded = GradedField("name", "s_name", "t_name", Seq(
