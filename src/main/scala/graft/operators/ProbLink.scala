@@ -345,6 +345,8 @@ object ProbLink {
                 }
             }
         val row = withR.agg(aggs.head, aggs.tail: _*).collect()(0)
+        require(row.getAs[Long]("n") > 0,
+          "emFitGraded: no pairs to estimate from")
         def d(name: String): Double = {
           val v = row.getAs[java.math.BigDecimal](name)
           if (v == null) 0.0 else v.doubleValue()
@@ -413,6 +415,8 @@ object ProbLink {
                 sum(when(a.isNotNull, one - col("__r")).otherwise(lit(0))).as(s"scN_$n"))
             }
         val row = withR.agg(aggs.head, aggs.tail: _*).collect()(0)
+        require(row.getAs[Long]("n") > 0,
+          "emFit: no pairs to estimate from")
         val n = row.getAs[Long]("n").toDouble
         def d(name: String): Double = {
           val v = row.getAs[java.math.BigDecimal](name)

@@ -17,12 +17,14 @@ import graft.ops.Layout
  *
  * Exactly-once discipline (the standard idempotent-foreachBatch
  * contract): Structured Streaming may REPLAY a micro-batch after a
- * failure, so the sink records the last applied batch id in a meta
- * table beside the data and skips any batch it has already applied —
- * replays become no-ops instead of double-merges. The meta write rides
- * the same swap as the data write (meta and data promote together or
- * not at all, up to the crash windows documented on [[Layout
- * .atomicSwap]]).
+ * failure, so the sink records the last applied batch id INSIDE the
+ * store directory (an `_`-prefixed marker parquet readers ignore) and
+ * skips any batch it has already applied — replays become no-ops
+ * instead of double-merges. Because the marker rides the SAME
+ * directory swap as the data, batch id and data can never disagree:
+ * there is no crash window where the data generation is promoted but
+ * the recorded batch id is stale (a two-swap meta table would have
+ * exactly that window, and a replay after it would double-merge).
  *
  * Scale shape: each micro-batch is one [[Merger.merge]] — the batch
  * family's plan (staged equi-joins, min_by best-per-target, anti-join
@@ -34,23 +36,28 @@ import graft.ops.Layout
  */
 object MergeSink {
 
-  private def metaPath(targetPath: String) = s"$targetPath.__sinkmeta"
+  private val Marker = "_graft_sink_batch"
 
-  /** Last batch id recorded in the meta table, or -1 if none. */
+  /** Last batch id applied to the store (read from the in-directory
+    * marker), or -1 if none. */
   def lastAppliedBatch(spark: SparkSession, targetPath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(targetPath))
+    val p = new org.apache.hadoop.fs.Path(s"$targetPath/$Marker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
-    else spark.read.parquet(metaPath(targetPath))
-      .agg(max(col("batch_id"))).collect()(0) match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        if (n <= 0) -1L else new String(buf, 0, n, "UTF-8").trim.toLong
+      } finally in.close()
+    }
   }
 
   /**
    * Apply ONE micro-batch to the store: no-op if `batchId` was already
-   * applied (replay), else merge + swap-promote data and meta.
+   * applied (replay), else merge into a tmp generation, stamp the
+   * batch id marker INSIDE it, and promote with one atomic swap.
    * Public so specs (and backfills) can drive the exact code the
    * streaming query runs.
    */
@@ -65,11 +72,11 @@ object MergeSink {
     // overwrite its own input (classic read-write cycle)
     result.newTarget.write.mode("overwrite").parquet(tmp)
     result.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$Marker"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     Layout.atomicSwap(spark, tmp, targetPath)
-    val metaTmp = s"${metaPath(targetPath)}.__batch$batchId"
-    spark.range(1).select(lit(batchId).as("batch_id"))
-      .repartition(1).write.mode("overwrite").parquet(metaTmp)
-    Layout.atomicSwap(spark, metaTmp, metaPath(targetPath))
   }
 
   /**
