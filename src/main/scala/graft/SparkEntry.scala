@@ -519,6 +519,23 @@ object SparkEntry {
           col("level_name"), col("level_seg"),
           col("match_weight").cast("double").as("match_weight"))),
 
+    // term-frequency-adjusted FS scoring (Splink's TF adjustment):
+    // agreeing on a segment held by 20% of targets is weaker evidence
+    // than agreeing on a rare one; share table broadcast, log2 in
+    // engine + round(6) per the BM25-idf parity convention
+    "q_problink_tf" -> ((s, dir) =>
+      ProbLink.scorePairs(
+        problinkSrc(s, dir, srcMod = 8), "src_id", problinkTgt(s, dir),
+        "tgt_id", Seq(("c_nationkey", "c_nationkey")),
+        Seq(
+          ProbLink.LinkField("name", 0.95, 0.05, "name", "c_name",
+            (a, b) => levenshtein(a, b, 1) >= 0),
+          ProbLink.LinkField("seg", 0.9, 0.2, "seg", "c_mktsegment",
+            (a, b) => a === b, tfAdjust = true)))
+        .select(col("src_id"), col("tgt_id"),
+          col("agree_name"), col("agree_seg"),
+          col("match_weight").cast("double").as("match_weight"))),
+
     // blocking-rule pre-flight: exact pair counts per candidate rule
     // from per-key counts (Splink's count_comparisons; no pair
     // materialized) — the dial a 100 TB linkage job turns FIRST
@@ -2249,6 +2266,36 @@ object SparkEntry {
     "q_er_resolve" -> problinkResolveOracle,
 
     "q_problink_graded" -> problinkGradedOracle,
+
+    "q_problink_tf" -> {
+      val (nA, nD) = ProblinkNameW
+      val (_, sD) = ProblinkSegW
+      s"""WITH src AS (
+         | SELECT c_custkey AS src_id, c_nationkey,
+         |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS name,
+         |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+         | FROM customer WHERE c_custkey % 8 = 0),
+         |freq AS (SELECT c_mktsegment AS v, count(*) AS c
+         |         FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM freq),
+         |p AS (
+         | SELECT s.src_id, t.c_custkey AS tgt_id,
+         |  levenshtein(s.name, t.c_name) <= 1 AS agree_name,
+         |  s.seg = t.c_mktsegment AS agree_seg,
+         |  CAST(f.c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS tf
+         | FROM src s JOIN customer t ON s.c_nationkey = t.c_nationkey
+         | LEFT JOIN freq f ON t.c_mktsegment = f.v)
+         |SELECT src_id, tgt_id, agree_name, agree_seg,
+         | CAST(
+         |  CASE WHEN agree_name THEN CAST($nA AS DECIMAL(28,6))
+         |       ELSE CAST($nD AS DECIMAL(28,6)) END +
+         |  CASE WHEN agree_seg THEN CAST(round(
+         |         log2(CAST(0.9 AS DOUBLE) / greatest(tf, CAST(1e-6 AS DOUBLE))),
+         |         6) AS DECIMAL(28,6))
+         |       ELSE CAST($sD AS DECIMAL(28,6)) END
+         | AS DOUBLE) AS match_weight
+         |FROM p""".stripMargin
+    },
 
     "q_blocking_profile" ->
       """WITH src AS (

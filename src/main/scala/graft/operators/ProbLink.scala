@@ -42,12 +42,24 @@ import org.apache.spark.sql.functions._
 object ProbLink {
 
   /** One compared field: `agree(sourceCol, targetCol)` must evaluate to
-    * a nullable boolean (null = missing ⇒ no evidence). */
+    * a nullable boolean (null = missing ⇒ no evidence).
+    *
+    * `tfAdjust = true` replaces the field's single agreement weight
+    * with a term-frequency-adjusted one (Splink's TF adjustment):
+    * agreeing on a value carried by a fraction p of the TARGET rows is
+    * evidence log2(m / max(p, tfFloor)) — agreeing on "SMITH" means
+    * far less than agreeing on "ZYZMANSKI". The disagreement weight
+    * stays the field-level log2((1-m)/(1-u)). The value-frequency
+    * table is target-derived, value-cardinality-sized, and broadcast.
+    */
   final case class LinkField(name: String, m: Double, u: Double,
                              sourceCol: String, targetCol: String,
-                             agree: (Column, Column) => Column) {
+                             agree: (Column, Column) => Column,
+                             tfAdjust: Boolean = false,
+                             tfFloor: Double = 1e-6) {
     require(m > 0 && m < 1, s"m out of (0,1): $m")
     require(u > 0 && u < 1, s"u out of (0,1): $u")
+    require(tfFloor > 0 && tfFloor < 1, s"tfFloor out of (0,1): $tfFloor")
   }
 
   /** Fitted parameters of one field after [[emFit]]. */
@@ -94,7 +106,22 @@ object ProbLink {
       (col(targetId).as("__tid")) +:
         blockKeys.zipWithIndex.map { case ((_, tc), i) => col(tc).as(s"__bk$i") } ++:
         fields.map(f => col(f.targetCol).as(s"__t_${f.name}")): _*)
-    val joined = s.join(t, blockKeys.indices.map(i => s"__bk$i"))
+    val joinedBase = s.join(t, blockKeys.indices.map(i => s"__bk$i"))
+    // TF-adjusted fields join a broadcast (value, share-of-target)
+    // table on the target-side value; p rides the pair for the
+    // agreement branch of the weight
+    val joined = fields.filter(_.tfAdjust).foldLeft(joinedBase) { (acc, f) =>
+      val freq = target
+        .filter(col(f.targetCol).isNotNull)
+        .groupBy(col(f.targetCol).as(s"__t_${f.name}"))
+        .agg(count(lit(1)).as("__c"))
+      val tot = freq.agg(sum(col("__c")).as("__n"))
+      val shares = freq.crossJoin(tot)
+        .select(col(s"__t_${f.name}"),
+          (col("__c").cast("double") / col("__n").cast("double"))
+            .as(s"__tf_${f.name}"))
+      acc.join(broadcast(shares), Seq(s"__t_${f.name}"), "left")
+    }
     val agreeCols = fields.map { f =>
       f.agree(col(s"__s_${f.name}"), col(s"__t_${f.name}")).as(s"agree_${f.name}")
     }
@@ -102,14 +129,21 @@ object ProbLink {
     val weightSum = fields.map { f =>
       val (wa, wd) = weights(f.m, f.u)
       val a = col(s"agree_${f.name}")
+      val agreeW: Column =
+        if (!f.tfAdjust) lit(wa.bigDecimal).cast("decimal(28,6)")
+        else
+          // in-engine log2 + round(6): the BM25-idf parity convention
+          // (same IEEE expression tree on both engines)
+          round(log2(lit(f.m) /
+            greatest(col(s"__tf_${f.name}"), lit(f.tfFloor))), 6)
+            .cast("decimal(28,6)")
       when(a.isNull, zero)
-        .when(a, lit(wa.bigDecimal).cast("decimal(28,6)"))
+        .when(a, agreeW)
         .otherwise(lit(wd.bigDecimal).cast("decimal(28,6)"))
     }.reduce(_ + _).cast("decimal(28,6)")
     joined
       .select((col("__sid").as(sourceId) +: col("__tid").as(targetId) +:
-        agreeCols): _*)
-      .withColumn("match_weight", weightSum)
+        agreeCols :+ weightSum.as("match_weight")): _*)
       .withColumn("match_prob",
         lit(1.0) / (lit(1.0) +
           pow(lit(2.0), -(lit(priorLogOdds) + col("match_weight").cast("double")))))

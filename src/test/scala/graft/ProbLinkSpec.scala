@@ -81,6 +81,33 @@ class ProbLinkSpec extends SparkSpec {
     assert(fit3 == fit13 && fit3 == fit)
   }
 
+  test("TF adjustment: rare-value agreement outweighs common-value agreement") {
+    // target: 9 rows in "common", 1 in "rare" -> shares 0.9 / 0.1
+    val tgt = ((1 to 9).map(i => (i.toLong, 10, "common")) :+
+      (99L, 10, "rare")).toDF("tid", "blk", "t_city")
+    val src = Seq((1L, 10, "common"), (2L, 10, "rare"))
+      .toDF("sid", "blk", "s_city")
+    val out = ProbLink.scorePairs(src, "sid", tgt, "tid",
+      Seq(("blk", "blk")),
+      Seq(LinkField("city", 0.9, 0.2, "s_city", "t_city",
+        (s, t) => s === t, tfAdjust = true)))
+      .filter($"agree_city")
+      .select($"sid", $"match_weight".cast("string"))
+      .as[(Long, String)].collect().toMap
+    // log2(0.9/0.9) = 0 exactly; log2(0.9/0.1) = 3.169925
+    assert(out(1L) == "0.000000")
+    assert(out(2L) == "3.169925")
+    // disagreement keeps the field-level weight: log2(0.1/0.8) = -3
+    val dis = ProbLink.scorePairs(src, "sid", tgt, "tid",
+      Seq(("blk", "blk")),
+      Seq(LinkField("city", 0.9, 0.2, "s_city", "t_city",
+        (s, t) => s === t, tfAdjust = true)))
+      .filter(!$"agree_city")
+      .select($"match_weight".cast("string")).distinct()
+      .as[String].collect().toSeq
+    assert(dis == Seq("-3.000000"))
+  }
+
   test("scorePairs blocks on multiple keys (conjunction)") {
     val src = Seq((1L, 10, "x", "ann"), (2L, 10, "y", "bob"))
       .toDF("sid", "zip", "grp", "s_name")
