@@ -116,5 +116,10 @@ class ApproxAuditSpec extends SparkSpec {
     val total = Audits.rollupSketches(spark.read.parquet(dir), Nil)
       .as[(Long, Long)].collect().head
     assert(total._1 == 20000 && math.abs(total._2 - 3000) < 3000 * 0.05)
+    // empty input: a sketch table with no rows rolls up to no rows
+    // (grouped) — the caller sees absence, not a fabricated zero
+    val empty = Audits.distinctSketches(
+      df.filter($"uid" < 0), Seq("grp"), "uid")
+    assert(Audits.rollupSketches(empty, Seq("grp")).count() == 0)
   }
 }
