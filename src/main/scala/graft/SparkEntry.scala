@@ -1158,6 +1158,20 @@ object SparkEntry {
       graft.ops.Graphs.triangleCount(e, "src", "dst")
     }),
 
+    // multi-source BFS distances (4-hop horizon) over the
+    // bidirectionalized supplier↔part graph — the trusted-seed
+    // distance feature (TrustRank-style); frontier expansion with
+    // min aggregates, oracled by a depth-bounded recursive CTE
+    "q_sssp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (-col("l_suppkey").cast("long")).as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      val e = li.unionAll(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graphs.shortestPaths(e, "src", "dst",
+        Seq(-1L, -2L, -3L), maxIter = 4)
+    }),
+
     // Matryoshka truncation: 64 → 16 dims + exact L2 renormalize,
     // exploded to (vec_id, i, v) scalar rows for hash verification
     "q_mrl_truncate" -> ((s, dir) =>
@@ -1338,6 +1352,24 @@ object SparkEntry {
         .select(lit("__ALL__").as("event_type"), col("n_rows"),
           col("approx_distinct"))
       perType.unionByName(total)
+    }),
+
+    // mergeable quantile histograms (DDSketch buckets): per-lang
+    // n_chars quantiles AND the grand total from ONE histogram table —
+    // bucket counts are order-free long sums, so rollups union
+    // EXACTLY (unlike estimates) and the whole chain is hash-exact
+    // vs an oracle reproducing the bucket/walk/decode arithmetic
+    "q_quantile_rollup" -> ((s, dir) => {
+      val hist = graft.operators.Audits.quantileHistogram(
+        t(s, dir, "documents"), Seq("lang"), "n_chars")
+      val qs = Seq(0.5, 0.9, 0.99)
+      val perLang = graft.operators.Audits
+        .rollupQuantiles(hist, Seq("lang"), qs)
+        .select(col("lang"), col("q"), col("n_rows"), col("approx_value"))
+      val total = graft.operators.Audits.rollupQuantiles(hist, Nil, qs)
+        .select(lit("__ALL__").as("lang"), col("q"), col("n_rows"),
+          col("approx_value"))
+      perLang.unionByName(total)
     }),
 
     // referential integrity: event user_ids with no customer row —
@@ -3451,6 +3483,22 @@ object SparkEntry {
         | UNION ALL SELECT z FROM tri)
         |SELECT node, count(*) AS triangles FROM corners GROUP BY node""".stripMargin,
 
+    "q_sssp" ->
+      """WITH RECURSIVE e AS (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT -CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(l_partkey AS BIGINT) AS dst FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(l_partkey AS BIGINT),
+        |         -CAST(l_suppkey AS BIGINT) FROM lineitem)),
+        |d(node, dist) AS (
+        | SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
+        |                       (-2, 0), (-3, 0)) v(node, dist)
+        | UNION
+        | SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node
+        | WHERE d.dist < 4)
+        |SELECT node, min(dist) AS dist FROM d GROUP BY node""".stripMargin,
+
     "q_mrl_truncate" ->
       """WITH s AS (
         | SELECT vec_id,
@@ -3596,6 +3644,8 @@ object SparkEntry {
         |  CAST(coalesce(max(lc * rc), 0) AS DOUBLE) AS max_key_fanout
         | FROM j)
         |SELECT * FROM ls CROSS JOIN rs CROSS JOIN js""".stripMargin,
+
+    "q_quantile_rollup" -> quantileRollupOracle,
 
     "q_fk_orphans" ->
       """WITH fc AS (
@@ -4624,6 +4674,51 @@ object SparkEntry {
   /** q_labelprop oracle — Graphs.labelPropagation unrolled: the same
     * symmetrized multigraph, per-round neighbor-label counts with the
     * same (count desc, label asc) argmax, `iterations` rounds. */
+  /** q_quantile_rollup oracle — the DDSketch bucket/walk/decode chain
+    * in SQL, literals (ln γ, midpoint factor) interpolated from the
+    * SAME driver formulas the operator uses (the problink-weights
+    * convention: zero cross-engine transcendental drift). */
+  private def quantileRollupOracle: String = {
+    val lnG = graft.operators.Audits.ddLnGamma(0.02).toString
+    val mid = graft.operators.Audits.ddMidFactor(0.02).toString
+    s"""WITH raw AS (
+       | SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+       | WHERE n_chars IS NOT NULL),
+       |b AS (
+       | SELECT lang,
+       |  CASE WHEN v > 0 THEN CAST(ceil(round(ln(v)/$lnG, 6)) AS INT)
+       |       WHEN v = 0 THEN -1048576
+       |       ELSE -2097152 - CAST(ceil(round(ln(-v)/$lnG, 6)) AS INT)
+       |  END AS qb,
+       | count(*) AS cnt
+       | FROM raw GROUP BY 1, 2),
+       |wl AS (
+       | SELECT lang, qb, cnt FROM b
+       | UNION ALL
+       | SELECT '__ALL__', qb, CAST(sum(cnt) AS BIGINT) FROM b GROUP BY 2),
+       |c AS (
+       | SELECT lang, qb,
+       |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY qb
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum,
+       |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+       | FROM wl),
+       |p AS (
+       | SELECT lang, q, min(qb) AS qb, max(n) AS n_rows
+       | FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+       |   (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) t(q)
+       | WHERE cum >= greatest(1, ceil(q * n))
+       | GROUP BY 1, 2)
+       |SELECT lang, q, n_rows,
+       | CASE WHEN qb > -1048576
+       |        THEN round(exp(CAST(qb AS DOUBLE) * $lnG) * $mid, 6)
+       |      WHEN qb = -1048576 THEN 0.0
+       |      ELSE -round(exp(CAST(-2097152 - qb AS DOUBLE) * $lnG)
+       |        * $mid, 6)
+       | END AS approx_value
+       |FROM p""".stripMargin
+  }
+
   private def labelPropOracle: String = {
     val iters = 2
     val rounds = (1 to iters).map { i =>

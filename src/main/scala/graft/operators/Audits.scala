@@ -306,6 +306,120 @@ object Audits {
     if (keepDims.isEmpty) sketches.agg(aggs.head, aggs.tail: _*)
     else sketches.groupBy(keepDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ---- mergeable quantile histograms (DDSketch buckets) --------------
+
+  /** Relative-accuracy bucket base γ = (1+α)/(1−α) (Masson, Lee &
+    * Rim, "DDSketch", VLDB 2019 — the deterministic mergeable
+    * quantile sketch). */
+  def ddGamma(alpha: Double): Double = (1.0 + alpha) / (1.0 - alpha)
+  /** ln γ — the log-bucket width. */
+  def ddLnGamma(alpha: Double): Double = math.log(ddGamma(alpha))
+  /** Bucket-midpoint factor 2/(γ+1): estimate(i) = γ^i · 2/(γ+1),
+    * worst-case relative error exactly α. */
+  def ddMidFactor(alpha: Double): Double = 2.0 / (ddGamma(alpha) + 1.0)
+
+  /** Bucket index of the zero value (sits between every negative and
+    * every positive bucket; log buckets span ±~18k at α=0.02). */
+  val DdZeroBucket: Int = -1048576
+  /** Offset encoding negative-value buckets below [[DdZeroBucket]],
+    * ordered so bucket ascending ⇔ value ascending. */
+  val DdNegOffset: Int = -2097152
+
+  /**
+   * DDSketch bucket index as ONE total-order int over all reals:
+   * positives map to ceil(ln v / ln γ) (value ∈ (γ^(i−1), γ^i]), zero
+   * to [[DdZeroBucket]], negatives mirror below [[DdNegOffset]] —
+   * bucket order IS value order, so quantile extraction is a single
+   * ascending walk. The log ratio rounds to 6 decimals before the
+   * ceil (the repo's cross-engine float discipline: JVM vs libm `ln`
+   * drift is ≤ a few ulps, far inside the rounding grid, so DuckDB
+   * computes the identical bucket; a true value within 5e-7 of a
+   * bucket boundary may land one bucket over — on BOTH engines alike,
+   * and still within the α error contract).
+   */
+  def ddBucket(value: Column, alpha: Double): Column = {
+    val lnG = ddLnGamma(alpha)
+    val v = value.cast("double")
+    when(v > 0, ceil(round(log(v) / lit(lnG), 6)).cast("int"))
+      .when(v === 0, lit(DdZeroBucket))
+      .otherwise(lit(DdNegOffset) -
+        ceil(round(log(-v) / lit(lnG), 6)).cast("int"))
+  }
+
+  /**
+   * Mergeable quantile histogram per `dims` group — the quantile
+   * sibling of [[distinctSketches]], and deliberately NOT a binary
+   * blob UDAF: a DDSketch IS its bucket counts, so the idiomatic
+   * Spark representation is a tall (dims…, qb, cnt) table. Counts are
+   * order-free long sums, which buys what the HLL registers buy and
+   * more: sketching the parts and summing EQUALS sketching the whole
+   * (exactly — spec-pinned), every stage is codegen'd builtins with
+   * map-side partial aggregation, the artifact is plain parquet any
+   * engine can read, and rollups to coarser dims are one further
+   * groupBy-sum ([[rollupQuantiles]]) that never re-scans the corpus
+   * and never interpolates between estimates. ~2k buckets cover 12
+   * decades at α=0.02, so the table is dims-cardinality-bounded, not
+   * data-bounded. Null values are excluded (match DuckDB quantile
+   * semantics); zero and negative values keep dedicated buckets.
+   */
+  def quantileHistogram(df: DataFrame, dims: Seq[String], valueCol: String,
+                        alpha: Double = 0.02): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension column")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(dims.map(col) :+ ddBucket(col(valueCol), alpha).as("qb"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Quantile estimates from a [[quantileHistogram]] at a coarser
+   * grouping: merge bucket counts by long sum (the exact sketch
+   * union), then walk each group's cumulative counts once and decode
+   * the picked bucket's midpoint γ^i·2/(γ+1) (rounded to 6 — exp/pow
+   * ulp parity). `keepDims` may be empty for the grand total.
+   * Definition: quantile(q) = the value bucket containing the
+   * max(1, ⌈q·n⌉)-th smallest value — exact-rank semantics on the
+   * bucket grid, deterministic at any partition layout.
+   *
+   * The cumulative walk is a window ORDERED BY bucket, partitioned by
+   * the kept dims — bounded at the bucket-grid size (~2k rows/group),
+   * never data-sized, so the no-unpartitioned-window rule is safe.
+   *
+   * Output: (keepDims…, q, n_rows, approx_value), one row per group
+   * per requested quantile.
+   */
+  def rollupQuantiles(hist: DataFrame, keepDims: Seq[String],
+                      qs: Seq[Double], alpha: Double = 0.02): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val merged =
+      if (keepDims.isEmpty) hist.groupBy(col("qb")).agg(sum(col("cnt")).as("cnt"))
+      else hist.groupBy((keepDims :+ "qb").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+    val byGroup = Window.partitionBy(keepDims.map(col): _*)
+    val cum = merged
+      .withColumn("__cum", sum(col("cnt")).over(byGroup.orderBy(col("qb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("cnt")).over(byGroup))
+    val picked = cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("__cum") >=
+        greatest(lit(1L), ceil(col("q") * col("__n"))))
+      .groupBy(keepDims.map(col) :+ col("q"): _*)
+      .agg(min(col("qb")).as("__qb"), max(col("__n")).as("n_rows"))
+    val lnG = ddLnGamma(alpha)
+    val mid = ddMidFactor(alpha)
+    val est =
+      when(col("__qb") > lit(DdZeroBucket),
+        round(exp(col("__qb").cast("double") * lit(lnG)) * lit(mid), 6))
+        .when(col("__qb") === lit(DdZeroBucket), lit(0.0))
+        .otherwise(-round(exp((lit(DdNegOffset) - col("__qb")).cast("double")
+          * lit(lnG)) * lit(mid), 6))
+    picked.select(keepDims.map(col) :+ col("q") :+ col("n_rows") :+
+      est.as("approx_value"): _*)
+  }
 }
 
 /** Merge dry-run audit (merge_audit.rb): run ONLY the match phase, then

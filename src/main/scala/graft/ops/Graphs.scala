@@ -168,6 +168,81 @@ object Graphs {
    * (caller may unpersist after consuming), same contract as
    * [[pageRank]].
    */
+  /**
+   * Single-source (multi-source) shortest-path distances — unweighted
+   * BFS over a directed edge list, the k-hop reachability primitive a
+   * link-graph pipeline uses for "how far is this host from a trusted
+   * seed set" (TrustRank-style distance features) and for bounded-hop
+   * neighborhood extraction.
+   *
+   * Semantics: `dist(v)` = length of the shortest directed path from
+   * any node in `sources` to `v`, computed to at most `maxIter` hops;
+   * nodes unreached within the horizon are absent. Seeds themselves
+   * have dist 0 (even seeds absent from the edge list). Parallel
+   * edges collapse (BFS is multiplicity-blind).
+   *
+   * Scale shape: classic frontier-expansion iterative dataflow. The
+   * deduplicated edge list is persisted PRE-PARTITIONED on src (see
+   * [[pageRank]]); each hop is one co-located frontier×edges join, a
+   * map-side-combined min aggregate on dst (hub-safe — no window), and
+   * one anti-join against the settled set to keep only first-reached
+   * nodes, so total work is O(E·depth) worst case and each frontier
+   * only carries NEW nodes (monotone BFS, the Pregel frontier
+   * discipline). Early exit on an empty frontier — the settled result
+   * is already the fixpoint, so stopping early cannot change it.
+   *
+   * Oracle-exact: distances are integers; DuckDB reproduces them with
+   * a depth-bounded recursive CTE (`UNION` dedup bounds expansion at
+   * V×maxIter rows) and takes min per node.
+   *
+   * Output: (node, dist). The returned frame is persisted (caller may
+   * unpersist after consuming), same contract as [[pageRank]].
+   */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    sources: Seq[Long], maxIter: Int = 4): DataFrame = {
+    require(sources.nonEmpty, "at least one source node")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var settled = sources.distinct.toDF("node")
+      .select(col("node"), lit(0L).as("dist"))
+      .persist()
+    settled.count()
+    val pieces = scala.collection.mutable.ArrayBuffer(settled)
+    var frontier = settled
+    var hop = 1
+    var done = false
+    while (hop <= maxIter && !done) {
+      val next = frontier
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + lit(1L)).as("__nd"))
+        .join(settled.select(col("node").as("__s")),
+          col("dst") === col("__s"), "left_anti")
+        .select(col("dst").as("node"), col("__nd").as("dist"))
+        .persist()
+      if (next.count() == 0L) { next.unpersist(); done = true }
+      else {
+        pieces += next
+        settled = settled.unionAll(next)
+        frontier = next
+        hop += 1
+      }
+    }
+    val out = pieces.map(p => p: DataFrame).reduce(_ unionAll _).persist()
+    out.count()
+    pieces.foreach(_.unpersist())
+    e.unpersist()
+    out
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))

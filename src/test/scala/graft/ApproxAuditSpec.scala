@@ -122,4 +122,59 @@ class ApproxAuditSpec extends SparkSpec {
       df.filter($"uid" < 0), Seq("grp"), "uid")
     assert(Audits.rollupSketches(empty, Seq("grp")).count() == 0)
   }
+
+  test("quantile histograms: exact merge, α bound, sign buckets, layout") {
+    import spark.implicits._
+    val alpha = 0.02
+    // skewed positives: 1..4000 with a heavy tail
+    val rows = (1 to 4000).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i.toLong * i) % 9973 + 1))
+    val df = rows.toDF("grp", "v")
+    val whole = Audits.quantileHistogram(df, Seq("grp"), "v", alpha)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    def rollMap(h: org.apache.spark.sql.DataFrame) =
+      Audits.rollupQuantiles(h, Seq("grp"), qs, alpha)
+        .as[(String, Double, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val est = rollMap(whole)
+    // every estimate within α relative error of the EXACT quantile
+    // (the walk picks the ⌈q·n⌉-th value's bucket; midpoint decode is
+    // within α of anything in the bucket)
+    for (grp <- Seq("a", "b"); q <- qs) {
+      val vals = rows.filter(_._1 == grp).map(_._2).sorted
+      val exact = vals(math.max(1, math.ceil(q * vals.size).toInt) - 1)
+      val (n, e) = est((grp, q))
+      assert(n == vals.size)
+      assert(math.abs(e - exact) / exact <= alpha + 1e-9,
+        s"$grp q=$q: $e vs exact $exact")
+    }
+    // histogram-of-halves merges EXACTLY to the whole (long-sum union,
+    // not estimate arithmetic) and layout cannot change anything
+    val h1 = Audits.quantileHistogram(
+      df.filter($"v" % 2 === 0), Seq("grp"), "v", alpha)
+    val h2 = Audits.quantileHistogram(
+      df.filter($"v" % 2 =!= 0), Seq("grp"), "v", alpha)
+    assert(rollMap(h1.unionByName(h2)) == est)
+    assert(rollMap(Audits.quantileHistogram(
+      df.repartition(13), Seq("grp"), "v", alpha)) == est)
+    // zero and negative values keep the bucket order: the median of a
+    // symmetric {-100..100} set is the zero bucket, q→0/1 hit the ends
+    val sym = (-100L to 100L).map(v => ("s", v)).toDF("grp", "v")
+    val symEst = rollMap(Audits.quantileHistogram(sym, Seq("grp"), "v", alpha))
+      .map { case ((_, q), (_, e)) => q -> e }
+    assert(symEst(0.5) == 0.0, symEst.toString)
+    assert(symEst(0.1) < 0 && symEst(0.99) > 0)
+    // exact 0.99-quantile of -100..100 is the 199th value = 98
+    assert(math.abs(symEst(0.99) - 98.0) / 98.0 <= alpha + 1e-9)
+    // the histogram is a plain parquet artifact: roll up from disk
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qhist").toString
+    whole.write.mode("overwrite").parquet(dir)
+    assert(rollMap(spark.read.parquet(dir)) == est)
+    // grand total from the persisted per-group table
+    val tot = Audits.rollupQuantiles(
+      spark.read.parquet(dir), Nil, Seq(0.5), alpha)
+      .as[(Double, Long, Double)].collect().head
+    assert(tot._2 == 4000)
+  }
 }

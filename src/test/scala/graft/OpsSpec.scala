@@ -1376,6 +1376,30 @@ class OpsSpec extends SparkSpec {
     assert(rb2 == rb)
   }
 
+  test("shortest paths: chain, multi-source min, horizon, early exit, layout") {
+    import graft.ops.Graphs
+    // directed chain 1→2→3→4→5 plus a shortcut 1→4; parallel edge noise
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graphs.shortestPaths(edges, "src", "dst", Seq(1L), maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L), r.toString)
+    // horizon cuts the tail: 1 hop from node 1 reaches only 2 and 4
+    val r2 = Graphs.shortestPaths(edges, "src", "dst", Seq(1L), maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L), r2.toString)
+    // multi-source: a seed mid-chain wins the min; a seed absent from
+    // the edge list still reports dist 0
+    val r3 = Graphs.shortestPaths(edges, "src", "dst", Seq(1L, 4L, 99L),
+      maxIter = 4).as[(Long, Long)].collect().toMap
+    assert(r3(5L) == 1L && r3(4L) == 0L && r3(99L) == 0L && r3(3L) == 2L)
+    // early exit: a converged graph returns the fixpoint under a huge
+    // horizon, and the result is partition-layout invariant
+    val r4 = Graphs.shortestPaths(edges.repartition(7), "src", "dst",
+      Seq(1L), maxIter = 100).as[(Long, Long)].collect().toMap
+    assert(r4 == r)
+  }
+
   test("mrl truncation renormalizes the slice and guards zero vectors") {
     import graft.ops.Similarity
     val df = Seq(
