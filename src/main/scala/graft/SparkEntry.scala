@@ -784,6 +784,22 @@ object SparkEntry {
       Retrieval.bm25TopKIndexed(s, idx, "doc_id", Bm25Queries, k = 10)
     }),
 
+    // incremental index maintenance: build the BM25 index on the even
+    // docs, APPEND the odd docs (no corpus re-tokenize — batch
+    // postings + df deltas + stats swap), probe — hash-exact against
+    // the SAME whole-corpus oracle as q_bm25, i.e. append ≡ rebuild
+    "q_bm25_append" -> ((s, dir) => {
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bm25a_${tmpToken(dir)}").getAbsolutePath
+      val docs = t(s, dir, "documents")
+      Retrieval.saveBm25Index(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx, nBuckets = 16)
+      Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx)
+      Retrieval.bm25TopKIndexed(s, idx, "doc_id", Bm25Queries, k = 10)
+    }),
+
     // PMI collocations: top-50 bigrams by pointwise mutual information
     // (the phrase-detection statistic) — rounded-PMI ordering with a
     // gram tiebreak keeps ranks engine-exact
@@ -4252,6 +4268,7 @@ object SparkEntry {
     // construction (one scoring kernel, corpus-wide stats at save
     // time), so it verifies against the same SQL
     "q_bm25_indexed" -> bm25Oracle,
+    "q_bm25_append" -> bm25Oracle,
 
     "q_rrf" -> rrfOracle,
 

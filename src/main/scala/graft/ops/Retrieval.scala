@@ -182,6 +182,69 @@ object Retrieval {
   }
 
   /**
+   * Append a document batch to a [[saveBm25Index]] layout WITHOUT
+   * re-tokenizing the corpus — the amortized shape a continuous crawl
+   * needs: tokenizing 100 TB once is the index's whole point, so a
+   * 0.1% daily batch must cost 0.1%, not a rebuild. Batch postings
+   * hash into the SAME term buckets (bucket count read from stats, not
+   * trusted from the caller) and land as new parquet files inside the
+   * existing partition directories, with the same per-file bloom
+   * filters; per-term document-frequency DELTAS append to `terms/`
+   * (the probe sums rows per term — long sums are order-free, so
+   * probing base+deltas is exactly probing a rebuild, spec-pinned
+   * bit-identical); the two corpus scalars rewrite via the
+   * rename-aside [[graft.ops.Layout.atomicSwap]].
+   *
+   * Batch ids must be new to the index — re-appending an id
+   * double-counts its postings (dedup the batch upstream, e.g. with
+   * [[graft.ops.TextDedup.incrementalDedup]]). Not transactional for
+   * CONCURRENT probes (a probe between the postings write and the
+   * stats swap scores new docs with old stats); serialize appends with
+   * probes, or version the index directory, for stronger isolation.
+   */
+  def appendBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                      path: String,
+                      termNdvPerBucket: Long = 1L << 17): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (nDocs0, sumDl0, nBuckets) = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").cast("long"), col("sum_dl").cast("long"),
+        col("n_buckets").cast("int"))
+      .as[(Long, Long, Int)].head()
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = base
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term",
+        termNdvPerBucket.toString)
+      .parquet(s"$path/postings")
+    postings
+      .groupBy(col("term"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/terms")
+    val (dN, dDl) = base
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .as[(Long, Long)].head()
+    Seq((nDocs0 + dN, sumDl0 + dDl, nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats.__tmp")
+    Layout.atomicSwap(spark, s"$path/stats.__tmp", s"$path/stats")
+    postings.unpersist()
+    base.unpersist()
+  }
+
+  /**
    * BM25 top-k over a [[saveBm25Index]] layout — bit-identical to
    * [[bm25TopK]] on the same corpus (the scoring/top-k kernel is the
    * same code; document frequencies and corpus stats were computed
@@ -212,10 +275,14 @@ object Retrieval {
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termSet: _*))
       .select(col(idCol), col("dl"), col("term"), col("tf"))
+    // sum per term: a base save writes one df row per term, and each
+    // appendBm25Index batch adds a delta row — document frequencies
+    // are order-free long sums, so the aggregate makes the probe read
+    // base+deltas exactly as if the index had been rebuilt
     val dfPerTerm = spark.read.parquet(s"$path/terms")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termSet: _*))
-      .select(col("term"), col("df"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     scoreTopK(tf, dfPerTerm, qTerms, queries.map(_._1).distinct,
       nDocs.toDouble, avgdl, idCol, k, k1, b)
   }

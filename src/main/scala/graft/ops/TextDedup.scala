@@ -1228,6 +1228,54 @@ object TextDedup {
   }
 
   /**
+   * Append a document batch to a [[saveMinhashIndex]] layout — the
+   * crawl-loop completion of the index: probe the batch
+   * ([[minhashProbeIndexed]]), keep the novel docs, then append THEM
+   * so the next batch dedups against the grown corpus, never
+   * re-shingling what is already indexed. The batch is prepared with
+   * the SAVED params (meta read, exactly like the probe — appended
+   * rows are bit-identical to what a full rebuild would have written),
+   * its band rows land as new files inside the existing `band=N`
+   * partition directories with the same bloom-filter options, and its
+   * shingle sets append to `sets/`. `meta/` is untouched — the hash
+   * params are immutable for the index's lifetime. Appending an id
+   * that is already indexed simply duplicates its rows (probes then
+   * report it twice); keep ids unique upstream.
+   */
+  def appendMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                         path: String,
+                         bhNdvPerGroup: Long = 1L << 17): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (shingleLen, numHashes, bands, seed) =
+      spark.read.parquet(s"$path/meta")
+        .select(col("shingle_len").cast("int"),
+          col("num_hashes").cast("int"), col("bands").cast("int"),
+          col("seed").cast("long"))
+        .as[(Int, Int, Int, Long)].head()
+    val rows = numHashes / bands
+    val prepared = df
+      .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__shh"))
+      .filter(size(col("__shh")) > 0)
+      .withColumn("__bands",
+        bandHashes(minhashSignatureFromHashes(col("__shh"), numHashes, seed),
+          bands, rows))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prepared
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bh")))
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band")
+      .option("parquet.bloom.filter.enabled#bh", "true")
+      .option("parquet.bloom.filter.expected.ndv#bh", bhNdvPerGroup.toString)
+      .parquet(s"$path/bands")
+    prepared.select(col(idCol), col("__shh"))
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#" + idCol, "true")
+      .parquet(s"$path/sets")
+    prepared.unpersist()
+  }
+
+  /**
    * Probe a new batch against a [[saveMinhashIndex]] layout: for each
    * batch doc, every indexed corpus doc sharing an LSH band bucket,
    * verified with exact Jaccard ≥ `jaccardThreshold`.

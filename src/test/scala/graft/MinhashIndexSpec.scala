@@ -109,4 +109,32 @@ class MinhashIndexSpec extends SparkSpec {
     assert(pushed.exists(_.contains("In(bh")),
       s"bands scan has no pushed IN filter on bh: $pushed")
   }
+
+  test("append grows the index to exactly what a rebuild would probe") {
+    val dirA = freshDir("append")
+    val dirB = freshDir("rebuild")
+    val half1 = corpus.filter($"doc_id" < 100)
+    val half2 = corpus.filter($"doc_id" >= 100)
+    // non-default params: the append must prepare the batch with the
+    // SAVED meta or its rows can't collide with the stored bands
+    TextDedup.saveMinhashIndex(half1, "doc_id", "text", dirA,
+      shingleLen = 4, numHashes = 64, bands = 16, seed = 7L)
+    TextDedup.appendMinhashIndex(half2, "doc_id", "text", dirA)
+    TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dirB,
+      shingleLen = 4, numHashes = 64, bands = 16, seed = 7L)
+    def probe(dir: String) =
+      TextDedup.minhashProbeIndexed(spark, dir, batch, "doc_id", "text",
+        jaccardThreshold = 0.8)
+        .select($"batch_id", $"corpus_id", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val appended = probe(dirA)
+    val rebuilt = probe(dirB)
+    assert(appended == rebuilt && appended.nonEmpty,
+      s"append probe diverges: ${appended.size} vs ${rebuilt.size}")
+    // the appended rows rode the partition layout: band dirs, no spill
+    // of a new top-level directory
+    val top = new java.io.File(s"$dirA/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(top.forall(_.startsWith("band=")), top.toString)
+  }
 }

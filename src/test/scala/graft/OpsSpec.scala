@@ -944,6 +944,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("BM25 index append equals a full rebuild, bit for bit") {
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_bm25_app").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_bm25_full").toString
+    try {
+      val half1 = docs.filter(col("doc_id") % 2 === 0)
+      val half2 = docs.filter(col("doc_id") % 2 === 1)
+      Retrieval.saveBm25Index(half1, "doc_id", "text", dirA, nBuckets = 8)
+      Retrieval.appendBm25Index(half2, "doc_id", "text", dirA)
+      Retrieval.saveBm25Index(docs, "doc_id", "text", dirB, nBuckets = 8)
+      val queries = Seq(7L -> "data spark table", 9L -> "filter")
+      val appended = Retrieval
+        .bm25TopKIndexed(spark, dirA, "doc_id", queries, 5)
+        .as[(Long, Long, Double)].collect().toSet
+      val rebuilt = Retrieval
+        .bm25TopKIndexed(spark, dirB, "doc_id", queries, 5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(appended == rebuilt, "append diverges from rebuild")
+      Retrieval.releaseCaches()
+      // stats carry the merged corpus scalars (idf/avgdl inputs)
+      val st = spark.read.parquet(s"$dirA/stats")
+        .as[(Long, Long, Int)].head()
+      val stFull = spark.read.parquet(s"$dirB/stats")
+        .as[(Long, Long, Int)].head()
+      assert(st == stFull, s"$st vs $stFull")
+      // a second append keeps compounding (three generations total)
+      val extra = Seq((9001L, "spark table filter data spark"))
+        .toDF("doc_id", "text")
+      Retrieval.appendBm25Index(extra, "doc_id", "text", dirA)
+      Retrieval.appendBm25Index(extra, "doc_id", "text", dirB)
+      val a2 = Retrieval.bm25TopKIndexed(spark, dirA, "doc_id", queries, 5)
+        .as[(Long, Long, Double)].collect().toSet
+      val b2 = Retrieval.bm25TopKIndexed(spark, dirB, "doc_id", queries, 5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(a2 == b2)
+      Retrieval.releaseCaches()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("table diff classifies added/removed/changed with column lists") {
     import graft.operators.Audits
     val before = Seq(
