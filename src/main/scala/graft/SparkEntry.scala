@@ -1370,6 +1370,25 @@ object SparkEntry {
       perType.unionByName(total)
     }),
 
+    // versioned snapshots with time travel: commit v1 (a filtered
+    // corpus), commit v2 (the full corpus), roll back to v1 — the
+    // current read must be exactly v1's data (history intact, nothing
+    // copied or deleted); commit = write-gen-then-atomic-version-file
+    "q_snapshot_rollback" -> ((s, dir) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_snap_${tmpToken(dir)}").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val v1 = graft.sources.SnapshotStore.commit(
+        docs.filter(col("doc_id") % 3 === 0), path)
+      graft.sources.SnapshotStore.commit(docs, path)
+      graft.sources.SnapshotStore.rollback(s, path, v1)
+      graft.sources.SnapshotStore.read(s, path)
+    }),
+
     // mergeable quantile histograms (DDSketch buckets): per-lang
     // n_chars quantiles AND the grand total from ONE histogram table —
     // bucket counts are order-free long sums, so rollups union
@@ -3660,6 +3679,10 @@ object SparkEntry {
         |  CAST(coalesce(max(lc * rc), 0) AS DOUBLE) AS max_key_fanout
         | FROM j)
         |SELECT * FROM ls CROSS JOIN rs CROSS JOIN js""".stripMargin,
+
+    "q_snapshot_rollback" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_quantile_rollup" -> quantileRollupOracle,
 

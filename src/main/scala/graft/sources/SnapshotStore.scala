@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Versioned table snapshots with time travel — the transactional face
+ * the reference's load path only approximates (SURVEY §2.10 D5:
+ * `csv_driver.rb:103-105` wraps a load in a DB transaction; a
+ * distributed file table has no such transaction, so this store
+ * supplies the equivalent isolation with a commit protocol instead).
+ *
+ * Layout (a minimal form of the Iceberg/Delta commit design):
+ * {{{
+ *   table/
+ *     _versions/v00000001     # one file per committed version; its
+ *     _versions/v00000002     # CONTENT is the generation dir name
+ *     gen-5f3a9c12/…parquet   # immutable, fully-written data dirs
+ *     gen-b042e7d1/…parquet
+ * }}}
+ *
+ * The data write and the commit are separate steps: a generation dir
+ * is written COMPLETELY first, then a version file naming it is
+ * created with create-exclusive (atomic on HDFS and local fs; on an
+ * object store without atomic create, front this with a locking
+ * catalog — the same caveat Iceberg documents). Consequences:
+ *  - a crash mid-write leaves an orphan `gen-*` dir that no version
+ *    references — invisible to every reader, reclaimed by [[vacuum]];
+ *  - readers resolve `_versions` max then read ONE immutable dir, so
+ *    a reader never sees a partial write and needs no lock;
+ *  - concurrent committers race on the version-file create; the loser
+ *    retries with the next number (both generations land, serialized
+ *    by the create order).
+ *
+ * [[rollback]] never deletes history: it commits a NEW version
+ * pointing at the old generation (so a bad rollback is itself
+ * rollback-able, and concurrent readers of the "bad" version are
+ * undisturbed). [[vacuum]] is the only deleter, and only of versions
+ * older than `keepLast` and of generation dirs no surviving version
+ * references; do not run it concurrently with an in-flight commit
+ * (an uncommitted generation looks like an orphan).
+ *
+ * At 100 TB this is metadata-cost only: a commit adds one ~40-byte
+ * file; time travel and rollback never copy data. Streaming note: the
+ * continuous-merge sink ([[graft.streaming.MergeSink]]) keeps its own
+ * single-current-generation swap because its store is overwritten
+ * per batch; this store is for PUBLISHED corpus tables where readers
+ * need stable named versions.
+ */
+object SnapshotStore {
+
+  private val VersionsDir = "_versions"
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def vName(n: Long): String = f"v$n%08d"
+
+  private def versionFile(path: String, n: Long): Path =
+    new Path(s"$path/$VersionsDir/${vName(n)}")
+
+  /** Committed version numbers, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val dir = new Path(s"$path/$VersionsDir")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.length == 9 && n.startsWith("v") &&
+        n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+      .sorted
+  }
+
+  /** The latest committed version, if any. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  /** Generation dir name a version points at. */
+  private def genFor(spark: SparkSession, path: String, v: Long): String = {
+    val fs = fsFor(spark, path)
+    val vf = versionFile(path, v)
+    require(fs.exists(vf), s"no committed version $v at $path")
+    val in = fs.open(vf)
+    try {
+      val bytes = new Array[Byte](256)
+      val n = in.read(bytes)
+      new String(bytes, 0, math.max(n, 0), UTF_8).trim
+    } finally in.close()
+  }
+
+  /** Create the next version file naming `gen`; on a create-exclusive
+    * loss (concurrent committer took the number) retry with the next
+    * number. Returns the committed version. */
+  private def link(spark: SparkSession, path: String, gen: String): Long = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(new Path(s"$path/$VersionsDir"))
+    var n = currentVersion(spark, path).getOrElse(0L) + 1
+    var committed = -1L
+    while (committed < 0) {
+      try {
+        val out = fs.create(versionFile(path, n), false) // exclusive
+        try out.write(gen.getBytes(UTF_8)) finally out.close()
+        committed = n
+      } catch {
+        case _: java.io.IOException => n += 1 // lost the race; next slot
+      }
+    }
+    committed
+  }
+
+  /**
+   * Commit `df` as the next version of the table at `path`: write a
+   * fresh immutable generation dir, then atomically publish it.
+   * Returns the new version number.
+   */
+  def commit(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("error").parquet(s"$path/$gen")
+    link(spark, path, gen)
+  }
+
+  /** Read a specific committed version (time travel). */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame =
+    spark.read.parquet(s"$path/${genFor(spark, path, v)}")
+
+  /** Read the current version. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    readVersion(spark, path, v)
+  }
+
+  /**
+   * Make version `v`'s data current again by committing a NEW version
+   * that points at its generation — history stays intact and the
+   * rollback itself is versioned. Returns the new version number.
+   */
+  def rollback(spark: SparkSession, path: String, v: Long): Long =
+    link(spark, path, genFor(spark, path, v))
+
+  /**
+   * Reclaim space: drop version files older than the newest `keepLast`
+   * and every generation dir no surviving version references
+   * (including crash-orphaned, never-committed generations). Returns
+   * the number of generation dirs deleted. Must not run concurrently
+   * with a commit.
+   */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    vs.dropRight(keepLast).foreach(v => fs.delete(versionFile(path, v), false))
+    val kept = versions(spark, path).map(genFor(spark, path, _)).toSet
+    var dropped = 0
+    fs.listStatus(new Path(path)).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("gen-") && !kept.contains(name)) {
+        fs.delete(st.getPath, true)
+        dropped += 1
+      }
+    }
+    dropped
+  }
+}

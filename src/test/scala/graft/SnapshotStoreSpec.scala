@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotStore
+
+/** Commit protocol, time travel, rollback, crash orphans, vacuum. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_snap_$tag").toString +
+      "/table"
+
+  private def df(ids: Range) = ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+
+  private def readIds(path: String): Set[Long] =
+    SnapshotStore.read(spark, path).select($"id").as[Long].collect().toSet
+
+  test("commit/read/time-travel/rollback keep every version addressable") {
+    val path = freshPath("tt")
+    assert(SnapshotStore.currentVersion(spark, path).isEmpty)
+    intercept[IllegalArgumentException] { SnapshotStore.read(spark, path) }
+    val v1 = SnapshotStore.commit(df(1 to 10), path)
+    val v2 = SnapshotStore.commit(df(1 to 20), path)
+    assert(v1 == 1L && v2 == 2L)
+    assert(readIds(path) == (1L to 20L).toSet)
+    // time travel: v1 readable while current is v2
+    assert(SnapshotStore.readVersion(spark, path, v1)
+      .select($"id").as[Long].collect().toSet == (1L to 10L).toSet)
+    // rollback commits a NEW version pointing at v1's generation
+    val v3 = SnapshotStore.rollback(spark, path, v1)
+    assert(v3 == 3L)
+    assert(readIds(path) == (1L to 10L).toSet)
+    // nothing was deleted: the "bad" v2 is still readable, and the
+    // rollback itself can be rolled back
+    assert(SnapshotStore.readVersion(spark, path, v2)
+      .select($"id").as[Long].collect().toSet == (1L to 20L).toSet)
+    SnapshotStore.rollback(spark, path, v2)
+    assert(readIds(path) == (1L to 20L).toSet)
+    assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("a crash-orphaned generation is invisible until vacuumed away") {
+    val path = freshPath("orphan")
+    SnapshotStore.commit(df(1 to 5), path)
+    // simulate a crash mid-commit: a fully- or partly-written gen dir
+    // with NO version file naming it
+    df(100 to 200).write.parquet(s"$path/gen-deadbeef")
+    assert(SnapshotStore.versions(spark, path) == Seq(1L))
+    assert(readIds(path) == (1L to 5L).toSet)
+    // vacuum reclaims it (and only it)
+    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 10)
+    assert(dropped == 1)
+    assert(readIds(path) == (1L to 5L).toSet)
+  }
+
+  test("vacuum keeps the last N versions readable and drops the rest") {
+    val path = freshPath("vac")
+    val v1 = SnapshotStore.commit(df(1 to 1), path)
+    val v2 = SnapshotStore.commit(df(1 to 2), path)
+    val v3 = SnapshotStore.commit(df(1 to 3), path)
+    // a rollback ALIASES v1's generation; vacuum must count references
+    val v4 = SnapshotStore.rollback(spark, path, v1)
+    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 2)
+    // v1+v2 version files dropped; v1's GENERATION survives (v4 refs
+    // it), v2's is unreferenced -> exactly one dir reclaimed
+    assert(dropped == 1, s"dropped $dropped")
+    assert(SnapshotStore.versions(spark, path) == Seq(v3, v4))
+    assert(SnapshotStore.readVersion(spark, path, v3)
+      .count() == 3)
+    assert(readIds(path) == Set(1L))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readVersion(spark, path, v2)
+    }
+  }
+
+  test("a lost create-exclusive race lands on the next version slot") {
+    val path = freshPath("race")
+    SnapshotStore.commit(df(1 to 3), path)
+    // another committer already took v2: occupy the slot by hand,
+    // pointing at the existing generation
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen1 = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("gen-")).head
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_versions/v00000002"), false)
+    out.write(gen1.getBytes("UTF-8")); out.close()
+    val v = SnapshotStore.commit(df(1 to 7), path)
+    assert(v == 3L, s"loser should land on v3, got v$v")
+    assert(readIds(path) == (1L to 7L).toSet)
+  }
+}
