@@ -399,11 +399,28 @@ object Audits {
       if (keepDims.isEmpty) hist.groupBy(col("qb")).agg(sum(col("cnt")).as("cnt"))
       else hist.groupBy((keepDims :+ "qb").map(col): _*)
         .agg(sum(col("cnt")).as("cnt"))
-    val byGroup = Window.partitionBy(keepDims.map(col): _*)
-    val cum = merged
-      .withColumn("__cum", sum(col("cnt")).over(byGroup.orderBy(col("qb"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum(col("cnt")).over(byGroup))
+    // cumulative counts per group: a window PARTITIONED by the kept
+    // dims when there are any (linear, partition-bounded at the bucket
+    // grid); for the grand total the merged histogram is GLOBALLY
+    // bucket-grid bounded (≤ ~4k rows over the double range), so the
+    // cum is a broadcast theta-join — never an unpartitioned window,
+    // which the plan audit rightly bans even when "it would be fine"
+    val cum =
+      if (keepDims.isEmpty) {
+        val tot = merged.agg(sum(col("cnt")).as("__n"))
+        merged
+          .join(broadcast(merged.select(col("qb").as("__qb2"),
+            col("cnt").as("__cnt2"))), col("__qb2") <= col("qb"))
+          .groupBy(col("qb"))
+          .agg(sum(col("__cnt2")).as("__cum"))
+          .crossJoin(broadcast(tot))
+      } else {
+        val byGroup = Window.partitionBy(keepDims.map(col): _*)
+        merged
+          .withColumn("__cum", sum(col("cnt")).over(byGroup.orderBy(col("qb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__n", sum(col("cnt")).over(byGroup))
+      }
     val picked = cum.crossJoin(broadcast(qs.toDF("q")))
       .filter(col("__cum") >=
         greatest(lit(1L), ceil(col("q") * col("__n"))))
