@@ -1174,6 +1174,17 @@ object SparkEntry {
       graft.ops.Graphs.triangleCount(e, "src", "dst")
     }),
 
+    // personalized PageRank (TrustRank): authority relative to the
+    // same 3-supplier seed set q_sssp measures hop-distance from —
+    // restart mass only on seeds, unrolled-oracle-exact like pagerank
+    "q_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (-col("l_suppkey").cast("long")).as("src"),
+        col("l_partkey").cast("long").as("dst"))
+      graft.ops.Graphs.personalizedPageRank(edges, "src", "dst",
+        Seq(-1L, -2L, -3L), iterations = 3)
+    }),
+
     // multi-source BFS distances (4-hop horizon) over the
     // bidirectionalized supplier↔part graph — the trusted-seed
     // distance feature (TrustRank-style); frontier expansion with
@@ -3518,6 +3529,8 @@ object SparkEntry {
         | UNION ALL SELECT z FROM tri)
         |SELECT node, count(*) AS triangles FROM corners GROUP BY node""".stripMargin,
 
+    "q_ppr" -> pprOracle,
+
     "q_sssp" ->
       """WITH RECURSIVE e AS (
         | SELECT DISTINCT src, dst FROM (
@@ -4757,6 +4770,46 @@ object SparkEntry {
        |        * $mid, 6)
        | END AS approx_value
        |FROM p""".stripMargin
+  }
+
+  /** q_ppr oracle — personalizedPageRank's 3 iterations unrolled, the
+    * q_pagerank oracle shape with the seed-indicator restart term;
+    * e-value and 1−d are interpolated from the SAME driver arithmetic
+    * the operator uses (IEEE 1.0−0.85 is NOT 0.15 — the computed
+    * double round-trips through its shortest-repr literal). */
+  private def pprOracle: String = {
+    val seeds = Seq(-1L, -2L, -3L)
+    val eVal = BigDecimal(1.0 / seeds.size)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val restart = (1.0 - 0.85).toString
+    def ind(alias: String) =
+      s"""CASE WHEN $alias.node IN (${seeds.mkString(", ")})
+         |      THEN CAST($eVal AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"""
+        .stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT ed.dst,
+         |        sum(CAST(round(r."rank" / ed.deg, 12) AS DECIMAL(20,12)))
+         |          AS m
+         |       FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst),
+         |r$i AS (SELECT n.node, round(CAST($restart AS DOUBLE) *
+         |         (${ind("n")}) + CAST(0.85 AS DOUBLE) *
+         |         coalesce(CAST(c$i.m AS DOUBLE), CAST(0.0 AS DOUBLE)), 7)
+         |           AS "rank"
+         |       FROM nodes n LEFT JOIN c$i ON c$i.dst = n.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       | SELECT -CAST(l_suppkey AS BIGINT) AS src,
+       |        CAST(l_partkey AS BIGINT) AS dst
+       | FROM lineitem),
+       |nodes AS (SELECT DISTINCT node FROM
+       | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e
+       |       JOIN deg d ON d.src = e.src),
+       |r0 AS (SELECT n.node, ${ind("n")} AS "rank" FROM nodes n),
+       |$rounds
+       |SELECT node, "rank" FROM r3""".stripMargin
   }
 
   private def labelPropOracle: String = {

@@ -80,6 +80,72 @@ object Graphs {
   }
 
   /**
+   * Personalized PageRank — random walk with restart onto a trusted
+   * seed set (the TrustRank construction: authority relative to known-
+   * good hosts, the standard link-spam demotion signal; the distance
+   * face of the same idea is [[shortestPaths]]):
+   *
+   *   r0(v) = e(v);  r'(v) = (1−d)·e(v) + d · Σ_{(u,v) ∈ E} r(u)/outdeg(u)
+   *
+   * where e(v) = 1/|seeds| on the seed set, 0 elsewhere. Same
+   * practical conventions as [[pageRank]] (dangling mass not
+   * redistributed, parallel edges count once each) and the same
+   * iterative-dataflow shape: persisted pre-partitioned edge/node
+   * invariants, one co-located join + one map-side-combined DECIMAL
+   * sum per round. Same float discipline too (contributions round-12
+   * into DECIMAL(20,12), ranks round-7; e and 1−d enter as driver-
+   * computed literals on both engines), so it is oracle-exact.
+   *
+   * Returns (node, rank) over the graph's node set; the returned
+   * frame is persisted (caller may unpersist after consuming).
+   */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iterations: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "at least one seed node")
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).persist()
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .persist()
+    val eVal = BigDecimal(1.0 / seeds.size)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val restart = 1.0 - damping
+    def eInd = when(col("node").isin(seeds: _*), lit(eVal))
+      .otherwise(lit(0.0))
+    var rank = nodes.select(col("node"), eInd.as("rank"))
+    var prev: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val contrib = eDeg
+        .join(rank.withColumnRenamed("node", "__rn"),
+          col("src") === col("__rn"))
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 12)
+            .cast("decimal(20,12)").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("m"))
+      val next = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(restart) * eInd + lit(damping) *
+            coalesce(col("m").cast("double"), lit(0.0)), 7).as("rank"))
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist()
+      prev = next
+      rank = next
+    }
+    nodes.unpersist()
+    eDeg.unpersist()
+    rank
+  }
+
+  /**
    * Synchronous label propagation (community detection / weak-label
    * spreading), fixed iteration count, fully deterministic: labels
    * start as the node's own id, each round every node takes the label

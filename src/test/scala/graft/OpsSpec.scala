@@ -1419,6 +1419,56 @@ class OpsSpec extends SparkSpec {
     assert(rb2 == rb)
   }
 
+  test("personalized pagerank matches a dense reference bit for bit") {
+    import graft.ops.Graphs
+    // reference loop with the operator's exact arithmetic: round-12
+    // contributions summed exactly, round-7 ranks, IEEE 1−d
+    def ref(edges: Seq[(Long, Long)], seeds: Set[Long],
+            iters: Int): Map[Long, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val eVal = BigDecimal(1.0 / seeds.size)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val restart = 1.0 - 0.85
+      def e(n: Long) = if (seeds(n)) eVal else 0.0
+      var rank = nodes.map(n => n -> e(n)).toMap
+      (1 to iters).foreach { _ =>
+        val contrib = collection.mutable.Map[Long, BigDecimal]()
+        edges.foreach { case (u, v) =>
+          val m = BigDecimal(rank(u) / outdeg(u))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          contrib(v) = contrib.getOrElse(v, BigDecimal(0)) + m
+        }
+        rank = nodes.map { n =>
+          val m = contrib.get(n).map(_.toDouble).getOrElse(0.0)
+          n -> BigDecimal(restart * e(n) + 0.85 * m)
+            .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toMap
+      }
+      rank
+    }
+    // cycle + feeder + a parallel edge (counts once per occurrence)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 3L), (1L, 2L))
+    val expected = ref(es, Set(1L, 4L), 3)
+    val got = Graphs.personalizedPageRank(es.toDF("src", "dst"),
+      "src", "dst", Seq(1L, 4L), iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got == expected, s"$got vs $expected")
+    // partition layout cannot move a bit
+    val got2 = Graphs.personalizedPageRank(
+      es.toDF("src", "dst").repartition(7), "src", "dst",
+      Seq(1L, 4L), iterations = 3).as[(Long, Double)].collect().toMap
+    assert(got2 == expected)
+    // restart mass only enters at seeds: with an unreachable seedless
+    // component, its nodes hold rank 0
+    val es2 = es ++ Seq((10L, 11L), (11L, 10L))
+    val got3 = Graphs.personalizedPageRank(es2.toDF("src", "dst"),
+      "src", "dst", Seq(1L), iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got3(10L) == 0.0 && got3(11L) == 0.0)
+    assert(got3(2L) > 0.0 && got3(3L) > 0.0)
+  }
+
   test("shortest paths: chain, multi-source min, horizon, early exit, layout") {
     import graft.ops.Graphs
     // directed chain 1→2→3→4→5 plus a shortcut 1→4; parallel edge noise
