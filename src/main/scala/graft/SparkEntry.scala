@@ -1289,6 +1289,20 @@ object SparkEntry {
         }.toDF("doc_id", "w_out", "h_out", "mean_blue")
     }),
 
+    // perceptual image dedup: dHash (9×8 luma gradient signs) through
+    // the SAME 64-bit hamming dispatch text SimHash uses — ids sharing
+    // a pattern key synthesize byte-identical BMPs, so the pair set
+    // has a closed form the oracle pins WITHOUT decoding (the 50-key
+    // cross-hamming floor that makes this sound is spec-asserted)
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.bmpPatternBytes(id % 50)))
+        .toDF("doc_id", "payload")
+      Multimodal.imageNearDup(imgs, "doc_id", maxHamming = 4)
+    }),
+
     // Z-order (Morton) clustering key — the layout pass that gives
     // parquet min/max pruning on BOTH join columns; pure bit
     // arithmetic inside codegen, gated bit-for-bit against the oracle
@@ -3618,6 +3632,13 @@ object SparkEntry {
         |  + 8 * list_sum(list_transform(generate_series(0, 7),
         |      y -> (y * h) // 8)) AS DOUBLE) / 64 AS mean_blue
         |FROM p""".stripMargin,
+
+    "q_image_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0""".stripMargin,
 
     "q_zorder" -> zOrderOracle,
 

@@ -859,6 +859,152 @@ object Multimodal {
    * [[stubDecode]] fallback. Same narrow mapPartitions batch shape as
    * [[decodeFeatures]].
    */
+  /** Format-valid 24bpp BMP with a deterministic per-key binary
+    * pattern (multiplicative-hash checkerboard, 32×32): equal keys ⇒
+    * byte-identical images; distinct keys ⇒ uncorrelated patterns.
+    * The image-dedup fixture generator ([[dHash64]] spec + gate). */
+  def bmpPatternBytes(key: Long): Array[Byte] = {
+    val w = 32
+    val h = 32
+    val stride = ((3 * w + 3) / 4) * 4
+    val size = 14 + 40 + stride * h
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow
+      var x = 0
+      while (x < w) {
+        // full-avalanche mix (murmur3 finalizer): a low bit of a mere
+        // linear combination is a phase-shifted stripe pattern, and
+        // translated stripes COLLIDE under gradient hashing — the
+        // whole point of distinct keys is uncorrelated patterns
+        var m = key * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+          y * 0x165667B19E3779F9L
+        m ^= (m >>> 33); m *= 0xFF51AFD7ED558CCDL
+        m ^= (m >>> 33); m *= 0xC4CEB9FE1A85EC53L
+        m ^= (m >>> 33)
+        val v = if ((m & 1L) == 1L) 255.toByte else 0.toByte
+        b.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad < stride) { b.put(0.toByte); pad += 1 }
+      fileRow += 1
+    }
+    b.array()
+  }
+
+  /**
+   * 64-bit perceptual difference hash (dHash) of an encoded image —
+   * the image twin of text SimHash: downsample to a 9×8 grayscale
+   * grid, emit one bit per horizontally-adjacent pair (left < right).
+   * Uniform brightness/contrast shifts preserve the gradient signs,
+   * so re-encodes and mild edits land within a few bits while
+   * unrelated images are ~32 bits apart.
+   *
+   * Decode goes through the JDK's bundled imageio readers (BMP, PNG,
+   * GIF, JPEG — no external codec library); the downsample is
+   * integer box-average pooling over exact pixel boxes, NOT a
+   * Graphics2D filter, so the hash is bit-deterministic for lossless
+   * formats on any JVM/platform. Returns None for undecodable bytes.
+   */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 2 || img.getHeight < 1) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val g = Array.ofDim[Double](8, 9)
+        var ty = 0
+        while (ty < 8) {
+          var tx = 0
+          while (tx < 9) {
+            val x0 = tx * w / 9
+            val x1 = math.max(x0 + 1, (tx + 1) * w / 9)
+            val y0 = ty * h / 8
+            val y1 = math.max(y0 + 1, (ty + 1) * h / 8)
+            var sum = 0L
+            var n = 0
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                val p = img.getRGB(x, y)
+                // integer ITU-R 601 luma ×1000 — exact, order-free
+                sum += 299L * ((p >> 16) & 0xFF) +
+                  587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            g(ty)(tx) = if (n == 0) 0.0 else sum.toDouble / n
+            tx += 1
+          }
+          ty += 1
+        }
+        var hash = 0L
+        var bit = 0
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            if (g(yy)(xx) < g(yy)(xx + 1)) hash |= (1L << bit)
+            bit += 1
+            xx += 1
+          }
+          yy += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /**
+   * Per-image dHash over a payload column — the batched mapPartitions
+   * narrow pass of [[decodeMedia]] (decode never leaves the
+   * executor); undecodable payloads drop with a counted absence, not
+   * a poisoned row. Output: (idCol, dhash).
+   */
+  def imageDHashes(withPayload: DataFrame, idCol: String,
+                   batchSize: Int = 64): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dhash",
+          org.apache.spark.sql.types.LongType, nullable = false)))))
+    val idIdx = withPayload.schema.fieldIndex(idCol)
+    val payloadIdx = withPayload.schema.fieldIndex("payload")
+    withPayload.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          dHash64(r.getAs[Array[Byte]](payloadIdx))
+            .map(hs => Row(r.getLong(idIdx), hs))
+        }
+      }
+    }(enc)
+  }
+
+  /**
+   * Near-duplicate image pairs: dHash each payload, then the SAME
+   * 64-bit hamming dispatch the text family uses
+   * ([[graft.ops.TextDedup.hammingPairs64]] — lossless pigeonhole
+   * blocks or tiled all-pairs). One fingerprint pass over the bytes;
+   * everything after is modality-blind. Output (id_a, id_b, hamming).
+   */
+  def imageNearDup(withPayload: DataFrame, idCol: String,
+                   maxHamming: Int = 4): DataFrame =
+    TextDedup.hammingPairs64(imageDHashes(withPayload, idCol),
+      idCol, "dhash", maxHamming)
+
   def decodeMedia(withPayload: DataFrame, idCol: String,
                   batchSize: Int = 64): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(FeatureSchema))

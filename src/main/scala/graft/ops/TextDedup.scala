@@ -918,10 +918,29 @@ object TextDedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, denseLimit: Long = 200000L,
                    denseBlocks: Int = 32): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    hammingPairs64(df.select(col(idCol), simhash64(toks).as("__sig")),
+      idCol, "__sig", maxHamming, denseLimit, denseBlocks)
+  }
+
+  /**
+   * All pairs of 64-bit signatures within `maxHamming` — the shared
+   * near-dup kernel under [[simhashPairs]] (text SimHash) and
+   * [[graft.ops.Multimodal.imageNearDup]] (perceptual image dHash):
+   * any modality that fingerprints to 64 bits dedups through this one
+   * dispatch. Lossless pigeonhole piece blocking at selective radii,
+   * Afrati–Ullman tiled all-pairs when the corpus is small or the
+   * radius so large that blocking degenerates — identical results
+   * either path (property-tested on the text face).
+   *
+   * Output: (id_a, id_b, hamming), id_a < id_b.
+   */
+  def hammingPairs64(sigsIn: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3, denseLimit: Long = 200000L,
+                     denseBlocks: Int = 32): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 20,
       s"maxHamming must be in [0, 20] for lossless piece blocking, got $maxHamming")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val sigs = df.select(col(idCol), simhash64(toks).as("__sim"))
+    val sigs = sigsIn.select(col(idCol), col(sigCol).as("__sim"))
       .persist() // consumed by both sides of the block self-join
     // piece blocking is selective when the per-piece bucket space
     // dwarfs the explode factor (small radii: 2^(64/(r+1)) buckets per

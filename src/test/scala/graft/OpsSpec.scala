@@ -1646,6 +1646,53 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.resizeBmp("nope".getBytes, 4, 4).isEmpty)
   }
 
+  test("image dHash: determinism, brightness invariance, key separation") {
+    import graft.ops.Multimodal
+    // equal keys ⇒ byte-identical BMPs ⇒ identical hashes
+    assert(Multimodal.dHash64(Multimodal.bmpPatternBytes(7L)) ==
+      Multimodal.dHash64(Multimodal.bmpPatternBytes(7L)))
+    // brightness shift preserves gradient signs: bmpBytes gradients
+    // with different base but same dims hash identically
+    assert(Multimodal.dHash64(Multimodal.bmpBytes(3L)) ==
+      Multimodal.dHash64(Multimodal.bmpBytes(163L)))
+    // the q_image_neardup oracle's soundness: every cross-key pair of
+    // the 50 gate patterns sits STRICTLY above the gate threshold (4)
+    val hashes = (0L until 50L).map(k =>
+      Multimodal.dHash64(Multimodal.bmpPatternBytes(k)).get)
+    val minCross = (for {
+      i <- hashes.indices; j <- hashes.indices if i < j
+    } yield java.lang.Long.bitCount(hashes(i) ^ hashes(j))).min
+    assert(minCross > 4, s"cross-key hamming floor $minCross")
+    // every bundled synthesizer decodes through the imageio path
+    assert(Multimodal.dHash64(Multimodal.pngBytes(5L)).isDefined)
+    assert(Multimodal.dHash64(Multimodal.gifBytes(5L)).isDefined)
+    assert(Multimodal.dHash64(Multimodal.jpegBytes(5L)).isDefined)
+    // garbage refuses instead of crashing
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+    assert(Multimodal.dHash64(Array.emptyByteArray).isEmpty)
+  }
+
+  test("image near-dup links same-pattern images on both join paths") {
+    import graft.ops.{Multimodal, TextDedup}
+    // 30 images over 10 patterns (3 each) + one undecodable payload
+    val imgs = ((0L until 30L).map(i =>
+      (i, Multimodal.bmpPatternBytes(i % 10))) :+
+      (99L, "broken bytes".getBytes))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDup(imgs, "doc_id", maxHamming = 4)
+      .as[(Long, Long, Int)].collect()
+    val expected = (for {
+      a <- 0L until 30L; b <- 0L until 30L if a < b && a % 10 == b % 10
+    } yield (a, b, 0)).toSet
+    assert(pairs.toSet == expected, s"${pairs.length} pairs")
+    // blocked path (dense dispatch off) agrees exactly
+    val viaBlocked = TextDedup.hammingPairs64(
+      Multimodal.imageDHashes(imgs, "doc_id"), "doc_id", "dhash",
+      maxHamming = 4, denseLimit = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaBlocked == expected)
+  }
+
   test("zorder interleaves bits and tightens per-chunk column spans") {
     import graft.ops.Layout
     // x=3 (011), y=5 (101): z = x0 + y0<<1 + x1<<2 + y2<<5 = 39
