@@ -1303,6 +1303,19 @@ object SparkEntry {
       Multimodal.imageNearDup(imgs, "doc_id", maxHamming = 4)
     }),
 
+    // audio near-dup: PCM energy-envelope fingerprint through the
+    // same hamming dispatch (text/image/audio all dedup through ONE
+    // kernel) — closed-form oracle on the keyed fixtures, cross-key
+    // floor spec-asserted like q_image_neardup
+    "q_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.wavPatternBytes(id % 40)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioNearDup(clips, "doc_id", maxHamming = 4)
+    }),
+
     // Z-order (Morton) clustering key — the layout pass that gives
     // parquet min/max pruning on BOTH join columns; pure bit
     // arithmetic inside codegen, gated bit-for-bit against the oracle
@@ -3639,6 +3652,13 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
         |WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0""".stripMargin,
+
+    "q_audio_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1""".stripMargin,
 
     "q_zorder" -> zOrderOracle,
 

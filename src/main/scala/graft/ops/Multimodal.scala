@@ -1005,6 +1005,119 @@ object Multimodal {
     TextDedup.hammingPairs64(imageDHashes(withPayload, idCol),
       idCol, "dhash", maxHamming)
 
+  /** Format-valid PCM16 mono WAV with a deterministic per-key sample
+    * pattern (murmur3-finalizer mix, 2080 samples @ 8 kHz): equal
+    * keys ⇒ byte-identical audio; distinct keys ⇒ uncorrelated
+    * energy envelopes. The audio-dedup fixture generator. */
+  def wavPatternBytes(key: Long): Array[Byte] = {
+    val n = 2080
+    val dataLen = n * 2
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      var m = key * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+      m ^= (m >>> 33); m *= 0xFF51AFD7ED558CCDL
+      m ^= (m >>> 33); m *= 0xC4CEB9FE1A85EC53L
+      m ^= (m >>> 33)
+      b.putShort(((m & 0x3FFFL) - 8192L).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /**
+   * 64-bit audio fingerprint — the PCM twin of [[dHash64]]: pool the
+   * stream into 65 equal frame windows (exact integer box bounds, the
+   * dHash pooling), take per-window energy Σ(Σ_channels s)², emit one
+   * bit per adjacent window pair (left < right). Energy-envelope
+   * shape survives gain changes in rank ordering; unrelated audio is
+   * ~32 bits apart. Exact long arithmetic — bit-deterministic on any
+   * JVM. None for non-PCM16 input or fewer than 65 frames.
+   */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    decodeWav(bytes) match {
+      case None => None
+      case Some(meta) =>
+        val channels = meta(1).toInt
+        val nSamples = meta(2).toInt
+        if (nSamples < 65) None
+        else {
+          val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          def ascii(off: Int, s: String): Boolean =
+            s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+          var pos = 12
+          var dataOff = -1
+          while (dataOff < 0 && pos + 8 <= bytes.length) {
+            val size = b.getInt(pos + 4)
+            if (ascii(pos, "data")) dataOff = pos + 8
+            else pos += 8 + size + (size & 1)
+          }
+          val e = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            val f0 = w * nSamples / 65
+            val f1 = math.max(f0 + 1, (w + 1) * nSamples / 65)
+            var sum = 0L
+            var f = f0
+            while (f < math.min(f1, nSamples)) {
+              var v = 0L
+              var c = 0
+              while (c < channels) {
+                v += b.getShort(dataOff + 2 * (f * channels + c))
+                c += 1
+              }
+              sum += v * v
+              f += 1
+            }
+            e(w) = sum
+            w += 1
+          }
+          var hash = 0L
+          var bit = 0
+          while (bit < 64) {
+            if (e(bit) < e(bit + 1)) hash |= (1L << bit)
+            bit += 1
+          }
+          Some(hash)
+        }
+    }
+
+  /** Per-clip [[audioFingerprint64]] over a payload column — batched
+    * narrow pass, undecodable payloads drop. Output: (idCol, afp). */
+  def audioFingerprints(withPayload: DataFrame, idCol: String,
+                        batchSize: Int = 64): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("afp",
+          org.apache.spark.sql.types.LongType, nullable = false)))))
+    val idIdx = withPayload.schema.fieldIndex(idCol)
+    val payloadIdx = withPayload.schema.fieldIndex("payload")
+    withPayload.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          audioFingerprint64(r.getAs[Array[Byte]](payloadIdx))
+            .map(hs => Row(r.getLong(idIdx), hs))
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate audio pairs through the SAME 64-bit hamming
+    * dispatch as text SimHash and image dHash — fingerprint once,
+    * then modality-blind. Output (id_a, id_b, hamming). */
+  def audioNearDup(withPayload: DataFrame, idCol: String,
+                   maxHamming: Int = 4): DataFrame =
+    TextDedup.hammingPairs64(audioFingerprints(withPayload, idCol),
+      idCol, "afp", maxHamming)
+
   def decodeMedia(withPayload: DataFrame, idCol: String,
                   batchSize: Int = 64): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(FeatureSchema))

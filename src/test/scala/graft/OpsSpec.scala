@@ -1693,6 +1693,35 @@ class OpsSpec extends SparkSpec {
     assert(viaBlocked == expected)
   }
 
+  test("audio fingerprint: determinism, key separation, stereo, refusal") {
+    import graft.ops.Multimodal
+    assert(Multimodal.audioFingerprint64(Multimodal.wavPatternBytes(3L)) ==
+      Multimodal.audioFingerprint64(Multimodal.wavPatternBytes(3L)))
+    // the q_audio_neardup oracle's soundness: 40-key cross floor > 4
+    val fps = (0L until 40L).map(k =>
+      Multimodal.audioFingerprint64(Multimodal.wavPatternBytes(k)).get)
+    val minCross = (for {
+      i <- fps.indices; j <- fps.indices if i < j
+    } yield java.lang.Long.bitCount(fps(i) ^ fps(j))).min
+    assert(minCross > 4, s"cross-key fingerprint floor $minCross")
+    // multi-channel clips fingerprint through the same path
+    assert(Multimodal
+      .audioFingerprint64(Multimodal.wavStereoBytes(5L)).isDefined)
+    // non-WAV bytes and too-short clips refuse
+    assert(Multimodal.audioFingerprint64("not audio".getBytes).isEmpty)
+    assert(Multimodal
+      .audioFingerprint64(Multimodal.bmpPatternBytes(1L)).isEmpty)
+    // end-to-end pairs: 20 clips over 5 keys, hamming-0 within key
+    val clips = (0L until 20L).map(i =>
+      (i, Multimodal.wavPatternBytes(i % 5))).toDF("doc_id", "payload")
+    val pairs = Multimodal.audioNearDup(clips, "doc_id", maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (for {
+      a <- 0L until 20L; b <- 0L until 20L if a < b && a % 5 == b % 5
+    } yield (a, b, 0)).toSet
+    assert(pairs == expected)
+  }
+
   test("zorder interleaves bits and tightens per-chunk column spans") {
     import graft.ops.Layout
     // x=3 (011), y=5 (101): z = x0 + y0<<1 + x1<<2 + y2<<5 = 39
