@@ -143,6 +143,19 @@ object SnapshotStore {
     link(spark, path, genFor(spark, path, v))
 
   /**
+   * Row-level diff between two committed versions by primary key —
+   * [[graft.operators.Audits.tableDiff]] pointed at the snapshot
+   * history: the pre-promotion audit ("what did this rebuild change")
+   * without keeping manual table copies around. Output: (pk, status ∈
+   * added|removed|changed|unchanged, changed_cols).
+   */
+  def diffVersions(spark: SparkSession, path: String, vBefore: Long,
+                   vAfter: Long, pk: String): DataFrame =
+    graft.operators.Audits.tableDiff(
+      readVersion(spark, path, vBefore),
+      readVersion(spark, path, vAfter), pk)
+
+  /**
    * Reclaim space: drop version files older than the newest `keepLast`
    * and every generation dir no surviving version references
    * (including crash-orphaned, never-committed generations). Returns

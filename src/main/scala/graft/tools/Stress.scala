@@ -359,6 +359,39 @@ object Stress {
         s"hub star fragmented: $starSize of ${nSpokes + 1}")
     }
     assertNoFunnel("cc-hub")
+    tme(f"shortestPaths hub (bidirectional $nSpokes%,d-star)") {
+      // BFS from the hub: round 1 settles every spoke at dist 1 (the
+      // min aggregate takes the 1.5M-way fan-out), round 2's frontier
+      // anti-joins empty and the loop early-exits; the disjoint tail
+      // must stay unreached
+      val bi = graph.unionByName(
+        graph.select(col("dst").as("src"), col("src").as("dst")))
+      val d = graft.ops.Graphs.shortestPaths(bi, "src", "dst",
+        Seq(0L), maxIter = 3)
+      val n = d.count()
+      assert(n == nSpokes + 1, s"BFS star size $n vs ${nSpokes + 1}")
+      val d5 = d.filter(col("node") === 5L)
+        .select(col("dist")).as[Long].collect()(0)
+      assert(d5 == 1L, s"spoke dist drifted: $d5")
+      d.unpersist()
+    }
+    assertNoFunnel("sssp-hub")
+    tme(f"personalizedPageRank hub ($nSpokes%,d fan-in)") {
+      // seed = hub on the reversed star: 1.5M spokes contribute zero
+      // mass onto ONE dst key (partial-aggregated), the hub holds
+      // exactly its restart share, spokes hold exactly none
+      val rev = graph.select(col("dst").as("src"), col("src").as("dst"))
+      val r = graft.ops.Graphs.personalizedPageRank(rev, "src", "dst",
+        Seq(0L), iterations = 2)
+      val hub = r.filter(col("node") === 0L)
+        .select(col("rank")).as[Double].collect()(0)
+      assert(hub == 0.15, s"hub restart mass drifted: $hub")
+      val spoke = r.filter(col("node") === 5L)
+        .select(col("rank")).as[Double].collect()(0)
+      assert(spoke == 0.0, s"spoke leaked mass: $spoke")
+      r.unpersist()
+    }
+    assertNoFunnel("ppr-hub")
 
     // ---- 9. semDedup giant cell under the size cap ---------------------
     // 500k EXACT copies of one embedding route into a single cell —

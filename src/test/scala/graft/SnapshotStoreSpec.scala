@@ -39,6 +39,11 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.rollback(spark, path, v2)
     assert(readIds(path) == (1L to 20L).toSet)
     assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+    // version-to-version diff: v1 -> v2 added rows 11..20
+    val diff = SnapshotStore.diffVersions(spark, path, v1, v2, "id")
+      .groupBy($"status").count()
+      .as[(String, Long)].collect().toMap
+    assert(diff == Map("unchanged" -> 10L, "added" -> 10L), diff.toString)
   }
 
   test("a crash-orphaned generation is invisible until vacuumed away") {
