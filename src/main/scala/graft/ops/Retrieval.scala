@@ -161,14 +161,18 @@ object Retrieval {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .option("parquet.bloom.filter.enabled#term", "true")
       .option("parquet.bloom.filter.expected.ndv#term",
         termNdvPerBucket.toString)
       .parquet(s"$path/postings")
-    // df per term from the WRITTEN postings: one read, same bucketing
-    spark.read.parquet(s"$path/postings")
+    // df per term from the SAME persisted postings frame the writer
+    // just materialized — identical content to re-reading the written
+    // files (deterministic aggregate of the same rows), minus a full
+    // parquet read per save
+    postings
       .groupBy(col("term"), col("bucket"))
       .agg(count(lit(1)).as("df"))
       .repartition(col("bucket"))
@@ -178,6 +182,7 @@ object Retrieval {
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
       lit(nBuckets).as("n_buckets"))
       .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    postings.unpersist()
     base.unpersist()
   }
 

@@ -99,13 +99,23 @@ object SnapshotStore {
     fs.mkdirs(new Path(s"$path/$VersionsDir"))
     var n = currentVersion(spark, path).getOrElse(0L) + 1
     var committed = -1L
+    var attempts = 0
     while (committed < 0) {
       try {
         val out = fs.create(versionFile(path, n), false) // exclusive
         try out.write(gen.getBytes(UTF_8)) finally out.close()
         committed = n
       } catch {
-        case _: java.io.IOException => n += 1 // lost the race; next slot
+        // a lost create-exclusive race surfaces as IOException (the
+        // concrete subclass varies by FileSystem impl); a PERSISTENT
+        // failure (permissions, quota) must not spin forever — after
+        // a bounded number of slots the error is not a race
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts >= 1000)
+            throw new java.io.IOException(
+              s"commit failed after $attempts slot attempts at $path", e)
+          n += 1
       }
     }
     committed
