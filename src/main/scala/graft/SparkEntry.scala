@@ -796,7 +796,7 @@ object SparkEntry {
         s"graft_bm25a_${tmpToken(dir)}").getAbsolutePath
       val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
       Retrieval.saveBm25Index(docs.filter(col("doc_id") % 6 === 0),
-        "doc_id", "text", idx, nBuckets = 16)
+        "doc_id", "text", idx, nBuckets = 8)
       Retrieval.appendBm25Index(docs.filter(col("doc_id") % 6 === 3),
         "doc_id", "text", idx)
       Retrieval.bm25TopKIndexed(s, idx, "doc_id", Bm25Queries, k = 10)
