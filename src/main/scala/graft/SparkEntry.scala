@@ -1410,6 +1410,14 @@ object SparkEntry {
       perType.unionByName(total)
     }),
 
+    // one-call corpus datasheet: totals, per-language counts, and
+    // DDSketch length quantiles as a tall (metric, value) table —
+    // every number layout-invariant and oracle-exact, so two corpus
+    // versions' cards diff cleanly
+    "q_dataset_card" -> ((s, dir) =>
+      graft.ops.DatasetCard.build(t(s, dir, "documents"),
+        "doc_id", "text", "lang")),
+
     // versioned snapshots with time travel: commit v1 (a filtered
     // corpus), commit v2 (the full corpus), roll back to v1 — the
     // current read must be exactly v1's data (history intact, nothing
@@ -3742,6 +3750,8 @@ object SparkEntry {
 
     "q_quantile_rollup" -> quantileRollupOracle,
 
+    "q_dataset_card" -> datasetCardOracle,
+
     "q_fk_orphans" ->
       """WITH fc AS (
         | SELECT user_id AS k, count(*) AS n FROM events
@@ -4853,6 +4863,69 @@ object SparkEntry {
        |r0 AS (SELECT n.node, ${ind("n")} AS "rank" FROM nodes n),
        |$rounds
        |SELECT node, "rank" FROM r3""".stripMargin
+  }
+
+  /** q_dataset_card oracle — totals/blanks/tokens plus the DDSketch
+    * grand-total quantile chain over char lengths, metric names as
+    * literals on both sides (deriving "p50" from q·100 crosses a
+    * double→int cast whose rounding differs by engine). */
+  private def datasetCardOracle: String = {
+    val lnG = graft.operators.Audits.ddLnGamma(0.02).toString
+    val mid = graft.operators.Audits.ddMidFactor(0.02).toString
+    s"""WITH base AS (
+       | SELECT coalesce(CAST(lang AS VARCHAR), '_null') AS lang2,
+       |  CAST(length(coalesce(text, '')) AS BIGINT) AS chars,
+       |  CASE WHEN text IS NULL OR trim(coalesce(text, '')) = ''
+       |       THEN 1 ELSE 0 END AS blank,
+       |  CASE WHEN text IS NULL OR trim(coalesce(text, '')) = '' THEN 0
+       |       ELSE len(string_split_regex(lower(trim(coalesce(text, ''))),
+       |                '\\s+')) END AS toks
+       | FROM documents),
+       |tot AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(blank) AS BIGINT) AS blanks,
+       |  CAST(sum(chars) AS BIGINT) AS chars,
+       |  CAST(sum(toks) AS BIGINT) AS toks
+       | FROM base),
+       |b AS (
+       | SELECT CASE WHEN v > 0 THEN CAST(ceil(round(ln(v)/$lnG, 6)) AS INT)
+       |        WHEN v = 0 THEN -1048576
+       |        ELSE -2097152 - CAST(ceil(round(ln(-v)/$lnG, 6)) AS INT)
+       |   END AS qb,
+       |  count(*) AS cnt
+       | FROM (SELECT CAST(chars AS DOUBLE) AS v FROM base) GROUP BY 1),
+       |c AS (
+       | SELECT qb,
+       |  CAST(sum(cnt) OVER (ORDER BY qb ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS BIGINT) AS cum,
+       |  CAST(sum(cnt) OVER () AS BIGINT) AS nn
+       | FROM b),
+       |p AS (
+       | SELECT q, min(qb) AS qb FROM c
+       | CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+       |                    (CAST(0.95 AS DOUBLE))) t(q)
+       | WHERE cum >= greatest(1, ceil(q * nn)) GROUP BY 1),
+       |dec AS (
+       | SELECT q,
+       |  CASE WHEN qb > -1048576
+       |         THEN round(exp(CAST(qb AS DOUBLE) * $lnG) * $mid, 6)
+       |       WHEN qb = -1048576 THEN 0.0
+       |       ELSE -round(exp(CAST(-2097152 - qb AS DOUBLE) * $lnG)
+       |         * $mid, 6)
+       |  END AS av
+       | FROM p)
+       |SELECT 'corpus/n_docs' AS metric, CAST(n AS DOUBLE) AS "value"
+       |FROM tot
+       |UNION ALL SELECT 'corpus/blank_docs', CAST(blanks AS DOUBLE) FROM tot
+       |UNION ALL SELECT 'corpus/total_chars', CAST(chars AS DOUBLE) FROM tot
+       |UNION ALL SELECT 'corpus/total_tokens', CAST(toks AS DOUBLE) FROM tot
+       |UNION ALL SELECT 'corpus/mean_doc_tokens',
+       |  CAST(toks AS DOUBLE) / CAST(n AS DOUBLE) FROM tot
+       |UNION ALL SELECT 'lang/' || lang2 || '/docs',
+       |  CAST(count(*) AS DOUBLE) FROM base GROUP BY lang2
+       |UNION ALL SELECT 'length/chars_p50', av FROM dec WHERE q = 0.5
+       |UNION ALL SELECT 'length/chars_p95', av FROM dec WHERE q = 0.95"""
+      .stripMargin
   }
 
   private def labelPropOracle: String = {

@@ -1419,6 +1419,36 @@ class OpsSpec extends SparkSpec {
     assert(rb2 == rb)
   }
 
+  test("dataset card: totals, langs, quantiles, blanks, layout-invariant") {
+    import graft.ops.DatasetCard
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "uno dos", "es"),
+      (3L, "", "en"),
+      (4L, null, null),
+      (5L, "one two three four", "en")
+    ).toDF("doc_id", "text", "lang")
+    def card(df: org.apache.spark.sql.DataFrame) =
+      DatasetCard.build(df, "doc_id", "text", "lang")
+        .as[(String, Double)].collect().toMap
+    val m = card(docs)
+    DatasetCard.unpersistCaches()
+    assert(m("corpus/n_docs") == 5.0)
+    assert(m("corpus/blank_docs") == 2.0)
+    assert(m("corpus/total_tokens") == 3 + 2 + 0 + 0 + 4)
+    assert(m("corpus/total_chars") == 16 + 7 + 0 + 0 + 18)
+    assert(m("corpus/mean_doc_tokens") == 9.0 / 5.0)
+    assert(m("lang/en/docs") == 3.0 && m("lang/es/docs") == 1.0 &&
+      m("lang/_null/docs") == 1.0)
+    // p50 of lengths {0,0,7,16,18} is the 3rd value (7) within α
+    assert(math.abs(m("length/chars_p50") - 7.0) / 7.0 <= 0.02 + 1e-9)
+    assert(math.abs(m("length/chars_p95") - 18.0) / 18.0 <= 0.02 + 1e-9)
+    // layout cannot move a number
+    val m2 = card(docs.repartition(7))
+    DatasetCard.unpersistCaches()
+    assert(m2 == m)
+  }
+
   test("personalized pagerank matches a dense reference bit for bit") {
     import graft.ops.Graphs
     // reference loop with the operator's exact arithmetic: round-12
