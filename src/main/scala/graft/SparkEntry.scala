@@ -1187,6 +1187,20 @@ object SparkEntry {
         Seq(-1L, -2L, -3L), iterations = 3)
     }),
 
+    // weighted shortest paths (bounded Bellman-Ford, 4 relaxation
+    // rounds) over the same bidirectional graph with per-edge costs —
+    // min-cost ≤4-edge paths, oracled by a hops-tracked recursive CTE
+    "q_wsp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (-col("l_suppkey").cast("long")).as("src"),
+        col("l_partkey").cast("long").as("dst"),
+        (col("l_quantity").cast("long") % 3 + 1).as("w"))
+      val e = li.unionAll(li.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      graft.ops.Graphs.weightedShortestPaths(e, "src", "dst", "w",
+        Seq(-1L, -2L, -3L), rounds = 4)
+    }),
+
     // multi-source BFS distances (4-hop horizon) over the
     // bidirectionalized supplier↔part graph — the trusted-seed
     // distance feature (TrustRank-style); frontier expansion with
@@ -3567,6 +3581,26 @@ object SparkEntry {
         |SELECT node, count(*) AS triangles FROM corners GROUP BY node""".stripMargin,
 
     "q_ppr" -> pprOracle,
+
+    "q_wsp" ->
+      """WITH RECURSIVE e AS (
+        | SELECT src, dst, min(w) AS w FROM (
+        |  SELECT -CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(l_partkey AS BIGINT) AS dst,
+        |         CAST(l_quantity AS BIGINT) % 3 + 1 AS w FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(l_partkey AS BIGINT),
+        |         -CAST(l_suppkey AS BIGINT),
+        |         CAST(l_quantity AS BIGINT) % 3 + 1 FROM lineitem)
+        | GROUP BY 1, 2),
+        |d(node, dist, hops) AS (
+        | SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 0),
+        |                       (-2, 0, 0), (-3, 0, 0)) v(node, dist, hops)
+        | UNION
+        | SELECT e.dst, d.dist + e.w, d.hops + 1
+        | FROM d JOIN e ON e.src = d.node
+        | WHERE d.hops < 4)
+        |SELECT node, min(dist) AS dist FROM d GROUP BY node""".stripMargin,
 
     "q_sssp" ->
       """WITH RECURSIVE e AS (

@@ -309,6 +309,68 @@ object Graphs {
     out
   }
 
+  /**
+   * Weighted shortest-path distances, bounded Bellman-Ford: after
+   * `rounds` synchronous relaxations, `dist(v)` is the minimum-cost
+   * path from any seed using at most `rounds` edges (the classic BF
+   * invariant — an explicit, oracle-checkable semantics rather than
+   * run-to-convergence). The weighted sibling of [[shortestPaths]]
+   * for link costs / latency graphs; negative weights are rejected
+   * (min over bounded-hop paths is still well-defined, but a negative
+   * cycle makes "shortest" meaningless at convergence and no corpus
+   * graph has negative link costs).
+   *
+   * Scale shape: parallel edges collapse to their min weight first
+   * (one map-side-combined aggregate), the edge list persists
+   * PRE-PARTITIONED on src, and each round is one co-located
+   * dist×edges join plus one min aggregate over (settled ∪ relaxed) —
+   * no window, no frontier bookkeeping (unlike BFS, a settled node's
+   * distance can still improve, so every round relaxes every edge:
+   * O(E·rounds) total, the textbook distributed BF).
+   *
+   * Output: (node, dist) for seeds and every node reachable within
+   * the hop bound; persisted, caller may unpersist.
+   */
+  def weightedShortestPaths(edges: DataFrame, srcCol: String,
+                            dstCol: String, weightCol: String,
+                            sources: Seq[Long],
+                            rounds: Int = 4): DataFrame = {
+    require(sources.nonEmpty, "at least one source node")
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    val negs = e.filter(col("w") < 0).limit(1).collect()
+    require(negs.isEmpty, s"negative edge weight: ${negs.headOption}")
+    var dist = sources.distinct.toDF("node")
+      .select(col("node"), lit(0L).as("dist"))
+      .persist()
+    dist.count()
+    var prev = dist
+    (1 to rounds).foreach { _ =>
+      val relaxed = dist
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist()
+      next.count()
+      if (prev ne next) prev.unpersist()
+      prev = next
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))

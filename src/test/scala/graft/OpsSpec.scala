@@ -1499,6 +1499,32 @@ class OpsSpec extends SparkSpec {
     assert(got3(2L) > 0.0 && got3(3L) > 0.0)
   }
 
+  test("weighted shortest paths relax past expensive direct edges") {
+    import graft.ops.Graphs
+    // direct 1→2 costs 5; the two-hop detour 1→3→2 costs 2; a parallel
+    // 1→2 at cost 7 collapses to the min-5 edge and changes nothing
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (1L, 2L, 7L)).toDF("src", "dst", "w")
+    val r = Graphs.weightedShortestPaths(edges, "src", "dst", "w",
+      Seq(1L), rounds = 4).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 2L -> 2L, 3L -> 1L), r.toString)
+    // one round can only take the direct edge (BF ≤k-edge invariant)
+    val r1 = Graphs.weightedShortestPaths(edges, "src", "dst", "w",
+      Seq(1L), rounds = 1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 5L, 3L -> 1L), r1.toString)
+    // layout invariance + multi-source min
+    val r2 = Graphs.weightedShortestPaths(edges.repartition(7), "src",
+      "dst", "w", Seq(1L, 3L), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 1L, 3L -> 0L), r2.toString)
+    // negative weights refuse fast
+    intercept[IllegalArgumentException] {
+      Graphs.weightedShortestPaths(
+        Seq((1L, 2L, -1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", Seq(1L))
+    }
+  }
+
   test("shortest paths: chain, multi-source min, horizon, early exit, layout") {
     import graft.ops.Graphs
     // directed chain 1→2→3→4→5 plus a shortcut 1→4; parallel edge noise
