@@ -1430,7 +1430,7 @@ object SparkEntry {
     // versions' cards diff cleanly
     "q_dataset_card" -> ((s, dir) =>
       graft.ops.DatasetCard.build(t(s, dir, "documents"),
-        "doc_id", "text", "lang")),
+        "text", "lang")),
 
     // versioned snapshots with time travel: commit v1 (a filtered
     // corpus), commit v2 (the full corpus), roll back to v1 — the

@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
  */
 object DatasetCard {
 
-  def build(docs: DataFrame, idCol: String, textCol: String,
+  def build(docs: DataFrame, textCol: String,
             langCol: String, alpha: Double = 0.02): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
+    // ONLY the derived scalar/lang columns are cached: carrying the
+    // text payload (or the id) into the persisted projection would
+    // cache the dominant bytes of a 100 TB corpus to serve a card of
+    // a few dozen scalars
     val base = docs.select(
-      col(idCol),
-      t.as("__t"),
       coalesce(col(langCol).cast("string"), lit("_null")).as("__lang"),
       length(t).cast("long").as("__chars"),
       TextAnalysis.tokenCount(t).cast("long").as("__toks"),
@@ -77,13 +79,10 @@ object DatasetCard {
     globalRows.unionByName(langRows).unionByName(qRows)
   }
 
-  private val liveCaches =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+  private val liveCaches = new CacheRegistry
 
   /** Release the prepared-corpus caches of every card built since the
-    * last call (the [[Retrieval.releaseCaches]] contract). */
-  def unpersistCaches(): Unit = {
-    val it = liveCaches.iterator()
-    while (it.hasNext) { it.next().unpersist(); it.remove() }
-  }
+    * last call (the [[Retrieval.releaseCaches]] contract, through the
+    * same shared [[CacheRegistry]] mechanism). */
+  def unpersistCaches(): Unit = liveCaches.releaseAll()
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,18 +42,31 @@ object Graphs {
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+    rankLoop(e, extraNodes = None, initRank = lit(1.0),
+      restartTerm = lit(base), damping = damping, iterations = iterations)
+  }
+
+  /** The ONE power-iteration loop under [[pageRank]] and
+    * [[personalizedPageRank]] — identical persist/partition/decimal
+    * discipline for both, so a fix here cannot silently diverge
+    * between them. `initRank`/`restartTerm` are expressions over
+    * `node`; `extraNodes` joins off-edge seeds into the node set. */
+  private def rankLoop(e: DataFrame, extraNodes: Option[DataFrame],
+                       initRank: Column, restartTerm: Column,
+                       damping: Double, iterations: Int): DataFrame = {
     // loop invariants are persisted PRE-PARTITIONED on their join keys:
     // InMemoryRelation keeps the hash partitioning, so each iteration's
     // edge×rank join and nodes×contrib join read the cache co-located
     // instead of re-shuffling the (large) edge side every round
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val nodes0 = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+    val nodes = extraNodes.fold(nodes0)(nodes0.unionAll).distinct()
       .repartition(col("node")).persist()
     val eDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .repartition(col("src"))
       .persist()
-    var rank = nodes.select(col("node"), lit(1.0).as("rank"))
+    var rank = nodes.select(col("node"), initRank.as("rank"))
     var prev: DataFrame = null
     (1 to iterations).foreach { _ =>
       val contrib = eDeg
@@ -66,7 +79,7 @@ object Graphs {
       val next = nodes
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          round(lit(base) + lit(damping) *
+          round(restartTerm + lit(damping) *
             coalesce(col("m").cast("double"), lit(0.0)), 7).as("rank"))
         .persist()
       next.count() // materialize before releasing the previous iteration
@@ -104,45 +117,24 @@ object Graphs {
                            damping: Double = 0.85): DataFrame = {
     require(seeds.nonEmpty, "at least one seed node")
     require(iterations >= 1, "iterations must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
-      .repartition(col("node")).persist()
-    val eDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src"))
-      .persist()
-    val eVal = BigDecimal(1.0 / seeds.size)
+    // distinct seeds: e sums to 1 over the seed SET (a caller-repeated
+    // seed must not silently shrink everyone's restart mass); seeds
+    // join the node set so an off-graph seed still carries its share
+    // (the shortestPaths convention) instead of zeroing every rank
+    val s = seeds.distinct
+    val eVal = BigDecimal(1.0 / s.size)
       .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
     val restart = 1.0 - damping
-    def eInd = when(col("node").isin(seeds: _*), lit(eVal))
+    val eInd = when(col("node").isin(s: _*), lit(eVal))
       .otherwise(lit(0.0))
-    var rank = nodes.select(col("node"), eInd.as("rank"))
-    var prev: DataFrame = null
-    (1 to iterations).foreach { _ =>
-      val contrib = eDeg
-        .join(rank.withColumnRenamed("node", "__rn"),
-          col("src") === col("__rn"))
-        .select(col("dst"),
-          round(col("rank") / col("deg"), 12)
-            .cast("decimal(20,12)").as("m"))
-        .groupBy(col("dst")).agg(sum(col("m")).as("m"))
-      val next = nodes
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          round(lit(restart) * eInd + lit(damping) *
-            coalesce(col("m").cast("double"), lit(0.0)), 7).as("rank"))
-        .persist()
-      next.count()
-      if (prev != null) prev.unpersist()
-      prev = next
-      rank = next
-    }
-    nodes.unpersist()
-    eDeg.unpersist()
-    rank
+    rankLoop(e, extraNodes = Some(s.toDF("node")), initRank = eInd,
+      restartTerm = lit(restart) * eInd, damping = damping,
+      iterations = iterations)
   }
 
   /**

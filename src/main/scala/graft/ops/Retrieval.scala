@@ -441,14 +441,10 @@ object Retrieval {
 
   // persisted candidate-score frames whose plans have been handed to
   // callers; a long-lived session releases them between searches
-  private val liveCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val liveCaches = new CacheRegistry
 
   /** Unpersist every candidate cache handed out by [[bm25TopK]]. Call
     * after the previous results are consumed; plans returned earlier
     * recompute (correctly, just slower) if re-evaluated afterwards. */
-  def releaseCaches(): Unit = {
-    var df = liveCaches.poll()
-    while (df != null) { df.unpersist(); df = liveCaches.poll() }
-  }
+  def releaseCaches(): Unit = liveCaches.releaseAll()
 }

@@ -68,7 +68,10 @@ object SnapshotStore {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.length == 9 && n.startsWith("v") &&
+      // >= 9, not ==: %08d grows past its pad at version 1e8, and a
+      // length filter that disagrees with the formatter would make
+      // those commits permanently invisible
+      .filter(n => n.length >= 9 && n.startsWith("v") &&
         n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong)
       .sorted
@@ -83,41 +86,55 @@ object SnapshotStore {
     val fs = fsFor(spark, path)
     val vf = versionFile(path, v)
     require(fs.exists(vf), s"no committed version $v at $path")
+    val len = fs.getFileStatus(vf).getLen.toInt
+    val bytes = new Array[Byte](len)
     val in = fs.open(vf)
-    try {
-      val bytes = new Array[Byte](256)
-      val n = in.read(bytes)
-      new String(bytes, 0, math.max(n, 0), UTF_8).trim
-    } finally in.close()
+    // readFully, not read(): a single read() may legally return short
+    // on some FS adapters, which would truncate the generation name
+    try in.readFully(0, bytes) finally in.close()
+    new String(bytes, UTF_8).trim
   }
 
-  /** Create the next version file naming `gen`; on a create-exclusive
-    * loss (concurrent committer took the number) retry with the next
-    * number. Returns the committed version. */
+  /** Publish the next version file naming `gen`. The content is
+    * written to a private temp file first and RENAMED into the
+    * version slot, so a reader can never observe a created-but-not-
+    * yet-written version file (create-then-write would expose a
+    * 0-byte window that sends readers to the table root). The rename
+    * goes through FileContext with default no-overwrite semantics —
+    * unlike FileSystem.rename, which on the local FS inherits POSIX
+    * replace-on-rename and would let a racing committer silently
+    * overwrite the winner's pointer — so an occupied slot surfaces as
+    * FileAlreadyExistsException on every implementation and the loser
+    * retries the next slot without rewriting. */
   private def link(spark: SparkSession, path: String, gen: String): Long = {
     val fs = fsFor(spark, path)
     fs.mkdirs(new Path(s"$path/$VersionsDir"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/$VersionsDir/" +
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(gen.getBytes(UTF_8)) finally out.close()
     var n = currentVersion(spark, path).getOrElse(0L) + 1
     var committed = -1L
     var attempts = 0
-    while (committed < 0) {
-      try {
-        val out = fs.create(versionFile(path, n), false) // exclusive
-        try out.write(gen.getBytes(UTF_8)) finally out.close()
-        committed = n
-      } catch {
-        // a lost create-exclusive race surfaces as IOException (the
-        // concrete subclass varies by FileSystem impl); a PERSISTENT
-        // failure (permissions, quota) must not spin forever — after
-        // a bounded number of slots the error is not a race
-        case e: java.io.IOException =>
-          attempts += 1
-          if (attempts >= 1000)
-            throw new java.io.IOException(
-              s"commit failed after $attempts slot attempts at $path", e)
-          n += 1
+    try {
+      while (committed < 0) {
+        try {
+          fc.rename(tmp, versionFile(path, n))
+          committed = n
+        } catch {
+          // only an occupied slot is a race; any other IO failure is
+          // persistent and must not spin through number space
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            attempts += 1
+            if (attempts >= 1000)
+              throw new java.io.IOException(
+                s"commit failed after $attempts slot attempts at $path")
+            n += 1
+        }
       }
-    }
+    } finally if (committed < 0) fs.delete(tmp, false)
     committed
   }
 

@@ -1429,7 +1429,7 @@ class OpsSpec extends SparkSpec {
       (5L, "one two three four", "en")
     ).toDF("doc_id", "text", "lang")
     def card(df: org.apache.spark.sql.DataFrame) =
-      DatasetCard.build(df, "doc_id", "text", "lang")
+      DatasetCard.build(df, "text", "lang")
         .as[(String, Double)].collect().toMap
     val m = card(docs)
     DatasetCard.unpersistCaches()
@@ -1497,6 +1497,20 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(got3(10L) == 0.0 && got3(11L) == 0.0)
     assert(got3(2L) > 0.0 && got3(3L) > 0.0)
+    // a caller-repeated seed must not shrink anyone's restart mass:
+    // e sums to 1 over the seed SET
+    val got4 = Graphs.personalizedPageRank(es.toDF("src", "dst"),
+      "src", "dst", Seq(1L, 1L, 4L), iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got4 == expected)
+    // an off-graph seed keeps its share (the shortestPaths convention)
+    // and holds exactly its restart mass — not silently zeroing ranks
+    val got5 = Graphs.personalizedPageRank(es.toDF("src", "dst"),
+      "src", "dst", Seq(1L, 77L), iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got5(77L) == BigDecimal((1.0 - 0.85) * 0.5)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble, got5(77L))
+    assert(got5(2L) > 0.0)
   }
 
   test("weighted shortest paths relax past expensive direct edges") {
