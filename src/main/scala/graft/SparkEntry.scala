@@ -1069,6 +1069,13 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
 
+    // fixed-grid resample + LINEAR interpolation (6h buckets): interior
+    // gaps take the line between the neighboring observed totals —
+    // the trend-preserving sibling of q_resample's step fill
+    "q_interpolate" -> ((s, dir) =>
+      graft.ops.Timeseries.interpolate(t(s, dir, "events"),
+        "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
+
     // first-order Markov transition matrix over per-user event
     // sequences (keyed window + two map-side-combined aggregates);
     // probability is one long/long IEEE division — engine-exact
@@ -1174,6 +1181,42 @@ object SparkEntry {
         .filter(col("p") < col("p2"))
         .select(col("p").as("src"), col("p2").as("dst"))
       graft.ops.Graphs.triangleCount(e, "src", "dst")
+    }),
+
+    // TextRank keywords: PageRank over the word co-occurrence graph
+    // (window 2) of a document subset — keyword scores through the
+    // same unrolled-oracle-exact power iteration as q_pagerank
+    "q_textrank" -> ((s, dir) =>
+      graft.ops.TextAnalysis.textRankKeywords(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", window = 2, iterations = 2, k = 30)),
+
+    // bounded 3-core peel (3 synchronous rounds) on the co-purchase
+    // graph — the dense-community extraction; oracle unrolls exactly
+    // the same 3 peel rounds, early exit provably equal
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+      val e = li
+        .join(li.select(col("l_orderkey"), col("p").as("p2")), "l_orderkey")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.ops.Graphs.kCore(e, "src", "dst", k = 3, maxRounds = 3)
+    }),
+
+    // local clustering coefficient on the same graph — per-node
+    // neighborhood density from exact integer (deg, triangles) and ONE
+    // IEEE division, so it is oracle-exact with no rounding grid
+    "q_clustering" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+      val e = li
+        .join(li.select(col("l_orderkey"), col("p").as("p2")), "l_orderkey")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.ops.Graphs.clusteringCoefficient(e, "src", "dst")
     }),
 
     // personalized PageRank (TrustRank): authority relative to the
@@ -1482,6 +1525,53 @@ object SparkEntry {
     // is needed before a big run
     "q_skew_audit" -> ((s, dir) =>
       graft.operators.Audits.keySkew(t(s, dir, "events"), "user_id")),
+
+    // geospatial distance join: customers to suppliers within 120 km
+    // on synthetic key-derived coordinates — lossless adaptive grid
+    // blocking (never all-pairs); oracle brute-forces the same
+    // haversine tree over the small cross product
+    "q_geo_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 1200).cast("double") / 10.0 - 60.0)
+          .as("clat"),
+        ((col("c_custkey") * 7 % 3600).cast("double") / 10.0 - 180.0)
+          .as("clon"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 13 % 1200).cast("double") / 10.0 - 60.0)
+          .as("slat"),
+        ((col("s_suppkey") * 31 % 3600).cast("double") / 10.0 - 180.0)
+          .as("slon"))
+      graft.operators.GeoJoin.withinDistance(
+        cust, "clat", "clon", Seq("c_custkey"),
+        supp, "slat", "slon", Seq("s_suppkey"), radiusKm = 120.0)
+    }),
+
+    // declarative data contract: a 7-rule expectation suite over the
+    // event stream evaluated as ONE aggregate over one scan — the
+    // pre-promotion gate a snapshot pipeline runs per version
+    "q_expectations" -> ((s, dir) => {
+      import graft.operators.Audits.Expect._
+      graft.operators.Audits.expectations(t(s, dir, "events"), Seq(
+        NotNull("event_id"),
+        NonBlank("event_type"),
+        Unique(Seq("event_id")),
+        Between("value", 0.0, 500.0),
+        Matches("event_type", "^[a-z_]+$"),
+        InSet("event_type", Seq("click", "view", "purchase", "signup")),
+        Holds("ts_set", col("ts").isNotNull)))
+    }),
+
+    // mergeable count-min frequency sketch: per-type CMS of user_id
+    // counters rolled up to the grand total by long SUM (the exact
+    // sketch union), then point-frequency probes for a fixed key set —
+    // est ≥ truth, engine-exact via the md5 bucket hash convention
+    "q_cms_rollup" -> ((s, dir) => {
+      val cms = graft.operators.Audits.cmsHistogram(
+        t(s, dir, "events"), Seq("event_type"), "user_id")
+      val total = graft.operators.Audits.rollupCms(cms, Nil)
+      graft.operators.Audits.cmsEstimate(total,
+        Seq("1", "2", "3", "42", "777", "100000"))
+    }),
 
     // top-5 longest documents per (source, lang) bucket — grouped
     // curation pick with a total order (unique doc_id last)
@@ -3473,6 +3563,142 @@ object SparkEntry {
         |   AS total_ffill
         |FROM j""".stripMargin,
 
+    "q_interpolate" ->
+      """WITH ob AS (
+        | SELECT user_id, epoch_us(ts) // 21600000000 AS b,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        | GROUP BY user_id, b),
+        |bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+        |           FROM ob GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b
+        |          FROM bounds),
+        |j AS (
+        | SELECT s.user_id, s.b, coalesce(o.n_events, 0) AS n_events,
+        |  o.total
+        | FROM spine s LEFT JOIN ob o
+        |   ON o.user_id = s.user_id AND o.b = s.b),
+        |f AS (
+        | SELECT user_id, b, n_events, total,
+        |  last_value(total IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v0,
+        |  last_value(CASE WHEN total IS NOT NULL THEN b END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS b0,
+        |  first_value(total IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS v1,
+        |  first_value(CASE WHEN total IS NOT NULL THEN b END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |    ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS b1
+        | FROM j)
+        |SELECT user_id, b * 21600000000 AS bucket_start_us, n_events,
+        | CASE WHEN total IS NOT NULL THEN total
+        |      ELSE v0 + (v1 - v0) *
+        |        (CAST(b - b0 AS DOUBLE) / CAST(b1 - b0 AS DOUBLE)) END
+        |   AS total_interp
+        |FROM f""".stripMargin,
+
+    "q_geo_join" ->
+      """WITH c AS (
+        | SELECT c_custkey,
+        |  CAST((c_custkey % 1200) AS DOUBLE) / 10.0 - 60.0 AS clat,
+        |  CAST(((c_custkey * 7) % 3600) AS DOUBLE) / 10.0 - 180.0 AS clon
+        | FROM customer),
+        |s AS (
+        | SELECT s_suppkey,
+        |  CAST(((s_suppkey * 13) % 1200) AS DOUBLE) / 10.0 - 60.0 AS slat,
+        |  CAST(((s_suppkey * 31) % 3600) AS DOUBLE) / 10.0 - 180.0 AS slon
+        | FROM supplier),
+        |d AS (
+        | SELECT c_custkey, s_suppkey,
+        |  round(2 * CAST(6371.0088 AS DOUBLE) * asin(sqrt(
+        |    sin(radians(slat - clat) / 2) * sin(radians(slat - clat) / 2) +
+        |    cos(radians(clat)) * cos(radians(slat)) *
+        |    sin(radians(slon - clon) / 2) * sin(radians(slon - clon) / 2))),
+        |    6) AS dist_km
+        | FROM c CROSS JOIN s)
+        |SELECT c_custkey, s_suppkey, dist_km FROM d
+        |WHERE dist_km <= 120.0""".stripMargin,
+
+    "q_expectations" ->
+      """SELECT 'not_null:event_id' AS rule, count(*) AS total_rows,
+        | count(*) FILTER (WHERE event_id IS NULL) AS violations,
+        | CASE WHEN count(*) FILTER (WHERE event_id IS NULL) = 0
+        |      THEN 1 ELSE 0 END AS pass
+        |FROM events
+        |UNION ALL
+        |SELECT 'non_blank:event_type', count(*),
+        | count(*) FILTER (WHERE NOT (event_type IS NOT NULL
+        |   AND trim(CAST(event_type AS VARCHAR)) <> '')),
+        | CASE WHEN count(*) FILTER (WHERE NOT (event_type IS NOT NULL
+        |   AND trim(CAST(event_type AS VARCHAR)) <> '')) = 0
+        |      THEN 1 ELSE 0 END
+        |FROM events
+        |UNION ALL
+        |SELECT 'unique:event_id', count(*),
+        | count(*) - count(DISTINCT struct_pack(k := event_id)),
+        | CASE WHEN count(*) - count(DISTINCT struct_pack(k := event_id)) = 0
+        |      THEN 1 ELSE 0 END
+        |FROM events
+        |UNION ALL
+        |SELECT 'between:value', count(*),
+        | count(*) FILTER (WHERE value IS NOT NULL
+        |   AND (value < 0.0 OR value > 500.0)),
+        | CASE WHEN count(*) FILTER (WHERE value IS NOT NULL
+        |   AND (value < 0.0 OR value > 500.0)) = 0 THEN 1 ELSE 0 END
+        |FROM events
+        |UNION ALL
+        |SELECT 'matches:event_type', count(*),
+        | count(*) FILTER (WHERE event_type IS NOT NULL
+        |   AND NOT regexp_matches(event_type, '^[a-z_]+$')),
+        | CASE WHEN count(*) FILTER (WHERE event_type IS NOT NULL
+        |   AND NOT regexp_matches(event_type, '^[a-z_]+$')) = 0
+        |      THEN 1 ELSE 0 END
+        |FROM events
+        |UNION ALL
+        |SELECT 'in_set:event_type', count(*),
+        | count(*) FILTER (WHERE event_type IS NOT NULL
+        |   AND event_type NOT IN ('click', 'view', 'purchase', 'signup')),
+        | CASE WHEN count(*) FILTER (WHERE event_type IS NOT NULL
+        |   AND event_type NOT IN ('click', 'view', 'purchase', 'signup')) = 0
+        |      THEN 1 ELSE 0 END
+        |FROM events
+        |UNION ALL
+        |SELECT 'holds:ts_set', count(*),
+        | count(*) FILTER (WHERE NOT coalesce(ts IS NOT NULL, FALSE)),
+        | CASE WHEN count(*) FILTER
+        |   (WHERE NOT coalesce(ts IS NOT NULL, FALSE)) = 0
+        |      THEN 1 ELSE 0 END
+        |FROM events""".stripMargin,
+
+    "q_cms_rollup" ->
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cms AS (
+        | SELECT j, bucket, count(*) AS cnt FROM (
+        |  SELECT js.j,
+        |   ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+        |      CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM events e CROSS JOIN js
+        |  WHERE e.user_id IS NOT NULL)
+        | GROUP BY j, bucket),
+        |probes AS (
+        | SELECT k.key, js.j,
+        |  ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || k.key),
+        |     1, 8))::BIGINT % 1024 AS bucket
+        | FROM (SELECT unnest(['1', '2', '3', '42', '777', '100000'])
+        |       AS key) k
+        | CROSS JOIN js)
+        |SELECT p.key, min(coalesce(c.cnt, 0)) AS est
+        |FROM probes p LEFT JOIN cms c
+        |  ON c.j = p.j AND c.bucket = p.bucket
+        |GROUP BY p.key""".stripMargin,
+
     "q_multimodal_frames" ->
       """WITH p AS (
         | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
@@ -3579,6 +3805,103 @@ object SparkEntry {
         | UNION ALL SELECT y FROM tri
         | UNION ALL SELECT z FROM tri)
         |SELECT node, count(*) AS triangles FROM corners GROUP BY node""".stripMargin,
+
+    "q_textrank" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |   AS words
+        | FROM documents WHERE doc_id % 5 = 0),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(words))) AS i,
+        |       words FROM t),
+        |wp AS (SELECT doc_id, i, words[i] AS w FROM p
+        |       WHERE words[i] <> ''),
+        |e0 AS (
+        | SELECT a.w AS src, b.w AS dst FROM wp a JOIN wp b
+        | ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+        |    AND a.w <> b.w),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT node FROM
+        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e
+        |       JOIN deg d ON d.src = e.src),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS "rank" FROM nodes),
+        |c1 AS (SELECT ed.dst,
+        |        sum(CAST(round(r."rank" / ed.deg, 12) AS DECIMAL(20,12)))
+        |          AS m
+        |       FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT n.node, round(CAST(0.15 AS DOUBLE) +
+        |         CAST(0.85 AS DOUBLE) *
+        |         coalesce(CAST(c1.m AS DOUBLE), 0.0), 7) AS "rank"
+        |       FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
+        |c2 AS (SELECT ed.dst,
+        |        sum(CAST(round(r."rank" / ed.deg, 12) AS DECIMAL(20,12)))
+        |          AS m
+        |       FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT n.node, round(CAST(0.15 AS DOUBLE) +
+        |         CAST(0.85 AS DOUBLE) *
+        |         coalesce(CAST(c2.m AS DOUBLE), 0.0), 7) AS "rank"
+        |       FROM nodes n LEFT JOIN c2 ON c2.dst = n.node)
+        |SELECT node AS word, "rank" FROM r2
+        |ORDER BY "rank" DESC, word ASC LIMIT 30""".stripMargin,
+
+    "q_kcore" ->
+      """WITH li AS (
+        | SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+        | FROM lineitem WHERE l_orderkey % 7 = 0),
+        |e0 AS (
+        | SELECT DISTINCT a.p AS a, b.p AS b
+        | FROM li a JOIN li b
+        |   ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |d0 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY node),
+        |k0 AS (SELECT node FROM d0 WHERE deg >= 3),
+        |e1 AS (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT node FROM k0) AND b IN (SELECT node FROM k0)),
+        |d1 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+        |  GROUP BY node),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        |e2 AS (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+        |d2 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+        |  GROUP BY node),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |e3 AS (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2))
+        |SELECT node, count(*) AS deg FROM
+        | (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY node""".stripMargin,
+
+    "q_clustering" ->
+      """WITH li AS (
+        | SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+        | FROM lineitem WHERE l_orderkey % 7 = 0),
+        |e AS (
+        | SELECT DISTINCT a.p AS a, b.p AS b
+        | FROM li a JOIN li b
+        |   ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM e e1 JOIN e e2 ON e2.a = e1.b
+        | WHERE EXISTS (SELECT 1 FROM e e3
+        |               WHERE e3.a = e1.a AND e3.b = e2.b)),
+        |tc AS (SELECT node, count(*) AS triangles FROM
+        |  (SELECT x AS node FROM tri
+        |   UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT d.node, d.deg,
+        |       coalesce(tc.triangles, 0) AS triangles,
+        |       CASE WHEN d.deg < 2 THEN 0.0
+        |            ELSE (2.0 * coalesce(tc.triangles, 0)) /
+        |                 (d.deg * (d.deg - 1)) END AS coeff
+        |FROM deg d LEFT JOIN tc ON tc.node = d.node""".stripMargin,
 
     "q_ppr" -> pprOracle,
 

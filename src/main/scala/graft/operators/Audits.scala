@@ -437,6 +437,162 @@ object Audits {
     picked.select(keepDims.map(col) :+ col("q") :+ col("n_rows") :+
       est.as("approx_value"): _*)
   }
+
+  // ---- declarative expectation suite (data contracts) ----------------
+
+  /** One declarative data-contract rule for [[expectations]]. Labels
+    * are `<kind>:<target>` so a suite's report is self-describing and
+    * diffs cleanly between runs. */
+  sealed trait Expect { def label: String }
+  object Expect {
+    /** Column is never NULL. */
+    final case class NotNull(c: String) extends Expect {
+      def label = s"not_null:$c"
+    }
+    /** Column is never NULL or blank (the [[nonBlank]] convention). */
+    final case class NonBlank(c: String) extends Expect {
+      def label = s"non_blank:$c"
+    }
+    /** The column combination is a candidate key: violations = rows
+      * beyond the first per distinct combination. */
+    final case class Unique(cols: Seq[String]) extends Expect {
+      require(cols.nonEmpty, "Unique needs at least one column")
+      def label = s"unique:${cols.mkString(",")}"
+    }
+    /** Numeric column within [lo, hi]; NULLs don't violate (compose
+      * with NotNull to also ban them). */
+    final case class Between(c: String, lo: Double, hi: Double) extends Expect {
+      def label = s"between:$c"
+    }
+    /** String column matches the regex (find semantics, Spark `rlike`
+      * ↔ DuckDB `regexp_matches` — anchor with ^$ for a full match);
+      * NULLs don't violate. */
+    final case class Matches(c: String, regex: String) extends Expect {
+      def label = s"matches:$c"
+    }
+    /** Column value drawn from the accepted set; NULLs don't violate. */
+    final case class InSet(c: String, values: Seq[String]) extends Expect {
+      require(values.nonEmpty, "InSet needs at least one accepted value")
+      def label = s"in_set:$c"
+    }
+    /** Escape hatch: any row predicate under a caller-chosen label. */
+    final case class Holds(name: String, pred: Column) extends Expect {
+      def label = s"holds:$name"
+    }
+  }
+
+  /**
+   * Declarative data-contract check — the one-pass face of the audit
+   * family: a suite of [[Expect]] rules evaluates as a SINGLE
+   * aggregate over ONE scan (conditional counts; uniqueness rides the
+   * same pass as a distinct count over the key struct), then unpivots
+   * to a tall report. The reference runs one query per audit probe
+   * (csv_audit.rb's per-column loop); at 100 TB a contract with 30
+   * rules must still cost one scan, and the tall shape diffs cleanly
+   * between snapshot versions (pipe two reports into [[tableDiff]] on
+   * `rule`).
+   *
+   * Output: (rule, total_rows, violations, pass ∈ {0,1}) — one row per
+   * rule, counts exact.
+   */
+  def expectations(df: DataFrame, rules: Seq[Expect]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation")
+    require(rules.map(_.label).distinct.size == rules.size,
+      s"duplicate rule labels: ${rules.map(_.label)}")
+    import Expect._
+    val vioCols = rules.map {
+      case NotNull(c) => count(when(col(c).isNull, lit(1)))
+      case NonBlank(c) => count(when(!nonBlank(col(c)), lit(1)))
+      case Unique(cs) =>
+        count(lit(1)) - count_distinct(struct(cs.map(col): _*))
+      case Between(c, lo, hi) =>
+        count(when(col(c).isNotNull &&
+          (col(c) < lit(lo) || col(c) > lit(hi)), lit(1)))
+      case Matches(c, re) =>
+        count(when(col(c).isNotNull && !col(c).rlike(re), lit(1)))
+      case InSet(c, vs) =>
+        count(when(col(c).isNotNull && !col(c).isin(vs: _*), lit(1)))
+      case Holds(_, p) => count(when(!coalesce(p, lit(false)), lit(1)))
+    }
+    val aggs = count(lit(1)).as("__total") +:
+      vioCols.zipWithIndex.map { case (c, i) => c.as(s"__v$i") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val report = explode(array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.label).as("rule"), col("__total").as("total_rows"),
+        col(s"__v$i").cast("long").as("violations"))
+    }: _*))
+    one.select(report.as("__r"))
+      .select(col("__r.rule").as("rule"),
+        col("__r.total_rows").as("total_rows"),
+        col("__r.violations").as("violations"),
+        when(col("__r.violations") === 0, lit(1)).otherwise(lit(0))
+          .as("pass"))
+  }
+
+  // ---- mergeable count-min frequency sketches -------------------------
+
+  /** Engine-portable CMS row hash: bucket_j(key) over `width` buckets
+    * from the first 8 md5 hex digits of `j:key` — the repo's
+    * cross-engine hash convention (DuckDB: `('0x' ||
+    * substr(md5(...), 1, 8))::BIGINT % width`). */
+  def cmsBucket(key: Column, j: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(j.toString), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  /**
+   * Mergeable count-min frequency sketch per `dims` group (Cormode &
+   * Muthukrishnan 2005) — the point-frequency member of the sketch
+   * family beside the HLL distinct tables ([[distinctSketches]]) and
+   * the DDSketch quantile histograms ([[quantileHistogram]]), and like
+   * them deliberately NOT a binary blob: a CMS IS its depth×width
+   * counter grid, so the idiomatic artifact is a tall
+   * (dims…, j, bucket, cnt) parquet table whose counters merge by
+   * long SUM — sketching the parts and summing EQUALS sketching the
+   * whole, exactly, and any engine can read it. Size is bounded at
+   * dims-cardinality × depth × width regardless of data volume.
+   *
+   * Scale: one projection exploding each row to `depth` (j, bucket)
+   * pairs + one map-side-combined aggregate. NULL keys are excluded.
+   */
+  def cmsHistogram(df: DataFrame, dims: Seq[String], keyCol: String,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
+    df.filter(col(keyCol).isNotNull)
+      .select(dims.map(col) :+ posexplode(array((0 until depth).map(j =>
+        cmsBucket(col(keyCol), j, width)): _*)).as(Seq("j", "bucket")): _*)
+      .groupBy((dims :+ "j" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge a [[cmsHistogram]] to a coarser grouping: counters sum
+    * (the exact sketch union). `keepDims` may be empty for the grand
+    * total. */
+  def rollupCms(cms: DataFrame, keepDims: Seq[String]): DataFrame =
+    cms.groupBy((keepDims :+ "j" :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Point-frequency estimates from a (rolled-up) CMS: for each probe
+   * key, est = min over rows j of the key's bucket counter — the
+   * classic one-sided bound (est ≥ true count, overestimates only on
+   * collisions; width bounds the expected error at n/width). The probe
+   * set joins the sketch on (j, bucket) — sketch-sized, broadcast
+   * under AQE; a missing bucket reads 0.
+   *
+   * Output: (key, est).
+   */
+  def cmsEstimate(cms: DataFrame, keys: Seq[String], depth: Int = 4,
+                  width: Int = 1024): DataFrame = {
+    require(keys.nonEmpty, "at least one probe key")
+    val spark = cms.sparkSession
+    import spark.implicits._
+    val probes = keys.toDF("key")
+      .select(col("key"), posexplode(array((0 until depth).map(j =>
+        cmsBucket(col("key"), j, width)): _*)).as(Seq("j", "bucket")))
+    probes.join(cms, Seq("j", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }
 
 /** Merge dry-run audit (merge_audit.rb): run ONLY the match phase, then

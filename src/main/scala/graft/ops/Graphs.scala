@@ -363,6 +363,122 @@ object Graphs {
     dist
   }
 
+  /**
+   * Bounded k-core peeling — the dense-subgraph extraction a link-graph
+   * pipeline uses to find tightly-knit communities (and, inverted, to
+   * flag low-engagement fringe hosts): repeatedly drop every node whose
+   * degree in the CURRENT subgraph is < k. After `maxRounds` synchronous
+   * peel rounds the survivors are exactly the nodes the bounded
+   * iteration keeps (the classic monotone-peel invariant — once the
+   * round drops nothing the fixpoint is reached, so early exit cannot
+   * change the result, mirroring [[shortestPaths]]).
+   *
+   * Semantics: the input canonicalizes to a SIMPLE undirected graph
+   * (self-loops dropped, parallel/reversed duplicates collapse — the
+   * [[triangleCount]] convention). Output is (node, deg) where `deg` is
+   * the node's degree in the edge set left after the bounded peel
+   * (nodes the peel isolated are absent — they'd fall next round
+   * anyway); at convergence all degrees are ≥ k (the k-core), before
+   * convergence they are the bounded-round state the oracle unrolls.
+   *
+   * Scale shape: each round is ONE map-side-combined degree aggregate
+   * over the exploded endpoints plus two left-semi joins inducing the
+   * surviving edge set — no window, no driver collect; a web-scale hub
+   * reduces its degree count in parallel. Edges persist per round and
+   * release after the next round materializes (the [[pageRank]] loop
+   * discipline). Total work O(E·rounds).
+   *
+   * Output: (node, deg); persisted, caller may unpersist.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .persist()
+    var nEdges = e.count()
+    var round = 0
+    var done = nEdges == 0L
+    var deg: DataFrame = degrees(e)
+    while (round < maxRounds && !done) {
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val induced = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist()
+      val n = induced.count()
+      if (n == nEdges) { induced.unpersist(); done = true }
+      else {
+        e.unpersist()
+        e = induced
+        nEdges = n
+        deg = degrees(e)
+        round += 1
+        done = nEdges == 0L
+      }
+    }
+    val out = deg.persist()
+    out.count()
+    e.unpersist()
+    out
+  }
+
+  /** Degree per endpoint of a simple undirected edge list (a, b) — one
+    * map-side-combined aggregate over the exploded corners. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /**
+   * Local clustering coefficient — per-node neighborhood density on
+   * the simple undirected graph, the standard organic-vs-spam link
+   * texture signal ([[triangleCount]]'s per-node normalization):
+   *
+   *   cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),  0 when deg(v) < 2
+   *
+   * Both inputs are exact integers (triangles via the degree-oriented
+   * wedge join, degree via one aggregate), and the final value is ONE
+   * IEEE long/long division — engine-exact with no rounding grid
+   * needed (the q_transitions convention). Every node of the simple
+   * graph appears, triangle-free nodes with tri = 0.
+   *
+   * Output: (node, deg, triangles, coeff); persisted, caller may
+   * unpersist.
+   */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .persist()
+    und.count() // materialize: read by both the degree and triangle legs
+    val tri = triangleCount(und, "a", "b")
+    val out = degrees(und)
+      .join(tri.withColumnRenamed("node", "__tn"),
+        col("node") === col("__tn"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L)))).as("coeff"))
+      .persist()
+    out.count()
+    tri.unpersist()
+    und.unpersist()
+    out
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))

@@ -431,6 +431,53 @@ object TextAnalysis {
   }
 
   /**
+   * TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+   * the word co-occurrence graph — two distinct words co-occurring
+   * within `window` raw token positions of each other (same document)
+   * form an edge, multiplicity = co-occurrence count, and the rank is
+   * the keyword score. A pure composition of this file's tokenizer
+   * with [[graft.ops.Graphs.pageRank]]'s oracle-exact loop: the
+   * co-occurrence join is one keyed self-join on (doc, position
+   * range) — bounded fan-out `window` per token, never all-pairs —
+   * and the power iteration inherits the persisted pre-partitioned
+   * loop and DECIMAL float discipline (so the whole chain stays
+   * hash-exact through an unrolled SQL oracle).
+   *
+   * Positions index the `\s+` whitespace split (runs of whitespace
+   * collapse, so a double space does not widen co-occurrence reach);
+   * blank tokens are filtered before pairing.
+   *
+   * Output: top `k` of (word, rank), rank desc / word asc — the
+   * deterministic keyword list.
+   */
+  def textRankKeywords(df: DataFrame, idCol: String, textCol: String,
+                       window: Int = 2, iterations: Int = 3,
+                       k: Int = 30): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val wp = df
+      .select(col(idCol).as("__d"),
+        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+      .filter(col("__w") =!= "")
+    val e0 = wp.alias("a")
+      .join(wp.alias("b"),
+        col("a.__d") === col("b.__d") &&
+          col("b.__p") - col("a.__p") >= 1 &&
+          col("b.__p") - col("a.__p") <= window &&
+          col("a.__w") =!= col("b.__w"))
+      .select(col("a.__w").as("src"), col("b.__w").as("dst"))
+    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val ranked = graft.ops.Graphs.pageRank(e, "src", "dst", iterations)
+    val out = ranked
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(k)
+      .select(col("node").as("word"), col("rank"))
+    // the loop's persisted rank frame backs `out` only until collected;
+    // materialization here is the bounded top-k, safe to leave cached —
+    // callers running inside a gate clear caches between queries
+    out
+  }
+
+  /**
    * BPE trainer — the full iterative merge loop (`q_bpe_pairs` is only
    * its first iteration's statistics). Spark-first split of work, the
    * same decomposition HF/SentencePiece trainers use:

@@ -56,6 +56,64 @@ object Timeseries {
   }
 
   /**
+   * Per-key fixed-width resample + LINEAR interpolation — the gap-fill
+   * for quantities that drift between observations (sensor readings,
+   * rates) where [[resampleFfill]]'s step function misstates the
+   * trend. Same grid/aggregate/spine construction as the ffill
+   * variant; an empty bucket b strictly between observed buckets
+   * b0 < b < b1 takes
+   *
+   *   v(b) = v0 + (v1 − v0) · (b − b0)/(b1 − b0)
+   *
+   * with v0/v1 the neighboring observed bucket totals. A key's first
+   * and last buckets are observed by construction, so every gap is
+   * interior and the interpolation is total. All inputs to the IEEE
+   * arithmetic are engine-identical (DECIMAL-summed totals cast to
+   * double, long bucket indices), and the expression tree is mirrored
+   * verbatim in the oracle — engine-exact without a rounding grid.
+   *
+   * Scale: identical to [[resampleFfill]] except the fill reads TWO
+   * frames of the same keyed window sort (trailing last + leading
+   * first, both ignoreNulls) — still one sort per key partition, no
+   * self-join, no global window.
+   *
+   * Output: (keyCol, bucket_start_us, n_events, total_interp).
+   */
+  def interpolate(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val ob = df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol),
+        expr(s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("b"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("total"))
+    val spine = ob.groupBy(col(keyCol))
+      .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("b"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+    val back = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byKey.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obB = when(col("total").isNotNull, col("b"))
+    spine.join(ob, Seq(keyCol, "b"), "left")
+      .select(col(keyCol), col("b"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("total"),
+        last(col("total"), ignoreNulls = true).over(back).as("__v0"),
+        last(obB, ignoreNulls = true).over(back).as("__b0"),
+        first(col("total"), ignoreNulls = true).over(fwd).as("__v1"),
+        first(obB, ignoreNulls = true).over(fwd).as("__b1"))
+      .select(col(keyCol),
+        (col("b") * bucketMicros).as("bucket_start_us"),
+        col("n_events"),
+        when(col("total").isNotNull, col("total"))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0")) *
+            ((col("b") - col("__b0")).cast("double") /
+              (col("__b1") - col("__b0")).cast("double")))
+          .as("total_interp"))
+  }
+
+  /**
    * Cohort retention: assign each key to the bucket of its first
    * activity, then count how many of that cohort are still active at
    * each bucket offset — the curve a data pipeline reports for user or

@@ -177,4 +177,82 @@ class ApproxAuditSpec extends SparkSpec {
       .as[(Double, Long, Double)].collect().head
     assert(tot._2 == 4000)
   }
+
+  test("expectation suite: one pass, every rule kind, exact counts") {
+    import spark.implicits._
+    import Audits.Expect._
+    val df = Seq(
+      (Some(1L), "click", Some(5.0), "a@x.io"),
+      (Some(1L), "view", Some(-2.0), "bad"),
+      (None, "  ", None, null),
+      (Some(3L), "Purchase9", Some(999.0), "c@y.io")
+    ).toDF("id", "kind", "v", "email")
+    val r = Audits.expectations(df, Seq(
+      NotNull("id"), NonBlank("kind"), Unique(Seq("id")),
+      Between("v", 0.0, 500.0), Matches("kind", "^[a-z_]+$"),
+      InSet("kind", Seq("click", "view")),
+      Holds("email_at", col("email").contains("@"))))
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(r("not_null:id") == ((4L, 1L, 0)))
+    assert(r("non_blank:kind") == ((4L, 1L, 0)))
+    // ids {1,1,null,3}: 3 distinct tuples (null groups), 1 extra row
+    assert(r("unique:id") == ((4L, 1L, 0)))
+    assert(r("between:v") == ((4L, 2L, 0))) // -2 and 999; null exempt
+    assert(r("matches:kind") == ((4L, 2L, 0))) // "  " and "Purchase9"
+    assert(r("in_set:kind") == ((4L, 2L, 0)))
+    // null email: predicate null → coalesce(false) → violation
+    assert(r("holds:email_at") == ((4L, 2L, 0)))
+    // a clean table passes everything
+    val ok = Audits.expectations(
+      Seq((1L, "click"), (2L, "view")).toDF("id", "kind"),
+      Seq(NotNull("id"), Unique(Seq("id")), InSet("kind",
+        Seq("click", "view"))))
+      .as[(String, Long, Long, Int)].collect()
+    assert(ok.forall(t => t._3 == 0L && t._4 == 1))
+    // the suite is ONE aggregate: no join/window in the plan
+    val plan = Audits.expectations(df, Seq(NotNull("id"),
+      Unique(Seq("id")))).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("cms sketches: upper bound, exact merge, rollup, layout") {
+    import spark.implicits._
+    val rows = (1 to 200).flatMap(i =>
+      Seq.fill(i % 7 + 1)((i.toLong, if (i % 2 == 0) "a" else "b")))
+    val df = rows.toDF("k", "g")
+    val cms = Audits.cmsHistogram(df, Seq("g"), "k", depth = 4, width = 64)
+    val total = Audits.rollupCms(cms, Nil)
+    val truth = rows.groupBy(_._1).map { case (k, v) => k.toString -> v.size }
+    val est = Audits.cmsEstimate(total, truth.keys.toSeq.sorted,
+      width = 64).as[(String, Long)].collect().toMap
+    // CMS is a one-sided bound: est >= truth, always
+    truth.foreach { case (k, n) => assert(est(k) >= n, s"$k: ${est(k)} < $n") }
+    // wide sketch ⇒ exact counts (no collisions among 5 keys)
+    val cmsWide = Audits.cmsHistogram(
+      df.filter(col("k") <= 5), Seq("g"), "k", depth = 4, width = 4096)
+    val estW = Audits.cmsEstimate(Audits.rollupCms(cmsWide, Nil),
+      Seq("1", "2", "3", "4", "5"), width = 4096)
+      .as[(String, Long)].collect().toMap
+    (1 to 5).foreach(i => assert(estW(i.toString) == truth(i.toString)))
+    // exact mergeability: sketch parts, sum counters == sketch whole
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("j"), col("bucket"), col("cnt"))
+        .as[(Int, Long, Long)].collect().toSet
+    val parts = Audits.rollupCms(
+      Audits.cmsHistogram(df.filter(col("k") % 2 === 0), Seq("g"), "k",
+        width = 64)
+        .unionByName(Audits.cmsHistogram(df.filter(col("k") % 2 === 1),
+          Seq("g"), "k", width = 64)), Nil)
+    assert(canon(parts) == canon(total))
+    // absent probe key reads the collision floor (>= 0), never fails
+    assert(Audits.cmsEstimate(total, Seq("no_such_key"), width = 64)
+      .as[(String, Long)].collect().head._2 >= 0L)
+    // layout invariance
+    val est2 = Audits.cmsEstimate(
+      Audits.rollupCms(Audits.cmsHistogram(df.repartition(7), Seq("g"),
+        "k", depth = 4, width = 64), Nil), truth.keys.toSeq.sorted,
+      width = 64).as[(String, Long)].collect().toMap
+    assert(est2 == est)
+  }
 }

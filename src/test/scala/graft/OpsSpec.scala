@@ -1151,6 +1151,121 @@ class OpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("interpolate fills interior gaps on the line between neighbors") {
+    import graft.ops.Timeseries
+    // key 1 observes buckets 0 (total 10) and 3 (total 40): buckets 1,2
+    // sit on the line at 20, 30; key 2 has no gap; an observed bucket
+    // keeps its exact total even when it's off any line
+    val micros = Seq((1L, 5L, 10.0), (1L, 35L, 40.0), (2L, 50L, 7.0),
+      (2L, 55L, 1.0)).toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val out = Timeseries.interpolate(micros, "user_id", "ts", "value", 10L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 1L, 10.0),   // observed
+      (1L, 10L, 0L, 20.0),  // gap → line
+      (1L, 20L, 0L, 30.0),  // gap → line
+      (1L, 30L, 1L, 40.0),  // observed
+      (2L, 50L, 2L, 8.0)))  // both events in one bucket, no gap
+    // layout invariance
+    val out2 = Timeseries.interpolate(micros.repartition(7),
+      "user_id", "ts", "value", 10L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out2 == out)
+    // a non-midpoint gap interpolates fractionally: observed at buckets
+    // 0 (0.0) and 4 (10.0) → bucket 3 = 7.5
+    val frac = Seq((9L, 0L, 0.0), (9L, 45L, 10.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val f = Timeseries.interpolate(frac, "user_id", "ts", "value", 10L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(f == Map(0L -> 0.0, 10L -> 2.5, 20L -> 5.0, 30L -> 7.5,
+      40L -> 10.0))
+  }
+
+  test("textrank: co-occurrence edges match a hand build; hub word wins") {
+    import graft.ops.{Graphs, TextAnalysis}
+    // "spark" neighbors everything; filler words only touch spark —
+    // the hub must out-rank every filler; blanks keep positions
+    val docs = Seq(
+      (1L, "spark joins  spark groups"), // \s+ split: no blank slots
+      (2L, "fast spark"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs, "doc_id", "text",
+      window = 2, iterations = 2, k = 10)
+      .as[(String, Double)].collect()
+    assert(out.head._1 == "spark", out.mkString(","))
+    assert(out.map(_._1).toSet ==
+      Set("spark", "joins", "groups", "fast"))
+    // rank parity with pageRank over the hand-built co-occurrence list
+    // (doc 1 positions: spark@0 joins@1 spark@2 groups@3; the 0→2
+    // spark-spark pair is same-word-excluded)
+    val hand = Seq(
+      ("spark", "joins"), // 0→1
+      ("joins", "spark"), // 1→2
+      ("joins", "groups"), // 1→3 (window 2)
+      ("spark", "groups"), // 2→3
+      ("fast", "spark")) // doc 2
+    val both = hand ++ hand.map(_.swap)
+    val expect = Graphs.pageRank(both.toDF("src", "dst"), "src", "dst",
+      iterations = 2).as[(String, Double)].collect().toMap
+    out.foreach { case (w, r) => assert(r == expect(w), s"$w: $r") }
+  }
+
+  test("geo join: brute-force parity, high-lat losslessness, polar reject") {
+    import graft.operators.GeoJoin
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val dp = math.toRadians(lat2 - lat1) / 2.0
+      val dl = math.toRadians(lon2 - lon1) / 2.0
+      val a = math.sin(dp) * math.sin(dp) +
+        math.cos(p1) * math.cos(p2) * math.sin(dl) * math.sin(dl)
+      BigDecimal(2.0 * GeoJoin.EarthRadiusKm * math.asin(math.sqrt(a)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // scattered points at mixed latitudes, radius 150 km
+    val pts = (0 until 60).map { i =>
+      (i.toLong, (i * 37 % 120) - 60 + i * 0.31 % 1.0,
+        (i * 91 % 360) - 180 + i * 0.17 % 1.0)
+    }
+    val l = pts.toDF("lid", "lat", "lon")
+    val r = pts.map { case (i, la, lo) => (i + 1000L, la, lo) }
+      .toDF("rid", "rlat", "rlon")
+    val got = GeoJoin.withinDistance(l, "lat", "lon", Seq("lid"),
+      r, "rlat", "rlon", Seq("rid"), radiusKm = 150.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = (for {
+      (i, la1, lo1) <- pts; (j, la2, lo2) <- pts
+      d = hav(la1, lo1, la2, lo2) if d <= 150.0
+    } yield (i, j + 1000L, d)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    // high latitude: at 82° one lon degree ≈ 15.5 km, so 100 km spans
+    // ~6.5° — a fixed ±1-cell lon block would miss this pair
+    val hl = Seq((1L, 82.0, 10.0)).toDF("lid", "lat", "lon")
+    val hr = Seq((2L, 82.0, 16.0)).toDF("rid", "rlat", "rlon")
+    val hlPairs = GeoJoin.withinDistance(hl, "lat", "lon", Seq("lid"),
+      hr, "rlat", "rlon", Seq("rid"), radiusKm = 100.0)
+      .as[(Long, Long, Double)].collect()
+    assert(hlPairs.length == 1 &&
+      hlPairs.head._3 == hav(82.0, 10.0, 82.0, 16.0))
+    // polar rows refuse rather than silently under-block
+    val polar = Seq((3L, 88.0, 0.0)).toDF("lid", "lat", "lon")
+    val ex = intercept[Exception] {
+      GeoJoin.withinDistance(polar, "lat", "lon", Seq("lid"),
+        hr, "rlat", "rlon", Seq("rid"), radiusKm = 100.0).collect()
+    }
+    assert(ex.getMessage.contains("unsupported"))
+    // layout invariance
+    val got2 = GeoJoin.withinDistance(l.repartition(7), "lat", "lon",
+      Seq("lid"), r.repartition(5), "rlat", "rlon", Seq("rid"), 150.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got2 == got)
+  }
+
   test("schema drift reports added, removed and retyped columns") {
     import graft.operators.Audits
     val before = Seq((1L, "a", 1.0)).toDF("id", "s", "v")
@@ -2974,5 +3089,55 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.assignSplit(col("id")).as("s"))
       .as[(Long, String)].collect().toMap
     assert(solo._3 == expected(7L))
+  }
+
+  test("k-core: peel order, chain collapse, convergence, layout") {
+    import graft.ops.Graphs
+    // K4 {1..4} with a pendant chain 4-5-6: 2-core must peel 6 (deg 1),
+    // THEN 5 (deg drops to 1 only after 6 leaves) — two rounds — and
+    // keep exactly the K4 with all degrees 3
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int, r: Int) = {
+      val out = Graphs.kCore(df, "src", "dst", k, maxRounds = r)
+      val m = out.as[(Long, Long)].collect().toMap
+      out.unpersist(); m
+    }
+    assert(run(edges, 2, 8) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // bounded semantics: ONE round peels 6 but not yet 5 — 5 keeps its
+    // (now reduced) degree 1 in the round-1 induced edge set
+    val r1 = run(edges, 2, 1)
+    assert(r1(5L) == 1L && r1(1L) == 3L && !r1.contains(6L))
+    // early exit == bounded run once converged; a pure chain has no
+    // 2-core at all; multigraph noise (self-loop, reversed dup) inert
+    assert(run(edges, 2, 2) == run(edges, 2, 8))
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"), 2, 8)
+      .isEmpty)
+    val noisy = (k4 ++ Seq((4L, 5L), (5L, 6L), (2L, 1L), (3L, 3L)))
+      .toDF("src", "dst")
+    assert(run(noisy, 2, 8) == run(edges, 2, 8))
+    assert(run(edges.repartition(7), 2, 8) == run(edges, 2, 8))
+  }
+
+  test("clustering coefficient: exact ratios, triangle-free zeros, layout") {
+    import graft.ops.Graphs
+    // K4 corner: deg 3, tri 3 → cc = 2·3/(3·2) = 1.0; pendant 5 on 4:
+    // 4 gets deg 4 tri 3 → 0.5, 5 gets deg 1 → 0.0; chain middle 6 in
+    // 5-6-7: deg 2 tri 0 → 0.0
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val out = Graphs.clusteringCoefficient(edges, "src", "dst")
+    val m = out.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out.unpersist()
+    assert(m(1L) == ((3L, 3L, 1.0)) && m(2L) == ((3L, 3L, 1.0)))
+    assert(m(4L) == ((4L, 3L, 0.5)))
+    assert(m(5L) == ((2L, 0L, 0.0)) && m(7L) == ((1L, 0L, 0.0)))
+    assert(m(6L) == ((2L, 0L, 0.0)))
+    val out2 = Graphs.clusteringCoefficient(edges.repartition(7), "src", "dst")
+    val m2 = out2.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out2.unpersist()
+    assert(m2 == m)
   }
 }
