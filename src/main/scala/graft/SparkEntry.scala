@@ -1479,6 +1479,53 @@ object SparkEntry {
     // corpus), commit v2 (the full corpus), roll back to v1 — the
     // current read must be exactly v1's data (history intact, nothing
     // copied or deleted); commit = write-gen-then-atomic-version-file
+    // multi-table atomic snapshot: commit {orders, cust} slices as ONE
+    // catalog version, commit the full tables as the next, then
+    // time-travel BOTH back to v1 and join — the all-or-nothing
+    // cross-table consistency a star schema needs (facts and dims
+    // advance together)
+    "q_snapshot_multi" -> ((s, dir) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_cat_${tmpToken(dir)}").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val v1 = graft.sources.SnapshotStore.commitAll(Map(
+        "orders" -> orders.filter(col("o_orderkey") % 2 === 0),
+        "cust" -> cust.filter(col("c_custkey") % 2 === 0)), path)
+      graft.sources.SnapshotStore.commitAll(Map(
+        "orders" -> orders, "cust" -> cust), path)
+      val o1 = graft.sources.SnapshotStore
+        .readTableVersion(s, path, "orders", v1)
+      val c1 = graft.sources.SnapshotStore
+        .readTableVersion(s, path, "cust", v1)
+      o1.join(c1, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+    }),
+
+    // sentence-aligned chunking: budget-aligned packing that never cuts
+    // a sentence — chunk_id is a closed-form window cumsum (one keyed
+    // window + one aggregate; no sequential greedy state)
+    "q_sentence_chunks" -> ((s, dir) =>
+      graft.ops.Retrieval.sentenceChunks(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", budget = 200)),
+
+    // feature hashing (signed hashing trick): fixed-dimension sparse
+    // vectors with NO vocabulary pass — the streaming-safe featurizer;
+    // md5 buckets/signs keep it engine-exact
+    "q_feature_hash" -> ((s, dir) =>
+      graft.ops.TextAnalysis.hashingVectorize(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", dim = 128)),
+
     "q_snapshot_rollback" -> ((s, dir) => {
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
@@ -4104,6 +4151,52 @@ object SparkEntry {
     "q_snapshot_rollback" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q_snapshot_multi" ->
+      """SELECT c.c_nationkey, count(*) AS n,
+        | CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 2 = 0 AND c.c_custkey % 2 = 0
+        |GROUP BY c.c_nationkey""".stripMargin,
+
+    "q_sentence_chunks" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  regexp_replace(trim(text), '([.!?])\s+', '\1', 'g') AS mk
+        | FROM documents WHERE doc_id % 4 = 1),
+        |l AS (SELECT doc_id, string_split(mk, '') AS sents FROM m),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(sents))) AS i,
+        |       sents FROM l),
+        |s AS (SELECT doc_id, i, sents[i] AS sent FROM p
+        |      WHERE trim(sents[i]) <> ''),
+        |c AS (SELECT doc_id, i, sent,
+        |       coalesce(sum(length(sent)) OVER (PARTITION BY doc_id
+        |         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        |         AND 1 PRECEDING), 0) AS bef
+        |      FROM s),
+        |k AS (SELECT doc_id, CAST(bef // 200 AS BIGINT) AS chunk_id,
+        |       i, sent FROM c)
+        |SELECT doc_id, chunk_id, count(*) AS n_sents,
+        | CAST(sum(length(sent)) AS BIGINT) AS n_chars,
+        | string_agg(sent, ' ' ORDER BY i) AS chunk_text
+        |FROM k GROUP BY doc_id, chunk_id""".stripMargin,
+
+    "q_feature_hash" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents WHERE doc_id % 3 = 0),
+        |f AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5('b:' || term), 1, 8))::BIGINT % 128
+        |    AS bucket,
+        |  CASE WHEN ('0x' || substr(md5('s:' || term), 1, 1))::BIGINT
+        |         % 2 = 0
+        |       THEN 1 ELSE -1 END AS s
+        | FROM w WHERE term <> '')
+        |SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS val
+        |FROM f GROUP BY doc_id, bucket""".stripMargin,
 
     "q_quantile_rollup" -> quantileRollupOracle,
 

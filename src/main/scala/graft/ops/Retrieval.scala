@@ -60,6 +60,55 @@ object Retrieval {
   }
 
   /**
+   * Sentence-aligned chunking — the boundary-respecting sibling of
+   * [[chunk]] for RAG ingestion where windows must never cut a
+   * sentence: sentences (split after `.`/`!`/`?` + whitespace) pack
+   * into budget-aligned chunks, `chunk_id = ⌊chars-before / budget⌋`
+   * over the per-document cumulative sentence lengths. The closed form
+   * (vs a greedy reset, which is inherently sequential) is what makes
+   * the operator ONE keyed window + one aggregate — scalable and
+   * deterministic at any layout: a chunk ends at the first sentence
+   * crossing its budget boundary, so a chunk may overshoot `budget` by
+   * at most one sentence, and a sentence longer than the budget owns
+   * its chunk (following ids may skip — ids are stable, not dense).
+   *
+   * The sentence split is RE2-safe (mark `([.!?])\s+` with a 
+   * delimiter, then split — no lookbehind), so the DuckDB oracle can
+   * reproduce it literally. Abbreviation dots ("e.g. x") split like
+   * any sentence end — documented simplification, the standard
+   * fast-path behavior.
+   *
+   * Output: (idCol, chunk_id, n_sents, n_chars, chunk_text).
+   */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val marked = regexp_replace(trim(col(textCol)),
+      "([.!?])\\s+", "$1\u0001")
+    val sents = df
+      .select(col(idCol), posexplode(split(marked, "\u0001"))
+        .as(Seq("pos", "sent")))
+      .filter(trim(col("sent")) =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sents
+      .select(col(idCol), col("pos"), col("sent"),
+        coalesce(sum(length(col("sent"))).over(w), lit(0L)).as("__before"))
+      .select(col(idCol), col("pos"), col("sent"),
+        // integer floor division (same arithmetic as DuckDB `//`) — a
+        // double divide could land a budget-boundary sentence one
+        // chunk off at large offsets
+        expr(s"`__before` div ${budget}L").as("chunk_id"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(length(col("sent"))).as("n_chars"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent"))).as("chunk_text"))
+  }
+
+  /**
    * BM25 top-k search of a small query set against a document corpus.
    *
    * `queries` is driver-local (a search workload, not data-scale) and is

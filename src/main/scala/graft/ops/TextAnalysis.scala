@@ -478,6 +478,40 @@ object TextAnalysis {
   }
 
   /**
+   * Feature hashing (the "hashing trick", Weinberger et al. 2009):
+   * vectorize text into a FIXED dimension without any vocabulary pass
+   * — token t lands in bucket `md5("b:"+t) mod dim` with sign ±1 from
+   * an independent hash bit, occurrences summing per (doc, bucket).
+   * The signed variant makes collisions cancel in expectation
+   * (unbiased inner products), which is why it is the standard
+   * vocabulary-free featurizer for a streaming/100 TB corpus: no
+   * dictionary to build, broadcast, or version — two fixed hashes per
+   * token, one map-side-combined aggregate, and the output is a
+   * sparse (doc, bucket, val) relation any classifier step (e.g.
+   * [[graft.ops.QualityClassifier]]) can consume at any later date
+   * with no stored state. Engine-portable via the md5 hash convention
+   * (the [[graft.operators.Audits.cmsBucket]] family), so the gate is
+   * hash-exact.
+   *
+   * Output: (idCol, bucket, val), zero-sum buckets included (they
+   * carry cancellation information; filter if a consumer wants
+   * non-zeros only).
+   */
+  def hashingVectorize(df: DataFrame, idCol: String, textCol: String,
+                       dim: Int = 256): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val bucket = conv(substring(md5(concat(lit("b:"), col("term"))), 1, 8),
+      16, 10).cast("long") % dim
+    val sign = when(conv(substring(md5(concat(lit("s:"), col("term"))),
+      1, 1), 16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col(idCol), bucket.as("bucket"), sign.as("__s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("val"))
+  }
+
+  /**
    * BPE trainer — the full iterative merge loop (`q_bpe_pairs` is only
    * its first iteration's statistics). Spark-first split of work, the
    * same decomposition HF/SentencePiece trainers use:

@@ -182,6 +182,103 @@ object SnapshotStore {
       readVersion(spark, path, vBefore),
       readVersion(spark, path, vAfter), pk)
 
+  // ---- multi-table atomic commits (catalog snapshots) ----------------
+
+  /** Parse a catalog manifest (the version-file content of a
+    * [[commitAll]] catalog): one "table gen" pair per line. */
+  private def parseManifest(content: String): Map[String, String] =
+    content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(' ')
+      require(i > 0, s"bad manifest line: '$l'")
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+
+  /**
+   * Atomically publish a consistent snapshot of SEVERAL tables — the
+   * cross-table transaction a star-schema corpus needs (facts and
+   * dims must advance together or a reader joins new facts against
+   * old dims). Same commit protocol as [[commit]], lifted one level:
+   * every table's generation dir is written completely first (under
+   * `path/<table>/gen-*`), then ONE catalog version file is published
+   * whose content is the (table → generation) manifest. Readers
+   * resolve the catalog version once and read only named immutable
+   * dirs, so they see all of the snapshot or none of it; a crash
+   * anywhere before the publish leaves only invisible orphans.
+   * [[rollback]] works unchanged on a catalog path (it re-links the
+   * whole manifest), as do [[versions]]/[[currentVersion]].
+   *
+   * Table names must be path-safe and not start with `_` (the
+   * metadata namespace). Returns the new catalog version.
+   */
+  def commitAll(tables: Map[String, DataFrame], path: String): Long = {
+    require(tables.nonEmpty, "at least one table")
+    tables.keys.foreach { n =>
+      require(n.nonEmpty && !n.startsWith("_") && !n.startsWith("gen-") &&
+        n.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+        s"unsafe table name '$n'")
+    }
+    val spark = tables.head._2.sparkSession
+    val gens = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val gen = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("error").parquet(s"$path/$name/$gen")
+      name -> gen
+    }
+    link(spark, path,
+      gens.map { case (n, g) => s"$n $g" }.mkString("\n"))
+  }
+
+  /** Tables present in a committed catalog version. */
+  def tablesAt(spark: SparkSession, path: String, v: Long): Seq[String] =
+    parseManifest(genFor(spark, path, v)).keys.toSeq.sorted
+
+  /** Time-travel read of one table from a catalog version. */
+  def readTableVersion(spark: SparkSession, path: String, table: String,
+                       v: Long): DataFrame = {
+    val m = parseManifest(genFor(spark, path, v))
+    val gen = m.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' not in catalog version $v (has ${m.keys.toSeq.sorted})"))
+    spark.read.parquet(s"$path/$table/$gen")
+  }
+
+  /** Read one table from the current catalog version. */
+  def readTable(spark: SparkSession, path: String, table: String): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    readTableVersion(spark, path, table, v)
+  }
+
+  /**
+   * Catalog-level vacuum: drop catalog versions older than the newest
+   * `keepLast`, then delete every `gen-*` dir under every table subdir
+   * that no surviving manifest references (including crash orphans).
+   * Returns generation dirs deleted. Must not run concurrently with a
+   * commit.
+   */
+  def vacuumCatalog(spark: SparkSession, path: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    vs.dropRight(keepLast).foreach(v => fs.delete(versionFile(path, v), false))
+    val kept = versions(spark, path)
+      .flatMap(v => parseManifest(genFor(spark, path, v)).toSeq)
+      .map { case (t, g) => s"$t/$g" }.toSet
+    var dropped = 0
+    fs.listStatus(new Path(path)).foreach { st =>
+      val t = st.getPath.getName
+      if (st.isDirectory && !t.startsWith("_") && !t.startsWith("gen-")) {
+        fs.listStatus(st.getPath).foreach { g =>
+          val name = g.getPath.getName
+          if (g.isDirectory && name.startsWith("gen-") &&
+            !kept.contains(s"$t/$name")) {
+            fs.delete(g.getPath, true)
+            dropped += 1
+          }
+        }
+      }
+    }
+    dropped
+  }
+
   /**
    * Reclaim space: drop version files older than the newest `keepLast`
    * and every generation dir no surviving version references

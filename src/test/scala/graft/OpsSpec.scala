@@ -1186,6 +1186,70 @@ class OpsSpec extends SparkSpec {
       40L -> 10.0))
   }
 
+  test("sentence chunks: boundary-atomic packing, overshoot, long sentence") {
+    import graft.ops.Retrieval
+    // budget 10: "Aaaa bbb." (9) fills chunk 0; "Cc dd." (6) starts at
+    // cum 9 < 10 → still chunk 0 (overshoot by one sentence);
+    // "Eee ff!" starts at cum 15 → chunk 1; a 25-char monster sentence
+    // starts at 22 → chunk 2, and the sentence after it jumps to
+    // chunk 4 (ids stable, not dense)
+    val mono = "M" * 24 + "." // 25 chars
+    val docs = Seq(
+      (1L, s"Aaaa bbb. Cc dd. Eee ff! $mono Tail end.")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.sentenceChunks(docs, "doc_id", "text", budget = 10)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((2L, 15L, "Aaaa bbb. Cc dd.")))
+    assert(out(1L) == ((1L, 7L, "Eee ff!")))
+    assert(out(2L) == ((1L, 25L, mono)))
+    assert(out(4L) == ((1L, 9L, "Tail end.")))
+    assert(out.size == 4)
+    // a doc with no terminator is one sentence, one chunk; blank yields
+    // nothing; layout invariance
+    val more = Seq((2L, "no punctuation here"), (3L, " "),
+      (1L, s"Aaaa bbb. Cc dd. Eee ff! $mono Tail end."))
+      .toDF("doc_id", "text")
+    val r2 = Retrieval.sentenceChunks(more, "doc_id", "text", 10)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(r2.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 1L, 19L, "no punctuation here")))
+    assert(!r2.exists(_._1 == 3L))
+    val r3 = Retrieval.sentenceChunks(more.repartition(5), "doc_id",
+      "text", 10).as[(Long, Long, Long, Long, String)].collect()
+    assert(r3.sortBy(r => (r._1, r._2)).toSeq ==
+      r2.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("feature hashing: fixed dim, signed counts, no vocabulary state") {
+    import graft.ops.TextAnalysis
+    // replicate the hash chain in-test: bucket/sign must be a pure
+    // function of the term — no dictionary anywhere
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(t: String, dim: Int) =
+      java.lang.Long.parseLong(md5hex(s"b:$t").take(8), 16) % dim
+    def sign(t: String) =
+      if (java.lang.Long.parseLong(md5hex(s"s:$t").take(1), 16) % 2 == 0)
+        1L else -1L
+    val docs = Seq((1L, "a b a c"), (2L, "b b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingVectorize(docs, "doc_id", "text", dim = 32)
+      .as[(Long, Long, Long)].collect()
+    val expect = Seq(
+      1L -> Seq("a", "b", "a", "c"), 2L -> Seq("b", "b"))
+      .flatMap { case (d, ts) =>
+        ts.map(t => (d, bucket(t, 32)) -> sign(t))
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap == expect)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 32))
+    assert(!out.exists(_._1 == 3L))
+    // layout invariance
+    val out2 = TextAnalysis.hashingVectorize(docs.repartition(7),
+      "doc_id", "text", dim = 32).as[(Long, Long, Long)].collect()
+    assert(out2.toSet == out.toSet)
+  }
+
   test("textrank: co-occurrence edges match a hand build; hub word wins") {
     import graft.ops.{Graphs, TextAnalysis}
     // "spark" neighbors everything; filler words only touch spark —

@@ -96,4 +96,51 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(v == 3L, s"loser should land on v3, got v$v")
     assert(readIds(path) == (1L to 7L).toSet)
   }
+
+  test("catalog commitAll: cross-table atomicity, travel, vacuum, names") {
+    val path = freshPath("cat")
+    def facts(n: Int) = (1 to n).map(i => (i.toLong, i * 10L))
+      .toDF("fk", "amount")
+    def dims(n: Int) = (1 to n).map(i => (i.toLong, s"d$i"))
+      .toDF("dk", "label")
+    val v1 = SnapshotStore.commitAll(
+      Map("facts" -> facts(5), "dims" -> dims(5)), path)
+    val v2 = SnapshotStore.commitAll(
+      Map("facts" -> facts(9), "dims" -> dims(9)), path)
+    assert(v1 == 1L && v2 == 2L)
+    assert(SnapshotStore.tablesAt(spark, path, v1) == Seq("dims", "facts"))
+    // current read sees BOTH new tables; travel sees both old
+    assert(SnapshotStore.readTable(spark, path, "facts").count() == 9)
+    assert(SnapshotStore.readTable(spark, path, "dims").count() == 9)
+    assert(SnapshotStore
+      .readTableVersion(spark, path, "facts", v1).count() == 5)
+    assert(SnapshotStore
+      .readTableVersion(spark, path, "dims", v1).count() == 5)
+    // a crash between table writes leaves only invisible orphans: fake
+    // one by writing a gen dir with no manifest pointing at it
+    facts(3).write.parquet(s"$path/facts/gen-orphan01")
+    assert(SnapshotStore.readTable(spark, path, "facts").count() == 9)
+    // rollback re-links the WHOLE manifest — both tables move together
+    val v3 = SnapshotStore.rollback(spark, path, v1)
+    assert(v3 == 3L)
+    assert(SnapshotStore.readTable(spark, path, "facts").count() == 5 &&
+      SnapshotStore.readTable(spark, path, "dims").count() == 5)
+    // vacuumCatalog: keep v2+v3; v3 aliases v1's gens so they survive,
+    // the orphan and nothing else is reclaimed
+    val dropped = SnapshotStore.vacuumCatalog(spark, path, keepLast = 2)
+    assert(dropped == 1, s"expected only the orphan dropped, got $dropped")
+    assert(SnapshotStore.readTable(spark, path, "facts").count() == 5)
+    assert(SnapshotStore
+      .readTableVersion(spark, path, "facts", v2).count() == 9)
+    // unknown table and unsafe names refuse loudly
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readTable(spark, path, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commitAll(Map("_bad" -> facts(1)), path)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commitAll(Map("a/b" -> facts(1)), path)
+    }
+  }
 }
