@@ -673,6 +673,19 @@ object SparkEntry {
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("event_type"), col("n"), col("total_value"))),
 
+    // streaming per-window quantiles: the DDSketch bucket table as a
+    // plain windowed aggregate (append-capable, no custom state) +
+    // the rollup walk with window_start as a dim — "p90 per 6h window
+    // from a stream" with state bounded at windows × bucket grid
+    "q_stream_quantiles" -> ((s, dir) => {
+      val hist = graft.streaming.EventStream
+        .windowedQuantileHistogram(t(s, dir, "events"))
+        .select(unix_micros(col("window_start")).as("win_start_us"),
+          col("qb"), col("cnt"))
+      graft.operators.Audits.rollupQuantiles(hist,
+        Seq("win_start_us"), Seq(0.5, 0.9))
+    }),
+
     // URL extraction (planted deterministically — the fixture corpus
     // has no URLs): first URL, registrable host, path
     "q_url_extract" -> ((s, dir) => {
@@ -1068,6 +1081,15 @@ object SparkEntry {
     "q_resample" -> ((s, dir) =>
       graft.ops.Timeseries.resampleFfill(t(s, dir, "events"),
         "user_id", "ts", "value", bucketMicros = 6L * 3600 * 1000000)),
+
+    // rolling z-score anomaly flags: each event scored against its
+    // user's trailing-12h mean/σ (exact DECIMAL window sums, mirrored
+    // IEEE z chain) — the monitoring pre-filter for a stream of
+    // metrics; |z| > 2 with ≥5 points flags
+    "q_anomaly" -> ((s, dir) =>
+      graft.ops.Timeseries.rollingAnomalies(t(s, dir, "events"),
+        "user_id", "ts", "value", windowMicros = 12L * 3600 * 1000000,
+        k = 2.0, minN = 5, idCols = Seq("event_id"))),
 
     // fixed-grid resample + LINEAR interpolation (6h buckets): interior
     // gaps take the line between the neighboring observed totals —
@@ -2414,6 +2436,35 @@ object SparkEntry {
     }),
 
     // multimodal: batched (stub) decode — plumbing check, rows-only
+    // real file-based multimodal ingestion: BMP files on disk read
+    // through Spark's binaryFile source (the production image-corpus
+    // access path — content + path metadata as columns), ids parsed
+    // from filenames, bytes decoded by the real header/stride parser;
+    // fixture files are deterministic so the oracle stays closed-form
+    "q_binary_source" -> ((s, dir) => {
+      val outDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bin_${tmpToken(dir)}")
+      outDir.mkdirs()
+      val ids = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val f = new java.io.File(outDir, s"img_$id.bmp")
+        if (!f.exists())
+          java.nio.file.Files.write(f.toPath, Multimodal.bmpBytes(id))
+      }
+      val bin = s.read.format("binaryFile")
+        .load(outDir.getAbsolutePath + "/*.bmp")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1)
+          .cast("long").as("doc_id"),
+          col("content").as("payload"))
+      Multimodal.decodeMedia(bin, "doc_id")
+        .select(col("doc_id"), col("media_type"),
+          element_at(col("feature"), 1).as("w"),
+          element_at(col("feature"), 2).as("h"),
+          element_at(col("feature"), 4).as("mean_b"))
+    }),
+
     "q_multimodal_decode" -> ((s, dir) => {
       val payload = Multimodal.attachPayload(
         t(s, dir, "documents"), "doc_id", "text")
@@ -3610,6 +3661,38 @@ object SparkEntry {
         |   AS total_ffill
         |FROM j""".stripMargin,
 
+    "q_anomaly" ->
+      """WITH base AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(value AS DOUBLE) AS value,
+        |  CAST(value AS DECIMAL(18,6)) AS v
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND value IS NOT NULL),
+        |wnd AS (
+        | SELECT event_id, user_id, ts_us, value,
+        |  count(*) OVER w AS n_win,
+        |  sum(v) OVER w AS s,
+        |  sum(v * v) OVER w AS sq
+        | FROM base
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |   RANGE BETWEEN 43200000000 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        | SELECT event_id, user_id, ts_us, value, n_win,
+        |  CASE WHEN sqrt(greatest(CAST(sq AS DOUBLE) / n_win -
+        |        (CAST(s AS DOUBLE) / n_win) * (CAST(s AS DOUBLE) / n_win),
+        |        0.0)) > 0
+        |   THEN round((value - CAST(s AS DOUBLE) / n_win) /
+        |     sqrt(greatest(CAST(sq AS DOUBLE) / n_win -
+        |       (CAST(s AS DOUBLE) / n_win) * (CAST(s AS DOUBLE) / n_win),
+        |       0.0)), 6)
+        |   ELSE 0.0 END AS z
+        | FROM wnd)
+        |SELECT event_id, user_id, ts_us, value, n_win, z,
+        | CASE WHEN n_win >= 5 AND abs(z) > 2.0 THEN 1 ELSE 0 END
+        |   AS is_anomaly
+        |FROM z""".stripMargin,
+
     "q_interpolate" ->
       """WITH ob AS (
         | SELECT user_id, epoch_us(ts) // 21600000000 AS b,
@@ -4199,6 +4282,8 @@ object SparkEntry {
         |FROM f GROUP BY doc_id, bucket""".stripMargin,
 
     "q_quantile_rollup" -> quantileRollupOracle,
+
+    "q_stream_quantiles" -> streamQuantilesOracle,
 
     "q_dataset_card" -> datasetCardOracle,
 
@@ -5033,6 +5118,16 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
+    "q_binary_source" ->
+      """WITH p AS (
+        | SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        | FROM documents WHERE doc_id % 97 = 0)
+        |SELECT doc_id, 'image/bmp' AS media_type,
+        | CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h,
+        | CAST(w*h*(doc_id % 200) + h*((w*(w-1))//2) + w*((h*(h-1))//2)
+        |      AS DOUBLE) / (w*h) AS mean_b
+        |FROM p""".stripMargin,
+
     "q_multimodal_decode_real" ->
       """WITH p AS (
         | SELECT doc_id,
@@ -5266,6 +5361,49 @@ object SparkEntry {
        | WHERE cum >= greatest(1, ceil(q * n))
        | GROUP BY 1, 2)
        |SELECT lang, q, n_rows,
+       | CASE WHEN qb > -1048576
+       |        THEN round(exp(CAST(qb AS DOUBLE) * $lnG) * $mid, 6)
+       |      WHEN qb = -1048576 THEN 0.0
+       |      ELSE -round(exp(CAST(-2097152 - qb AS DOUBLE) * $lnG)
+       |        * $mid, 6)
+       | END AS approx_value
+       |FROM p""".stripMargin
+  }
+
+  /** q_stream_quantiles oracle — the DDSketch bucket/walk/decode chain
+    * of [[quantileRollupOracle]] with the 6h event-time window start
+    * as the dimension (epoch-aligned integer floor division, exactly
+    * Spark's `window()` alignment). */
+  private def streamQuantilesOracle: String = {
+    val lnG = graft.operators.Audits.ddLnGamma(0.02).toString
+    val mid = graft.operators.Audits.ddMidFactor(0.02).toString
+    s"""WITH raw AS (
+       | SELECT (epoch_us(ts) // 21600000000) * 21600000000
+       |    AS win_start_us,
+       |  CAST(value AS DOUBLE) AS v
+       | FROM events WHERE value IS NOT NULL),
+       |b AS (
+       | SELECT win_start_us,
+       |  CASE WHEN v > 0 THEN CAST(ceil(round(ln(v)/$lnG, 6)) AS INT)
+       |       WHEN v = 0 THEN -1048576
+       |       ELSE -2097152 - CAST(ceil(round(ln(-v)/$lnG, 6)) AS INT)
+       |  END AS qb,
+       |  count(*) AS cnt
+       | FROM raw GROUP BY 1, 2),
+       |c AS (
+       | SELECT win_start_us, qb,
+       |  CAST(sum(cnt) OVER (PARTITION BY win_start_us ORDER BY qb
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum,
+       |  CAST(sum(cnt) OVER (PARTITION BY win_start_us) AS BIGINT) AS n
+       | FROM b),
+       |p AS (
+       | SELECT win_start_us, q, min(qb) AS qb, max(n) AS n_rows
+       | FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+       |   (CAST(0.9 AS DOUBLE))) t(q)
+       | WHERE cum >= greatest(1, ceil(q * n))
+       | GROUP BY 1, 2)
+       |SELECT win_start_us, q, n_rows,
        | CASE WHEN qb > -1048576
        |        THEN round(exp(CAST(qb AS DOUBLE) * $lnG) * $mid, 6)
        |      WHEN qb = -1048576 THEN 0.0

@@ -182,6 +182,59 @@ object Timeseries {
   }
 
   /**
+   * Rolling z-score anomaly flags — the monitoring face of
+   * [[rollingAgg]]: each row scores against the mean/σ of its key's
+   * trailing `windowMicros` (inclusive RANGE frame, peers included),
+   * flagged when `|z| > k` with at least `minN` points in the window.
+   *
+   * One keyed RANGE window computes n/Σx/Σx² (the sums as exact
+   * DECIMALs — order-free, so the layout cannot move a flag), then the
+   * z chain is one mirrored IEEE expression tree:
+   * `mean = Σx/n`, `var = max(Σx²/n − mean², 0)` (the float-
+   * cancellation guard), `z = round((x − mean)/σ, 6)`; σ = 0 (a
+   * constant window) scores z = 0. The CURRENT row is part of its own
+   * window — the standard self-inclusive control-chart convention
+   * (exclude-self needs no second window: shrink `k` instead).
+   *
+   * Scale: identical surface to [[rollingAgg]] — one sort per key
+   * partition, no self-join, no global window.
+   *
+   * Output: idCols + (keyCol, ts_us, value, n_win, z, is_anomaly).
+   */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, windowMicros: Long,
+                       k: Double = 3.0, minN: Int = 5,
+                       idCols: Seq[String] = Nil): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive: $windowMicros")
+    require(k > 0 && minN >= 2, s"need k > 0 and minN >= 2: $k, $minN")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    val base = df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select((idCols.map(col) :+ col(keyCol) :+
+        unix_micros(col(tsCol)).as("ts_us") :+
+        col(valueCol).cast("double").as("value") :+
+        col(valueCol).cast("decimal(18,6)").as("__v")): _*)
+      .select((idCols.map(col) :+ col(keyCol) :+ col("ts_us") :+
+        col("value") :+
+        count(lit(1)).over(w).as("n_win") :+
+        sum(col("__v")).over(w).as("__s") :+
+        sum(col("__v") * col("__v")).over(w).as("__sq")): _*)
+    val mean = col("__s").cast("double") / col("n_win")
+    val varr = greatest(
+      col("__sq").cast("double") / col("n_win") - mean * mean, lit(0.0))
+    val std = sqrt(varr)
+    val z = when(std > 0,
+      round((col("value") - mean) / std, 6)).otherwise(lit(0.0))
+    base.select((idCols.map(col) :+ col(keyCol) :+ col("ts_us") :+
+      col("value") :+ col("n_win") :+ z.as("z") :+
+      when(col("n_win") >= minN && abs(z) > k, lit(1))
+        .otherwise(lit(0)).as("is_anomaly")): _*)
+  }
+
+  /**
    * First-order Markov transition matrix over per-key event sequences:
    * for each ordered pair of consecutive event types within a key,
    * the transition count and the row-normalized probability — the

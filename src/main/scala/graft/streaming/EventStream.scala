@@ -69,6 +69,33 @@ object EventStream {
         col("event_type"), col("n"), col("total_value"))
 
   /**
+   * Tumbling-window DDSketch quantile histogram — the streaming face
+   * of [[graft.operators.Audits.quantileHistogram]]: per event-time
+   * window, the (qb, cnt) bucket table whose counts are order-free
+   * long sums. Because a DDSketch IS its bucket counts, this is just a
+   * windowed aggregate — append-capable under the watermark with NO
+   * custom state, and the emitted rows are immediately mergeable with
+   * any other histogram of the same α (union + sum = exact sketch
+   * union). Downstream, [[graft.operators.Audits.rollupQuantiles]]
+   * with `window_start` as a dim decodes per-window quantiles — the
+   * "p99 per window from a stream" shape with exactly-bounded state
+   * (windows in flight × bucket grid).
+   */
+  def windowedQuantileHistogram(events: DataFrame,
+                                valueCol: String = "value",
+                                windowLen: String = "6 hours",
+                                watermark: String = "12 hours",
+                                alpha: Double = 0.02): DataFrame =
+    events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen),
+        graft.operators.Audits.ddBucket(col(valueCol), alpha).as("qb"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("qb"), col("cnt"))
+
+  /**
    * Batch sessionization — the oracle-checkable face of the stateful
    * streaming sessionization below: a session is a maximal run of a
    * user's events with inter-event gaps <= `gapMinutes`. One window

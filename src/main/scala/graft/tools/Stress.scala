@@ -392,6 +392,35 @@ object Stress {
       r.unpersist()
     }
     assertNoFunnel("ppr-hub")
+    tme(f"kCore hub ($nSpokes%,d-degree node, k=2)") {
+      // every spoke has degree 1 → the whole 1.5M-spoke star peels in
+      // one round (the hub's 1.5M-count degree row is a map-side-
+      // combined aggregate, never a window) and the hub isolates with
+      // it; only the random tail's 2-core survives
+      val core = graft.ops.Graphs
+        .kCore(graph, "src", "dst", k = 2, maxRounds = 3).persist()
+      val starSurvivors = core.filter(col("node") <= nSpokes).count()
+      assert(starSurvivors == 0L,
+        s"star should fully peel at k=2, kept $starSurvivors")
+      val tailCore = core.count()
+      assert(tailCore > 0L, "random tail lost its entire 2-core")
+      core.unpersist()
+    }
+    assertNoFunnel("kcore-hub")
+    tme(f"clusteringCoefficient hub ($nSpokes%,d-degree node)") {
+      // degree-ordered orientation points every star edge AT the hub,
+      // so the hub emits ZERO wedges — the 1.5M-neighbor quadratic
+      // pairing the orientation exists to prevent; hub coeff is 0
+      val cc = graft.ops.Graphs
+        .clusteringCoefficient(graph, "src", "dst").persist()
+      val hubRow = cc.filter(col("node") === 0L)
+        .select(col("deg"), col("triangles"), col("coeff"))
+        .as[(Long, Long, Double)].collect()(0)
+      assert(hubRow._1 == nSpokes && hubRow._2 == 0L && hubRow._3 == 0.0,
+        s"hub row drifted: $hubRow")
+      cc.unpersist()
+    }
+    assertNoFunnel("clustering-hub")
 
     // ---- 9. semDedup giant cell under the size cap ---------------------
     // 500k EXACT copies of one embedding route into a single cell —

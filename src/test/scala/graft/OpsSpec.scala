@@ -1186,6 +1186,31 @@ class OpsSpec extends SparkSpec {
       40L -> 10.0))
   }
 
+  test("binaryFile source: on-disk media decodes to closed-form features") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binsrc")
+    val ids = Seq(3L, 12L, 200L)
+    ids.foreach(id => java.nio.file.Files.write(
+      dir.resolve(s"img_$id.bmp"), Multimodal.bmpBytes(id)))
+    val bin = spark.read.format("binaryFile")
+      .load(dir.toString + "/*.bmp")
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1)
+        .cast("long").as("doc_id"), col("content").as("payload"))
+    val out = Multimodal.decodeMedia(bin, "doc_id")
+      .select(col("doc_id"), col("media_type"),
+        element_at(col("feature"), 1), element_at(col("feature"), 2),
+        element_at(col("feature"), 4))
+      .as[(Long, String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == ids.toSet)
+    ids.foreach { id =>
+      val (w, h, base) = (8 + id % 8, 8 + id % 5, id % 200)
+      val mean = (w * h * base + h * (w * (w - 1) / 2) +
+        w * (h * (h - 1) / 2)).toDouble / (w * h)
+      assert(out(id) == ((id, "image/bmp", w.toDouble, h.toDouble, mean)),
+        out(id).toString)
+    }
+  }
+
   test("sentence chunks: boundary-atomic packing, overshoot, long sentence") {
     import graft.ops.Retrieval
     // budget 10: "Aaaa bbb." (9) fills chunk 0; "Cc dd." (6) starts at
@@ -1328,6 +1353,42 @@ class OpsSpec extends SparkSpec {
       Seq("lid"), r.repartition(5), "rlat", "rlon", Seq("rid"), 150.0)
       .as[(Long, Long, Double)].collect().toSet
     assert(got2 == got)
+  }
+
+  test("rolling anomalies: spike flags, constant window z=0, minN guard") {
+    import graft.ops.Timeseries
+    // five 10s then a 100 within one window: the spike's z =
+    // (100-25)/sqrt(1125) ≈ 2.236 > 2 → flagged; the constant prefix
+    // scores z = 0 (σ = 0), and early rows are under minN anyway
+    val rows = (1L to 5L).map(i => (i, 1L, i * 10L, 10.0)) :+
+      ((6L, 1L, 60L, 100.0))
+    val df = rows.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+    val out = Timeseries.rollingAnomalies(df, "user_id", "ts", "value",
+      windowMicros = 1000L, k = 2.0, minN = 5, idCols = Seq("event_id"))
+      .as[(Long, Long, Long, Double, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(6L)._7 == 1 && out(6L)._5 == 6L)
+    assert(math.abs(out(6L)._6 - 2.236068) < 1e-6, out(6L).toString)
+    (1L to 5L).foreach { i =>
+      assert(out(i)._6 == 0.0 && out(i)._7 == 0, out(i).toString)
+    }
+    // a spike without enough history stays unflagged (minN guard)
+    val few = Seq((1L, 2L, 1L, 10.0), (2L, 2L, 2L, 100.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+    val f = Timeseries.rollingAnomalies(few, "user_id", "ts", "value",
+      1000L, k = 2.0, minN = 5, idCols = Seq("event_id"))
+      .as[(Long, Long, Long, Double, Long, Double, Int)].collect()
+    assert(f.forall(_._7 == 0))
+    // layout invariance
+    val out2 = Timeseries.rollingAnomalies(df.repartition(7), "user_id",
+      "ts", "value", 1000L, k = 2.0, minN = 5, idCols = Seq("event_id"))
+      .as[(Long, Long, Long, Double, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out2 == out)
   }
 
   test("schema drift reports added, removed and retyped columns") {

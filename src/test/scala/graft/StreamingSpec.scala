@@ -22,6 +22,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed windowed quantile histogram equals the batch sketch") {
+    val q = EventStream.runToMemory(spark,
+      s"$sf0001/events.parquet", "stream_qhist",
+      df => EventStream.windowedQuantileHistogram(df))
+    try {
+      val streamed = spark.table("stream_qhist")
+      val batch = EventStream.windowedQuantileHistogram(
+        EventStream.normalize(spark.read
+          .schema(EventStream.RawSchema)
+          .parquet(s"$sf0001/events.parquet")))
+      assert(streamed.count() > 0)
+      // bucket-count parity: the stream emits the SAME mergeable
+      // sketch table the batch pass computes — so per-window quantiles
+      // decoded downstream are identical by construction
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      val decoded = graft.operators.Audits.rollupQuantiles(
+        streamed.select(unix_micros(col("window_start"))
+          .as("win_start_us"), col("qb"), col("cnt")),
+        Seq("win_start_us"), Seq(0.5))
+      assert(decoded.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events to the batch-distinct answer") {
     // stage the events file TWICE (a replayed ingest) — the streaming
     // dedup must land on exactly the batch-distinct key set
