@@ -1540,6 +1540,14 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 4 === 1),
         "doc_id", "text", budget = 200)),
 
+    // unicode script profile: per-doc character counts by writing
+    // system — the script evidence the stopword language vote can't
+    // see; exact integers, one narrow pass
+    "q_script_profile" -> ((s, dir) =>
+      graft.ops.TextAnalysis.scriptProfile(
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 2),
+        "doc_id", "text")),
+
     // feature hashing (signed hashing trick): fixed-dimension sparse
     // vectors with NO vocabulary pass — the streaming-safe featurizer;
     // md5 buckets/signs keep it engine-exact
@@ -4264,6 +4272,24 @@ object SparkEntry {
         | CAST(sum(length(sent)) AS BIGINT) AS n_chars,
         | string_agg(sent, ' ' ORDER BY i) AS chunk_text
         |FROM k GROUP BY doc_id, chunk_id""".stripMargin,
+
+    "q_script_profile" ->
+      """WITH t AS (
+        | SELECT doc_id, coalesce(text, '') AS s FROM documents
+        | WHERE doc_id % 7 = 2)
+        |SELECT doc_id,
+        | CAST(length(s) AS BIGINT) AS n_chars,
+        | CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS latin,
+        | CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS digit,
+        | CAST(length(s) - length(regexp_replace(s, '\s', '', 'g'))
+        |      AS BIGINT) AS space,
+        | CAST(length(s) - length(regexp_replace(s,
+        |      '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS cjk,
+        | CAST(length(s) - length(regexp_replace(s,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic
+        |FROM t""".stripMargin,
 
     "q_feature_hash" ->
       """WITH w AS (

@@ -577,7 +577,10 @@ object Audits {
    * classic one-sided bound (est ≥ true count, overestimates only on
    * collisions; width bounds the expected error at n/width). The probe
    * set joins the sketch on (j, bucket) — sketch-sized, broadcast
-   * under AQE; a missing bucket reads 0.
+   * under AQE; a missing bucket reads 0. `depth`/`width` MUST match
+   * the values the histogram was built with (mismatched probes hash
+   * into the wrong grid and silently read 0s — same contract as
+   * `alpha` across the DDSketch family).
    *
    * Output: (key, est).
    */

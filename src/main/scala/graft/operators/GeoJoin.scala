@@ -62,6 +62,9 @@ object GeoJoin {
                      rightCols: Seq[String],
                      radiusKm: Double): DataFrame = {
     require(radiusKm > 0, s"radiusKm must be positive: $radiusKm")
+    require((leftCols ++ rightCols).distinct.size ==
+      leftCols.size + rightCols.size,
+      s"left/right carried columns collide: $leftCols vs $rightCols")
     val cellDeg = radiusKm / KmPerLatDeg
     // the polar guard wraps the KEPT lat column (a side-channel bool
     // would be pruned by Catalyst and never evaluated)

@@ -407,13 +407,18 @@ object Graphs {
     var done = nEdges == 0L
     var deg: DataFrame = degrees(e)
     while (round < maxRounds && !done) {
-      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      // survivors persist for the round: BOTH semi-joins read them, and
+      // without the cache each branch would recompute the full degree
+      // aggregate (node-cardinality rows — cheap to hold, costly to
+      // recompute twice per round at corpus scale)
+      val keep = deg.filter(col("deg") >= k).select(col("node")).persist()
       val induced = e
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .persist()
       val n = induced.count()
+      keep.unpersist()
       if (n == nEdges) { induced.unpersist(); done = true }
       else {
         e.unpersist()

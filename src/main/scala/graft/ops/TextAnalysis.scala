@@ -478,6 +478,31 @@ object TextAnalysis {
   }
 
   /**
+   * Unicode script profile — per-document character counts by script
+   * class (Latin, digit, whitespace, CJK, Cyrillic), the writing-
+   * system evidence [[languageId]]'s stopword vote can't see (it only
+   * knows the four stopword languages; a Chinese or Russian document
+   * scores zero there but lights up here). Each count is
+   * `len(text) − len(text with the class removed)` — one codegen'd
+   * narrow pass, no tokenization, exact integers (no float surface at
+   * all, the cheapest kind of oracle exactness).
+   *
+   * Output: (idCol, n_chars, latin, digit, space, cjk, cyrillic).
+   */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(cls: String) = (length(t) -
+      length(regexp_replace(t, cls, ""))).cast("long")
+    df.select(col(idCol),
+      length(t).cast("long").as("n_chars"),
+      cnt("[A-Za-z]").as("latin"),
+      cnt("[0-9]").as("digit"),
+      cnt("\\s").as("space"),
+      cnt("[\\u4e00-\\u9fff]").as("cjk"),
+      cnt("[\\u0400-\\u04ff]").as("cyrillic"))
+  }
+
+  /**
    * Feature hashing (the "hashing trick", Weinberger et al. 2009):
    * vectorize text into a FIXED dimension without any vocabulary pass
    * — token t lands in bucket `md5("b:"+t) mod dim` with sign ±1 from

@@ -1246,6 +1246,24 @@ class OpsSpec extends SparkSpec {
       r2.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("script profile counts characters per writing system exactly") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "Hello 42!"),
+      (2L, "你好 world да"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // "Hello 42!": 9 chars, 5 latin, 2 digit, 1 space
+    assert(out(1L) == ((1L, 9L, 5L, 2L, 1L, 0L, 0L)))
+    // "你好 world да": 11 chars, 5 latin, 2 space, 2 cjk, 2 cyrillic
+    assert(out(2L) == ((2L, 11L, 5L, 0L, 2L, 2L, 2L)))
+    // null text profiles as empty, not absent
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("feature hashing: fixed dim, signed counts, no vocabulary state") {
     import graft.ops.TextAnalysis
     // replicate the hash chain in-test: bucket/sign must be a pure
