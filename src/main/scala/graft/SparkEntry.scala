@@ -891,6 +891,41 @@ object SparkEntry {
     // graph (alternating large-star/small-star), every doc labeled
     // with its component's min doc_id (self if unpaired) — the step
     // that turns pair-finding into actual deduplication
+    // incremental connected components: yesterday's assignment (a
+    // star-contracted form of yesterday's graph) plus today's batch of
+    // pairs — identical to a full recompute, at batch cost; oracle
+    // closes over the FULL pair set
+    "q_cc_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleLen = 5, threshold = 0.5).persist()
+      val old = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+      val batch = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+      val assign = graft.ops.Clusters
+        .connectedComponents(old, "id_a", "id_b")
+      graft.ops.Clusters
+        .incrementalComponents(assign, batch, "id_a", "id_b")
+    }),
+
+    // frequent-pair association rules over order baskets: support /
+    // confidence / lift from exact counts — the co-purchase signal,
+    // basket-capped before the pair join
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.ops.Features.frequentPairs(
+        t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0),
+        "l_orderkey", "l_partkey", minPairCount = 1,
+        maxBasketSize = 1000)),
+
+    // smoothed target encoding: per-brand mean price shrunk toward the
+    // global prior (m-estimate) — the high-cardinality categorical
+    // featurizer; DECIMAL sums keep it engine-exact
+    "q_target_encode" -> ((s, dir) =>
+      graft.ops.Features.targetEncode(
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_extendedprice")),
+        "p_brand", "l_extendedprice", m = 10.0)),
+
     "q_cluster_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -3349,6 +3384,73 @@ object SparkEntry {
     // oracle scale (the pair graph is tiny); the Spark side uses
     // large-star/small-star precisely because this closure is NOT the
     // 100 TB answer
+    "q_cc_incremental" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(1, length(norm) - 4)),
+        |    i -> substring(norm, i, 5))) AS s
+        | FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |       FROM documents)
+        | WHERE length(norm) > 0),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b
+        |  ON a.doc_id < b.doc_id
+        |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       / greatest(len(a.s), len(b.s)) >= 0.5
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        | SELECT u, v FROM edges
+        | UNION
+        | SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |  WHERE r.a <> e.v)
+        |SELECT a AS id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH it AS (
+        | SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        | WHERE l_orderkey % 3 = 0
+        |   AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |keep AS (
+        | SELECT b, i FROM it WHERE b IN
+        |  (SELECT b FROM it GROUP BY b HAVING count(*) <= 1000)),
+        |n AS (SELECT count(DISTINCT b) AS nb FROM keep),
+        |ic AS (SELECT i, count(*) AS c FROM keep GROUP BY i),
+        |pc AS (
+        | SELECT a.i AS ia, b.i AS ib, count(*) AS n_ab
+        | FROM keep a JOIN keep b ON a.b = b.b AND a.i < b.i
+        | GROUP BY 1, 2 HAVING count(*) >= 1)
+        |SELECT pc.ia AS item_a, pc.ib AS item_b, pc.n_ab,
+        | ca.c AS n_a, cb.c AS n_b,
+        | round(CAST(pc.n_ab AS DOUBLE) / n.nb, 6) AS support,
+        | round(CAST(pc.n_ab AS DOUBLE) / ca.c, 6) AS conf_ab,
+        | round(CAST(pc.n_ab AS DOUBLE) / cb.c, 6) AS conf_ba,
+        | round(CAST(pc.n_ab AS DOUBLE) * n.nb /
+        |   (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+        |FROM pc JOIN ic ca ON ca.i = pc.ia
+        |        JOIN ic cb ON cb.i = pc.ib
+        |CROSS JOIN n""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH base AS (
+        | SELECT p.p_brand, CAST(l.l_extendedprice AS DECIMAL(18,6)) AS y
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | WHERE l.l_extendedprice IS NOT NULL),
+        |g AS (SELECT CAST(sum(y) AS DOUBLE) AS gs, count(*) AS gn
+        |      FROM base)
+        |SELECT p_brand, count(*) AS n,
+        | round((CAST(sum(y) AS DOUBLE) + 10.0 * (g.gs / g.gn))
+        |   / (count(*) + 10.0), 6) AS enc
+        |FROM base CROSS JOIN g
+        |GROUP BY p_brand, g.gs, g.gn""".stripMargin,
+
     "q_cluster_dedup" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id,

@@ -68,6 +68,36 @@ object Clusters {
     base.unionByName(missing)
   }
 
+  /**
+   * Incremental connected components — fold a NEW batch of pairs into
+   * an existing assignment without touching the original pair set (the
+   * continuous-crawl shape: day N's near-dup graph is day N−1's
+   * clusters plus today's edges, and a 0.1% batch must not cost a
+   * full recompute). The old assignment IS a contracted form of the
+   * old graph (every component is a depth-1 star around its min-id
+   * representative), and star contraction preserves both connectivity
+   * and the min id — so running the component algorithm over
+   * `assignment-as-edges ∪ newPairs` yields EXACTLY the assignment a
+   * full recompute over all original pairs would (spec-pinned, and the
+   * gate's oracle closes over the full pair set). Cost is
+   * O(|assignment| + |batch|) edges — components already merged stay
+   * depth-1, so the star rounds converge in one or two passes.
+   *
+   * `assign` must be a (id, cluster_id) frame from a previous
+   * [[connectedComponents]] / [[incrementalComponents]] call (or any
+   * frame with that contract: cluster_id = min id of the component).
+   * Representative self-rows (r, r) ride the self-loop path and keep
+   * old singletons alive.
+   */
+  def incrementalComponents(assign: DataFrame, newPairs: DataFrame,
+                            idACol: String, idBCol: String,
+                            maxRounds: Int = 64,
+                            driverFinishLimit: Long = 1L << 20): DataFrame =
+    connectedComponents(
+      assign.select(col("id").as(idACol), col("cluster_id").as(idBCol))
+        .unionByName(newPairs.select(col(idACol), col(idBCol))),
+      idACol, idBCol, maxRounds, driverFinishLimit)
+
   /** The pre-round core: assignments for nodes with ≥1 non-reflexive
     * edge. */
   private def ccNonReflexive(pairs: DataFrame, idACol: String,

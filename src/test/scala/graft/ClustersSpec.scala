@@ -133,4 +133,74 @@ class ClustersSpec extends SparkSpec {
     assert(out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
       Map(1 -> 1, 2 -> 1, 3 -> 1))
   }
+
+  test("incremental components equal the full recompute (batch folds in)") {
+    import spark.implicits._
+    // old graph: {1,2,3} and {10,11}, singleton-by-self-loop 50;
+    // batch: bridges 3-10 (merges the two old components), adds a
+    // fresh component {20,21}, and leaves 50 untouched
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 50L))
+    val batch = Seq((3L, 10L), (20L, 21L))
+    def cc(pairs: Seq[(Long, Long)]) =
+      Clusters.connectedComponents(pairs.toDF("id_a", "id_b"),
+        "id_a", "id_b").as[(Long, Long)].collect().toMap
+    val assign = Clusters.connectedComponents(old.toDF("id_a", "id_b"),
+      "id_a", "id_b")
+    val inc = Clusters.incrementalComponents(assign,
+      batch.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val full = cc(old ++ batch)
+    assert(inc == full, s"incremental $inc vs full $full")
+    assert(inc(11L) == 1L && inc(50L) == 50L && inc(21L) == 20L)
+    // second generation: incremental-of-incremental still exact
+    val inc2 = Clusters.incrementalComponents(
+      Clusters.incrementalComponents(assign, batch.toDF("id_a", "id_b"),
+        "id_a", "id_b"),
+      Seq((21L, 50L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc2 == cc(old ++ batch ++ Seq((21L, 50L))))
+    assert(inc2(50L) == 20L)
+  }
+
+  test("frequent pairs: counts, rules, basket cap; target encode shrinks") {
+    import spark.implicits._
+    import graft.ops.Features
+    // baskets: b1{x,y,z}, b2{x,y}, b3{x,z}, b4 mega (cap-excluded)
+    val rows = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup row
+      (2L, "x"), (2L, "y"), (3L, "x"), (3L, "z")) ++
+      (1 to 50).map(i => (9L, s"m$i"))
+    val out = Features.frequentPairs(rows.toDF("b", "i"), "b", "i",
+      minPairCount = 1, maxBasketSize = 10)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // N=3 kept baskets; x in 3, y in 2, z in 2; xy in 2, xz in 2, yz in 1
+    val xy = out(("x", "y"))
+    assert(xy._3 == 2L && xy._4 == 3L && xy._5 == 2L)
+    assert(xy._6 == math.rint(2.0 / 3.0 * 1e6) / 1e6 ||
+      math.abs(xy._6 - 0.666667) < 1e-9)
+    assert(xy._7 == math.rint(2.0 / 3.0 * 1e6) / 1e6 ||
+      math.abs(xy._7 - 0.666667) < 1e-9)
+    assert(xy._8 == 1.0) // 2/2
+    assert(xy._9 == 1.0) // 2*3/(3*2)
+    assert(out(("y", "z"))._3 == 1L)
+    // the mega basket contributed nothing
+    assert(!out.keys.exists { case (a, b) =>
+      a.startsWith("m") || b.startsWith("m") })
+    // minPairCount filters the yz pair
+    val filtered = Features.frequentPairs(rows.toDF("b", "i"), "b", "i",
+      minPairCount = 2, maxBasketSize = 10)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2)).toSet
+    assert(filtered == Set(("x", "y"), ("x", "z")))
+
+    // target encoding: cat a has mean 10 over 2 rows, b has 40 over 1;
+    // prior = 20; m=2 → enc(a) = (20 + 2*20)/(2+2) = 15,
+    // enc(b) = (40 + 2*20)/(1+2) = 26.666667
+    val te = Features.targetEncode(
+      Seq(("a", 10.0), ("a", 10.0), ("b", 40.0)).toDF("cat", "y"),
+      "cat", "y", m = 2.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(te("a") == (("a", 2L, 15.0)))
+    assert(te("b")._3 == 26.666667)
+  }
 }
