@@ -1591,6 +1591,29 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
         "doc_id", "text", dim = 128)),
 
+    // snapshot upsert: a CDC batch (changed rows + fresh rows) applied
+    // to the current version through ONE atomic commit — delta wins on
+    // pk, the rest carries over; readers see old or new, never half
+    "q_snapshot_upsert" -> ((s, dir) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ups_${tmpToken(dir)}").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.sources.SnapshotStore.commit(cust, path)
+      val delta = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"),
+          col("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 1)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment")))
+      graft.sources.SnapshotStore.upsertCommit(delta, path, "c_custkey")
+      graft.sources.SnapshotStore.read(s, path)
+    }),
+
     "q_snapshot_rollback" -> ((s, dir) => {
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
@@ -4344,6 +4367,21 @@ object SparkEntry {
     "q_snapshot_rollback" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q_snapshot_upsert" ->
+      """WITH cur AS (
+        | SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |d AS (
+        | SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey % 5 = 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey % 100 = 1)
+        |SELECT coalesce(d.c_custkey, cur.c_custkey) AS c_custkey,
+        | coalesce(d.c_acctbal, cur.c_acctbal) AS c_acctbal,
+        | coalesce(d.c_mktsegment, cur.c_mktsegment) AS c_mktsegment
+        |FROM cur FULL OUTER JOIN d ON cur.c_custkey = d.c_custkey"""
+        .stripMargin,
 
     "q_snapshot_multi" ->
       """SELECT c.c_nationkey, count(*) AS n,

@@ -182,6 +182,50 @@ object SnapshotStore {
       readVersion(spark, path, vBefore),
       readVersion(spark, path, vAfter), pk)
 
+  // ---- table maintenance (the lakehouse write path) ------------------
+
+  /**
+   * CDC-style upsert as a new version: delta rows replace current rows
+   * with the same `pk`, new pks append, everything else carries over —
+   * and the result publishes through the same atomic commit, so
+   * readers see the old version or the new one, never a half-applied
+   * batch (plus time travel/rollback over the change, free). Schemas
+   * must match. One full-outer shuffle join on the pk; for richer
+   * match/merge semantics run [[graft.operators.Merger]] and [[commit]]
+   * the result — this is the fast path for the common keyed-batch
+   * case. Returns the new version.
+   */
+  def upsertCommit(delta: DataFrame, path: String, pk: String): Long = {
+    val spark = delta.sparkSession
+    val cur = read(spark, path)
+    require(cur.columns.sorted.sameElements(delta.columns.sorted),
+      s"schema mismatch: table ${cur.columns.toSeq.sorted} vs " +
+        s"delta ${delta.columns.toSeq.sorted}")
+    val cols = cur.columns.toSeq
+    val d = cols.foldLeft(delta.select(cols.map(org.apache.spark.sql.functions.col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"__d_$c")
+    }
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val merged = cur
+      .join(d, col(pk) === col(s"__d_$pk"), "full_outer")
+      .select(cols.map(c => coalesce(col(s"__d_$c"), col(c)).as(c)): _*)
+    commit(merged, path)
+  }
+
+  /**
+   * Compact the CURRENT version into `numFiles` files as a NEW version
+   * — the small-files maintenance pass with snapshot isolation (unlike
+   * [[graft.ops.Layout.compact]]'s in-place swap, history and
+   * concurrent readers of the old version are untouched; reclaim the
+   * old generation later with [[vacuum]]). Row-identical by
+   * construction. Returns the new version.
+   */
+  def compactCommit(spark: SparkSession, path: String,
+                    numFiles: Int): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    commit(read(spark, path).repartition(numFiles), path)
+  }
+
   // ---- multi-table atomic commits (catalog snapshots) ----------------
 
   /** Parse a catalog manifest (the version-file content of a

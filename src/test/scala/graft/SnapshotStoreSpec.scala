@@ -97,6 +97,43 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readIds(path) == (1L to 7L).toSet)
   }
 
+  test("upsertCommit replaces, appends, carries over; compact keeps rows") {
+    val path = freshPath("ups")
+    val v1 = SnapshotStore.commit(df(1 to 6), path)
+    // delta: replace 2 and 4, append 10
+    val delta = Seq((2L, "NEW2"), (4L, "NEW4"), (10L, "row10"))
+      .toDF("id", "s")
+    val v2 = SnapshotStore.upsertCommit(delta, path, "id")
+    assert(v2 == v1 + 1)
+    val now = SnapshotStore.read(spark, path)
+      .as[(Long, String)].collect().toMap
+    assert(now == Map(1L -> "row1", 2L -> "NEW2", 3L -> "row3",
+      4L -> "NEW4", 5L -> "row5", 6L -> "row6", 10L -> "row10"))
+    // the pre-upsert version is still addressable (CDC with history)
+    assert(SnapshotStore.readVersion(spark, path, v1)
+      .as[(Long, String)].collect().toMap == (1 to 6)
+      .map(i => i.toLong -> s"row$i").toMap)
+    // schema mismatch refuses before writing anything
+    intercept[IllegalArgumentException] {
+      SnapshotStore.upsertCommit(
+        Seq((1L, "x", 9)).toDF("id", "s", "extra"), path, "id")
+    }
+    assert(SnapshotStore.currentVersion(spark, path).contains(v2))
+    // compaction: same rows, requested file count, history intact
+    val v3 = SnapshotStore.compactCommit(spark, path, numFiles = 1)
+    val compacted = SnapshotStore.read(spark, path)
+      .as[(Long, String)].collect().toMap
+    assert(compacted == now)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genName = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+    assert(genName.length == 3, genName.toSeq.toString) // v1, v2, v3 gens
+    assert(SnapshotStore.readVersion(spark, path, v2)
+      .as[(Long, String)].collect().toMap == now)
+    assert(v3 == v2 + 1)
+  }
+
   test("catalog commitAll: cross-table atomicity, travel, vacuum, names") {
     val path = freshPath("cat")
     def facts(n: Int) = (1 to n).map(i => (i.toLong, i * 10L))
