@@ -62,6 +62,17 @@ object SparkEntry {
 
   // ---- shared builders ---------------------------------------------------
 
+  /** Synthetic (item, annotator, label) rating table for the
+    * annotation-consolidation gates — events folded so items collect
+    * several raters with genuinely mixed labels. */
+  private def annotations(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select((col("event_id") % 500).as("item"),
+        (col("user_id") % 11).as("annot"),
+        col("event_type").as("label"))
+
   /** Conformed per-user source for the merge family (events → customer
     * shape), with working_source_id preset to the natural key so insert
     * pk generation is deterministic. */
@@ -925,6 +936,70 @@ object SparkEntry {
           .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
           .select(col("p_brand"), col("l_extendedprice")),
         "p_brand", "l_extendedprice", m = 10.0)),
+
+    // multi-annotator label consolidation: most-voted label per item,
+    // smallest label on ties, plus the agreement fraction — a min_by
+    // aggregate, never a per-item window (hub-item safe)
+    "q_majority_vote" -> ((s, dir) =>
+      graft.ops.Features.majorityVote(
+        annotations(s, dir), "item", "annot", "label")),
+
+    // Fleiss' kappa over the same rating table: chance-corrected
+    // agreement, variable raters per item — the annotation-batch
+    // go/no-go statistic, one scalar row
+    "q_fleiss_kappa" -> ((s, dir) =>
+      graft.ops.Features.fleissKappa(
+        annotations(s, dir), "item", "annot", "label")),
+
+    // Bradley-Terry strengths from pairwise preferences (MM iteration,
+    // 2 rounds, half-win smoothing) — the reward-modeling primitive;
+    // comparisons collapse to pair counts before any join
+    "q_bradley_terry" -> ((s, dir) =>
+      graft.ops.Features.bradleyTerry(
+        t(s, dir, "lineitem")
+          .select((col("l_partkey") % 100).cast("long").as("w"),
+            (col("l_suppkey") % 100).cast("long").as("l"))
+          .filter(col("w") =!= col("l")),
+        "w", "l", iterations = 2, pseudo = 0.5)),
+
+    // HITS hubs & authorities on the supplier->part link graph —
+    // pageRank's mutual-reinforcement complement; L1-normalized
+    // fixed iterations, DECIMAL contribution sums
+    "q_hits" -> ((s, dir) =>
+      graft.ops.Graphs.hits(
+        t(s, dir, "lineitem").select(
+          (-col("l_suppkey").cast("long")).as("src"),
+          col("l_partkey").cast("long").as("dst")),
+        "src", "dst", iterations = 2)),
+
+    // l-diversity: quasi-identifier groups whose SENSITIVE attribute
+    // has too few distinct values — k-anonymity's leak the release
+    // gate also has to catch
+    "q_ldiversity" -> ((s, dir) =>
+      graft.operators.Audits.lDiversity(
+        t(s, dir, "customer")
+          .select(col("c_nationkey"),
+            (col("c_custkey") % 40).cast("long").as("bucket"),
+            col("c_mktsegment")),
+        Seq("c_nationkey", "bucket"), "c_mktsegment", l = 4)),
+
+    // approximate functional-dependency profile: X→Y confidence under
+    // the best mapping — exact-FD discovery plus near-FD dirty-row
+    // detection over an unfamiliar dump
+    "q_fd_profile" -> ((s, dir) =>
+      graft.operators.Audits.fdConfidence(
+        t(s, dir, "orders"),
+        Seq("o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderstatus",
+          "o_orderstatus" -> "o_orderpriority"))),
+
+    // token-budget subset: maximal whole-document prefix in md5 order
+    // whose tokens fit the budget — the reproducible "N-token slice"
+    // a training run is provisioned by (distributed prefix sum)
+    "q_token_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSample(
+        t(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 15000L)),
 
     "q_cluster_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3473,6 +3548,210 @@ object SparkEntry {
         |   / (count(*) + 10.0), 6) AS enc
         |FROM base CROSS JOIN g
         |GROUP BY p_brand, g.gs, g.gn""".stripMargin,
+
+    "q_majority_vote" ->
+      """WITH a AS (
+        | SELECT event_id % 500 AS item, user_id % 11 AS annot,
+        |        event_type AS label
+        | FROM events
+        | WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |v AS (SELECT item, label, count(*) AS c FROM a GROUP BY 1, 2),
+        |w AS (SELECT item, label, c,
+        |       row_number() OVER (PARTITION BY item
+        |                          ORDER BY c DESC, label) AS rn,
+        |       CAST(sum(c) OVER (PARTITION BY item) AS BIGINT) AS total,
+        |       count(*) OVER (PARTITION BY item) AS n_labels
+        |      FROM v)
+        |SELECT item, label, c AS votes, total, n_labels,
+        | round(CAST(c AS DOUBLE) / total, 6) AS agreement
+        |FROM w WHERE rn = 1""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH a AS (
+        | SELECT event_id % 500 AS item, user_id % 11 AS annot,
+        |        event_type AS label
+        | FROM events
+        | WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |nij AS (SELECT item, label, count(*) AS c FROM a GROUP BY 1, 2),
+        |pi AS (
+        | SELECT CAST(round(CAST(sum(c*(c-1)) AS DOUBLE) /
+        |          CAST(sum(c)*(sum(c)-1) AS DOUBLE), 12)
+        |        AS DECIMAL(38,12)) AS pi
+        | FROM nij GROUP BY item HAVING sum(c) >= 2),
+        |pbar AS (SELECT CAST(sum(pi) AS DOUBLE) / count(*) AS pbar,
+        |         count(*) AS n_items FROM pi),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM nij),
+        |pj AS (
+        | SELECT CAST(round((CAST(cj AS DOUBLE) / nt) *
+        |          (CAST(cj AS DOUBLE) / nt), 12) AS DECIMAL(38,12)) AS pj2
+        | FROM (SELECT label, CAST(sum(c) AS BIGINT) AS cj
+        |       FROM nij GROUP BY 1) CROSS JOIN tot),
+        |pe AS (SELECT CAST(sum(pj2) AS DOUBLE) AS pe,
+        |       count(*) AS n_categories FROM pj),
+        |cnt AS (SELECT count(*) AS n_ratings FROM a)
+        |SELECT n_items, n_categories, n_ratings,
+        | round(pbar, 9) AS p_bar, round(pe, 9) AS p_e,
+        | CASE WHEN pe >= 1.0 THEN NULL
+        |      ELSE round((pbar - pe) / (1.0 - pe), 9) END AS kappa
+        |FROM pbar CROSS JOIN pe CROSS JOIN cnt""".stripMargin,
+
+    "q_bradley_terry" ->
+      """WITH pr AS (
+        | SELECT CAST(l_partkey % 100 AS BIGINT) AS wi,
+        |        CAST(l_suppkey % 100 AS BIGINT) AS lo
+        | FROM lineitem
+        | WHERE l_partkey % 100 <> l_suppkey % 100),
+        |w AS (SELECT wi, lo, count(*) AS w FROM pr GROUP BY 1, 2),
+        |g AS (SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
+        |       SELECT wi AS i, lo AS j, w FROM w
+        |       UNION ALL SELECT lo, wi, w FROM w) GROUP BY 1, 2),
+        |wins AS (SELECT wi AS i, CAST(sum(w) AS BIGINT) AS wins
+        |         FROM w GROUP BY 1),
+        |base AS (
+        | SELECT g.i, coalesce(wins.wins, 0) AS wins,
+        |        CAST(sum(g.n) AS BIGINT) AS games,
+        |        CAST(coalesce(wins.wins, 0) AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE) * count(*) AS wsm
+        | FROM g LEFT JOIN wins ON wins.i = g.i
+        | GROUP BY g.i, wins.wins),
+        |p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM base),
+        |d1 AS (
+        | SELECT g.i, CAST(sum(CAST(round(
+        |          (CAST(g.n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |            / (pi.p + pj.p), 12) AS DECIMAL(38,12))) AS DOUBLE) AS d
+        | FROM g JOIN p0 pi ON pi.i = g.i JOIN p0 pj ON pj.i = g.j
+        | GROUP BY g.i),
+        |r1 AS (SELECT base.i, base.wsm / d1.d AS raw
+        |       FROM base JOIN d1 ON d1.i = base.i),
+        |s1 AS (SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(38,12)))
+        |        AS DOUBLE) AS s FROM r1),
+        |p1 AS (SELECT i, round(raw / s, 9) AS p FROM r1 CROSS JOIN s1),
+        |d2 AS (
+        | SELECT g.i, CAST(sum(CAST(round(
+        |          (CAST(g.n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |            / (pi.p + pj.p), 12) AS DECIMAL(38,12))) AS DOUBLE) AS d
+        | FROM g JOIN p1 pi ON pi.i = g.i JOIN p1 pj ON pj.i = g.j
+        | GROUP BY g.i),
+        |r2 AS (SELECT base.i, base.wsm / d2.d AS raw
+        |       FROM base JOIN d2 ON d2.i = base.i),
+        |s2 AS (SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(38,12)))
+        |        AS DOUBLE) AS s FROM r2),
+        |p2 AS (SELECT i, round(raw / s, 9) AS p FROM r2 CROSS JOIN s2)
+        |SELECT base.i AS item, base.wins, base.games, p2.p AS strength
+        |FROM base JOIN p2 ON p2.i = base.i""".stripMargin,
+
+    "q_hits" ->
+      """WITH e AS (
+        | SELECT DISTINCT -CAST(l_suppkey AS BIGINT) AS src,
+        |        CAST(l_partkey AS BIGINT) AS dst
+        | FROM lineitem),
+        |nodes AS (SELECT DISTINCT node FROM
+        | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+        |a1r AS (
+        | SELECT n.node, coalesce(CAST(x.m AS DOUBLE),
+        |          CAST(0.0 AS DOUBLE)) AS raw
+        | FROM nodes n LEFT JOIN
+        |  (SELECT e.dst, sum(CAST(round(h.s, 12) AS DECIMAL(38,12))) AS m
+        |   FROM e JOIN h0 h ON h.node = e.src GROUP BY e.dst) x
+        |  ON x.dst = n.node),
+        |sa1 AS (SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(38,12)))
+        |         AS DOUBLE) AS s FROM a1r),
+        |a1 AS (SELECT node, round(raw / s, 9) AS s
+        |       FROM a1r CROSS JOIN sa1),
+        |h1r AS (
+        | SELECT n.node, coalesce(CAST(x.m AS DOUBLE),
+        |          CAST(0.0 AS DOUBLE)) AS raw
+        | FROM nodes n LEFT JOIN
+        |  (SELECT e.src, sum(CAST(round(a.s, 12) AS DECIMAL(38,12))) AS m
+        |   FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src) x
+        |  ON x.src = n.node),
+        |sh1 AS (SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(38,12)))
+        |         AS DOUBLE) AS s FROM h1r),
+        |h1 AS (SELECT node, round(raw / s, 9) AS s
+        |       FROM h1r CROSS JOIN sh1),
+        |a2r AS (
+        | SELECT n.node, coalesce(CAST(x.m AS DOUBLE),
+        |          CAST(0.0 AS DOUBLE)) AS raw
+        | FROM nodes n LEFT JOIN
+        |  (SELECT e.dst, sum(CAST(round(h.s, 12) AS DECIMAL(38,12))) AS m
+        |   FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst) x
+        |  ON x.dst = n.node),
+        |sa2 AS (SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(38,12)))
+        |         AS DOUBLE) AS s FROM a2r),
+        |a2 AS (SELECT node, round(raw / s, 9) AS s
+        |       FROM a2r CROSS JOIN sa2),
+        |h2r AS (
+        | SELECT n.node, coalesce(CAST(x.m AS DOUBLE),
+        |          CAST(0.0 AS DOUBLE)) AS raw
+        | FROM nodes n LEFT JOIN
+        |  (SELECT e.src, sum(CAST(round(a.s, 12) AS DECIMAL(38,12))) AS m
+        |   FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src) x
+        |  ON x.src = n.node),
+        |sh2 AS (SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(38,12)))
+        |         AS DOUBLE) AS s FROM h2r),
+        |h2 AS (SELECT node, round(raw / s, 9) AS s
+        |       FROM h2r CROSS JOIN sh2)
+        |SELECT h2.node, h2.s AS hub, a2.s AS authority
+        |FROM h2 JOIN a2 ON a2.node = h2.node""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT c_nationkey, CAST(c_custkey % 40 AS BIGINT) AS bucket,
+        | count(*) AS group_size,
+        | count(DISTINCT c_mktsegment) AS distinct_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_mktsegment) < 4""".stripMargin,
+
+    "q_fd_profile" ->
+      """WITH f1 AS (
+        | SELECT x, max(c) AS m, sum(c) AS t FROM
+        |  (SELECT o_orderkey AS x, o_custkey AS y, count(*) AS c
+        |   FROM orders GROUP BY 1, 2) GROUP BY x),
+        |f2 AS (
+        | SELECT x, max(c) AS m, sum(c) AS t FROM
+        |  (SELECT o_custkey AS x, o_orderstatus AS y, count(*) AS c
+        |   FROM orders GROUP BY 1, 2) GROUP BY x),
+        |f3 AS (
+        | SELECT x, max(c) AS m, sum(c) AS t FROM
+        |  (SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS c
+        |   FROM orders GROUP BY 1, 2) GROUP BY x)
+        |SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+        | CAST(sum(t) AS BIGINT) AS total_rows,
+        | count(*) AS ndv_determinant,
+        | CAST(sum(m) AS BIGINT) AS consistent_rows,
+        | round(CAST(sum(m) AS DOUBLE) / CAST(sum(t) AS BIGINT), 9)
+        |   AS confidence
+        |FROM f1
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderstatus', CAST(sum(t) AS BIGINT),
+        | count(*), CAST(sum(m) AS BIGINT),
+        | round(CAST(sum(m) AS DOUBLE) / CAST(sum(t) AS BIGINT), 9)
+        |FROM f2
+        |UNION ALL
+        |SELECT 'o_orderstatus', 'o_orderpriority', CAST(sum(t) AS BIGINT),
+        | count(*), CAST(sum(m) AS BIGINT),
+        | round(CAST(sum(m) AS DOUBLE) / CAST(sum(t) AS BIGINT), 9)
+        |FROM f3""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS nt
+        | FROM documents),
+        |k AS (
+        | SELECT doc_id, CAST(nt AS BIGINT) AS n_toks,
+        |  md5(CAST(doc_id AS VARCHAR)) ||
+        |    lpad(CAST(doc_id AS VARCHAR), 20, '0') AS okey
+        | FROM n WHERE nt > 0),
+        |c AS (
+        | SELECT doc_id, n_toks,
+        |  CAST(sum(n_toks) OVER (ORDER BY okey) AS BIGINT) AS cum
+        | FROM k)
+        |SELECT doc_id, n_toks, cum AS cum_toks
+        |FROM c WHERE cum <= 15000""".stripMargin,
 
     "q_cluster_dedup" ->
       """WITH RECURSIVE sh AS (

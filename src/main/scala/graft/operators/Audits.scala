@@ -198,6 +198,68 @@ object Audits {
   }
 
   /**
+   * l-diversity audit — [[kAnonymity]]'s sibling (Machanavajjhala et
+   * al. 2007): a quasi-identifier group that is k-anonymous but whose
+   * SENSITIVE attribute is (near-)constant still leaks it; this
+   * returns every group with fewer than `l` distinct sensitive values.
+   * Null sensitive values don't count as a diversity value (the SQL
+   * COUNT DISTINCT convention) — a group of all-null sensitives
+   * reports 0. One hash aggregate, map-side-combined; same release
+   * gate shape as kAnonymity (empty result = safe to publish).
+   *
+   * Output: (quasiCols…, group_size, distinct_sensitive).
+   */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, s"need quasi cols and l >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
+
+  /**
+   * Approximate functional-dependency profile (the data-profiling
+   * classic, cf. TANE / Metanome): for each candidate dependency
+   * X → Y, the fraction of rows CONSISTENT with it under the best
+   * possible mapping,
+   *
+   *   confidence = Σ_x max_y count(x, y) / N
+   *
+   * — 1.0 iff X determines Y exactly; 0.999 with a handful of
+   * violating rows is the "this is a real FD with dirty rows" signal
+   * that drives schema inference and key discovery over an unfamiliar
+   * 100 TB dump. NULL is treated as an ordinary value on both sides
+   * (the GROUP BY convention), so `NULL → y` violations count.
+   *
+   * Scale shape: per candidate pair one (x, y) hash aggregate, one
+   * per-x `max` aggregate (both map-side-combined — a billion-row hot
+   * x reduces in parallel), and category-cardinality sums; candidates
+   * are a caller-bounded list, unioned into one relation. The
+   * confidence is one IEEE division over exact longs.
+   *
+   * Output per pair: (determinant, dependent, total_rows,
+   * ndv_determinant, consistent_rows, confidence).
+   */
+  def fdConfidence(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "no candidate dependencies given")
+    deps.map { case (x, y) =>
+      val best = df.groupBy(col(x).as("__x"), col(y).as("__y"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__x"))
+        .agg(max(col("__c")).as("__m"), sum(col("__c")).as("__t"))
+      best.agg(
+        sum(col("__t")).as("total_rows"),
+        count(lit(1)).as("ndv_determinant"),
+        sum(col("__m")).as("consistent_rows"))
+        .select(lit(x).as("determinant"), lit(y).as("dependent"),
+          col("total_rows"), col("ndv_determinant"), col("consistent_rows"),
+          round(col("consistent_rows").cast("double") / col("total_rows"), 9)
+            .as("confidence"))
+    }.reduce(_ unionAll _)
+  }
+
+  /**
    * A2: per-column coverage — count of non-blank values per column,
    * single pass. Returns one row: total plus `<col>_coverage` counts.
    */

@@ -107,4 +107,208 @@ object Features {
         round((col("__s") + lit(m) * prior) / (col("n") + lit(m)), 6)
           .as("enc"))
   }
+
+  /**
+   * Multi-annotator label consolidation — the first step of every
+   * human-feedback data pipeline: each item was labeled by several
+   * annotators, and training wants ONE label per item plus how
+   * contested it was. The winner is the most-voted label, ties broken
+   * by the SMALLEST label, so the result is a pure function of the
+   * vote multiset (annotator identity only contributes a vote).
+   *
+   * Scale shape: two map-side-combined aggregates — (item, label) vote
+   * counts, then a per-item `min_by` over `struct(-votes, label)`
+   * (the Merger.bestPerTarget hot-key rewrite: an item labeled by
+   * millions of raters reduces in parallel; a row_number window would
+   * funnel it into one task). No window, no collect.
+   *
+   * `agreement` = winner votes / total votes — one IEEE division over
+   * exact longs, engine-exact.
+   *
+   * Output: (itemCol, label, votes, total, n_labels, agreement).
+   */
+  def majorityVote(df: DataFrame, itemCol: String, annotatorCol: String,
+                   labelCol: String): DataFrame = {
+    val votes = df
+      .filter(col(itemCol).isNotNull && col(annotatorCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    votes.groupBy(col(itemCol))
+      .agg(
+        min_by(col("__l"), struct((-col("__c")).as("__nc"), col("__l")))
+          .as("label"),
+        max(col("__c")).as("votes"),
+        sum(col("__c")).as("total"),
+        count(lit(1)).as("n_labels"))
+      .select(col(itemCol), col("label"), col("votes"), col("total"),
+        col("n_labels"),
+        round(col("votes").cast("double") / col("total"), 6).as("agreement"))
+  }
+
+  /**
+   * Fleiss' kappa — chance-corrected inter-annotator agreement over an
+   * (item, annotator, label) rating table, the go/no-go statistic for
+   * an annotation batch (Fleiss 1971, generalized to a variable number
+   * of ratings per item):
+   *
+   *   P_i  = Σ_j n_ij(n_ij−1) / (n_i(n_i−1))   agreement inside item i
+   *   P̄   = mean over items with n_i ≥ 2
+   *   p_j  = Σ_i n_ij / Σ_i n_i                category prevalence
+   *   P̄_e = Σ_j p_j²                           chance agreement
+   *   κ    = (P̄ − P̄_e) / (1 − P̄_e)
+   *
+   * Scale shape: (item, label) counts and per-item/per-category sums
+   * are map-side-combined aggregates; only CATEGORY-cardinality and
+   * single-row scalars cross a broadcast — items never leave the
+   * cluster. Single-category batches (P̄_e = 1) return NULL kappa
+   * (agreement is undefined, not perfect).
+   *
+   * Cross-engine float discipline: all counts exact longs; each P_i /
+   * p_j² is one mirrored double tree rounded to 12 and summed as
+   * DECIMAL(38,12) (order-free), and the final κ is a mirrored
+   * double chain rounded to 9.
+   *
+   * Output: one row (n_items, n_categories, n_ratings, p_bar, p_e,
+   * kappa).
+   */
+  def fleissKappa(df: DataFrame, itemCol: String, annotatorCol: String,
+                  labelCol: String): DataFrame = {
+    val nij = df
+      .filter(col(itemCol).isNotNull && col(annotatorCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__j"))
+      .agg(count(lit(1)).as("__c"))
+    // per-item agreement: Σ c(c−1) / (n(n−1)) for items with n ≥ 2
+    val perItem = nij.groupBy(col("__i"))
+      .agg(sum(col("__c") * (col("__c") - 1)).as("__num"),
+        sum(col("__c")).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(round(col("__num").cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"), 12)
+        .cast("decimal(38,12)").as("__pi"))
+    val pbar = perItem.agg(
+      (sum(col("__pi")).cast("double") / count(lit(1))).as("__pbar"),
+      count(lit(1)).as("n_items"))
+    // category prevalence over ALL ratings (single-rating items count)
+    val totals = nij.agg(sum(col("__c")).as("__nt"),
+      count(lit(1)).as("__ncells"))
+    val pe = nij.groupBy(col("__j")).agg(sum(col("__c")).as("__cj"))
+      .crossJoin(broadcast(totals.select(col("__nt"))))
+      .select(round(
+        (col("__cj").cast("double") / col("__nt")) *
+          (col("__cj").cast("double") / col("__nt")), 12)
+        .cast("decimal(38,12)").as("__pj2"))
+      .agg(sum(col("__pj2")).cast("double").as("__pe"),
+        count(lit(1)).as("n_categories"))
+    val counts = df
+      .filter(col(itemCol).isNotNull && col(annotatorCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .agg(count(lit(1)).as("n_ratings"))
+    broadcast(pbar).crossJoin(broadcast(pe)).crossJoin(broadcast(counts))
+      .select(col("n_items"), col("n_categories"), col("n_ratings"),
+        round(col("__pbar"), 9).as("p_bar"),
+        round(col("__pe"), 9).as("p_e"),
+        when(col("__pe") >= 1.0, lit(null).cast("double"))
+          .otherwise(round((col("__pbar") - col("__pe")) /
+            (lit(1.0) - col("__pe")), 9)).as("kappa"))
+  }
+
+  /**
+   * Bradley-Terry strength scores from pairwise preferences — the
+   * reward-modeling primitive: a preference corpus is (winner, loser)
+   * comparisons, and training wants a per-item latent strength p with
+   * P(i beats j) = p_i / (p_i + p_j). Fitted by the Zermelo/MM
+   * iteration (Hunter 2004, "MM algorithms for generalized Bradley-
+   * Terry models"):
+   *
+   *   p'_i = W_i / Σ_{j : n_ij > 0} n_ij / (p_i + p_j)
+   *
+   * with W_i = total wins of i and n_ij = games between i and j, then
+   * L1-normalized each round (Σ p = 1 pins the scale the likelihood
+   * leaves free). A FIXED iteration count makes the result a pure
+   * bounded-round function the oracle can unroll — and keeps items
+   * that never lose finite (their MLE diverges at convergence).
+   *
+   * `pseudo` adds half-win smoothing per observed pair in BOTH
+   * directions (the Arena-style pseudocount): W̃_i = W_i + pseudo ·
+   * #opponents and ñ_ij = n_ij + 2·pseudo. Besides the usual
+   * regularization this keeps every strength strictly positive — a
+   * zero-win item would otherwise hit p = 0 and put a 0/0 in its
+   * opponents' next denominator, where IEEE-vs-decimal
+   * divide-by-zero semantics diverge across engines.
+   *
+   * Scale shape: comparisons collapse to aggregated pair counts first
+   * (the data-scale reduction — a trillion comparisons become at most
+   * item² pair rows, in practice the sparse observed pairs), the
+   * symmetric games table persists PRE-PARTITIONED on `i` (the
+   * pageRank loop discipline) so each round's p-join is co-located,
+   * per-item denominators are map-side-combined sums (an item compared
+   * against millions reduces in parallel), and only the single
+   * normalization scalar crosses a broadcast.
+   *
+   * Cross-engine float discipline: per-pair terms round to 12 and sum
+   * as DECIMAL(38,12) (order-free); raw strengths and the normalizer
+   * are mirrored double chains; published strengths round to 9.
+   *
+   * Output: (item, wins, games, strength) — every item appearing in
+   * any comparison.
+   */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
+                   iterations: Int = 2, pseudo: Double = 0.5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(pseudo > 0, s"pseudo must be > 0: $pseudo")
+    val w = pairs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).as("__wi"), col(loserCol).as("__wj"))
+      .agg(count(lit(1)).as("__w"))
+    // symmetric games: n_ij as seen from each side (i, j, n)
+    val games = w.select(col("__wi").as("i"), col("__wj").as("j"), col("__w"))
+      .unionAll(w.select(col("__wj").as("i"), col("__wi").as("j"), col("__w")))
+      .groupBy(col("i"), col("j")).agg(sum(col("__w")).as("n"))
+      .repartition(col("i"))
+      .persist()
+    val wins = w.groupBy(col("__wi").as("i")).agg(sum(col("__w")).as("wins"))
+    val base = games.groupBy(col("i"))
+      .agg(sum(col("n")).as("games"), count(lit(1)).as("__nopp"))
+      .join(wins, Seq("i"), "left")
+      .select(col("i"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("games"),
+        (coalesce(col("wins"), lit(0L)).cast("double") +
+          lit(pseudo) * col("__nopp")).as("__wsm"))
+      .persist()
+    var p = base.select(col("i"), lit(1.0).as("p"))
+    var prev: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val denom = games
+        .join(p.select(col("i"), col("p").as("__pi")), Seq("i"))
+        .join(p.select(col("i").as("j"), col("p").as("__pj")), Seq("j"))
+        .select(col("i"),
+          round((col("n") + lit(2 * pseudo)) / (col("__pi") + col("__pj")), 12)
+            .cast("decimal(38,12)").as("__t"))
+        .groupBy(col("i")).agg(sum(col("__t")).cast("double").as("__d"))
+      val raw = base.join(denom, Seq("i"))
+        .select(col("i"), (col("__wsm") / col("__d")).as("__raw"))
+      val norm = raw.agg(
+        sum(round(col("__raw"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__s"))
+      val next = raw.crossJoin(broadcast(norm))
+        .select(col("i"), round(col("__raw") / col("__s"), 9).as("p"))
+        .persist()
+      next.count() // materialize before releasing the previous round
+      if (prev != null) prev.unpersist()
+      prev = next
+      p = next
+    }
+    val out = base.join(p, Seq("i"))
+      .select(col("i").as("item"), col("wins"), col("games"),
+        col("p").as("strength"))
+      .persist()
+    out.count()
+    if (prev != null) prev.unpersist()
+    games.unpersist()
+    base.unpersist()
+    out
+  }
 }

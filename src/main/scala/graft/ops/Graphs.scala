@@ -138,6 +138,100 @@ object Graphs {
   }
 
   /**
+   * HITS hubs-and-authorities (Kleinberg 1999) — the link-analysis
+   * complement to [[pageRank]]: an *authority* is pointed at by good
+   * hubs, a *hub* points at good authorities. The directory-vs-content
+   * decomposition a web-corpus pipeline reads alongside centrality
+   * (a link farm scores high-hub/low-authority; organic references
+   * the reverse). Fixed synchronous iterations, each
+   *
+   *   a'(v) = Σ_{u→v} h(u),   h'(u) = Σ_{u→v} a'(v)
+   *
+   * L1-normalized after every update (Σ a = Σ h = 1; the classic
+   * presentation normalizes L2, but an L1 scalar is one exact
+   * DECIMAL sum both engines share, and the ranking is identical).
+   * Parallel edges collapse (the graph is made simple), self-loops
+   * kept — a self-link is a real hub-to-authority endorsement in the
+   * model.
+   *
+   * Scale shape: the deduplicated edge list persists TWICE,
+   * pre-partitioned on src and on dst (each update joins on a
+   * different end; the [[pageRank]] loop discipline per copy). Per
+   * half-round: one co-located join, one map-side-combined DECIMAL
+   * sum (a 10M-in-degree hub reduces in parallel — no window), one
+   * left join onto the node set, one broadcast normalization scalar.
+   *
+   * Cross-engine float discipline: contributions round to 12 and sum
+   * as DECIMAL(38,12); normalized scores round to 9; the normalizer
+   * is itself a round-12 DECIMAL sum — so per-iteration drift can
+   * never exceed the rounding grid (the [[pageRank]] convention).
+   *
+   * Output: (node, hub, authority) over every node of the simple
+   * graph; persisted, caller may unpersist.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val eBySrc = e0.repartition(col("src")).persist()
+    val eByDst = e0.repartition(col("dst")).persist()
+    val nodes = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
+      .distinct()
+      .repartition(col("node"))
+      .persist()
+    // one normalized score pass: joinKey is the edge end carrying the
+    // summed score, outKey the end receiving it
+    def update(score: DataFrame, e: DataFrame, joinKey: String,
+               outKey: String): DataFrame = {
+      val raw = e
+        .join(score.withColumnRenamed("node", "__sn"),
+          col(joinKey) === col("__sn"))
+        .select(col(outKey),
+          round(col("s"), 12).cast("decimal(38,12)").as("__m"))
+        .groupBy(col(outKey))
+        .agg(sum(col("__m")).cast("double").as("__raw"))
+      val withNodes = nodes
+        .join(raw, col("node") === col(outKey), "left")
+        .select(col("node"), coalesce(col("__raw"), lit(0.0)).as("__raw"))
+      val norm = withNodes.agg(
+        sum(round(col("__raw"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__s"))
+      withNodes.crossJoin(broadcast(norm))
+        .select(col("node"), round(col("__raw") / col("__s"), 9).as("s"))
+    }
+    var h = nodes.select(col("node"), lit(1.0).as("s"))
+    var a: DataFrame = null
+    var prevH: DataFrame = null
+    var prevA: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val aNext = update(h, eBySrc, joinKey = "src", outKey = "dst").persist()
+      aNext.count()
+      val hNext = update(aNext, eByDst, joinKey = "dst", outKey = "src").persist()
+      hNext.count() // materialize before releasing the previous round
+      if (prevA != null) prevA.unpersist()
+      if (prevH != null) prevH.unpersist()
+      prevA = aNext
+      prevH = hNext
+      a = aNext
+      h = hNext
+    }
+    val out = h.withColumnRenamed("s", "hub")
+      .join(a.select(col("node"), col("s").as("authority")), Seq("node"))
+      .persist()
+    out.count()
+    if (prevA != null) prevA.unpersist()
+    if (prevH != null) prevH.unpersist()
+    nodes.unpersist()
+    eBySrc.unpersist()
+    eByDst.unpersist()
+    out
+  }
+
+  /**
    * Synchronous label propagation (community detection / weak-label
    * spreading), fixed iteration count, fully deterministic: labels
    * start as the node's own id, each round every node takes the label

@@ -334,6 +334,43 @@ object TextAnalysis {
   }
 
   /**
+   * Token-budget subset — "give me a reproducible N-token slice of
+   * this corpus": documents are laid out in content-hash order (md5 of
+   * the id, id-padded into the key so the order is total — the
+   * [[graft.ops.Packing.shufflePositions]] key) and the maximal PREFIX
+   * of whole documents whose tokens fit `budgetTokens` is kept. Hash
+   * order makes the slice an unbiased sample that is stable across
+   * runs, clusters, and partition counts, and MONOTONE in the budget:
+   * raising it only adds documents (the [[sampleByHash]] property, but
+   * exact in tokens rather than approximate in rows — a training run
+   * budgeted in tokens wants the former).
+   *
+   * Scale shape: the global token offset is
+   * [[graft.ops.Packing.withPrefixSum]]'s distributed exclusive prefix
+   * sum — one range shuffle plus a shuffle-free streaming pass; the
+   * driver sees one total per partition, never rows. No global window.
+   * All arithmetic exact longs; empty documents carry no tokens and
+   * are dropped.
+   *
+   * Output: (idCol, n_toks, cum_toks), cum_toks ≤ budgetTokens.
+   */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val withN = df
+      .select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("__okey",
+        concat(md5(col(idCol).cast("string")),
+          lpad(col(idCol).cast("string"), 20, "0")))
+    Packing.withPrefixSum(withN, "__okey", col("n_toks"), "__off")
+      .filter(col("__off") + col("n_toks") <= budgetTokens)
+      .select(col(idCol), col("n_toks"),
+        (col("__off") + col("n_toks")).as("cum_toks"))
+  }
+
+  /**
    * Weighted mixture sampling — the data-mixing step of corpus
    * assembly: each row's keep decision uses the per-class rate of its
    * `cls` value (e.g. upsample books, downsample web). Built on
@@ -383,6 +420,51 @@ object TextAnalysis {
         else math.min(1.0, budget.toDouble * w / avail.toDouble)
       c -> rate
     }
+  }
+
+  /**
+   * Temperature-scaled mixture rates — the multilingual/multi-domain
+   * rebalancing recipe (the mT5/XLM-R sampling rule): class shares
+   * follow n^α instead of n, so α < 1 flattens the head and lifts the
+   * tail (α = 1 is proportional, α → 0 uniform),
+   *
+   *   weight_c = n_c^α / Σ_d n_d^α,   rate_c = min(1, budget·weight_c / n_c)
+   *
+   * The rate column feeds [[mixtureSample]] directly (classes only
+   * downsample — the [[mixtureRates]] convention; a deficit class caps
+   * at 1 and lands under target).
+   *
+   * Scale: one class-cardinality aggregate + one broadcast normalizer
+   * scalar. Cross-engine note: α = 0.5 (the common default) computes
+   * via `sqrt`, which IEEE requires correctly rounded — bit-exact on
+   * every engine; other α use `pow`, where engines may differ in the
+   * last ulp (the round-6 on the weight absorbs it away from rate
+   * boundaries, but only sqrt is exact by construction).
+   *
+   * Output: (clsCol, n_tokens, weight, rate).
+   */
+  def temperatureMixtureRates(df: DataFrame, clsCol: String,
+                              tokenCol: String, budget: Long,
+                              alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val totals = df
+      .filter(col(clsCol).isNotNull)
+      .groupBy(col(clsCol))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), lit(alpha))
+    val weighted = totals.withColumn("__w", round(wRaw, 6))
+    val norm = weighted.agg(
+      sum(col("__w").cast("decimal(38,6)")).cast("double").as("__s"))
+    weighted.crossJoin(broadcast(norm))
+      .select(col(clsCol), col("n_tokens"),
+        round(col("__w") / col("__s"), 9).as("weight"),
+        round(least(lit(1.0),
+          lit(budget.toDouble) * (col("__w") / col("__s")) /
+            col("n_tokens")), 9).as("rate"))
   }
 
   /**

@@ -203,4 +203,85 @@ class ClustersSpec extends SparkSpec {
     assert(te("a") == (("a", 2L, 15.0)))
     assert(te("b")._3 == 26.666667)
   }
+
+  test("majorityVote: winner, smallest-label tie-break, agreement") {
+    import spark.implicits._
+    import graft.ops.Features
+    val ratings = Seq[(java.lang.Long, java.lang.Long, String)](
+      // item 1: b wins 2-1
+      (1L, 10L, "b"), (1L, 11L, "b"), (1L, 12L, "a"),
+      // item 2: a/b tie 2-2 -> smallest label a
+      (2L, 10L, "b"), (2L, 11L, "a"), (2L, 12L, "b"), (2L, 13L, "a"),
+      // item 3: unanimous
+      (3L, 10L, "c"),
+      // nulls drop
+      (4L, 10L, null), (null, 10L, "a"))
+      .toDF("item", "annot", "label")
+    val out = Features.majorityVote(ratings, "item", "annot", "label")
+      .as[(Long, String, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "b", 2L, 3L, 2L, 0.666667)))
+    assert(out(2L) == ((2L, "a", 2L, 4L, 2L, 0.5)))
+    assert(out(3L) == ((3L, "c", 1L, 1L, 1L, 1.0)))
+    assert(!out.contains(4L))
+  }
+
+  test("fleissKappa: Fleiss 1971 worked example; degenerate cases") {
+    import spark.implicits._
+    import graft.ops.Features
+    // the classic 10-subject / 14-rater / 5-category table
+    // (Fleiss 1971, table 1): published kappa = 0.210
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = for {
+      (cats, i) <- table.zipWithIndex
+      (c, j) <- cats.zipWithIndex
+      r <- 0 until c
+    } yield (i.toLong, (j * 100 + r).toLong, s"cat$j")
+    val out = Features.fleissKappa(rows.toDF("item", "annot", "label"),
+      "item", "annot", "label")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(out._1 == 10L && out._2 == 5L && out._3 == 140L)
+    assert(math.abs(out._4 - 0.378021978) < 1e-6) // P-bar = 688/1820
+    assert(math.abs(out._5 - 0.212755102) < 1e-6) // P-e
+    assert(math.abs(out._6 - 0.209930700) < 1e-5) // kappa (pub. 0.210)
+    // single category: P_e = 1 -> kappa undefined (null), not 1.0
+    val one = Features.fleissKappa(
+      Seq((1L, 1L, "x"), (1L, 2L, "x"), (2L, 1L, "x"), (2L, 2L, "x"))
+        .toDF("item", "annot", "label"), "item", "annot", "label")
+    assert(one.collect()(0).isNullAt(5))
+  }
+
+  test("bradleyTerry: transitive order, symmetry, smoothing floor") {
+    import spark.implicits._
+    import graft.ops.Features
+    // A beats B 3-0, B beats C 3-0, A beats C 3-0
+    val pr = Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
+      Seq.fill(3)(("A", "C"))
+    val out = Features.bradleyTerry(pr.toDF("w", "l"), "w", "l",
+      iterations = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("A")._2 == 6L && out("A")._3 == 6L)
+    assert(out("B")._2 == 3L && out("B")._3 == 6L)
+    assert(out("C")._2 == 0L && out("C")._3 == 6L)
+    assert(out("A")._4 > out("B")._4 && out("B")._4 > out("C")._4)
+    // zero-win item keeps a strictly positive (smoothed) strength
+    assert(out("C")._4 > 0.0)
+    // L1-normalized
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-6)
+    // perfectly symmetric record -> equal strengths 0.5 each
+    val sym = Features.bradleyTerry(
+      Seq(("X", "Y"), ("Y", "X"), ("X", "Y"), ("Y", "X")).toDF("w", "l"),
+      "w", "l", iterations = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(sym("X") == 0.5 && sym("Y") == 0.5)
+    // layout invariance: same result from a different partitioning
+    val re = Features.bradleyTerry(pr.toDF("w", "l").repartition(7),
+      "w", "l", iterations = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(re == out)
+  }
 }

@@ -3283,4 +3283,92 @@ class OpsSpec extends SparkSpec {
     out2.unpersist()
     assert(m2 == m)
   }
+
+  test("hits: hub/authority separation, normalization, layout") {
+    import graft.ops.Graphs
+    // node 1 points at 3 sinks (pure hub); node 5 pointed at by 3
+    // sources (pure authority); 9->9 self-loop stays a real edge;
+    // a 10->11 parallel edge collapses
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L),
+      (6L, 5L), (7L, 5L), (8L, 5L),
+      (9L, 9L), (10L, 11L), (10L, 11L)).toDF("src", "dst")
+    val out = Graphs.hits(edges, "src", "dst", iterations = 2)
+    val m = out.as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out.unpersist()
+    assert(m.size == 11)
+    // the 3-fan hub carries the max hub score; its sinks carry no hub
+    assert(m(1L)._1 == m.values.map(_._1).max)
+    assert(m(2L)._1 == 0.0 && m(2L)._2 > 0.0)
+    // the 3-fan authority carries the max authority; its sources none
+    assert(m(5L)._2 == m.values.map(_._2).max)
+    assert(m(6L)._2 == 0.0 && m(6L)._1 > 0.0)
+    // L1 normalization on both scores
+    assert(math.abs(m.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-6)
+    // layout invariance
+    val out2 = Graphs.hits(edges.repartition(7), "src", "dst", iterations = 2)
+    val m2 = out2.as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out2.unpersist()
+    assert(m2 == m)
+  }
+
+  test("lDiversity flags low-diversity groups; null sensitives don't count") {
+    import graft.operators.Audits
+    val df = Seq(
+      ("g1", "s1"), ("g1", "s2"), ("g1", "s3"),   // diverse: passes
+      ("g2", "s1"), ("g2", "s1"), ("g2", "s2"),   // 2 distinct: fails l=3
+      ("g3", null), ("g3", null)                  // 0 distinct: fails
+    ).toDF("q", "sens")
+    val out = Audits.lDiversity(df, Seq("q"), "sens", l = 3)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("g2", "g3"))
+    assert(out("g2") == (("g2", 3L, 2L)))
+    assert(out("g3") == (("g3", 2L, 0L)))
+  }
+
+  test("fdConfidence: exact FD = 1.0, near-FD counts dirty rows") {
+    import graft.operators.Audits
+    val df = Seq(
+      (1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"),
+      (4L, "a", "x"), (5L, "a", "z")  // a maps x,x,z -> best 2 of 3
+    ).toDF("id", "k", "v")
+    val out = Audits.fdConfidence(df, Seq("id" -> "k", "k" -> "v"))
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // id is a key: exact FD
+    assert(out("id") == (("id", "k", 5L, 5L, 5L, 1.0)))
+    // k->v: a: best 2/3, b: 1/1, c: 1/1 -> 4/5
+    assert(out("k") == (("k", "v", 5L, 3L, 4L, 0.8)))
+  }
+
+  test("tokenBudgetSample: prefix under budget, monotone, layout") {
+    val df = Seq(
+      (1L, "one two three"), (2L, "four five"), (3L, "six"),
+      (4L, "seven eight nine ten"), (5L, ""), (6L, "  ")
+    ).toDF("doc_id", "text")
+    // budget covers everything: all non-empty docs, cum = total
+    val all = TextAnalysis.tokenBudgetSample(df, "doc_id", "text", 100L)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(all.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(all.last._3 == 10L)
+    // offsets are a permutation-consistent cumsum: each cum = prev + n
+    assert(all.scanLeft(0L)(_ + _._2).tail.toSeq == all.map(_._3).toSeq)
+    // smaller budgets nest: kept(b1) subset of kept(b2) for b1 < b2
+    val keeps = Seq(3L, 5L, 7L, 10L).map { b =>
+      TextAnalysis.tokenBudgetSample(df, "doc_id", "text", b)
+        .as[(Long, Long, Long)].collect().map(_._1).toSet
+    }
+    keeps.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b)) }
+    // every kept doc fits entirely: max cum <= budget
+    val five = TextAnalysis.tokenBudgetSample(df, "doc_id", "text", 5L)
+      .as[(Long, Long, Long)].collect()
+    assert(five.isEmpty || five.map(_._3).max <= 5L)
+    // layout invariance
+    val re = TextAnalysis.tokenBudgetSample(df.repartition(7), "doc_id",
+      "text", 100L).as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(re.toSeq == all.toSeq)
+  }
 }
