@@ -1001,6 +1001,41 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         budgetTokens = 15000L)),
 
+    // MAD robust outlier flags: median/MAD fence per event type — the
+    // heavy-tail-safe z-score (two exact-percentile aggregates)
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.ops.Ranking.madOutliers(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", k = 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("robust_z"), col("is_outlier"))),
+
+    // temperature-scaled mixture rates (the mT5/XLM-R n^alpha rule):
+    // alpha=0.5 flattens the language head, sqrt keeps it bit-exact
+    "q_temperature_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureMixtureRates(
+        t(s, dir, "documents")
+          .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt")),
+        "lang", "nt", budget = 10000L, alpha = 0.5)),
+
+    // k-center greedy coreset (farthest-point sampling): 10 maximally
+    // diverse embeddings — rows-only gate (iterative argmax has no SQL
+    // oracle); OpsSpec pins cluster coverage and determinism
+    "q_kcenter" -> ((s, dir) =>
+      graft.ops.Similarity.kCenterGreedy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
+
+    // embedding centroid drift between two snapshot halves: per-label
+    // centroid cosine + L2 shift — the vector-space tableDiff
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+    }),
+
     "q_cluster_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -3752,6 +3787,87 @@ object SparkEntry {
         | FROM k)
         |SELECT doc_id, n_toks, cum AS cum_toks
         |FROM c WHERE cum <= 15000""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH m AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (
+        | SELECT e.event_id, e.event_type, e.value, m.med
+        | FROM events e JOIN m USING (event_type)
+        | WHERE e.value IS NOT NULL),
+        |md AS (
+        | SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        | FROM d GROUP BY 1),
+        |z AS (
+        | SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+        |  CASE WHEN md.mad > CAST(0.0 AS DOUBLE) THEN
+        |   round((d.value - d.med) /
+        |     (CAST(1.4826 AS DOUBLE) * md.mad), 6) END AS robust_z
+        | FROM d JOIN md USING (event_type))
+        |SELECT event_id, event_type, value, med, mad, robust_z,
+        | (mad > CAST(0.0 AS DOUBLE)
+        |   AND abs(robust_z) > CAST(3.5 AS DOUBLE)) AS is_outlier
+        |FROM z""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH n AS (
+        | SELECT lang,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS nt
+        | FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |      FROM n GROUP BY lang HAVING sum(nt) > 0),
+        |w AS (SELECT lang, n_tokens,
+        |       round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS w FROM t),
+        |s AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS s
+        |      FROM w)
+        |SELECT lang, n_tokens, round(w / s, 9) AS weight,
+        | round(least(CAST(1.0 AS DOUBLE),
+        |   CAST(10000.0 AS DOUBLE) * (w / s) / n_tokens), 9) AS rate
+        |FROM w CROSS JOIN s""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH v AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        | FROM embeddings
+        | WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |bx AS (
+        | SELECT label, pos, e[pos] AS x FROM
+        |  (SELECT label, e, unnest(generate_series(1, len(e))) AS pos
+        |   FROM v WHERE vec_id % 2 = 0)),
+        |bm AS (
+        | SELECT label, pos,
+        |  CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |    / count(*) AS m,
+        |  count(*) AS n
+        | FROM bx GROUP BY 1, 2),
+        |bl AS (SELECT label, max(n) AS n_before,
+        |       list(m ORDER BY pos) AS mb FROM bm GROUP BY 1),
+        |ax AS (
+        | SELECT label, pos, e[pos] AS x FROM
+        |  (SELECT label, e, unnest(generate_series(1, len(e))) AS pos
+        |   FROM v WHERE vec_id % 2 = 1)),
+        |am AS (
+        | SELECT label, pos,
+        |  CAST(sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |    / count(*) AS m,
+        |  count(*) AS n
+        | FROM ax GROUP BY 1, 2),
+        |al AS (SELECT label, max(n) AS n_after,
+        |       list(m ORDER BY pos) AS ma FROM am GROUP BY 1)
+        |SELECT bl.label, bl.n_before, al.n_after,
+        | list_aggregate(list_transform(generate_series(1, len(bl.mb)),
+        |   i -> bl.mb[i] * al.ma[i]), 'sum') /
+        | (sqrt(list_aggregate(list_transform(generate_series(1, len(bl.mb)),
+        |   i -> bl.mb[i] * bl.mb[i]), 'sum')) *
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(al.ma)),
+        |   i -> al.ma[i] * al.ma[i]), 'sum'))) AS centroid_cosine,
+        | sqrt(list_aggregate(list_transform(generate_series(1, len(bl.mb)),
+        |   i -> (bl.mb[i] - al.ma[i]) * (bl.mb[i] - al.ma[i])), 'sum'))
+        |   AS l2_shift
+        |FROM bl JOIN al USING (label)""".stripMargin,
 
     "q_cluster_dedup" ->
       """WITH RECURSIVE sh AS (

@@ -87,4 +87,49 @@ object Ranking {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /**
+   * Robust per-group outlier flags via median absolute deviation —
+   * the z-score's heavy-tail-safe sibling (a single 1e9 value drags a
+   * mean/stddev fence to uselessness; the median/MAD fence doesn't
+   * move). Per group g:
+   *
+   *   med = median(x),  mad = median(|x − med|)
+   *   robust_z = (x − med) / (1.4826·mad)      (1.4826 ≈ 1/Φ⁻¹(3/4),
+   *                                             the normal-consistency
+   *                                             constant)
+   *   is_outlier = mad > 0 AND |robust_z| > k
+   *
+   * A zero MAD (≥ half the group identical) flags nothing and leaves
+   * `robust_z` NULL — a degenerate group should page a human via the
+   * distribution audit, not flag half its rows.
+   *
+   * Scale: two keyed EXACT-percentile aggregates (Spark's `percentile`
+   * sketches per partition and merges — no global sort) plus two
+   * broadcast-size joins back (group-cardinality rows). Same
+   * cross-engine contract as the winsorize gate: `percentile` ↔
+   * `quantile_cont` linear interpolation, the fence comparison a
+   * mirrored IEEE tree (1.4826 enters as the same double literal on
+   * both engines).
+   *
+   * Output: input columns + (med, mad, robust_z, is_outlier).
+   */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val base = df.filter(col(valueCol).isNotNull)
+    val med = base.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = base.join(broadcast(med), Seq(groupCol))
+    val mad = withMed
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("mad") > 0.0,
+          round((col(valueCol) - col("med")) /
+            (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier",
+        col("mad") > 0.0 && abs(col("robust_z")) > k)
+  }
 }

@@ -1308,4 +1308,135 @@ object Similarity {
     val cb = pqTrain(rc, idCol, vecCol, m, kCent, iterations)
     pqTopK(rc, rq, idCol, vecCol, cb, k, shortlistFactor)
   }
+
+  /**
+   * k-center greedy coreset selection (farthest-point sampling — the
+   * classic 2-approximation to the k-center cover, Gonzalez 1985; the
+   * diversity-subset selector behind embedding-based data-selection
+   * recipes): start from the smallest id, then k−1 times pick the
+   * point FARTHEST (max cosine distance, smallest id on ties) from
+   * the already-chosen set. The selection covers the embedding space
+   * — every point is within the final coverage radius of a chosen
+   * center — which is exactly what "pick k maximally diverse
+   * examples" means.
+   *
+   * Scale shape: the O(k·n) incremental form — the corpus persists
+   * ONCE with a running min-distance column; each round updates it
+   * against only the ONE new center (a broadcast literal vector, no
+   * join) and takes the global argmax as a TakeOrdered(1) (per-
+   * partition max + driver merge of nPartitions rows — never a global
+   * sort). Driver state is k centers — bounded by construction, the
+   * KMeans-seeds convention. Inherently k sequential rounds; k is a
+   * sample size, not data-scale.
+   *
+   * Zero-norm vectors have no cosine direction: their distance reads
+   * as 0 (`nanvl`), so they are never picked as "far" — the safe
+   * default for padding rows.
+   *
+   * Output: (order, id, dist) — selection order (0-based), the chosen
+   * id, and its min cosine distance to the prior centers at selection
+   * time (order 0 has dist NULL; the LAST row's dist is the final
+   * coverage radius' lower bound sequence, monotone non-increasing).
+   */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def vecLit(v: Array[Double]): Column = array(v.map(lit).toIndexedSeq: _*)
+    val c = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("__v"))
+    val seed = c.orderBy(col("id").asc).limit(1)
+      .as[(Long, Seq[Double])].collect()
+    require(seed.nonEmpty, "empty corpus")
+    var selected = List((seed(0)._1, seed(0)._2.toArray,
+      null.asInstanceOf[java.lang.Double]))
+    var state = c
+      .withColumn("__dmin",
+        nanvl(lit(1.0) - cosine(col("__v"), vecLit(seed(0)._2.toArray)),
+          lit(0.0)))
+      .persist()
+    state.count()
+    (2 to k).foreach { _ =>
+      val chosenIds = selected.map(_._1)
+      val far = state
+        .filter(!col("id").isin(chosenIds: _*))
+        .orderBy(col("__dmin").desc, col("id").asc)
+        .limit(1)
+        .as[(Long, Seq[Double], Double)].collect()
+      if (far.nonEmpty) {
+        val (fid, fvec, fd) = (far(0)._1, far(0)._2.toArray, far(0)._3)
+        selected = (fid, fvec, java.lang.Double.valueOf(fd)) :: selected
+        val next = state
+          .withColumn("__dmin", least(col("__dmin"),
+            nanvl(lit(1.0) - cosine(col("__v"), vecLit(fvec)), lit(0.0))))
+          .persist()
+        next.count() // materialize before releasing the previous round
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    selected.reverse.zipWithIndex
+      .map { case ((id, _, d), i) =>
+        (i.toLong, id, Option(d).map(_.doubleValue)) }
+      .toDF("order", "id", "dist")
+  }
+
+  /**
+   * Embedding drift between two corpus snapshots — the
+   * model-retraining tripwire: per key (class, language, source…),
+   * compare the CENTROIDS of the before/after embedding sets. A
+   * centroid cosine well below 1 means the population this key feeds
+   * the model MOVED (new scraper, upstream encoder change, poisoned
+   * source) — the vector-space face of [[graft.operators
+   * .Audits.tableDiff]], built to diff two [[graft.sources
+   * .SnapshotStore]] versions of an embeddings table.
+   *
+   * Scale shape: each side is one posexplode + (key, pos) map-side-
+   * combined aggregate (dim × rows intermediate, aggregated before any
+   * join), then key-cardinality rows re-assemble per-key mean vectors
+   * and join on key. No data-scale join, no window, nothing driver-
+   * side.
+   *
+   * Cross-engine float discipline: per-position sums round elements
+   * to 12 and accumulate as DECIMAL(38,12) (order-free ⇒ layout-
+   * invariant means); the centroid cosine and L2 shift are sequential
+   * index-order folds over those exact means (the [[cosine]] kernel /
+   * list_aggregate contract).
+   *
+   * Output: (key, n_before, n_after, centroid_cosine, l2_shift) for
+   * keys present on BOTH sides (a key that appeared or vanished is
+   * [[graft.operators.Audits.tableDiff]]'s job, not drift).
+   */
+  def embeddingDrift(before: DataFrame, after: DataFrame,
+                     keyCol: String, vecCol: String): DataFrame = {
+    def centroids(df: DataFrame, nName: String, mName: String): DataFrame = {
+      val m = df
+        .filter(col(keyCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(keyCol).as("__k"),
+          posexplode(toDoubleVec(col(vecCol))).as(Seq("__p", "__x")))
+        .groupBy(col("__k"), col("__p"))
+        .agg(sum(round(col("__x"), 12).cast("decimal(38,12)")).as("__sx"),
+          count(lit(1)).as("__n"))
+        .select(col("__k"), col("__p"), col("__n"),
+          (col("__sx").cast("double") / col("__n")).as("__m"))
+      m.groupBy(col("__k"))
+        .agg(max(col("__n")).as(nName),
+          array_sort(collect_list(struct(col("__p"), col("__m"))))
+            .as("__pm"))
+        .select(col("__k"), col(nName),
+          transform(col("__pm"), s => s.getField("__m")).as(mName))
+    }
+    val b = centroids(before, "n_before", "__mb")
+    val a = centroids(after, "n_after", "__ma")
+    b.join(a, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_before"), col("n_after"),
+        cosine(col("__mb"), col("__ma")).as("centroid_cosine"),
+        sqrt(aggregate(
+          zip_with(col("__mb"), col("__ma"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)).as("l2_shift"))
+  }
 }

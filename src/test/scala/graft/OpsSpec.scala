@@ -3344,6 +3344,102 @@ class OpsSpec extends SparkSpec {
     assert(out("k") == (("k", "v", 5L, 3L, 4L, 0.8)))
   }
 
+  test("madOutliers: robust fence, zero-MAD guard, null values drop") {
+    import graft.ops.Ranking
+    val df = Seq[(Long, String, java.lang.Double)](
+      // group a: 1..9 plus a wild 1000 — med = (5+6)/2 = 5.5;
+      // |x-med| sorted = 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5
+      // -> mad = 2.5; fence 3.5·1.4826·2.5 ≈ 12.97
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "a", 5.0), (6L, "a", 6.0), (7L, "a", 7.0), (8L, "a", 8.0),
+      (9L, "a", 9.0), (10L, "a", 1000.0),
+      // group b: constant -> MAD 0, nothing flags, z null
+      (11L, "b", 7.0), (12L, "b", 7.0), (13L, "b", 99.0),
+      (14L, "a", null))
+      .toDF("id", "g", "v")
+    val out = Ranking.madOutliers(df, "g", "v", k = 3.5)
+      .select("id", "med", "mad", "robust_z", "is_outlier")
+      .as[(Long, Double, Double, Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(14L)) // null value dropped
+    assert(out(5L)._2 == 5.5 && out(5L)._3 == 2.5)
+    assert(!out(5L)._5 && out(10L)._5) // only the 1000 flags in a
+    assert(out(1L)._4.isDefined && !out(1L)._5)
+    // group b: med 7, mad 0 -> no flags even for the 99
+    assert(out(13L)._3 == 0.0 && out(13L)._4.isEmpty && !out(13L)._5)
+    assert(!out(11L)._5)
+  }
+
+  test("temperatureMixtureRates: sqrt flattening, rate cap, zero drop") {
+    val df = Seq(("a", 9), ("b", 1), ("c", 0), (null, 5))
+      .toDF("cls", "nt")
+    val out = TextAnalysis
+      .temperatureMixtureRates(df, "cls", "nt", budget = 8L, alpha = 0.5)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // weights: sqrt(9)=3, sqrt(1)=1 -> 0.75/0.25 (class c and null drop)
+    assert(out.keySet == Set("a", "b"))
+    assert(out("a") == (("a", 9L, 0.75, 0.666666667)))
+    // b's fair share (2 tokens) exceeds its 1 token -> rate caps at 1
+    assert(out("b") == (("b", 1L, 0.25, 1.0)))
+  }
+
+  test("kCenterGreedy: cluster coverage, seed, determinism") {
+    import graft.ops.Similarity
+    // three tight clusters around orthogonal directions + a zero vector
+    def jitter(base: Array[Double], eps: Double) =
+      base.map(_ + eps).toSeq
+    val rows =
+      (0 to 2).map(i => (i.toLong, jitter(Array(1.0, 0, 0), i * 0.001))) ++
+      (10 to 12).map(i => (i.toLong, jitter(Array(0, 1.0, 0), (i - 10) * 0.001))) ++
+      (20 to 22).map(i => (i.toLong, jitter(Array(0, 0, 1.0), (i - 20) * 0.001))) ++
+      Seq((30L, Seq(0.0, 0.0, 0.0)))
+    val df = rows.toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val out = Similarity.kCenterGreedy(df, "vec_id", "emb", k = 3)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    // seed is the smallest id; k=3 covers one point per cluster
+    assert(out(0) == ((0L, 0L, None)))
+    assert(out.map(_._2 / 10).toSet == Set(0L, 1L, 2L))
+    // dist sequence monotone non-increasing after the seed
+    val ds = out.drop(1).map(_._3.get)
+    assert(ds.sorted.reverse.toSeq == ds.toSeq)
+    // the zero vector reads dist 0 everywhere and is never picked
+    assert(!out.map(_._2).contains(30L))
+    // determinism under a different layout
+    val re = Similarity.kCenterGreedy(df.repartition(7), "vec_id", "emb", 3)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
+
+  test("embeddingDrift: identical halves cosine 1, planted shift") {
+    import graft.ops.Similarity
+    val before = Seq(
+      (1L, "x", Seq(1.0f, 0.0f)), (2L, "x", Seq(0.0f, 1.0f)),
+      (3L, "y", Seq(2.0f, 2.0f)))
+      .toDF("id", "k", "emb")
+    val afterSame = Seq(
+      (4L, "x", Seq(0.5f, 0.5f)), // == centroid of before's x
+      (5L, "y", Seq(2.0f, 2.0f)), (6L, "y", Seq(2.0f, 2.0f)))
+      .toDF("id", "k", "emb")
+    val out = Similarity.embeddingDrift(before, afterSame, "k", "emb")
+      .as[(String, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // same centroid: cosine 1 up to the sqrt(x)·sqrt(x) ulp, shift 0
+    assert(out("x")._2 == 2L && out("x")._3 == 1L && out("x")._5 == 0.0)
+    assert(math.abs(out("x")._4 - 1.0) < 1e-12)
+    assert(out("y")._2 == 1L && out("y")._3 == 2L && out("y")._5 == 0.0)
+    assert(math.abs(out("y")._4 - 1.0) < 1e-12)
+    // planted 90-degree shift on x
+    val afterShift = Seq((7L, "x", Seq(-0.5f, 0.5f)))
+      .toDF("id", "k", "emb")
+    val drift = Similarity.embeddingDrift(before, afterShift, "k", "emb")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(drift.keySet == Set("x")) // y absent from after: no row
+    assert(math.abs(drift("x")._4 - 0.0) < 1e-9) // orthogonal centroids
+    assert(drift("x")._5 == 1.0) // |(0.5,0.5)-(-0.5,0.5)| = 1
+  }
+
   test("tokenBudgetSample: prefix under budget, monotone, layout") {
     val df = Seq(
       (1L, "one two three"), (2L, "four five"), (3L, "six"),
