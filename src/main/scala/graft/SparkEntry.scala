@@ -1036,6 +1036,31 @@ object SparkEntry {
         "label", "embedding")
     }),
 
+    // ranked lists -> preference pairs (the DPO/reward-data prep step,
+    // bradleyTerry's input shape); group-capped before the self-join
+    "q_preference_pairs" -> ((s, dir) =>
+      graft.ops.Features.preferencePairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        "l_extendedprice", maxGroupSize = 1000)),
+
+    // exact ROC-AUC via the Mann-Whitney rank probability: per-score
+    // counts + a distributed prefix sum — never a global window
+    "q_roc_auc" -> ((s, dir) =>
+      graft.operators.Audits.rocAuc(
+        t(s, dir, "events")
+          .select(col("value"),
+            (col("event_type") === "purchase").as("y")),
+        "value", "y")),
+
+    // reliability table (the ECE ledger): per-bin confidence vs
+    // accuracy of a [0,1] score against a boolean label
+    "q_calibration" -> ((s, dir) =>
+      graft.operators.Audits.calibrationTable(
+        t(s, dir, "events")
+          .select(((col("event_id") % 97) / lit(97.0)).as("score"),
+            (col("event_type") === "purchase").as("y")),
+        "score", "y", bins = 10)),
+
     "q_cluster_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -3868,6 +3893,63 @@ object SparkEntry {
         |   i -> (bl.mb[i] - al.ma[i]) * (bl.mb[i] - al.ma[i])), 'sum'))
         |   AS l2_shift
         |FROM bl JOIN al USING (label)""".stripMargin,
+
+    "q_preference_pairs" ->
+      """WITH it AS (
+        | SELECT l_orderkey AS g, l_partkey AS i,
+        |        max(CAST(l_extendedprice AS DOUBLE)) AS s
+        | FROM lineitem
+        | WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |   AND l_extendedprice IS NOT NULL
+        | GROUP BY 1, 2),
+        |keep AS (
+        | SELECT * FROM it WHERE g IN
+        |  (SELECT g FROM it GROUP BY g HAVING count(*) <= 1000))
+        |SELECT a.g AS l_orderkey, a.i AS winner, b.i AS loser,
+        |       a.s - b.s AS margin
+        |FROM keep a JOIN keep b ON a.g = b.g AND a.s > b.s""".stripMargin,
+
+    "q_roc_auc" ->
+      """WITH s AS (
+        | SELECT value AS sc,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS pos,
+        |  count(CASE WHEN NOT (event_type = 'purchase') THEN 1 END) AS neg
+        | FROM events
+        | WHERE value IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1),
+        |c AS (
+        | SELECT sc, pos, neg,
+        |  CAST(coalesce(sum(neg) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS nb
+        | FROM s),
+        |t AS (
+        | SELECT CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS n,
+        |  sum(CAST(pos AS DOUBLE) * nb +
+        |      CAST(0.5 AS DOUBLE) * pos * neg) AS u
+        | FROM c)
+        |SELECT p AS n_pos, n AS n_neg,
+        | CASE WHEN p > 0 AND n > 0
+        |      THEN round(u / (CAST(p AS DOUBLE) * n), 9) END AS auc
+        |FROM t""".stripMargin,
+
+    "q_calibration" ->
+      """WITH b AS (
+        | SELECT least(9, CAST(floor(s * 10) AS BIGINT)) AS bin, s, y FROM
+        |  (SELECT (event_id % 97) / CAST(97.0 AS DOUBLE) AS s,
+        |          event_type = 'purchase' AS y
+        |   FROM events
+        |   WHERE event_id IS NOT NULL AND event_type IS NOT NULL)
+        | WHERE s >= 0 AND s <= 1)
+        |SELECT bin, count(*) AS n,
+        | round(CAST(sum(CAST(round(s, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |   / count(*), 9) AS confidence,
+        | round(CAST(count(CASE WHEN y THEN 1 END) AS DOUBLE)
+        |   / count(*), 9) AS accuracy,
+        | round(CAST(count(CASE WHEN y THEN 1 END) AS DOUBLE) / count(*)
+        |   - CAST(sum(CAST(round(s, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |     / count(*), 9) AS gap
+        |FROM b GROUP BY bin""".stripMargin,
 
     "q_cluster_dedup" ->
       """WITH RECURSIVE sh AS (

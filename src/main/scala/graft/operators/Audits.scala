@@ -219,6 +219,89 @@ object Audits {
   }
 
   /**
+   * Exact ROC-AUC of a score column against a boolean label — the
+   * quality-classifier acceptance number, computed as the Mann-Whitney
+   * probability (ties count half):
+   *
+   *   AUC = Σ_s pos(s)·(neg_below(s) + ½·neg(s)) / (P·N)
+   *
+   * Scale shape: rows collapse to per-DISTINCT-SCORE (pos, neg)
+   * counts first (map-side-combined — the data-scale reduction), then
+   * `neg_below` is [[graft.ops.Packing.withPrefixSum]]'s distributed
+   * exclusive prefix sum over the score-ascending order — never a
+   * global window. The driver sees one total per partition.
+   *
+   * Cross-engine exactness: counts and the prefix sum are longs;
+   * every term is an integer multiple of ½ (half-integers are exact
+   * binary doubles), so the final sum is EXACT in any order while
+   * P·N < 2⁵³ — no DECIMAL staging needed. One division at the end.
+   * Degenerate inputs (no positives or no negatives) return NULL auc.
+   *
+   * Output: one row (n_pos, n_neg, auc).
+   */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__score"))
+      .agg(
+        count(when(col(labelCol).cast("boolean"), lit(1))).as("__pos"),
+        count(when(!col(labelCol).cast("boolean"), lit(1))).as("__neg"))
+    graft.ops.Packing
+      .withPrefixSum(perScore, "__score", col("__neg"), "__nb")
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum(col("__pos").cast("double") * col("__nb") +
+          lit(0.5) * col("__pos") * col("__neg")).as("__u"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u") /
+            (col("n_pos").cast("double") * col("n_neg")), 9)).as("auc"))
+  }
+
+  /**
+   * Reliability table for probability calibration — the per-bin
+   * confidence-vs-accuracy ledger behind the ECE number (Guo et al.
+   * 2017): scores in [0, 1] land in `bins` equal-width buckets; each
+   * bucket reports its mean score (confidence), positive rate
+   * (accuracy), and the signed gap. A well-calibrated scorer has gaps
+   * ≈ 0 everywhere; a quality classifier that is 0.9-confident but
+   * 0.6-right shows up as one glaring row. Scores outside [0, 1] are
+   * the caller's bug and refuse via filter-and-count contract: they
+   * are EXCLUDED (a sigmoid output can't leave [0, 1]; a raw margin
+   * must be squashed first).
+   *
+   * Scale: one map-side-combined aggregate over ≤ `bins` keys. Mean
+   * scores go through round-12 DECIMAL sums (order-free); rates and
+   * gaps are mirrored IEEE trees rounded to 9.
+   *
+   * Output: (bin, n, confidence, accuracy, gap), bin = 0..bins−1,
+   * empty bins absent.
+   */
+  def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(scoreCol) >= 0.0 && col(scoreCol) <= 1.0)
+      .select(
+        least(lit(bins - 1),
+          floor(col(scoreCol).cast("double") * bins)).cast("long").as("bin"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("__s"), 12).cast("decimal(38,12)")).as("__ss"),
+        count(when(col("__y"), lit(1))).as("__np"))
+      .select(col("bin"), col("n"),
+        round(col("__ss").cast("double") / col("n"), 9).as("confidence"),
+        round(col("__np").cast("double") / col("n"), 9).as("accuracy"),
+        round(col("__np").cast("double") / col("n") -
+          col("__ss").cast("double") / col("n"), 9).as("gap"))
+  }
+
+  /**
    * Approximate functional-dependency profile (the data-profiling
    * classic, cf. TANE / Metanome): for each candidate dependency
    * X → Y, the fraction of rows CONSISTENT with it under the best

@@ -215,6 +215,46 @@ object Features {
   }
 
   /**
+   * Ranked lists → pairwise preferences — the preference-pair
+   * constructor for DPO/reward-model training and the input shape of
+   * [[bradleyTerry]]: within each group (a prompt, a query, an
+   * annotator's ranking session), every item pair with a strict score
+   * gap emits one (winner, loser, margin) row. Ties emit nothing (no
+   * preference signal); an item rated twice in a group keeps its MAX
+   * score (one candidate, its best showing).
+   *
+   * Scale shape: the (group, item) collapse and the group-size counts
+   * are map-side-combined aggregates; pair generation is one
+   * self-join on the group key with fan-out group-size², so
+   * `maxGroupSize` EXCLUDES pathological mega-groups before the join
+   * (the [[frequentPairs]] basket-cap convention — a 100k-candidate
+   * group is 5e9 pairs and trains nothing).
+   *
+   * Output: (groupCol, winner, loser, margin), margin = score_w −
+   * score_l (one IEEE subtraction, engine-exact).
+   */
+  def preferencePairs(df: DataFrame, groupCol: String, itemCol: String,
+                      scoreCol: String,
+                      maxGroupSize: Int = 1000): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2: $maxGroupSize")
+    val items = df
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .agg(max(col(scoreCol).cast("double")).as("__s"))
+    val kept = items
+      .join(items.groupBy(col("__g")).agg(count(lit(1)).as("__gs"))
+        .filter(col("__gs") <= maxGroupSize).select(col("__g")),
+        Seq("__g"), "left_semi")
+    kept
+      .join(kept.select(col("__g"), col("__i").as("__j"),
+        col("__s").as("__t")), Seq("__g"))
+      .filter(col("__s") > col("__t"))
+      .select(col("__g").as(groupCol), col("__i").as("winner"),
+        col("__j").as("loser"), (col("__s") - col("__t")).as("margin"))
+  }
+
+  /**
    * Bradley-Terry strength scores from pairwise preferences — the
    * reward-modeling primitive: a preference corpus is (winner, loser)
    * comparisons, and training wants a per-item latent strength p with

@@ -421,6 +421,47 @@ object Stress {
       cc.unpersist()
     }
     assertNoFunnel("clustering-hub")
+    tme(f"hits hub ($nSpokes%,d-out-degree node)") {
+      // the star makes node 0 the pure hub (1.5M out-edges, zero in):
+      // the h-update sums 1.5M authority contributions onto ONE src
+      // key (map-side-combined DECIMAL aggregate, no window); spokes
+      // are pure authorities. Tail noise keeps both normalizers real.
+      val ha = graft.ops.Graphs.hits(graph, "src", "dst", iterations = 2)
+      val hub = ha.filter(col("node") === 0L)
+        .select(col("hub"), col("authority"))
+        .as[(Double, Double)].collect()(0)
+      val maxHub = ha.agg(max(col("hub"))).as[Double].collect()(0)
+      assert(hub._1 == maxHub && hub._1 > 0.3,
+        s"hub lost its hub score: $hub vs max $maxHub")
+      assert(hub._2 == 0.0, s"no-in-edge hub gained authority: $hub")
+      val spoke = ha.filter(col("node") === 5L)
+        .select(col("hub"), col("authority"))
+        .as[(Double, Double)].collect()(0)
+      assert(spoke._1 == 0.0 && spoke._2 > 0.0,
+        s"spoke scores drifted: $spoke")
+      ha.unpersist()
+    }
+    assertNoFunnel("hits-hub")
+    tme(f"bradleyTerry champion ($nSpokes%,d straight wins)") {
+      // one item beats 1.5M distinct opponents once each: its wins
+      // total, per-round denominator, and the normalizer each reduce
+      // a 1.5M-way fan-in through map-side-combined aggregates — the
+      // preference-data hub shape (a flagship model in an arena).
+      val bt = graft.ops.Features.bradleyTerry(
+        hubEdges.select(col("src").as("w"), col("dst").as("l")),
+        "w", "l", iterations = 2)
+      val top = bt.orderBy(col("strength").desc, col("item").asc)
+        .limit(1).select(col("item"), col("strength"))
+        .as[(Long, Double)].collect()(0)
+      assert(top._1 == 0L, s"champion lost the argmax: $top")
+      val stats = bt.agg(
+        sum(col("strength")).as("s"), min(col("strength")).as("mn"))
+        .as[(Double, Double)].collect()(0)
+      assert(math.abs(stats._1 - 1.0) < 1e-3,
+        s"L1 normalization drifted: ${stats._1}")
+      assert(stats._2 > 0.0, s"smoothing floor broke: ${stats._2}")
+    }
+    assertNoFunnel("bradley-terry-champion")
 
     // ---- 9. semDedup giant cell under the size cap ---------------------
     // 500k EXACT copies of one embedding route into a single cell —

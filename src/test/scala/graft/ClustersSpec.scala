@@ -255,6 +255,30 @@ class ClustersSpec extends SparkSpec {
     assert(one.collect()(0).isNullAt(5))
   }
 
+  test("preferencePairs: strict gaps only, max-score dedup, group cap") {
+    import spark.implicits._
+    import graft.ops.Features
+    val df = Seq(
+      // group 1: a=3, b=2, c=2 -> (a,b),(a,c); b/c tie emits nothing
+      (1L, "a", 3.0), (1L, "b", 2.0), (1L, "c", 2.0),
+      // group 1: duplicate a row with lower score collapses to max 3
+      (1L, "a", 1.0),
+      // group 2: single item -> no pairs
+      (2L, "z", 5.0))
+      .toDF("g", "item", "score")
+    val out = Features.preferencePairs(df, "g", "item", "score")
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(out == Set((1L, "a", "b", 1.0), (1L, "a", "c", 1.0)))
+    // a mega group is excluded before the self-join
+    val mega = (0 until 50).map(i => (9L, s"i$i", i.toDouble))
+    val capped = Features.preferencePairs(
+      (df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        ++ mega).toSeq.toDF("g", "item", "score"),
+      "g", "item", "score", maxGroupSize = 10)
+      .as[(Long, String, String, Double)].collect()
+    assert(!capped.exists(_._1 == 9L) && capped.length == 2)
+  }
+
   test("bradleyTerry: transitive order, symmetry, smoothing floor") {
     import spark.implicits._
     import graft.ops.Features

@@ -3440,6 +3440,47 @@ class OpsSpec extends SparkSpec {
     assert(drift("x")._5 == 1.0) // |(0.5,0.5)-(-0.5,0.5)| = 1
   }
 
+  test("rocAuc: hand-computed tie case, perfect ranking, degenerate") {
+    import graft.operators.Audits
+    // pos scores {2,3}, neg {1,2}: U = 1*(1+0.5) + 1*2 = 3.5 -> 0.875
+    val df = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("s", "y")
+    val out = Audits.rocAuc(df, "s", "y")
+      .as[(Long, Long, Option[Double])].collect()(0)
+    assert(out == ((2L, 2L, Some(0.875))))
+    // perfect separation -> 1.0; reversed -> 0.0
+    val perfect = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))
+      .toDF("s", "y")
+    assert(Audits.rocAuc(perfect, "s", "y")
+      .as[(Long, Long, Option[Double])].collect()(0)._3.contains(1.0))
+    // single-class input -> NULL auc, not a crash or a fake number
+    val onlyPos = Seq((0.5, true), (0.7, true)).toDF("s", "y")
+    assert(Audits.rocAuc(onlyPos, "s", "y")
+      .as[(Long, Long, Option[Double])].collect()(0)._3.isEmpty)
+    // layout invariance (distributed prefix sum)
+    val big = (1 to 1000).map(i => (i % 37 / 37.0, i % 3 == 0))
+    val a = Audits.rocAuc(big.toDF("s", "y"), "s", "y").collect()(0)
+    val b = Audits.rocAuc(big.toDF("s", "y").repartition(7), "s", "y")
+      .collect()(0)
+    assert(a == b)
+  }
+
+  test("calibrationTable: bin edges, 1.0 lands in the top bin, range") {
+    import graft.operators.Audits
+    val df = Seq(
+      (0.05, false), (0.15, true), (0.15, false),
+      (0.95, true), (1.0, true),
+      (1.5, true), (-0.1, false)) // out of range: excluded
+      .toDF("s", "y")
+    val out = Audits.calibrationTable(df, "s", "y", bins = 10)
+      .as[(Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 9L))
+    assert(out(0L) == ((0L, 1L, 0.05, 0.0, -0.05)))
+    assert(out(1L) == ((1L, 2L, 0.15, 0.5, 0.35)))
+    assert(out(9L) == ((9L, 2L, 0.975, 1.0, 0.025)))
+  }
+
   test("tokenBudgetSample: prefix under budget, monotone, layout") {
     val df = Seq(
       (1L, "one two three"), (2L, "four five"), (3L, "six"),
