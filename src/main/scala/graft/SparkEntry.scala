@@ -951,6 +951,19 @@ object SparkEntry {
       graft.ops.Features.fleissKappa(
         annotations(s, dir), "item", "annot", "label")),
 
+    // Krippendorff's alpha over the same ratings: the missing-data-
+    // tolerant agreement statistic (coincidence-matrix identities)
+    "q_krippendorff" -> ((s, dir) =>
+      graft.ops.Features.krippendorffAlpha(
+        annotations(s, dir), "item", "annot", "label")),
+
+    // dialog-structure audit: per-conversation turn counts, role-
+    // alternation violations, opening role — the chat-format
+    // validation an SFT corpus runs before templating
+    "q_dialog_audit" -> ((s, dir) =>
+      TextAnalysis.dialogTurnAudit(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")),
+
     // Bradley-Terry strengths from pairwise preferences (MM iteration,
     // 2 rounds, half-win smoothing) — the reward-modeling primitive;
     // comparisons collapse to pair counts before any join
@@ -3656,6 +3669,57 @@ object SparkEntry {
         | CASE WHEN pe >= 1.0 THEN NULL
         |      ELSE round((pbar - pe) / (1.0 - pe), 9) END AS kappa
         |FROM pbar CROSS JOIN pe CROSS JOIN cnt""".stripMargin,
+
+    "q_krippendorff" ->
+      """WITH a AS (
+        | SELECT event_id % 500 AS item, user_id % 11 AS annot,
+        |        event_type AS label
+        | FROM events
+        | WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |nuc AS (SELECT item, label, count(*) AS c FROM a GROUP BY 1, 2),
+        |pu AS (
+        | SELECT item, CAST(sum(c) AS BIGINT) AS nu,
+        |  CAST(round(CAST(sum(c*(c-1)) AS DOUBLE) /
+        |    CAST(sum(c) - 1 AS DOUBLE), 12) AS DECIMAL(38,12)) AS occ
+        | FROM nuc GROUP BY item HAVING sum(c) >= 2),
+        |pc AS (
+        | SELECT n.label, CAST(sum(n.c) AS BIGINT) AS nc
+        | FROM nuc n JOIN pu ON pu.item = n.item GROUP BY 1),
+        |se AS (
+        | SELECT CAST(sum(CAST(nc AS DECIMAL(19,0)) *
+        |   CAST(nc - 1 AS DECIMAL(19,0))) AS DOUBLE) AS se,
+        |  count(*) AS n_categories FROM pc),
+        |tot AS (
+        | SELECT count(*) AS n_units, CAST(sum(nu) AS BIGINT) AS n_pairable,
+        |  CAST(sum(occ) AS DOUBLE) AS so FROM pu),
+        |d AS (
+        | SELECT n_units, n_categories, n_pairable,
+        |  CAST(1.0 AS DOUBLE) - so / n_pairable AS dor,
+        |  CAST(1.0 AS DOUBLE) - se /
+        |    (CAST(n_pairable AS DOUBLE) * (n_pairable - 1)) AS der
+        | FROM tot CROSS JOIN se)
+        |SELECT n_units, n_categories, n_pairable,
+        | round(dor, 9) AS d_o, round(der, 9) AS d_e,
+        | CASE WHEN der > CAST(0.0 AS DOUBLE)
+        |      THEN round(CAST(1.0 AS DOUBLE) - dor / der, 9) END AS alpha
+        |FROM d""".stripMargin,
+
+    "q_dialog_audit" ->
+      """WITH s AS (
+        | SELECT user_id, event_type AS r,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) AS rn
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL)
+        |SELECT user_id, count(*) AS n_turns,
+        | count(CASE WHEN r = prev THEN 1 END) AS n_repeats,
+        | max(CASE WHEN rn = 1 THEN r END) AS first_role,
+        | count(DISTINCT r) AS n_roles
+        |FROM s GROUP BY user_id""".stripMargin,
 
     "q_bradley_terry" ->
       """WITH pr AS (

@@ -215,6 +215,70 @@ object Features {
   }
 
   /**
+   * Krippendorff's alpha (nominal metric) — the agreement statistic
+   * that tolerates MISSING ratings, which real annotation batches
+   * always have ([[fleissKappa]] silently treats a unit's absent
+   * raters as nonexistent; alpha is built for it). Computed through
+   * the coincidence-matrix identities (Krippendorff 2004):
+   *
+   *   Σ_c o_cc = Σ_u Σ_c n_uc(n_uc−1)/(n_u−1)   over units with n_u ≥ 2
+   *   D_o = 1 − Σ_c o_cc / n          n = Σ_u n_u  (pairable ratings)
+   *   D_e = 1 − Σ_c n_c(n_c−1) / (n(n−1))        n_c = Σ_u n_uc
+   *   α   = 1 − D_o / D_e
+   *
+   * Units with a single rating contribute nothing (no pair to agree
+   * on) and are excluded from n and the marginals — the standard
+   * treatment. D_e = 0 (one category) returns NULL alpha.
+   *
+   * Scale shape: (unit, label) counts, per-unit sums, and category
+   * marginals are all map-side-combined aggregates; only category-
+   * cardinality rows and single-row scalars cross a broadcast.
+   *
+   * Cross-engine float discipline: per-unit coincidence terms are
+   * rationals — rounded to 12 and summed as DECIMAL(38,12); marginal
+   * products n_c(n_c−1) stay exact via DECIMAL(19,0) casts (a long
+   * multiply would overflow silently at ~3e9 ratings per category —
+   * the joinFanout lesson); D_o/D_e/α are mirrored double chains
+   * rounded to 9.
+   *
+   * Output: one row (n_units, n_categories, n_pairable, d_o, d_e,
+   * alpha).
+   */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        annotatorCol: String,
+                        labelCol: String): DataFrame = {
+    val nuc = df
+      .filter(col(itemCol).isNotNull && col(annotatorCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val perUnit = nuc.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__nu"),
+        sum(col("__n") * (col("__n") - 1)).as("__num"))
+      .filter(col("__nu") >= 2)
+      .select(col("__i"), col("__nu"),
+        round(col("__num").cast("double") /
+          (col("__nu") - 1).cast("double"), 12)
+          .cast("decimal(38,12)").as("__occ"))
+    val pairable = nuc.join(perUnit.select(col("__i")), Seq("__i"),
+      "left_semi")
+    val se = pairable.groupBy(col("__c")).agg(sum(col("__n")).as("__nc"))
+      .agg(sum(col("__nc").cast("decimal(19,0)") *
+        (col("__nc") - 1).cast("decimal(19,0)")).as("__se"),
+        count(lit(1)).as("n_categories"))
+    val tot = perUnit.agg(count(lit(1)).as("n_units"),
+      sum(col("__nu")).as("n_pairable"),
+      sum(col("__occ")).cast("double").as("__so"))
+    val dO = lit(1.0) - col("__so") / col("n_pairable")
+    val dE = lit(1.0) - col("__se").cast("double") /
+      (col("n_pairable").cast("double") * (col("n_pairable") - 1))
+    broadcast(tot).crossJoin(broadcast(se))
+      .select(col("n_units"), col("n_categories"), col("n_pairable"),
+        round(dO, 9).as("d_o"), round(dE, 9).as("d_e"),
+        when(dE > 0.0, round(lit(1.0) - dO / dE, 9)).as("alpha"))
+  }
+
+  /**
    * Ranked lists → pairwise preferences — the preference-pair
    * constructor for DPO/reward-model training and the input shape of
    * [[bradleyTerry]]: within each group (a prompt, a query, an

@@ -423,6 +423,44 @@ object TextAnalysis {
   }
 
   /**
+   * Dialog-structure audit for chat-format training data: per
+   * conversation, the turn-taking shape SFT/RLHF formats require —
+   * how many turns, how many CONSECUTIVE same-role turns (the
+   * role-alternation violations chat templates reject), which role
+   * opens, how many distinct roles. Feed the violation rows to a
+   * filter or a repair pass; at corpus scale malformed conversations
+   * are the rule, not the exception.
+   *
+   * Order within a conversation is (tsCol, tieCol) — the tie column
+   * makes the order total, so repeat counts are a pure function of
+   * the data (the groupedTopK total-order contract).
+   *
+   * Scale: one keyed window (lag + row_number within the
+   * conversation — partitioned by conv, never global) and one
+   * map-side-combined aggregate. A mega-conversation costs its own
+   * partition sort, nothing more.
+   *
+   * Output: (convCol, n_turns, n_repeats, first_role, n_roles).
+   */
+  def dialogTurnAudit(df: DataFrame, convCol: String, tsCol: String,
+                      tieCol: String, roleCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df
+      .filter(col(convCol).isNotNull && col(tsCol).isNotNull &&
+        col(roleCol).isNotNull)
+      .select(col(convCol), col(roleCol).as("__r"),
+        lag(col(roleCol), 1).over(w).as("__prev"),
+        row_number().over(w).as("__rn"))
+      .groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        count(when(col("__r") === col("__prev"), lit(1))).as("n_repeats"),
+        max(when(col("__rn") === 1, col("__r"))).as("first_role"),
+        countDistinct(col("__r")).as("n_roles"))
+  }
+
+  /**
    * Temperature-scaled mixture rates — the multilingual/multi-domain
    * rebalancing recipe (the mT5/XLM-R sampling rule): class shares
    * follow n^α instead of n, so α < 1 flattens the head and lifts the

@@ -255,6 +255,52 @@ class ClustersSpec extends SparkSpec {
     assert(one.collect()(0).isNullAt(5))
   }
 
+  test("krippendorffAlpha: reference formula, missing data, degenerates") {
+    import spark.implicits._
+    import graft.ops.Features
+    // in-test reference computation (coincidence-matrix identities)
+    def ref(rows: Seq[(Long, Long, String)]): (Long, Long, Long, Double) = {
+      val byUnit = rows.groupBy(_._1).map { case (_, rs) =>
+        rs.groupBy(_._3).map(_._2.size.toLong).toSeq
+      }.filter(_.sum >= 2).toSeq
+      val n = byUnit.map(_.sum).sum
+      val so = byUnit.map(cs =>
+        cs.map(c => c * (c - 1)).sum.toDouble / (cs.sum - 1)).sum
+      val pairUnits = rows.groupBy(_._1)
+        .filter(_._2.size >= 2)
+      val nc = pairUnits.values.flatten.groupBy(_._3)
+        .map(_._2.size.toLong)
+      val se = nc.map(c => c * (c - 1)).sum
+      val dO = 1.0 - so / n
+      val dE = 1.0 - se.toDouble / (n.toDouble * (n - 1))
+      (pairUnits.size.toLong, nc.size.toLong, n, 1.0 - dO / dE)
+    }
+    // missing data: unit 3 rated once (excluded), varied raters/unit
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"),
+      (2L, 1L, "b"), (2L, 2L, "b"),
+      (3L, 1L, "a"),
+      (4L, 1L, "a"), (4L, 2L, "a"), (4L, 3L, "a"), (4L, 4L, "c"))
+    val out = Features.krippendorffAlpha(rows.toDF("item", "annot", "label"),
+      "item", "annot", "label")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    val (units, cats, n, alpha) = ref(rows)
+    assert(out._1 == units && out._2 == cats && out._3 == n)
+    assert(math.abs(out._6 - alpha) < 1e-6)
+    // perfect agreement -> alpha 1
+    val perfect = Seq((1L, 1L, "x"), (1L, 2L, "x"),
+      (2L, 1L, "y"), (2L, 2L, "y"))
+    val p = Features.krippendorffAlpha(
+      perfect.toDF("item", "annot", "label"), "item", "annot", "label")
+      .collect()(0)
+    assert(p.getDouble(5) == 1.0)
+    // one category -> D_e = 0 -> alpha NULL
+    val mono = Seq((1L, 1L, "x"), (1L, 2L, "x"))
+    assert(Features.krippendorffAlpha(
+      mono.toDF("item", "annot", "label"), "item", "annot", "label")
+      .collect()(0).isNullAt(5))
+  }
+
   test("preferencePairs: strict gaps only, max-score dedup, group cap") {
     import spark.implicits._
     import graft.ops.Features

@@ -3440,6 +3440,23 @@ class OpsSpec extends SparkSpec {
     assert(drift("x")._5 == 1.0) // |(0.5,0.5)-(-0.5,0.5)| = 1
   }
 
+  test("dialogTurnAudit: repeats, opening role, total order") {
+    val df = Seq(
+      // conv 1: u,a,u,a — clean alternation
+      (1L, 1L, 10L, "user"), (1L, 2L, 20L, "asst"),
+      (1L, 3L, 30L, "user"), (1L, 4L, 40L, "asst"),
+      // conv 2: a,a,u — opens wrong, one repeat; tie on ts broken by id
+      (2L, 5L, 10L, "asst"), (2L, 6L, 10L, "asst"), (2L, 7L, 30L, "user"),
+      // null role dropped
+      (3L, 8L, 10L, null))
+      .toDF("conv", "eid", "ts", "role")
+    val out = TextAnalysis.dialogTurnAudit(df, "conv", "ts", "eid", "role")
+      .as[(Long, Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 0L, "user", 2L)))
+    assert(out(2L) == ((2L, 3L, 1L, "asst", 2L)))
+    assert(!out.contains(3L))
+  }
+
   test("rocAuc: hand-computed tie case, perfect ranking, degenerate") {
     import graft.operators.Audits
     // pos scores {2,3}, neg {1,2}: U = 1*(1+0.5) + 1*2 = 3.5 -> 0.875
