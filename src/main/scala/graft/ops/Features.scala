@@ -344,12 +344,16 @@ object Features {
    *
    * Scale shape: comparisons collapse to aggregated pair counts first
    * (the data-scale reduction — a trillion comparisons become at most
-   * item² pair rows, in practice the sparse observed pairs), the
-   * symmetric games table persists PRE-PARTITIONED on `i` (the
-   * pageRank loop discipline) so each round's p-join is co-located,
-   * per-item denominators are map-side-combined sums (an item compared
-   * against millions reduces in parallel), and only the single
-   * normalization scalar crosses a broadcast.
+   * item² pair rows, in practice the sparse observed pairs); each
+   * round's two strength lookups are `SkewJoin.salted` inner joins
+   * (strengths are unique per item, so salted inner ≡ the plain
+   * equi-join row-for-row) — NOT a `repartition(i)` cache: an arena
+   * champion compared against every other item owns half the
+   * symmetric games table, and hash-partitioning by item funnels its
+   * whole row block into one task (stress scenario 8's
+   * bradley-terry-champion leg pins this at 1.5M straight wins).
+   * Per-item denominators are map-side-combined sums, and only the
+   * single normalization scalar crosses a broadcast.
    *
    * Cross-engine float discipline: per-pair terms round to 12 and sum
    * as DECIMAL(38,12) (order-free); raw strengths and the normalizer
@@ -371,7 +375,6 @@ object Features {
     val games = w.select(col("__wi").as("i"), col("__wj").as("j"), col("__w"))
       .unionAll(w.select(col("__wj").as("i"), col("__wi").as("j"), col("__w")))
       .groupBy(col("i"), col("j")).agg(sum(col("__w")).as("n"))
-      .repartition(col("i"))
       .persist()
     val wins = w.groupBy(col("__wi").as("i")).agg(sum(col("__w")).as("wins"))
     val base = games.groupBy(col("i"))
@@ -385,9 +388,12 @@ object Features {
     var p = base.select(col("i"), lit(1.0).as("p"))
     var prev: DataFrame = null
     (1 to iterations).foreach { _ =>
-      val denom = games
-        .join(p.select(col("i"), col("p").as("__pi")), Seq("i"))
-        .join(p.select(col("i").as("j"), col("p").as("__pj")), Seq("j"))
+      val denom = graft.operators.SkewJoin.salted(
+        graft.operators.SkewJoin.salted(
+          games, p.select(col("i"), col("p").as("__pi")),
+          Seq("i"), saltFactor = 8),
+        p.select(col("i").as("j"), col("p").as("__pj")),
+        Seq("j"), saltFactor = 8)
         .select(col("i"),
           round((col("n") + lit(2 * pseudo)) / (col("__pi") + col("__pj")), 12)
             .cast("decimal(38,12)").as("__t"))

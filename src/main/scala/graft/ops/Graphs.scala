@@ -154,12 +154,19 @@ object Graphs {
    * kept — a self-link is a real hub-to-authority endorsement in the
    * model.
    *
-   * Scale shape: the deduplicated edge list persists TWICE,
-   * pre-partitioned on src and on dst (each update joins on a
-   * different end; the [[pageRank]] loop discipline per copy). Per
-   * half-round: one co-located join, one map-side-combined DECIMAL
-   * sum (a 10M-in-degree hub reduces in parallel — no window), one
-   * left join onto the node set, one broadcast normalization scalar.
+   * Scale shape: the deduplicated edge list persists ONCE,
+   * UNPARTITIONED, and each half-round's score lookup is a
+   * `SkewJoin.salted` inner join (scores are unique per node, so
+   * salted inner ≡ the plain equi-join row-for-row). Deliberately NOT
+   * the [[pageRank]] `repartition(src)` discipline: HITS joins on a
+   * RAW endpoint both ways, and hash-partitioning the edges by an
+   * endpoint puts a web hub's entire edge list into one partition —
+   * the repartition exchange itself is the funnel (stress scenario
+   * 8's hits-hub leg demonstrates it at 1.5M degree; AQE's skew split
+   * never fires on a few-MB hot partition). After the salted join the
+   * per-node sums are map-side-combined DECIMAL aggregates, then one
+   * left join onto the node set and one broadcast normalization
+   * scalar.
    *
    * Cross-engine float discipline: contributions round to 12 and sum
    * as DECIMAL(38,12); normalized scores round to 9; the normalizer
@@ -172,24 +179,24 @@ object Graphs {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 2): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e0 = edges
+    val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val eBySrc = e0.repartition(col("src")).persist()
-    val eByDst = e0.repartition(col("dst")).persist()
-    val nodes = e0.select(col("src").as("node"))
-      .unionAll(e0.select(col("dst").as("node")))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
       .distinct()
       .repartition(col("node"))
       .persist()
     // one normalized score pass: joinKey is the edge end carrying the
-    // summed score, outKey the end receiving it
-    def update(score: DataFrame, e: DataFrame, joinKey: String,
+    // summed score, outKey the end receiving it. Salted lookup: the
+    // hub's edges spread over saltFactor reducers instead of one.
+    def update(score: DataFrame, joinKey: String,
                outKey: String): DataFrame = {
-      val raw = e
-        .join(score.withColumnRenamed("node", "__sn"),
-          col(joinKey) === col("__sn"))
+      val raw = graft.operators.SkewJoin.salted(
+        e, score.select(col("node").as(joinKey), col("s")),
+        Seq(joinKey), saltFactor = 8)
         .select(col(outKey),
           round(col("s"), 12).cast("decimal(38,12)").as("__m"))
         .groupBy(col(outKey))
@@ -208,9 +215,9 @@ object Graphs {
     var prevH: DataFrame = null
     var prevA: DataFrame = null
     (1 to iterations).foreach { _ =>
-      val aNext = update(h, eBySrc, joinKey = "src", outKey = "dst").persist()
+      val aNext = update(h, joinKey = "src", outKey = "dst").persist()
       aNext.count()
-      val hNext = update(aNext, eByDst, joinKey = "dst", outKey = "src").persist()
+      val hNext = update(aNext, joinKey = "dst", outKey = "src").persist()
       hNext.count() // materialize before releasing the previous round
       if (prevA != null) prevA.unpersist()
       if (prevH != null) prevH.unpersist()
@@ -226,8 +233,7 @@ object Graphs {
     if (prevA != null) prevA.unpersist()
     if (prevH != null) prevH.unpersist()
     nodes.unpersist()
-    eBySrc.unpersist()
-    eByDst.unpersist()
+    e.unpersist()
     out
   }
 
@@ -501,14 +507,22 @@ object Graphs {
     var done = nEdges == 0L
     var deg: DataFrame = degrees(e)
     while (round < maxRounds && !done) {
-      // survivors persist for the round: BOTH semi-joins read them, and
+      // survivors persist for the round: BOTH joins read them, and
       // without the cache each branch would recompute the full degree
       // aggregate (node-cardinality rows — cheap to hold, costly to
       // recompute twice per round at corpus scale)
       val keep = deg.filter(col("deg") >= k).select(col("node")).persist()
-      val induced = e
-        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+      // SALTED inner joins, not plain semi-joins: a web hub's edges all
+      // carry the same endpoint key, and when the planner picks a
+      // shuffle join (AQE's skew split only fires on sort-merge above
+      // its size thresholds — a few-MB hot partition stays whole) the
+      // hub's whole edge list funnels into one task. `keep` is
+      // distinct on the key, so the salted inner join is row-for-row
+      // the semi-join; stress scenario 8 pins the no-funnel behavior.
+      val induced = graft.operators.SkewJoin.salted(
+        graft.operators.SkewJoin.salted(
+          e, keep.select(col("node").as("a")), Seq("a"), saltFactor = 8),
+        keep.select(col("node").as("b")), Seq("b"), saltFactor = 8)
         .select(col("a"), col("b"))
         .persist()
       val n = induced.count()
@@ -586,12 +600,19 @@ object Graphs {
       .select(least(col("__s"), col("__d")).as("a"),
         greatest(col("__s"), col("__d")).as("b"))
       .distinct()
-    // total order (degree, id): orient a->b iff a precedes b under it
+    // total order (degree, id): orient a->b iff a precedes b under it.
+    // The degree lookups are SALTED joins (the kCore rationale): every
+    // edge of a 10M-degree hub carries the same endpoint key, and a
+    // shuffle-join plan would funnel them into one task — deg is
+    // unique per node, so salted inner ≡ the plain join row-for-row.
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val oriented = und
-      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val oriented = graft.operators.SkewJoin.salted(
+      graft.operators.SkewJoin.salted(
+        und, deg.select(col("n").as("a"), col("d").as("da")),
+        Seq("a"), saltFactor = 8),
+      deg.select(col("n").as("b"), col("d").as("db")),
+      Seq("b"), saltFactor = 8)
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           struct(col("a").as("x"), col("b").as("y")))
