@@ -386,7 +386,6 @@ object Features {
           lit(pseudo) * col("__nopp")).as("__wsm"))
       .persist()
     var p = base.select(col("i"), lit(1.0).as("p"))
-    var prev: DataFrame = null
     (1 to iterations).foreach { _ =>
       val denom = graft.operators.SkewJoin.salted(
         graft.operators.SkewJoin.salted(
@@ -398,17 +397,23 @@ object Features {
           round((col("n") + lit(2 * pseudo)) / (col("__pi") + col("__pj")), 12)
             .cast("decimal(38,12)").as("__t"))
         .groupBy(col("i")).agg(sum(col("__t")).cast("double").as("__d"))
+      // raw strengths PERSIST for the round (the normalizer broadcast
+      // and the output both read them), and the round output is
+      // materialized via localCheckpoint, not persist+count: the round
+      // plan embeds the previous round's tree twice through the two
+      // strength lookups and again through the normalizer, so an
+      // uncheckpointed loop's analyzer tree grows exponentially (the
+      // Graphs.hits lesson — measured as pure driver time)
       val raw = base.join(denom, Seq("i"))
         .select(col("i"), (col("__wsm") / col("__d")).as("__raw"))
+        .persist()
       val norm = raw.agg(
         sum(round(col("__raw"), 12).cast("decimal(38,12)"))
           .cast("double").as("__s"))
       val next = raw.crossJoin(broadcast(norm))
         .select(col("i"), round(col("__raw") / col("__s"), 9).as("p"))
-        .persist()
-      next.count() // materialize before releasing the previous round
-      if (prev != null) prev.unpersist()
-      prev = next
+        .localCheckpoint()
+      raw.unpersist()
       p = next
     }
     val out = base.join(p, Seq("i"))
@@ -416,7 +421,6 @@ object Features {
         col("p").as("strength"))
       .persist()
     out.count()
-    if (prev != null) prev.unpersist()
     games.unpersist()
     base.unpersist()
     out

@@ -192,8 +192,14 @@ object Graphs {
     // one normalized score pass: joinKey is the edge end carrying the
     // summed score, outKey the end receiving it. Salted lookup: the
     // hub's edges spread over saltFactor reducers instead of one.
+    // The per-node sums PERSIST for the round: both the normalizer and
+    // the output read them, and without the cache each branch would
+    // recompute the salted edge join (measured 2× the gate's cost).
+    // The normalizer aggregates the PRE-join sums — nodes absent from
+    // `raw` carry 0 and add nothing to the DECIMAL sum, so it equals
+    // the all-nodes sum the oracle computes, without the node join.
     def update(score: DataFrame, joinKey: String,
-               outKey: String): DataFrame = {
+               outKey: String): (DataFrame, DataFrame) = {
       val raw = graft.operators.SkewJoin.salted(
         e, score.select(col("node").as(joinKey), col("s")),
         Seq(joinKey), saltFactor = 8)
@@ -201,28 +207,36 @@ object Graphs {
           round(col("s"), 12).cast("decimal(38,12)").as("__m"))
         .groupBy(col(outKey))
         .agg(sum(col("__m")).cast("double").as("__raw"))
-      val withNodes = nodes
-        .join(raw, col("node") === col(outKey), "left")
-        .select(col("node"), coalesce(col("__raw"), lit(0.0)).as("__raw"))
-      val norm = withNodes.agg(
+        .persist()
+      val norm = raw.agg(
         sum(round(col("__raw"), 12).cast("decimal(38,12)"))
           .cast("double").as("__s"))
-      withNodes.crossJoin(broadcast(norm))
-        .select(col("node"), round(col("__raw") / col("__s"), 9).as("s"))
+      val scored = nodes
+        .join(raw, col("node") === col(outKey), "left")
+        .crossJoin(broadcast(norm))
+        .select(col("node"),
+          round(coalesce(col("__raw"), lit(0.0)) / col("__s"), 9).as("s"))
+      (scored, raw)
     }
+    // Each round's score frame is materialized via localCheckpoint,
+    // NOT persist+count: the round plan embeds the previous round's
+    // tree TWICE (once under the join, once inside the broadcast
+    // normalizer), so an uncheckpointed loop quadruples the analyzer's
+    // tree per half-round — measured 59 s of pure driver plan
+    // processing at 600k edges vs 9 s checkpointed, with identical
+    // results. The checkpoint truncates the lineage to the
+    // materialized partitions (the iterative-dataflow sibling of the
+    // rankLoop's persist discipline, needed here because HITS plans
+    // are self-referencing through the normalizer).
     var h = nodes.select(col("node"), lit(1.0).as("s"))
     var a: DataFrame = null
-    var prevH: DataFrame = null
-    var prevA: DataFrame = null
     (1 to iterations).foreach { _ =>
-      val aNext = update(h, joinKey = "src", outKey = "dst").persist()
-      aNext.count()
-      val hNext = update(aNext, joinKey = "dst", outKey = "src").persist()
-      hNext.count() // materialize before releasing the previous round
-      if (prevA != null) prevA.unpersist()
-      if (prevH != null) prevH.unpersist()
-      prevA = aNext
-      prevH = hNext
+      val (aNext0, rawA) = update(h, joinKey = "src", outKey = "dst")
+      val aNext = aNext0.localCheckpoint()
+      rawA.unpersist()
+      val (hNext0, rawH) = update(aNext, joinKey = "dst", outKey = "src")
+      val hNext = hNext0.localCheckpoint()
+      rawH.unpersist()
       a = aNext
       h = hNext
     }
@@ -230,8 +244,6 @@ object Graphs {
       .join(a.select(col("node"), col("s").as("authority")), Seq("node"))
       .persist()
     out.count()
-    if (prevA != null) prevA.unpersist()
-    if (prevH != null) prevH.unpersist()
     nodes.unpersist()
     e.unpersist()
     out
