@@ -1320,14 +1320,19 @@ object Similarity {
    * center — which is exactly what "pick k maximally diverse
    * examples" means.
    *
-   * Scale shape: the O(k·n) incremental form — the corpus persists
-   * ONCE with a running min-distance column; each round updates it
-   * against only the ONE new center (a broadcast literal vector, no
-   * join) and takes the global argmax as a TakeOrdered(1) (per-
-   * partition max + driver merge of nPartitions rows — never a global
-   * sort). Driver state is k centers — bounded by construction, the
-   * KMeans-seeds convention. Inherently k sequential rounds; k is a
-   * sample size, not data-scale.
+   * Scale shape: the O(k·n) incremental form — a running min-distance
+   * column updated each round against only the ONE new center (a
+   * broadcast literal vector, no join); the global argmax is a
+   * TakeOrdered(1) (per-partition max + driver merge of nPartitions
+   * rows — never a global sort). Chosen points are MARKED with
+   * dmin = −1 in the same pass (below every real distance, so the
+   * argmax can never re-pick them) rather than filtered by an
+   * accumulated `isin` list — a k-literal predicate would cost the
+   * analyzer O(k²) over the run. Each round's state materializes via
+   * localCheckpoint, so the plan stays constant-size at any k (the
+   * hits-loop lesson). Driver state is k centers — bounded by
+   * construction, the KMeans-seeds convention. Inherently k
+   * sequential rounds; k is a sample size, not data-scale.
    *
    * Zero-norm vectors have no cosine direction: their distance reads
    * as 0 (`nanvl`), so they are never picked as "far" — the safe
@@ -1355,30 +1360,28 @@ object Similarity {
       null.asInstanceOf[java.lang.Double]))
     var state = c
       .withColumn("__dmin",
-        nanvl(lit(1.0) - cosine(col("__v"), vecLit(seed(0)._2.toArray)),
-          lit(0.0)))
-      .persist()
-    state.count()
+        when(col("id") === seed(0)._1, lit(-1.0)).otherwise(
+          nanvl(lit(1.0) - cosine(col("__v"), vecLit(seed(0)._2.toArray)),
+            lit(0.0))))
+      .localCheckpoint()
     (2 to k).foreach { _ =>
-      val chosenIds = selected.map(_._1)
       val far = state
-        .filter(!col("id").isin(chosenIds: _*))
+        .filter(col("__dmin") >= 0.0)
         .orderBy(col("__dmin").desc, col("id").asc)
         .limit(1)
         .as[(Long, Seq[Double], Double)].collect()
       if (far.nonEmpty) {
         val (fid, fvec, fd) = (far(0)._1, far(0)._2.toArray, far(0)._3)
         selected = (fid, fvec, java.lang.Double.valueOf(fd)) :: selected
-        val next = state
-          .withColumn("__dmin", least(col("__dmin"),
-            nanvl(lit(1.0) - cosine(col("__v"), vecLit(fvec)), lit(0.0))))
-          .persist()
-        next.count() // materialize before releasing the previous round
-        state.unpersist()
-        state = next
+        state = state
+          .withColumn("__dmin",
+            when(col("id") === fid, lit(-1.0)).otherwise(
+              least(col("__dmin"),
+                nanvl(lit(1.0) - cosine(col("__v"), vecLit(fvec)),
+                  lit(0.0)))))
+          .localCheckpoint()
       }
     }
-    state.unpersist()
     selected.reverse.zipWithIndex
       .map { case ((id, _, d), i) =>
         (i.toLong, id, Option(d).map(_.doubleValue)) }
