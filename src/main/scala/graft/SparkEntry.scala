@@ -951,6 +951,34 @@ object SparkEntry {
       graft.ops.Features.fleissKappa(
         annotations(s, dir), "item", "annot", "label")),
 
+    // per-annotator accuracy vs the consolidated label — the rater
+    // quality score (who disagrees, not just whether the batch does)
+    "q_annotator_accuracy" -> ((s, dir) =>
+      graft.ops.Features.annotatorAccuracy(
+        annotations(s, dir), "item", "annot", "label")),
+
+    // per-key interval union (gaps-and-islands): overlapping/touching
+    // spans collapse — the contamination-span / redaction cleanup pass
+    "q_merge_intervals" -> ((s, dir) =>
+      graft.ops.Timeseries.mergeIntervals(
+        t(s, dir, "lineitem").select(
+          (col("l_suppkey") % 50).cast("long").as("k"),
+          (col("l_partkey") % 500).cast("long").as("s"),
+          (col("l_partkey") % 500 + col("l_orderkey") % 20 + 1)
+            .cast("long").as("e")),
+        "k", "s", "e")),
+
+    // token-distribution drift between two snapshot halves: per-token
+    // chi-square homogeneity over the top-50 combined tokens — pure
+    // rational arithmetic (log-free), hash-exact
+    "q_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tokenDistributionDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", topN = 50)
+    }),
+
     // Krippendorff's alpha over the same ratings: the missing-data-
     // tolerant agreement statistic (coincidence-matrix identities)
     "q_krippendorff" -> ((s, dir) =>
@@ -3669,6 +3697,77 @@ object SparkEntry {
         | CASE WHEN pe >= 1.0 THEN NULL
         |      ELSE round((pbar - pe) / (1.0 - pe), 9) END AS kappa
         |FROM pbar CROSS JOIN pe CROSS JOIN cnt""".stripMargin,
+
+    "q_annotator_accuracy" ->
+      """WITH a AS (
+        | SELECT event_id % 500 AS item, user_id % 11 AS annot,
+        |        event_type AS label
+        | FROM events
+        | WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |v AS (SELECT item, label, count(*) AS c FROM a GROUP BY 1, 2),
+        |m AS (
+        | SELECT item, label AS maj FROM (
+        |  SELECT item, label,
+        |   row_number() OVER (PARTITION BY item
+        |                      ORDER BY c DESC, label) AS rn
+        |  FROM v) WHERE rn = 1)
+        |SELECT annot, count(*) AS n_rated,
+        | count(CASE WHEN a.label = m.maj THEN 1 END) AS n_agree,
+        | round(CAST(count(CASE WHEN a.label = m.maj THEN 1 END) AS DOUBLE)
+        |   / count(*), 6) AS accuracy
+        |FROM a JOIN m USING (item) GROUP BY annot""".stripMargin,
+
+    "q_merge_intervals" ->
+      """WITH sp AS (
+        | SELECT CAST(l_suppkey % 50 AS BIGINT) AS k,
+        |        CAST(l_partkey % 500 AS BIGINT) AS s,
+        |        CAST(l_partkey % 500 + l_orderkey % 20 + 1 AS BIGINT) AS e
+        | FROM lineitem),
+        |f AS (
+        | SELECT k, s, e,
+        |  max(e) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        | FROM sp),
+        |g AS (
+        | SELECT k, s, e,
+        |  CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS island
+        | FROM f)
+        |SELECT k, min(s) AS s, max(e) AS e, count(*) AS n_spans
+        |FROM g GROUP BY k, island""".stripMargin,
+
+    "q_token_drift" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        | FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |b AS (SELECT term, count(*) AS o1 FROM tok
+        |      WHERE doc_id % 2 = 0 AND term <> '' GROUP BY 1),
+        |a2 AS (SELECT term, count(*) AS o2 FROM tok
+        |       WHERE doc_id % 2 = 1 AND term <> '' GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(o1) AS BIGINT) AS n1 FROM b),
+        |t2 AS (SELECT CAST(sum(o2) AS BIGINT) AS n2 FROM a2),
+        |top AS (
+        | SELECT coalesce(b.term, a2.term) AS term,
+        |        CAST(coalesce(o1, 0) AS BIGINT) AS nb,
+        |        CAST(coalesce(o2, 0) AS BIGINT) AS na
+        | FROM b FULL OUTER JOIN a2 ON b.term = a2.term
+        | ORDER BY (coalesce(o1, 0) + coalesce(o2, 0)) DESC, term
+        | LIMIT 50)
+        |SELECT term, nb AS n_before, na AS n_after,
+        | round(CAST(nb AS DOUBLE) / n1, 9) AS p_before,
+        | round(CAST(na AS DOUBLE) / n2, 9) AS p_after,
+        | CASE WHEN n1 > 0 AND n2 > 0 THEN round(
+        |   (nb - CAST(nb + na AS DOUBLE) * n1 / (n1 + n2))
+        |     * (nb - CAST(nb + na AS DOUBLE) * n1 / (n1 + n2))
+        |     / (CAST(nb + na AS DOUBLE) * n1 / (n1 + n2))
+        | + (na - CAST(nb + na AS DOUBLE) * n2 / (n1 + n2))
+        |     * (na - CAST(nb + na AS DOUBLE) * n2 / (n1 + n2))
+        |     / (CAST(nb + na AS DOUBLE) * n2 / (n1 + n2)), 6) END AS chi2
+        |FROM top CROSS JOIN t1 CROSS JOIN t2""".stripMargin,
 
     "q_krippendorff" ->
       """WITH a AS (

@@ -215,6 +215,41 @@ object Features {
   }
 
   /**
+   * Per-annotator accuracy against the consolidated label — the rater
+   * quality score that drives re-training, weighting, or removal of
+   * annotators (the operational follow-up to [[fleissKappa]]: kappa
+   * says THE BATCH disagrees, this says WHO). Each rating is compared
+   * to its item's [[majorityVote]] winner; an annotator's own vote
+   * counts toward the majority it is judged against (the standard
+   * convention — leave-one-out is a different, noisier statistic).
+   * Items with a single rating still count (the lone rater trivially
+   * agrees) — filter upstream if that biases a tiny batch.
+   *
+   * Scale shape: one majority pass (min_by aggregates, hub-item
+   * safe), one item-keyed join of the ratings against the
+   * item-cardinality majority relation, one annotator-keyed count
+   * aggregate. Accuracy is one IEEE division over exact longs.
+   *
+   * Output: (annotatorCol, n_rated, n_agree, accuracy).
+   */
+  def annotatorAccuracy(df: DataFrame, itemCol: String,
+                        annotatorCol: String,
+                        labelCol: String): DataFrame = {
+    val maj = majorityVote(df, itemCol, annotatorCol, labelCol)
+      .select(col(itemCol), col("label").as("__maj"))
+    df
+      .filter(col(itemCol).isNotNull && col(annotatorCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .join(maj, Seq(itemCol))
+      .groupBy(col(annotatorCol))
+      .agg(count(lit(1)).as("n_rated"),
+        count(when(col(labelCol) === col("__maj"), lit(1))).as("n_agree"))
+      .select(col(annotatorCol), col("n_rated"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_rated"), 6)
+          .as("accuracy"))
+  }
+
+  /**
    * Krippendorff's alpha (nominal metric) — the agreement statistic
    * that tolerates MISSING ratings, which real annotation batches
    * always have ([[fleissKappa]] silently treats a unit's absent

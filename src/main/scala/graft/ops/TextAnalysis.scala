@@ -423,6 +423,64 @@ object TextAnalysis {
   }
 
   /**
+   * Token-distribution drift between two corpus snapshots — the
+   * TEXT-space sibling of [[graft.ops.Similarity.embeddingDrift]]:
+   * per-token chi-square homogeneity contributions over the top-N
+   * tokens by combined count, the "did the language of this source
+   * move" tripwire between crawls. Chi-square (not KL/JSD) is
+   * deliberate: it is PURE rational arithmetic over exact counts —
+   * hash-exact across engines — where a log-based divergence inherits
+   * each engine's last-ulp `ln`.
+   *
+   *   e₁ = (o₁+o₂)·n₁/(n₁+n₂),   χ²(t) = (o₁−e₁)²/e₁ + (o₂−e₂)²/e₂
+   *
+   * with n₁/n₂ the FULL token totals of each side (top-N bounds the
+   * report, not the denominators). Sort the output by chi2 desc and
+   * the head IS the changed vocabulary.
+   *
+   * Scale: two map-side-combined token counts, a full-outer join at
+   * vocab cardinality, TakeOrdered(topN) (combined-count desc, term
+   * asc — total order), two broadcast total scalars. Nothing
+   * data-scale crosses the driver.
+   *
+   * Output: (term, n_before, n_after, p_before, p_after, chi2),
+   * round-9/round-6 mirrored trees.
+   */
+  def tokenDistributionDrift(before: DataFrame, after: DataFrame,
+                             textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as(name))
+    val b = counts(before, "n_before")
+    val a = counts(after, "n_after")
+    val nb = b.agg(sum(col("n_before")).as("__n1"))
+    val na = a.agg(sum(col("n_after")).as("__n2"))
+    val top = b.join(a, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy((col("n_before") + col("n_after")).desc, col("term").asc)
+      .limit(topN)
+    val e1 = (col("n_before") + col("n_after")).cast("double") *
+      col("__n1") / (col("__n1") + col("__n2"))
+    val e2 = (col("n_before") + col("n_after")).cast("double") *
+      col("__n2") / (col("__n1") + col("__n2"))
+    val d1 = col("n_before") - e1
+    val d2 = col("n_after") - e2
+    top.crossJoin(broadcast(nb)).crossJoin(broadcast(na))
+      .select(col("term"), col("n_before"), col("n_after"),
+        round(col("n_before").cast("double") / col("__n1"), 9)
+          .as("p_before"),
+        round(col("n_after").cast("double") / col("__n2"), 9)
+          .as("p_after"),
+        when(col("__n1") > 0 && col("__n2") > 0,
+          round(d1 * d1 / e1 + d2 * d2 / e2, 6)).as("chi2"))
+  }
+
+  /**
    * Dialog-structure audit for chat-format training data: per
    * conversation, the turn-taking shape SFT/RLHF formats require —
    * how many turns, how many CONSECUTIVE same-role turns (the

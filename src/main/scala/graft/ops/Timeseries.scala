@@ -268,4 +268,45 @@ object Timeseries {
       .select(col("src"), col("dst"), col("n"),
         round(col("n") / col("__tn"), 6).as("p"))
   }
+
+  /**
+   * Per-key interval union (the classic gaps-and-islands merge):
+   * overlapping or TOUCHING [start, end) spans collapse to one row —
+   * the cleanup pass behind contamination spans, redaction ranges,
+   * session windows, and any other "union these ranges" need.
+   * Degenerate spans (end ≤ start) are dropped up front.
+   *
+   * Islands form under the (start, end) order: a span starts a new
+   * island iff its start exceeds the running max end of every
+   * preceding span. Tied starts always intersect each other, so the
+   * MERGED output is a pure function of the span SET — tie order can
+   * relabel island ids but never change the grouped rows.
+   *
+   * Scale: two keyed windows (running max + running flag sum) and one
+   * aggregate, all partitioned by key — a key costs its own sort,
+   * nothing crosses keys, no global window.
+   *
+   * Output: (keyCol, startCol, endCol, n_spans) — one row per merged
+   * island.
+   */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val base = df.filter(col(keyCol).isNotNull && col(startCol).isNotNull &&
+      col(endCol).isNotNull && col(endCol) > col(startCol))
+    val order = Seq(col(startCol).asc, col(endCol).asc)
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("__pmax", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_spans"))
+      .select(col(keyCol), col(startCol), col(endCol), col("n_spans"))
+  }
 }

@@ -3440,6 +3440,58 @@ class OpsSpec extends SparkSpec {
     assert(drift("x")._5 == 1.0) // |(0.5,0.5)-(-0.5,0.5)| = 1
   }
 
+  test("mergeIntervals: overlap, touch, disjoint, degenerate, layout") {
+    import graft.ops.Timeseries
+    val df = Seq(
+      // key a: [1,5) [3,7) overlap -> [1,7); [7,9) touches -> [1,9);
+      //        [20,25) disjoint
+      ("a", 1L, 5L), ("a", 3L, 7L), ("a", 7L, 9L), ("a", 20L, 25L),
+      // duplicate span merges in, degenerate drops
+      ("a", 3L, 7L), ("a", 30L, 30L),
+      // key b: contained span
+      ("b", 10L, 40L), ("b", 15L, 20L))
+      .toDF("k", "s", "e")
+    val out = Timeseries.mergeIntervals(df, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("a", 1L, 9L, 4L), ("a", 20L, 25L, 1L),
+      ("b", 10L, 40L, 2L)))
+    val re = Timeseries.mergeIntervals(df.repartition(7), "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(re == out)
+  }
+
+  test("annotatorAccuracy: contrarian scored against the majority") {
+    import graft.ops.Features
+    val ratings = Seq(
+      // items 1..3: annots 1,2 vote "x"; annot 3 votes "y" every time
+      (1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "y"),
+      (2L, 1L, "x"), (2L, 2L, "x"), (2L, 3L, "y"),
+      (3L, 1L, "x"), (3L, 2L, "x"), (3L, 3L, "y"))
+      .toDF("item", "annot", "label")
+    val out = Features.annotatorAccuracy(ratings, "item", "annot", "label")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, 1.0)))
+    assert(out(2L) == ((2L, 3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 3L, 0L, 0.0)))
+  }
+
+  test("tokenDistributionDrift: identical halves zero, moved vocab tops") {
+    val a = Seq((1L, "alpha beta beta"), (2L, "gamma alpha"))
+      .toDF("doc_id", "text")
+    val same = TextAnalysis.tokenDistributionDrift(a, a, "text", 10)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(same.nonEmpty && same.forall(_._6 == 0.0))
+    // disjoint vocab: every token maximally drifted; hand-check one:
+    // before {x:2}, after {y:2}: for x: e1 = 2*2/4 = 1, chi2 = 1+1 = 2
+    val b1 = Seq((1L, "x x")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "y y")).toDF("doc_id", "text")
+    val dr = TextAnalysis.tokenDistributionDrift(b1, b2, "text", 10)
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(dr("x") == (("x", 2L, 0L, 1.0, 0.0, 2.0)))
+    assert(dr("y") == (("y", 0L, 2L, 0.0, 1.0, 2.0)))
+  }
+
   test("dialogTurnAudit: repeats, opening role, total order") {
     val df = Seq(
       // conv 1: u,a,u,a — clean alternation
