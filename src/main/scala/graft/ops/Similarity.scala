@@ -1330,9 +1330,11 @@ object Similarity {
    * accumulated `isin` list — a k-literal predicate would cost the
    * analyzer O(k²) over the run. Each round's state materializes via
    * localCheckpoint, so the plan stays constant-size at any k (the
-   * hits-loop lesson). Driver state is k centers — bounded by
-   * construction, the KMeans-seeds convention. Inherently k
-   * sequential rounds; k is a sample size, not data-scale.
+   * hits-loop lesson); superseded rounds' checkpoint blocks spill to
+   * disk and free on GC (bounded by k·|corpus| transiently — k is a
+   * sample size, not data-scale). Driver state is k centers — bounded
+   * by construction, the KMeans-seeds convention. Inherently k
+   * sequential rounds.
    *
    * Zero-norm vectors have no cosine direction: their distance reads
    * as 0 (`nanvl`), so they are never picked as "far" — the safe
@@ -1412,7 +1414,10 @@ object Similarity {
    *
    * Output: (key, n_before, n_after, centroid_cosine, l2_shift) for
    * keys present on BOTH sides (a key that appeared or vanished is
-   * [[graft.operators.Audits.tableDiff]]'s job, not drift).
+   * [[graft.operators.Audits.tableDiff]]'s job, not drift). Vectors
+   * are assumed fixed-dimension per table (the embedding-column
+   * contract everywhere in this module); `n_before`/`n_after` read
+   * the per-position count at the fullest position.
    */
   def embeddingDrift(before: DataFrame, after: DataFrame,
                      keyCol: String, vecCol: String): DataFrame = {

@@ -350,7 +350,9 @@ object TextAnalysis {
    * sum — one range shuffle plus a shuffle-free streaming pass; the
    * driver sees one total per partition, never rows. No global window.
    * All arithmetic exact longs; empty documents carry no tokens and
-   * are dropped.
+   * are dropped. `idCol` must be unique (the prefix-sum total-order
+   * contract): duplicated ids share a sort key, making their relative
+   * offsets — and a budget cut landing between them — run-dependent.
    *
    * Output: (idCol, n_toks, cum_toks), cum_toks ≤ budgetTokens.
    */
