@@ -992,6 +992,16 @@ object SparkEntry {
       TextAnalysis.dialogTurnAudit(
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")),
 
+    // head-to-head win rates + Wilson lower bounds over the same
+    // preference pairs: the uncertainty-priced scoreboard
+    "q_win_rates" -> ((s, dir) =>
+      graft.ops.Features.winRates(
+        t(s, dir, "lineitem")
+          .select((col("l_partkey") % 100).cast("long").as("w"),
+            (col("l_suppkey") % 100).cast("long").as("l"))
+          .filter(col("w") =!= col("l")),
+        "w", "l", z = 1.96)),
+
     // Bradley-Terry strengths from pairwise preferences (MM iteration,
     // 2 rounds, half-win smoothing) — the reward-modeling primitive;
     // comparisons collapse to pair counts before any join
@@ -3819,6 +3829,36 @@ object SparkEntry {
         | max(CASE WHEN rn = 1 THEN r END) AS first_role,
         | count(DISTINCT r) AS n_roles
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "q_win_rates" ->
+      """WITH pr AS (
+        | SELECT CAST(l_partkey % 100 AS BIGINT) AS wi,
+        |        CAST(l_suppkey % 100 AS BIGINT) AS lo
+        | FROM lineitem
+        | WHERE l_partkey % 100 <> l_suppkey % 100),
+        |w AS (SELECT wi, lo, count(*) AS w FROM pr GROUP BY 1, 2),
+        |u AS (
+        | SELECT least(wi, lo) AS item_a, greatest(wi, lo) AS item_b,
+        |  CAST(sum(CASE WHEN wi < lo THEN w ELSE 0 END) AS BIGINT)
+        |    AS wins_a,
+        |  CAST(sum(CASE WHEN wi > lo THEN w ELSE 0 END) AS BIGINT)
+        |    AS wins_b
+        | FROM w GROUP BY 1, 2),
+        |c AS (
+        | SELECT item_a, item_b, wins_a, wins_b, wins_a + wins_b AS n,
+        |  CAST(wins_a AS DOUBLE) / (wins_a + wins_b) AS p
+        | FROM u)
+        |SELECT item_a, item_b, wins_a, wins_b, n,
+        | round(p, 9) AS win_rate_a,
+        | round((p + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * n)
+        |   - CAST(1.96 AS DOUBLE) *
+        |     sqrt((p * (CAST(1.0 AS DOUBLE) - p)
+        |       + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4 * n))
+        |      / n))
+        |  / (CAST(1.0 AS DOUBLE)
+        |     + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n), 9)
+        |  AS wilson_lb_a
+        |FROM c""".stripMargin,
 
     "q_bradley_terry" ->
       """WITH pr AS (

@@ -354,6 +354,57 @@ object Features {
   }
 
   /**
+   * Head-to-head win rates with Wilson lower bounds — the model-vs-
+   * model scoreboard read straight off a preference corpus: per
+   * unordered item pair, how often did `item_a` (the smaller id) win,
+   * and what is the 95%-style LOWER bound on that rate (Wilson 1927 —
+   * the ranking-grade statistic: a 3-0 record stops outranking a
+   * 300-80 one once uncertainty is priced in):
+   *
+   *   lb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)
+   *
+   * Scale: one pair-count aggregate plus one unordered fold — both
+   * map-side-combined; the output is the observed-pair relation.
+   *
+   * Cross-engine exactness: counts exact longs; p̂ is one IEEE
+   * division; the Wilson chain is a mirrored tree of +,·,/ and one
+   * `sqrt` (correctly rounded by IEEE — the temperatureMixtureRates
+   * argument), with z entering as the same literal on both engines
+   * and z² formed as z·z, never a decimal constant. Rounded to 9.
+   *
+   * Output: (item_a, item_b, wins_a, wins_b, n, win_rate_a,
+   * wilson_lb_a), item_a < item_b.
+   */
+  def winRates(pairs: DataFrame, winnerCol: String, loserCol: String,
+               z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val w = pairs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).as("__wi"), col(loserCol).as("__wj"))
+      .agg(count(lit(1)).as("__w"))
+    val und = w
+      .select(least(col("__wi"), col("__wj")).as("item_a"),
+        greatest(col("__wi"), col("__wj")).as("item_b"),
+        when(col("__wi") < col("__wj"), col("__w")).otherwise(lit(0L))
+          .as("__wa"),
+        when(col("__wi") > col("__wj"), col("__w")).otherwise(lit(0L))
+          .as("__wb"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("__wa")).as("wins_a"), sum(col("__wb")).as("wins_b"))
+    val n = col("wins_a") + col("wins_b")
+    val p = col("wins_a").cast("double") / n
+    val zc = lit(z)
+    val z2 = zc * zc
+    val lb = (p + z2 / (lit(2) * n) -
+      zc * sqrt((p * (lit(1.0) - p) + z2 / (lit(4) * n)) / n)) /
+      (lit(1.0) + z2 / n)
+    und.select(col("item_a"), col("item_b"), col("wins_a"), col("wins_b"),
+      n.as("n"), round(p, 9).as("win_rate_a"),
+      round(lb, 9).as("wilson_lb_a"))
+  }
+
+  /**
    * Bradley-Terry strength scores from pairwise preferences — the
    * reward-modeling primitive: a preference corpus is (winner, loser)
    * comparisons, and training wants a per-item latent strength p with

@@ -325,6 +325,26 @@ class ClustersSpec extends SparkSpec {
     assert(!capped.exists(_._1 == 9L) && capped.length == 2)
   }
 
+  test("winRates: orientation, counts, Wilson bound vs direct formula") {
+    import spark.implicits._
+    import graft.ops.Features
+    // B beats A 3x, A beats B 1x -> pair (A,B): wins_a=1, wins_b=3
+    val pr = Seq(("B", "A"), ("B", "A"), ("B", "A"), ("A", "B"))
+      .toDF("w", "l")
+    val out = Features.winRates(pr, "w", "l")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r._1, r._2, r._3, r._4, r._5) == (("A", "B", 1L, 3L, 4L)))
+    assert(r._6 == 0.25)
+    val z = 1.96; val z2 = z * z; val n = 4.0; val p = 0.25
+    val lb = (p + z2 / (2 * n) -
+      z * math.sqrt((p * (1.0 - p) + z2 / (4 * n)) / n)) / (1.0 + z2 / n)
+    assert(r._7 == math.rint(lb * 1e9) / 1e9 || math.abs(r._7 - lb) < 1e-9)
+    // the lower bound prices uncertainty: below the raw rate
+    assert(r._7 < r._6 && r._7 > 0.0)
+  }
+
   test("bradleyTerry: transitive order, symmetry, smoothing floor") {
     import spark.implicits._
     import graft.ops.Features
