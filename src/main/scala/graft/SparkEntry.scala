@@ -480,7 +480,9 @@ object SparkEntry {
         .filter(col("a_id") < col("b_id"))
     }),
 
-    // J6: trigram fuzzy KNN + greedy 1:1 (no SQL oracle: iterative).
+    // J6: trigram fuzzy KNN + greedy 1:1, oracled cross-engine: the
+    // DuckDB side rebuilds pg_trgm shingling in SQL and peels the
+    // sequential greedy one pair per recursive-CTE level.
     // Source = perturbed document snippets (e→3 leetspeak); the fuzzy
     // matcher should re-link most of them to their original document.
     "q_fuzzy_match" -> ((s, dir) => {
@@ -2827,6 +2829,77 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    // J6 fuzzy trigram KNN + greedy 1:1 — cross-engine oracle for the
+    // reference's core operator. Trigram sets mirror Trigram.trigrams
+    // exactly (lowercase, [a-z0-9]+ word split — the corpus is pure
+    // ASCII lowercase, proven by the charset probe — '  w ' padding,
+    // distinct 3-grams); sim = shared/(|A|+|B|-shared) with the same
+    // IEEE op order as candidatePairs; the sequential greedy by
+    // (distance, source, target) is a recursive CTE peeling one
+    // accepted pair per level (pairs are few at fixture scale — the
+    // recursion is depth-bounded by the match count).
+    "q_fuzzy_match" ->
+      """WITH RECURSIVE src AS (
+        | SELECT doc_id AS working_source_id,
+        |        translate(substring(text, 1, 60), 'e', '3') AS snippet
+        | FROM documents WHERE doc_id % 37 = 0
+        |),
+        |tgt AS (
+        | SELECT doc_id, substring(text, 1, 60) AS snippet FROM documents
+        |),
+        |src_tri AS (
+        | SELECT DISTINCT working_source_id, substring(pw, j, 3) AS tri
+        | FROM (
+        |  SELECT working_source_id, '  ' || w || ' ' AS pw
+        |  FROM src,
+        |   unnest(regexp_extract_all(lower(snippet), '[a-z0-9]+')) AS u(w)
+        | ) words, unnest(range(1, length(pw) - 1)) AS r(j)
+        |),
+        |tgt_tri AS (
+        | SELECT DISTINCT doc_id, substring(pw, j, 3) AS tri
+        | FROM (
+        |  SELECT doc_id, '  ' || w || ' ' AS pw
+        |  FROM tgt,
+        |   unnest(regexp_extract_all(lower(snippet), '[a-z0-9]+')) AS u(w)
+        | ) words, unnest(range(1, length(pw) - 1)) AS r(j)
+        |),
+        |ssz AS (SELECT working_source_id, count(*) AS na
+        |        FROM src_tri GROUP BY 1),
+        |tsz AS (SELECT doc_id, count(*) AS nb FROM tgt_tri GROUP BY 1),
+        |pairs AS (
+        | SELECT c.working_source_id, c.doc_id, c.dist AS distance
+        | FROM (
+        |  SELECT s.working_source_id, t.doc_id,
+        |         1.0 - CAST(count(*) AS DOUBLE) /
+        |           (any_value(ss.na) + any_value(ts.nb) - count(*)) AS dist
+        |  FROM src_tri s
+        |  JOIN tgt_tri t USING (tri)
+        |  JOIN ssz ss ON ss.working_source_id = s.working_source_id
+        |  JOIN tsz ts ON ts.doc_id = t.doc_id
+        |  GROUP BY 1, 2
+        | ) c
+        | WHERE c.dist < 0.5
+        |),
+        |g AS (
+        | SELECT NULL::BIGINT AS working_source_id, NULL::BIGINT AS doc_id,
+        |        NULL::DOUBLE AS distance,
+        |        []::BIGINT[] AS used_s, []::BIGINT[] AS used_t, 0 AS n
+        | UNION ALL
+        | SELECT p.working_source_id, p.doc_id, p.distance,
+        |        list_append(g.used_s, p.working_source_id),
+        |        list_append(g.used_t, p.doc_id), g.n + 1
+        | FROM g, LATERAL (
+        |  SELECT working_source_id, doc_id, distance FROM pairs
+        |  WHERE NOT list_contains(g.used_s, working_source_id)
+        |    AND NOT list_contains(g.used_t, doc_id)
+        |  ORDER BY distance ASC, working_source_id ASC, doc_id ASC
+        |  LIMIT 1
+        | ) p
+        |)
+        |SELECT working_source_id, doc_id AS matched_key,
+        |       round(distance, 6) AS distance
+        |FROM g WHERE n > 0""".stripMargin,
 
     "q_problink" -> problinkOracle(best = false),
 

@@ -1084,17 +1084,30 @@ object Similarity {
     require(maxCellSize > 1, s"maxCellSize must exceed 1: $maxCellSize")
     val seeded = ivfAssign(corpus, idCol, vecCol, nCells)
     val assigned = ivfRefine(seeded, idCol, vecCol, refineIterations)
-    // per-cell sizes: ≤ nCells rows, broadcast back onto the members
-    // so the two regimes below split on a narrow flag, not a shuffle
-    val sizes = assigned.groupBy(col("cell_id"))
-      .agg(count(lit(1)).as("__csz"))
-    val tagged = assigned.join(broadcast(sizes), Seq("cell_id"))
-    val a = tagged.filter(col("__csz") <= maxCellSize)
-      .select(col("cell_id"),
-        col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("__va"))
-    val b = tagged.filter(col("__csz") <= maxCellSize)
-      .select(col("cell_id"),
-        col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("__vb"))
+    // Oversized-cell ids are resolved ON THE DRIVER from the size
+    // aggregate: post-agg it is ≤ nCells rows (driver-bounded by the
+    // caller's cell count), and the scan it runs is column-pruned to
+    // cell_id against the cached columnar assignment — it never touches
+    // the wide vector column. The common no-hub case (and the default
+    // Int.MaxValue cap, where no size pass runs at all) then keeps the
+    // original two-vector-scan plan: no size-tag join, and no empty
+    // star-branch jobs re-reading the vectors just to find zero rows —
+    // that extra traffic was a measured 3.5× regression on the hashed
+    // text corpus. With hubs present, membership splits on a broadcast
+    // hash-set `isin` over cell_id, pushable into the cached scan.
+    val overCells: Seq[Long] =
+      if (maxCellSize == Int.MaxValue) Nil
+      else assigned.groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("__csz"))
+        .filter(col("__csz") > maxCellSize)
+        .select(col("cell_id")).collect().map(_.getLong(0)).toSeq
+    val ok =
+      if (overCells.isEmpty) assigned
+      else assigned.filter(!col("cell_id").isin(overCells: _*))
+    val a = ok.select(col("cell_id"),
+      col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("__va"))
+    val b = ok.select(col("cell_id"),
+      col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("__vb"))
     val allPairs = a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
@@ -1117,30 +1130,35 @@ object Similarity {
     // the member-member pairs whose endpoints are both far from every
     // rep — the same approximate-by-construction trade the cell
     // structure itself already makes, now with a bounded worst case.
-    val over = tagged.filter(col("__csz") > maxCellSize)
-    val repAggs = (0 until 8).map(i =>
-      min_by(struct(col(idCol).as("__rid"),
-        toDoubleVec(col(vecCol)).as("__rv")),
-        xxhash64(col(idCol), lit(i))).as(s"__rep$i"))
-    val reps = over.groupBy(col("cell_id"))
-      .agg(repAggs.head, repAggs.tail: _*)
-      .select(col("cell_id"), explode(array(
-        (0 until 8).map(i => col(s"__rep$i")): _*)).as("__rep"))
-      .select(col("cell_id"), col("__rep.__rid").as("__rid"),
-        col("__rep.__rv").as("__rv"))
-      .dropDuplicates("cell_id", "__rid")
-    val starPairs = over
-      .select(col("cell_id"), col(idCol).as("__mid"),
-        toDoubleVec(col(vecCol)).as("__mv"))
-      .join(broadcast(reps), Seq("cell_id"))
-      .filter(col("__mid") =!= col("__rid"))
-      .withColumn("cosine", cosine(col("__mv"), col("__rv")))
-      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
-      .select(least(col("__mid"), col("__rid")).as("id_a"),
-        greatest(col("__mid"), col("__rid")).as("id_b"), col("cosine"))
-      // a rep-rep pair arises once from each side's member scan
-      .dropDuplicates("id_a", "id_b")
-    val pairs = allPairs.unionByName(starPairs)
+    // The branch is elided entirely when no cell exceeds the cap, so
+    // the common case pays zero extra scans of the wide vector column.
+    val merged = if (overCells.isEmpty) allPairs else {
+      val over = assigned.filter(col("cell_id").isin(overCells: _*))
+      val repAggs = (0 until 8).map(i =>
+        min_by(struct(col(idCol).as("__rid"),
+          toDoubleVec(col(vecCol)).as("__rv")),
+          xxhash64(col(idCol), lit(i))).as(s"__rep$i"))
+      val reps = over.groupBy(col("cell_id"))
+        .agg(repAggs.head, repAggs.tail: _*)
+        .select(col("cell_id"), explode(array(
+          (0 until 8).map(i => col(s"__rep$i")): _*)).as("__rep"))
+        .select(col("cell_id"), col("__rep.__rid").as("__rid"),
+          col("__rep.__rv").as("__rv"))
+        .dropDuplicates("cell_id", "__rid")
+      val starPairs = over
+        .select(col("cell_id"), col(idCol).as("__mid"),
+          toDoubleVec(col(vecCol)).as("__mv"))
+        .join(broadcast(reps), Seq("cell_id"))
+        .filter(col("__mid") =!= col("__rid"))
+        .withColumn("cosine", cosine(col("__mv"), col("__rv")))
+        .filter(col("cosine") >= threshold && !isnan(col("cosine")))
+        .select(least(col("__mid"), col("__rid")).as("id_a"),
+          greatest(col("__mid"), col("__rid")).as("id_b"), col("cosine"))
+        // a rep-rep pair arises once from each side's member scan
+        .dropDuplicates("id_a", "id_b")
+      allPairs.unionByName(starPairs)
+    }
+    val pairs = merged
       // pairs are re-read by connectedComponents' star rounds, so this
       // cache is needed anyway; materializing it here lets the two
       // corpus-sized upstream caches (seed assignment + refined
