@@ -1073,8 +1073,11 @@ object SparkEntry {
         "lang", "nt", budget = 10000L, alpha = 0.5)),
 
     // k-center greedy coreset (farthest-point sampling): 10 maximally
-    // diverse embeddings — rows-only gate (iterative argmax has no SQL
-    // oracle); OpsSpec pins cluster coverage and determinism
+    // diverse embeddings — oracled bit-exact: the sequential sweep is
+    // a recursive CTE on the DuckDB side (one center per level), and
+    // both engines build cosine from the same index-order sums;
+    // OpsSpec additionally pins cluster coverage, determinism, and
+    // batch-round equivalence
     "q_kcenter" -> ((s, dir) =>
       graft.ops.Similarity.kCenterGreedy(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)),
@@ -2830,6 +2833,45 @@ object SparkEntry {
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
+    // k-center greedy coreset — the sequential farthest-point sweep as
+    // a recursive CTE: one accepted center per level, dmin recomputed
+    // from the selected-id list state. Bit-exact cross-engine: both
+    // sides compute cosine as dot/(sqrt(na)·sqrt(nb)) from sequential
+    // index-order sums (list_dot_product ≡ the JVM fold), and min over
+    // centers is order-free. Zero-norm vectors are excluded on both
+    // sides (no cosine direction, no diversity contribution).
+    "q_kcenter" ->
+      """WITH RECURSIVE e AS (
+        | SELECT CAST(vec_id AS BIGINT) AS id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings
+        | WHERE embedding IS NOT NULL
+        |),
+        |nz AS (
+        | SELECT id, v FROM e WHERE list_dot_product(v, v) > 0
+        |),
+        |seed AS (SELECT id, v FROM nz ORDER BY id ASC LIMIT 1),
+        |g AS (
+        | SELECT 0 AS ord, id, NULL::DOUBLE AS dist,
+        |        [id] AS sel_ids FROM seed
+        | UNION ALL
+        | SELECT g.ord + 1, pick.id, pick.dmin,
+        |        list_append(g.sel_ids, pick.id)
+        | FROM g, LATERAL (
+        |   SELECT x.id,
+        |     min(1.0 - list_dot_product(x.v, c.v) /
+        |         (sqrt(list_dot_product(x.v, x.v)) *
+        |          sqrt(list_dot_product(c.v, c.v)))) AS dmin
+        |   FROM nz x JOIN nz c ON list_contains(g.sel_ids, c.id)
+        |   WHERE NOT list_contains(g.sel_ids, x.id)
+        |   GROUP BY x.id
+        |   ORDER BY dmin DESC, x.id ASC
+        |   LIMIT 1
+        | ) pick
+        | WHERE g.ord < 9
+        |)
+        |SELECT CAST(ord AS BIGINT) AS "order", id, dist FROM g""".stripMargin,
+
     // J6 fuzzy trigram KNN + greedy 1:1 — cross-engine oracle for the
     // reference's core operator. Trigram sets mirror Trigram.trigrams
     // exactly (lowercase, [a-z0-9]+ word split — the corpus is pure
@@ -3896,7 +3938,7 @@ object SparkEntry {
         |                     ORDER BY ts, event_id) AS rn
         | FROM events
         | WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |   AND event_type IS NOT NULL)
+        |   AND event_type IS NOT NULL AND event_id IS NOT NULL)
         |SELECT user_id, count(*) AS n_turns,
         | count(CASE WHEN r = prev THEN 1 END) AS n_repeats,
         | max(CASE WHEN rn = 1 THEN r END) AS first_role,

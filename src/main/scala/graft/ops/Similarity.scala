@@ -52,6 +52,22 @@ object Similarity {
   /** Widen array<float> → array<double> (deterministic element cast). */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Query batches at or below this row count take the broadcast-kernel
+    * ADC path in [[ivfPqTopK]] (queries collected once, corpus
+    * streamed — the right plan for serving-style top-k batches); above
+    * it the plan flips to a probe-cell equijoin with per-partition heap
+    * pruning, so a query TABLE never funnels through the driver. The
+    * two paths produce identical output by construction (one shared
+    * probe selector, the same ADC expression tree, the same
+    * (distance, id) selection order). */
+  val DefaultQueryCollectLimit: Long = 65536L
+
+  /** Diagnostic mirror of [[graft.operators.Fuzzy.lastAssignMode]]:
+    * "broadcast-kernel" or "cell-join" for the last ivfPqTopK on this
+    * JVM (spec hook for the no-driver-funnel assertion). */
+  private[graft] val lastIvfPqQueryMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** Sequential-fold dot product — same IEEE op order as the SQL
     * oracle's list fold, so results are bit-identical across engines.
     * JIT'd UDF kernel: the aggregate/zip_with expression formulation is
@@ -82,6 +98,24 @@ object Similarity {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   })
+
+  /** Driver-side twin of [[cosineKernel]] — IDENTICAL op order, so a
+    * driver-replayed distance (kCenterGreedy's batch window) equals
+    * the distributed column's value bit for bit. */
+  private def cosineDD(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
   def dot(a: Column, b: Column): Column = dotKernel(a, b)
 
@@ -252,33 +286,40 @@ object Similarity {
   }
 
   /** (cell ids ascending, centroid matrix) for broadcast into kernels. */
-  /** Driver-side probe selection, same rule as ivfTopK's kernel:
-    * per query the top-nProbe cells by (cosine-to-cell-mean desc,
-    * lowest cell id on ties). Shared by [[ivfPqTopK]] and the
-    * persisted-index path so the two can never drift. */
+  /** Probe selection for ONE query vector, same rule as ivfTopK's
+    * kernel: the top-nProbe cells by (cosine-to-cell-mean desc, lowest
+    * cell id on ties). The single shared selector behind the driver
+    * batch form below AND the distributed probe UDF, so the paths can
+    * never drift. */
+  private def probeCellsFor(qv: Array[Float], cellIds: Array[Long],
+                            centroids: Array[Array[Double]],
+                            nProbe: Int): Array[Long] = {
+    val sims = centroids.map(c => cosineFD(qv, c))
+    val picked = new Array[Long](math.min(nProbe, centroids.length))
+    val used = new Array[Boolean](centroids.length)
+    var p = 0
+    var exhausted = false
+    while (p < picked.length && !exhausted) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < centroids.length) {
+        if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        i += 1
+      }
+      if (best < 0) exhausted = true
+      else { used(best) = true; picked(p) = cellIds(best); p += 1 }
+    }
+    if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
+  }
+
+  /** Driver-side batch probe selection over an already-collected
+    * query array (the small-batch kernel path). */
   private def selectProbes(qArr: Array[(Long, Array[Float])],
                            cellIds: Array[Long],
                            centroids: Array[Array[Double]],
                            nProbe: Int): Array[Array[Long]] =
-    qArr.map { case (_, qv) =>
-      val sims = centroids.map(c => cosineFD(qv, c))
-      val picked = new Array[Long](math.min(nProbe, centroids.length))
-      val used = new Array[Boolean](centroids.length)
-      var p = 0
-      var exhausted = false
-      while (p < picked.length && !exhausted) {
-        var best = -1
-        var bestSim = Double.NegativeInfinity
-        var i = 0
-        while (i < centroids.length) {
-          if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
-          i += 1
-        }
-        if (best < 0) exhausted = true
-        else { used(best) = true; picked(p) = cellIds(best); p += 1 }
-      }
-      if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
-    }
+    qArr.map { case (_, qv) => probeCellsFor(qv, cellIds, centroids, nProbe) }
 
   private def collectCentroids(cells: DataFrame): (Array[Long], Array[Array[Double]]) = {
     val rows = cells.collect().map { r =>
@@ -743,16 +784,22 @@ object Similarity {
   def ivfPqTopKIndexed(spark: SparkSession, path: String,
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nProbe: Int,
-                       shortlistFactor: Int = 8): DataFrame = {
-    import spark.implicits._
+                       shortlistFactor: Int = 8,
+                       queryCollectLimit: Long = DefaultQueryCollectLimit
+                      ): DataFrame = {
     val cb = loadPqCodebook(spark, s"$path/codebook")
     val (cellIds, centroids) =
       collectCentroids(spark.read.parquet(s"$path/cells"))
-    val qArr = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect()
-    val probed = selectProbes(qArr, cellIds, centroids, nProbe)
-      .flatten.distinct.sorted
+    // probed-cell UNION computed distributedly: probe selection runs
+    // as a kernel over the query table against the broadcast centroid
+    // matrix, and only the ≤ nCells distinct cell ids come back to the
+    // driver (the input-split prune needs them as literals) — the
+    // query vectors themselves never do
+    val probeU = udf((v: Array[Float]) =>
+      probeCellsFor(v, cellIds, centroids, nProbe))
+    val probed = queries.filter(col(vecCol).isNotNull)
+      .select(explode(probeU(col(vecCol))).as("__pc"))
+      .distinct().collect().map(_.getLong(0)).sorted
     val probedSet = probed.toSet
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell_id").isin(probed: _*))
@@ -764,7 +811,8 @@ object Similarity {
     ivfPqTopK(codes, queries, idCol, vecCol, cb, k, nProbe,
       shortlistFactor,
       probeCenters = Some((kept.map(cellIds).toArray,
-        kept.map(centroids).toArray)))
+        kept.map(centroids).toArray)),
+      queryCollectLimit = queryCollectLimit)
   }
 
   /** Load a codebook written by [[savePqCodebook]]. The collect is
@@ -949,7 +997,9 @@ object Similarity {
                 idCol: String, vecCol: String, codebook: PqCodebook,
                 k: Int, nProbe: Int, shortlistFactor: Int = 8,
                 probeCenters: Option[(Array[Long], Array[Array[Double]])] =
-                  None): DataFrame = {
+                  None,
+                queryCollectLimit: Long = DefaultQueryCollectLimit
+               ): DataFrame = {
     val spark = corpusWithCells.sparkSession
     import spark.implicits._
     import scala.jdk.CollectionConverters._
@@ -962,7 +1012,18 @@ object Similarity {
     // pass them in and skip the pass
     val (cellIds, centroids) = probeCenters.getOrElse(
       collectCentroids(cellMeans(corpusWithCells, vecCol)))
-    val qArr = queries.filter(col(vecCol).isNotNull)
+    val qNN = queries.filter(col(vecCol).isNotNull)
+    // the broadcast-kernel path funnels the query batch through the
+    // driver by design (each executor needs every query's ADC table);
+    // a query TABLE, not batch, must instead meet the corpus in a
+    // cell equijoin — same output, no driver bound
+    if (qNN.count() > queryCollectLimit) {
+      lastIvfPqQueryMode.set("cell-join")
+      return ivfPqTopKJoined(corpusWithCells, qNN, idCol, vecCol,
+        codebook, k, nProbe, shortlistFactor, cellIds, centroids)
+    }
+    lastIvfPqQueryMode.set("broadcast-kernel")
+    val qArr = qNN
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
     val probeSets: Array[Array[Long]] =
@@ -1049,6 +1110,120 @@ object Similarity {
       .join(corpusWithCells.select(col(idCol).cast("long").as("neighbor_id"),
         toDoubleVec(col(vecCol)).as("__cv")), Seq("neighbor_id"))
       .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .filter(!isnan(col("cosine")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /**
+   * Large-query-table IVF-PQ top-k: the no-driver-funnel twin of the
+   * broadcast-kernel path above, for query sets too big to collect.
+   *
+   * Plan: per-query probe cells are selected DISTRIBUTEDLY against the
+   * broadcast centroid matrix (nCells·dim doubles — the only driver
+   * state) and exploded to (query, probe_cell) rows; a shuffle-hash
+   * equijoin on cell meets them with the m-byte PQ codes (both sides
+   * hash-partitioned by cell — at cluster scale the codes side is
+   * already cell-partitioned on disk, and AQE's skew-join splitting
+   * covers hub cells); ADC runs per joined row with per-partition
+   * heaps bounding every query to `shortlist` survivors BEFORE the
+   * ranking shuffle (the partial-aggregation analog — a query's window
+   * input is ≤ nProbe·shortlist rows, not its full probed volume);
+   * the exact cosine re-rank joins the original vectors for shortlist
+   * rows only, with the query side joined, not broadcast.
+   *
+   * Output is identical to the kernel path: one shared probe selector
+   * ([[probeCellsFor]]), the ADC sum unrolled in the same subspace
+   * order over the same subDist values, the same (adc, id) shortlist
+   * order and (cosine desc, id) final order — spec-asserted equal.
+   */
+  private def ivfPqTopKJoined(corpusWithCells: DataFrame, qNN: DataFrame,
+      idCol: String, vecCol: String, codebook: PqCodebook,
+      k: Int, nProbe: Int, shortlistFactor: Int,
+      cellIds: Array[Long], centroids: Array[Array[Double]]): DataFrame = {
+    val spark = corpusWithCells.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val shortlist = math.max(k * shortlistFactor, k)
+    val probeU = udf((v: Array[Float]) =>
+      probeCellsFor(v, cellIds, centroids, nProbe))
+    val qp = qNN
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qf"))
+      .withColumn("__probe_cell", explode(probeU(col("__qf"))))
+    val withCodes =
+      if (corpusWithCells.columns.contains("pq_codes")) corpusWithCells
+      else pqEncode(corpusWithCells, idCol, vecCol, codebook,
+        keep = Seq("cell_id"))
+    val codes = withCodes
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("cell_id").cast("long").as("cell_id"), col("pq_codes"))
+    val cbB = spark.sparkContext.broadcast(codebook)
+    val joined = codes
+      .join(qp.hint("shuffle_hash"),
+        col("cell_id") === col("__probe_cell") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__qf"), col("neighbor_id"),
+        col("pq_codes"))
+      .as[(Long, Array[Float], Long, Array[Byte])]
+    val candidates = joined.mapPartitions { it =>
+      val cb = cbB.value
+      val heapOrd = Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long)
+      // per-partition state is bounded by (queries present in this
+      // partition) × shortlist — a query probes nProbe cells, so it
+      // appears in at most nProbe partitions of the cell shuffle
+      val heaps =
+        new java.util.HashMap[Long, java.util.PriorityQueue[(Double, Long)]]()
+      val qnorms = new java.util.HashMap[Long, Array[Double]]()
+      it.foreach { case (qid, qf, nid, pq) =>
+        var qn = qnorms.get(qid)
+        if (qn == null) { qn = l2normalize(qf); qnorms.put(qid, qn) }
+        // same IEEE tree as the kernel path's table walk: subDist
+        // values accumulated in ascending subspace order
+        var d = 0.0
+        var s = 0
+        while (s < m) {
+          d += subDist(qn, s * subDim, cb(s)(pq(s) & 0xff)); s += 1
+        }
+        var h = heaps.get(qid)
+        if (h == null) {
+          h = new java.util.PriorityQueue[(Double, Long)](
+            shortlist + 1, heapOrd.reverse)
+          heaps.put(qid, h)
+        }
+        if (h.size < shortlist) h.add((d, nid))
+        else {
+          val top = h.peek()
+          if (d < top._1 || (d == top._1 && nid < top._2)) {
+            h.poll(); h.add((d, nid))
+          }
+        }
+      }
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        e.getValue.iterator().asScala.map {
+          case (d, nid) => (e.getKey.longValue(), nid, d)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = candidates
+      .withColumn("__rs", row_number().over(wShort))
+      .filter(col("__rs") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val l2normU = udf((v: Array[Float]) => l2normalize(v))
+    val qDf = qNN.select(col(idCol).cast("long").as("query_id"),
+      l2normU(col(vecCol)).as("__qv"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(corpusWithCells.select(col(idCol).cast("long").as("neighbor_id"),
+        toDoubleVec(col(vecCol)).as("__cv")), Seq("neighbor_id"))
+      .join(qDf, Seq("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .filter(!isnan(col("cosine")))
       .withColumn("rank", row_number().over(wFinal))
@@ -1351,12 +1526,29 @@ object Similarity {
    * hits-loop lesson); superseded rounds' checkpoint blocks spill to
    * disk and free on GC (bounded by k·|corpus| transiently — k is a
    * sample size, not data-scale). Driver state is k centers — bounded
-   * by construction, the KMeans-seeds convention. Inherently k
-   * sequential rounds.
+   * by construction, the KMeans-seeds convention.
    *
-   * Zero-norm vectors have no cosine direction: their distance reads
-   * as 0 (`nanvl`), so they are never picked as "far" — the safe
-   * default for padding rows.
+   * BATCHED rounds, exactly sequential output: each round fetches the
+   * top-(batchSize+1) points by (dmin desc, id asc) and replays the
+   * sequential greedy on the driver inside that window, folding each
+   * accepted center's distance into the remaining candidates' running
+   * min (p·dim flops — candidate-window-sized). The (batchSize+1)-th
+   * point's dmin is a THRESHOLD: every point outside the window has
+   * (dmin, id) at or below it, and in-window updates only decrease, so
+   * while the in-window argmax stays STRICTLY above the threshold it
+   * is provably the global sequential pick; the batch stops at the
+   * first pick that isn't, and the next distributed round re-fetches.
+   * (The first pick of every round is always exact — its dmin is
+   * un-updated and the fetch order already ranks it above everything.)
+   * Jobs drop from 2k to ~2k/accepted-per-batch; output is the
+   * sequential greedy's, bit for bit.
+   *
+   * Zero-norm vectors have no cosine direction and can never add
+   * diversity; they are EXCLUDED up front. (Leaving them in would be
+   * worse than useless at the seed: a zero-norm seed makes every
+   * initial dmin collapse to 0 through the nanvl guard and the
+   * selection degenerates to the k smallest ids.) The nanvl guard
+   * stays as defense in depth only.
    *
    * Output: (order, id, dist) — selection order (0-based), the chosen
    * id, and its min cosine distance to the prior centers at selection
@@ -1364,18 +1556,21 @@ object Similarity {
    * coverage radius' lower bound sequence, monotone non-increasing).
    */
   def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
+                    k: Int, batchSize: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
     val spark = corpus.sparkSession
     import spark.implicits._
     def vecLit(v: Array[Double]): Column = array(v.map(lit).toIndexedSeq: _*)
+    val sqNorm = aggregate(col("__v"), lit(0.0), (acc, x) => acc + x * x)
     val c = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         toDoubleVec(col(vecCol)).as("__v"))
+      .filter(sqNorm > 0.0)
     val seed = c.orderBy(col("id").asc).limit(1)
       .as[(Long, Seq[Double])].collect()
-    require(seed.nonEmpty, "empty corpus")
+    require(seed.nonEmpty, "empty corpus (or all vectors zero-norm)")
     var selected = List((seed(0)._1, seed(0)._2.toArray,
       null.asInstanceOf[java.lang.Double]))
     var state = c
@@ -1384,22 +1579,72 @@ object Similarity {
           nanvl(lit(1.0) - cosine(col("__v"), vecLit(seed(0)._2.toArray)),
             lit(0.0))))
       .localCheckpoint()
-    (2 to k).foreach { _ =>
-      val far = state
+    var nSel = 1
+    var exhausted = false
+    while (nSel < k && !exhausted) {
+      val cand = state
         .filter(col("__dmin") >= 0.0)
         .orderBy(col("__dmin").desc, col("id").asc)
-        .limit(1)
+        .limit(batchSize + 1)
         .as[(Long, Seq[Double], Double)].collect()
-      if (far.nonEmpty) {
-        val (fid, fvec, fd) = (far(0)._1, far(0)._2.toArray, far(0)._3)
-        selected = (fid, fvec, java.lang.Double.valueOf(fd)) :: selected
-        state = state
-          .withColumn("__dmin",
-            when(col("id") === fid, lit(-1.0)).otherwise(
-              least(col("__dmin"),
-                nanvl(lit(1.0) - cosine(col("__v"), vecLit(fvec)),
-                  lit(0.0)))))
-          .localCheckpoint()
+      if (cand.isEmpty) exhausted = true
+      else {
+        // the exactness threshold: best (dmin, id) outside the window
+        val tVal =
+          if (cand.length > batchSize) cand(batchSize)._3
+          else Double.NegativeInfinity
+        val win = cand.take(batchSize)
+          .map(r => (r._1, r._2.toArray, r._3))
+        val upd = win.map(_._3)
+        val taken = new Array[Boolean](win.length)
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        var go = true
+        while (go && nSel + accepted.length < k) {
+          var best = -1
+          var i = 0
+          while (i < win.length) {
+            if (!taken(i) && (best < 0 || upd(i) > upd(best) ||
+                (upd(i) == upd(best) && win(i)._1 < win(best)._1))) best = i
+            i += 1
+          }
+          // first pick of the round is exact unconditionally; later
+          // picks only while strictly above the outside threshold
+          if (best < 0 || (accepted.nonEmpty && !(upd(best) > tVal))) go = false
+          else {
+            taken(best) = true
+            accepted += ((win(best)._1, win(best)._2, upd(best)))
+            val cv = win(best)._2
+            i = 0
+            while (i < win.length) {
+              if (!taken(i)) {
+                val d = 1.0 - cosineDD(win(i)._2, cv)
+                val dd = if (java.lang.Double.isNaN(d)) 0.0 else d
+                if (dd < upd(i)) upd(i) = dd
+              }
+              i += 1
+            }
+          }
+        }
+        accepted.foreach { case (aid, avec, ad) =>
+          selected = (aid, avec, java.lang.Double.valueOf(ad)) :: selected
+        }
+        nSel += accepted.length
+        if (nSel < k) {
+          // ONE state pass folds the whole batch: the running min
+          // absorbs every accepted center, accepted ids get marked
+          val acceptedIds = accepted.map(_._1)
+          var dExpr: Column = col("__dmin")
+          accepted.foreach { case (_, avec, _) =>
+            dExpr = least(dExpr,
+              nanvl(lit(1.0) - cosine(col("__v"), vecLit(avec)), lit(0.0)))
+          }
+          state = state
+            .withColumn("__dmin",
+              when(col("id").isin(acceptedIds.toSeq: _*), lit(-1.0))
+                .otherwise(dExpr))
+            .localCheckpoint()
+        }
       }
     }
     selected.reverse.zipWithIndex

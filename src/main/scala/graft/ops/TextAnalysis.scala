@@ -508,8 +508,11 @@ object TextAnalysis {
       .partitionBy(col(convCol))
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     df
+      // tieCol non-null keeps the order engine-independent: Spark
+      // sorts NULLS FIRST on ASC where DuckDB defaults NULLS LAST, so
+      // a ts-tie involving a null tie id would diverge cross-engine
       .filter(col(convCol).isNotNull && col(tsCol).isNotNull &&
-        col(roleCol).isNotNull)
+        col(roleCol).isNotNull && col(tieCol).isNotNull)
       .select(col(convCol), col(roleCol).as("__r"),
         lag(col(roleCol), 1).over(w).as("__prev"),
         row_number().over(w).as("__rn"))

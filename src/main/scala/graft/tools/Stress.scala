@@ -519,6 +519,53 @@ object Stress {
     }
     assertNoFunnel("minhash-index-10x")
 
+    // ---- 11. IVF-PQ cell-join at a 400k-row query table ----------------
+    // 200 id-offset replicas of the sf0.1 embeddings as QUERIES against
+    // a persisted IVF-PQ index of the originals: far above
+    // DefaultQueryCollectLimit, so the cell-join path must engage (no
+    // query-side collect — probe selection is a distributed kernel and
+    // only the probed-cell id union reaches the driver). Every query is
+    // an exact copy of a corpus vector, so its probe cells contain its
+    // original and every query must come back with a rank-1 hit; a
+    // 100-query slice re-run through the broadcast-kernel path must
+    // agree row-for-row (per-query independence of the output).
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_ivfpq").toString
+    val qBase = 1000000000L
+    val bigQ = (0 until 200).map(i =>
+      emb.select((col("vec_id") + lit(qBase + i.toLong * 1000000L))
+        .as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val nQ = bigQ.count()
+    tme(f"ivf-pq cell-join ($nQ%,d-row query table)") {
+      Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", pqDir,
+        nCells = 64, m = 16, k = 32, iterations = 1)
+      val hits = Similarity.ivfPqTopKIndexed(spark, pqDir, bigQ,
+        "vec_id", "embedding", k = 3, nProbe = 2, shortlistFactor = 2)
+        .persist()
+      val top1 = hits.filter(col("rank") === 1).count()
+      assert(Similarity.lastIvfPqQueryMode.get() == "cell-join",
+        "400k-row query table did not take the cell-join path")
+      assert(top1 * 100 >= nQ * 99,
+        s"only $top1 of $nQ queries matched")
+      val sliceHi = qBase + 100L
+      val kern = Similarity.ivfPqTopKIndexed(spark, pqDir,
+        bigQ.filter(col("vec_id") < sliceHi), "vec_id", "embedding",
+        k = 3, nProbe = 2, shortlistFactor = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(Similarity.lastIvfPqQueryMode.get() == "broadcast-kernel",
+        "small slice should take the kernel path")
+      val sub = hits.filter(col("query_id") < sliceHi)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(sub == kern,
+        s"cell-join slice diverges from kernel: ${sub.size} vs ${kern.size}")
+      println(f"[stress] ivf-pq cell-join: $top1%,d of $nQ%,d rank-1 hits")
+      hits.unpersist()
+    }
+    assertNoFunnel("ivfpq-cell-join-1m")
+
     println("[stress] ALL OK")
     spark.stop()
   }

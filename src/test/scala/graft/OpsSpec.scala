@@ -233,6 +233,50 @@ class OpsSpec extends SparkSpec {
     assert(ivfpq == again)
   }
 
+  test("IVF-PQ cell-join query path: no driver collect, output identical") {
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, k = 32,
+      iterations = 3)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val kernel = Similarity.ivfPqTopK(assigned, queries, "vec_id",
+      "embedding", cb, k = 3, nProbe = 4, shortlistFactor = 8)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(Similarity.lastIvfPqQueryMode.get() == "broadcast-kernel")
+    // queryCollectLimit = 0 forces every query batch onto the join
+    // path — the large-query-table plan with no query-side collect
+    val joinPath = Similarity.ivfPqTopK(assigned, queries, "vec_id",
+      "embedding", cb, k = 3, nProbe = 4, shortlistFactor = 8,
+      queryCollectLimit = 0L)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(Similarity.lastIvfPqQueryMode.get() == "cell-join")
+    // bit-exact parity including the cosine doubles: shared probe
+    // selector, same ADC expression tree, same selection orders
+    assert(joinPath == kernel,
+      s"cell-join path diverges: ${joinPath.size} vs ${kernel.size} rows")
+    // and through the persisted index too (probe union + split prune
+    // feeding the join path)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_join").toString
+    try {
+      Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", dir,
+        nCells = 8, m = 16, k = 32, iterations = 3)
+      val idxKernel = Similarity.ivfPqTopKIndexed(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val idxJoin = Similarity.ivfPqTopKIndexed(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4, queryCollectLimit = 0L)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(Similarity.lastIvfPqQueryMode.get() == "cell-join")
+      assert(idxJoin == idxKernel, "indexed cell-join path diverges")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("persisted IVF-PQ index: probes prune input splits, results match") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files
@@ -3409,6 +3453,24 @@ class OpsSpec extends SparkSpec {
     val re = Similarity.kCenterGreedy(df.repartition(7), "vec_id", "emb", 3)
       .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
     assert(re.toSeq == out.toSeq)
+    // batching preserves the SEQUENTIAL output bit for bit: the
+    // threshold guard only accepts in-window picks that provably beat
+    // every outside point, so any batch size replays the same greedy
+    Seq(1, 2, 100).foreach { p =>
+      val batched = Similarity
+        .kCenterGreedy(df, "vec_id", "emb", k = 3, batchSize = p)
+        .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+      assert(batched.toSeq == out.toSeq, s"batchSize=$p diverged")
+    }
+    // k > distinct directions: selection continues into the jittered
+    // duplicates, never the zero vector, at every batch size
+    val deep = Similarity.kCenterGreedy(df, "vec_id", "emb", k = 8)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    val deepB = Similarity
+      .kCenterGreedy(df, "vec_id", "emb", k = 8, batchSize = 3)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(deep.toSeq == deepB.toSeq)
+    assert(!deep.map(_._2).contains(30L))
   }
 
   test("embeddingDrift: identical halves cosine 1, planted shift") {
