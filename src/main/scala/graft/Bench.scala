@@ -91,9 +91,15 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._4.isDefined)
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"sf":"$sfDir"}""")
-    // Second, short line AFTER the big one: the driver's tail capture
-    // truncates long output, so the verdict-relevant totals must also
-    // appear in a line that always fits (<200 chars).
+    // Short lines AFTER the big one: the driver's tail capture
+    // truncates long output, so the verdict-relevant figures must also
+    // appear in lines that always fit. First the 40 most expensive
+    // queries (cost-descending, 3 decimals — where regressions hide),
+    // then the totals.
+    val top40 = results.sortBy(-_._2).take(40)
+      .map { case (k, w, _, _) => jsonStr(k) + ":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"top40","wall":$top40}""")
     val cpuSum = results.map(_._3).filter(_ >= 0).sum
     println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()

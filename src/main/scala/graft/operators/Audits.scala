@@ -757,6 +757,19 @@ final case class MergeAuditReport(
     }.mkString("\n")
     f"MergeAudit(total=$totalCount, matched=$matchedCount, rate=${matchRate * 100}%.2f%%)\n$groups"
   }
+
+  /** The reference's human-readable report face
+    * (merge_audit.rb:42-48): a total line, then one
+    * `<group>: <pct>% <count>` line per match group. */
+  def render: String = {
+    val sb = new StringBuilder
+    sb.append(s"total source records      : $totalCount \n")
+    groupCounts.toSeq.sortBy(_._1).foreach { case (g, n) =>
+      val pct = if (totalCount == 0) 0.0 else 100.0 * n / totalCount
+      sb.append(f"$g: $pct%.2f%% $n \n")
+    }
+    sb.toString
+  }
 }
 
 object MergeAudit {
@@ -786,7 +799,22 @@ final case class DedupAuditReport(
     totalCount: Long,
     groupCounts: Map[Int, Long],
     reflexiveCount: Long,
-    symmetricCount: Long)
+    symmetricCount: Long) {
+
+  /** Reference face (dedup_audit.rb:43-54): the merge-audit report
+    * plus an error line per violated self-join invariant. */
+  def render: String = {
+    val sb = new StringBuilder(
+      MergeAuditReport(totalCount, groupCounts).render)
+    if (reflexiveCount != 0)
+      sb.append(s"REFLEXIVE MERGE ERROR: $reflexiveCount records are " +
+        "flagged as their own duplicate.\n")
+    if (symmetricCount != 0)
+      sb.append(s"SYMMETRIC MERGE ERROR: $symmetricCount records are " +
+        "flagged as both a duplicate and original.\n")
+    sb.toString
+  }
+}
 
 object DedupAudit {
   def audit(table: DataFrame, spec: MergeSpec,
@@ -814,7 +842,33 @@ final case class CsvAuditReport(
     rowCount: Long,
     malformedCount: Long,
     keyIsUnique: Boolean,
-    coverage: Map[String, Long])
+    coverage: Map[String, Long],
+    keys: Seq[String] = Nil,
+    columns: Seq[String] = Nil) {
+
+  /** Reference face (csv_audit.rb:78-101): header, valid/invalid
+    * counts, per-key uniqueness verdicts, per-column coverage lines.
+    * Column order follows the audited column list (insertion order),
+    * like the reference walks its headers. */
+  def render: String = {
+    val sb = new StringBuilder("CSV Audit Report")
+    sb.append(s"\n\nValid rows: $rowCount")
+    sb.append(s"\nInvalid rows: $malformedCount")
+    sb.append("\n\nKeys:")
+    keys.foreach { k =>
+      sb.append(s"\n\t[$k]")
+      sb.append(if (keyIsUnique) " UNIQUE KEY" else " DUPLICATES (NOT UNIQUE)")
+    }
+    sb.append("\n\nCoverage:")
+    val ordered = if (columns.nonEmpty) columns else coverage.keys.toSeq.sorted
+    ordered.foreach { c =>
+      val n = coverage.getOrElse(c, 0L)
+      val pct = if (rowCount == 0) 0.0 else 100.0 * n / rowCount
+      sb.append(s"\n\t$c:".padTo(30, ' ') + f" $pct%.2f%% ($n)" + "\n")
+    }
+    sb.toString
+  }
+}
 
 object CsvAudit {
   def audit(df: DataFrame, keys: Seq[String], columns: Seq[String],
@@ -826,7 +880,7 @@ object CsvAudit {
     }.toMap
     val unique =
       keys.isEmpty || Audits.duplicateKeys(df, keys).limit(1).count() == 0
-    CsvAuditReport(total, malformedCount, unique, covMap)
+    CsvAuditReport(total, malformedCount, unique, covMap, keys, columns)
   }
 }
 

@@ -107,6 +107,16 @@ class CsvGatewaySpec extends SparkSpec {
     assert(rep.malformedCount == 1)
     assert(!rep.keyIsUnique)          // id=2 twice
     assert(rep.coverage == Map("name" -> 2, "email" -> 2))
+    // reference text face (csv_audit.rb:78-101): header, row counts,
+    // per-key verdicts, 30-char-padded coverage lines — every number
+    // mirrors a report field
+    val r = rep.render
+    assert(r.startsWith("CSV Audit Report\n\nValid rows: 3\nInvalid rows: 1"))
+    assert(r.contains("\n\t[id] DUPLICATES (NOT UNIQUE)"))
+    assert(r.contains("\n\tname:".padTo(30, ' ') + " 66.67% (2)\n"))
+    assert(r.contains("\n\temail:".padTo(30, ' ') + " 66.67% (2)\n"))
+    val uniq = rep.copy(keyIsUnique = true).render
+    assert(uniq.contains("\n\t[id] UNIQUE KEY"))
   }
 
   test("gateway registry, rebinding, sql passthrough, cleanup") {

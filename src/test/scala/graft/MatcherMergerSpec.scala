@@ -190,5 +190,19 @@ class MatcherMergerSpec extends SparkSpec {
     assert(rep.totalCount == 4)
     assert(rep.groupCounts == Map(1 -> 2, 2 -> 1))
     assert(math.abs(rep.matchRate - 0.75) < 1e-9)
+    // reference text face (merge_audit.rb:42-48): total line +
+    // "<group>: <pct>% <count>" per group, numbers = the report fields
+    val r = rep.render
+    assert(r.startsWith("total source records      : 4 \n"))
+    assert(r.contains("1: 50.00% 2 \n"))
+    assert(r.contains("2: 25.00% 1 \n"))
+    // dedup face appends an error line per violated invariant
+    val bad = graft.operators.DedupAuditReport(4, Map(1 -> 2), 1, 2).render
+    assert(bad.contains(
+      "REFLEXIVE MERGE ERROR: 1 records are flagged as their own duplicate."))
+    assert(bad.contains("SYMMETRIC MERGE ERROR: 2 records are flagged " +
+      "as both a duplicate and original."))
+    val clean = graft.operators.DedupAuditReport(4, Map(1 -> 2), 0, 0).render
+    assert(!clean.contains("ERROR"))
   }
 }
