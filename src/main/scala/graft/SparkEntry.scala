@@ -268,6 +268,171 @@ object SparkEntry {
        |FROM p""".stripMargin
   }
 
+  /** DuckDB oracle for q_problink_em: ProbLink.emFit unrolled as three
+    * CTE generations (params row → E-step responsibilities → decimal
+    * sufficient statistics → next params row). Cross-engine exact by
+    * the op's own design: responsibilities round to 9 decimals before
+    * DECIMAL(38,9) sums (order-free), every double op (products in
+    * field order, divisions, clamps) is written in the identical IEEE
+    * tree, and the final face rounds HALF_EVEN to 6 (round_even). */
+  private def problinkEmOracle: String = {
+    val fields = Seq("name", "seg")
+    val d0 = "CAST(0 AS DECIMAL(38,9))"
+    val one = "CAST(1 AS DECIMAL(38,9))"
+    def iterCtes(i: Int): String = {
+      val p = s"p${i - 1}"; val e = s"e$i"; val pn = s"p$i"
+      def prod(mu: String): String = fields.map { f =>
+        s"(CASE WHEN agree_$f IS NULL THEN CAST(1.0 AS DOUBLE) " +
+          s"WHEN agree_$f THEN $p.$mu$f " +
+          s"ELSE CAST(1.0 AS DOUBLE) - $p.$mu$f END)"
+      }.mkString(" * ")
+      val sums = Seq("count(*) AS n", "sum(r) AS sr") ++ fields.flatMap(f => Seq(
+        s"sum(CASE WHEN agree_$f THEN r ELSE $d0 END) AS srA_$f",
+        s"sum(CASE WHEN agree_$f IS NOT NULL THEN r ELSE $d0 END) AS srN_$f",
+        s"sum(CASE WHEN agree_$f THEN $one - r ELSE $d0 END) AS scA_$f",
+        s"sum(CASE WHEN agree_$f IS NOT NULL THEN $one - r ELSE $d0 END) AS scN_$f"))
+      val ag = fields.map(f => s"agree_$f").mkString(", ")
+      def clamp(x: String): String =
+        s"greatest(CAST(1e-6 AS DOUBLE), least(CAST(1.0 AS DOUBLE) - 1e-6, $x))"
+      val newp = Seq(
+        clamp("CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)") + " AS lam") ++
+        fields.flatMap(f => Seq(
+          clamp(s"CASE WHEN srN_$f = 0 THEN CAST(0.5 AS DOUBLE) " +
+            s"ELSE CAST(srA_$f AS DOUBLE) / CAST(srN_$f AS DOUBLE) END") +
+            s" AS m$f",
+          clamp(s"CASE WHEN scN_$f = 0 THEN CAST(0.5 AS DOUBLE) " +
+            s"ELSE CAST(scA_$f AS DOUBLE) / CAST(scN_$f AS DOUBLE) END") +
+            s" AS u$f"))
+      s"""$e AS (
+         | SELECT ${sums.mkString(",\n  ")}
+         | FROM (
+         |  SELECT $ag,
+         |   CAST(round(($p.lam * pm) /
+         |     ($p.lam * pm + (CAST(1.0 AS DOUBLE) - $p.lam) * pu), 9)
+         |    AS DECIMAL(38,9)) AS r
+         |  FROM (SELECT $ag, ${prod("m")} AS pm, ${prod("u")} AS pu
+         |        FROM pairs, $p), $p
+         | )),
+         |$pn AS (
+         | SELECT ${newp.mkString(",\n  ")}
+         | FROM $e, $p)""".stripMargin
+    }
+    val init = (Seq("CAST(0.1 AS DOUBLE) AS lam") ++
+      fields.flatMap(f => Seq(s"CAST(0.9 AS DOUBLE) AS m$f",
+        s"CAST(0.1 AS DOUBLE) AS u$f"))).mkString(", ")
+    val finalRows = fields.map(f =>
+      s"""SELECT '$f' AS field, round_even(m$f, 6) AS m,
+         | round_even(u$f, 6) AS u, round_even(lam, 6) AS lambda
+         |FROM p3""".stripMargin).mkString("\n UNION ALL\n")
+    s"""WITH src AS (
+       | SELECT c_custkey AS src_id, c_nationkey,
+       |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS name,
+       |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+       | FROM customer WHERE c_custkey % 16 = 0),
+       |pairs AS (
+       | SELECT levenshtein(s.name, t.c_name) <= 1 AS agree_name,
+       |        s.seg = t.c_mktsegment AS agree_seg
+       | FROM src s JOIN customer t ON s.c_nationkey = t.c_nationkey),
+       |p0 AS (SELECT $init),
+       |${(1 to 3).map(iterCtes).mkString(",\n")}
+       |$finalRows""".stripMargin
+  }
+
+  /** DuckDB oracle for q_problink_em_graded: emFitGraded unrolled the
+    * same way, with per-(field, level) statistics and the clamp-floor
+    * + renormalize M-step written as the identical left-to-right sum
+    * (Scala's Array.sum ≡ the SQL chain `(c0 + c1) + c2`). */
+  private def problinkEmGradedOracle: String = {
+    val fields = Seq(("name", 3), ("seg", 2))
+    val d0 = "CAST(0 AS DECIMAL(38,9))"
+    val one = "CAST(1 AS DECIMAL(38,9))"
+    def iterCtes(i: Int): String = {
+      val p = s"p${i - 1}"; val e = s"e$i"; val pn = s"p$i"
+      def prod(mu: String): String = fields.map { case (f, k) =>
+        val cases = (0 until k)
+          .map(l => s"WHEN level_$f = $l THEN $p.${mu}_${f}_$l").mkString(" ")
+        s"(CASE WHEN level_$f IS NULL THEN CAST(1.0 AS DOUBLE) $cases " +
+          "ELSE CAST(1.0 AS DOUBLE) END)"
+      }.mkString(" * ")
+      val sums = Seq("count(*) AS n", "sum(r) AS sr") ++
+        fields.flatMap { case (f, k) =>
+          Seq(
+            s"sum(CASE WHEN level_$f IS NOT NULL THEN r ELSE $d0 END) AS srN_$f",
+            s"sum(CASE WHEN level_$f IS NOT NULL THEN $one - r ELSE $d0 END) AS scN_$f") ++
+            (0 until k).flatMap(l => Seq(
+              s"sum(CASE WHEN level_$f = $l THEN r ELSE $d0 END) AS srL_${f}_$l",
+              s"sum(CASE WHEN level_$f = $l THEN $one - r ELSE $d0 END) AS scL_${f}_$l"))
+        }
+      val lv = fields.map { case (f, _) => s"level_$f" }.mkString(", ")
+      val newp = Seq(
+        "greatest(CAST(1e-6 AS DOUBLE), least(CAST(1.0 AS DOUBLE) - 1e-6, " +
+          "CAST(sr AS DOUBLE)/CAST(n AS DOUBLE))) AS lam") ++
+        fields.flatMap { case (f, k) =>
+          Seq(("m", s"srN_$f", "srL"), ("u", s"scN_$f", "scL")).flatMap {
+            case (mu, sN, sL) =>
+              val cs = (0 until k).map(l =>
+                s"greatest(CAST(1e-6 AS DOUBLE), " +
+                  s"CAST(${sL}_${f}_$l AS DOUBLE)/CAST($sN AS DOUBLE))")
+              val inner = cs.zipWithIndex
+                .map { case (c, j) => s"$c AS c$j" }.mkString(", ")
+              val ssum = (0 until k).map(l => s"c$l").mkString(" + ")
+              (0 until k).map { l =>
+                s"CASE WHEN $sN = 0 THEN $p.${mu}_${f}_$l " +
+                  s"ELSE (SELECT c$l / ($ssum) FROM (SELECT $inner)) " +
+                  s"END AS ${mu}_${f}_$l"
+              }
+          }
+        }
+      s"""$e AS (
+         | SELECT ${sums.mkString(",\n  ")}
+         | FROM (
+         |  SELECT $lv,
+         |   CAST(round(($p.lam * pm) /
+         |     ($p.lam * pm + (CAST(1.0 AS DOUBLE) - $p.lam) * pu), 9)
+         |    AS DECIMAL(38,9)) AS r
+         |  FROM (SELECT $lv, ${prod("m")} AS pm, ${prod("u")} AS pu
+         |        FROM pairs, $p), $p
+         | )),
+         |$pn AS (
+         | SELECT ${newp.mkString(",\n  ")}
+         | FROM $e, $p)""".stripMargin
+    }
+    val init = (Seq("CAST(0.1 AS DOUBLE) AS lam") ++
+      fields.flatMap { case (f, k) =>
+        (0 until k).map { l =>
+          val v = if (l == 0) 0.7 else 0.3 / (k - 1)
+          s"CAST($v AS DOUBLE) AS m_${f}_$l"
+        } ++ (0 until k).map { l =>
+          val v = if (l == k - 1) 0.7 else 0.3 / (k - 1)
+          s"CAST($v AS DOUBLE) AS u_${f}_$l"
+        }
+      }).mkString(", ")
+    val finalRows = fields.flatMap { case (f, k) =>
+      (0 until k).map(l =>
+        s"""SELECT '$f' AS field, CAST($l AS INT) AS level,
+           | round_even(m_${f}_$l, 6) AS m, round_even(u_${f}_$l, 6) AS u,
+           | round_even(lam, 6) AS lambda
+           |FROM p3""".stripMargin)
+    }.mkString("\n UNION ALL\n")
+    s"""WITH src AS (
+       | SELECT c_custkey AS src_id, c_nationkey,
+       |  CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS name,
+       |  CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+       | FROM customer WHERE c_custkey % 16 = 0),
+       |pairs AS (
+       | SELECT
+       |  CASE WHEN s.name IS NULL OR t.c_name IS NULL THEN NULL
+       |       WHEN s.name = t.c_name THEN 0
+       |       WHEN levenshtein(s.name, t.c_name) <= 1 THEN 1
+       |       ELSE 2 END AS level_name,
+       |  CASE WHEN s.seg IS NULL OR t.c_mktsegment IS NULL THEN NULL
+       |       WHEN s.seg = t.c_mktsegment THEN 0 ELSE 1 END AS level_seg
+       | FROM src s JOIN customer t ON s.c_nationkey = t.c_nationkey),
+       |p0 AS (SELECT $init),
+       |${(1 to 3).map(iterCtes).mkString(",\n")}
+       |$finalRows""".stripMargin
+  }
+
   /** Flagship: the reference's central use case — conform + staged match
     * + merge (SURVEY §7.2) — on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -566,8 +731,8 @@ object SparkEntry {
           col("max_block_pairs").cast("double").as("max_block_pairs"))
     }),
 
-    // graded EM on the level patterns (rows-only; iterative) — fit the
-    // full per-level (m, u) tables from a deterministic source sample
+    // graded EM on the level patterns, oracled the same unrolled way —
+    // fit the full per-level (m, u) tables from a deterministic sample
     "q_problink_em_graded" -> ((s, dir) => {
       val scored = ProbLink.scorePairsGraded(
         problinkSrc(s, dir, srcMod = 16), "src_id", problinkTgt(s, dir),
@@ -601,8 +766,9 @@ object SparkEntry {
     }),
 
     // EM-fitted (m, u, lambda) over the agreement patterns (Winkler
-    // 1988) — iterative, no SQL oracle; decimal-summed responsibilities
-    // make the fit bit-identical across partition layouts (spec'd).
+    // 1988) — oracled cross-engine by UNROLLING the three iterations as
+    // CTE generations (decimal-summed responsibilities make the fit
+    // bit-identical across layouts AND engines; spec'd too).
     // Estimation runs on a deterministic source SAMPLE (every 16th
     // customer) — the Splink discipline: at 100 TB you estimate m/u on
     // a sample and score the full corpus with the fitted params
@@ -2950,6 +3116,10 @@ object SparkEntry {
     "q_er_resolve" -> problinkResolveOracle,
 
     "q_problink_graded" -> problinkGradedOracle,
+
+    "q_problink_em" -> problinkEmOracle,
+
+    "q_problink_em_graded" -> problinkEmGradedOracle,
 
     "q_problink_tf" -> {
       val (nA, nD) = ProblinkNameW
