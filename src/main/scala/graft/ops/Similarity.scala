@@ -448,7 +448,8 @@ object Similarity {
    */
   def ivfTopK(corpusWithCells: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCells: Int, nProbe: Int): DataFrame = {
+              nCells: Int, nProbe: Int,
+              queryCollectLimit: Long = DefaultQueryCollectLimit): DataFrame = {
     val (cellIds, centroids) = collectCentroids(cellMeans(corpusWithCells, vecCol))
     val probeKernel = udf((v: Array[Float]) => {
       // top-nProbe by (cosine desc, cell id asc): selection over the
@@ -477,7 +478,8 @@ object Similarity {
       }
       if (p < picked.length) java.util.Arrays.copyOf(picked, p) else picked
     })
-    val probes = queries.filter(col(vecCol).isNotNull)
+    val qNN = queries.filter(col(vecCol).isNotNull)
+    val probes = qNN
       .select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"),
       explode(probeKernel(col(vecCol))).as("__probe_cell"))
@@ -486,7 +488,16 @@ object Similarity {
         col("cell_id"), toDoubleVec(col(vecCol)).as("__cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(probes), col("cell_id") === col("__probe_cell") &&
+    // broadcast is the serving-batch plan (probes fit on every
+    // executor, corpus never shuffles); a query TABLE above the limit
+    // instead meets the corpus in a cell-keyed shuffle-hash join —
+    // everything downstream (cosine before the shuffle, per-query
+    // window) is already distributed, so dropping the broadcast is the
+    // whole fix; join strategy cannot change the result set
+    val probeSide =
+      if (qNN.count() <= queryCollectLimit) broadcast(probes)
+      else probes.hint("shuffle_hash")
+    c.join(probeSide, col("cell_id") === col("__probe_cell") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       // drop NaN cosines (zero-norm rows) BEFORE ranking: Spark's

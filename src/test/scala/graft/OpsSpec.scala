@@ -166,6 +166,12 @@ class OpsSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (ivf & bf).size.toDouble / bf.size
     assert(recall >= 0.5, s"IVF recall too low: $recall") // probing half the cells
+    // the large-query-table plan (no probe broadcast, cell-keyed
+    // shuffle join) must return the identical result set
+    val big = Similarity.ivfTopK(assigned, queries, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 4, queryCollectLimit = 0L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(big == ivf, "shuffle-join ivfTopK diverges from broadcast plan")
   }
 
   test("Lloyd refinement keeps a valid assignment and helps recall") {
