@@ -2629,6 +2629,26 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // incremental ANN index maintenance: save the index on 2/3 of the
+    // embeddings, APPEND the remaining third (saved-means routing,
+    // saved-codebook encoding, new files only), then probe — appended
+    // vectors must be retrievable through the same pruned layout.
+    // Rows-only like the simsearch family; append semantics spec'd
+    "q_simsearch_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpqa_${tmpToken(dir)}").getAbsolutePath
+      Similarity.saveIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", idx, nCells = 16)
+      Similarity.appendIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", idx)
+      Similarity.ivfPqTopKIndexed(s, idx,
+        emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // OPQ: PQ in a PCA-rotated space (Ge et al. parametric solution) —
     // eigenvalue allocation balances per-subspace variance before
     // encoding; recall lift vs plain PQ spec-asserted (0.33 → 1.00 on

@@ -164,6 +164,14 @@ object Features {
    * cluster. Single-category batches (P̄_e = 1) return NULL kappa
    * (agreement is undefined, not perfect).
    *
+   * Population note (deliberate, mirrored by the oracle): p_j is taken
+   * over ALL ratings — including items with a single rating — while P̄
+   * can only average items with n_i ≥ 2. On heavily single-rated
+   * batches the two terms therefore describe different item
+   * populations and the chance term skews; that is Fleiss' classical
+   * formulation's own limit, and [[krippendorffAlpha]] below is the
+   * missing-data-correct statistic to reach for in that regime.
+   *
    * Cross-engine float discipline: all counts exact longs; each P_i /
    * p_j² is one mirrored double tree rounded to 12 and summed as
    * DECIMAL(38,12) (order-free), and the final κ is a mirrored

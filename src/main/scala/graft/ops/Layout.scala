@@ -64,6 +64,15 @@ object Layout {
     df.repartition(col(cellCol))
       .write.mode("overwrite").partitionBy(cellCol).parquet(path)
 
+  /** Append rows into an existing cell-partitioned layout: new files
+    * land under their cells' directories, existing files are never
+    * rewritten, and input-split pruning keeps working unchanged —
+    * the incremental face of [[writeCellPartitioned]]. */
+  def appendCellPartitioned(df: DataFrame, cellCol: String,
+                            path: String): Unit =
+    df.repartition(col(cellCol))
+      .write.mode("append").partitionBy(cellCol).parquet(path)
+
   /**
    * Write parquet with per-row-group bloom filters on the named
    * columns — the third pruning face beside [[zOrderWrite]] (min/max

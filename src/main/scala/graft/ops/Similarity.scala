@@ -781,6 +781,33 @@ object Similarity {
   }
 
   /**
+   * Append new vectors to a [[saveIvfPqIndex]] layout WITHOUT
+   * retraining — the index-maintenance path a growing corpus needs
+   * (the minhash index's appendMinhashIndex twin). New rows route to
+   * the nearest SAVED cell mean — the same geometry queries probe, and
+   * the FAISS convention: coarse centroids are fixed at train time,
+   * adds never move them — then encode with the SAVED codebook
+   * (deterministic, so appended codes are byte-compatible with a
+   * re-encode) and land as NEW files under their cells' partitions;
+   * existing files are never rewritten and input-split pruning keeps
+   * working unchanged. A corpus that drifts far from the train-time
+   * geometry warrants a rebuild, not an append: the layout stores no
+   * per-cell counts to re-estimate means incrementally, deliberately.
+   */
+  def appendIvfPqIndex(newRows: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = newRows.sparkSession
+    val cb = loadPqCodebook(spark, s"$path/codebook")
+    val (cellIds, centroids) =
+      collectCentroids(spark.read.parquet(s"$path/cells"))
+    val assigned = newRows.filter(col(vecCol).isNotNull)
+      .withColumn("cell_id", assignKernel(cellIds, centroids)(col(vecCol)))
+    val codes = pqEncode(assigned, idCol, vecCol, cb,
+      keep = Seq("cell_id", vecCol))
+    Layout.appendCellPartitioned(codes, "cell_id", s"$path/codes")
+  }
+
+  /**
    * IVF-PQ top-k over a [[saveIvfPqIndex]] layout. Probe cells are
    * chosen per query against the SAVED cell means; the codes table is
    * read with `cell_id IN (union of all queries' probes)`, which hive

@@ -333,6 +333,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index append: saved-geometry routing, appended rows retrievable") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_app").toString
+    try {
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val extra = emb.filter(col("vec_id") % 3 === 0)
+      Similarity.saveIvfPqIndex(base, "vec_id", "embedding", dir,
+        nCells = 8, m = 16, k = 32, iterations = 3)
+      val before = spark.read.parquet(s"$dir/codes").count()
+      Similarity.appendIvfPqIndex(extra, "vec_id", "embedding", dir)
+      val codes = spark.read.parquet(s"$dir/codes")
+      // every appended row landed, nothing rewritten or lost
+      assert(codes.count() == emb.count())
+      assert(before == base.count())
+      // appended rows carry valid cells and byte-compatible codes
+      val cells = spark.read.parquet(s"$dir/cells")
+        .select("cell_id").as[Long].collect().toSet
+      assert(codes.select("cell_id").as[Long].collect().toSet.subsetOf(cells))
+      // a replica of an APPENDED vector (fresh id) must come back
+      // rank-1 with its original through the pruned layout
+      val probes = extra.limit(20)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding"))
+      val hits = Similarity.ivfPqTopKIndexed(spark, dir, probes,
+        "vec_id", "embedding", k = 1, nProbe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      assert(hits.length == 20)
+      assert(hits.forall { case (q, n) => n == q - 1000000L },
+        s"appended vectors not retrieved as their own nearest: ${hits.take(5).toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF-PQ index trained on a content-hash sample keeps sane recall") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivfpq_sample").toString
