@@ -2908,6 +2908,9 @@ object SparkEntry {
           element_at(col("feature"), 4).as("mean_b"))
     }),
 
+    // stub-decode batching plumbing; the gate's visible columns are
+    // closed-form (payload = text bytes, feature(0) = byte length), so
+    // it verifies against a SQL oracle even with the decoder stubbed
     "q_multimodal_decode" -> ((s, dir) => {
       val payload = Multimodal.attachPayload(
         t(s, dir, "documents"), "doc_id", "text")
@@ -6305,6 +6308,17 @@ object SparkEntry {
         |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
         | md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    // the stub-decode plumbing gate's visible columns are closed-form
+    // (payload = the text bytes, feature(0) = byte length), so the
+    // plumbing verifies cross-engine even though the decoder is a stub
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(COALESCE(octet_length(encode(text)), 0) AS DOUBLE) AS f_len
         |FROM documents""".stripMargin,
 
     // PNG pixel (x,y) = id%200 + x + y ⇒ mean = base + (w−1)/2 + (h−1)/2,
