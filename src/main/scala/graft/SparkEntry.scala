@@ -1971,6 +1971,24 @@ object SparkEntry {
       graft.sources.SnapshotStore.read(s, path)
     }),
 
+    // right-to-be-forgotten over the store: commit, deleteCommit the
+    // targeted pks (one anti-join, new version), read back — the SQL
+    // oracle is the same anti-join, so the whole sequence gates exact
+    "q_snapshot_delete" -> ((s, dir) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_del_${tmpToken(dir)}").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.sources.SnapshotStore.commit(cust, path)
+      graft.sources.SnapshotStore.deleteCommit(
+        cust.filter(col("c_custkey") % 7 === 0).select(col("c_custkey")),
+        path, "c_custkey")
+      graft.sources.SnapshotStore.read(s, path)
+    }),
+
     "q_snapshot_rollback" -> ((s, dir) => {
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
@@ -5370,6 +5388,10 @@ object SparkEntry {
         | coalesce(d.c_mktsegment, cur.c_mktsegment) AS c_mktsegment
         |FROM cur FULL OUTER JOIN d ON cur.c_custkey = d.c_custkey"""
         .stripMargin,
+
+    "q_snapshot_delete" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE NOT (c_custkey % 7 = 0)""".stripMargin,
 
     "q_snapshot_multi" ->
       """SELECT c.c_nationkey, count(*) AS n,

@@ -1295,6 +1295,33 @@ object TextDedup {
   }
 
   /**
+   * Tombstone indexed documents — the delete face of the index
+   * (right-to-be-forgotten without rewriting band/sets files, which
+   * are append-only by design): the ids land in `<path>/tombstones`
+   * and every subsequent [[minhashProbeIndexed]] excludes them from
+   * its candidate set, so deleted documents can never re-link. A
+   * re-appended id stays dead (tombstones are permanent for the
+   * index's lifetime — rebuild to resurrect); physical erasure of the
+   * underlying rows is a rebuild, mirroring the snapshot store's
+   * deleteCommit-then-vacuum sequence.
+   */
+  def tombstoneMinhashIndex(ids: DataFrame, idCol: String,
+                            path: String): Unit =
+    ids.select(col(idCol).cast("long").as("__cid")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Tombstoned ids of an index (empty frame if none were ever
+    * written). */
+  def minhashTombstones(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").distinct()
+    else Seq.empty[Long].toDF("__cid")
+  }
+
+  /**
    * Probe a new batch against a [[saveMinhashIndex]] layout: for each
    * batch doc, every indexed corpus doc sharing an LSH band bucket,
    * verified with exact Jaccard ≥ `jaccardThreshold`.
@@ -1375,7 +1402,11 @@ object TextDedup {
         else iBands.hint("shuffle_hash")
           .join(bBands.select(col("__k"), col("__bid")), Seq("__k"))
       }
+    // tombstoned corpus docs are dead to the probe (delete face); the
+    // tombstone set is id-cardinality-bounded and the anti-join rides
+    // the same candidate frame every downstream stage reads
     val candidates = joined.select(col("__bid"), col("__cid")).distinct()
+      .join(minhashTombstones(spark, path), Seq("__cid"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = spark.read.parquet(s"$path/sets")
       .select(col(idCol).cast("long").as("__cid"),

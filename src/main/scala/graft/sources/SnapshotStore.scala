@@ -213,6 +213,24 @@ object SnapshotStore {
   }
 
   /**
+   * Targeted delete as a NEW VERSION — the right-to-be-forgotten
+   * operation over an immutable snapshot store: every current row
+   * whose `pk` appears in `ids` is dropped (one anti-join) and the
+   * remainder publishes through the same atomic commit. Old versions
+   * still CONTAIN the deleted rows — time travel is the store's
+   * contract — so the compliance sequence is deleteCommit first, then
+   * [[vacuum]] once the retention window allows, which physically
+   * erases the superseded generations. Returns the new version.
+   */
+  def deleteCommit(ids: DataFrame, path: String, pk: String): Long = {
+    val spark = ids.sparkSession
+    import org.apache.spark.sql.functions.col
+    val cur = read(spark, path)
+    commit(cur.join(ids.select(col(pk)).distinct(), Seq(pk), "left_anti"),
+      path)
+  }
+
+  /**
    * Compact the CURRENT version into `numFiles` files as a NEW version
    * — the small-files maintenance pass with snapshot isolation (unlike
    * [[graft.ops.Layout.compact]]'s in-place swap, history and

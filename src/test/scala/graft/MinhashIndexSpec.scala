@@ -45,6 +45,32 @@ class MinhashIndexSpec extends SparkSpec {
     }
   }
 
+  test("tombstoned docs never re-link; untouched docs still do") {
+    val dir = freshDir("tomb")
+    TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir)
+    // kill docs 0-9; near-copies of them must stop linking while
+    // near-copies of live docs keep linking through every probe path
+    TextDedup.tombstoneMinhashIndex(
+      (0 until 10).map(_.toLong).toDF("doc_id"), "doc_id", dir)
+    def run(maxBloomKeys: Long, pushdownLimit: Long) =
+      TextDedup.minhashProbeIndexed(spark, dir, batch, "doc_id", "text",
+        jaccardThreshold = 0.8, maxBloomKeys = maxBloomKeys,
+        pushdownLimit = pushdownLimit)
+        .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val out = run(10L * 1000 * 1000, TextDedup.pushdownKeyLimit)
+    assert(!out.exists(_._2 < 10L), "a tombstoned doc re-linked")
+    (10 until 50).foreach { i =>
+      assert(out.contains((1000L + i, i.toLong)), s"live doc $i lost")
+    }
+    // the exclusion holds identically on the bloom and plain-join paths
+    assert(run(10L * 1000 * 1000, 0) == out && run(0, 0) == out)
+    // tombstones are permanent: re-appending a dead id doesn't revive it
+    TextDedup.appendMinhashIndex(
+      Seq((5L, doc(5))).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(!run(10L * 1000 * 1000, TextDedup.pushdownKeyLimit)
+      .exists(_._2 == 5L))
+  }
+
   test("pushdown, driver-bloom, and plain-join paths agree exactly") {
     val dir = freshDir("paths")
     TextDedup.saveMinhashIndex(corpus, "doc_id", "text", dir)

@@ -134,6 +134,22 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(v3 == v2 + 1)
   }
 
+  test("deleteCommit drops targeted pks; history keeps them until vacuum") {
+    val path = freshPath("del")
+    SnapshotStore.commit(df(1 to 20), path)
+    val v2 = SnapshotStore.deleteCommit(
+      Seq(3L, 7L, 99L).toDF("id"), path, "id") // 99 absent: no-op row
+    assert(v2 == 2L)
+    assert(readIds(path) == (1L to 20L).toSet -- Set(3L, 7L))
+    // time travel still reaches the deleted rows (the store's contract)
+    assert(SnapshotStore.readVersion(spark, path, 1L)
+      .select($"id").as[Long].collect().toSet == (1L to 20L).toSet)
+    // the compliance step: vacuum erases the superseded generation
+    SnapshotStore.vacuum(spark, path, keepLast = 1)
+    intercept[Exception] { SnapshotStore.readVersion(spark, path, 1L).collect() }
+    assert(readIds(path) == (1L to 20L).toSet -- Set(3L, 7L))
+  }
+
   test("catalog commitAll: cross-table atomicity, travel, vacuum, names") {
     val path = freshPath("cat")
     def facts(n: Int) = (1 to n).map(i => (i.toLong, i * 10L))
