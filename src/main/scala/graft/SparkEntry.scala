@@ -2459,6 +2459,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "epoch0")),
 
+    // training shards: the shuffled order chopped into loader-facing
+    // fixed-size blocks (shard = pos / N) — writeShards materializes
+    // one file per shard; the gate verifies the membership math
+    "q_shards" -> ((s, dir) =>
+      graft.ops.Packing.shardPositions(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "epoch0", docsPerShard = 64)),
+
     // exact per-group quantiles (linear interpolation — Spark
     // `percentile` and DuckDB `quantile_cont` share the (n-1)p+1
     // definition, and integer inputs keep the interpolation bit-exact)
@@ -5716,6 +5724,15 @@ object SparkEntry {
         |   md5(CAST(doc_id AS VARCHAR) || ':epoch0')
         |     || lpad(CAST(doc_id AS VARCHAR), 20, '0')) - 1 AS pos
         |FROM documents""".stripMargin,
+
+    "q_shards" ->
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (ORDER BY
+        |    md5(CAST(doc_id AS VARCHAR) || ':epoch0')
+        |      || lpad(CAST(doc_id AS VARCHAR), 20, '0')) - 1 AS pos
+        | FROM documents)
+        |SELECT doc_id, lang, pos, pos // 64 AS shard FROM s""".stripMargin,
 
     "q_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

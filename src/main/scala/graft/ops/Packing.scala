@@ -157,4 +157,33 @@ object Packing {
   def packStats(packed: DataFrame): DataFrame =
     packed.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+
+  /**
+   * Tag every row with its TRAINING SHARD: dense [[shufflePositions]]
+   * order chopped into `docsPerShard`-sized contiguous blocks — the
+   * loader-facing unit (epoch k streams shard files in order; shard
+   * membership is reproducible across runs/clusters/partition counts
+   * and reshuffles wholesale with the salt). Output: input + `pos` +
+   * `shard`.
+   */
+  def shardPositions(df: DataFrame, idCol: String, salt: String,
+                     docsPerShard: Long): DataFrame = {
+    require(docsPerShard >= 1, s"docsPerShard must be >= 1: $docsPerShard")
+    shufflePositions(df, idCol, salt)
+      .withColumn("shard", (col("pos") / docsPerShard).cast("long"))
+  }
+
+  /**
+   * Materialize [[shardPositions]] as a shard-partitioned layout:
+   * `<path>/shard=K/` holds exactly the rows of shard K in ONE file —
+   * `repartition(col)` routes every row of a shard to one partition,
+   * and the hive writer emits one file per (partition, shard) pair, so
+   * a training loader maps shard → file 1:1. Rows inside a shard carry
+   * `pos` for in-shard ordering (parquet row order is not a contract).
+   */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+                  salt: String, docsPerShard: Long): Unit =
+    shardPositions(df, idCol, salt, docsPerShard)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -769,6 +769,30 @@ class OpsSpec extends SparkSpec {
     assert(moved > a.size * 9 / 10, s"only $moved of ${a.size} moved")
   }
 
+  test("writeShards: one file per shard, membership matches shardPositions") {
+    import graft.ops.Packing
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val in = docs.select($"doc_id", $"lang")
+    Packing.writeShards(in, "doc_id", dir, "epoch0", docsPerShard = 64)
+    val onDisk = spark.read.parquet(dir)
+    val expect = Packing.shardPositions(in, "doc_id", "epoch0", 64)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toSet
+    assert(onDisk.select($"doc_id", $"shard".cast("long"))
+      .as[(Long, Long)].collect().toSet == expect)
+    // exactly ONE file per shard — the loader's shard→file contract
+    val perShard = onDisk
+      .select($"shard".cast("long"), input_file_name().as("f"))
+      .distinct().groupBy($"shard").count()
+      .as[(Long, Long)].collect()
+    assert(perShard.nonEmpty && perShard.forall(_._2 == 1L),
+      s"shards with multiple files: ${perShard.filter(_._2 != 1L).toSeq}")
+    // every shard is full except possibly the last
+    val sizes = onDisk.groupBy($"shard".cast("long").as("s")).count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(sizes.dropRight(1).forall(_._2 == 64L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sequence packing: contiguous layout, boundary spans, full seqs") {
     import graft.ops.Packing
     val df = Seq(
