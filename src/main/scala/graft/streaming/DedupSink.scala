@@ -96,7 +96,11 @@ object DedupSink {
       new org.apache.hadoop.fs.Path(s"$indexPath/$Marker"), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     survivors.unpersist()
-    survivors
+    // return the WRITTEN rows, not the live plan: after the index
+    // append, re-evaluating the survivors lineage would probe the
+    // grown index — where every survivor now links to ITSELF — and
+    // silently come back empty once the probe's interior caches evict
+    spark.read.parquet(s"$corpusPath/ingest_batch=$batchId")
   }
 
   /**

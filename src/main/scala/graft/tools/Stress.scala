@@ -519,7 +519,55 @@ object Stress {
     }
     assertNoFunnel("minhash-index-10x")
 
-    // ---- 11. IVF-PQ cell-join at a 400k-row query table ----------------
+    // ---- 11. streaming dedup-ingest at 10× ------------------------------
+    // One DedupSink micro-batch against a 45k-doc index: the 5k probe
+    // batch (all near-dups of the corpus — every one must be dropped)
+    // plus 5k genuinely novel docs with internal duplicate pairs (each
+    // pair must collapse to its min id). End state: ~2.5k survivors
+    // published + appended, replay a no-op, no stage funneling.
+    val dsDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_dsink").toString
+    tme(f"dedup sink 10x (45k index, 10k batch)") {
+      graft.ops.TextDedup.saveMinhashIndex(
+        incCorpus, "doc_id", "text", s"$dsDir/idx",
+        numHashes = 32, bands = 8)
+      // every token carries the doc's id — novel docs share almost no
+      // shingles with EACH OTHER (a constant template would weld all
+      // 2.5k of them into one near-dup component)
+      val novel = spark.range(2500L).select(
+        (col("id") * 2 + 100000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          k => concat(lit("n"), col("id").cast("string"), lit("x"),
+            ((col("id") * 31 + k) % 97).cast("string")))).as("text"))
+      val novelDup = novel.select((col("doc_id") + 1L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      val batch12 = incBatch
+        .unionByName(novel).unionByName(novelDup).localCheckpoint()
+      val survivors = graft.streaming.DedupSink.applyBatch(spark,
+        s"$dsDir/idx", s"$dsDir/corpus", "doc_id", "text",
+        jaccardThreshold = 0.8, batch12, 0L)
+      val nSurv = survivors.count()
+      val nDup = survivors.filter(col("doc_id") < 100000000L &&
+        col("doc_id") >= 9L * 10000000L).count()
+      val nNovelSurv = survivors.filter(col("doc_id") >= 100000000L).count()
+      assert(nDup * 20 <= incBatch.count(),
+        s"$nDup corpus near-dups slipped through the sink")
+      // each (novel, novelDup) pair collapses onto its even min id
+      assert(nNovelSurv == 2500L,
+        s"novel pairs did not collapse to one survivor each: $nNovelSurv")
+      assert(survivors.filter(col("doc_id") >= 100000000L &&
+        col("doc_id") % 2 === 1).isEmpty)
+      // replay must be a no-op
+      val replay = graft.streaming.DedupSink.applyBatch(spark,
+        s"$dsDir/idx", s"$dsDir/corpus", "doc_id", "text",
+        jaccardThreshold = 0.8, batch12, 0L)
+      assert(replay.isEmpty, "replayed batch was re-applied")
+      println(f"[stress] dedup sink: $nSurv%,d survivors " +
+        f"($nDup%,d corpus dups slipped, $nNovelSurv%,d novel)")
+    }
+    assertNoFunnel("dedup-sink-10x")
+
+    // ---- 12. IVF-PQ cell-join at a 400k-row query table ----------------
     // 200 id-offset replicas of the sf0.1 embeddings as QUERIES against
     // a persisted IVF-PQ index of the originals: far above
     // DefaultQueryCollectLimit, so the cell-join path must engage (no

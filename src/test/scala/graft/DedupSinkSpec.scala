@@ -30,6 +30,9 @@ class DedupSinkSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val s0 = DedupSink.applyBatch(spark, idx, corpus, "doc_id", "text",
       jaccardThreshold = 0.8, b0, 0L)
+    // the returned frame must survive cache eviction: it is the WRITTEN
+    // rows, not a live plan that would re-probe the already-grown index
+    spark.catalog.clearCache()
     assert(s0.select("doc_id").as[Long].collect().toSet == Set(10L, 12L))
     val c0 = spark.read.parquet(corpus)
     assert(c0.columns.contains("ingest_batch")) // lineage for free
