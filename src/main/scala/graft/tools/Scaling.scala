@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scaling-shape check: run a chosen gate subset at TWO scale factors
+ * and report the wall-time ratio against the data ratio. A plan that
+ * survives 100 TB must grow roughly linearly in its input (shuffle
+ * rounds × data), so on a 10× step anything far above ~10×-plus-
+ * constant-overhead is a super-linear smell worth a plan audit —
+ * quadratic candidate generation, a driver bottleneck that starts
+ * swapping, a broadcast that stopped fitting. Small queries sit BELOW
+ * the data ratio (fixed job overhead dominates), which is why the
+ * flag bound is generous and only the ratio's ORDER matters.
+ *
+ * Usage: runMain graft.tools.Scaling [dirSmall dirBig [q1,q2,…]]
+ * Prints one line per query: small-wall, big-wall, ratio, flag; exits
+ * nonzero if any query exceeds the super-linear bound.
+ */
+object Scaling {
+
+  /** 10× data may legitimately cost up to this ×wall (shuffle fan-in,
+    * spill onset, log factors); beyond it the shape needs explaining. */
+  private val FlagRatio = 30.0
+
+  private val DefaultQueries = Seq(
+    // the bench's perennial top-cost set + the core merge/match path
+    "q_hits", "q_sssp", "q_wsp", "q_triangles", "q_textrank",
+    "q_text_semdedup", "q_semdedup", "q_dedup_minhash", "q_simhash",
+    "q_bm25", "q_exact_match", "q_merge_upsert", "q_fuzzy_match",
+    "q_dedup", "q_simsearch_ivfpq", "q_kcore", "q_problink_em",
+    "q_edit_join", "q_ngram_jaccard", "q_cluster_dedup_best")
+
+  private def medianWall(spark: SparkSession, name: String, dir: String,
+                         reps: Int): Double = {
+    val fn = graft.SparkEntry.queries(name)
+    val walls = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    walls(walls.size / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirSmall = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val dirBig = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val queries = args.lift(2).map(_.split(",").toSeq)
+      .getOrElse(DefaultQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup both datasets' footers + codegen
+    try {
+      spark.read.parquet(s"$dirSmall/region.parquet").count()
+      spark.read.parquet(s"$dirBig/region.parquet").count()
+    } catch { case _: Throwable => }
+    var flagged = 0
+    println(f"${"query"}%-24s ${"small"}%8s ${"big"}%8s ${"ratio"}%7s")
+    queries.foreach { q =>
+      val s = medianWall(spark, q, dirSmall, 3)
+      val b = medianWall(spark, q, dirBig, 3)
+      val ratio = if (s > 0) b / s else Double.NaN
+      val flag = ratio > FlagRatio
+      if (flag) flagged += 1
+      println(f"$q%-24s $s%8.2f $b%8.2f $ratio%7.2f ${if (flag) "SUPER-LINEAR" else ""}")
+    }
+    println(s"""{"metric":"scaling","flag_ratio":$FlagRatio,"flagged":$flagged}""")
+    spark.stop()
+    if (flagged > 0) sys.exit(1)
+  }
+}
