@@ -23,7 +23,7 @@ object Scaling {
     * spill onset, log factors); beyond it the shape needs explaining. */
   private val FlagRatio = 30.0
 
-  private val DefaultQueries = Seq(
+  private[graft] val DefaultQueries = Seq(
     // the bench's perennial top-cost set + the core merge/match path
     "q_hits", "q_sssp", "q_wsp", "q_triangles", "q_textrank",
     "q_text_semdedup", "q_semdedup", "q_dedup_minhash", "q_simhash",

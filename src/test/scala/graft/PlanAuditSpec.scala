@@ -33,6 +33,12 @@ class PlanAuditSpec extends SparkSpec {
   // to plan-audit: builders execute, the returned DF is what we check
   private lazy val allNames = SparkEntry.queries.keys.toSeq.sorted
 
+  test("the scaling harness audits only real gate names") {
+    val unknown = graft.tools.Scaling.DefaultQueries
+      .filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"Scaling references unknown gates: $unknown")
+  }
+
   test("no query plan contains an unpartitioned window") {
     allNames.foreach { name =>
       plansOf(name).foreach { plan =>
