@@ -1300,10 +1300,11 @@ object TextDedup {
    * are append-only by design): the ids land in `<path>/tombstones`
    * and every subsequent [[minhashProbeIndexed]] excludes them from
    * its candidate set, so deleted documents can never re-link. A
-   * re-appended id stays dead (tombstones are permanent for the
-   * index's lifetime — rebuild to resurrect); physical erasure of the
-   * underlying rows is a rebuild, mirroring the snapshot store's
-   * deleteCommit-then-vacuum sequence.
+   * re-appended id stays dead while its tombstone stands (resurrect by
+   * compacting first — [[compactMinhashIndex]] physically erases the
+   * dead rows and clears the list, after which the id is simply absent
+   * and a fresh append of it is a new document). The lifecycle mirrors
+   * the snapshot store's deleteCommit-then-vacuum sequence.
    */
   def tombstoneMinhashIndex(ids: DataFrame, idCol: String,
                             path: String): Unit =
@@ -1319,6 +1320,46 @@ object TextDedup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").distinct()
     else Seq.empty[Long].toDF("__cid")
+  }
+
+  /**
+   * Compact a [[saveMinhashIndex]] layout: physically ERASE tombstoned
+   * documents from `bands/` and `sets/` (the vacuum step completing
+   * the tombstone lifecycle — probes already excluded them logically)
+   * and fold the append-accumulated small files back into one file per
+   * band partition. Each directory is rewritten beside itself and
+   * promoted with [[graft.ops.Layout.atomicSwap]]; the swap ORDER
+   * (bands, then sets, then the tombstone list) keeps every crash
+   * window consistent — a compacted bands dir with an uncompacted sets
+   * dir merely carries unreachable set rows, and the tombstone list is
+   * only dropped once nothing it names remains. `meta/` (the immutable
+   * hash geometry) is untouched, so probes and appends keep working
+   * across the compaction unchanged.
+   */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          bhNdvPerGroup: Long = 1L << 17): Unit = {
+    val sets = spark.read.parquet(s"$path/sets")
+    val idCol = sets.columns.filterNot(_ == "__shh").head
+    val tomb = minhashTombstones(spark, path)
+      .withColumnRenamed("__cid", "__tomb")
+    val bands = spark.read.parquet(s"$path/bands")
+    bands
+      .join(tomb, col(idCol).cast("long") === col("__tomb"), "left_anti")
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .option("parquet.bloom.filter.enabled#bh", "true")
+      .option("parquet.bloom.filter.expected.ndv#bh", bhNdvPerGroup.toString)
+      .parquet(s"$path/bands.__compact")
+    Layout.atomicSwap(spark, s"$path/bands.__compact", s"$path/bands")
+    sets
+      .join(tomb, col(idCol).cast("long") === col("__tomb"), "left_anti")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#" + idCol, "true")
+      .parquet(s"$path/sets.__compact")
+    Layout.atomicSwap(spark, s"$path/sets.__compact", s"$path/sets")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
   }
 
   /**

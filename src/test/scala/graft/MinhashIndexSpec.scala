@@ -64,11 +64,27 @@ class MinhashIndexSpec extends SparkSpec {
     }
     // the exclusion holds identically on the bloom and plain-join paths
     assert(run(10L * 1000 * 1000, 0) == out && run(0, 0) == out)
-    // tombstones are permanent: re-appending a dead id doesn't revive it
+    // tombstones hold while they stand: re-appending a dead id doesn't
+    // revive it
     TextDedup.appendMinhashIndex(
       Seq((5L, doc(5))).toDF("doc_id", "text"), "doc_id", "text", dir)
     assert(!run(10L * 1000 * 1000, TextDedup.pushdownKeyLimit)
       .exists(_._2 == 5L))
+    // compaction physically erases the dead rows (incl. the re-appended
+    // copy of 5), clears the list, and changes NO live answer
+    val before = run(10L * 1000 * 1000, TextDedup.pushdownKeyLimit)
+    TextDedup.compactMinhashIndex(spark, dir)
+    assert(run(10L * 1000 * 1000, TextDedup.pushdownKeyLimit) == before)
+    val liveIds = spark.read.parquet(s"$dir/sets")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(!liveIds.exists(_ < 10L), "compaction left dead rows in sets")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // post-compaction the id is absent like a rebuild: a fresh append
+    // of it is a NEW document and links again
+    TextDedup.appendMinhashIndex(
+      Seq((5L, doc(5))).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(run(10L * 1000 * 1000, TextDedup.pushdownKeyLimit)
+      .contains((1005L, 5L)))
   }
 
   test("pushdown, driver-bloom, and plain-join paths agree exactly") {
