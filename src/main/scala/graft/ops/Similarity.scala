@@ -808,6 +808,56 @@ object Similarity {
   }
 
   /**
+   * Tombstone indexed vectors — the delete face of the ANN index
+   * (right-to-be-forgotten without rewriting the cell-partitioned
+   * codes): the ids land in `<path>/tombstones` and every subsequent
+   * [[ivfPqTopKIndexed]] drops them below the codes scan, so deleted
+   * vectors can never be returned as neighbors. A tombstone holds
+   * until [[compactIvfPqIndex]] physically erases the rows and clears
+   * the list (the minhash index's lifecycle, identically).
+   */
+  def tombstoneIvfPqIndex(ids: DataFrame, idCol: String,
+                          path: String): Unit =
+    ids.select(col(idCol).cast("long").as("__tomb")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Tombstoned ids of an ANN index (empty if none were written). */
+  def ivfPqTombstones(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").distinct()
+    else Seq.empty[Long].toDF("__tomb")
+  }
+
+  /**
+   * Compact a [[saveIvfPqIndex]] layout: physically erase tombstoned
+   * vectors from the cell-partitioned codes (one atomic swap — a crash
+   * before the tombstone-list delete leaves a consistent, still-
+   * tombstoned index) and fold append-accumulated small files back to
+   * one per cell. `cells/` and `codebook/` are untouched — the coarse
+   * geometry is fixed at train time (the append convention), so probes
+   * and appends keep working across the compaction unchanged.
+   */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    val codes = spark.read.parquet(s"$path/codes")
+    // the id is the one non-layout scalar column (the vector column's
+    // name is caller-chosen, but it is always an array)
+    val idCol = codes.schema.fields
+      .filterNot(f => f.name == "cell_id" || f.name == "pq_codes")
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .head.name
+    val live = codes.join(ivfPqTombstones(spark, path),
+      col(idCol).cast("long") === col("__tomb"), "left_anti")
+    live.repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/codes.__compact")
+    Layout.atomicSwap(spark, s"$path/codes.__compact", s"$path/codes")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+  }
+
+  /**
    * IVF-PQ top-k over a [[saveIvfPqIndex]] layout. Probe cells are
    * chosen per query against the SAVED cell means; the codes table is
    * read with `cell_id IN (union of all queries' probes)`, which hive
@@ -841,6 +891,9 @@ object Similarity {
     val probedSet = probed.toSet
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell_id").isin(probed: _*))
+      // deleted vectors are dead to every query (tombstone lifecycle)
+      .join(ivfPqTombstones(spark, path),
+        col(idCol).cast("long") === col("__tomb"), "left_anti")
     // the delegate re-selects per-query probes; hand it the SAVED
     // means (restricted to probed cells) instead of letting it
     // re-aggregate them from the pruned corpus — at scale that pass

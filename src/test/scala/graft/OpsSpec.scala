@@ -362,6 +362,27 @@ class OpsSpec extends SparkSpec {
       assert(hits.length == 20)
       assert(hits.forall { case (q, n) => n == q - 1000000L },
         s"appended vectors not retrieved as their own nearest: ${hits.take(5).toSeq}")
+      // tombstone lifecycle: a deleted vector is never returned, its
+      // exact-duplicate probe falls to the next-best neighbor
+      val deadIds = hits.take(5).map(_._2)
+      Similarity.tombstoneIvfPqIndex(
+        deadIds.toSeq.toDF("vec_id"), "vec_id", dir)
+      val afterDel = Similarity.ivfPqTopKIndexed(spark, dir, probes,
+        "vec_id", "embedding", k = 1, nProbe = 2)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(deadIds.forall(!afterDel.contains(_)),
+        "a tombstoned vector was returned as a neighbor")
+      // compaction erases the rows, clears the list, changes no answer
+      val totalBefore = spark.read.parquet(s"$dir/codes").count()
+      Similarity.compactIvfPqIndex(spark, dir)
+      assert(spark.read.parquet(s"$dir/codes").count() ==
+        totalBefore - deadIds.length)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      val afterCompact = Similarity.ivfPqTopKIndexed(spark, dir, probes,
+        "vec_id", "embedding", k = 1, nProbe = 2)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(afterCompact == afterDel,
+        "compaction changed a live answer")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
