@@ -66,7 +66,8 @@ object DedupSink {
    */
   def applyBatch(spark: SparkSession, indexPath: String, corpusPath: String,
                  idCol: String, textCol: String, jaccardThreshold: Double,
-                 batch: DataFrame, batchId: Long): DataFrame = {
+                 batch: DataFrame, batchId: Long,
+                 compactEvery: Long = 0L): DataFrame = {
     import spark.implicits._
     if (batchId <= lastAppliedBatch(spark, indexPath))
       return batch.limit(0)
@@ -96,6 +97,13 @@ object DedupSink {
       new org.apache.hadoop.fs.Path(s"$indexPath/$Marker"), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     survivors.unpersist()
+    // periodic maintenance INSIDE the loop: every append adds files,
+    // and at streaming cadence the band dirs accumulate exactly the
+    // small-files problem compaction exists for. Runs AFTER the batch
+    // marker — a replayed compaction is harmless (idempotent rewrite),
+    // answers are unchanged by contract (spec-pinned).
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      TextDedup.compactMinhashIndex(spark, indexPath)
     // return the WRITTEN rows, not the live plan: after the index
     // append, re-evaluating the survivors lineage would probe the
     // grown index — where every survivor now links to ITSELF — and
@@ -115,7 +123,8 @@ object DedupSink {
   def start(stream: DataFrame, indexPath: String, corpusPath: String,
             idCol: String, textCol: String, jaccardThreshold: Double,
             checkpointDir: String, queryName: String = "graft_dedup_sink",
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            compactEvery: Long = 0L): StreamingQuery = {
     val spark = stream.sparkSession
     require(new org.apache.hadoop.fs.Path(s"$indexPath/meta")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -127,7 +136,7 @@ object DedupSink {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, indexPath, corpusPath, idCol, textCol,
-          jaccardThreshold, batch, batchId): Unit
+          jaccardThreshold, batch, batchId, compactEvery): Unit
       }
       .start()
   }

@@ -42,9 +42,18 @@ class DedupSinkSpec extends SparkSpec {
     val b1 = Seq((200L, doc(7) + " z"), (20L, doc(20)))
       .toDF("doc_id", "text")
     val s1 = DedupSink.applyBatch(spark, idx, corpus, "doc_id", "text",
-      jaccardThreshold = 0.8, b1, 1L)
+      jaccardThreshold = 0.8, b1, 1L, compactEvery = 2L)
     assert(s1.select("doc_id").as[Long].collect().toSet == Set(20L))
     assert(DedupSink.lastAppliedBatch(spark, idx) == 1L)
+    // compactEvery=2 fired on batch 1: band dirs fold to one file each
+    // and the dedup answers are unchanged by contract — the replay and
+    // grown-index assertions below run against the compacted index
+    val bandFiles = spark.read.parquet(s"$idx/bands")
+      .select(input_file_name().as("f"), col("band"))
+      .distinct().groupBy(col("band")).count()
+      .as[(Int, Long)].collect()
+    assert(bandFiles.nonEmpty && bandFiles.forall(_._2 == 1L),
+      s"compaction left multiple files per band: ${bandFiles.toSeq}")
     // replay of batch 0 (failure redelivery): nothing applied twice
     val r = DedupSink.applyBatch(spark, idx, corpus, "doc_id", "text",
       jaccardThreshold = 0.8, b0, 0L)
