@@ -29,7 +29,11 @@ object Scaling {
     "q_text_semdedup", "q_semdedup", "q_dedup_minhash", "q_simhash",
     "q_bm25", "q_exact_match", "q_merge_upsert", "q_fuzzy_match",
     "q_dedup", "q_simsearch_ivfpq", "q_kcore", "q_problink_em",
-    "q_edit_join", "q_ngram_jaccard", "q_cluster_dedup_best")
+    "q_edit_join", "q_ngram_jaccard", "q_cluster_dedup_best",
+    // candidate-volume-sensitive shapes worth standing watch over
+    "q_substring_spans", "q_contamination", "q_bitext_mine",
+    "q_minhash_indexed", "q_er_resolve", "q_simsearch_append",
+    "q_line_dedup", "q_dedup_incremental")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {
