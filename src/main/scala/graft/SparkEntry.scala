@@ -2655,6 +2655,30 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // streaming dedup-ingest as a gated operator: index 2/3 of the
+    // corpus, drive the remaining third through one sink micro-batch —
+    // docs near-duplicating the indexed corpus (the testdata's planted
+    // dup groups) drop, intra-batch groups collapse, survivors publish
+    // + grow the index. Rows-only (banding recall is hash-defined, the
+    // q_dedup_minhash reason); lifecycle semantics in DedupSinkSpec.
+    // Bench reps after the first hit the replay guard and return the
+    // same written survivors — deterministic by construction.
+    "q_dedup_sink" -> ((s, dir) => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_dsk_${tmpToken(dir)}").getAbsolutePath
+      val docs = t(s, dir, "documents")
+      val idxP = new org.apache.hadoop.fs.Path(s"$base/idx/meta")
+      if (!idxP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(idxP))
+        TextDedup.saveMinhashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", s"$base/idx", numHashes = 32, bands = 8)
+      graft.streaming.DedupSink.applyBatch(s, s"$base/idx",
+        s"$base/corpus", "doc_id", "text", jaccardThreshold = 0.8,
+        docs.filter(col("doc_id") % 3 === 0), 0L)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // incremental ANN index maintenance: save the index on 2/3 of the
     // embeddings, APPEND the remaining third (saved-means routing,
     // saved-codebook encoding, new files only), then probe — appended

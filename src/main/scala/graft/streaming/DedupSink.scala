@@ -69,8 +69,15 @@ object DedupSink {
                  batch: DataFrame, batchId: Long,
                  compactEvery: Long = 0L): DataFrame = {
     import spark.implicits._
-    if (batchId <= lastAppliedBatch(spark, indexPath))
-      return batch.limit(0)
+    if (batchId <= lastAppliedBatch(spark, indexPath)) {
+      // replay: nothing re-applies, and the call yields the SAME value
+      // the original application returned — the written survivors
+      val dirP = new org.apache.hadoop.fs.Path(
+        s"$corpusPath/ingest_batch=$batchId")
+      val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      return if (dfs.exists(dirP)) spark.read.parquet(dirP.toString)
+      else batch.limit(0)
+    }
     // batch params MUST be the index's own (meta read) — the probe
     // already enforces that; the within-batch pass reads them too so
     // the two stages can never shingle differently

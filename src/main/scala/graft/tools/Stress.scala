@@ -557,11 +557,11 @@ object Stress {
         s"novel pairs did not collapse to one survivor each: $nNovelSurv")
       assert(survivors.filter(col("doc_id") >= 100000000L &&
         col("doc_id") % 2 === 1).isEmpty)
-      // replay must be a no-op
+      // replay must be a no-op that returns the same written survivors
       val replay = graft.streaming.DedupSink.applyBatch(spark,
         s"$dsDir/idx", s"$dsDir/corpus", "doc_id", "text",
         jaccardThreshold = 0.8, batch12, 0L)
-      assert(replay.isEmpty, "replayed batch was re-applied")
+      assert(replay.count() == nSurv, "replayed batch was re-applied")
       println(f"[stress] dedup sink: $nSurv%,d survivors " +
         f"($nDup%,d corpus dups slipped, $nNovelSurv%,d novel)")
     }

@@ -54,10 +54,11 @@ class DedupSinkSpec extends SparkSpec {
       .as[(Int, Long)].collect()
     assert(bandFiles.nonEmpty && bandFiles.forall(_._2 == 1L),
       s"compaction left multiple files per band: ${bandFiles.toSeq}")
-    // replay of batch 0 (failure redelivery): nothing applied twice
+    // replay of batch 0 (failure redelivery): nothing applied twice,
+    // and the call returns the originally-written survivors
     val r = DedupSink.applyBatch(spark, idx, corpus, "doc_id", "text",
       jaccardThreshold = 0.8, b0, 0L)
-    assert(r.isEmpty)
+    assert(r.select("doc_id").as[Long].collect().toSet == Set(10L, 12L))
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet == Set(10L, 12L, 20L))
   }
