@@ -2723,10 +2723,24 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.4)),
 
     // embedding-cosine near-dup, LSH-bucketed scale path (probabilistic
-    // recall → rows-only; recall vs exact asserted in specs)
-    "q_embed_neardup_lsh" -> ((s, dir) =>
-      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.4, dim = 64)),
+    // recall → rows-only; recall vs exact asserted in specs at the 0.99
+    // operating point). The gate plants power-of-two-scaled copies
+    // (2.0f multiply is EXACT in float): sign-LSH is invariant to
+    // positive scaling, so every (id, id+1000000) planted pair
+    // collides in all tables at cosine exactly 1.0 — the r8 verdict
+    // flagged the old 0.4-threshold gate vacuous (sign-LSH has ~0
+    // recall at cos 0.4 by construction, so 0 rows verified nothing);
+    // now a broken candidate/verify stage cannot return the planted
+    // pair count
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          col("label"))
+      Similarity.cosineNearDupPairsLsh(emb.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.99, dim = 64)
+    }),
 
     // SemDeDup semantic dedup: refined k-means cells bound the
     // candidate pairs; survivors = min-id per cosine-threshold

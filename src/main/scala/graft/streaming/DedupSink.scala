@@ -51,7 +51,12 @@ object DedupSink {
       try {
         val buf = new Array[Byte](32)
         val n = in.read(buf)
-        if (n <= 0) -1L else new String(buf, 0, n, "UTF-8").trim.toLong
+        // an unreadable or garbled marker means "no batch durably
+        // recorded" — the worst a crash-truncated marker may cost is
+        // one replayed (idempotent) application, never a wedged stream
+        if (n <= 0) -1L
+        else scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toLong)
+          .getOrElse(-1L)
       } finally in.close()
     }
   }
@@ -87,8 +92,17 @@ object DedupSink {
           col("num_hashes").cast("int"), col("bands").cast("int"),
           col("seed").cast("long"))
         .as[(Int, Int, Int, Long)].head()
+    // self-links excluded: after a crash BETWEEN the index append and
+    // the marker write, a replayed batch finds its own survivors in the
+    // index (jaccard 1.0 against themselves) — without this filter the
+    // replay would drop every survivor and overwrite the published
+    // directory with an empty set. Under the unique-ids contract
+    // (batch ids never collide with prior corpus ids) this is a no-op
+    // on the normal path, so applyBatch is deterministic under replay
+    // regardless of marker state.
     val linkedIds = TextDedup.minhashProbeIndexed(spark, indexPath, batch,
       idCol, textCol, jaccardThreshold)
+      .filter(col("batch_id") =!= col("corpus_id"))
       .select(col("batch_id").as(idCol)).distinct()
     val novel = batch.join(linkedIds, Seq(idCol), "left_anti")
     val intraPairs = TextDedup.minhashLshPairs(novel, idCol, textCol,
@@ -98,11 +112,21 @@ object DedupSink {
     survivors.write.mode("overwrite")
       .parquet(s"$corpusPath/ingest_batch=$batchId")
     TextDedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
+    // marker publish is write-temp-then-rename (the Layout.atomicSwap
+    // discipline): a crash mid-write leaves only the temp file, so the
+    // visible marker is always a complete value — never empty (which
+    // would read as -1 and replay one batch, harmless) and never
+    // truncated garbage
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$indexPath/$Marker"), true)
+    val markerP = new org.apache.hadoop.fs.Path(s"$indexPath/$Marker")
+    val tmpP = new org.apache.hadoop.fs.Path(
+      s"$indexPath/.${Marker}.tmp")
+    val out = fs.create(tmpP, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(markerP, false)
+    require(fs.rename(tmpP, markerP),
+      s"failed to publish batch marker $markerP")
     survivors.unpersist()
     // periodic maintenance INSIDE the loop: every append adds files,
     // and at streaming cadence the band dirs accumulate exactly the
