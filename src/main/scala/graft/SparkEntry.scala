@@ -2441,13 +2441,20 @@ object SparkEntry {
       TextAnalysis.unigramVocabDf(s, vocab)
     }),
 
-    // unigram apply: Viterbi-segment the corpus under the trained
-    // vocab (broadcast table, narrow pass). Pieces flattened to one
-    // space-joined string — the checker cannot sort an array column
+    // unigram apply: Viterbi-segment the corpus under a PINNED vocab
+    // (broadcast table, narrow pass — the exact production shape of
+    // "train once, segment 100 TB" via saveUnigramVocab). The vocab is
+    // pinned as a shared literal with dyadic log-probs (multiples of
+    // 0.25 — every DP path sum is binary-exact in both engines), which
+    // makes the Viterbi lattice walk fully oracle-able: the DuckDB
+    // side replays it as a recursive CTE generated from the SAME
+    // literal (see unigramEncodeOracle). The trained-vocab composition
+    // stays covered by q_unigram_train + OpsSpec parity pins. Pieces
+    // flattened to one space-joined string — the checker cannot sort
+    // an array column
     "q_unigram_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val vocab = TextAnalysis.trainUnigramLm(docs, "text", vocabSize = 60)
-      TextAnalysis.applyUnigram(docs, "doc_id", "text", vocab)
+      TextAnalysis.applyUnigram(docs, "doc_id", "text", PinnedUnigramVocab)
         .select(col("doc_id"), col("pos"),
           concat_ws(" ", col("pieces")).as("pieces"))
     }),
@@ -2565,7 +2572,8 @@ object SparkEntry {
           .filter(col("doc_id") % 10 === 0),
         "doc_id", "text", k = 5)),
 
-    // SimHash near-dup (xxhash64-based → rows-only check)
+    // SimHash near-dup — oracled: the FastHash kernel is replayed in
+    // DuckDB HUGEINT arithmetic (see oracleSql)
     "q_simhash" -> ((s, dir) =>
       TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 12)),
@@ -3888,6 +3896,57 @@ object SparkEntry {
         |   AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
         |       / greatest(len(a.s), len(b.s)) >= 0.8)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+
+    // the FastHash.hash64 kernel (FNV-1a over UTF-16 code units +
+    // Murmur3 fmix64 finalizer) replayed in DuckDB HUGEINT modular
+    // arithmetic: 64-bit wrapping multiply decomposed into lo/hi
+    // 32-bit limbs mod 2^64, xor-shift on UBIGINT. Fixture text is
+    // BMP-only, so DuckDB codepoints == Java chars. Then the simhash
+    // sign vote per bit, and the full hamming-radius pair join — the
+    // same rebuild-the-hash discipline as the q_fuzzy_match pg_trgm
+    // oracle.
+    "q_simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |f AS (SELECT doc_id, CAST(list_reduce(
+        |   list_prepend(14695981039346656037::HUGEINT,
+        |     list_transform(generate_series(1, length(tok)),
+        |       i -> unicode(substr(tok, i, 1))::HUGEINT)),
+        |   (h, c) -> (xor(h::UBIGINT, c::UBIGINT)::HUGEINT
+        |              * 1099511628211) % 18446744073709551616)
+        |  AS UBIGINT) AS h1
+        | FROM toks),
+        |s1 AS (SELECT doc_id, xor(h1, h1 >> 33) AS a FROM f),
+        |s2 AS (SELECT doc_id, CAST((((a % 4294967296)::HUGEINT
+        |  * 18397679294719823053) + (((a // 4294967296)::HUGEINT
+        |  * (18397679294719823053 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS b
+        | FROM s1),
+        |s3 AS (SELECT doc_id, xor(b, b >> 33) AS c FROM s2),
+        |s4 AS (SELECT doc_id, CAST((((c % 4294967296)::HUGEINT
+        |  * 14181476777654086739) + (((c // 4294967296)::HUGEINT
+        |  * (14181476777654086739 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS d
+        | FROM s3),
+        |th AS (SELECT doc_id, xor(d, d >> 33) AS h FROM s4),
+        |bits AS (
+        | SELECT doc_id, b,
+        |  SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+        | GROUP BY doc_id, b),
+        |sigs AS (
+        | SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b)
+        |      ELSE 0::UBIGINT END) AS sig
+        | FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 12""".stripMargin,
+
+    "q_unigram_encode" -> unigramEncodeOracle,
 
     "q_windowed_counts" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
@@ -6435,6 +6494,85 @@ object SparkEntry {
         |      AS DOUBLE) / (w*h) AS f4
         |FROM p""".stripMargin
   )
+
+  /** The pinned unigram vocab for q_unigram_encode: every log-prob is
+    * a dyadic rational (multiple of 0.25), so the Viterbi DP's path
+    * sums are binary-exact on BOTH engines — cross-engine agreement
+    * needs no float tolerance, only the shared deterministic tiebreak
+    * (smallest split point = longest trailing piece). The DuckDB
+    * oracle's lookup CASE is generated from this same literal. */
+  private val PinnedUnigramVocab: Array[(String, Double)] = Array(
+    ("th", -2.5), ("er", -2.75), ("in", -2.75), ("an", -3.0),
+    ("on", -3.0), ("st", -3.0), ("join", -3.0), ("row", -3.25),
+    ("hash", -3.25), ("ter", -3.25), ("ta", -3.25), ("scan", -3.5),
+    ("sort", -3.5), ("tch", -3.5), ("ge", -3.5), ("ll", -3.5),
+    ("ow", -3.5), ("ba", -3.75), ("col", -3.75), ("mer", -3.75),
+    ("ry", -3.75), ("ue", -3.75), ("up", -3.75), ("all", -3.75),
+    ("par", -3.75), ("cust", -4.0), ("omer", -4.0), ("umn", -4.0),
+    ("fil", -4.0), ("ord", -4.0), ("val", -4.0), ("data", -4.0),
+    ("line", -4.0), ("tor", -4.0), ("able", -4.0), ("spark", -4.0),
+    ("que", -4.25), ("sma", -4.25), ("ream", -4.25), ("fast", -4.25),
+    ("slow", -4.25), ("key", -4.25), ("gro", -4.25), ("wind", -4.5),
+    ("big", -4.5), ("vec", -4.5), ("agg", -4.5),
+    ("a", -3.25), ("e", -3.25), ("s", -3.0), ("t", -3.5), ("o", -3.0),
+    ("r", -3.5), ("i", -3.5), ("n", -3.5), ("l", -3.75), ("c", -3.5),
+    ("u", -3.75), ("m", -4.0), ("d", -4.0), ("g", -4.0), ("h", -4.25),
+    ("b", -4.25), ("p", -4.25), ("f", -4.5), ("k", -4.5), ("w", -4.75),
+    ("y", -5.0), ("v", -5.0), ("j", -5.0), ("q", -5.25), ("x", -5.5),
+    ("z", -5.75))
+
+  /** q_unigram_encode oracle — the Viterbi lattice replayed in DuckDB
+    * as a recursive CTE over DISTINCT words: `dp` carries the prefix
+    * best-score and backpointer lists (position j computed from
+    * candidates i ∈ [j−6, j) exactly like TextAnalysis.viterbiPieces;
+    * `list_position` of the max returns the FIRST hit = smallest i =
+    * the kernel's longest-trailing-piece tiebreak), `rec` walks the
+    * backpointers into pieces. The piece-score CASE is generated from
+    * [[PinnedUnigramVocab]]; unknown single chars cost −1000, unknown
+    * longer pieces −∞ — same as the kernel's UnkLp contract. */
+  private def unigramEncodeOracle: String = {
+    val lookup = PinnedUnigramVocab.map { case (p, lp) =>
+      s"WHEN '$p' THEN CAST($lp AS DOUBLE)"
+    }.mkString(" ")
+    val lpExpr = s"CASE substr(w, i + 1, j - i) $lookup" +
+      " ELSE CASE WHEN j - i = 1 THEN CAST(-1000.0 AS DOUBLE)" +
+      " ELSE CAST('-infinity' AS DOUBLE) END END"
+    s"""WITH RECURSIVE words AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |dp AS (
+       |  SELECT w, 1 AS j, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, j + 1, list_append(best, list_max(sc)),
+       |    list_append(back,
+       |      greatest(0, j - 6) + list_position(sc, list_max(sc)) - 1)
+       |  FROM (
+       |    SELECT w, j, best, back,
+       |      list_transform(generate_series(greatest(0, j - 6), j - 1),
+       |        i -> best[i + 1] + $lpExpr) AS sc
+       |    FROM dp WHERE j <= length(w))),
+       |rec AS (
+       |  SELECT w, length(w) AS k, CAST([] AS VARCHAR[]) AS pieces, back
+       |  FROM dp WHERE j = length(w) + 1
+       |  UNION ALL
+       |  SELECT w, back[k + 1],
+       |    list_prepend(substr(w, back[k + 1] + 1, k - back[k + 1]),
+       |      pieces), back
+       |  FROM rec WHERE k > 0),
+       |seg AS (SELECT w, array_to_string(pieces, ' ') AS pieces
+       |        FROM rec WHERE k = 0),
+       |toks AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+       |         unnest(l) AS w
+       |  FROM (SELECT doc_id,
+       |        string_split_regex(lower(trim(text)), '\\s+') AS l
+       |        FROM documents))
+       |SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos, s.pieces
+       |FROM toks t JOIN seg s ON t.w = s.w
+       |WHERE t.w <> ''""".stripMargin
+  }
 
   /** q_lm_backoff oracle — mirrors TextAnalysis.trigramLmScore branch
     * for branch: identical IEEE ratio trees, ln rounded to 6 →
