@@ -156,6 +156,53 @@ class OpsSpec extends SparkSpec {
     assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  test("brute-force top-k path parity: heap≡window, broadcast≡replicate-nl") {
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank"), col("cosine"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // long ids → heap aggregate + broadcast queries
+    val base = rows(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    assert(Similarity.lastBruteForceQueryMode.get() == "broadcast-kernel")
+    assert(base.nonEmpty)
+    // forced replicate-nl (query side above the broadcast limit):
+    // identical rows INCLUDING rank and cosine
+    val nl = rows(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5, queryBroadcastLimit = 1L))
+    assert(Similarity.lastBruteForceQueryMode.get() == "replicate-nl")
+    assert(nl == base, "replicate-nl path diverges from broadcast kernel")
+    // string ids → the WindowGroupLimit window path; same rows after
+    // casting the ids back (the two ranking implementations must agree
+    // bit-for-bit on scores and on the (cosine DESC, id ASC) tiebreak)
+    val strIds = emb.select(col("vec_id").cast("string").as("vec_id"),
+      col("embedding"))
+    val win = rows(Similarity.bruteForceTopK(strIds,
+      strIds.filter(col("vec_id").cast("long") % 40 === 0),
+      "vec_id", "embedding", k = 5))
+    assert(win == base, "window path diverges from heap aggregate")
+  }
+
+  test("topKAuto dispatches on corpus size; full-probe flip is exact") {
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = ids(Similarity.topKAuto(emb, queries,
+      "vec_id", "embedding", k = 3))
+    assert(Similarity.lastTopKAutoMode.get() == "exact")
+    assert(exact == ids(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 3)))
+    // above the limit the plan flips to the IVF shortlist; with
+    // nProbe == nCells the shortlist is the whole corpus → EXACT
+    val flipped = ids(Similarity.topKAuto(emb, queries,
+      "vec_id", "embedding", k = 3, exactCorpusLimit = 1L,
+      nCells = 8, nProbe = 8))
+    assert(Similarity.lastTopKAutoMode.get() == "ivf-shortlist")
+    assert(flipped == exact, "full-probe IVF flip diverges from exact")
+  }
+
   test("IVF top-k recall vs brute force is reasonable") {
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
     val queries = emb.filter(col("vec_id") % 50 === 0)
