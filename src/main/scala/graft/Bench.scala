@@ -90,16 +90,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nErr = results.count(_._4.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"sf":"$sfDir"}""")
+    // The full per-query wall/cpu maps go to stdout AND a file
+    // (bench_full.json) so nothing verdict-relevant depends on the
+    // driver's truncated tail capture.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"sf":"$sfDir"}"""
+    println(fullJson)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e")
+    }
     // Short lines AFTER the big one: the driver's tail capture
     // truncates long output, so the verdict-relevant figures must also
-    // appear in lines that always fit. First the 40 most expensive
-    // queries (cost-descending, 3 decimals — where regressions hide),
-    // then the totals.
-    val top40 = results.sortBy(-_._2).take(40)
-      .map { case (k, w, _, _) => jsonStr(k) + ":" + f"$w%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"top40","wall":$top40}""")
+    // appear in lines that ALWAYS fit — the 40 most expensive queries
+    // (cost-descending, 3 decimals — where regressions hide) go out in
+    // chunks of 8 entries (<200 chars each), then the totals.
+    results.sortBy(-_._2).take(40).grouped(8).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val entries = chunk
+          .map { case (k, w, _, _) => jsonStr(k) + ":" + f"$w%.3f" }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"top40.$i","wall":$entries}""")
+    }
     val cpuSum = results.map(_._3).filter(_ >= 0).sum
     println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()

@@ -837,14 +837,25 @@ object DedupAudit {
 }
 
 /** CSV profiling (csv_audit.rb:15-101): row counts, duplicate keys,
-  * per-column coverage, malformed count. */
+  * per-column coverage, malformed count.
+  *
+  * `keyDuplicates` mirrors the reference's per-key stats hash
+  * (csv_audit.rb:34-37): each audited key carries its OWN duplicate
+  * count, and render judges each key independently (csv_audit.rb:84-92
+  * — `stat == 0` ⇒ unique). Divergence noted: the reference stores the
+  * row count of an arbitrary LIMIT-1 duplicated group; we store the
+  * number of duplicated key values, which is deterministic and agrees
+  * on the only property the report uses (zero vs non-zero). */
 final case class CsvAuditReport(
     rowCount: Long,
     malformedCount: Long,
-    keyIsUnique: Boolean,
+    keyDuplicates: Map[String, Long],
     coverage: Map[String, Long],
     keys: Seq[String] = Nil,
     columns: Seq[String] = Nil) {
+
+  /** True only when every audited key is duplicate-free. */
+  def keyIsUnique: Boolean = keyDuplicates.valuesIterator.forall(_ == 0L)
 
   /** Reference face (csv_audit.rb:78-101): header, valid/invalid
     * counts, per-key uniqueness verdicts, per-column coverage lines.
@@ -857,7 +868,8 @@ final case class CsvAuditReport(
     sb.append("\n\nKeys:")
     keys.foreach { k =>
       sb.append(s"\n\t[$k]")
-      sb.append(if (keyIsUnique) " UNIQUE KEY" else " DUPLICATES (NOT UNIQUE)")
+      sb.append(if (keyDuplicates.getOrElse(k, 0L) == 0L) " UNIQUE KEY"
+                else " DUPLICATES (NOT UNIQUE)")
     }
     sb.append("\n\nCoverage:")
     val ordered = if (columns.nonEmpty) columns else coverage.keys.toSeq.sorted
@@ -878,9 +890,24 @@ object CsvAudit {
     val covMap = columns.zipWithIndex.map { case (c, i) =>
       c -> cov.getLong(i + 1)
     }.toMap
-    val unique =
-      keys.isEmpty || Audits.duplicateKeys(df, keys).limit(1).count() == 0
-    CsvAuditReport(total, malformedCount, unique, covMap, keys, columns)
+    // Per-key duplicate counts (csv_audit.rb:34-37 runs one GROUP BY
+    // per key) — folded into ONE pass here: each row contributes one
+    // (key, value) pair per audited key, a single shuffle counts value
+    // multiplicities for every key at once, and only the ≤|keys|-row
+    // result reaches the driver.
+    val kd: Map[String, Long] =
+      if (keys.isEmpty) Map.empty
+      else {
+        val pairs = df.select(explode(array(keys.map(k =>
+          struct(lit(k).as("k"), col(k).cast("string").as("v"))): _*)).as("p"))
+        pairs.select(col("p.k").as("k"), col("p.v").as("v"))
+          .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .groupBy(col("k")).agg(count(lit(1)).as("dups"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val keyDups = keys.map(k => k -> kd.getOrElse(k, 0L)).toMap
+    CsvAuditReport(total, malformedCount, keyDups, covMap, keys, columns)
   }
 }
 

@@ -101,22 +101,25 @@ class CsvGatewaySpec extends SparkSpec {
     val spec = CsvSpec(p, quote = "\"")
     val df = CsvSource.read(spark, spec)
     val rep = graft.operators.CsvAudit.audit(df,
-      keys = Seq("id"), columns = Seq("name", "email"),
+      keys = Seq("id", "email"), columns = Seq("name", "email"),
       malformedCount = CsvSource.malformedCount(spark, spec))
     assert(rep.rowCount == 3)
     assert(rep.malformedCount == 1)
     assert(!rep.keyIsUnique)          // id=2 twice
+    // per-key stats like the reference's keys hash (csv_audit.rb:34-37):
+    // id has one duplicated value, email (incl. its empty row) none
+    assert(rep.keyDuplicates == Map("id" -> 1L, "email" -> 0L))
     assert(rep.coverage == Map("name" -> 2, "email" -> 2))
     // reference text face (csv_audit.rb:78-101): header, row counts,
     // per-key verdicts, 30-char-padded coverage lines — every number
-    // mirrors a report field
+    // mirrors a report field. Each key is judged INDEPENDENTLY
+    // (csv_audit.rb:84-92): dup id and unique email in one report.
     val r = rep.render
     assert(r.startsWith("CSV Audit Report\n\nValid rows: 3\nInvalid rows: 1"))
     assert(r.contains("\n\t[id] DUPLICATES (NOT UNIQUE)"))
+    assert(r.contains("\n\t[email] UNIQUE KEY"))
     assert(r.contains("\n\tname:".padTo(30, ' ') + " 66.67% (2)\n"))
     assert(r.contains("\n\temail:".padTo(30, ' ') + " 66.67% (2)\n"))
-    val uniq = rep.copy(keyIsUnique = true).render
-    assert(uniq.contains("\n\t[id] UNIQUE KEY"))
   }
 
   test("gateway registry, rebinding, sql passthrough, cleanup") {
