@@ -789,7 +789,10 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
-    // MinHash+LSH near-dup (probabilistic band recall → rows-only check)
+    // MinHash+LSH near-dup — oracled END-TO-END: the DuckDB side
+    // (dedupMinhashOracle) replays shingle hashing, the pinned minhash
+    // family, the Murmur3 band hash, and the bucket join, so even the
+    // probabilistic recall pattern must agree pair-for-pair
     "q_dedup_minhash" -> ((s, dir) =>
       TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 5, numHashes = 64, bands = 8,
@@ -798,7 +801,10 @@ object SparkEntry {
     // persisted MinHash-LSH index: shingle/minhash/band two thirds of
     // the corpus ONCE into a band-partitioned bloom-filtered layout,
     // then dedup the remaining third against the saved index (the
-    // incremental-crawl storage face; hash-seeded LSH → rows-only)
+    // incremental-crawl storage face) — oracled end-to-end via the
+    // same LSH replay as q_dedup_minhash at the index's 32/8 geometry
+    // (minhashIndexedOracle); the bloom/pushdown tiers being oracled
+    // AROUND are pure I/O avoidance, so the pair set must match
     "q_minhash_indexed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tmp = new java.io.File(
@@ -1922,6 +1928,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"))
+    }),
+
+    // catalog-level right-to-be-forgotten: ONE atomic commit purges an
+    // entity from fact and dim together (per-table deletes could
+    // expose orphaned fact rows between commits); a third table
+    // carries over by re-linking its generation. Output unions the
+    // surviving key occurrences per table so the oracle checks BOTH
+    // purges independently — a join would hide a single-side failure.
+    "q_snapshot_delete_all" -> ((s, dir) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_catdel_${tmpToken(dir)}").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 2 === 0)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .filter(col("c_custkey") % 2 === 0)
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      graft.sources.SnapshotStore.commitAll(Map(
+        "orders" -> orders, "cust" -> cust, "nation" -> nation), path)
+      // the forget-set spans the FULL key domain (an odd multiple of 7
+      // may appear in orders but not in the committed cust slice)
+      val purge = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0).select(col("c_custkey"))
+      graft.sources.SnapshotStore.deleteCommitAll(purge, path,
+        Map("cust" -> "c_custkey", "orders" -> "o_custkey"))
+      val o2 = graft.sources.SnapshotStore.readTable(s, path, "orders")
+        .select(col("o_custkey").as("key"), lit("orders").as("tbl"))
+      val c2 = graft.sources.SnapshotStore.readTable(s, path, "cust")
+        .select(col("c_custkey").as("key"), lit("cust").as("tbl"))
+      o2.unionByName(c2).groupBy(col("key"), col("tbl"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // sentence-aligned chunking: budget-aligned packing that never cuts
@@ -3905,6 +3947,10 @@ object SparkEntry {
     // sign vote per bit, and the full hamming-radius pair join — the
     // same rebuild-the-hash discipline as the q_fuzzy_match pg_trgm
     // oracle.
+    "q_dedup_minhash" -> dedupMinhashOracle,
+
+    "q_minhash_indexed" -> minhashIndexedOracle,
+
     "q_simhash" ->
       """WITH toks AS (
         | SELECT doc_id,
@@ -5498,6 +5544,17 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE NOT (c_custkey % 7 = 0)""".stripMargin,
 
+    "q_snapshot_delete_all" ->
+      """SELECT o_custkey AS key, 'orders' AS tbl, count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND NOT o_custkey % 7 = 0
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT c_custkey AS key, 'cust' AS tbl, count(*) AS n
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 AND NOT c_custkey % 7 = 0
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_snapshot_multi" ->
       """SELECT c.c_nationkey, count(*) AS n,
         | CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -6530,6 +6587,146 @@ object SparkEntry {
     * backpointers into pieces. The piece-score CASE is generated from
     * [[PinnedUnigramVocab]]; unknown single chars cost −1000, unknown
     * longer pieces −∞ — same as the kernel's UnkLp contract. */
+  /** DuckDB replay of the FULL MinHash-LSH pipeline behind
+    * `q_dedup_minhash` — not just the exact-Jaccard verify but the
+    * probabilistic candidate generation too, so the oracle agrees even
+    * on pairs LSH misses: shingle FNV-1a/fmix64 hashes (the q_simhash
+    * HUGEINT machinery), the pinned 64-function Mersenne-prime minhash
+    * family (coefficients inlined from the SAME derivation the kernel
+    * uses — [[graft.ops.TextDedup.minhashParams]]), Spark's
+    * Murmur3_x86_32 band hash replayed as ~80 chained CTE stages of
+    * 32-bit arithmetic (chained stages, not one nested lambda — each
+    * xor-shift step references its input twice, so naive nesting grows
+    * 2^steps), the band-bucket self-join, and the exact-Jaccard
+    * verify. Machine-built; every constant mirrors
+    * `FastHash.hash64` / `TextDedup.minhashLshPairs` / Spark's
+    * `Murmur3_x86_32.hashLong`. */
+  private def dedupMinhashOracle: String =
+    minhashLshOracle(numHashes = 64, bands = 8, docFilter = "TRUE",
+      tailSql = """cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bh x JOIN bh y
+        |   ON x.band = y.band AND x.bhv = y.bhv AND x.doc_id < y.doc_id),
+        |vr AS (SELECT id_a, id_b,
+        |   len(list_intersect(xa.hs, yb.hs)) AS inter,
+        |   xa.nsh AS na, yb.nsh AS nb
+        |  FROM cand JOIN shl xa ON xa.doc_id = cand.id_a
+        |            JOIN shl yb ON yb.doc_id = cand.id_b)
+        |SELECT id_a, id_b,
+        | CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM vr
+        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)
+
+  /** The saved-index probe face (`q_minhash_indexed`): the same LSH
+    * replay at the index's 32-hash/8-band geometry, with the
+    * band-bucket join taken batch-side × corpus-side instead of as a
+    * self-join — the bloom/pushdown pruning being oracled AROUND is
+    * pure I/O avoidance, so the pair set must match exactly. */
+  private def minhashIndexedOracle: String =
+    minhashLshOracle(numHashes = 32, bands = 8,
+      docFilter = "(doc_id % 3 <> 0 OR doc_id % 9 = 0)",
+      tailSql = """cand AS (SELECT DISTINCT x.doc_id AS batch_id,
+        |   y.doc_id AS corpus_id
+        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv
+        |  WHERE x.doc_id % 9 = 0 AND y.doc_id % 3 <> 0),
+        |vr AS (SELECT batch_id, corpus_id,
+        |   len(list_intersect(xa.hs, yb.hs)) AS inter,
+        |   xa.nsh AS na, yb.nsh AS nb
+        |  FROM cand JOIN shl xa ON xa.doc_id = cand.batch_id
+        |            JOIN shl yb ON yb.doc_id = cand.corpus_id)
+        |SELECT batch_id, corpus_id,
+        | round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM vr
+        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)
+
+  private def minhashLshOracle(numHashes: Int, bands: Int,
+                               docFilter: String, tailSql: String): String = {
+    val rows = numHashes / bands
+    val params = graft.ops.TextDedup.minhashParams(numHashes, 42L)
+    val paramRows = params.zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    // ---- 32-bit Murmur3 ops on BIGINT values in [0, 2^32) ----------
+    def m32(x: String, c: Long) =
+      s"CAST((CAST($x AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+    def rotl(x: String, r: Int) =
+      s"((($x) % ${1L << (32 - r)}) * ${1L << r} + (($x) // ${1L << (32 - r)}))"
+    def shr(x: String, nBits: Int) = s"(($x) // ${1L << nBits})"
+    def mixK1(k: String) = m32(rotl(m32(k, 3432918353L), 15), 461845907L)
+    def mixH1(h: String, k: String) =
+      s"(((${rotl(s"xor($h, $k)", 13)}) * 5 + 3864292196) % 4294967296)"
+    val stages = Seq.newBuilder[String]
+    var n = 0
+    def stage(expr: String): Unit = {
+      n += 1
+      stages += s"m$n AS (SELECT * EXCLUDE (h), CAST($expr AS BIGINT) AS h FROM m${n - 1})"
+    }
+    def fmixStages(len: Int): Unit = {
+      stage(s"xor(h, $len)")
+      stage(s"xor(h, ${shr("h", 16)})")
+      stage(m32("h", 2246822507L))
+      stage(s"xor(h, ${shr("h", 13)})")
+      stage(m32("h", 3266489909L))
+      stage(s"xor(h, ${shr("h", 16)})")
+    }
+    // hashLong(e_i, h) per slice element: the signature values are
+    // < 2^31, so the long's high word is 0 and mixK1(0) = 0
+    (0 until rows).foreach { i =>
+      stage(mixH1("h", mixK1(s"e$i")))
+      stage(mixH1("h", "0"))
+      fmixStages(8)
+    }
+    // then hashInt(band, h) — Spark hashes the trailing lit(j) child
+    stage(mixH1("h", mixK1("band")))
+    fmixStages(4)
+    val murmur = stages.result().mkString(",\n")
+    val pivot = (0 until rows).map(i =>
+      s"max(CASE WHEN j % $rows = $i THEN sv END) AS e$i").mkString(", ")
+    s"""WITH d2 AS (
+       | SELECT doc_id,
+       |  lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+       | FROM documents
+       | WHERE text IS NOT NULL AND $docFilter
+       |  AND length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) > 0),
+       |sg AS (
+       | SELECT doc_id, norm,
+       |  unnest(generate_series(1, greatest(1, length(norm) - 4))) AS i
+       | FROM d2),
+       |sg2 AS (SELECT doc_id, substring(norm, i, 5) AS s5 FROM sg),
+       |f AS (SELECT doc_id, CAST(list_reduce(
+       |   list_prepend(14695981039346656037::HUGEINT,
+       |     list_transform(generate_series(1, length(s5)),
+       |       c -> unicode(substr(s5, c, 1))::HUGEINT)),
+       |   (h, c) -> (xor(h::UBIGINT, c::UBIGINT)::HUGEINT
+       |              * 1099511628211) % 18446744073709551616)
+       |  AS UBIGINT) AS h1
+       | FROM sg2),
+       |s1 AS (SELECT doc_id, xor(h1, h1 >> 33) AS a FROM f),
+       |s2 AS (SELECT doc_id, CAST((((a % 4294967296)::HUGEINT
+       |  * 18397679294719823053) + (((a // 4294967296)::HUGEINT
+       |  * (18397679294719823053 % 4294967296)) % 4294967296)
+       |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS b
+       | FROM s1),
+       |s3 AS (SELECT doc_id, xor(b, b >> 33) AS c FROM s2),
+       |s4 AS (SELECT doc_id, CAST((((c % 4294967296)::HUGEINT
+       |  * 14181476777654086739) + (((c // 4294967296)::HUGEINT
+       |  * (14181476777654086739 % 4294967296)) % 4294967296)
+       |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS dd
+       | FROM s3),
+       |th AS (SELECT DISTINCT doc_id, xor(dd, dd >> 33) AS hh FROM s4),
+       |shl AS (SELECT doc_id, list(hh) AS hs, count(*) AS nsh
+       |        FROM th GROUP BY doc_id),
+       |p(j, pa, pb) AS (VALUES $paramRows),
+       |sigs AS (SELECT doc_id, j,
+       |  min((pa * CAST(hh % 2147483648 AS BIGINT) + pb) % 2147483647)
+       |    AS sv
+       | FROM th, p GROUP BY doc_id, j),
+       |sp AS (SELECT doc_id, CAST(j // $rows AS INTEGER) AS band, $pivot
+       |       FROM sigs GROUP BY doc_id, j // $rows),
+       |m0 AS (SELECT *, CAST(42 AS BIGINT) AS h FROM sp),
+       |$murmur,
+       |bh AS (SELECT doc_id, band, h AS bhv FROM m$n),
+       |$tailSql""".stripMargin
+  }
+
   private def unigramEncodeOracle: String = {
     val lookup = PinnedUnigramVocab.map { case (p, lp) =>
       s"WHEN '$p' THEN CAST($lp AS DOUBLE)"

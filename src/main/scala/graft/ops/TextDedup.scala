@@ -291,6 +291,13 @@ object TextDedup {
 
   private val MersennePrime = 2147483647L // 2^31 - 1
 
+  /** The (a, b) coefficient table behind [[minhashSignatureFromHashes]],
+    * exposed so the DuckDB oracle for `q_dedup_minhash` can pin the
+    * SAME hash family as SQL literals (the pinned-vocab oracle
+    * pattern) — any drift in the derivation breaks the gate loudly. */
+  private[graft] def minhashParams(k: Int, seed: Long): Array[(Long, Long)] =
+    hashParams(k, seed)
+
   /** MinHash signature (array<long> length k) from the sorted shingle
     * hash set: per function, min of (a·(h&2³¹⁻¹)+b) mod (2³¹−1) —
     * products < 2⁶², no overflow; one JIT'd pass. */

@@ -289,6 +289,50 @@ object SnapshotStore {
       gens.map { case (n, g) => s"$n $g" }.mkString("\n"))
   }
 
+  /**
+   * Catalog-level right-to-be-forgotten: drop one entity's rows from
+   * EVERY affected table of the current catalog version in ONE atomic
+   * commit — a star-schema purge must never expose a state where the
+   * fact rows are gone but the dim row remains (or vice versa), which
+   * per-table [[deleteCommit]] calls cannot guarantee. `pkByTable`
+   * maps each affected table to the column holding the entity id
+   * (fact and dim spell it differently); tables absent from the map
+   * carry over by RE-LINKING their current generation in the new
+   * manifest — no data copied or rewritten. `ids` contributes its
+   * first column as the purge set.
+   *
+   * Old catalog versions still contain the purged rows (time travel
+   * is the store's contract), so the compliance sequence is
+   * deleteCommitAll first, then [[vacuumCatalog]] once the retention
+   * window allows — that pass physically erases every superseded
+   * generation while keeping the re-linked ones. Returns the new
+   * catalog version.
+   */
+  def deleteCommitAll(ids: DataFrame, path: String,
+                      pkByTable: Map[String, String]): Long = {
+    require(pkByTable.nonEmpty, "at least one (table -> pk column)")
+    val spark = ids.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val m = parseManifest(genFor(spark, path, v))
+    pkByTable.keys.foreach(t => require(m.contains(t),
+      s"table '$t' not in catalog version $v (has ${m.keys.toSeq.sorted})"))
+    import org.apache.spark.sql.functions.col
+    val purge = ids.select(col(ids.columns.head).as("__purge_id")).distinct()
+    val gens = m.toSeq.sortBy(_._1).map { case (name, gen) =>
+      pkByTable.get(name) match {
+        case Some(pk) =>
+          val next = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+          spark.read.parquet(s"$path/$name/$gen")
+            .join(purge, col(pk) === col("__purge_id"), "left_anti")
+            .write.mode("error").parquet(s"$path/$name/$next")
+          name -> next
+        case None => name -> gen
+      }
+    }
+    link(spark, path, gens.map { case (n, g) => s"$n $g" }.mkString("\n"))
+  }
+
   /** Tables present in a committed catalog version. */
   def tablesAt(spark: SparkSession, path: String, v: Long): Seq[String] =
     parseManifest(genFor(spark, path, v)).keys.toSeq.sorted

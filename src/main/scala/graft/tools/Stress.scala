@@ -614,6 +614,116 @@ object Stress {
     }
     assertNoFunnel("ivfpq-cell-join-1m")
 
+    // ---- 13. exact top-k bounded heap over a 1M-row corpus --------------
+    // The de-funneled exhaustive kernel at volume: 64 broadcast queries
+    // score 64M (query, corpus) pairs, and the bounded-heap aggregate
+    // keeps O(k) state per query with map-side partials — no per-query
+    // window, no task ever holds a corpus-sized partition. Vectors are
+    // one-hot by direction id%16 (magnitude varies, cosine within a
+    // direction is exactly 1.0), so the full ranking is closed-form:
+    // query q's rank-r neighbor is id (q%16) + 16*(r-1).
+    val tkCorpus = spark.range(1000000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => when(d === (col("id") % 16).cast("int"),
+          (col("id") % 7 + 1).cast("double")).otherwise(lit(0.0)))
+        .as("embedding")).localCheckpoint()
+    val tkQBase = 2000000000L
+    val tkQueries = tkCorpus.filter(col("vec_id") < 64)
+      .select((col("vec_id") + tkQBase).as("vec_id"), col("embedding"))
+    tme("exact top-k heap (1M-row corpus, 64 queries)") {
+      val top = Similarity.topKAuto(tkCorpus, tkQueries, "vec_id",
+        "embedding", k = 3, exactCorpusLimit = 2000000L).persist()
+      assert(Similarity.lastTopKAutoMode.get() == "exact",
+        "1M corpus under the raised limit should take the exact kernel")
+      assert(top.count() == 64L * 3, "expected 64 queries x k=3 rows")
+      val bad = top.filter(col("neighbor_id") =!=
+        ((col("query_id") - tkQBase) % 16 + (col("rank") - 1) * 16)).count()
+      assert(bad == 0L, s"$bad wrong neighbors from the bounded heap")
+      top.unpersist()
+    }
+    assertNoFunnel("exact-topk-1m")
+
+    // ---- 14. dedup sink at 10x leg-11 scale + compaction + crash window -
+    // 450k-doc index, two 50k micro-batches with compactEvery=1 so the
+    // in-loop index compaction fires mid-stream, then the one crash
+    // window the sink documents (index appended, marker not yet
+    // published) is forced by rewinding the marker and re-driving the
+    // batch: the replay must reproduce the SAME survivor set — the
+    // self-link filter makes the appended copies decision-neutral.
+    val ds2 = java.nio.file.Files
+      .createTempDirectory("graft_stress_dsink2").toString
+    // per-id token templates: docs share almost no shingles with each
+    // other (a constant template would weld everything into one
+    // near-dup component)
+    def synthDocs(n: Long, idBase: Long): DataFrame =
+      spark.range(n).select((col("id") * 2 + idBase).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          k => concat(lit("t"), (col("id") * 2 + idBase).cast("string"),
+            lit("x"), ((col("id") * 31 + k) % 97).cast("string"))))
+          .as("text"))
+    val dsCorpus = synthDocs(450000L, 0L).localCheckpoint()
+    // batch 0: 25k near-dups of corpus docs (one appended token — must
+    // all drop against the index) + 25k novel docs each with an odd-id
+    // twin (must collapse to the even min id)
+    val b0Dups = dsCorpus.filter(col("doc_id") < 50000L)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val b0Novel = synthDocs(25000L, 20000000L)
+    val b0Twins = b0Novel.select((col("doc_id") + 1L).as("doc_id"),
+      concat(col("text"), lit(" tail")).as("text"))
+    val dsBatch0 = b0Dups.unionByName(b0Novel).unionByName(b0Twins)
+      .localCheckpoint()
+    val dsBatch1 = synthDocs(50000L, 30000000L).localCheckpoint()
+    tme("dedup sink 100x (450k index, 50k batches, compact + crash replay)") {
+      graft.ops.TextDedup.saveMinhashIndex(dsCorpus, "doc_id", "text",
+        s"$ds2/idx", numHashes = 32, bands = 8)
+      val s0 = graft.streaming.DedupSink.applyBatch(spark,
+        s"$ds2/idx", s"$ds2/corpus", "doc_id", "text",
+        jaccardThreshold = 0.8, dsBatch0, 0L, compactEvery = 1L)
+      val s0Dups = s0.filter(col("doc_id") >= 10000000L &&
+        col("doc_id") < 20000000L).count()
+      val s0Novel = s0.filter(col("doc_id") >= 20000000L).count()
+      assert(s0Dups * 20 <= 25000L,
+        s"$s0Dups corpus near-dups slipped through the 450k index")
+      assert(s0Novel == 25000L,
+        s"novel twins did not collapse one-per-pair: $s0Novel")
+      // compactEvery=1 fired after batch 0: the band layout is a single
+      // generation again (no append deltas left behind)
+      val bandFiles = {
+        val p = new org.apache.hadoop.fs.Path(s"$ds2/idx/bands")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      assert(bandFiles <= 8 * 32 * 2,
+        s"compaction did not consolidate the band layout: $bandFiles files")
+      val s1 = graft.streaming.DedupSink.applyBatch(spark,
+        s"$ds2/idx", s"$ds2/corpus", "doc_id", "text",
+        jaccardThreshold = 0.8, dsBatch1, 1L, compactEvery = 1L)
+      val s1Ids = s1.select(col("doc_id")).as[Long].collect().toSet
+      assert(s1Ids.size == 50000,
+        s"unique novel batch lost rows: ${s1Ids.size}")
+      // force the documented crash window: batch 1's survivors are in
+      // the index but the marker says batch 0 — exactly the state after
+      // a crash between appendMinhashIndex and the marker publish
+      val mp = new org.apache.hadoop.fs.Path(s"$ds2/idx/_graft_dedup_batch")
+      val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mout = mfs.create(mp, true)
+      try mout.write("0".getBytes("UTF-8")) finally mout.close()
+      val s1Replay = graft.streaming.DedupSink.applyBatch(spark,
+        s"$ds2/idx", s"$ds2/corpus", "doc_id", "text",
+        jaccardThreshold = 0.8, dsBatch1, 1L, compactEvery = 1L)
+      val replayIds = s1Replay.select(col("doc_id")).as[Long].collect().toSet
+      assert(replayIds == s1Ids,
+        s"crash-window replay changed the survivor set: " +
+          s"${replayIds.size} vs ${s1Ids.size}")
+      println(f"[stress] dedup sink 100x: ${s1Ids.size}%,d batch-1 " +
+        f"survivors stable under crash replay ($bandFiles band files)")
+    }
+    assertNoFunnel("dedup-sink-100x")
+
     println("[stress] ALL OK")
     spark.stop()
   }

@@ -196,4 +196,55 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.commitAll(Map("a/b" -> facts(1)), path)
     }
   }
+
+  test("deleteCommitAll purges fact+dim atomically; bystander re-links") {
+    val path = freshPath("catdel")
+    val facts = (1 to 12).map(i => (i.toLong, (i % 4).toLong, i * 10L))
+      .toDF("fid", "cust", "amount")
+    val dims = (0 to 3).map(i => (i.toLong, s"c$i")).toDF("ck", "label")
+    val aux = Seq((1L, "x"), (2L, "y")).toDF("ak", "note")
+    val v1 = SnapshotStore.commitAll(
+      Map("facts" -> facts, "dims" -> dims, "aux" -> aux), path)
+    def genOf(v: Long, table: String): String = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val vf = new org.apache.hadoop.fs.Path(f"$path/_versions/v$v%08d")
+      val len = fs.getFileStatus(vf).getLen.toInt
+      val in = fs.open(vf)
+      val buf = new Array[Byte](len)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").split("\n").map(_.trim.split(" "))
+        .collectFirst { case Array(t, g) if t == table => g }.get
+    }
+    // purge entity 2 from both tables in ONE commit; the id column
+    // name differs per table, the purge frame's own name is arbitrary
+    val v2 = SnapshotStore.deleteCommitAll(Seq(2L).toDF("whom"), path,
+      Map("facts" -> "cust", "dims" -> "ck"))
+    assert(v2 == v1 + 1)
+    assert(SnapshotStore.readTable(spark, path, "facts")
+      .filter($"cust" === 2L).isEmpty)
+    assert(SnapshotStore.readTable(spark, path, "facts").count() == 9)
+    assert(SnapshotStore.readTable(spark, path, "dims")
+      .select($"ck").as[Long].collect().toSet == Set(0L, 1L, 3L))
+    // the bystander table carried over by re-linking the SAME gen dir
+    assert(genOf(v2, "aux") == genOf(v1, "aux"))
+    assert(genOf(v2, "facts") != genOf(v1, "facts"))
+    assert(SnapshotStore.readTable(spark, path, "aux").count() == 2)
+    // time travel still reaches the purged rows (the store's contract)
+    assert(SnapshotStore.readTableVersion(spark, path, "facts", v1)
+      .filter($"cust" === 2L).count() == 3)
+    // compliance step: vacuumCatalog physically erases the superseded
+    // generations (facts+dims) but keeps the re-linked aux gen
+    val dropped = SnapshotStore.vacuumCatalog(spark, path, keepLast = 1)
+    assert(dropped == 2, s"expected facts+dims gens dropped, got $dropped")
+    intercept[Exception] {
+      SnapshotStore.readTableVersion(spark, path, "facts", v1).collect()
+    }
+    assert(SnapshotStore.readTable(spark, path, "aux").count() == 2)
+    // unknown table refuses loudly before any write
+    intercept[IllegalArgumentException] {
+      SnapshotStore.deleteCommitAll(Seq(1L).toDF("whom"), path,
+        Map("nope" -> "x"))
+    }
+  }
 }
