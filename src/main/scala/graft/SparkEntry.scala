@@ -2709,10 +2709,12 @@ object SparkEntry {
     // corpus, drive the remaining third through one sink micro-batch —
     // docs near-duplicating the indexed corpus (the testdata's planted
     // dup groups) drop, intra-batch groups collapse, survivors publish
-    // + grow the index. Rows-only (banding recall is hash-defined, the
-    // q_dedup_minhash reason); lifecycle semantics in DedupSinkSpec.
-    // Bench reps after the first hit the replay guard and return the
-    // same written survivors — deterministic by construction.
+    // + grow the index. Oracled end-to-end (dedupSinkOracle): the
+    // DuckDB side replays the banding, both verify joins, and the
+    // component collapse, so the published survivor set must match
+    // row-for-row. Lifecycle semantics in DedupSinkSpec. Bench reps
+    // after the first hit the replay guard and return the same
+    // written survivors — deterministic by construction.
     "q_dedup_sink" -> ((s, dir) => {
       val base = new java.io.File(
         System.getProperty("java.io.tmpdir"),
@@ -3950,6 +3952,8 @@ object SparkEntry {
     "q_dedup_minhash" -> dedupMinhashOracle,
 
     "q_minhash_indexed" -> minhashIndexedOracle,
+
+    "q_dedup_sink" -> dedupSinkOracle,
 
     "q_simhash" ->
       """WITH toks AS (
@@ -6638,8 +6642,56 @@ object SparkEntry {
         |FROM vr
         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)
 
+  /** The streaming sink face (`q_dedup_sink`): one applyBatch at the
+    * index geometry = batch docs minus corpus-linked minus non-min
+    * members of intra-batch near-dup components. The corpus link and
+    * the intra-batch pairs ride the SAME band replay; the component
+    * collapse is the recursive transitive closure the q_pipeline_e2e
+    * oracle established. Unshingleable docs (null/empty text) never
+    * enter the band table and survive as singletons — matching the
+    * sink, whose anti-join keeps them in `novel`. */
+  private def dedupSinkOracle: String =
+    minhashLshOracle(numHashes = 32, bands = 8, docFilter = "TRUE",
+      recursive = true,
+      tailSql = """candc AS (SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv
+        |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0),
+        |linked AS (SELECT DISTINCT bid FROM candc
+        |  JOIN shl xa ON xa.doc_id = candc.bid
+        |  JOIN shl yb ON yb.doc_id = candc.cid
+        |  WHERE CAST(len(list_intersect(xa.hs, yb.hs)) AS DOUBLE)
+        |   / (xa.nsh + yb.nsh - len(list_intersect(xa.hs, yb.hs)))
+        |   >= 0.8),
+        |candi AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv
+        |   AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 = 0
+        |   AND x.doc_id NOT IN (SELECT bid FROM linked)
+        |   AND y.doc_id NOT IN (SELECT bid FROM linked)),
+        |pairs AS (SELECT id_a, id_b FROM candi
+        |  JOIN shl xa ON xa.doc_id = candi.id_a
+        |  JOIN shl yb ON yb.doc_id = candi.id_b
+        |  WHERE CAST(len(list_intersect(xa.hs, yb.hs)) AS DOUBLE)
+        |   / (xa.nsh + yb.nsh - len(list_intersect(xa.hs, yb.hs)))
+        |   >= 0.8),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |   WHERE r.a <> e.v),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+        |         FROM reach GROUP BY a)
+        |SELECT d.doc_id, d.source FROM documents d
+        |LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |WHERE d.doc_id % 3 = 0
+        | AND d.doc_id NOT IN (SELECT bid FROM linked)
+        | AND (c.cid IS NULL OR c.cid = d.doc_id)""".stripMargin)
+
   private def minhashLshOracle(numHashes: Int, bands: Int,
-                               docFilter: String, tailSql: String): String = {
+                               docFilter: String, tailSql: String,
+                               recursive: Boolean = false): String = {
     val rows = numHashes / bands
     val params = graft.ops.TextDedup.minhashParams(numHashes, 42L)
     val paramRows = params.zipWithIndex
@@ -6680,7 +6732,7 @@ object SparkEntry {
     val murmur = stages.result().mkString(",\n")
     val pivot = (0 until rows).map(i =>
       s"max(CASE WHEN j % $rows = $i THEN sv END) AS e$i").mkString(", ")
-    s"""WITH d2 AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}d2 AS (
        | SELECT doc_id,
        |  lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
        | FROM documents
