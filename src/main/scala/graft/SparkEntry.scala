@@ -2184,13 +2184,18 @@ object SparkEntry {
     // oracle; OpsSpec pins the encoding semantics). The subtoken list
     // is flattened to one space-joined string: the checker sorts rows
     // in pandas, which cannot order an array column.
-    "q_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = TextAnalysis.trainBpeMerges(docs, "text", nMerges = 40)
-      TextAnalysis.applyBpe(docs, "doc_id", "text", merges)
+    // BPE apply under a PINNED ranked merge table (the
+    // q_unigram_encode pattern: train-once/segment-100TB is the
+    // production shape, and a fixed table makes the greedy
+    // leftmost-best-rank merge loop fully oracle-able — the DuckDB
+    // side replays it as a recursive CTE generated from the SAME
+    // literal, see bpeEncodeOracle). The trained-merge composition
+    // stays covered by q_bpe_train + OpsSpec parity pins.
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.applyBpe(t(s, dir, "documents"), "doc_id", "text",
+          PinnedBpeMerges)
         .select(col("doc_id"), col("pos"),
-          concat_ws(" ", col("subtokens")).as("subtokens"))
-    }),
+          concat_ws(" ", col("subtokens")).as("subtokens"))),
 
     // salted skew join: hot fact keys spread over saltFactor reducers,
     // result row-for-row the plain inner join (which is the oracle)
@@ -3997,6 +4002,8 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 12""".stripMargin,
 
     "q_unigram_encode" -> unigramEncodeOracle,
+
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     "q_windowed_counts" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
@@ -6562,6 +6569,75 @@ object SparkEntry {
     * needs no float tolerance, only the shared deterministic tiebreak
     * (smallest split point = longest trailing piece). The DuckDB
     * oracle's lookup CASE is generated from this same literal. */
+  /** Pinned ranked BPE merge table for `q_bpe_encode` — the
+    * [[PinnedUnigramVocab]] discipline applied to the other subword
+    * family: a FIXED table makes the greedy merge loop deterministic
+    * and data-independent, so the encode gate oracles exactly while
+    * q_bpe_train keeps the trainer covered. Chained entries (th→the,
+    * jo+in→join, sp+ar+k→spark) exercise multi-level merging on the
+    * fixture's vocabulary. Counts are carried for the API shape only —
+    * [[graft.ops.TextAnalysis.applyBpe]] reads ranks alone. */
+  private val PinnedBpeMerges: Array[(Int, String, String, Long)] = Array(
+    (0, "t", "h", 0L), (1, "th", "e", 0L), (2, "i", "n", 0L),
+    (3, "e", "r", 0L), (4, "a", "n", 0L), (5, "o", "n", 0L),
+    (6, "r", "e", 0L), (7, "s", "t", 0L), (8, "a", "t", 0L),
+    (9, "e", "n", 0L), (10, "o", "r", 0L), (11, "a", "r", 0L),
+    (12, "a", "l", 0L), (13, "o", "u", 0L), (14, "in", "g", 0L),
+    (15, "an", "d", 0L), (16, "e", "s", 0L), (17, "l", "e", 0L),
+    (18, "o", "w", 0L), (19, "r", "o", 0L), (20, "i", "s", 0L),
+    (21, "i", "t", 0L), (22, "a", "s", 0L), (23, "e", "d", 0L),
+    (24, "s", "e", 0L), (25, "c", "o", 0L), (26, "d", "a", 0L),
+    (27, "t", "a", 0L), (28, "da", "ta", 0L), (29, "j", "o", 0L),
+    (30, "jo", "in", 0L), (31, "s", "p", 0L), (32, "sp", "ar", 0L),
+    (33, "spar", "k", 0L), (34, "q", "u", 0L), (35, "qu", "e", 0L),
+    (36, "s", "c", 0L), (37, "sc", "an", 0L), (38, "f", "i", 0L),
+    (39, "fi", "l", 0L))
+
+  /** q_bpe_encode oracle — [[graft.ops.TextAnalysis.bpeEncodeWord]]'s
+    * greedy loop replayed in DuckDB as a recursive CTE over DISTINCT
+    * words: each step scores every adjacent subtoken pair with the
+    * pinned rank table (unknown pairs = Int.MaxValue), merges the
+    * LEFTMOST best-ranked pair (`list_position` returns the first
+    * minimum — the kernel keeps the first strictly-smaller rank), and
+    * stops when no pair is ranked. Length strictly decreases, so each
+    * word contributes at most len(word) states and exactly one
+    * terminal row. */
+  private def bpeEncodeOracle: String = {
+    val rankCase = "CASE " + PinnedBpeMerges.map { case (r, l, rt, _) =>
+      s"WHEN s[i] = '$l' AND s[i + 1] = '$rt' THEN $r"
+    }.mkString(" ") + " ELSE 2147483647 END"
+    s"""WITH RECURSIVE toks AS (
+       | SELECT doc_id, unnest(ts) AS w,
+       |  unnest(generate_series(0, len(ts) - 1)) AS pos
+       | FROM (SELECT doc_id,
+       |        string_split_regex(lower(trim(text)), '\\s+') AS ts
+       |       FROM documents WHERE text IS NOT NULL)),
+       |toks2 AS (SELECT doc_id, pos, w FROM toks WHERE w <> ''),
+       |words AS (SELECT DISTINCT w FROM toks2),
+       |st AS (
+       | SELECT w, list_transform(generate_series(1, length(w)),
+       |   i -> substring(w, i, 1)) AS s
+       | FROM words
+       | UNION ALL
+       | SELECT w, list_concat(list_concat(
+       |    s[1:bi - 1], [s[bi] || s[bi + 1]]), s[bi + 2:len(s)]) AS s
+       | FROM (
+       |  SELECT w, s, list_position(rk, list_min(rk)) AS bi
+       |  FROM (SELECT w, s,
+       |         list_transform(generate_series(1, len(s) - 1),
+       |           i -> $rankCase) AS rk
+       |        FROM st WHERE len(s) > 1)
+       |  WHERE list_min(rk) < 2147483647)),
+       |fin AS (
+       | SELECT w, s FROM st
+       | WHERE len(s) = 1 OR list_min(
+       |   list_transform(generate_series(1, len(s) - 1),
+       |     i -> $rankCase)) = 2147483647)
+       |SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos,
+       | array_to_string(f.s, ' ') AS subtokens
+       |FROM toks2 t JOIN fin f ON f.w = t.w""".stripMargin
+  }
+
   private val PinnedUnigramVocab: Array[(String, Double)] = Array(
     ("th", -2.5), ("er", -2.75), ("in", -2.75), ("an", -3.0),
     ("on", -3.0), ("st", -3.0), ("join", -3.0), ("row", -3.25),
