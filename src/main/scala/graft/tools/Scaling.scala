@@ -33,7 +33,11 @@ object Scaling {
     // candidate-volume-sensitive shapes worth standing watch over
     "q_substring_spans", "q_contamination", "q_bitext_mine",
     "q_minhash_indexed", "q_er_resolve", "q_simsearch_append",
-    "q_line_dedup", "q_dedup_incremental")
+    "q_line_dedup", "q_dedup_incremental",
+    // round-9 additions: the streaming sink's batch path and the
+    // catalog purge (both index/catalog-rebuild-per-run, so their
+    // ratio reads as I/O-shaped, not candidate-volume-shaped)
+    "q_dedup_sink", "q_snapshot_delete_all", "q_embed_topk")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

@@ -30,6 +30,10 @@ import graft.ops.{Clusters, Similarity}
  *
  * A task-level listener enforces the no-funnel property for EVERY
  * scenario, not just the merge.
+ *
+ * Run with `SPARK_DRIVER_MEM=16g` (the build's default 8g fork heap
+ * carries 14 legs of materialized test corpora plus Spark's unified
+ * region; the finale's array-column parquet reads want the headroom).
  */
 object Stress {
 
@@ -99,6 +103,12 @@ object Stress {
       // (we don't touch the ts column here either way)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.driver.memory", sys.env.getOrElse("STRESS_DRIVER_MEM", "8g"))
+      // 13 legs of caller-owned persists accumulate in unified memory;
+      // the default 4096-row reader batches over leg 14's shingle-set
+      // ARRAY column then fail to reserve buffer space ("Cannot reserve
+      // additional contiguous bytes"). Halving the batch keeps the
+      // vectorized reader comfortable for ~2 KB rows.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new FunnelListener)
@@ -626,7 +636,7 @@ object Stress {
       transform(sequence(lit(0), lit(15)),
         d => when(d === (col("id") % 16).cast("int"),
           (col("id") % 7 + 1).cast("double")).otherwise(lit(0.0)))
-        .as("embedding")).localCheckpoint()
+        .as("embedding"))
     val tkQBase = 2000000000L
     val tkQueries = tkCorpus.filter(col("vec_id") < 64)
       .select((col("vec_id") + tkQBase).as("vec_id"), col("embedding"))
@@ -643,6 +653,11 @@ object Stress {
     }
     assertNoFunnel("exact-topk-1m")
 
+    // earlier legs' caller-owned persists (probe prep, candidate
+    // frames) are dead weight by now — release the unified memory
+    // before the index-heavy finale
+    spark.catalog.clearCache()
+
     // ---- 14. dedup sink at 10x leg-11 scale + compaction + crash window -
     // 450k-doc index, two 50k micro-batches with compactEvery=1 so the
     // in-loop index compaction fires mid-stream, then the one crash
@@ -652,16 +667,31 @@ object Stress {
     // self-link filter makes the appended copies decision-neutral.
     val ds2 = java.nio.file.Files
       .createTempDirectory("graft_stress_dsink2").toString
-    // per-id token templates: docs share almost no shingles with each
-    // other (a constant template would weld everything into one
-    // near-dup component)
+    // GLOBALLY-UNIQUE hex tokens via an injective map: cross-doc
+    // CHARACTER-shingle overlap must be ~zero, not just "distinct
+    // tokens". Two designs failed here before this one:
+    //  - leg 11's digit templates ("t<id>x<k%97>") share ~10% of the
+    //    5-gram space; at 50k×450k that background jaccard collides a
+    //    4-row band at ~1e-3 and the verify join's shingle-array
+    //    shuffle spills ~100 GB (filled the disk);
+    //  - murmur tokens hash((id,k,salt)) chain through a 32-BIT state,
+    //    so doc-id strings colliding on that state yield BYTE-IDENTICAL
+    //    30-token docs (birthday at 475k docs → a few real pairs, which
+    //    correctly link cross-set and break the closed-form counts).
+    // xxhash64 chains a 64-bit state (doc-level birthday ~1e-8 here),
+    // and Spark 4's ANSI mode forbids the wrap-multiply bijection
+    // alternative (long overflow throws), so 64-bit hashing it is.
     def synthDocs(n: Long, idBase: Long): DataFrame =
       spark.range(n).select((col("id") * 2 + idBase).as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(29)),
-          k => concat(lit("t"), (col("id") * 2 + idBase).cast("string"),
-            lit("x"), ((col("id") * 31 + k) % 97).cast("string"))))
+          k => lower(hex(xxhash64(col("id") * 2 + idBase,
+            k, lit("dsk14"))))))
           .as("text"))
-    val dsCorpus = synthDocs(450000L, 0L).localCheckpoint()
+    // deterministic generators stay UNCHECKPOINTED in legs 13-14: the
+    // recompute is codegen-cheap, while materialized blocks from 13
+    // prior legs already crowd the 8g heap (a checkpointed 450k-doc
+    // corpus here OOM'd the vectorized reader in the full run)
+    val dsCorpus = synthDocs(450000L, 0L)
     // batch 0: 25k near-dups of corpus docs (one appended token — must
     // all drop against the index) + 25k novel docs each with an odd-id
     // twin (must collapse to the even min id)
@@ -672,8 +702,7 @@ object Stress {
     val b0Twins = b0Novel.select((col("doc_id") + 1L).as("doc_id"),
       concat(col("text"), lit(" tail")).as("text"))
     val dsBatch0 = b0Dups.unionByName(b0Novel).unionByName(b0Twins)
-      .localCheckpoint()
-    val dsBatch1 = synthDocs(50000L, 30000000L).localCheckpoint()
+    val dsBatch1 = synthDocs(50000L, 30000000L)
     tme("dedup sink 100x (450k index, 50k batches, compact + crash replay)") {
       graft.ops.TextDedup.saveMinhashIndex(dsCorpus, "doc_id", "text",
         s"$ds2/idx", numHashes = 32, bands = 8)
