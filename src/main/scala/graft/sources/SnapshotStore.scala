@@ -318,19 +318,25 @@ object SnapshotStore {
     pkByTable.keys.foreach(t => require(m.contains(t),
       s"table '$t' not in catalog version $v (has ${m.keys.toSeq.sorted})"))
     import org.apache.spark.sql.functions.col
-    val purge = ids.select(col(ids.columns.head).as("__purge_id")).distinct()
-    val gens = m.toSeq.sortBy(_._1).map { case (name, gen) =>
-      pkByTable.get(name) match {
-        case Some(pk) =>
-          val next = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
-          spark.read.parquet(s"$path/$name/$gen")
-            .join(purge, col(pk) === col("__purge_id"), "left_anti")
-            .write.mode("error").parquet(s"$path/$name/$next")
-          name -> next
-        case None => name -> gen
+    // one purge-set materialization, not one per table — ids may be a
+    // derived plan, and each table's anti-join would otherwise re-run
+    // its whole lineage
+    val purge = ids.select(col(ids.columns.head).as("__purge_id"))
+      .distinct().persist()
+    try {
+      val gens = m.toSeq.sortBy(_._1).map { case (name, gen) =>
+        pkByTable.get(name) match {
+          case Some(pk) =>
+            val next = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+            spark.read.parquet(s"$path/$name/$gen")
+              .join(purge, col(pk) === col("__purge_id"), "left_anti")
+              .write.mode("error").parquet(s"$path/$name/$next")
+            name -> next
+          case None => name -> gen
+        }
       }
-    }
-    link(spark, path, gens.map { case (n, g) => s"$n $g" }.mkString("\n"))
+      link(spark, path, gens.map { case (n, g) => s"$n $g" }.mkString("\n"))
+    } finally purge.unpersist()
   }
 
   /** Tables present in a committed catalog version. */
