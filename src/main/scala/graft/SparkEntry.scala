@@ -2736,6 +2736,42 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // streaming SEMANTIC-dedup ingest (AnnSink — DedupSink's
+    // embedding-space twin): index 2/3 of the vectors, drive the
+    // remaining third + planted scaled near-dups through one sink
+    // micro-batch — planted dups drop against the index (exact
+    // re-ranked cosine), within-batch twins collapse to min id,
+    // survivors publish + append. Rows-only (k-means-seeded, the
+    // simsearch reason); replay/crash-window/streamed semantics in
+    // AnnSinkSpec. Reps replay via the batch marker — deterministic.
+    "q_ann_sink" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_annsk_${tmpToken(dir)}").getAbsolutePath
+      val cbP = new org.apache.hadoop.fs.Path(s"$base/idx/codebook")
+      if (!cbP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(cbP))
+        graft.ops.Similarity.saveIvfPqIndex(
+          emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          s"$base/idx", nCells = 16)
+      val planted = emb.filter(col("vec_id") % 3 =!= 0 &&
+          col("vec_id") % 40 === 1)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          col("label"))
+      val batchBase = emb.filter(col("vec_id") % 3 === 0)
+      val twins = batchBase.filter(col("vec_id") % 30 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(3.0f)).as("embedding"),
+          col("label"))
+      graft.streaming.AnnSink.applyBatch(s, s"$base/idx", s"$base/corpus",
+        "vec_id", "embedding", cosineThreshold = 0.99,
+        batchBase.unionByName(planted).unionByName(twins), 0L,
+        nProbe = 8, batchCells = 16)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // incremental ANN index maintenance: save the index on 2/3 of the
     // embeddings, APPEND the remaining third (saved-means routing,
     // saved-codebook encoding, new files only), then probe — appended

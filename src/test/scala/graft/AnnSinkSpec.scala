@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.streaming.AnnSink
+
+class AnnSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+
+  /** One-hot direction d scaled by m — cosine 1.0 within a direction,
+    * 0.0 across directions. */
+  private def oneHot(d: Int, m: Float = 1f): Array[Float] =
+    Array.tabulate(Dim)(i => if (i == d % Dim) m else 0f)
+
+  /** Two-direction mixture — cosine 1/√2 against either component
+    * direction, 1/2 against a mixture sharing one component: all far
+    * below the 0.95 operating point. */
+  private def mix(a: Int, b: Int): Array[Float] =
+    Array.tabulate(Dim)(i =>
+      if (i == a % Dim || i == b % Dim) 1f else 0f)
+
+  private def seedIndex(dir: String): Unit = {
+    // 40 corpus vectors covering all 8 one-hot directions
+    val corpus = (1 to 40)
+      .map(i => (i.toLong, oneHot(i % Dim, 1f + (i % 3))))
+      .toDF("vec_id", "embedding")
+    Similarity.saveIvfPqIndex(corpus, "vec_id", "embedding",
+      s"$dir/idx", nCells = 4, m = 4, k = 4, iterations = 2)
+  }
+
+  test("ann sink: corpus near-dups dropped, intra-batch collapsed, " +
+    "index grows, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annsink").toString
+    seedIndex(dir)
+    val b0 = Seq(
+      (100L, oneHot(1, 2f)),  // scaled copy of direction 1 → dropped
+      (10L, mix(0, 1)), (11L, mix(0, 1)), // intra pair → 10 survives
+      (12L, mix(1, 2)))                   // novel
+      .toDF("vec_id", "embedding")
+    val s0 = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.95, b0, 0L,
+      nProbe = 4, k = 4, batchCells = 2)
+    spark.catalog.clearCache()
+    assert(s0.select("vec_id").as[Long].collect().toSet == Set(10L, 12L))
+    val c0 = spark.read.parquet(s"$dir/corpus")
+    assert(c0.columns.contains("ingest_batch"))
+    assert(c0.select("vec_id").as[Long].collect().toSet == Set(10L, 12L))
+    // the next batch dedups against the GROWN index: a scaled copy of
+    // batch-0 survivor 10 is now a recognized near-dup
+    val b1 = Seq((200L, mix(0, 1).map(_ * 3f)), (20L, mix(2, 3)))
+      .toDF("vec_id", "embedding")
+    val s1 = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.95, b1, 1L,
+      nProbe = 4, k = 4, batchCells = 2, compactEvery = 2L)
+    assert(s1.select("vec_id").as[Long].collect().toSet == Set(20L))
+    assert(AnnSink.lastAppliedBatch(spark, s"$dir/idx") == 1L)
+    // replay of batch 0: nothing re-applies, original survivors return
+    val r = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.95, b0, 0L,
+      nProbe = 4, k = 4, batchCells = 2)
+    assert(r.select("vec_id").as[Long].collect().toSet == Set(10L, 12L))
+    assert(spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .as[Long].collect().toSet == Set(10L, 12L, 20L))
+  }
+
+  test("crash between index append and marker: re-drive skips the " +
+    "re-append — survivor set AND index row count unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_anncrash").toString
+    seedIndex(dir)
+    val b0 = Seq(
+      (100L, oneHot(2, 2f)),              // corpus near-dup → dropped
+      (10L, mix(4, 5)), (11L, mix(4, 5)), // intra pair → 10 survives
+      (12L, mix(5, 6)))                   // novel
+      .toDF("vec_id", "embedding")
+    val s0 = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.95, b0, 0L,
+      nProbe = 4, k = 4, batchCells = 2)
+    assert(s0.select("vec_id").as[Long].collect().toSet == Set(10L, 12L))
+    val codesAfterAppend =
+      spark.read.parquet(s"$dir/idx/codes").count()
+    val markerP = new org.apache.hadoop.fs.Path(s"$dir/idx/_graft_ann_batch")
+    val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: survivors written, append committed, marker LOST
+    assert(fs.delete(markerP, false))
+    assert(AnnSink.lastAppliedBatch(spark, s"$dir/idx") == -1L)
+    val r = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.95, b0, 0L,
+      nProbe = 4, k = 4, batchCells = 2)
+    spark.catalog.clearCache()
+    assert(r.select("vec_id").as[Long].collect().toSet == Set(10L, 12L),
+      "re-driven crash-window batch changed the survivor set")
+    // the decisive ANN-specific property: the re-drive did NOT append
+    // again — duplicate index rows would poison later top-k shortlists
+    assert(spark.read.parquet(s"$dir/idx/codes").count()
+      == codesAfterAppend,
+      "crash-window re-drive duplicated the index append")
+    assert(AnnSink.lastAppliedBatch(spark, s"$dir/idx") == 0L)
+    // the grown index still recognizes a later near-copy of a survivor
+    val b1 = Seq((200L, mix(4, 5).map(_ * 2f)), (20L, mix(6, 7)))
+      .toDF("vec_id", "embedding")
+    val s1 = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.95, b1, 1L,
+      nProbe = 4, k = 4, batchCells = 2)
+    assert(s1.select("vec_id").as[Long].collect().toSet == Set(20L))
+    // truncated/garbled marker content reads as "none recorded"
+    val out = fs.create(markerP, true)
+    try out.write("9oops".getBytes("UTF-8")) finally out.close()
+    assert(AnnSink.lastAppliedBatch(spark, s"$dir/idx") == -1L)
+  }
+
+  test("streamed ann-ingest matches the batch-driven answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annq").toString
+    seedIndex(dir)
+    val batch = Seq(
+      (100L, oneHot(3, 2f)),              // dup of the seeded corpus
+      (30L, mix(0, 3)), (31L, mix(0, 3)), // intra pair → 30 survives
+      (40L, mix(1, 4)))                   // novel
+      .toDF("vec_id", "embedding")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val q = AnnSink.start(
+      spark.readStream.schema(batch.schema).parquet(s"$dir/in"),
+      s"$dir/idx", s"$dir/corpus", "vec_id", "embedding",
+      cosineThreshold = 0.95, checkpointDir = s"$dir/ckpt",
+      nProbe = 4, k = 4, batchCells = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .as[Long].collect().toSet == Set(30L, 40L))
+    // a second stream over the same checkpoint re-delivers nothing
+    val q2 = AnnSink.start(
+      spark.readStream.schema(batch.schema).parquet(s"$dir/in"),
+      s"$dir/idx", s"$dir/corpus", "vec_id", "embedding",
+      cosineThreshold = 0.95, checkpointDir = s"$dir/ckpt",
+      nProbe = 4, k = 4, batchCells = 2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .as[Long].collect().toSet == Set(30L, 40L))
+  }
+}
