@@ -753,6 +753,72 @@ object Stress {
     }
     assertNoFunnel("dedup-sink-100x")
 
+    // ---- 15. ANN semantic-dedup sink at volume --------------------------
+    // 200k-vector IVF-PQ index at 256 cells, one 72k-vector
+    // micro-batch: 70k novel + 2k scaled copies of indexed vectors
+    // (cosine ≈ 1 — must ALL drop). 72k queries are ABOVE
+    // DefaultQueryCollectLimit, so the probe inside the sink must take
+    // the cell-join path (no query-side collect); a forced
+    // crash-window replay (batch marker rewound, intent left) must
+    // skip the re-append — codes row count unchanged. Dense
+    // hash-derived vectors: random directions in 32-dim space are
+    // ~orthogonal, so near-dups exist only where planted. Sizing note:
+    // cell-join candidate volume is queries × nProbe × corpus/nCells —
+    // at 64 cells and a 500k corpus this leg was ~7e9 ADC evaluations
+    // (unbounded minutes); 256 cells / 200k keeps it ~2e8.
+    def synthVecs(n: Long, idBase: Long): DataFrame =
+      spark.range(n).select((col("id") + idBase).as("vec_id"),
+        transform(sequence(lit(0), lit(31)),
+          d => ((pmod(xxhash64(col("id") + idBase, d, lit("annv")),
+            lit(2001L)) - 1000L).cast("float") / 1000.0f).cast("float"))
+          .as("embedding"))
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_annsink").toString
+    val annCorpus = synthVecs(200000L, 0L)
+    val annPlanted = annCorpus.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val annBatch = synthVecs(70000L, 20000000L).unionByName(annPlanted)
+    tme("ann sink at volume (200k index, 72k batch, cell-join probe)") {
+      Similarity.saveIvfPqIndex(annCorpus, "vec_id", "embedding",
+        s"$annDir/idx", nCells = 256, m = 16, k = 32, iterations = 1)
+      val s0 = graft.streaming.AnnSink.applyBatch(spark,
+        s"$annDir/idx", s"$annDir/corpus", "vec_id", "embedding",
+        cosineThreshold = 0.95, annBatch, 0L,
+        nProbe = 8, batchCells = 64)
+      assert(Similarity.lastIvfPqQueryMode.get() == "cell-join",
+        "72k-query sink probe did not take the cell-join path")
+      val sPlanted = s0.filter(col("vec_id") >= 10000000L &&
+        col("vec_id") < 20000000L).count()
+      val sNovel = s0.filter(col("vec_id") >= 20000000L).count()
+      assert(sPlanted * 20 <= 2000L,
+        s"$sPlanted planted scaled copies slipped past the 200k index")
+      assert(sNovel * 100 >= 70000L * 99,
+        s"random novel vectors were wrongly dropped: $sNovel of 70000")
+      // materialize the survivor count BEFORE the replay: the replay
+      // overwrites the published directory, invalidating s0's live
+      // file listing (the returned frame is a read of that dir)
+      val s0Count = s0.count()
+      val codesAfter = spark.read.parquet(s"$annDir/idx/codes").count()
+      // crash window: batch marker rewound, intent marker intact — the
+      // re-drive must resolve via the survivor-id existence check and
+      // SKIP the re-append
+      val amp = new org.apache.hadoop.fs.Path(s"$annDir/idx/_graft_ann_batch")
+      val afs = amp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      afs.delete(amp, false)
+      val r = graft.streaming.AnnSink.applyBatch(spark,
+        s"$annDir/idx", s"$annDir/corpus", "vec_id", "embedding",
+        cosineThreshold = 0.95, annBatch, 0L,
+        nProbe = 8, batchCells = 64)
+      assert(r.count() == s0Count,
+        "crash-window replay changed the sink survivor count")
+      assert(spark.read.parquet(s"$annDir/idx/codes").count() == codesAfter,
+        "crash-window replay duplicated the ANN index append")
+      println(f"[stress] ann sink: ${sNovel}%,d novel kept, " +
+        f"$sPlanted%,d of 2,000 planted dups slipped, append idempotent")
+    }
+    assertNoFunnel("ann-sink-500k")
+
     println("[stress] ALL OK")
     spark.stop()
   }
