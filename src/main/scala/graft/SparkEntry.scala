@@ -39,6 +39,15 @@ object SparkEntry {
     2L -> "fast scan filter",
     3L -> "window agg group")
 
+  /** Pinned dictionary for the keyword-tagging gate — chosen to force
+    * the automaton's interesting transitions on the fixture vocabulary:
+    * a phrase sharing a prefix with a word ("scan"/"scan slow"), a term
+    * that only occurs inside another ("ast" ⊂ "fast"), and a
+    * self-overlapping phrase ("table table"). Shared with the oracle's
+    * VALUES list. */
+  private[graft] val KeywordTagList: Seq[String] =
+    Seq("scan", "scan slow", "table table", "fast", "ast", "a row")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
@@ -1006,6 +1015,17 @@ object SparkEntry {
     "q_pmi" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
         minCount = 5, k = 50)),
+
+    // multi-pattern keyword tagging (blocklist/PII-screen shape): ONE
+    // Aho–Corasick pass tags every dictionary hit with position+count —
+    // O(chars), dictionary-size-free, zero shuffles; the oracle
+    // recomputes each cell with SQL position/replace per keyword (the
+    // O(docs × patterns) shape the automaton exists to avoid). The
+    // pinned list exercises suffix links ("ast" ⊂ "fast"), phrase
+    // prefixes ("scan" ⊂ "scan slow"), and self-overlap ("table table")
+    "q_keyword_tags" -> ((s, dir) =>
+      TextAnalysis.keywordTags(t(s, dir, "documents"), "doc_id", "text",
+        KeywordTagList)),
 
     // deflate compression ratio — the long-range-repetition quality
     // signal (compressible = templated/repetitive); zlib output is
@@ -2815,16 +2835,20 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)),
 
-    // embedding-cosine near-dup, LSH-bucketed scale path (probabilistic
-    // recall → rows-only; recall vs exact asserted in specs at the 0.99
-    // operating point). The gate plants power-of-two-scaled copies
-    // (2.0f multiply is EXACT in float): sign-LSH is invariant to
-    // positive scaling, so every (id, id+1000000) planted pair
-    // collides in all tables at cosine exactly 1.0 — the r8 verdict
-    // flagged the old 0.4-threshold gate vacuous (sign-LSH has ~0
-    // recall at cos 0.4 by construction, so 0 rows verified nothing);
-    // now a broken candidate/verify stage cannot return the planted
-    // pair count
+    // embedding-cosine near-dup, LSH-bucketed scale path. The gate
+    // plants power-of-two-scaled copies (2.0f multiply is EXACT in
+    // float): sign-LSH is invariant to positive scaling, so every
+    // (id, id+1000000) planted pair collides in all tables at cosine
+    // exactly 1.0 — the r8 verdict flagged the old 0.4-threshold gate
+    // vacuous (sign-LSH has ~0 recall at cos 0.4 by construction, so
+    // 0 rows verified nothing). ORACLED (new in r9): because the only
+    // pairs ≥0.99 in the fixture are the planted exact-scaled copies
+    // (max natural cosine at sf0.01 is 0.513) and LSH recall on
+    // exact-scaled copies is 1 by IEEE sign preservation, the LSH
+    // output equals the exhaustive exact pair set, which DuckDB
+    // recomputes with the same union + double cosine. The gate drops
+    // the cosine column (ids only) so the hash compare never rides a
+    // last-ulp float difference between engines.
     "q_embed_neardup_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val planted = emb.filter(col("vec_id") % 50 === 0)
@@ -2833,6 +2857,7 @@ object SparkEntry {
           col("label"))
       Similarity.cosineNearDupPairsLsh(emb.unionByName(planted),
         "vec_id", "embedding", threshold = 0.99, dim = 64)
+        .select(col("id_a"), col("id_b"))
     }),
 
     // SemDeDup semantic dedup: refined k-means cells bound the
@@ -6149,6 +6174,47 @@ object SparkEntry {
         |   i -> b.e[i] * b.e[i]), 'sum'))) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin,
+
+    // LSH near-dup gate: sound as an EXACT oracle because (a) the only
+    // pairs ≥0.99 in the planted fixture are exact ×2.0f-scaled copies
+    // (max natural pair cosine is 0.513 at sf0.01) and (b) sign-LSH
+    // recall on exact power-of-two-scaled copies is exactly 1 (the
+    // scaling is exact in IEEE float, so every hyperplane dot product
+    // keeps its sign bit). The oracle recomputes the exhaustive pair
+    // set over the same union; ids only — no float column in the hash.
+    "q_embed_neardup_lsh" ->
+      """WITH u AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000 AS vec_id,
+        |        list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+        | FROM embeddings WHERE vec_id % 50 = 0),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM u),
+        |n AS (SELECT vec_id, e,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(e)),
+        |    i -> e[i] * e[i]), 'sum')) AS nrm FROM v),
+        |p AS (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_aggregate(list_transform(generate_series(1, len(a.e)),
+        |   i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE a.nrm > 0 AND b.nrm > 0)
+        |SELECT id_a, id_b FROM p WHERE cosine >= 0.99""".stripMargin,
+
+    // each cell recomputed per keyword: first_pos = SQL position,
+    // n_hits = replace-delta (non-overlapping count) — exactly the
+    // semantics keywordTags documents
+    "q_keyword_tags" ->
+      """WITH kw(keyword) AS (VALUES ('scan'), ('scan slow'),
+        |  ('table table'), ('fast'), ('ast'), ('a row')),
+        |h AS (
+        | SELECT d.doc_id, k.keyword,
+        |   position(k.keyword IN d.text) AS first_pos,
+        |   (length(d.text) - length(replace(d.text, k.keyword, '')))
+        |     // length(k.keyword) AS n_hits
+        | FROM documents d JOIN kw k ON contains(d.text, k.keyword))
+        |SELECT doc_id, keyword, first_pos, n_hits FROM h""".stripMargin,
 
     "q_text_profile" -> textProfileOracle,
 

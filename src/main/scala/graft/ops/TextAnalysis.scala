@@ -1761,4 +1761,141 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("__kept"), lit(0L)))
           .cast("int").as("n_removed"))
   }
+
+  /**
+   * Compiled Aho–Corasick automaton: goto/fail/output tables built once
+   * from the pattern list. Serializable — the task closure ships the
+   * compiled tables (a blocklist is KBs of ints; per-task rebuild would
+   * be the real waste). Matching walks UTF-16 code units, so `first`
+   * positions agree with `String.indexOf` (and with SQL `position` on
+   * ASCII/BMP text).
+   */
+  private final class AcAutomaton(val patterns: Array[String])
+      extends Serializable {
+    // nodes: goto maps (char -> node), fail links, and the pattern ids
+    // whose suffix ends at the node (own outputs ∪ fail-chain outputs,
+    // pre-merged so the scan never chases links)
+    private val gotoMaps =
+      scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Char, Int]())
+    private val outs =
+      scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    private val fail = scala.collection.mutable.ArrayBuffer(0)
+
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val m = gotoMaps(node)
+        var next = m.getOrDefault(p.charAt(i), -1)
+        if (next < 0) {
+          next = gotoMaps.size
+          m.put(p.charAt(i), next)
+          gotoMaps += new java.util.HashMap[Char, Int]()
+          outs += Nil
+          fail += 0
+        }
+        node = next
+        i += 1
+      }
+      outs(node) ::= pi
+    }
+    // BFS fail links; merge fail-target outputs into each node so a
+    // match report is a single list read
+    locally {
+      val queue = new java.util.ArrayDeque[Int]()
+      gotoMaps(0).forEach { (_, n) => fail(n) = 0; queue.add(n) }
+      while (!queue.isEmpty) {
+        val u = queue.poll()
+        outs(u) = outs(u) ++ outs(fail(u))
+        gotoMaps(u).forEach { (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !gotoMaps(f).containsKey(c)) f = fail(f)
+          fail(v) = gotoMaps(f).getOrDefault(c, 0)
+          if (fail(v) == v) fail(v) = 0
+          queue.add(v)
+        }
+      }
+    }
+
+    private val gotoArr: Array[java.util.HashMap[Char, Int]] =
+      gotoMaps.toArray
+    private val failArr: Array[Int] = fail.toArray
+    private val outArr: Array[Array[Int]] = outs.map(_.toArray).toArray
+
+    /** One left-to-right pass: per pattern, 1-based first-occurrence
+      * position and the greedy non-overlapping occurrence count (the
+      * `indexOf`/SQL-`replace` semantics — each accepted match resumes
+      * the search after its own last char). */
+    def scan(text: String): Seq[(String, Int, Int)] = {
+      if (text == null || text.isEmpty) return Nil
+      val first = new Array[Int](patterns.length)
+      val count = new Array[Int](patterns.length)
+      val nextFree = new Array[Int](patterns.length) // 0-based resume point
+      var node = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (node != 0 && !gotoArr(node).containsKey(c))
+          node = failArr(node)
+        node = gotoArr(node).getOrDefault(c, 0)
+        val hits = outArr(node)
+        var h = 0
+        while (h < hits.length) {
+          val pi = hits(h)
+          val start = i - patterns(pi).length + 1
+          if (first(pi) == 0) first(pi) = start + 1 // 1-based
+          if (start >= nextFree(pi)) {
+            count(pi) += 1
+            nextFree(pi) = i + 1
+          }
+          h += 1
+        }
+        i += 1
+      }
+      val b = Seq.newBuilder[(String, Int, Int)]
+      var pi = 0
+      while (pi < patterns.length) {
+        if (count(pi) > 0) b += ((patterns(pi), first(pi), count(pi)))
+        pi += 1
+      }
+      b.result()
+    }
+  }
+
+  /**
+   * Multi-pattern exact keyword tagging — the blocklist / PII-screen /
+   * topic-tag shape of a web-corpus pipeline: mark every document that
+   * contains any of a dictionary of exact strings (bad-word lists,
+   * benchmark canaries, brand terms), with position and count evidence.
+   *
+   * One Aho–Corasick pass per document: O(chars + matches) regardless
+   * of dictionary size. The naive alternative — a `contains` join
+   * against a patterns table — is a Cartesian O(docs × patterns)
+   * re-scan of every document per pattern, which is exactly what dies
+   * first at 100 TB × a 10k-term blocklist. The compiled automaton
+   * rides the task closure (KBs); the scan is a narrow map + explode —
+   * zero shuffles, parallel in the input splits.
+   *
+   * Output: (id, keyword, first_pos, n_hits) — one row per (document,
+   * matched keyword); `first_pos` is the 1-based offset of the first
+   * occurrence (SQL `position` convention), `n_hits` the greedy
+   * non-overlapping count (SQL `replace`-delta convention), so every
+   * cell is independently recomputable by an external SQL engine.
+   * Matching is exact and case-sensitive; normalize upstream (e.g.
+   * [[cleanText]], `lower`) when the dictionary expects it.
+   */
+  def keywordTags(df: DataFrame, idCol: String, textCol: String,
+                  keywords: Seq[String]): DataFrame = {
+    require(keywords.nonEmpty, "keywordTags needs at least one keyword")
+    require(keywords.forall(_.nonEmpty), "empty string is not a keyword")
+    val distinctKw = keywords.distinct.toArray
+    val ac = new AcAutomaton(distinctKw)
+    val kernel = udf((text: String) => ac.scan(text))
+    df.select(col(idCol), explode(kernel(col(textCol))).as("__hit"))
+      .select(col(idCol),
+        col("__hit._1").as("keyword"),
+        col("__hit._2").as("first_pos"),
+        col("__hit._3").as("n_hits"))
+  }
 }

@@ -3771,4 +3771,43 @@ class OpsSpec extends SparkSpec {
       "text", 100L).as[(Long, Long, Long)].collect().sortBy(_._3)
     assert(re.toSeq == all.toSeq)
   }
+
+  test("keywordTags: Aho–Corasick matches indexOf semantics exactly") {
+    // the classic suffix-link family: in "ushers", she@2, he@3, hers@3
+    val df = Seq(
+      (1L, "ushers"),
+      (2L, "aaaa"),          // "aa" overlaps at 1,2,3 — non-overlap count 2
+      (3L, "no x here"),   // "he" inside "here" — substring, not token
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = TextAnalysis.keywordTags(df, "id", "t",
+        Seq("he", "she", "hers", "aa"))
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(out == Set(
+      (1L, "she", 2, 1), (1L, "he", 3, 1), (1L, "hers", 3, 1),
+      (2L, "aa", 1, 2), (3L, "he", 6, 1)))
+    // brute-force parity on fixture text: first_pos = indexOf + 1,
+    // n_hits = repeated-indexOf count (the SQL position/replace pair)
+    val kws = Seq("scan", "scan slow", "table table", "fast", "ast", "a row")
+    val got = TextAnalysis.keywordTags(docs, "doc_id", "text", kws)
+      .as[(Long, String, Int, Int)].collect().toSet
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        kws.flatMap { k =>
+          val f = t.indexOf(k)
+          if (f < 0) None
+          else {
+            var n = 0
+            var i = f
+            while (i >= 0) { n += 1; i = t.indexOf(k, i + k.length) }
+            Some((id, k, f + 1, n))
+          }
+        }
+      }.toSet
+    assert(got == want)
+    assert(got.nonEmpty) // the fixture genuinely exercises the automaton
+    // and the plan is a narrow scan: tagging shuffles nothing
+    val plan = TextAnalysis.keywordTags(docs, "doc_id", "text", kws)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
