@@ -96,11 +96,15 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"sf":"$sfDir"}"""
     println(fullJson)
+    // a filtered profiling run must never clobber the full-map artifact
+    // (a 6-query bench_full.json once shipped exactly that way)
+    val artifact =
+      if (only.isDefined) "bench_only.json" else "bench_full.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(artifact),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_full.json write failed: $e")
+      System.err.println(s"[bench] $artifact write failed: $e")
     }
     // Short lines AFTER the big one: the driver's tail capture
     // truncates long output, so the verdict-relevant figures must also

@@ -2488,9 +2488,15 @@ object SparkEntry {
 
     // full BPE trainer (q_bpe_pairs is its first iteration): one
     // corpus-scale word-count aggregate, then the driver merge loop on
-    // the bounded word-frequency table. Deterministic merge list; no
-    // SQL oracle (iterative vocabulary state) → rows-only gate, with
-    // OpsSpec asserting exact parity against a hand-computed reference
+    // the bounded word-frequency table. Deterministic merge list.
+    // ORACLED (new in r9): the training loop is replayed in DuckDB as
+    // 40 UNROLLED materialized-CTE iterations (see [[bpeTrainOracle]])
+    // — count pairs, argmax with the (count DESC, left, right)
+    // tiebreak, apply the merge. The only sequential step — greedy
+    // LEFTMOST non-overlapping application — reduces to a windowed
+    // islands-parity rule because overlapping candidates can only be
+    // CONSECUTIVE runs of one repeated symbol (l==r): take even
+    // offsets within each candidate island.
     "q_bpe_train" -> ((s, dir) => {
       val merges = TextAnalysis.trainBpeMerges(
         t(s, dir, "documents"), "text", nMerges = 40)
@@ -4065,6 +4071,9 @@ object SparkEntry {
     "q_unigram_encode" -> unigramEncodeOracle,
 
     "q_bpe_encode" -> bpeEncodeOracle,
+
+    // the TRAINER replayed as 40 unrolled materialized-CTE iterations
+    "q_bpe_train" -> bpeTrainOracle(40),
 
     "q_windowed_counts" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
@@ -6738,6 +6747,73 @@ object SparkEntry {
        |SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos,
        | array_to_string(f.s, ' ') AS subtokens
        |FROM toks2 t JOIN fin f ON f.w = t.w""".stripMargin
+  }
+
+  /** DuckDB replay of [[TextAnalysis.trainBpeMerges]]: `nMerges`
+    * UNROLLED iterations as MATERIALIZED CTE chains (the default
+    * inlined CTEs would expand the 40-deep dependency tree
+    * exponentially). Each iteration: (1) `best_i` — adjacent-pair
+    * counts weighted by word frequency, argmax under the exact
+    * Scala tiebreak (count DESC, left ASC, right ASC); (2) `sel_i` —
+    * greedy LEFTMOST non-overlapping application sites. The greedy
+    * scan looks sequential but reduces to window functions: two
+    * candidate positions can only overlap when they are CONSECUTIVE,
+    * which forces left==right (s[i]=l, s[i+1]=r=l, s[i+2]=r), i.e. a
+    * run of one repeated symbol — and greedy takes every other
+    * position in such a run. So: gaps-and-islands over candidate
+    * positions, keep even offsets within each island. A merged symbol
+    * is l||r, which can never re-match l or r within the same
+    * iteration (it is strictly longer), so the snapshot-then-apply
+    * model is exact. (3) `it_{i+1}` — rebuild each word's symbol list
+    * (selected site → merged symbol, its right neighbor dropped via
+    * lag(sel)). Verified bit-identical to the Scala trainer at
+    * fixture scale including all-same-symbol run words. */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val base =
+      """WITH it0 AS MATERIALIZED (
+        |  SELECT w, n, list_transform(generate_series(1, length(w)),
+        |                              i -> substr(w, i, 1)) AS syms
+        |  FROM (SELECT w, count(*) AS n
+        |        FROM (SELECT unnest(
+        |                string_split_regex(lower(trim(text)), '\s+')) AS w
+        |              FROM documents)
+        |        WHERE w <> '' GROUP BY w
+        |        ORDER BY n DESC, w ASC LIMIT 65536))""".stripMargin
+    val iters = (0 until nMerges).map { i =>
+      s"""
+         |, best$i AS MATERIALIZED (
+         |  SELECT syms[pos] AS l, syms[pos+1] AS r, sum(n) AS c
+         |  FROM it$i, unnest(generate_series(1, len(syms)-1)) AS u(pos)
+         |  GROUP BY 1, 2
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT w, n, pos, sym, l, r,
+         |    cand AND (pos - min(CASE WHEN cand THEN pos END)
+         |                OVER (PARTITION BY w, grp)) % 2 = 0 AS sel
+         |  FROM (
+         |    SELECT w, n, pos, sym, cand, l, r,
+         |      pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos)
+         |        AS grp
+         |    FROM (
+         |      SELECT t.w, t.n, u.pos, t.syms[u.pos] AS sym, b.l, b.r,
+         |        (u.pos < len(t.syms) AND t.syms[u.pos] = b.l
+         |           AND t.syms[u.pos+1] = b.r) AS cand
+         |      FROM it$i t CROSS JOIN best$i b,
+         |           unnest(generate_series(1, len(t.syms))) AS u(pos)))),
+         |it${i + 1} AS MATERIALIZED (
+         |  SELECT w, any_value(n) AS n,
+         |    list(CASE WHEN sel THEN l || r ELSE sym END ORDER BY pos)
+         |      FILTER (WHERE NOT coalesce(lag_sel, FALSE)) AS syms
+         |  FROM (SELECT *, lag(sel) OVER (PARTITION BY w ORDER BY pos)
+         |          AS lag_sel
+         |        FROM sel$i)
+         |  GROUP BY w)""".stripMargin
+    }.mkString
+    val unioned = (0 until nMerges)
+      .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", """ +
+        s"c AS freq FROM best$i")
+      .mkString(" UNION ALL ")
+    s"$base$iters\nSELECT * FROM ($unioned) ORDER BY rank"
   }
 
   private val PinnedUnigramVocab: Array[(String, Double)] = Array(

@@ -37,7 +37,9 @@ object Scaling {
     // round-9 additions: the streaming sink's batch path and the
     // catalog purge (both index/catalog-rebuild-per-run, so their
     // ratio reads as I/O-shaped, not candidate-volume-shaped)
-    "q_dedup_sink", "q_snapshot_delete_all", "q_embed_topk")
+    "q_dedup_sink", "q_snapshot_delete_all", "q_embed_topk",
+    // narrow-scan shape: must scale ~linearly in bytes read
+    "q_keyword_tags")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

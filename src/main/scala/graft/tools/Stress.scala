@@ -819,6 +819,49 @@ object Stress {
     }
     assertNoFunnel("ann-sink-500k")
 
+    // ---- 16. keyword tagging at dictionary volume -----------------------
+    // 10 001-pattern Aho–Corasick dictionary (10k fixed-width needles
+    // sharing the 6-char prefix "needle" — deep shared trie paths —
+    // plus the bare prefix itself, which matches EVERY planted doc and
+    // exercises the merged-output chain) over 500k documents (fixture
+    // ×100). The whole point of the automaton is that this costs ONE
+    // narrow pass: the plan must contain no Exchange, and every planted
+    // needle must be found exactly once with nothing else matching.
+    val kwDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val kwCorpus = (0 until 100).map(i =>
+      kwDocs.select((col("doc_id") * 100 + i).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" needle"),
+          format_string("%04d", pmod(col("doc_id"), lit(10000))))
+          .as("text"))
+      .localCheckpoint()
+    val nKwDocs = kwCorpus.count()
+    val needleDict = (0 until 10000).map(i => f"needle$i%04d") :+ "needle"
+    tme(s"keywordTags (10,001 patterns x ${nKwDocs} docs)") {
+      val tagged = graft.ops.TextAnalysis.keywordTags(
+        kwCorpus, "doc_id", "text", needleDict)
+        .persist()
+      assert(!tagged.queryExecution.executedPlan.toString.contains("Exchange"),
+        "keywordTags must be a narrow scan — found an Exchange")
+      val prefixHits = tagged.filter(col("keyword") === "needle")
+      assert(prefixHits.count() == nKwDocs &&
+        prefixHits.filter(col("n_hits") =!= 1).count() == 0,
+        "bare-prefix pattern must hit every planted doc exactly once")
+      val own = tagged.filter(col("keyword") =!= "needle")
+      assert(own.count() == nKwDocs,
+        s"expected one fixed-width needle per doc, got ${own.count()}")
+      assert(own.filter(col("keyword") =!=
+          format_string("needle%04d", pmod(col("doc_id"), lit(10000))))
+        .count() == 0,
+        "a document matched a needle that was not planted in it")
+      tagged.unpersist()
+    }
+    assertNoFunnel("keyword-tags-500k")
+    println(f"[stress] keywordTags: $nKwDocs%,d docs x 10,001 patterns, " +
+      "one narrow pass, planted recall exact")
+
     println("[stress] ALL OK")
     spark.stop()
   }
