@@ -156,4 +156,46 @@ class AdaptivePathPropertiesSpec extends SparkSpec {
       assert(bc == inv, s"round $r")
     }
   }
+
+  test("keywordTags agrees with brute-force indexOf on random dictionaries") {
+    // a 3-letter alphabet makes pattern self-overlap, shared prefixes,
+    // and deep fail-chain transitions the COMMON case rather than a
+    // handcrafted corner — each round: random dictionary × random texts
+    // vs the definitionally-correct repeated-indexOf scan
+    import graft.ops.TextAnalysis
+    val genPatterns: Gen[Seq[String]] = for {
+      n <- Gen.choose(1, 12)
+      ps <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 4)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield ps.distinct
+    val genTexts: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(2, 25)
+      ts <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 60)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' '))
+      } yield cs.mkString)
+    } yield ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 8).foreach { r =>
+      val kws = sample(genPatterns, 7000 + r)
+      val rows = sample(genTexts, 8000 + r)
+      val got = TextAnalysis.keywordTags(rows.toDF("id", "t"), "id", "t", kws)
+        .as[(Long, String, Int, Int)].collect().toSet
+      val want = rows.flatMap { case (id, t) =>
+        kws.flatMap { k =>
+          val f = t.indexOf(k)
+          if (f < 0) None
+          else {
+            var n = 0
+            var i = f
+            while (i >= 0) { n += 1; i = t.indexOf(k, i + k.length) }
+            Some((id, k, f + 1, n))
+          }
+        }
+      }.toSet
+      assert(got == want,
+        s"round $r: dictionary=${kws.mkString(",")}")
+    }
+  }
 }
