@@ -1842,6 +1842,25 @@ object SparkEntry {
         .filter(col("o_orderkey") % 997 === 0)
     }),
 
+    // file-level min/max manifest (the data-skipping half of a table
+    // format): range-clustered write + sidecar manifest, then a range
+    // read that prunes the FILE LIST at plan time — unselected files
+    // are never listed into the scan or given tasks (stronger than
+    // parquet's footer row-group stats, which cost a task per file to
+    // consult). The residual filter on top makes pruning a pure plan
+    // optimization — the oracle is the plain full-scan range filter
+    "q_manifest_prune" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_manifest_${tmpToken(dir)}")
+      graft.ops.Layout.writeWithManifest(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Seq("o_totalprice"), tmp.getAbsolutePath, numFiles = 8)
+      graft.ops.Layout.readPruned(s, tmp.getAbsolutePath,
+        "o_totalprice", 1000.0, 2000.0)
+    }),
+
     // weekly cohort retention over the event stream — who from each
     // first-seen cohort is still active N weeks later
     "q_retention" -> ((s, dir) =>
@@ -2506,8 +2525,14 @@ object SparkEntry {
     // unigram-LM (SentencePiece-family) tokenizer trainer: the other
     // major subword family beside BPE. Same bounded-driver shape as
     // q_bpe_train — one corpus word-count aggregate, then driver EM
-    // over the bounded word table. Iterative vocabulary state → no
-    // SQL oracle; OpsSpec pins exact parity on a hand-checked corpus
+    // over the bounded word table. Rows-only BY NECESSITY (unlike
+    // q_bpe_train, which unrolls into exact SQL): the EM scores are
+    // math.log values, and JVM fdlibm vs DuckDB libm may differ in the
+    // last ulp — a 1-ulp flip in a Viterbi comparison changes the
+    // winning segmentation, hence the COUNTS, hence the vocabulary
+    // itself, so even the integer part of the output is not
+    // cross-engine stable. OpsSpec pins exact parity on a hand-checked
+    // corpus instead
     "q_unigram_train" -> ((s, dir) => {
       val vocab = TextAnalysis.trainUnigramLm(
         t(s, dir, "documents"), "text", vocabSize = 60)
@@ -5533,6 +5558,14 @@ object SparkEntry {
     "q_bloom_layout" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+
+    // manifest pruning is a plan optimization only: result rows are the
+    // plain range filter (1000.0/2000.0 are binary-exact doubles, so
+    // DuckDB's decimal literal parse equals the double compare)
+    "q_manifest_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice >= 1000.0 AND o_totalprice <= 2000.0""".stripMargin,
 
     "q_retention" ->
       """WITH active AS (

@@ -183,4 +183,96 @@ object Layout {
     require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
     fs.delete(aside, true)
   }
+
+  /** Sidecar directory holding the file-level min/max manifest; the
+    * leading underscore keeps parquet readers from treating it as
+    * data. */
+  val ManifestDir = "_graft_manifest"
+
+  /** Diagnostic: "kept/total" file decision of the last [[readPruned]]
+    * on this JVM (the [[graft.ops.Similarity]] `lastIvfPqQueryMode`
+    * convention — specs assert the pruning actually pruned). */
+  private[graft] val lastManifestPrune =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /**
+   * (Re)build the file-level min/max manifest for a parquet directory:
+   * one column-pruned scan grouped by `_metadata.file_path`, written as
+   * a single small parquet under `<path>/_graft_manifest/`. Columns:
+   * `file, min_<c>, max_<c>` per stats column, in the column's native
+   * type. Call after any rewrite that changes the file set
+   * ([[compact]], appends); [[writeWithManifest]] calls it for you.
+   *
+   * This is the data-skipping half of a table format (Delta/Iceberg
+   * style): parquet's own footer stats prune ROW GROUPS, but only
+   * after the planner has listed every file and scheduled a task per
+   * split — at 100 TB / 100k files the listing and the no-op tasks ARE
+   * the cost. A manifest consulted at plan time prunes the FILE LIST,
+   * so unselected files are never listed into the scan, opened, or
+   * given tasks.
+   */
+  def refreshManifest(spark: org.apache.spark.sql.SparkSession,
+                      path: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "no stats columns given")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /**
+   * Range-cluster `df` by `clusterCols` and write parquet WITH a
+   * file-level min/max manifest: range partitioning gives each file a
+   * tight, nearly disjoint span of the cluster key, so a range
+   * predicate through [[readPruned]] keeps only the files it can
+   * touch. `statsCols` defaults to the cluster columns; add more to
+   * track correlated columns' spans too (they prune when the data is
+   * naturally clustered even if not sorted).
+   */
+  def writeWithManifest(df: DataFrame, clusterCols: Seq[String],
+                        path: String, numFiles: Int,
+                        statsCols: Seq[String] = Nil): Unit = {
+    require(clusterCols.nonEmpty, "no cluster columns given")
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    refreshManifest(df.sparkSession, path,
+      if (statsCols.isEmpty) clusterCols else statsCols)
+  }
+
+  /**
+   * Manifest-pruned range read: `colName BETWEEN lo AND hi` (inclusive)
+   * over a directory written by [[writeWithManifest]] (or refreshed by
+   * [[refreshManifest]]). The manifest decides per file whether
+   * [min, max] intersects [lo, hi]; only intersecting files enter the
+   * scan, and the residual row filter is applied on top — the result
+   * is EXACTLY the full-scan filter's rows (pruning is a plan
+   * optimization, never a semantics change). Files with null stats
+   * (all-null values) are kept conservatively; their rows then fail
+   * the residual predicate. The manifest collect is bounded by the
+   * file count — the same "≤ nCells" driver-budget discipline as the
+   * ANN probe selectors.
+   */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+                 colName: String, lo: Any, hi: Any): DataFrame = {
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mPath),
+      s"no manifest at $path — write with writeWithManifest or call " +
+        "refreshManifest first")
+    val decisions = spark.read.parquet(mPath.toString)
+      .select(col("file"),
+        coalesce(col(s"min_$colName") <= lit(hi) &&
+          col(s"max_$colName") >= lit(lo), lit(true)).as("keep"))
+      .collect()
+    val kept = decisions.filter(_.getBoolean(1)).map(_.getString(0))
+    lastManifestPrune.set(s"${kept.length}/${decisions.length}")
+    val base =
+      if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
 }

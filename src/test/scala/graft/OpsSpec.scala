@@ -3810,4 +3810,43 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("manifest pruning: exact rows, files actually skipped, nulls safe") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_spec").toString
+    // 1000 rows over a clean range + 20 null-key rows (range
+    // partitioning clusters the nulls into the first file, whose
+    // stats are then null → kept conservatively, rows dropped by the
+    // residual predicate)
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") * 3).as("v"))
+      .unionByName(spark.range(20).select((col("id") + 5000).as("id"),
+        lit(null).cast("long").as("v")))
+    Layout.writeWithManifest(df, Seq("v"), dir, numFiles = 10)
+    // manifest exists and carries one row per data file
+    val mf = spark.read.parquet(s"$dir/${Layout.ManifestDir}")
+    assert(mf.columns.sorted.toSeq == Seq("file", "max_v", "min_v"))
+    val got = Layout.readPruned(spark, dir, "v", 600L, 899L)
+      .as[(Long, Long)].collect().toSet
+    val want = spark.read.parquet(dir)
+      .filter(col("v") >= 600L && col("v") <= 899L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want && got.size == 100) // 600,603,...,897
+    // pruning genuinely pruned: a 100-wide slice of a 3000-wide range
+    // split over 10 files must not read them all
+    val Array(kept, total) = Layout.lastManifestPrune.get()
+      .split("/").map(_.toInt)
+    assert(total >= 10 && kept < total && kept >= 1,
+      s"manifest decision $kept/$total")
+    // empty intersection → empty frame, schema intact
+    val none = Layout.readPruned(spark, dir, "v", 100000L, 200000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // refresh after compaction keeps the contract
+    Layout.compact(spark, dir)
+    Layout.refreshManifest(spark, dir, Seq("v"))
+    val afterCompact = Layout.readPruned(spark, dir, "v", 600L, 899L)
+      .as[(Long, Long)].collect().toSet
+    assert(afterCompact == want)
+  }
 }
