@@ -244,6 +244,53 @@ object Layout {
   }
 
   /**
+   * Append a batch into a manifest-tracked directory at BATCH cost:
+   * new files land via parquet append (existing files are never
+   * rewritten), their stats come from one scan of ONLY the added files
+   * (before/after listing diff), and the manifest is rewritten as
+   * old-rows ∪ new-rows through the [[atomicSwap]] promotion — a
+   * reader never sees a half-written manifest, and a crash leaves the
+   * previous manifest in place (the appended files are then simply
+   * unpruned-invisible until the next [[refreshManifest]], never
+   * wrongly pruned... they are absent from the manifest, so
+   * [[readPruned]] would miss them — hence the swap-late ordering:
+   * data first, manifest promotion last, and the manifest is the
+   * publication point). Nothing here scans the existing table — the
+   * incremental-index discipline of `appendMinhashIndex` /
+   * `appendIvfPqIndex` applied to the layout layer.
+   */
+  def appendWithManifest(df: DataFrame, clusterCols: Seq[String],
+                         path: String, numFiles: Int,
+                         statsCols: Seq[String] = Nil): Unit = {
+    require(clusterCols.nonEmpty, "no cluster columns given")
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = fs.listStatus(hPath)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).toSet
+    val before = dataFiles()
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("append").parquet(path)
+    val added = (dataFiles() -- before).toSeq.sorted
+    if (added.nonEmpty) {
+      val stats = if (statsCols.isEmpty) clusterCols else statsCols
+      val aggs = stats.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val newRows = spark.read.parquet(added: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      val manifestPath = s"$path/$ManifestDir"
+      val tmp = s"$manifestPath.__append"
+      spark.read.parquet(manifestPath).unionByName(newRows)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      atomicSwap(spark, tmp, manifestPath)
+    }
+  }
+
+  /**
    * Manifest-pruned range read: `colName BETWEEN lo AND hi` (inclusive)
    * over a directory written by [[writeWithManifest]] (or refreshed by
    * [[refreshManifest]]). The manifest decides per file whether

@@ -39,7 +39,10 @@ object Scaling {
     // ratio reads as I/O-shaped, not candidate-volume-shaped)
     "q_dedup_sink", "q_snapshot_delete_all", "q_embed_topk",
     // narrow-scan shape: must scale ~linearly in bytes read
-    "q_keyword_tags")
+    "q_keyword_tags",
+    // write+manifest+pruned-read round trip: I/O-shaped like the
+    // snapshot gates
+    "q_manifest_prune")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

@@ -3848,5 +3848,25 @@ class OpsSpec extends SparkSpec {
     val afterCompact = Layout.readPruned(spark, dir, "v", 600L, 899L)
       .as[(Long, Long)].collect().toSet
     assert(afterCompact == want)
+    // incremental append: batch-cost manifest growth, same answers
+    val mfRows0 = spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
+    val batch = spark.range(100)
+      .select((col("id") + 10000).as("id"), (col("id") + 250).as("v"))
+    Layout.appendWithManifest(batch, Seq("v"), dir, numFiles = 4)
+    val mfRows1 = spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
+    assert(mfRows1 > mfRows0, "append must grow the manifest")
+    val afterAppend = Layout.readPruned(spark, dir, "v", 600L, 899L)
+      .as[(Long, Long)].collect().toSet
+    // appended v spans 250..349: none lands in [600, 899] but the
+    // window straddling both generations must see both
+    assert(afterAppend == want)
+    val straddle = Layout.readPruned(spark, dir, "v", 300L, 320L)
+      .as[(Long, Long)].collect().toSet
+    val straddleWant = spark.read.parquet(dir)
+      .filter(col("v") >= 300L && col("v") <= 320L)
+      .as[(Long, Long)].collect().toSet
+    assert(straddle == straddleWant && straddle.exists(_._1 >= 10000) &&
+      straddle.exists(_._1 < 10000),
+      "straddling read must return rows from both generations")
   }
 }
