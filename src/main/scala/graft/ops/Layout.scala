@@ -304,22 +304,42 @@ object Layout {
    * ANN probe selectors.
    */
   def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
-                 colName: String, lo: Any, hi: Any): DataFrame = {
+                 colName: String, lo: Any, hi: Any): DataFrame =
+    readPrunedRanges(spark, path, Seq((colName, lo, hi)))
+
+  /**
+   * Conjunctive multi-column manifest pruning: keep a file only when
+   * EVERY range intersects its tracked span (null spans keep the file
+   * conservatively, per range). The natural partner of [[zOrderWrite]]
+   * + [[refreshManifest]]: Morton clustering gives every interleaved
+   * column a tight span per file, so a 2-D range probe prunes on both
+   * predicates at once — the file-list analogue of the row-group
+   * pruning the z-order Scaladoc promises. Residual conjunction
+   * applied on top; same bounded manifest collect as [[readPruned]].
+   */
+  def readPrunedRanges(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "no ranges given")
     val mPath = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(mPath),
       s"no manifest at $path — write with writeWithManifest or call " +
         "refreshManifest first")
+    val keep = ranges.map { case (c, lo, hi) =>
+      coalesce(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo),
+        lit(true))
+    }.reduce(_ && _)
     val decisions = spark.read.parquet(mPath.toString)
-      .select(col("file"),
-        coalesce(col(s"min_$colName") <= lit(hi) &&
-          col(s"max_$colName") >= lit(lo), lit(true)).as("keep"))
+      .select(col("file"), keep.as("keep"))
       .collect()
     val kept = decisions.filter(_.getBoolean(1)).map(_.getString(0))
     lastManifestPrune.set(s"${kept.length}/${decisions.length}")
     val base =
       if (kept.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(kept.toIndexedSeq: _*)
-    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    base.filter(ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _))
   }
 }
