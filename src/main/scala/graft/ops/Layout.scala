@@ -249,9 +249,11 @@ object Layout {
    * rewritten), their stats come from one scan of ONLY the added files
    * (before/after listing diff), and the manifest is rewritten as
    * old-rows ∪ new-rows through the [[atomicSwap]] promotion — a
-   * reader never sees a half-written manifest, and a crash leaves the
-   * previous manifest in place (the appended files are then simply
-   * unpruned-invisible until the next [[refreshManifest]], never
+   * reader never sees a half-written manifest, and a crash is
+   * fail-safe under the [[atomicSwap]] contract: the previous
+   * manifest survives on disk (in the worst metadata-only window at
+   * `.__old` — recoverable by rename or [[refreshManifest]]), and the
+   * appended files are at most unpruned-invisible, never
    * wrongly pruned... they are absent from the manifest, so
    * [[readPruned]] would miss them — hence the swap-late ordering:
    * data first, manifest promotion last, and the manifest is the
@@ -270,6 +272,11 @@ object Layout {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.toString).toSet
+    // fail BEFORE any data lands: appending into an untracked directory
+    // would leave files no manifest knows about
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")),
+      s"no manifest at $path — appendWithManifest extends an existing " +
+        "manifest-tracked directory; write with writeWithManifest first")
     val before = dataFiles()
     df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)

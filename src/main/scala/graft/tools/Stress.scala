@@ -862,6 +862,50 @@ object Stress {
     println(f"[stress] keywordTags: $nKwDocs%,d docs x 10,001 patterns, " +
       "one narrow pass, planted recall exact")
 
+    // ---- 17. manifest pruning at file-count volume ----------------------
+    // The manifest's claim is about FILE COUNTS: at 1,024 files a plain
+    // range scan schedules 1,024 tasks just to discover most files are
+    // irrelevant; the manifest keeps the planner's file list to the
+    // ~1% that intersect. 5M rows range-clustered into 1,024 files, a
+    // 1%-wide window: assert the kept-file share, row-exactness vs the
+    // full-scan filter, and batch-cost append visibility.
+    val mDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_manifest").toString
+    tme("manifest write+prune (5M rows, 1,024 files)") {
+      graft.ops.Layout.writeWithManifest(
+        spark.range(5000000L).select(col("id"),
+          pmod(col("id") * 2654435761L, lit(5000000L)).as("v")),
+        Seq("v"), mDir, numFiles = 1024)
+      val got = graft.ops.Layout.readPruned(spark, mDir,
+        "v", 1000000L, 1049999L)
+      val n = got.count()
+      val want = spark.read.parquet(mDir)
+        .filter(col("v") >= 1000000L && col("v") <= 1049999L).count()
+      assert(n == want, s"pruned read lost rows: $n vs $want")
+      val Array(kept, total) = graft.ops.Layout.lastManifestPrune.get()
+        .split("/").map(_.toInt)
+      assert(total >= 1000, s"expected ~1,024 manifest entries, got $total")
+      assert(kept * 20 <= total,
+        s"a 1% window should keep <=5% of files, kept $kept/$total")
+      // append one 50k batch: manifest grows, straddling read exact
+      graft.ops.Layout.appendWithManifest(
+        spark.range(50000L).select((col("id") + 10000000L).as("id"),
+          (col("id") + 1025000L).as("v")),
+        Seq("v"), mDir, numFiles = 8)
+      // window spans appended rows (v 1,025,000..1,074,999) AND
+      // original-generation rows
+      val straddle = graft.ops.Layout.readPruned(spark, mDir,
+        "v", 1040000L, 2030000L)
+      val sWant = spark.read.parquet(mDir)
+        .filter(col("v") >= 1040000L && col("v") <= 2030000L)
+        .count()
+      assert(straddle.count() == sWant,
+        "append-then-read lost or duplicated rows")
+      println(f"[stress] manifest: $kept of $total files kept for a " +
+        "1%% window, append visible")
+    }
+    assertNoFunnel("manifest-1024-files")
+
     println("[stress] ALL OK")
     spark.stop()
   }

@@ -198,4 +198,38 @@ class AdaptivePathPropertiesSpec extends SparkSpec {
         s"round $r: dictionary=${kws.mkString(",")}")
     }
   }
+
+  test("manifest pruning is invisible: random data, random ranges") {
+    // pruning is a plan decision, never a semantics decision — the
+    // manifest-pruned read must equal the full-scan filter for ANY
+    // data distribution (duplicates, skew, nulls) and ANY range
+    // (empty, total, partial, degenerate lo==hi)
+    import graft.ops.Layout
+    val genRows: Gen[Seq[(Long, java.lang.Long)]] = for {
+      n <- Gen.choose(50, 400)
+      vs <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(-1000L, 1000L).map(java.lang.Long.valueOf),
+        1 -> Gen.const(null.asInstanceOf[java.lang.Long])))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val genRange: Gen[(Long, Long)] = for {
+      a <- Gen.choose(-1200L, 1200L)
+      b <- Gen.choose(-1200L, 1200L)
+    } yield (math.min(a, b), math.max(a, b))
+    (1 to 6).foreach { r =>
+      val rows = sample(genRows, 9000 + r)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_manifest_prop$r").toString
+      Layout.writeWithManifest(rows.toDF("id", "v"), Seq("v"), dir,
+        numFiles = 1 + r * 2)
+      (1 to 4).foreach { q =>
+        val (lo, hi) = sample(genRange, 9100 + r * 10 + q)
+        val got = Layout.readPruned(spark, dir, "v", lo, hi)
+          .as[(Long, Option[Long])].collect().toSet
+        val want = spark.read.parquet(dir)
+          .filter(col("v") >= lo && col("v") <= hi)
+          .as[(Long, Option[Long])].collect().toSet
+        assert(got == want, s"round $r range [$lo,$hi]")
+      }
+    }
+  }
 }
