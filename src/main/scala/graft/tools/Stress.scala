@@ -902,7 +902,7 @@ object Stress {
       assert(straddle.count() == sWant,
         "append-then-read lost or duplicated rows")
       println(f"[stress] manifest: $kept of $total files kept for a " +
-        "1%% window, append visible")
+        "1% window, append visible")
     }
     assertNoFunnel("manifest-1024-files")
 
