@@ -2052,6 +2052,26 @@ object SparkEntry {
       graft.sources.SnapshotStore.read(s, path)
     }),
 
+    // versioned table × manifest layout: commitClustered writes the
+    // generation range-clustered WITH its file min/max manifest, a
+    // plain commit supersedes it, then a PRUNED TIME-TRAVEL read of
+    // the first version — files outside the range never enter the
+    // scan, and rows equal the plain range filter (the oracle)
+    "q_snapshot_pruned" -> ((s, dir) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_snapprune_${tmpToken(dir)}").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v1 = graft.sources.SnapshotStore.commitClustered(
+        ord, path, Seq("o_totalprice"), numFiles = 8)
+      graft.sources.SnapshotStore.commit(ord.limit(10), path)
+      graft.sources.SnapshotStore.readVersionPruned(s, path, v1,
+        Seq(("o_totalprice", 3000.0, 5000.0)))
+    }),
+
     // right-to-be-forgotten over the store: commit, deleteCommit the
     // targeted pks (one anti-join, new version), read back — the SQL
     // oracle is the same anti-join, so the whole sequence gates exact
@@ -5657,6 +5677,13 @@ object SparkEntry {
     "q_snapshot_delete" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE NOT (c_custkey % 7 = 0)""".stripMargin,
+
+    // pruned time travel = plain range filter over the versioned data
+    // (3000.0/5000.0 are binary-exact, decimal-literal-safe)
+    "q_snapshot_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice >= 3000.0 AND o_totalprice <= 5000.0""".stripMargin,
 
     "q_snapshot_delete_all" ->
       """SELECT o_custkey AS key, 'orders' AS tbl, count(*) AS n

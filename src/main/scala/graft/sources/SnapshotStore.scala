@@ -154,6 +154,49 @@ object SnapshotStore {
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame =
     spark.read.parquet(s"$path/${genFor(spark, path, v)}")
 
+  /**
+   * Commit with layout: the generation is written range-clustered WITH
+   * a file-level min/max manifest ([[graft.ops.Layout.writeWithManifest]]),
+   * so every read of this version — current, time-travel, or
+   * post-rollback — can prune its file list through
+   * [[readVersionPruned]]. Generations are immutable, so the manifest
+   * can never go stale; it lives inside the generation dir
+   * (underscore-prefixed, invisible to plain [[readVersion]] readers)
+   * and is reclaimed with the generation by [[vacuum]].
+   */
+  def commitClustered(df: DataFrame, path: String,
+                      clusterCols: Seq[String], numFiles: Int,
+                      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Layout.writeWithManifest(df, clusterCols, s"$path/$gen",
+      numFiles, statsCols)
+    link(spark, path, gen)
+  }
+
+  /**
+   * Manifest-pruned time-travel read: conjunctive ranges over version
+   * `v`'s generation, pruning its file list when the generation
+   * carries a manifest ([[commitClustered]]). Versions committed
+   * WITHOUT a manifest (plain [[commit]], [[upsertCommit]],
+   * [[deleteCommit]]) answer identically through a full-scan residual
+   * filter — pruning is an optimization a version may lack, never a
+   * semantics change.
+   */
+  def readVersionPruned(spark: SparkSession, path: String, v: Long,
+                        ranges: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(ranges.nonEmpty, "no ranges given")
+    val genPath = s"$path/${genFor(spark, path, v)}"
+    val fs = fsFor(spark, path)
+    if (fs.exists(new Path(s"$genPath/${graft.ops.Layout.ManifestDir}")))
+      graft.ops.Layout.readPrunedRanges(spark, genPath, ranges)
+    else
+      spark.read.parquet(genPath).filter(ranges.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _))
+  }
+
   /** Read the current version. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val v = currentVersion(spark, path).getOrElse(

@@ -247,4 +247,39 @@ class SnapshotStoreSpec extends SparkSpec {
         Map("nope" -> "x"))
     }
   }
+
+  test("clustered commits prune time-travel reads; plain versions fall back") {
+    import graft.ops.Layout
+    val path = freshPath("manifest")
+    val big = spark.range(1000).select(col("id"), (col("id") * 7).as("v"))
+    val v1 = SnapshotStore.commitClustered(big, path, Seq("v"), numFiles = 10)
+    // a later PLAIN commit becomes current — no manifest in its gen
+    val v2 = SnapshotStore.commit(
+      spark.range(100).select(col("id"), (col("id") * 7).as("v")), path)
+    // pruned time travel to v1: exact rows AND files skipped
+    val got1 = SnapshotStore.readVersionPruned(spark, path, v1,
+        Seq(("v", 700L, 1399L)))
+      .as[(Long, Long)].collect().toSet
+    val want1 = SnapshotStore.readVersion(spark, path, v1)
+      .filter(col("v").between(700, 1399))
+      .as[(Long, Long)].collect().toSet
+    assert(got1 == want1 && got1.size == 100)
+    val Array(kept, total) = Layout.lastManifestPrune.get()
+      .split("/").map(_.toInt)
+    assert(total == 10 && kept < total, s"v1 pruning: $kept/$total")
+    // manifest-less v2 answers identically through the fallback
+    val got2 = SnapshotStore.readVersionPruned(spark, path, v2,
+        Seq(("v", 0L, 70L)))
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == SnapshotStore.readVersion(spark, path, v2)
+      .filter(col("v").between(0, 70)).as[(Long, Long)].collect().toSet)
+    // rollback republishes v1's generation — pruning still works on it
+    val v3 = SnapshotStore.rollback(spark, path, v1)
+    val got3 = SnapshotStore.readVersionPruned(spark, path, v3,
+        Seq(("v", 700L, 1399L)))
+      .as[(Long, Long)].collect().toSet
+    assert(got3 == want1)
+    // the manifest dir is invisible to a plain reader of the version
+    assert(SnapshotStore.readVersion(spark, path, v1).count() == 1000)
+  }
 }
