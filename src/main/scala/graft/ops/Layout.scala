@@ -337,10 +337,18 @@ object Layout {
       coalesce(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo),
         lit(true))
     }.reduce(_ && _)
+    // distinct: concurrent appenders can each stat a file the other
+    // wrote (both list after both appends), leaving duplicate manifest
+    // rows — reading a file twice would DUPLICATE its rows, so the
+    // file list is deduplicated here regardless of manifest state
+    // (manifest maintenance itself expects a single writer, like
+    // parquet append generally; the race's other face — a lost
+    // manifest union — is fail-safe: files missing from the manifest
+    // are unpruned-invisible, and refreshManifest repairs)
     val decisions = spark.read.parquet(mPath.toString)
       .select(col("file"), keep.as("keep"))
       .collect()
-    val kept = decisions.filter(_.getBoolean(1)).map(_.getString(0))
+    val kept = decisions.filter(_.getBoolean(1)).map(_.getString(0)).distinct
     lastManifestPrune.set(s"${kept.length}/${decisions.length}")
     val base =
       if (kept.isEmpty) spark.read.parquet(path).limit(0)
