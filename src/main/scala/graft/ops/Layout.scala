@@ -216,11 +216,17 @@ object Layout {
     require(statsCols.nonEmpty, "no stats columns given")
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // publish via tmp + atomicSwap, not an in-place overwrite: this is
+    // the documented REPAIR step, and overwrite's delete-then-write
+    // would leave no manifest at all on a mid-refresh crash — the one
+    // window the module's own crash-safety contract forbids
+    val tmp = s"$path/$ManifestDir.__refresh"
     spark.read.parquet(path)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+      .write.mode("overwrite").parquet(tmp)
+    atomicSwap(spark, tmp, s"$path/$ManifestDir")
   }
 
   /**

@@ -221,10 +221,14 @@ object Similarity {
     if (integralType(idType)) heapTopK(scored, k, idType)
     else {
       // non-integral ids can't ride the long-payload heap; the window
-      // path is still map-side bounded via Catalyst's WindowGroupLimit
+      // path is still map-side bounded via Catalyst's WindowGroupLimit.
+      // Null cosines are dropped exactly like the heap path (Spark's
+      // descending sort would otherwise rank them LAST but still emit
+      // them, making the two paths diverge on null-vector rows)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       scored
+        .filter(col("cosine").isNotNull)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -255,7 +259,14 @@ object Similarity {
     } else {
       lastTopKAutoMode.set("ivf-shortlist")
       val assigned = ivfAssign(corpus, idCol, vecCol, nCells)
-      ivfTopK(assigned, queries, idCol, vecCol, k, nCells, nProbe)
+      // ivfAssign persists the corpus-sized assignment (ivfTopK reads
+      // it twice); materialize the queries×k result and RELEASE that
+      // cache here — repeated topKAuto/mineBitext calls would
+      // otherwise pin a corpus-sized block per call with no owner
+      val out = ivfTopK(assigned, queries, idCol, vecCol, k, nCells,
+        nProbe).localCheckpoint()
+      assigned.unpersist()
+      out
     }
   }
 
@@ -297,9 +308,11 @@ object Similarity {
     // (cosine DESC, id ASC) order, O(k) state, map-side combine
     if (integralType(idType)) heapTopK(scored, k, idType)
     else {
+      // null cosines dropped — heap-path parity (see bruteForceTopK)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       scored
+        .filter(col("cosine").isNotNull)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -351,9 +364,11 @@ object Similarity {
           .join(broadcast(s.select(col("__sid").cast("long").as("__pick"),
             col("__lb"))), Seq("__pick"))
       else {
+        // null cosines dropped — heap-path parity (see bruteForceTopK)
         val w = Window.partitionBy(col(idCol))
           .orderBy(col("__cos").desc, col("__sid").asc)
         scored
+          .filter(col("__cos").isNotNull)
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k)
       }
@@ -665,9 +680,11 @@ object Similarity {
     // funnel-free shape as bruteForceTopK
     if (integralType(idType)) heapTopK(scored, k, idType)
     else {
+      // null cosines dropped — heap-path parity (see bruteForceTopK)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       scored
+        .filter(col("cosine").isNotNull)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("rank"),

@@ -1770,39 +1770,44 @@ object TextAnalysis {
    * positions agree with `String.indexOf` (and with SQL `position` on
    * ASCII/BMP text).
    */
-  private final class AcAutomaton(val patterns: Array[String])
-      extends Serializable {
-    // nodes: goto maps (char -> node), fail links, and the pattern ids
-    // whose suffix ends at the node (own outputs ∪ fail-chain outputs,
-    // pre-merged so the scan never chases links)
-    private val gotoMaps =
-      scala.collection.mutable.ArrayBuffer(
-        new java.util.HashMap[Char, Int]())
-    private val outs =
-      scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
-    private val fail = scala.collection.mutable.ArrayBuffer(0)
-
-    patterns.zipWithIndex.foreach { case (p, pi) =>
-      var node = 0
-      var i = 0
-      while (i < p.length) {
-        val m = gotoMaps(node)
-        var next = m.getOrDefault(p.charAt(i), -1)
-        if (next < 0) {
-          next = gotoMaps.size
-          m.put(p.charAt(i), next)
-          gotoMaps += new java.util.HashMap[Char, Int]()
-          outs += Nil
-          fail += 0
+  private object AcAutomaton {
+    /** Build the compiled (goto, fail, merged-output) tables. Lives in
+      * the companion so the construction scaffolding (growable
+      * buffers, per-node output LISTS) is garbage the moment
+      * compilation ends — instance fields would ride the serialized
+      * task closure and ship the automaton roughly twice. */
+    def compile(patterns: Array[String])
+        : (Array[java.util.HashMap[Char, Int]], Array[Int],
+           Array[Array[Int]]) = {
+      // nodes: goto maps (char -> node), fail links, and the pattern
+      // ids whose suffix ends at the node (own outputs ∪ fail-chain
+      // outputs, pre-merged so the scan never chases links)
+      val gotoMaps =
+        scala.collection.mutable.ArrayBuffer(
+          new java.util.HashMap[Char, Int]())
+      val outs =
+        scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+      val fail = scala.collection.mutable.ArrayBuffer(0)
+      patterns.zipWithIndex.foreach { case (p, pi) =>
+        var node = 0
+        var i = 0
+        while (i < p.length) {
+          val m = gotoMaps(node)
+          var next = m.getOrDefault(p.charAt(i), -1)
+          if (next < 0) {
+            next = gotoMaps.size
+            m.put(p.charAt(i), next)
+            gotoMaps += new java.util.HashMap[Char, Int]()
+            outs += Nil
+            fail += 0
+          }
+          node = next
+          i += 1
         }
-        node = next
-        i += 1
+        outs(node) ::= pi
       }
-      outs(node) ::= pi
-    }
-    // BFS fail links; merge fail-target outputs into each node so a
-    // match report is a single list read
-    locally {
+      // BFS fail links; merge fail-target outputs into each node so a
+      // match report is a single list read
       val queue = new java.util.ArrayDeque[Int]()
       gotoMaps(0).forEach { (_, n) => fail(n) = 0; queue.add(n) }
       while (!queue.isEmpty) {
@@ -1816,12 +1821,13 @@ object TextAnalysis {
           queue.add(v)
         }
       }
+      (gotoMaps.toArray, fail.toArray, outs.map(_.toArray).toArray)
     }
+  }
 
-    private val gotoArr: Array[java.util.HashMap[Char, Int]] =
-      gotoMaps.toArray
-    private val failArr: Array[Int] = fail.toArray
-    private val outArr: Array[Array[Int]] = outs.map(_.toArray).toArray
+  private final class AcAutomaton(val patterns: Array[String])
+      extends Serializable {
+    private val (gotoArr, failArr, outArr) = AcAutomaton.compile(patterns)
 
     /** One left-to-right pass: per pattern, 1-based first-occurrence
       * position and the greedy non-overlapping occurrence count (the

@@ -26,57 +26,34 @@ import graft.ops.Similarity
  * tolerating replayed appends this sink makes the append itself
  * effectively idempotent with a WRITE-AHEAD intent marker:
  *  - corpus publish: survivors land under
- *    `<corpusPath>/ingest_batch=<id>/` in overwrite mode (replay
- *    rewrites the same rows — survivors are deterministic, and the
- *    probe's built-in self-pair exclusion means a replayed batch
- *    never links against its own indexed copies);
+ *    `<corpusPath>/ingest_batch=<id>/` in overwrite mode (a replay
+ *    that re-reaches the compute rewrites the same rows — the index
+ *    is provably unchanged on that path, so the recompute is
+ *    bit-deterministic);
  *  - index append: an intent marker naming the batch is published
- *    BEFORE the append, the batch marker after it. Spark's job-level
- *    output commit makes [[Similarity.appendIvfPqIndex]]
- *    all-or-nothing, so on re-drive the only ambiguous state is
- *    intent == batch with no batch marker — and there ONE survivor
- *    id's existence in the codes table decides it completely (all
- *    survivors landed or none did). The existence scan runs only on
- *    crash recovery, never on the normal path.
+ *    BEFORE the append, the batch marker after it. On re-drive, a
+ *    COMPLETED append is detected BEFORE any recompute — intent ==
+ *    batch, survivors published, and one published survivor id found
+ *    in the codes table (the sample takes a non-null-vector survivor;
+ *    null-vector rows publish but are never encoded) — and the sink
+ *    short-circuits to the published rows. Recomputing against the
+ *    grown index would diverge on transitive near-dup chains: the
+ *    middle of an a–b–c chain drops against its indexed survivor
+ *    while the far end, below threshold to the survivor, would
+ *    republish UNINDEXED — invisible to every later batch's probe.
+ *    The existence scan runs only on crash recovery, never on the
+ *    normal path.
  */
 object AnnSink {
 
   private val Marker = "_graft_ann_batch"
   private val Intent = "_graft_ann_intent"
 
-  private def readLongMarker(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        if (n <= 0) -1L
-        else scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toLong)
-          .getOrElse(-1L)
-      } finally in.close()
-    }
-  }
-
-  private def writeLongMarker(spark: SparkSession, path: String,
-                              v: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"failed to publish marker $p")
-  }
-
   /** Last batch id whose survivors were appended to the index at
     * `indexPath`, or -1 if none (unparseable content reads as none —
-    * the [[DedupSink.lastAppliedBatch]] contract). */
+    * the shared [[Markers.read]] contract). */
   def lastAppliedBatch(spark: SparkSession, indexPath: String): Long =
-    readLongMarker(spark, s"$indexPath/$Marker")
+    Markers.read(spark, s"$indexPath/$Marker")
 
   /**
    * Apply ONE micro-batch: drop batch vectors whose exact re-ranked
@@ -96,17 +73,43 @@ object AnnSink {
                  batch: DataFrame, batchId: Long,
                  nProbe: Int = 4, k: Int = 4, batchCells: Int = 64,
                  compactEvery: Long = 0L): DataFrame = {
+    val publishedDir = s"$corpusPath/ingest_batch=$batchId"
+    val dirP = new org.apache.hadoop.fs.Path(publishedDir)
+    val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (batchId <= lastAppliedBatch(spark, indexPath)) {
-      val dirP = new org.apache.hadoop.fs.Path(
-        s"$corpusPath/ingest_batch=$batchId")
-      val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      return if (dfs.exists(dirP)) spark.read.parquet(dirP.toString)
+      return if (dfs.exists(dirP)) spark.read.parquet(publishedDir)
       else batch.limit(0)
     }
+    // crash-window recovery BEFORE any recompute (append done, batch
+    // marker missing): recomputing against the grown index diverges on
+    // transitive chains — b drops against its indexed survivor a while
+    // c (chained through b, below threshold to a) wrongly survives and
+    // would be published UNINDEXED, invisible to every later batch's
+    // probe. Proof of the completed append: intent declared for THIS
+    // batch, survivors published, and one published survivor id in the
+    // codes table. The sample must carry a NON-NULL vector — null-
+    // vector survivors are published but never encoded
+    // (appendIvfPqIndex filters them), so sampling one would falsely
+    // read "not appended" and duplicate the whole append.
+    if (Markers.read(spark, s"$indexPath/$Intent") == batchId &&
+        dfs.exists(dirP)) {
+      val sample = spark.read.parquet(publishedDir)
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol)).limit(1).collect()
+      val appended = sample.nonEmpty &&
+        !spark.read.parquet(s"$indexPath/codes")
+          .filter(col(idCol) === lit(sample(0).get(0))).isEmpty
+      if (appended) {
+        Markers.write(spark, s"$indexPath/$Marker", batchId)
+        return spark.read.parquet(publishedDir)
+      }
+      // intent without a provable append: the index is unchanged, so
+      // the recompute below reproduces the published survivors exactly
+    }
     // the probe excludes self-pairs by id (the kernels' standing
-    // contract), so a crash-window replay never links a survivor
-    // against its own indexed copy — the drop decision is
-    // deterministic under replay with no extra filtering here
+    // contract) — defense in depth for any remaining window; the
+    // proven-append short-circuit above means a replay after a
+    // completed append never reaches this recompute
     val dupIds = Similarity.ivfPqTopKIndexed(spark, indexPath, batch,
         idCol, vecCol, k = k, nProbe = nProbe)
       .filter(col("cosine") >= cosineThreshold)
@@ -114,24 +117,12 @@ object AnnSink {
     val novel = batch.join(dupIds, Seq(idCol), "left_anti")
     val survivors = Similarity.semDedup(novel, idCol, vecCol,
       nCells = batchCells, threshold = cosineThreshold).persist()
-    survivors.write.mode("overwrite")
-      .parquet(s"$corpusPath/ingest_batch=$batchId")
-    // crash-window resolution: only when a prior attempt declared
-    // intent for THIS batch and died before the batch marker is the
-    // append state ambiguous — and then one survivor id's existence
-    // decides it completely (the append job commits all-or-nothing)
-    val sampleRow = survivors.select(col(idCol)).limit(1).collect()
-    val alreadyAppended =
-      readLongMarker(spark, s"$indexPath/$Intent") == batchId &&
-        sampleRow.nonEmpty && {
-          !spark.read.parquet(s"$indexPath/codes")
-            .filter(col(idCol) === lit(sampleRow(0).get(0)))
-            .isEmpty
-        }
-    writeLongMarker(spark, s"$indexPath/$Intent", batchId)
-    if (!alreadyAppended)
-      Similarity.appendIvfPqIndex(survivors, idCol, vecCol, indexPath)
-    writeLongMarker(spark, s"$indexPath/$Marker", batchId)
+    survivors.write.mode("overwrite").parquet(publishedDir)
+    // write-ahead intent, then the append, then the batch marker —
+    // the recovery block above consumes exactly this ordering
+    Markers.write(spark, s"$indexPath/$Intent", batchId)
+    Similarity.appendIvfPqIndex(survivors, idCol, vecCol, indexPath)
+    Markers.write(spark, s"$indexPath/$Marker", batchId)
     survivors.unpersist()
     // in-loop maintenance: appends accumulate small files per cell;
     // compaction folds them (and erases tombstoned rows) AFTER the
@@ -141,7 +132,7 @@ object AnnSink {
     // return the WRITTEN rows (the DedupSink convention): after the
     // append, re-evaluating the survivor lineage would probe the grown
     // index, where every survivor now self-links
-    spark.read.parquet(s"$corpusPath/ingest_batch=$batchId")
+    spark.read.parquet(publishedDir)
   }
 
   /**

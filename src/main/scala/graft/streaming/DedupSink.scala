@@ -21,14 +21,20 @@ import graft.ops.{Clusters, TextDedup}
  *    `<corpusPath>/ingest_batch=<id>/` in overwrite mode — a replay
  *    rewrites the same directory with the same rows (hive-style, so a
  *    corpus read carries an `ingest_batch` lineage column for free);
- *  - index append: guarded by a batch-id marker INSIDE the index
- *    directory (underscore-prefixed — parquet readers ignore it). A
- *    crash between the append and the marker can replay one append;
- *    duplicated index rows are DECISION-NEUTRAL by construction — the
- *    probe's candidate set is `distinct()` over (batch, corpus) ids
- *    and the sink collapses links per batch id — so a replay can only
- *    waste index bytes, never change which documents survive
- *    ([[TextDedup.appendMinhashIndex]] documents the same property).
+ *  - index append: a write-ahead INTENT marker lands before the
+ *    append, the batch marker after it (both inside the index dir,
+ *    underscore-prefixed — parquet readers ignore them). A crash
+ *    between the append and the batch marker is resolved on replay by
+ *    PROOF, not recomputation: intent==batch plus one published
+ *    survivor id found in the index's `sets` table (written LAST by
+ *    the append, so its presence implies the whole append committed;
+ *    one bloom-pruned point probe, recovery-only cost) short-circuits
+ *    to the already-published rows — recomputing against the grown
+ *    index would diverge on transitive near-dup chains. A crash
+ *    INSIDE the append can at worst duplicate band rows on re-drive;
+ *    those are decision-neutral — the probe's candidate set is
+ *    `distinct()` over ids ([[TextDedup.appendMinhashIndex]]
+ *    documents the same property).
  *
  * Scale shape: a micro-batch pays batch-sized prep plus the probe's
  * bloom/pushdown-pruned index touch ([[TextDedup.minhashProbeIndexed]]
@@ -39,27 +45,13 @@ import graft.ops.{Clusters, TextDedup}
 object DedupSink {
 
   private val Marker = "_graft_dedup_batch"
+  private val Intent = "_graft_dedup_intent"
 
   /** Last batch id whose survivors were appended to the index at
-    * `indexPath`, or -1 if none. */
-  def lastAppliedBatch(spark: SparkSession, indexPath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$Marker")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        // an unreadable or garbled marker means "no batch durably
-        // recorded" — the worst a crash-truncated marker may cost is
-        // one replayed (idempotent) application, never a wedged stream
-        if (n <= 0) -1L
-        else scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toLong)
-          .getOrElse(-1L)
-      } finally in.close()
-    }
-  }
+    * `indexPath`, or -1 if none (missing/garbled markers read as none
+    * — [[Markers.read]]). */
+  def lastAppliedBatch(spark: SparkSession, indexPath: String): Long =
+    Markers.read(spark, s"$indexPath/$Marker")
 
   /**
    * Apply ONE micro-batch: drop batch docs near-duplicating the
@@ -74,14 +66,40 @@ object DedupSink {
                  batch: DataFrame, batchId: Long,
                  compactEvery: Long = 0L): DataFrame = {
     import spark.implicits._
+    val publishedDir = s"$corpusPath/ingest_batch=$batchId"
+    val dirP = new org.apache.hadoop.fs.Path(publishedDir)
+    val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (batchId <= lastAppliedBatch(spark, indexPath)) {
       // replay: nothing re-applies, and the call yields the SAME value
       // the original application returned — the written survivors
-      val dirP = new org.apache.hadoop.fs.Path(
-        s"$corpusPath/ingest_batch=$batchId")
-      val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      return if (dfs.exists(dirP)) spark.read.parquet(dirP.toString)
+      return if (dfs.exists(dirP)) spark.read.parquet(publishedDir)
       else batch.limit(0)
+    }
+    // crash-window recovery (append done, batch marker missing): the
+    // self-link filter below keeps PAIRWISE twins replay-stable, but a
+    // TRANSITIVE chain a–b–c (a–c below threshold) would diverge on
+    // recompute against the grown index — b links to its indexed
+    // survivor a and drops, while c's chain partner b is no longer in
+    // the batch's novel set, so c wrongly survives: {a,c} ≠ {a}. When
+    // the append can be PROVEN done (intent declared for THIS batch,
+    // survivors published, and a published survivor id already in the
+    // index's sets table — one bloom-pruned point probe, recovery-only
+    // cost), short-circuit: finish the marker and return the published
+    // rows unchanged.
+    if (Markers.read(spark, s"$indexPath/$Intent") == batchId &&
+        dfs.exists(dirP)) {
+      val sample = spark.read.parquet(publishedDir)
+        .select(col(idCol)).limit(1).collect()
+      val appended = sample.nonEmpty &&
+        !spark.read.parquet(s"$indexPath/sets")
+          .filter(col(idCol) === lit(sample(0).get(0))).isEmpty
+      if (appended) {
+        Markers.write(spark, s"$indexPath/$Marker", batchId)
+        return spark.read.parquet(publishedDir)
+      }
+      // intent without a provable append: the index is unchanged since
+      // the crashed attempt, so the recompute below reproduces the
+      // published survivors exactly
     }
     // batch params MUST be the index's own (meta read) — the probe
     // already enforces that; the within-batch pass reads them too so
@@ -92,14 +110,13 @@ object DedupSink {
           col("num_hashes").cast("int"), col("bands").cast("int"),
           col("seed").cast("long"))
         .as[(Int, Int, Int, Long)].head()
-    // self-links excluded: after a crash BETWEEN the index append and
-    // the marker write, a replayed batch finds its own survivors in the
-    // index (jaccard 1.0 against themselves) — without this filter the
-    // replay would drop every survivor and overwrite the published
-    // directory with an empty set. Under the unique-ids contract
-    // (batch ids never collide with prior corpus ids) this is a no-op
-    // on the normal path, so applyBatch is deterministic under replay
-    // regardless of marker state.
+    // self-links excluded: a batch whose own survivors somehow appear
+    // in the index (jaccard 1.0 against themselves) must not drop
+    // them. The intent protocol above means a proven append never
+    // reaches this recompute, so this filter is the defense-in-depth
+    // net for the remaining windows (e.g. a crash inside the append
+    // that landed band rows); under the unique-ids contract it is a
+    // no-op on the normal path.
     val linkedIds = TextDedup.minhashProbeIndexed(spark, indexPath, batch,
       idCol, textCol, jaccardThreshold)
       .filter(col("batch_id") =!= col("corpus_id"))
@@ -109,24 +126,17 @@ object DedupSink {
       shingleLen, numHashes, bands, jaccardThreshold, seed)
     val survivors = Clusters.dedupByPairs(novel, idCol, intraPairs)
       .persist()
-    survivors.write.mode("overwrite")
-      .parquet(s"$corpusPath/ingest_batch=$batchId")
+    survivors.write.mode("overwrite").parquet(publishedDir)
+    // write-ahead intent BEFORE the append: on a crash after the
+    // append, intent==batch is what lets the replay PROVE the append
+    // happened (recovery block above) instead of recomputing against
+    // the grown index
+    Markers.write(spark, s"$indexPath/$Intent", batchId)
     TextDedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
-    // marker publish is write-temp-then-rename (the Layout.atomicSwap
-    // discipline): a crash mid-write leaves only the temp file, so the
-    // visible marker is always a complete value — never empty (which
-    // would read as -1 and replay one batch, harmless) and never
+    // marker publish is atomic (Markers.write: temp + rename) — a
+    // visible marker is always a complete value, never empty or
     // truncated garbage
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val markerP = new org.apache.hadoop.fs.Path(s"$indexPath/$Marker")
-    val tmpP = new org.apache.hadoop.fs.Path(
-      s"$indexPath/.${Marker}.tmp")
-    val out = fs.create(tmpP, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(markerP, false)
-    require(fs.rename(tmpP, markerP),
-      s"failed to publish batch marker $markerP")
+    Markers.write(spark, s"$indexPath/$Marker", batchId)
     survivors.unpersist()
     // periodic maintenance INSIDE the loop: every append adds files,
     // and at streaming cadence the band dirs accumulate exactly the
@@ -139,7 +149,7 @@ object DedupSink {
     // append, re-evaluating the survivors lineage would probe the
     // grown index — where every survivor now links to ITSELF — and
     // silently come back empty once the probe's interior caches evict
-    spark.read.parquet(s"$corpusPath/ingest_batch=$batchId")
+    spark.read.parquet(publishedDir)
   }
 
   /**

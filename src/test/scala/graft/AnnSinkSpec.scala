@@ -138,4 +138,40 @@ class AnnSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/corpus").select("vec_id")
       .as[Long].collect().toSet == Set(30L, 40L))
   }
+
+  test("crash-window replay of a TRANSITIVE chain returns the published " +
+    "survivors by proof, not by recompute") {
+    // cos(a,b) = cos(b,c) = 2/3 >= 0.65 but cos(a,c) = 1/3 < 0.65 and
+    // every one-hot seed is at most 1/sqrt(3) = 0.577 away: one
+    // connected component, survivor {a}. A recompute against the grown
+    // index would drop b (links to indexed a) while c — below
+    // threshold to a, chain partner gone — wrongly survives AND is
+    // published unindexed. The intent proof must return {a}.
+    val dir = java.nio.file.Files.createTempDirectory("graft_annchain").toString
+    seedIndex(dir)
+    def tri(d0: Int): Array[Float] =
+      Array.tabulate(Dim)(i => if (i >= d0 && i < d0 + 3) 1f else 0f)
+    val batch = Seq((30L, tri(0)), (31L, tri(1)), (32L, tri(2)))
+      .toDF("vec_id", "embedding")
+    val s0 = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.65, batch, 0L,
+      nProbe = 4, k = 4, batchCells = 1)
+    assert(s0.select("vec_id").as[Long].collect().toSet == Set(30L),
+      "chain premise: semDedup must collapse a-b-c to {a}")
+    val codesRows = spark.read.parquet(s"$dir/idx/codes").count()
+    val markerP = new org.apache.hadoop.fs.Path(s"$dir/idx/_graft_ann_batch")
+    val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(markerP, false))
+    val r = AnnSink.applyBatch(spark, s"$dir/idx", s"$dir/corpus",
+      "vec_id", "embedding", cosineThreshold = 0.65, batch, 0L,
+      nProbe = 4, k = 4, batchCells = 1)
+    spark.catalog.clearCache()
+    assert(r.select("vec_id").as[Long].collect().toSet == Set(30L),
+      "transitive-chain replay changed the survivor set")
+    assert(spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .as[Long].collect().toSet == Set(30L))
+    assert(spark.read.parquet(s"$dir/idx/codes").count() == codesRows,
+      "replay re-appended the batch to the index")
+    assert(AnnSink.lastAppliedBatch(spark, s"$dir/idx") == 0L)
+  }
 }
