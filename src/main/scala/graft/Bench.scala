@@ -56,32 +56,47 @@ object Bench {
     catch { case _: Throwable => }
     // optional comma-separated query filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        var err: Option[String] = None
-        val walls = Seq.newBuilder[Double]
-        var cpuTotal = 0.0
-        var n = 0
-        while (n < reps && err.isEmpty) {
-          val c0 = processCpuSec()
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          walls += (System.nanoTime() - t0) / 1e9
-          val c1 = processCpuSec()
-          if (c0 >= 0 && c1 >= 0) cpuTotal += (c1 - c0)
-          // operators persist their pair-join prep; drop it between reps
-          // so one rep's caches don't serve (or pressure) the next
-          spark.catalog.clearCache()
-          n += 1
+    // reps are interleaved ROUND-ROBIN across queries (rep 1 of all,
+    // then rep 2, …), not run consecutively per query: a multi-second
+    // host stall used to poison ALL reps of whichever query it landed
+    // on — the median can't shed an outlier that hit every rep — and
+    // five r9 driver-run queries "regressed" 3–8× on exactly that
+    // artifact while isolated re-runs measured at/below the prior
+    // round. Interleaving puts each query's reps minutes apart, so one
+    // stall lands on DIFFERENT queries per pass and every median sheds
+    // it.
+    final class St {
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var cpuTotal = 0.0
+      var err: Option[String] = None
+    }
+    val state = queries.map { case (name, _) => name -> new St }.toMap
+    for (rep <- 0 until reps; (name, fn) <- queries) {
+      val st = state(name)
+      if (st.err.isEmpty) {
+        val c0 = processCpuSec()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          st.err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        val cpuMean = if (cpuTotal > 0 && n > 0) cpuTotal / n else -1.0
-        (name, median(walls.result()), cpuMean, err)
+        st.walls += (System.nanoTime() - t0) / 1e9
+        val c1 = processCpuSec()
+        if (c0 >= 0 && c1 >= 0) st.cpuTotal += (c1 - c0)
+        // operators persist their pair-join prep; drop it between runs
+        // so one query's caches don't serve (or pressure) the next
+        spark.catalog.clearCache()
       }
+    }
+    val results = queries.map { case (name, _) =>
+      val st = state(name)
+      val n = st.walls.size
+      val cpuMean = if (st.cpuTotal > 0 && n > 0) st.cpuTotal / n else -1.0
+      (name, median(st.walls.toSeq), cpuMean, st.err)
+    }
     val qs = results.map { case (k, w, _, _) => jsonStr(k) + ":" + w }
       .mkString("{", ",", "}")
     val cpu = results.map { case (k, _, c, _) => jsonStr(k) + ":" + c }

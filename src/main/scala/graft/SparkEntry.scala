@@ -1009,6 +1009,38 @@ object SparkEntry {
       Retrieval.bm25TopKIndexed(s, idx, "doc_id", Bm25Queries, k = 10)
     }),
 
+    // right-to-be-forgotten on the BM25 index (r9 verdict #2 — the one
+    // persisted index family a purge couldn't reach): build the index,
+    // tombstone the doc_id % 7 = 2 slice, probe (phase 'tombstoned' —
+    // deleted docs excluded below the scoring kernel, df/stats still
+    // the saved full-corpus values: the Lucene soft-delete contract),
+    // compact (physical erase + stats/df recompute), probe again
+    // (phase 'compacted' — probe-identical to a rebuild on the purged
+    // corpus). Both phases hash-exact against a DuckDB replay of their
+    // respective statistics scopes. The pre-compaction probe is
+    // checkpointed BEFORE the compaction swaps its files out.
+    "q_bm25_forget" -> ((s, dir) => {
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bm25f_${tmpToken(dir)}").getAbsolutePath
+      val docs = t(s, dir, "documents")
+      Retrieval.saveBm25Index(docs, "doc_id", "text", idx, nBuckets = 16)
+      Retrieval.tombstoneBm25Index(
+        docs.filter(col("doc_id") % 7 === 2).select(col("doc_id")),
+        "doc_id", idx)
+      val pre = Retrieval
+        .bm25TopKIndexed(s, idx, "doc_id", Bm25Queries, k = 10)
+        .select(lit("tombstoned").as("phase"), col("qid"),
+          col("doc_id"), col("score"))
+        .localCheckpoint()
+      Retrieval.compactBm25Index(s, idx)
+      val post = Retrieval
+        .bm25TopKIndexed(s, idx, "doc_id", Bm25Queries, k = 10)
+        .select(lit("compacted").as("phase"), col("qid"),
+          col("doc_id"), col("score"))
+      pre.unionByName(post)
+    }),
+
     // PMI collocations: top-50 bigrams by pointwise mutual information
     // (the phrase-detection statistic) — rounded-PMI ordering with a
     // gram tiebreak keeps ranks engine-exact
@@ -2812,9 +2844,19 @@ object SparkEntry {
     // remaining third + planted scaled near-dups through one sink
     // micro-batch — planted dups drop against the index (exact
     // re-ranked cosine), within-batch twins collapse to min id,
-    // survivors publish + append. Rows-only (k-means-seeded, the
-    // simsearch reason); replay/crash-window/streamed semantics in
-    // AnnSinkSpec. Reps replay via the batch marker — deterministic.
+    // survivors publish + append. ORACLED at the survivor-set level
+    // (r9 verdict #6): the fixture has NO natural pair at cosine ≥
+    // 0.985 at any SF (measured in DuckDB, 0.005 margin below the 0.99
+    // gate threshold — pinned by AnnSinkSpec's fixture-assumption
+    // test), so the k-means internals cannot change the outcome — a
+    // planted dup's indexed twin is its own cell's top probe and the
+    // globally-minimal-ADC shortlist entry, batch twins share their
+    // original's cell, and no other pair reaches threshold. The
+    // survivor set is therefore EXACTLY the vec_id % 3 = 0 slice; any
+    // probe/SemDeDup/publish regression (a planted dup surviving, an
+    // original wrongly dropped) flips the hash. Replay/crash-window/
+    // streamed semantics in AnnSinkSpec. Reps replay via the batch
+    // marker — deterministic.
     "q_ann_sink" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val base = new java.io.File(
@@ -4071,6 +4113,14 @@ object SparkEntry {
     "q_minhash_indexed" -> minhashIndexedOracle,
 
     "q_dedup_sink" -> dedupSinkOracle,
+    // survivor-set oracle, valid by a measured fixture property: no
+    // natural embedding pair reaches cosine 0.985 at any SF (the gate
+    // thresholds at 0.99), so exactly the planted scaled dups drop
+    // against the index and the planted twins collapse to their
+    // originals — the published survivors are the vec_id % 3 = 0 slice
+    // verbatim. AnnSinkSpec pins the fixture assumption.
+    "q_ann_sink" ->
+      "SELECT vec_id, label FROM embeddings WHERE vec_id % 3 = 0",
 
     "q_simhash" ->
       """WITH toks AS (
@@ -6422,6 +6472,7 @@ object SparkEntry {
     // time), so it verifies against the same SQL
     "q_bm25_indexed" -> bm25Oracle,
     "q_bm25_append" -> bm25OracleTopK(10, " WHERE doc_id % 3 = 0"),
+    "q_bm25_forget" -> bm25ForgetOracle,
 
     "q_rrf" -> rrfOracle,
 
@@ -6871,7 +6922,7 @@ object SparkEntry {
     }.mkString
     val unioned = (0 until nMerges)
       .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", """ +
-        s"c AS freq FROM best$i")
+        s"CAST(c AS BIGINT) AS freq FROM best$i")
       .mkString(" UNION ALL ")
     s"$base$iters\nSELECT * FROM ($unioned) ORDER BY rank"
   }
@@ -7263,6 +7314,71 @@ object SparkEntry {
        |SELECT qid, doc_id, CAST(sc AS DOUBLE) AS score
        |FROM scored
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= $limit""".stripMargin
+  }
+
+  /** q_bm25_forget oracle — the two delete-lifecycle phases, each with
+    * its own statistics scope: 'tombstoned' scores the SURVIVING
+    * candidate set with FULL-corpus df/n/avgdl (soft-delete — exactly
+    * what the probe computes while the tombstone stands), 'compacted'
+    * is the plain BM25 oracle on the purged corpus (compaction ≡
+    * rebuild). Same rounded-DECIMAL scoring shape as [[bm25Oracle]];
+    * the purge predicate (doc_id % 7 = 2) is interpolated once so the
+    * gate and the oracle can never drift. */
+  private def bm25ForgetOracle: String = {
+    val k1 = 1.2; val b = 0.75
+    val keep = "doc_id % 7 <> 2"
+    val qt = Bm25Queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    val termSet = Bm25Queries
+      .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .distinct.map(t => s"'$t'").mkString(", ")
+    def score(statsCte: String, dfsCte: String, tfPred: String) =
+      s"""SELECT q.qid, t.doc_id,
+         |  sum(CAST(round(
+         |    round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 7)
+         |    * ((t.tf * CAST(${k1 + 1.0} AS DOUBLE)) /
+         |       (t.tf + $k1 * (1.0 - $b + ($b * t.dl) / s.avgdl))), 6)
+         |   AS DECIMAL(18,6))) AS sc
+         | FROM tf t
+         | CROSS JOIN $statsCte s
+         | JOIN $dfsCte d ON t.term = d.term
+         | JOIN qt q ON t.term = q.term
+         | WHERE $tfPred
+         | GROUP BY q.qid, t.doc_id""".stripMargin
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |       ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS dl
+       | FROM documents),
+       |stats AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       | FROM base),
+       |stats2 AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       | FROM base WHERE $keep),
+       |qt(qid, term) AS (VALUES $qt),
+       |tf AS (
+       | SELECT doc_id, dl, term, count(*) AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+       | WHERE term IN ($termSet)
+       | GROUP BY doc_id, dl, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |dfs2 AS (SELECT term, count(*) AS df FROM tf WHERE $keep GROUP BY term),
+       |sc1 AS (${score("stats", "dfs", keep)}),
+       |sc2 AS (${score("stats2", "dfs2", keep)})
+       |SELECT * FROM (
+       | SELECT 'tombstoned' AS phase, qid, doc_id, CAST(sc AS DOUBLE) AS score
+       | FROM sc1
+       | QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= 10
+       | UNION ALL
+       | SELECT 'compacted' AS phase, qid, doc_id, CAST(sc AS DOUBLE) AS score
+       | FROM sc2
+       | QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= 10)""".stripMargin
   }
 
   /** q_labelprop oracle — Graphs.labelPropagation unrolled: the same

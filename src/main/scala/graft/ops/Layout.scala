@@ -266,10 +266,23 @@ object Layout {
    * publication point). Nothing here scans the existing table — the
    * incremental-index discipline of `appendMinhashIndex` /
    * `appendIvfPqIndex` applied to the layout layer.
+   *
+   * MULTI-WRITER SAFE: appenders serialize on a lease file inside the
+   * directory (create-exclusive + ownership read-back, stale leases
+   * broken after `leaseMs` — see [[acquireAppendLease]]), so
+   * concurrent `appendWithManifest` calls from separate jobs or
+   * drivers queue rather than losing a manifest union or corrupting
+   * each other's in-flight task files. `lockTimeoutMs` bounds the
+   * wait; `leaseMs` must exceed the longest expected single append.
+   * [[refreshManifest]] and [[compact]] remain single-maintenance
+   * operations (run them with appenders quiesced, like every other
+   * index family's compaction).
    */
   def appendWithManifest(df: DataFrame, clusterCols: Seq[String],
                          path: String, numFiles: Int,
-                         statsCols: Seq[String] = Nil): Unit = {
+                         statsCols: Seq[String] = Nil,
+                         lockTimeoutMs: Long = 120000L,
+                         leaseMs: Long = 600000L): Unit = {
     require(clusterCols.nonEmpty, "no cluster columns given")
     val spark = df.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -283,25 +296,111 @@ object Layout {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")),
       s"no manifest at $path — appendWithManifest extends an existing " +
         "manifest-tracked directory; write with writeWithManifest first")
-    val before = dataFiles()
-    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
-      .sortWithinPartitions(clusterCols.map(col): _*)
-      .write.mode("append").parquet(path)
-    val added = (dataFiles() -- before).toSeq.sorted
-    if (added.nonEmpty) {
-      val stats = if (statsCols.isEmpty) clusterCols else statsCols
-      val aggs = stats.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      val newRows = spark.read.parquet(added: _*)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-      val manifestPath = s"$path/$ManifestDir"
-      val tmp = s"$manifestPath.__append"
-      spark.read.parquet(manifestPath).unionByName(newRows)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      atomicSwap(spark, tmp, manifestPath)
-    }
+    // MULTI-WRITER SAFETY (r9 verdict #5): the whole append is one
+    // lease-guarded critical section. Without it, two concurrent
+    // appenders race twice — the manifest read-union-swap loses one
+    // writer's union (its rows drop out of every future pruned read),
+    // and the two parquet append jobs share the directory's
+    // _temporary workspace, so the first job commit can delete the
+    // second's in-flight task files. The lease serializes both; the
+    // read path stays fail-safe regardless (duplicate manifest rows
+    // dedup in readPrunedRanges, missing ones repair via
+    // refreshManifest). A holder that crashes mid-append leaves a
+    // lease that waiters break after `leaseMs` — size it above the
+    // longest expected append; refreshManifest remains the repair for
+    // whatever the crash left.
+    val lock = new org.apache.hadoop.fs.Path(s"$path/$AppendLease")
+    val token = acquireAppendLease(fs, lock, lockTimeoutMs, leaseMs)
+    try {
+      val before = dataFiles()
+      df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+        .write.mode("append").parquet(path)
+      val added = (dataFiles() -- before).toSeq.sorted
+      if (added.nonEmpty) {
+        val stats = if (statsCols.isEmpty) clusterCols else statsCols
+        val aggs = stats.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val newRows = spark.read.parquet(added: _*)
+          .groupBy(col("_metadata.file_path").as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        val manifestPath = s"$path/$ManifestDir"
+        val tmp = s"$manifestPath.__append"
+        spark.read.parquet(manifestPath).unionByName(newRows)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        atomicSwap(spark, tmp, manifestPath)
+      }
+    } finally releaseAppendLease(fs, lock, token)
   }
+
+  /** Lease file name for [[appendWithManifest]]'s writer serialization
+    * (underscore-prefixed: parquet readers ignore it). Content is
+    * `<owner-token> <epoch-millis>`. */
+  private[graft] val AppendLease = "_graft_manifest_lease"
+
+  /**
+   * Acquire the appender lease: create-exclusive the lease file with a
+   * fresh owner token, then VERIFY ownership by read-back.
+   * `create(overwrite = false)` is atomic on HDFS and the object-store
+   * committers, but check-then-act on the local filesystem — the
+   * read-back (after a short settle so a simultaneous creator's write
+   * lands first) makes the local race resolve to exactly one owner:
+   * whichever token the file holds. A lease older than `leaseMs` is
+   * broken as crashed (the holder's clock stamp is in the file).
+   * Returns the owner token; throws after `timeoutMs` of contention.
+   */
+  private def acquireAppendLease(fs: org.apache.hadoop.fs.FileSystem,
+                                 lock: org.apache.hadoop.fs.Path,
+                                 timeoutMs: Long, leaseMs: Long): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (true) {
+      val now = System.currentTimeMillis()
+      if (leaseContent(fs, lock).exists(_.split(" ") match {
+        case Array(_, stamp) =>
+          scala.util.Try(stamp.toLong).toOption.forall(now - _ > leaseMs)
+        case _ => true // garbled lease: break it
+      })) fs.delete(lock, false)
+      val created =
+        try {
+          val out = fs.create(lock, false)
+          try out.write(s"$token $now".getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) {
+        Thread.sleep(10)
+        if (leaseContent(fs, lock).exists(_.startsWith(token))) return token
+      }
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"could not acquire manifest append lease $lock in ${timeoutMs}ms" +
+            " — another appender holds it (or raise leaseMs breakage)")
+      Thread.sleep(50)
+    }
+    token // unreachable
+  }
+
+  /** Lease file content, None if missing/empty/unreadable. */
+  private def leaseContent(fs: org.apache.hadoop.fs.FileSystem,
+                           lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      if (!fs.exists(lock)) None
+      else {
+        val in = fs.open(lock)
+        val buf = new Array[Byte](128)
+        val n = try in.read(buf) finally in.close()
+        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Release only a lease this caller still owns — a breaker may have
+    * replaced it while we overran `leaseMs`, and deleting the new
+    * owner's lease would let a third appender in beside them. */
+  private def releaseAppendLease(fs: org.apache.hadoop.fs.FileSystem,
+                                 lock: org.apache.hadoop.fs.Path,
+                                 token: String): Unit =
+    if (leaseContent(fs, lock).exists(_.startsWith(token)))
+      fs.delete(lock, false)
 
   /**
    * Manifest-pruned range read: `colName BETWEEN lo AND hi` (inclusive)
@@ -343,14 +442,12 @@ object Layout {
       coalesce(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo),
         lit(true))
     }.reduce(_ && _)
-    // distinct: concurrent appenders can each stat a file the other
-    // wrote (both list after both appends), leaving duplicate manifest
-    // rows — reading a file twice would DUPLICATE its rows, so the
-    // file list is deduplicated here regardless of manifest state
-    // (manifest maintenance itself expects a single writer, like
-    // parquet append generally; the race's other face — a lost
-    // manifest union — is fail-safe: files missing from the manifest
-    // are unpruned-invisible, and refreshManifest repairs)
+    // distinct: defense in depth for duplicate manifest rows. Writers
+    // are lease-serialized now (appendWithManifest), but the read path
+    // stays fail-safe on its own — a repair overlap or a hand-edited
+    // manifest must never DUPLICATE a file's rows by listing it twice,
+    // and files missing from the manifest are unpruned-invisible, with
+    // refreshManifest as the repair
     val decisions = spark.read.parquet(mPath.toString)
       .select(col("file"), keep.as("keep"))
       .collect()

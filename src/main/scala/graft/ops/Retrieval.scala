@@ -231,6 +231,12 @@ object Retrieval {
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
       lit(nBuckets).as("n_buckets"))
       .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    // one (id, dl) row per doc — queries never read it; it is what
+    // lets compactBm25Index recompute n_docs/sum_dl EXACTLY on the
+    // purged corpus (a zero-token doc has no postings row, so corpus
+    // membership is not reconstructible from postings alone)
+    base.select(col(idCol), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
     postings.unpersist()
     base.unpersist()
   }
@@ -294,8 +300,100 @@ object Retrieval {
       .toDF("n_docs", "sum_dl", "n_buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/stats.__tmp")
     Layout.atomicSwap(spark, s"$path/stats.__tmp", s"$path/stats")
+    base.select(col(idCol), col("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
     postings.unpersist()
     base.unpersist()
+  }
+
+  /**
+   * Tombstone indexed documents — the delete face of the BM25 index,
+   * closing the one persisted index family a right-to-be-forgotten
+   * purge previously could not reach (MinHash and IVF-PQ have had this
+   * lifecycle since r7): the ids land in `<path>/tombstones` and every
+   * subsequent [[bm25TopKIndexed]] drops them from the candidate set
+   * below the scoring kernel, so a deleted document can never be
+   * SERVED again, immediately and without rewriting the append-only
+   * posting files. Collection statistics (df, n_docs, avgdl) keep
+   * counting the deleted doc until [[compactBm25Index]] physically
+   * erases it — the standard inverted-index soft-delete contract
+   * (Lucene's deleted-docs-until-merge semantics): scores of SURVIVING
+   * docs shift only at compaction, deleted docs surface never. A
+   * re-appended id stays dead while its tombstone stands (resurrect by
+   * compacting first, then re-appending — the MinHash lifecycle,
+   * identically).
+   */
+  def tombstoneBm25Index(ids: DataFrame, idCol: String,
+                         path: String): Unit =
+    ids.select(col(idCol).cast("long").as("__tomb")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Tombstoned ids of a BM25 index (empty if none were written). */
+  def bm25Tombstones(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").distinct()
+    else Seq.empty[Long].toDF("__tomb")
+  }
+
+  /**
+   * Compact a [[saveBm25Index]] layout: physically ERASE tombstoned
+   * documents and fold append-accumulated delta files. After a
+   * completed compaction the index is probe-for-probe identical to a
+   * fresh [[saveBm25Index]] on the purged corpus: postings lose the
+   * dead docs' rows, `terms/` is recomputed from the surviving
+   * postings (collapsing append deltas AND the dead docs' df), and
+   * `stats/` recomputes from the purged `doclens/` roster — doclens is
+   * what keeps zero-token documents (present in n_docs, absent from
+   * postings) exact through the cycle. Every directory is rewritten
+   * beside itself and promoted with [[Layout.atomicSwap]]; the swap
+   * order (postings, terms, doclens, stats, then the tombstone-list
+   * delete) keeps each crash window consistent — postings-only
+   * promoted is exactly the logical-exclusion state, and the tombstone
+   * list drops only when nothing it names remains, so an interrupted
+   * compaction is finished by running it again.
+   */
+  def compactBm25Index(spark: SparkSession, path: String,
+                       termNdvPerBucket: Long = 1L << 17): Unit = {
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets").cast("int")).as[Int].head()
+    val postings = spark.read.parquet(s"$path/postings")
+    val idCol = postings.columns
+      .filterNot(Set("dl", "term", "tf", "bucket")).head
+    val tomb = bm25Tombstones(spark, path)
+    postings
+      .join(tomb, col(idCol).cast("long") === col("__tomb"), "left_anti")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term",
+        termNdvPerBucket.toString)
+      .parquet(s"$path/postings.__compact")
+    // terms and stats derive from the files just WRITTEN (re-read),
+    // never from a live plan over a directory about to be swapped —
+    // a post-swap re-evaluation would read a vanished file list
+    spark.read.parquet(s"$path/postings.__compact")
+      .groupBy(col("term"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/terms.__compact")
+    spark.read.parquet(s"$path/doclens")
+      .join(tomb, col(idCol).cast("long") === col("__tomb"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/doclens.__compact")
+    spark.read.parquet(s"$path/doclens.__compact")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
+        lit(nBuckets).as("n_buckets"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats.__tmp")
+    Layout.atomicSwap(spark, s"$path/postings.__compact", s"$path/postings")
+    Layout.atomicSwap(spark, s"$path/terms.__compact", s"$path/terms")
+    Layout.atomicSwap(spark, s"$path/doclens.__compact", s"$path/doclens")
+    Layout.atomicSwap(spark, s"$path/stats.__tmp", s"$path/stats")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
   }
 
   /**
@@ -325,9 +423,17 @@ object Retrieval {
     val buckets = termSet.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .as[Long].collect().distinct.sorted
+    // tombstoned docs are dead to every query (the delete lifecycle —
+    // [[tombstoneBm25Index]]): the anti-join sits below the scoring
+    // kernel, is bounded by the deleted-id cardinality (broadcast),
+    // and rides on top of the already bucket/bloom-pruned scan. df and
+    // the corpus scalars keep their saved values until compaction —
+    // the documented soft-delete contract.
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termSet: _*))
+      .join(bm25Tombstones(spark, path),
+        col(idCol).cast("long") === col("__tomb"), "left_anti")
       .select(col(idCol), col("dl"), col("term"), col("tf"))
     // sum per term: a base save writes one df row per term, and each
     // appendBm25Index batch adds a delta row — document frequencies

@@ -137,12 +137,12 @@ object Similarity {
   /** True iff `df` has at most `limit` rows, decided by a
     * limit+1-bounded scan — never a full `count()` of a possibly
     * expensive derived lineage (the collect-with-limit discipline). */
-  private def atMost(df: DataFrame, limit: Long): Boolean = {
+  private[ops] def atMost(df: DataFrame, limit: Long): Boolean = {
     val cap = math.min(limit, Int.MaxValue.toLong - 1L).toInt
     df.limit(cap + 1).count() <= limit
   }
 
-  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+  private[ops] def integralType(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
@@ -160,8 +160,8 @@ object Similarity {
     * `idType` restores the caller's neighbor-id type (integral
     * widening round-trips exactly). Null cosines are dropped (callers
     * without null vectors are unaffected). */
-  private def heapTopK(scored: DataFrame, k: Int,
-                       idType: org.apache.spark.sql.types.DataType): DataFrame =
+  private[ops] def heapTopK(scored: DataFrame, k: Int,
+                            idType: org.apache.spark.sql.types.DataType): DataFrame =
     scored
       .filter(col("cosine").isNotNull)
       .groupBy(col("query_id"))
@@ -248,6 +248,18 @@ object Similarity {
    * whole corpus and the flip is EXACT (path-parity spec'd); with
    * `nProbe < nCells` it is the documented recall/cost trade every
    * ANN variant in this file shares.
+   *
+   * EAGERNESS CONTRACT: the ivf-shortlist branch materializes its
+   * queries×k result via `localCheckpoint` before returning — the
+   * call blocks until that job runs, and the returned frame's blocks
+   * live in executor storage with NO lineage (an executor loss after
+   * the call makes it unrecoverable; in local mode — this library's
+   * stated deployment for the dispatching caller — executor loss is
+   * process death). This is deliberate: it is what lets the branch
+   * release the corpus-sized `ivfAssign` cache before returning
+   * instead of pinning one per call with no owner. The exact branch
+   * stays lazy and replayable. Callers needing a recoverable frame on
+   * a real cluster should persist/write the result themselves.
    */
   def topKAuto(corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
@@ -412,10 +424,16 @@ object Similarity {
                  threshold: Double = 1.0,
                  exactSideLimit: Long = DefaultQueryCollectLimit): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // each direction's top-k is consumed TWICE below (candidate base +
+    // its own avgK aggregate); materialize the k-rows-per-id frame so
+    // the Ω(N·Q) scoring kernel runs exactly once per direction. On
+    // the exact path this halves the dominant cost; on the ivf path
+    // (already materialized inside topKAuto) it adds one result-sized
+    // copy — k·|side| rows, noise next to the scoring pass.
     val fwd = topKAuto(tgt, src, idCol, vecCol, k,
-      exactCorpusLimit = exactSideLimit)
+      exactCorpusLimit = exactSideLimit).localCheckpoint()
     val bwd = topKAuto(src, tgt, idCol, vecCol, k,
-      exactCorpusLimit = exactSideLimit)
+      exactCorpusLimit = exactSideLimit).localCheckpoint()
     def avgK(df: DataFrame, outId: String, outAvg: String) =
       df.groupBy(col("query_id"))
         .agg(sort_array(collect_list(struct(col("rank"), col("cosine"))))

@@ -91,12 +91,21 @@ object AnnSink {
     // vector survivors are published but never encoded
     // (appendIvfPqIndex filters them), so sampling one would falsely
     // read "not appended" and duplicate the whole append.
+    // gated on a committed data file, not bare exists: a prior replay
+    // that took the intent-without-proof path and crashed mid
+    // re-overwrite leaves publishedDir present but EMPTY, and an
+    // unguarded read would throw on every later replay (a wedged
+    // stream); falling through to the recompute — safe there by
+    // construction, the index is provably un-appended on that path —
+    // rewrites the dir and self-heals
     if (Markers.read(spark, s"$indexPath/$Intent") == batchId &&
-        dfs.exists(dirP)) {
+        Markers.hasDataFile(dfs, dirP)) {
       val sample = spark.read.parquet(publishedDir)
         .filter(col(vecCol).isNotNull)
         .select(col(idCol)).limit(1).collect()
-      val appended = sample.nonEmpty &&
+      // no encodable survivor (all vectors null, or zero survivors)
+      // means the append was a NO-OP — provably done by definition
+      val appended = sample.isEmpty ||
         !spark.read.parquet(s"$indexPath/codes")
           .filter(col(idCol) === lit(sample(0).get(0))).isEmpty
       if (appended) {

@@ -86,11 +86,40 @@ object DedupSink {
     // index's sets table — one bloom-pruned point probe, recovery-only
     // cost), short-circuit: finish the marker and return the published
     // rows unchanged.
+    // batch params MUST be the index's own (meta read) — the probe
+    // already enforces that; the within-batch pass reads them too so
+    // the two stages can never shingle differently. Read BEFORE the
+    // recovery block: the proof sample below must know shingle_len.
+    val (shingleLen, numHashes, bands, seed) =
+      spark.read.parquet(s"$indexPath/meta")
+        .select(col("shingle_len").cast("int"),
+          col("num_hashes").cast("int"), col("bands").cast("int"),
+          col("seed").cast("long"))
+        .as[(Int, Int, Int, Long)].head()
+    // the published-dir read is gated on a committed data file, not
+    // bare exists: a prior replay that took the intent-without-proof
+    // path and crashed mid re-overwrite leaves the dir present but
+    // empty, and an unguarded read would wedge every later replay —
+    // falling through to the recompute (safe there by construction:
+    // that path only runs while the index is provably un-appended)
+    // rewrites the dir and self-heals
     if (Markers.read(spark, s"$indexPath/$Intent") == batchId &&
-        dfs.exists(dirP)) {
+        Markers.hasDataFile(dfs, dirP)) {
+      // the sample must be a SHINGLEABLE survivor: appendMinhashIndex
+      // filters size(__shh) > 0, so a survivor whose text is null or
+      // shorter than shingle_len publishes but never lands in sets —
+      // sampling one would falsely read "not appended" after a
+      // completed append, re-append duplicate rows, and recompute
+      // against the grown index (the transitive-chain divergence this
+      // proof exists to prevent). The sample rides the SAME
+      // size(shingleHashes) > 0 predicate the append filters on —
+      // normalization can change the text's length, so a raw length
+      // compare would not be exact. No shingleable survivor at all
+      // means the append was a NO-OP — provably done by definition.
       val sample = spark.read.parquet(publishedDir)
+        .filter(size(TextDedup.shingleHashes(col(textCol), shingleLen)) > 0)
         .select(col(idCol)).limit(1).collect()
-      val appended = sample.nonEmpty &&
+      val appended = sample.isEmpty ||
         !spark.read.parquet(s"$indexPath/sets")
           .filter(col(idCol) === lit(sample(0).get(0))).isEmpty
       if (appended) {
@@ -101,15 +130,6 @@ object DedupSink {
       // the crashed attempt, so the recompute below reproduces the
       // published survivors exactly
     }
-    // batch params MUST be the index's own (meta read) — the probe
-    // already enforces that; the within-batch pass reads them too so
-    // the two stages can never shingle differently
-    val (shingleLen, numHashes, bands, seed) =
-      spark.read.parquet(s"$indexPath/meta")
-        .select(col("shingle_len").cast("int"),
-          col("num_hashes").cast("int"), col("bands").cast("int"),
-          col("seed").cast("long"))
-        .as[(Int, Int, Int, Long)].head()
     // self-links excluded: a batch whose own survivors somehow appear
     // in the index (jaccard 1.0 against themselves) must not drop
     // them. The intent protocol above means a proven append never

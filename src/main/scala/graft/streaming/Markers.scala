@@ -34,6 +34,20 @@ private[streaming] object Markers {
     }
   }
 
+  /** True when `dir` exists and holds at least one visible data file.
+    * Recovery paths must gate their published-dir reads on this, not
+    * bare `exists`: a crash mid-overwrite can leave the directory
+    * present but empty (metadata deleted, no committed part files),
+    * and `spark.read.parquet` on such a dir throws "unable to infer
+    * schema" on EVERY subsequent replay — a wedged stream, where the
+    * pre-proof code's unconditional overwrite used to self-heal. */
+  def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+                  dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")
+    }
+
   def write(spark: SparkSession, path: String, v: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -42,7 +42,12 @@ object Scaling {
     "q_keyword_tags",
     // write+manifest+pruned-read round trip: I/O-shaped like the
     // snapshot gates
-    "q_manifest_prune")
+    "q_manifest_prune",
+    // round-10: the BM25 delete lifecycle (save + tombstone + two
+    // probes + compaction per run — index-rebuild-shaped I/O)
+    "q_bm25_forget",
+    // round-10: the ANN sink batch path, now oracled
+    "q_ann_sink")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

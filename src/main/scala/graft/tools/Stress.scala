@@ -906,6 +906,78 @@ object Stress {
     }
     assertNoFunnel("manifest-1024-files")
 
+    // ---- 18. concurrent manifest appenders (r10 lease) -------------------
+    // Four appenders race into the leg-17 table (1,024+ files) with
+    // disjoint 100k-row batches. The lease must serialize them: every
+    // batch's rows land, the manifest tracks every new file exactly
+    // once, and a full-window pruned read sees 400k new rows — a lost
+    // manifest union or a double-stat would show here as a count drift.
+    tme("manifest 4-way concurrent append (4 x 100k rows)") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val appends = (0 until 4).map { i =>
+        Future {
+          gate.await()
+          graft.ops.Layout.appendWithManifest(
+            spark.range(100000L)
+              .select((col("id") + 20000000L + i * 100000L).as("id"),
+                (col("id") + 20000000L + i * 100000L).as("v")),
+            Seq("v"), mDir, numFiles = 4)
+        }
+      }
+      gate.countDown()
+      appends.foreach(Await.result(_, 300.seconds))
+      val got = graft.ops.Layout.readPruned(spark, mDir,
+        "v", 20000000L, 20399999L).count()
+      assert(got == 400000L,
+        s"concurrent appends lost or duplicated rows: $got of 400000")
+      val mf = spark.read.parquet(
+        s"$mDir/${graft.ops.Layout.ManifestDir}")
+        .select(col("file")).collect().map(_.getString(0))
+      assert(mf.distinct.length == mf.length,
+        "duplicate manifest rows after concurrent appends")
+    }
+    assertNoFunnel("manifest-concurrent-append")
+
+    // ---- 19. BM25 delete lifecycle at corpus volume ----------------------
+    // 120k docs (fixture x20), tombstone the doc_id % 10 = 3 decile,
+    // probe (the forgotten decile must never surface), compact (the
+    // physical erase must fold the bucket files back AND keep serving),
+    // probe again. The probe cost must stay bucket-pruned — the delete
+    // machinery adds one broadcast anti-join, never a corpus rescan.
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_bm25f").toString
+    val bmCorpus = (0 until 20).map(i =>
+      kwDocs.select((col("doc_id") * 20 + i).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val nBm = bmCorpus.count()
+    tme(s"bm25 forget ($nBm docs: save+tombstone+probe+compact+probe)") {
+      graft.ops.Retrieval.saveBm25Index(bmCorpus, "doc_id", "text",
+        bmDir, nBuckets = 32)
+      graft.ops.Retrieval.tombstoneBm25Index(
+        bmCorpus.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+        "doc_id", bmDir)
+      val queries = Seq(1L -> "spark join merge", 2L -> "fast scan filter")
+      val soft = graft.ops.Retrieval.bm25TopKIndexed(spark, bmDir,
+        "doc_id", queries, k = 50).persist()
+      assert(soft.count() == 100L, "soft-delete probe must fill top-50")
+      assert(soft.filter(col("doc_id") % 10 === 3).count() == 0,
+        "a tombstoned doc surfaced while its tombstone stood")
+      soft.unpersist()
+      graft.ops.Retrieval.releaseCaches()
+      graft.ops.Retrieval.compactBm25Index(spark, bmDir)
+      val hard = graft.ops.Retrieval.bm25TopKIndexed(spark, bmDir,
+        "doc_id", queries, k = 50).persist()
+      assert(hard.count() == 100L && hard
+        .filter(col("doc_id") % 10 === 3).count() == 0,
+        "a physically erased doc surfaced post-compaction")
+      hard.unpersist()
+      graft.ops.Retrieval.releaseCaches()
+    }
+    assertNoFunnel("bm25-forget-120k")
+
     println("[stress] ALL OK")
     spark.stop()
   }

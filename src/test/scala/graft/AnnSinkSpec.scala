@@ -174,4 +174,21 @@ class AnnSinkSpec extends SparkSpec {
       "replay re-appended the batch to the index")
     assert(AnnSink.lastAppliedBatch(spark, s"$dir/idx") == 0L)
   }
+
+  test("q_ann_sink survivor-set oracle assumption: the embeddings " +
+    "fixture has NO natural pair at cosine >= 0.985") {
+    // the gate's DuckDB oracle is the vec_id % 3 = 0 slice verbatim,
+    // valid because the only pairs reaching the 0.99 threshold are the
+    // PLANTED scaled copies — this pin is the 0.005-margin guard under
+    // that derivation, at both the spec fixture SF and the driver's
+    // correctness SF. (A fixture regeneration that plants natural
+    // near-dups would fail here first, with a named reason, instead of
+    // as an opaque oracle hash mismatch.)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val n = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.985).count()
+      assert(n == 0L, s"$sf: $n natural pairs at cosine >= 0.985")
+    }
+  }
 }

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Retrieval, Similarity, TextDedup}
+
+/**
+ * The three persisted index families — MinHash (text near-dup), IVF-PQ
+ * (embedding ANN) and BM25 (lexical retrieval) — must expose ONE
+ * observable delete lifecycle (r9 verdict #2 closed the BM25 gap):
+ *
+ *   1. tombstone  → the id stops being SERVED immediately (logical
+ *                   exclusion below every query path), and stays dead
+ *                   even if re-appended while the tombstone stands;
+ *   2. compact    → physical erase + tombstone-list clear, after which
+ *                   the id is simply absent;
+ *   3. append     → post-compaction, the id is a NEW document and is
+ *                   served again (resurrection is an explicit two-step,
+ *                   never an accident of re-ingestion).
+ *
+ * A right-to-be-forgotten purge that runs tombstone-then-compact on
+ * every index beside `SnapshotStore.deleteCommitAll` therefore leaves
+ * NO query path that can surface the entity.
+ */
+class IndexDeleteLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exists(p: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+
+  private def lifecycle(name: String, served: () => Set[Long],
+                        tombstone: () => Unit, reAppend: () => Unit,
+                        compact: () => Unit, tombstonesDir: String): Unit = {
+    assert(served() == Set(1L), s"$name: baseline must serve doc 1")
+    tombstone()
+    assert(!served().contains(1L), s"$name: tombstoned id still served")
+    reAppend()
+    assert(!served().contains(1L),
+      s"$name: re-appended id must stay dead while its tombstone stands")
+    compact()
+    assert(!exists(tombstonesDir),
+      s"$name: compaction must clear the tombstone list")
+    assert(!served().contains(1L),
+      s"$name: physically erased id surfaced post-compaction")
+    reAppend()
+    assert(served() == Set(1L),
+      s"$name: a fresh append after compaction must resurrect the id")
+  }
+
+  test("the three index families share one delete lifecycle: tombstone " +
+    "excludes (re-append stays dead), compact erases + clears, " +
+    "fresh append resurrects") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idxdel").toString
+
+    // --- MinHash ---------------------------------------------------
+    val mh = s"$base/minhash"
+    val doc1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val docsMh = doc1.unionByName(Seq(
+      (2L, "a completely different sentence about spark physical plans"),
+      (3L, "yet another unrelated string of words for the index test"))
+      .toDF("doc_id", "text"))
+    TextDedup.saveMinhashIndex(docsMh, "doc_id", "text", mh,
+      numHashes = 16, bands = 8)
+    val probeMh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    lifecycle("minhash",
+      served = () => TextDedup
+        .minhashProbeIndexed(spark, mh, probeMh, "doc_id", "text", 0.9)
+        .select(col("corpus_id").cast("long")).as[Long].collect().toSet,
+      tombstone = () => TextDedup
+        .tombstoneMinhashIndex(Seq(1L).toDF("doc_id"), "doc_id", mh),
+      reAppend = () => TextDedup
+        .appendMinhashIndex(doc1, "doc_id", "text", mh),
+      compact = () => TextDedup.compactMinhashIndex(spark, mh),
+      tombstonesDir = s"$mh/tombstones")
+
+    // --- IVF-PQ ----------------------------------------------------
+    val ann = s"$base/ivfpq"
+    def oneHot(d: Int, m: Float): Array[Float] =
+      Array.tabulate(8)(i => if (i == d % 8) m else 0f)
+    val vec1 = Seq((1L, oneHot(1, 2f))).toDF("vec_id", "embedding")
+    val corpusAnn = vec1.unionByName(
+      // i % 8 == 1 excluded: doc 1 must be the ONLY direction-1 vector
+      (2 to 24).filter(_ % 8 != 1)
+        .map(i => (i.toLong, oneHot(i, 1f + (i % 3))))
+        .toDF("vec_id", "embedding"))
+    Similarity.saveIvfPqIndex(corpusAnn, "vec_id", "embedding", ann,
+      nCells = 2, m = 4, k = 4, iterations = 2)
+    val qAnn = Seq((200L, oneHot(1, 5f))).toDF("vec_id", "embedding")
+    lifecycle("ivfpq",
+      served = () => Similarity
+        .ivfPqTopKIndexed(spark, ann, qAnn, "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .filter(col("cosine") > 0.99)
+        .select(col("neighbor_id").cast("long")).as[Long].collect().toSet,
+      tombstone = () => Similarity
+        .tombstoneIvfPqIndex(Seq(1L).toDF("vec_id"), "vec_id", ann),
+      reAppend = () => Similarity
+        .appendIvfPqIndex(vec1, "vec_id", "embedding", ann),
+      compact = () => Similarity.compactIvfPqIndex(spark, ann),
+      tombstonesDir = s"$ann/tombstones")
+
+    // --- BM25 ------------------------------------------------------
+    val bm = s"$base/bm25"
+    val bmDoc1 = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val docsBm = bmDoc1.unionByName(Seq(
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota kappa")).toDF("doc_id", "text"))
+    Retrieval.saveBm25Index(docsBm, "doc_id", "text", bm, nBuckets = 4)
+    lifecycle("bm25",
+      served = () => {
+        val got = Retrieval
+          .bm25TopKIndexed(spark, bm, "doc_id", Seq((1L, "alpha")), k = 5)
+          .select(col("doc_id")).as[Long].collect().toSet
+        Retrieval.releaseCaches()
+        got
+      },
+      tombstone = () => Retrieval
+        .tombstoneBm25Index(Seq(1L).toDF("doc_id"), "doc_id", bm),
+      reAppend = () => Retrieval
+        .appendBm25Index(bmDoc1, "doc_id", "text", bm),
+      compact = () => Retrieval.compactBm25Index(spark, bm),
+      tombstonesDir = s"$bm/tombstones")
+  }
+
+  test("bm25 compaction is probe-identical to a rebuild on the purged " +
+    "corpus — scores, stats and zero-token docs included") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_rebuild").toString
+    // doc 6 is zero-token: present in n_docs/avgdl, absent from
+    // postings — exactly the row doclens exists to keep exact
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "alpha delta delta epsilon"),
+      (3L, "beta beta beta zeta"),
+      (4L, "gamma delta alpha"),
+      (5L, "epsilon zeta eta theta iota"),
+      (6L, "   ")).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha beta"), (2L, "delta zeta"))
+    val live = s"$base/live"
+    Retrieval.saveBm25Index(docs, "doc_id", "text", live, nBuckets = 4)
+    Retrieval.tombstoneBm25Index(Seq(2L, 4L).toDF("doc_id"), "doc_id", live)
+    Retrieval.compactBm25Index(spark, live)
+    val rebuilt = s"$base/rebuilt"
+    Retrieval.saveBm25Index(docs.filter(!col("doc_id").isin(2L, 4L)),
+      "doc_id", "text", rebuilt, nBuckets = 4)
+    def probe(path: String) = {
+      val got = Retrieval
+        .bm25TopKIndexed(spark, path, "doc_id", queries, k = 5)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      Retrieval.releaseCaches()
+      got
+    }
+    val a = probe(live)
+    assert(a == probe(rebuilt), "compaction must equal a purged rebuild")
+    assert(a.nonEmpty && !a.exists(r => r._2 == 2L || r._2 == 4L))
+    // the corpus scalars themselves must agree (zero-token doc kept)
+    def stats(path: String) = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
+      .as[(Long, Long)].head()
+    assert(stats(live) == stats(rebuilt))
+    assert(stats(live)._1 == 4L) // docs 1, 3, 5 and the empty doc 6
+  }
+}

@@ -3909,4 +3909,85 @@ class OpsSpec extends SparkSpec {
     assert(kept <= keptX,
       s"z-order kept $kept files, x-clustered kept $keptX")
   }
+
+  test("concurrent manifest appenders serialize: no lost manifest " +
+    "union, no double-counted file (r9 verdict #5)") {
+    import graft.ops.Layout
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_conc").toString
+    Layout.writeWithManifest(
+      spark.range(100).select(col("id"), col("id").as("v")),
+      Seq("v"), dir, numFiles = 2)
+    // two appenders race with DISJOINT row sets; a lost manifest union
+    // would drop one appender's files from every pruned read, a
+    // double-stat would duplicate rows
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def appender(offset: Long) = Future {
+      gate.await()
+      Layout.appendWithManifest(
+        spark.range(100).select((col("id") + offset).as("id"),
+          (col("id") + offset).as("v")),
+        Seq("v"), dir, numFiles = 3)
+    }
+    val fs = Seq(appender(1000L), appender(2000L))
+    gate.countDown()
+    fs.foreach(Await.result(_, 120.seconds))
+    // full-range pruned read sees every row exactly once
+    val got = Layout.readPruned(spark, dir, "v", 0L, 3000L)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    val want = ((0L until 100L) ++ (1000L until 1100L) ++
+      (2000L until 2100L)).sorted
+    assert(got == want,
+      s"pruned read lost/duplicated rows: ${got.size} vs ${want.size}")
+    // the manifest tracks every data file exactly once
+    val manifestFiles = spark.read
+      .parquet(s"$dir/${Layout.ManifestDir}")
+      .select(col("file")).as[String].collect().toSeq
+    assert(manifestFiles.distinct.size == manifestFiles.size,
+      "duplicate manifest rows")
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    assert(manifestFiles.map(_.split("/").last).toSet == dataFiles,
+      "manifest file set diverged from the directory")
+    // the lease is released — a third appender proceeds immediately
+    Layout.appendWithManifest(
+      spark.range(10).select((col("id") + 5000L).as("id"),
+        (col("id") + 5000L).as("v")),
+      Seq("v"), dir, numFiles = 1, lockTimeoutMs = 5000L)
+    assert(Layout.readPruned(spark, dir, "v", 5000L, 5009L).count() == 10L)
+  }
+
+  test("mineBitext evaluates each direction's scoring subtree exactly " +
+    "once (r9 verdict #4)") {
+    import graft.ops.Similarity
+    val acc = spark.sparkContext.longAccumulator("graft_tgt_evals")
+    val src = Seq(
+      (10L, Seq(1.0f, 0.0f)), (12L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // instrument the tgt side: every evaluation of its (single)
+    // partition bumps the accumulator, so the count IS the number of
+    // jobs that scanned tgt
+    val tgt = spark.createDataset(Seq(
+        (11L, Seq(1.0f, 0.01f)), (13L, Seq(0.02f, 1.0f)),
+        (15L, Seq(0.7f, 0.7f))))
+      .coalesce(1)
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .mineBitext(src, tgt, "vec_id", "embedding", k = 2, threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(r => r._1 -> r._2).toMap == Map(10L -> 11L, 12L -> 13L))
+    // expected evaluations of tgt: the fwd direction's bounded-scan
+    // test + its scoring checkpoint, the bwd direction's bounded-scan
+    // test + its broadcast build. Before the r10 checkpoint the final
+    // collect re-evaluated each direction's Ω(N·Q) scoring subtree a
+    // second time — one more tgt scan (and one more src scan) on top.
+    assert(acc.value <= 4,
+      s"tgt evaluated ${acc.value} times — scoring subtree re-ran")
+  }
 }
