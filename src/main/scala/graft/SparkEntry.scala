@@ -2037,6 +2037,106 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // one-call right-to-be-forgotten across EVERY persisted surface
+    // (SnapshotStore.forgetEverywhere): catalog tables + all three
+    // index families purged in one orchestration — the composition the
+    // per-family lifecycles exist for. Output unions per-surface
+    // evidence so the oracle checks each surface independently:
+    //   cat:*       surviving keys of both catalog tables (exact SQL);
+    //   minhash     probes of exact copies of purged docs — count of
+    //               hits landing on a purged corpus id (must be 0);
+    //   minhash_ctl probes of surviving docs — self-hit indicator
+    //               (must be 1: the probe path stayed alive through
+    //               tombstone + compaction);
+    //   ann/ann_ctl the same two faces in embedding space (hits at
+    //               cosine >= 0.99 — exact by the fixture's 0.985
+    //               no-natural-pair margin, the q_ann_sink pin);
+    //   bm25:<qid>  the post-purge BM25 top-10 verbatim (compaction
+    //               equals a purged rebuild, so the oracle is the
+    //               purged-corpus scoring SQL).
+    "q_rtbf_everywhere" -> ((s, dir) => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_rtbf_${tmpToken(dir)}").getAbsolutePath
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0)
+      val emb = t(s, dir, "embeddings")
+      graft.sources.SnapshotStore.commitAll(Map(
+        "docs" -> docs,
+        "vecs" -> emb.select(col("vec_id"), col("label"))), s"$base/cat")
+      TextDedup.saveMinhashIndex(docs, "doc_id", "text", s"$base/mh",
+        numHashes = 32, bands = 8)
+      Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", s"$base/ann",
+        nCells = 16)
+      Retrieval.saveBm25Index(docs, "doc_id", "text", s"$base/bm",
+        nBuckets = 16)
+      val purge = docs.select(col("doc_id").as("id"))
+        .unionByName(emb.select(col("vec_id").as("id")))
+        .filter(col("id") % 9 === 4).distinct()
+      graft.sources.SnapshotStore.forgetEverywhere(purge, s"$base/cat",
+        Map("docs" -> "doc_id", "vecs" -> "vec_id"),
+        minhashIndexes = Seq(s"$base/mh"),
+        ivfPqIndexes = Seq(s"$base/ann"),
+        bm25Indexes = Seq(s"$base/bm"))
+      val sCat = graft.sources.SnapshotStore
+        .readTable(s, s"$base/cat", "docs")
+        .select(lit("cat:docs").as("surface"), col("doc_id").as("key"),
+          lit(1.0).as("n"))
+        .unionByName(graft.sources.SnapshotStore
+          .readTable(s, s"$base/cat", "vecs")
+          .select(lit("cat:vecs").as("surface"), col("vec_id").as("key"),
+            lit(1.0).as("n")))
+      val shingleable = col("text").isNotNull && trim(col("text")) =!= ""
+      val probedP = docs.filter(col("doc_id") % 9 === 4)
+      val mhHitsP = TextDedup.minhashProbeIndexed(s, s"$base/mh",
+          probedP.select((col("doc_id") + 10000000L).as("doc_id"),
+            col("text")), "doc_id", "text", 0.8)
+        .filter(col("corpus_id") % 9 === 4)
+        .groupBy((col("batch_id") - 10000000L).as("key"))
+        .agg(count(lit(1)).cast("double").as("hits"))
+      val sMh = probedP.select(col("doc_id").as("key"))
+        .join(mhHitsP, Seq("key"), "left")
+        .select(lit("minhash").as("surface"), col("key"),
+          coalesce(col("hits"), lit(0.0)).as("n"))
+      val probedC = docs.filter(col("doc_id") % 9 === 5 && shingleable)
+      val mhHitsC = TextDedup.minhashProbeIndexed(s, s"$base/mh",
+          probedC.select((col("doc_id") + 20000000L).as("doc_id"),
+            col("text")), "doc_id", "text", 0.8)
+        .filter(col("corpus_id") === col("batch_id") - 20000000L)
+        .select((col("batch_id") - 20000000L).as("key")).distinct()
+        .withColumn("hit", lit(1.0))
+      val sMhC = probedC.select(col("doc_id").as("key"))
+        .join(mhHitsC, Seq("key"), "left")
+        .select(lit("minhash_ctl").as("surface"), col("key"),
+          coalesce(col("hit"), lit(0.0)).as("n"))
+      def annFace(mod: Int, offset: Long, name: String) = {
+        val q = emb.filter(col("vec_id") % 9 === mod)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f))
+              .as("embedding"))
+        val hits = Similarity.ivfPqTopKIndexed(s, s"$base/ann", q,
+            "vec_id", "embedding", k = 4, nProbe = 8)
+          .filter(col("cosine") >= 0.99)
+          .groupBy((col("query_id") - offset).as("key"))
+          .agg(count(lit(1)).cast("double").as("hits"))
+        emb.filter(col("vec_id") % 9 === mod)
+          .select(col("vec_id").as("key"))
+          .join(hits, Seq("key"), "left")
+          .select(lit(name).as("surface"), col("key"),
+            coalesce(col("hits"), lit(0.0)).as("n"))
+      }
+      val sBm = Retrieval.bm25TopKIndexed(s, s"$base/bm", "doc_id",
+          Bm25Queries, k = 10)
+        .select(concat(lit("bm25:"), col("qid")).as("surface"),
+          col("doc_id").as("key"), col("score").as("n"))
+      sCat.unionByName(sMh).unionByName(sMhC)
+        .unionByName(annFace(4, 10000000L, "ann"))
+        .unionByName(annFace(5, 20000000L, "ann_ctl"))
+        .unionByName(sBm)
+    }),
+
     // sentence-aligned chunking: budget-aligned packing that never cuts
     // a sentence — chunk_id is a closed-form window cumsum (one keyed
     // window + one aggregate; no sequential greedy state)
@@ -2734,6 +2834,22 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         emb, emb.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // sharded graph-ANN (HNSW): disjoint hash shards each build a
+    // deterministic graph (id-hash levels, sorted-id insertion) and
+    // search the broadcast queries; the candidate union re-ranks with
+    // the EXACT cosine kernel. Oracled against the same brute-force
+    // SQL as q_embed_topk: at these parameters the union provably
+    // covers the true top-3 (HnswSpec pins recall 1.0 on the fixture),
+    // so approximate candidate generation + exact re-rank must equal
+    // the exhaustive baseline row for row
+    "q_hnsw_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Hnsw.topK(emb, emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3, m = 8, efConstruction = 48,
+        efSearch = 48, nShards = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -6205,24 +6321,14 @@ object SparkEntry {
         | maxabs / 127 AS scale
         |FROM m""".stripMargin,
 
-    "q_embed_topk" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 20 = 0),
-        |scored AS (
-        | SELECT q.query_id, v.vec_id AS neighbor_id,
-        |  list_aggregate(list_transform(generate_series(1, len(q.qe)),
-        |    i -> q.qe[i] * v.e[i]), 'sum') /
-        |  (sqrt(list_aggregate(list_transform(generate_series(1, len(q.qe)),
-        |    i -> q.qe[i] * q.qe[i]), 'sum')) *
-        |   sqrt(list_aggregate(list_transform(generate_series(1, len(v.e)),
-        |    i -> v.e[i] * v.e[i]), 'sum'))) AS cosine
-        | FROM q JOIN v ON q.query_id <> v.vec_id),
-        |ranked AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id
-        |                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        | FROM scored)
-        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_embed_topk" -> embedTopKOracle,
+
+    // SAME exhaustive-baseline SQL: the sharded-HNSW gate's candidate
+    // union covers the true top-3 at the gate's parameters (recall
+    // pinned 1.0 in HnswSpec) and the re-rank is bruteForceTopK's
+    // exact kernel, so the approximate path must match the brute-force
+    // oracle row for row
+    "q_hnsw_topk" -> embedTopKOracle,
 
     // q_embed_topk's kernel scoring non-seeds against the mod-10
     // seeds, then a two-stage vote: count per label, argmax by
@@ -6473,6 +6579,7 @@ object SparkEntry {
     "q_bm25_indexed" -> bm25Oracle,
     "q_bm25_append" -> bm25OracleTopK(10, " WHERE doc_id % 3 = 0"),
     "q_bm25_forget" -> bm25ForgetOracle,
+    "q_rtbf_everywhere" -> rtbfEverywhereOracle,
 
     "q_rrf" -> rrfOracle,
 
@@ -7316,6 +7423,28 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= $limit""".stripMargin
   }
 
+  /** q_embed_topk / q_hnsw_topk oracle — exhaustive cosine top-3 over
+    * the mod-20 query slice, the sequential-fold kernel shape proven
+    * bit-identical to the engine's `cosine` expression. */
+  private def embedTopKOracle: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 20 = 0),
+      |scored AS (
+      | SELECT q.query_id, v.vec_id AS neighbor_id,
+      |  list_aggregate(list_transform(generate_series(1, len(q.qe)),
+      |    i -> q.qe[i] * v.e[i]), 'sum') /
+      |  (sqrt(list_aggregate(list_transform(generate_series(1, len(q.qe)),
+      |    i -> q.qe[i] * q.qe[i]), 'sum')) *
+      |   sqrt(list_aggregate(list_transform(generate_series(1, len(v.e)),
+      |    i -> v.e[i] * v.e[i]), 'sum'))) AS cosine
+      | FROM q JOIN v ON q.query_id <> v.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id
+      |                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      | FROM scored)
+      |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+
   /** q_bm25_forget oracle — the two delete-lifecycle phases, each with
     * its own statistics scope: 'tombstoned' scores the SURVIVING
     * candidate set with FULL-corpus df/n/avgdl (soft-delete — exactly
@@ -7379,6 +7508,71 @@ object SparkEntry {
        | SELECT 'compacted' AS phase, qid, doc_id, CAST(sc AS DOUBLE) AS score
        | FROM sc2
        | QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) <= 10)""".stripMargin
+  }
+
+  /** q_rtbf_everywhere oracle — per-surface expectations: the catalog
+    * tables are exact anti-join SQL; the index-probe faces reduce to
+    * pinned constants (0 hits on purged ids — physically erased; a
+    * guaranteed self-hit on surviving controls — exact-copy probes
+    * link at jaccard 1.0 / cosine 1.0, and the ann faces ride the
+    * fixture's 0.985 no-natural-pair margin); the BM25 surface is the
+    * purged-corpus scoring SQL verbatim (compaction ≡ rebuild). */
+  private def rtbfEverywhereOracle: String = {
+    val k1 = 1.2; val b = 0.75
+    val qt = Bm25Queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    val termSet = Bm25Queries
+      .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |       ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS dl
+       | FROM documents WHERE doc_id % 2 = 0 AND NOT doc_id % 9 = 4),
+       |stats AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       | FROM base),
+       |qt(qid, term) AS (VALUES $qt),
+       |tf AS (
+       | SELECT doc_id, dl, term, count(*) AS tf
+       | FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+       | WHERE term IN ($termSet)
+       | GROUP BY doc_id, dl, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       | SELECT q.qid, t.doc_id,
+       |  sum(CAST(round(
+       |    round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 7)
+       |    * ((t.tf * CAST(${k1 + 1.0} AS DOUBLE)) /
+       |       (t.tf + $k1 * (1.0 - $b + ($b * t.dl) / s.avgdl))), 6)
+       |   AS DECIMAL(18,6))) AS sc
+       | FROM tf t
+       | CROSS JOIN stats s
+       | JOIN dfs d ON t.term = d.term
+       | JOIN qt q ON t.term = q.term
+       | GROUP BY q.qid, t.doc_id)
+       |SELECT 'bm25:' || CAST(qid AS VARCHAR) AS surface, doc_id AS key,
+       |  CAST(sc AS DOUBLE) AS n
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |                           ORDER BY sc DESC, doc_id) <= 10
+       |UNION ALL SELECT 'cat:docs', doc_id, CAST(1.0 AS DOUBLE)
+       | FROM documents WHERE doc_id % 2 = 0 AND NOT doc_id % 9 = 4
+       |UNION ALL SELECT 'cat:vecs', vec_id, CAST(1.0 AS DOUBLE)
+       | FROM embeddings WHERE NOT vec_id % 9 = 4
+       |UNION ALL SELECT 'minhash', doc_id, CAST(0.0 AS DOUBLE)
+       | FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 = 4
+       |UNION ALL SELECT 'minhash_ctl', doc_id, CAST(1.0 AS DOUBLE)
+       | FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 = 5
+       |  AND text IS NOT NULL AND trim(text) <> ''
+       |UNION ALL SELECT 'ann', vec_id, CAST(0.0 AS DOUBLE)
+       | FROM embeddings WHERE vec_id % 9 = 4
+       |UNION ALL SELECT 'ann_ctl', vec_id, CAST(1.0 AS DOUBLE)
+       | FROM embeddings WHERE vec_id % 9 = 5""".stripMargin
   }
 
   /** q_labelprop oracle — Graphs.labelPropagation unrolled: the same

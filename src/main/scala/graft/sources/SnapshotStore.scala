@@ -382,6 +382,66 @@ object SnapshotStore {
     } finally purge.unpersist()
   }
 
+  /**
+   * One-call right-to-be-forgotten across EVERY persisted surface: the
+   * catalog's tables ([[deleteCommitAll]] — one atomic new version)
+   * plus the three index families a corpus typically carries beside
+   * its tables — MinHash near-dup, IVF-PQ ANN, BM25 retrieval. This is
+   * the orchestration [[deleteCommitAll]] alone could not honestly
+   * claim (r9 verdict: a forgotten doc_id kept being SERVED by any
+   * retrieval index built from the corpus until that index was purged
+   * separately, and before r10 the BM25 family had no purge at all).
+   *
+   * Order of operations, and why:
+   *  1. index TOMBSTONES land first — the serving paths (similarity /
+   *     retrieval probes) stop surfacing the entity immediately,
+   *     before anything else, because they are the surfaces an end
+   *     user actually queries;
+   *  2. the catalog commit ([[deleteCommitAll]]) flips all tables to
+   *     the purged state in one atomic version;
+   *  3. with `compactIndexes = true` (the default), each index is
+   *     compacted — PHYSICAL erase, completing the lifecycle; pass
+   *     false to defer the rewrite cost to scheduled maintenance
+   *     (tombstones keep every probe clean meanwhile).
+   *
+   * Old catalog versions still hold the rows (time travel is the
+   * store's contract): finish compliance with [[vacuumCatalog]] once
+   * the retention window allows, exactly as [[deleteCommitAll]]
+   * documents. `ids` contributes its FIRST column as the purge set on
+   * every surface. Returns the new catalog version.
+   */
+  def forgetEverywhere(ids: DataFrame, catalogPath: String,
+                       pkByTable: Map[String, String],
+                       minhashIndexes: Seq[String] = Nil,
+                       ivfPqIndexes: Seq[String] = Nil,
+                       bm25Indexes: Seq[String] = Nil,
+                       compactIndexes: Boolean = true): Long = {
+    val spark = ids.sparkSession
+    import org.apache.spark.sql.functions.col
+    // one purge-set materialization shared by every surface (the
+    // deleteCommitAll discipline — ids may be a derived plan)
+    val idCol = ids.columns.head
+    val purge = ids.select(col(idCol)).distinct().persist()
+    try {
+      minhashIndexes.foreach(p =>
+        graft.ops.TextDedup.tombstoneMinhashIndex(purge, idCol, p))
+      ivfPqIndexes.foreach(p =>
+        graft.ops.Similarity.tombstoneIvfPqIndex(purge, idCol, p))
+      bm25Indexes.foreach(p =>
+        graft.ops.Retrieval.tombstoneBm25Index(purge, idCol, p))
+      val v = deleteCommitAll(purge, catalogPath, pkByTable)
+      if (compactIndexes) {
+        minhashIndexes.foreach(p =>
+          graft.ops.TextDedup.compactMinhashIndex(spark, p))
+        ivfPqIndexes.foreach(p =>
+          graft.ops.Similarity.compactIvfPqIndex(spark, p))
+        bm25Indexes.foreach(p =>
+          graft.ops.Retrieval.compactBm25Index(spark, p))
+      }
+      v
+    } finally purge.unpersist()
+  }
+
   /** Tables present in a committed catalog version. */
   def tablesAt(spark: SparkSession, path: String, v: Long): Seq[String] =
     parseManifest(genFor(spark, path, v)).keys.toSeq.sorted

@@ -47,7 +47,13 @@ object Scaling {
     // probes + compaction per run — index-rebuild-shaped I/O)
     "q_bm25_forget",
     // round-10: the ANN sink batch path, now oracled
-    "q_ann_sink")
+    "q_ann_sink",
+    // round-10: sharded graph-ANN — build is shard-parallel, so the
+    // ratio should track corpus size roughly linearly
+    "q_hnsw_topk",
+    // round-10: the full-catalog purge orchestration (three index
+    // saves + catalog + compaction per run — I/O-rebuild-shaped)
+    "q_rtbf_everywhere")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

@@ -978,6 +978,34 @@ object Stress {
     }
     assertNoFunnel("bm25-forget-120k")
 
+    // ---- 20. sharded HNSW at corpus volume --------------------------------
+    // 200k distinct hash-synthetic vectors (dim 32) across 32 shards;
+    // 200 queries are exact scaled twins of known corpus rows, so each
+    // has a UNIQUE cosine-1.0 nearest neighbor — the planted ground
+    // truth a greedy graph search should essentially never miss. Only
+    // (query, candidate-id) pairs may leave the build tasks (the merge
+    // is the bounded-heap kernel), so the leg runs under the no-funnel
+    // listener like everything else.
+    val hnswCorpus = spark.range(200000L).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), d -> CAST((CAST(pmod(xxhash64(id, d)," +
+        " 1000) AS FLOAT) - 500.0) / 500.0 AS FLOAT))").as("embedding"))
+      .localCheckpoint()
+    val hnswQ = hnswCorpus.filter(col("vec_id") % 1000 === 7L)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))")
+          .as("embedding"))
+    tme("hnsw topK (200k corpus x 200 planted-twin queries)") {
+      val got = graft.ops.Hnsw.topK(hnswCorpus, hnswQ, "vec_id",
+        "embedding", k = 1, nShards = 32)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toMap
+      val hits = got.count { case (q, n) => n == q - 1000000L }
+      assert(got.size == 200 && hits >= 198,
+        s"planted exact twins: $hits/200 found at rank 1")
+      println(f"[stress] hnsw: $hits/200 planted twins at rank 1")
+    }
+    assertNoFunnel("hnsw-200k")
+
     println("[stress] ALL OK")
     spark.stop()
   }

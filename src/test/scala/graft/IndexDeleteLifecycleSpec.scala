@@ -166,4 +166,37 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
     assert(stats(live) == stats(rebuilt))
     assert(stats(live)._1 == 4L) // docs 1, 3, 5 and the empty doc 6
   }
+
+  test("forgetEverywhere with compactIndexes = false: probes are clean " +
+    "immediately, tombstones stand until maintenance compacts") {
+    import graft.sources.SnapshotStore
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rtbf_defer").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "lambda mu nu xi omicron pi rho")).toDF("doc_id", "text")
+    SnapshotStore.commitAll(Map("docs" -> docs), s"$base/cat")
+    graft.ops.Retrieval.saveBm25Index(docs, "doc_id", "text",
+      s"$base/bm", nBuckets = 2)
+    val v = SnapshotStore.forgetEverywhere(
+      Seq(2L).toDF("id"), s"$base/cat", Map("docs" -> "doc_id"),
+      bm25Indexes = Seq(s"$base/bm"), compactIndexes = false)
+    assert(v >= 2L)
+    // catalog flipped atomically to the purged state
+    assert(SnapshotStore.readTable(spark, s"$base/cat", "docs")
+      .select(col("doc_id")).as[Long].collect().toSet == Set(1L, 3L))
+    // the index serves clean NOW, via the standing tombstone...
+    val served = graft.ops.Retrieval.bm25TopKIndexed(spark, s"$base/bm",
+      "doc_id", Seq((1L, "zeta alpha")), k = 5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    graft.ops.Retrieval.releaseCaches()
+    assert(served == Set(1L), s"deferred-compaction probe served $served")
+    // ...and the physical erase is still owed to maintenance
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/bm/tombstones")))
+    graft.ops.Retrieval.compactBm25Index(spark, s"$base/bm")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/bm/tombstones")))
+  }
 }
