@@ -182,6 +182,12 @@ object Layout {
       require(fs.rename(dest, aside), s"rename $dest -> $aside failed")
     require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
     fs.delete(aside, true)
+    // a raw rename bypasses the DataFrameWriter path that normally
+    // invalidates the session's FileStatusCache — without this, a
+    // later spark.read of a PARTITIONED destPath in the same session
+    // can serve the pre-swap file listing and fail with
+    // FAILED_READ_FILE on the renamed-away parts
+    spark.catalog.refreshByPath(destPath)
   }
 
   /** Sidecar directory holding the file-level min/max manifest; the
