@@ -182,11 +182,16 @@ object Layout {
       require(fs.rename(dest, aside), s"rename $dest -> $aside failed")
     require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
     fs.delete(aside, true)
-    // a raw rename bypasses the DataFrameWriter path that normally
-    // invalidates the session's FileStatusCache — without this, a
-    // later spark.read of a PARTITIONED destPath in the same session
-    // can serve the pre-swap file listing and fail with
-    // FAILED_READ_FILE on the renamed-away parts
+    // a raw rename bypasses the writer path that normally invalidates
+    // the session's listing and plan caches — without this, a later
+    // read of the swapped path in the same session can resolve against
+    // a STALE CACHED PLAN FRAGMENT (CacheManager matches the new scan
+    // subtree to a pre-swap persisted relation) and fail with
+    // FAILED_READ_FILE on the renamed-away parts. refreshByPath drops
+    // both layers; measured cost on the compaction gates is nil
+    // (listing-only invalidation was tried and does NOT close the
+    // cached-plan half — the plan audit's repeated-call harness
+    // reproduces the failure)
     spark.catalog.refreshByPath(destPath)
   }
 
