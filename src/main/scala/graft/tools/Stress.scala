@@ -942,7 +942,7 @@ object Stress {
     assertNoFunnel("manifest-concurrent-append")
 
     // ---- 19. BM25 delete lifecycle at corpus volume ----------------------
-    // 120k docs (fixture x20), tombstone the doc_id % 10 = 3 decile,
+    // 100k docs (fixture x20), tombstone the doc_id % 10 = 3 decile,
     // probe (the forgotten decile must never surface), compact (the
     // physical erase must fold the bucket files back AND keep serving),
     // probe again. The probe cost must stay bucket-pruned — the delete
@@ -976,7 +976,7 @@ object Stress {
       hard.unpersist()
       graft.ops.Retrieval.releaseCaches()
     }
-    assertNoFunnel("bm25-forget-120k")
+    assertNoFunnel("bm25-forget-100k")
 
     // ---- 20. sharded HNSW at corpus volume --------------------------------
     // 200k distinct hash-synthetic vectors (dim 32) across 32 shards;
