@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -15,9 +14,10 @@ import org.apache.spark.sql.functions._
  * graph is a single mutable in-memory structure, so the distributed
  * shape is SHARDING (the FAISS / Vespa convention):
  *
- *  1. the corpus hash-partitions into `nShards` disjoint shards
- *     (`xxhash64(id) % nShards` — layout-independent, so the SAME
- *     document lands in the same shard at any cluster size);
+ *  1. the corpus hash-partitions into `nShards` disjoint,
+ *     evenly-sized shards (Spark's hash partitioning on the id —
+ *     layout-independent, so the SAME document lands in the same
+ *     shard at any cluster size);
  *  2. each task builds its shard's graph locally in sorted-id order
  *     and searches EVERY query against it (queries are broadcast —
  *     the serving workload is query-bounded by contract, enforced
@@ -217,6 +217,9 @@ object Hnsw {
    * `queries` must pass the family's bounded-scan test at
    * `queryCollectLimit` rows — they broadcast into every shard task.
    * `nShards = 0` sizes shards to the session's default parallelism.
+   * Ids must be INTEGRAL (the shard key, the level hash and the merge
+   * heap all ride the long id; a lossy cast would merge distinct
+   * keys) — enforced, not silently truncated.
    */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
            vecCol: String, k: Int, m: Int = 16, efConstruction: Int = 64,
@@ -228,6 +231,10 @@ object Hnsw {
     val spark = corpus.sparkSession
     import spark.implicits._
     val idType = corpus.schema(idCol).dataType
+    require(Similarity.integralType(idType),
+      s"hnswTopK requires an integral id column, got $idType: the " +
+        "shard key, level hash and candidate merge all ride the long " +
+        "id, and a lossy cast would merge distinct keys")
     require(Similarity.atMost(queries, queryCollectLimit),
       s"hnswTopK broadcasts queries into every shard: more than " +
         s"$queryCollectLimit query rows — use ivfPqTopK/topKAuto instead")
@@ -241,11 +248,18 @@ object Hnsw {
       else math.max(1, spark.sparkContext.defaultParallelism)
     val perShard = math.max(k, efSearch)
     // build + search per shard; ONLY (query, candidate-id) pairs leave
-    // the task — vectors rejoin for the exact re-rank below
+    // the task — vectors rejoin for the exact re-rank below. Sharding
+    // is repartition(shards, id): Spark hash-partitions the ID itself
+    // (murmur3(id) % shards), giving ~corpus/nShards rows per shard —
+    // a pre-bucketed pmod column would itself be HASHED into
+    // partitions, colliding bucket values and leaving some shards
+    // empty and others multiples over the documented heap budget.
+    // Shard membership stays a pure function of (id, nShards), so the
+    // result is layout-independent (spec-pinned).
     val cand = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__v"))
-      .repartition(shards, pmod(xxhash64(col("__cid")), lit(shards)))
+      .repartition(shards, col("__cid"))
       .sortWithinPartitions(col("__cid"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -269,19 +283,6 @@ object Hnsw {
       .join(broadcast(q), Seq("__qid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
-    if (Similarity.integralType(idType))
-      Similarity.heapTopK(scored, k, idType)
-    else {
-      // non-integral ids: the window fallback, null cosines dropped —
-      // the bruteForceTopK parity contract
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      scored
-        .filter(col("cosine").isNotNull)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          col("cosine"))
-    }
+    Similarity.heapTopK(scored, k, idType)
   }
 }

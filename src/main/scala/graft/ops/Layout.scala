@@ -339,6 +339,19 @@ object Layout {
         val tmp = s"$manifestPath.__append"
         spark.read.parquet(manifestPath).unionByName(newRows)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
+        // FENCING: re-verify ownership immediately before the shared
+        // mutation (the manifest swap). If the lease was lost — we
+        // overran leaseMs and a waiter broke it — swapping would race
+        // the new owner's union and silently drop one side's rows
+        // from every pruned read. Aborting here is fail-safe: the
+        // appended DATA files are on disk but unmanifested
+        // (unpruned-invisible), and refreshManifest repairs.
+        if (!holdsLease(fs, lock, token))
+          throw new IllegalStateException(
+            s"manifest append lease $lock lost mid-append (leaseMs " +
+              "overrun — another appender holds it now); the appended " +
+              "data files are unmanifested: run refreshManifest to " +
+              "repair, and raise leaseMs above the longest append")
         atomicSwap(spark, tmp, manifestPath)
       }
     } finally releaseAppendLease(fs, lock, token)
@@ -365,13 +378,31 @@ object Layout {
                                  timeoutMs: Long, leaseMs: Long): String = {
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + timeoutMs
+    def stale(content: String, now: Long): Boolean = content.split(" ") match {
+      case Array(_, stamp) =>
+        scala.util.Try(stamp.toLong).toOption.forall(now - _ > leaseMs)
+      case _ => true // garbled lease: break it
+    }
     while (true) {
       val now = System.currentTimeMillis()
-      if (leaseContent(fs, lock).exists(_.split(" ") match {
-        case Array(_, stamp) =>
-          scala.util.Try(stamp.toLong).toOption.forall(now - _ > leaseMs)
-        case _ => true // garbled lease: break it
-      })) fs.delete(lock, false)
+      // break a stale lease by RENAME-then-delete, never delete-in-
+      // place: two waiters deciding "stale" concurrently would both
+      // reach a bare delete, and the loser's delete could land AFTER
+      // the winner's fresh create — removing a LIVE lease and letting
+      // two appenders in. A rename to a waiter-unique tombstone is
+      // claimed by exactly one waiter (the other's rename finds the
+      // path gone); the re-read immediately before narrows the
+      // decide-vs-act window, and the pre-swap ownership re-verify in
+      // appendWithManifest is the backstop for what no raw filesystem
+      // can make atomic.
+      leaseContent(fs, lock).foreach { c =>
+        if (stale(c, now) && leaseContent(fs, lock).contains(c)) {
+          val tomb = new org.apache.hadoop.fs.Path(
+            lock.getParent, s".${lock.getName}.broken.$token")
+          if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false))
+            fs.delete(tomb, false)
+        }
+      }
       val created =
         try {
           val out = fs.create(lock, false)
@@ -391,6 +422,13 @@ object Layout {
     token // unreachable
   }
 
+  /** Ownership check for the fencing points: true iff the lease file
+    * currently carries `token`. */
+  private def holdsLease(fs: org.apache.hadoop.fs.FileSystem,
+                         lock: org.apache.hadoop.fs.Path,
+                         token: String): Boolean =
+    leaseContent(fs, lock).exists(_.startsWith(token))
+
   /** Lease file content, None if missing/empty/unreadable. */
   private def leaseContent(fs: org.apache.hadoop.fs.FileSystem,
                            lock: org.apache.hadoop.fs.Path): Option[String] =
@@ -406,12 +444,30 @@ object Layout {
 
   /** Release only a lease this caller still owns — a breaker may have
     * replaced it while we overran `leaseMs`, and deleting the new
-    * owner's lease would let a third appender in beside them. */
+    * owner's lease would let a third appender in beside them. The
+    * release RENAMES the lease aside first and verifies the renamed
+    * content: a bare read-then-delete could delete a lease the breaker
+    * installed between the read and the delete. If the rename grabbed
+    * a FOREIGN lease (we lost ours mid-release), it is restored; a
+    * failed restore (a newer lease landed meanwhile) deletes the
+    * displaced copy — its owner's own fencing re-verify will abort it. */
   private def releaseAppendLease(fs: org.apache.hadoop.fs.FileSystem,
                                  lock: org.apache.hadoop.fs.Path,
-                                 token: String): Unit =
-    if (leaseContent(fs, lock).exists(_.startsWith(token)))
-      fs.delete(lock, false)
+                                 token: String): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(
+      lock.getParent, s".${lock.getName}.released.$token")
+    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
+      val mine = try {
+        val in = fs.open(tomb)
+        val buf = new Array[Byte](128)
+        val n = try in.read(buf) finally in.close()
+        n > 0 && new String(buf, 0, n, "UTF-8").startsWith(token)
+      } catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(tomb, false)
+      else if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
+        fs.delete(tomb, false)
+    }
+  }
 
   /**
    * Manifest-pruned range read: `colName BETWEEN lo AND hi` (inclusive)

@@ -296,12 +296,18 @@ object Retrieval {
     val (dN, dDl) = base
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .as[(Long, Long)].head()
+    // doclens BEFORE the stats swap: the swap is the append's
+    // publication point, and the roster must never lag it — a crash
+    // between a published stats and a missing doclens row would make
+    // the next compaction recompute stats WITHOUT these docs while
+    // their postings survive (compactBm25Index additionally heals any
+    // missing roster rows from the postings themselves)
+    base.select(col(idCol), col("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
     Seq((nDocs0 + dN, sumDl0 + dDl, nBuckets))
       .toDF("n_docs", "sum_dl", "n_buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/stats.__tmp")
     Layout.atomicSwap(spark, s"$path/stats.__tmp", s"$path/stats")
-    base.select(col(idCol), col("dl"))
-      .write.mode("append").parquet(s"$path/doclens")
     postings.unpersist()
     base.unpersist()
   }
@@ -380,7 +386,23 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/terms.__compact")
-    spark.read.parquet(s"$path/doclens")
+    // the purged roster, SELF-HEALING against two append-crash shapes:
+    //  - a crash that landed postings but not the doclens row (the
+    //    append's narrow window): such docs are recovered from their
+    //    own postings — (id, dl) is denormalized per posting row, so
+    //    the distinct is exact for any doc that has at least one term;
+    //  - an index saved before doclens existed: the roster derives
+    //    entirely from postings (zero-token docs are then absent from
+    //    n_docs/avgdl — the one population postings cannot witness,
+    //    documented as the pre-doclens migration cost).
+    val dlP = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val dlFs = dlP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roster0 =
+      if (dlFs.exists(dlP)) spark.read.parquet(s"$path/doclens")
+      else postings.select(col(idCol), col("dl")).limit(0)
+    val fromPostings = postings.select(col(idCol), col("dl")).distinct()
+      .join(roster0.select(col(idCol)), Seq(idCol), "left_anti")
+    roster0.unionByName(fromPostings)
       .join(tomb, col(idCol).cast("long") === col("__tomb"), "left_anti")
       .write.mode("overwrite").parquet(s"$path/doclens.__compact")
     spark.read.parquet(s"$path/doclens.__compact")

@@ -91,20 +91,24 @@ object AnnSink {
     // vector survivors are published but never encoded
     // (appendIvfPqIndex filters them), so sampling one would falsely
     // read "not appended" and duplicate the whole append.
-    // gated on a committed data file, not bare exists: a prior replay
-    // that took the intent-without-proof path and crashed mid
-    // re-overwrite leaves publishedDir present but EMPTY, and an
-    // unguarded read would throw on every later replay (a wedged
-    // stream); falling through to the recompute — safe there by
+    // gated on a COMPLETE job commit (_SUCCESS, written last), not
+    // bare exists or has-a-data-file: a prior replay that took the
+    // intent-without-proof path and crashed mid re-overwrite leaves
+    // publishedDir EMPTY (an unguarded read would wedge every later
+    // replay) or PARTIAL — and a partial subset holding only
+    // null-vector rows would make the empty-sample proof below
+    // falsely finalize the batch (Markers.isCommitted documents both
+    // windows). Falling through to the recompute — safe there by
     // construction, the index is provably un-appended on that path —
     // rewrites the dir and self-heals
     if (Markers.read(spark, s"$indexPath/$Intent") == batchId &&
-        Markers.hasDataFile(dfs, dirP)) {
+        Markers.isCommitted(dfs, dirP)) {
       val sample = spark.read.parquet(publishedDir)
         .filter(col(vecCol).isNotNull)
         .select(col(idCol)).limit(1).collect()
-      // no encodable survivor (all vectors null, or zero survivors)
-      // means the append was a NO-OP — provably done by definition
+      // no encodable survivor in the COMPLETE publish (all vectors
+      // null, or zero survivors) means the append was a NO-OP —
+      // provably done by definition
       val appended = sample.isEmpty ||
         !spark.read.parquet(s"$indexPath/codes")
           .filter(col(idCol) === lit(sample(0).get(0))).isEmpty

@@ -96,26 +96,29 @@ object DedupSink {
           col("num_hashes").cast("int"), col("bands").cast("int"),
           col("seed").cast("long"))
         .as[(Int, Int, Int, Long)].head()
-    // the published-dir read is gated on a committed data file, not
-    // bare exists: a prior replay that took the intent-without-proof
-    // path and crashed mid re-overwrite leaves the dir present but
-    // empty, and an unguarded read would wedge every later replay —
-    // falling through to the recompute (safe there by construction:
-    // that path only runs while the index is provably un-appended)
-    // rewrites the dir and self-heals
+    // the published-dir proof is gated on a COMPLETE job commit
+    // (_SUCCESS, written last), not bare exists: a prior replay that
+    // took the intent-without-proof path and crashed mid re-overwrite
+    // leaves the dir empty (an unguarded read would wedge every later
+    // replay) or PARTIAL (an empty-sample proof over the committed
+    // subset would falsely finalize the batch — Markers.isCommitted
+    // documents both windows). Falling through to the recompute is
+    // safe there by construction: that path only runs while the index
+    // is provably un-appended, and it rewrites the dir.
     if (Markers.read(spark, s"$indexPath/$Intent") == batchId &&
-        Markers.hasDataFile(dfs, dirP)) {
+        Markers.isCommitted(dfs, dirP)) {
       // the sample must be a SHINGLEABLE survivor: appendMinhashIndex
       // filters size(__shh) > 0, so a survivor whose text is null or
-      // shorter than shingle_len publishes but never lands in sets —
+      // whitespace-only publishes but never lands in sets (any
+      // NONEMPTY normalized text emits >= 1 shingle —
+      // FastHash.shingleHashesByPos's max(1, n-k+1) window) —
       // sampling one would falsely read "not appended" after a
       // completed append, re-append duplicate rows, and recompute
       // against the grown index (the transitive-chain divergence this
       // proof exists to prevent). The sample rides the SAME
-      // size(shingleHashes) > 0 predicate the append filters on —
-      // normalization can change the text's length, so a raw length
-      // compare would not be exact. No shingleable survivor at all
-      // means the append was a NO-OP — provably done by definition.
+      // size(shingleHashes) > 0 predicate the append filters on. No
+      // shingleable survivor at all (over the COMPLETE publish) means
+      // the append was a NO-OP — provably done by definition.
       val sample = spark.read.parquet(publishedDir)
         .filter(size(TextDedup.shingleHashes(col(textCol), shingleLen)) > 0)
         .select(col(idCol)).limit(1).collect()

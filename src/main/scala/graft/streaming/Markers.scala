@@ -34,19 +34,27 @@ private[streaming] object Markers {
     }
   }
 
-  /** True when `dir` exists and holds at least one visible data file.
-    * Recovery paths must gate their published-dir reads on this, not
-    * bare `exists`: a crash mid-overwrite can leave the directory
-    * present but empty (metadata deleted, no committed part files),
-    * and `spark.read.parquet` on such a dir throws "unable to infer
-    * schema" on EVERY subsequent replay — a wedged stream, where the
-    * pre-proof code's unconditional overwrite used to self-heal. */
-  def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+  /** True when `dir` holds a COMPLETE job commit (`_SUCCESS` present,
+    * written last by the committer). Recovery paths must gate their
+    * published-dir proofs on this, not bare `exists` or
+    * has-a-data-file:
+    *  - a crash mid-overwrite can leave the dir present but EMPTY —
+    *    an unguarded `spark.read.parquet` then throws on every replay
+    *    (a wedged stream, where the pre-proof code's unconditional
+    *    overwrite used to self-heal);
+    *  - worse, it can leave a PARTIAL subset of part files — if the
+    *    committed subset happens to hold only rows the proof's sample
+    *    filter excludes (null-vector / blank-text survivors, which
+    *    publish but are never indexed), an is-the-sample-empty proof
+    *    would falsely read "append was a no-op", finalize the batch
+    *    marker, and make the partial dir the batch's PERMANENT output.
+    * `_SUCCESS`-gating makes both windows fall through to the
+    * recompute path, which is safe there by construction (a partial
+    * publish can only be left by a crashed replay that was itself on
+    * the provably-unappended recompute path) and rewrites the dir. */
+  def isCommitted(fs: org.apache.hadoop.fs.FileSystem,
                   dir: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(dir) && fs.listStatus(dir).exists { s =>
-      s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".")
-    }
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
 
   def write(spark: SparkSession, path: String, v: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -167,6 +167,42 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
     assert(stats(live)._1 == 4L) // docs 1, 3, 5 and the empty doc 6
   }
 
+  test("bm25 compaction heals a missing doclens roster from the " +
+    "postings themselves (pre-doclens index / append crash window)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_heal").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta"),
+      (3L, "beta zeta eta"),
+      (4L, "   ")).toDF("doc_id", "text") // doc 4 is zero-token
+    Retrieval.saveBm25Index(docs, "doc_id", "text", base, nBuckets = 2)
+    // simulate an index whose roster never landed (saved pre-doclens,
+    // or an append crash before the doclens write)
+    val dlP = new org.apache.hadoop.fs.Path(s"$base/doclens")
+    dlP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(dlP, true)
+    Retrieval.tombstoneBm25Index(Seq(2L).toDF("doc_id"), "doc_id", base)
+    Retrieval.compactBm25Index(spark, base) // must not throw
+    val served = Retrieval
+      .bm25TopKIndexed(spark, base, "doc_id", Seq((1L, "alpha beta")), k = 5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    Retrieval.releaseCaches()
+    assert(served == Set(1L, 3L), s"healed index served $served")
+    // stats recovered from postings: docs 1, 3 AND the blank doc 4 —
+    // whitespace-only text tokenizes to one empty-string token, so
+    // even it has a (dl = 0) posting row to recover from; only a
+    // NULL-text doc would be unrecoverable (the documented migration
+    // cost). Healed stats equal a purged rebuild's exactly here.
+    val (n, s) = spark.read.parquet(s"$base/stats")
+      .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
+      .as[(Long, Long)].head()
+    assert(n == 3L && s == 6L, s"healed stats ($n, $s)")
+    // and the healed roster now exists — the next compaction is exact
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/doclens")))
+  }
+
   test("forgetEverywhere with compactIndexes = false: probes are clean " +
     "immediately, tombstones stand until maintenance compacts") {
     import graft.sources.SnapshotStore

@@ -3962,6 +3962,46 @@ class OpsSpec extends SparkSpec {
     assert(Layout.readPruned(spark, dir, "v", 5000L, 5009L).count() == 10L)
   }
 
+  test("manifest append lease: a fresh foreign lease times the waiter " +
+    "out; a stale one is broken and the append proceeds") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_lease").toString
+    Layout.writeWithManifest(
+      spark.range(50).select(col("id"), col("id").as("v")),
+      Seq("v"), dir, numFiles = 1)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/${Layout.AppendLease}")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plantLease(ageMs: Long): Unit = {
+      val out = fs.create(lock, true)
+      try out.write(
+        s"foreign-owner ${System.currentTimeMillis() - ageMs}"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    // fresh foreign lease: the waiter must NOT break it — it times out
+    plantLease(ageMs = 0L)
+    val e = intercept[IllegalStateException] {
+      Layout.appendWithManifest(
+        spark.range(10).select((col("id") + 100L).as("id"),
+          (col("id") + 100L).as("v")),
+        Seq("v"), dir, numFiles = 1,
+        lockTimeoutMs = 500L, leaseMs = 60000L)
+    }
+    assert(e.getMessage.contains("lease"))
+    assert(Layout.readPruned(spark, dir, "v", 100L, 109L).count() == 0L)
+    // stale foreign lease (older than leaseMs): broken, append lands,
+    // and the lease is released afterwards
+    plantLease(ageMs = 10000L)
+    Layout.appendWithManifest(
+      spark.range(10).select((col("id") + 100L).as("id"),
+        (col("id") + 100L).as("v")),
+      Seq("v"), dir, numFiles = 1,
+      lockTimeoutMs = 5000L, leaseMs = 1000L)
+    assert(Layout.readPruned(spark, dir, "v", 100L, 109L).count() == 10L)
+    assert(!fs.exists(lock), "lease must be released after the append")
+  }
+
   test("mineBitext evaluates each direction's scoring subtree exactly " +
     "once (r9 verdict #4)") {
     import graft.ops.Similarity
