@@ -235,6 +235,10 @@ object Hnsw {
       s"hnswTopK requires an integral id column, got $idType: the " +
         "shard key, level hash and candidate merge all ride the long " +
         "id, and a lossy cast would merge distinct keys")
+    val qIdType = queries.schema(idCol).dataType
+    require(Similarity.integralType(qIdType),
+      s"hnswTopK requires an integral QUERY id column, got $qIdType " +
+        "(same long-cast contract as the corpus side)")
     require(Similarity.atMost(queries, queryCollectLimit),
       s"hnswTopK broadcasts queries into every shard: more than " +
         s"$queryCollectLimit query rows — use ivfPqTopK/topKAuto instead")

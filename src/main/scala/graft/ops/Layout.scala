@@ -454,16 +454,17 @@ object Layout {
   private def releaseAppendLease(fs: org.apache.hadoop.fs.FileSystem,
                                  lock: org.apache.hadoop.fs.Path,
                                  token: String): Unit = {
+    // a KNOWN-foreign lease is never touched: unconditionally renaming
+    // it aside (even with a restore) would leave the lock path vacant
+    // for a polling waiter's create, and a failed restore would then
+    // delete the live owner's lease — two appenders in. The rename
+    // dance below only closes the residual read-vs-delete TOCTOU for
+    // a lease that still READS as ours.
+    if (!holdsLease(fs, lock, token)) return
     val tomb = new org.apache.hadoop.fs.Path(
       lock.getParent, s".${lock.getName}.released.$token")
     if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
-      val mine = try {
-        val in = fs.open(tomb)
-        val buf = new Array[Byte](128)
-        val n = try in.read(buf) finally in.close()
-        n > 0 && new String(buf, 0, n, "UTF-8").startsWith(token)
-      } catch { case _: java.io.IOException => false }
-      if (mine) fs.delete(tomb, false)
+      if (holdsLease(fs, tomb, token)) fs.delete(tomb, false)
       else if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
         fs.delete(tomb, false)
     }

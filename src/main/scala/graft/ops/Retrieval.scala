@@ -400,10 +400,17 @@ object Retrieval {
     val roster0 =
       if (dlFs.exists(dlP)) spark.read.parquet(s"$path/doclens")
       else postings.select(col(idCol), col("dl")).limit(0)
-    val fromPostings = postings.select(col(idCol), col("dl")).distinct()
+    // heal from the PURGED rewrite just written (one re-read, already
+    // tombstone-free) rather than re-scanning the old postings dir —
+    // a tombstoned id's rows can't resurface from it, and a roster id
+    // is excluded by the anti-join, so only genuinely missing live
+    // docs are recovered
+    val fromPostings = spark.read.parquet(s"$path/postings.__compact")
+      .select(col(idCol), col("dl")).distinct()
       .join(roster0.select(col(idCol)), Seq(idCol), "left_anti")
-    roster0.unionByName(fromPostings)
+    roster0
       .join(tomb, col(idCol).cast("long") === col("__tomb"), "left_anti")
+      .unionByName(fromPostings)
       .write.mode("overwrite").parquet(s"$path/doclens.__compact")
     spark.read.parquet(s"$path/doclens.__compact")
       .agg(count(lit(1)).as("n_docs"),

@@ -73,6 +73,7 @@ object AnnSink {
                  batch: DataFrame, batchId: Long,
                  nProbe: Int = 4, k: Int = 4, batchCells: Int = 64,
                  compactEvery: Long = 0L): DataFrame = {
+    Markers.requireSuccessMarkers(spark)
     val publishedDir = s"$corpusPath/ingest_batch=$batchId"
     val dirP = new org.apache.hadoop.fs.Path(publishedDir)
     val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)

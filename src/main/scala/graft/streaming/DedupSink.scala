@@ -66,6 +66,7 @@ object DedupSink {
                  batch: DataFrame, batchId: Long,
                  compactEvery: Long = 0L): DataFrame = {
     import spark.implicits._
+    Markers.requireSuccessMarkers(spark)
     val publishedDir = s"$corpusPath/ingest_batch=$batchId"
     val dirP = new org.apache.hadoop.fs.Path(publishedDir)
     val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)

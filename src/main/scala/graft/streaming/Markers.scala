@@ -56,6 +56,20 @@ private[streaming] object Markers {
                   dir: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
 
+  /** The recovery proofs above DEPEND on `_SUCCESS` being emitted —
+    * with `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`
+    * (or a committer that strips it) `isCommitted` would read every
+    * completed publish as incomplete and the sinks would silently
+    * recompute against a grown index on replay: the transitive-chain
+    * divergence the proof exists to prevent. The sinks call this
+    * guard per batch, failing FAST with the reason instead. */
+  def requireSuccessMarkers(spark: SparkSession): Unit =
+    require(spark.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "the streaming sinks' crash-recovery proof requires _SUCCESS " +
+        "markers: set mapreduce.fileoutputcommitter.marksuccessfuljobs" +
+        "=true (the default) for this session")
+
   def write(spark: SparkSession, path: String, v: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
