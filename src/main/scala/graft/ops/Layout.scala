@@ -206,6 +206,26 @@ object Layout {
   private[graft] val lastManifestPrune =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** Read the manifest rows of a manifest-tracked directory. The data
+    * FILES are listed and passed explicitly rather than the manifest
+    * dir itself: `_graft_manifest` is underscore-named, and Spark
+    * warns `All paths were ignored` on every read whose explicit root
+    * path has a metadata-style name (it proceeds anyway — the r10
+    * scaling runs logged one WARN per pruned read). The listing is the
+    * same single-small-dir round trip the read itself performs. */
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           mPath: org.apache.hadoop.fs.Path): DataFrame = {
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(mPath)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    require(files.nonEmpty,
+      s"manifest at $mPath holds no data files (interrupted write?) — " +
+        "run refreshManifest to repair")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /**
    * (Re)build the file-level min/max manifest for a parquet directory:
    * one column-pruned scan grouped by `_metadata.file_path`, written as
@@ -337,7 +357,8 @@ object Layout {
           .agg(aggs.head, aggs.tail: _*)
         val manifestPath = s"$path/$ManifestDir"
         val tmp = s"$manifestPath.__append"
-        spark.read.parquet(manifestPath).unionByName(newRows)
+        readManifest(spark, new org.apache.hadoop.fs.Path(manifestPath))
+          .unionByName(newRows)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         // FENCING: re-verify ownership immediately before the shared
         // mutation (the manifest swap). If the lease was lost — we
@@ -363,112 +384,34 @@ object Layout {
   private[graft] val AppendLease = "_graft_manifest_lease"
 
   /**
-   * Acquire the appender lease: create-exclusive the lease file with a
-   * fresh owner token, then VERIFY ownership by read-back.
-   * `create(overwrite = false)` is atomic on HDFS and the object-store
-   * committers, but check-then-act on the local filesystem — the
-   * read-back (after a short settle so a simultaneous creator's write
-   * lands first) makes the local race resolve to exactly one owner:
-   * whichever token the file holds. A lease older than `leaseMs` is
-   * broken as crashed (the holder's clock stamp is in the file).
-   * Returns the owner token; throws after `timeoutMs` of contention.
+   * Acquire the appender lease — delegated to the shared [[Lease]]
+   * primitive since r11 (the snapshot store's vacuum/commit guard uses
+   * the same protocol; one implementation, one set of specs).
+   * Staleness is judged from the lease file's FILESYSTEM mtime, not a
+   * holder-embedded clock stamp — cross-driver clock skew cannot break
+   * a live lease (r10 advice), because the FS assigns every waiter the
+   * same age from one clock source. Returns the owner token; throws
+   * after `timeoutMs` of contention.
    */
   private def acquireAppendLease(fs: org.apache.hadoop.fs.FileSystem,
                                  lock: org.apache.hadoop.fs.Path,
-                                 timeoutMs: Long, leaseMs: Long): String = {
-    val token = java.util.UUID.randomUUID().toString
-    val deadline = System.currentTimeMillis() + timeoutMs
-    def stale(content: String, now: Long): Boolean = content.split(" ") match {
-      case Array(_, stamp) =>
-        scala.util.Try(stamp.toLong).toOption.forall(now - _ > leaseMs)
-      case _ => true // garbled lease: break it
-    }
-    while (true) {
-      val now = System.currentTimeMillis()
-      // break a stale lease by RENAME-then-delete, never delete-in-
-      // place: two waiters deciding "stale" concurrently would both
-      // reach a bare delete, and the loser's delete could land AFTER
-      // the winner's fresh create — removing a LIVE lease and letting
-      // two appenders in. A rename to a waiter-unique tombstone is
-      // claimed by exactly one waiter (the other's rename finds the
-      // path gone); the re-read immediately before narrows the
-      // decide-vs-act window, and the pre-swap ownership re-verify in
-      // appendWithManifest is the backstop for what no raw filesystem
-      // can make atomic.
-      leaseContent(fs, lock).foreach { c =>
-        if (stale(c, now) && leaseContent(fs, lock).contains(c)) {
-          val tomb = new org.apache.hadoop.fs.Path(
-            lock.getParent, s".${lock.getName}.broken.$token")
-          if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false))
-            fs.delete(tomb, false)
-        }
-      }
-      val created =
-        try {
-          val out = fs.create(lock, false)
-          try out.write(s"$token $now".getBytes("UTF-8")) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (created) {
-        Thread.sleep(10)
-        if (leaseContent(fs, lock).exists(_.startsWith(token))) return token
-      }
-      if (System.currentTimeMillis() >= deadline)
-        throw new IllegalStateException(
-          s"could not acquire manifest append lease $lock in ${timeoutMs}ms" +
-            " — another appender holds it (or raise leaseMs breakage)")
-      Thread.sleep(50)
-    }
-    token // unreachable
-  }
+                                 timeoutMs: Long, leaseMs: Long): String =
+    Lease.acquire(fs, lock, timeoutMs, leaseMs)
 
   /** Ownership check for the fencing points: true iff the lease file
     * currently carries `token`. */
   private def holdsLease(fs: org.apache.hadoop.fs.FileSystem,
                          lock: org.apache.hadoop.fs.Path,
                          token: String): Boolean =
-    leaseContent(fs, lock).exists(_.startsWith(token))
+    Lease.holds(fs, lock, token)
 
-  /** Lease file content, None if missing/empty/unreadable. */
-  private def leaseContent(fs: org.apache.hadoop.fs.FileSystem,
-                           lock: org.apache.hadoop.fs.Path): Option[String] =
-    try {
-      if (!fs.exists(lock)) None
-      else {
-        val in = fs.open(lock)
-        val buf = new Array[Byte](128)
-        val n = try in.read(buf) finally in.close()
-        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
-      }
-    } catch { case _: java.io.IOException => None }
-
-  /** Release only a lease this caller still owns — a breaker may have
-    * replaced it while we overran `leaseMs`, and deleting the new
-    * owner's lease would let a third appender in beside them. The
-    * release RENAMES the lease aside first and verifies the renamed
-    * content: a bare read-then-delete could delete a lease the breaker
-    * installed between the read and the delete. If the rename grabbed
-    * a FOREIGN lease (we lost ours mid-release), it is restored; a
-    * failed restore (a newer lease landed meanwhile) deletes the
-    * displaced copy — its owner's own fencing re-verify will abort it. */
+  /** Release only a lease this caller still owns (rename-verify-
+    * delete; a KNOWN-foreign lease is never touched) — the shared
+    * [[Lease.release]] protocol. */
   private def releaseAppendLease(fs: org.apache.hadoop.fs.FileSystem,
                                  lock: org.apache.hadoop.fs.Path,
-                                 token: String): Unit = {
-    // a KNOWN-foreign lease is never touched: unconditionally renaming
-    // it aside (even with a restore) would leave the lock path vacant
-    // for a polling waiter's create, and a failed restore would then
-    // delete the live owner's lease — two appenders in. The rename
-    // dance below only closes the residual read-vs-delete TOCTOU for
-    // a lease that still READS as ours.
-    if (!holdsLease(fs, lock, token)) return
-    val tomb = new org.apache.hadoop.fs.Path(
-      lock.getParent, s".${lock.getName}.released.$token")
-    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
-      if (holdsLease(fs, tomb, token)) fs.delete(tomb, false)
-      else if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
-        fs.delete(tomb, false)
-    }
-  }
+                                 token: String): Unit =
+    Lease.release(fs, lock, token)
 
   /**
    * Manifest-pruned range read: `colName BETWEEN lo AND hi` (inclusive)
@@ -516,7 +459,7 @@ object Layout {
     // manifest must never DUPLICATE a file's rows by listing it twice,
     // and files missing from the manifest are unpruned-invisible, with
     // refreshManifest as the repair
-    val decisions = spark.read.parquet(mPath.toString)
+    val decisions = readManifest(spark, mPath)
       .select(col("file"), keep.as("keep"))
       .collect()
     val kept = decisions.filter(_.getBoolean(1)).map(_.getString(0)).distinct

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * Shared filesystem lease — the writer-serialization primitive behind
+ * [[Layout.appendWithManifest]] (r10) and the snapshot store's
+ * vacuum/commit guard (r11). One lease file = one critical section;
+ * holders are identified by a token the file carries, so every
+ * mutation point can FENCE (re-verify ownership immediately before
+ * the shared mutation) and abort fail-safe if the lease was broken.
+ *
+ * Protocol (all raw-filesystem-safe, no coordination service):
+ *  - ACQUIRE: create-exclusive the lease file with a fresh owner
+ *    token, then VERIFY ownership by read-back. `create(overwrite =
+ *    false)` is atomic on HDFS and the object-store committers, but
+ *    check-then-act on the local filesystem — the read-back (after a
+ *    short settle so a simultaneous creator's write lands first)
+ *    makes the local race resolve to exactly one owner: whichever
+ *    token the file holds.
+ *  - STALENESS is judged from the lease FILE's filesystem
+ *    modification time, not a clock stamp embedded by the holder
+ *    (the r10 scheme): the FS assigns mtime from ONE clock source
+ *    (the namenode / local kernel), so every waiter ages the same
+ *    lease identically, and cross-driver clock skew only enters
+ *    through the waiter's own `now` — one clock pair, not two. Size
+ *    `leaseMs` above the longest expected critical section PLUS the
+ *    worst driver-vs-FS clock skew; the holder's pre-mutation fence
+ *    is the backstop for an erroneous break.
+ *  - BREAK a stale lease by RENAME-to-unique-tombstone, never a bare
+ *    delete: two waiters deciding "stale" concurrently would both
+ *    reach a delete, and the loser's delete could land AFTER the
+ *    winner's fresh create — removing a LIVE lease and letting two
+ *    writers in. A rename is claimed by exactly one waiter.
+ *  - RELEASE only a lease the caller still owns, by rename-verify-
+ *    delete (a bare read-then-delete could delete a lease a breaker
+ *    installed between the read and the delete); a KNOWN-foreign
+ *    lease is never touched.
+ *
+ * The lease file content is `<owner-token> <epoch-millis>`; the
+ * stamp is diagnostic only (who acquired when) — staleness never
+ * reads it.
+ */
+private[graft] object Lease {
+
+  /** Acquire the lease at `lock`, returning the owner token; throws
+    * after `timeoutMs` of contention. A lease file older than
+    * `leaseMs` (by fs mtime) is broken as crashed. */
+  def acquire(fs: FileSystem, lock: Path,
+              timeoutMs: Long, leaseMs: Long): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (true) {
+      val now = System.currentTimeMillis()
+      // stale = fs-mtime aged past leaseMs: break by rename-to-
+      // unique-tombstone. A garbled/empty lease (crashed mid-create)
+      // simply AGES OUT like any other — breaking it eagerly would
+      // race a live creator's in-flight write. The re-read
+      // immediately before narrows the decide-vs-act window, and the
+      // holder's own fencing re-verify is the backstop for what no
+      // raw filesystem can make atomic.
+      statusAndContent(fs, lock).foreach { case (mtime, _) =>
+        if (now - mtime > leaseMs &&
+          statusAndContent(fs, lock).exists(_._1 == mtime)) {
+          val tomb = new Path(lock.getParent,
+            s".${lock.getName}.broken.$token")
+          if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false))
+            fs.delete(tomb, false)
+        }
+      }
+      val created =
+        try {
+          val out = fs.create(lock, false)
+          try out.write(s"$token $now".getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) {
+        Thread.sleep(10)
+        if (content(fs, lock).exists(_.startsWith(token))) return token
+      }
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"could not acquire lease $lock in ${timeoutMs}ms — another " +
+            "writer holds it (or raise leaseMs breakage)")
+      Thread.sleep(50)
+    }
+    token // unreachable
+  }
+
+  /** Ownership check for fencing points: true iff the lease file
+    * currently carries `token`. */
+  def holds(fs: FileSystem, lock: Path, token: String): Boolean =
+    content(fs, lock).exists(_.startsWith(token))
+
+  /** Release only a lease this caller still owns — see the protocol
+    * note above. If the rename grabbed a FOREIGN lease (ours was
+    * broken mid-release and replaced), it is restored; a failed
+    * restore (a newer lease landed meanwhile) deletes the displaced
+    * copy — its owner's own fencing re-verify will abort it. */
+  def release(fs: FileSystem, lock: Path, token: String): Unit = {
+    // a KNOWN-foreign lease is never touched: unconditionally renaming
+    // it aside (even with a restore) would leave the lock path vacant
+    // for a polling waiter's create, and a failed restore would then
+    // delete the live owner's lease — two writers in. The rename
+    // dance below only closes the residual read-vs-delete TOCTOU for
+    // a lease that still READS as ours.
+    if (!holds(fs, lock, token)) return
+    val tomb = new Path(lock.getParent,
+      s".${lock.getName}.released.$token")
+    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
+      if (holds(fs, tomb, token)) fs.delete(tomb, false)
+      else if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
+        fs.delete(tomb, false)
+    }
+  }
+
+  /** Lease file content, None if missing/empty/unreadable. */
+  private def content(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      if (!fs.exists(lock)) None
+      else {
+        val in = fs.open(lock)
+        val buf = new Array[Byte](128)
+        val n = try in.read(buf) finally in.close()
+        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** (fs mtime, content or "" if unreadable) of the lease file; None
+    * if it does not exist. The mtime is the staleness clock; the
+    * content is carried for diagnostics. */
+  private def statusAndContent(fs: FileSystem,
+                               lock: Path): Option[(Long, String)] =
+    try {
+      val st = fs.getFileStatus(lock)
+      Some((st.getModificationTime, content(fs, lock).getOrElse("")))
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.io.IOException => None
+    }
+}

@@ -3978,6 +3978,10 @@ class OpsSpec extends SparkSpec {
         s"foreign-owner ${System.currentTimeMillis() - ageMs}"
           .getBytes("UTF-8"))
       finally out.close()
+      // staleness is judged from the FILE's fs mtime (r10 advice: a
+      // holder-embedded clock stamp breaks LIVE leases under cross-
+      // driver clock skew), so aging the lease means aging the file
+      fs.setTimes(lock, System.currentTimeMillis() - ageMs, -1L)
     }
     // fresh foreign lease: the waiter must NOT break it — it times out
     plantLease(ageMs = 0L)
@@ -3990,6 +3994,23 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("lease"))
     assert(Layout.readPruned(spark, dir, "v", 100L, 109L).count() == 0L)
+    // clock-skew immunity (r10 advice): a LIVE lease whose holder's
+    // embedded clock stamp reads far in the past (skewed writer clock)
+    // must NOT be broken — staleness is the file's fs mtime, and this
+    // file is fresh
+    val out2 = fs.create(lock, true)
+    try out2.write(
+      s"skewed-owner ${System.currentTimeMillis() - 3600000L}"
+        .getBytes("UTF-8"))
+    finally out2.close()
+    val e2 = intercept[IllegalStateException] {
+      Layout.appendWithManifest(
+        spark.range(10).select((col("id") + 100L).as("id"),
+          (col("id") + 100L).as("v")),
+        Seq("v"), dir, numFiles = 1,
+        lockTimeoutMs = 500L, leaseMs = 60000L)
+    }
+    assert(e2.getMessage.contains("lease"))
     // stale foreign lease (older than leaseMs): broken, append lands,
     // and the lease is released afterwards
     plantLease(ageMs = 10000L)

@@ -55,7 +55,7 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.versions(spark, path) == Seq(1L))
     assert(readIds(path) == (1L to 5L).toSet)
     // vacuum reclaims it (and only it)
-    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 10)
+    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 10, graceMs = 0L)
     assert(dropped == 1)
     assert(readIds(path) == (1L to 5L).toSet)
   }
@@ -67,7 +67,7 @@ class SnapshotStoreSpec extends SparkSpec {
     val v3 = SnapshotStore.commit(df(1 to 3), path)
     // a rollback ALIASES v1's generation; vacuum must count references
     val v4 = SnapshotStore.rollback(spark, path, v1)
-    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 2)
+    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 2, graceMs = 0L)
     // v1+v2 version files dropped; v1's GENERATION survives (v4 refs
     // it), v2's is unreferenced -> exactly one dir reclaimed
     assert(dropped == 1, s"dropped $dropped")
@@ -145,7 +145,7 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.readVersion(spark, path, 1L)
       .select($"id").as[Long].collect().toSet == (1L to 20L).toSet)
     // the compliance step: vacuum erases the superseded generation
-    SnapshotStore.vacuum(spark, path, keepLast = 1)
+    SnapshotStore.vacuum(spark, path, keepLast = 1, graceMs = 0L)
     intercept[Exception] { SnapshotStore.readVersion(spark, path, 1L).collect() }
     assert(readIds(path) == (1L to 20L).toSet -- Set(3L, 7L))
   }
@@ -180,7 +180,7 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.readTable(spark, path, "dims").count() == 5)
     // vacuumCatalog: keep v2+v3; v3 aliases v1's gens so they survive,
     // the orphan and nothing else is reclaimed
-    val dropped = SnapshotStore.vacuumCatalog(spark, path, keepLast = 2)
+    val dropped = SnapshotStore.vacuumCatalog(spark, path, keepLast = 2, graceMs = 0L)
     assert(dropped == 1, s"expected only the orphan dropped, got $dropped")
     assert(SnapshotStore.readTable(spark, path, "facts").count() == 5)
     assert(SnapshotStore
@@ -235,7 +235,7 @@ class SnapshotStoreSpec extends SparkSpec {
       .filter($"cust" === 2L).count() == 3)
     // compliance step: vacuumCatalog physically erases the superseded
     // generations (facts+dims) but keeps the re-linked aux gen
-    val dropped = SnapshotStore.vacuumCatalog(spark, path, keepLast = 1)
+    val dropped = SnapshotStore.vacuumCatalog(spark, path, keepLast = 1, graceMs = 0L)
     assert(dropped == 2, s"expected facts+dims gens dropped, got $dropped")
     intercept[Exception] {
       SnapshotStore.readTableVersion(spark, path, "facts", v1).collect()
@@ -281,5 +281,127 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got3 == want1)
     // the manifest dir is invisible to a plain reader of the version
     assert(SnapshotStore.readVersion(spark, path, v1).count() == 1000)
+  }
+
+  // ---- vacuum vs in-flight commit (the r10 verdict's one `weak`) ----
+
+  test("vacuum grace window: a freshly written uncommitted generation " +
+    "survives the pass and its commit then publishes intact") {
+    val path = freshPath("grace")
+    SnapshotStore.commit(df(1 to 5), path)
+    // an in-flight commit: gen data fully written, version not yet
+    // published — exactly what r10's vacuum reclaimed as an orphan
+    df(100 to 110).write.parquet(s"$path/gen-inflight")
+    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 1)
+    assert(dropped == 0,
+      s"default grace window must skip the young gen, dropped $dropped")
+    // the stalled publish completes: the commit SURVIVES the vacuum
+    val v = SnapshotStore.link(spark, path, "gen-inflight")
+    assert(SnapshotStore.readVersion(spark, path, v)
+      .select($"id").as[Long].collect().toSet == (100L to 110L).toSet)
+  }
+
+  test("vacuum fired between gen-write and publish: the stalled commit " +
+    "fails CLEANLY at the fence — no version names a deleted dir") {
+    val path = freshPath("fence")
+    SnapshotStore.commit(df(1 to 5), path)
+    df(100 to 110).write.parquet(s"$path/gen-stalled")
+    // also plant a crashed publisher's temp file — vacuum reclaims it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashTmp = new org.apache.hadoop.fs.Path(
+      s"$path/_versions/.tmp-crashed1")
+    val o = fs.create(crashTmp, false)
+    try o.write("gen-nowhere".getBytes("UTF-8")) finally o.close()
+    // graceMs = 0 simulates a commit stalled PAST the grace window
+    val dropped = SnapshotStore.vacuum(spark, path, keepLast = 1,
+      graceMs = 0L)
+    assert(dropped == 1, s"the stalled gen is an orphan to vacuum: $dropped")
+    assert(!fs.exists(crashTmp), "aged publish temp must be reclaimed")
+    val before = SnapshotStore.versions(spark, path)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.link(spark, path, "gen-stalled")
+    }
+    assert(e.getMessage.contains("fence"), e.getMessage)
+    // CLEAN failure: version list unchanged, store readable, and no
+    // temp/lease litter in the metadata dir
+    assert(SnapshotStore.versions(spark, path) == before)
+    assert(readIds(path) == (1L to 5L).toSet)
+    val litter = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_versions"))
+      .map(_.getPath.getName).filterNot(_.startsWith("v"))
+    assert(litter.isEmpty, s"publish litter: ${litter.toSeq}")
+    // every surviving version still resolves
+    SnapshotStore.versions(spark, path).foreach { v =>
+      SnapshotStore.readVersion(spark, path, v).collect()
+    }
+  }
+
+  test("catalog fence: a stalled commitAll whose table gen was vacuumed " +
+    "aborts with no catalog version published") {
+    val path = freshPath("catfence")
+    SnapshotStore.commitAll(Map("t" -> df(1 to 4)), path)
+    df(50 to 60).write.parquet(s"$path/t/gen-stalled2")
+    assert(SnapshotStore.vacuumCatalog(spark, path, keepLast = 1,
+      graceMs = 0L) == 1)
+    val before = SnapshotStore.versions(spark, path)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.link(spark, path, "t gen-stalled2")
+    }
+    assert(e.getMessage.contains("fence"), e.getMessage)
+    assert(SnapshotStore.versions(spark, path) == before)
+    assert(SnapshotStore.readTable(spark, path, "t").count() == 4)
+  }
+
+  test("racing committers vs a zero-grace vacuumer: every surviving " +
+    "version resolves; every failed commit failed cleanly") {
+    val path = freshPath("race2")
+    SnapshotStore.commit(df(1 to 3), path)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val successes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumer = new Thread(() => {
+      while (!stop.get()) {
+        // graceMs = 0: maximally hostile — every unpublished gen is
+        // fair game the instant it is written
+        SnapshotStore.vacuum(spark, path, keepLast = 1, graceMs = 0L)
+        Thread.sleep(3)
+      }
+    })
+    vacuumer.start()
+    val committers = (1 to 3).map { c =>
+      new Thread(() => {
+        (1 to 4).foreach { i =>
+          try {
+            SnapshotStore.commit(df(c * 100 + i to c * 100 + i + 2), path)
+            successes.incrementAndGet()
+          } catch {
+            // ANY failure shape is acceptable under zero grace — the
+            // vacuum may eat the gen mid-write (Spark write job fails)
+            // or between write and publish (the fence aborts). What
+            // matters is that a failed commit published NOTHING, which
+            // the version sweep below proves.
+            case scala.util.control.NonFatal(_) =>
+              failures.incrementAndGet()
+          }
+        }
+      })
+    }
+    committers.foreach(_.start())
+    committers.foreach(_.join(120000))
+    stop.set(true)
+    vacuumer.join(120000)
+    assert(successes.get() + failures.get() == 12,
+      s"${successes.get()} ok + ${failures.get()} fenced != 12")
+    // the invariant the r10 race broke: NO version (current or
+    // historical survivor) may reference a deleted generation
+    val vs = SnapshotStore.versions(spark, path)
+    vs.foreach { v =>
+      SnapshotStore.readVersion(spark, path, v).collect()
+    }
+    assert(vs.nonEmpty)
+    // the store is still writable and clean afterwards
+    val vNew = SnapshotStore.commit(df(900 to 905), path)
+    assert(SnapshotStore.readVersion(spark, path, vNew).count() == 6)
   }
 }
