@@ -87,8 +87,17 @@ object Hnsw {
     s
   }
 
-  /** One shard's graph: flat arrays indexed by local node id. */
-  private final class ShardGraph(m: Int, efConstruction: Int) {
+  /** One shard's graph: flat arrays indexed by local node id.
+    * `expectedDim` fixes the vector dimensionality (pass -1 to adopt
+    * the first inserted vector's): [[dot]] folds over the SHORTER
+    * operand, so a dimension-mismatched row would silently score on a
+    * prefix during build/search while the exact re-rank scores it
+    * differently — corrupt input must fail loudly instead of
+    * invisibly degrading recall (r10 advice, the id-type-check
+    * fail-fast style). */
+  private final class ShardGraph(m: Int, efConstruction: Int,
+                                 expectedDim: Int = -1) {
+    private var dim = expectedDim
     private val mL = 1.0 / math.log(m.toDouble)
     private val maxM0 = 2 * m
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -153,6 +162,11 @@ object Hnsw {
     /** Insert in caller-sorted id order; the paper's algorithm 1 with
       * closest-M neighbor selection (simple heuristic — documented). */
     def insert(id: Long, vf: Array[Float]): Unit = {
+      if (dim < 0) dim = vf.length
+      require(vf.length == dim,
+        s"hnsw insert: corpus id $id has a ${vf.length}-dim vector, " +
+          s"expected $dim — a prefix dot product would silently " +
+          "corrupt the graph")
       val v = l2normalize(vf)
       val lvl = levelFor(id, mL)
       val node = ids.length
@@ -195,6 +209,8 @@ object Hnsw {
     /** Top-`n` candidate LOCAL node ids for query vector `qf`. */
     def search(qf: Array[Float], n: Int, efSearch: Int): Array[Int] = {
       if (entry < 0) return Array.empty
+      require(qf.length == dim,
+        s"hnsw search: ${qf.length}-dim query against a $dim-dim graph")
       val q = l2normalize(qf)
       var ep = entry
       var l = topLevel
@@ -246,6 +262,21 @@ object Hnsw {
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
+    // all query vectors must agree on a dimensionality, and every
+    // shard build then enforces it on inserts — fail-fast over silent
+    // prefix scoring (see ShardGraph). With no queries the result is
+    // empty regardless; each shard then self-checks from its first row.
+    val qDim =
+      if (qArr.isEmpty) -1
+      else {
+        val d = qArr.head._2.length
+        qArr.find(_._2.length != d).foreach { case (qid, qv) =>
+          throw new IllegalArgumentException(
+            s"hnswTopK: query id $qid has a ${qv.length}-dim vector, " +
+              s"others have $d — mixed dimensionalities cannot score")
+        }
+        d
+      }
     val qB = spark.sparkContext.broadcast(qArr)
     val shards =
       if (nShards > 0) nShards
@@ -267,7 +298,7 @@ object Hnsw {
       .sortWithinPartitions(col("__cid"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val g = new ShardGraph(m, efConstruction)
+        val g = new ShardGraph(m, efConstruction, qDim)
         it.foreach { case (id, v) => g.insert(id, v) }
         val qs = qB.value
         qs.iterator.flatMap { case (qid, qv) =>

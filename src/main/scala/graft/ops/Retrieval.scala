@@ -199,6 +199,16 @@ object Retrieval {
                     path: String, nBuckets: Int = 64,
                     termNdvPerBucket: Long = 1L << 17): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    // the delete lifecycle (tombstone/compact/forgetEverywhere)
+    // anti-joins on cast('long') — for a non-integral id the cast
+    // yields null, no tombstone ever matches, and a "deleted" doc
+    // keeps being served SILENTLY. Refuse to build an unpurgeable
+    // index rather than fail the purge years later.
+    require(Similarity.integralType(docs.schema(idCol).dataType),
+      s"saveBm25Index requires an integral id column, got " +
+        s"${docs.schema(idCol).dataType}: the tombstone/compact " +
+        "lifecycle matches ids through a long cast, which is lossy " +
+        "(silently no-op) for any other type")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol),
@@ -330,9 +340,50 @@ object Retrieval {
    * identically).
    */
   def tombstoneBm25Index(ids: DataFrame, idCol: String,
-                         path: String): Unit =
+                         path: String): Unit = {
+    // fail-fast (r10 advice, medium): a non-integral purge id would
+    // cast to null, match nothing in the probe/compact anti-joins,
+    // and the next compaction would DELETE the tombstone list —
+    // permanently discarding the purge intent as a silent no-op
+    require(Similarity.integralType(ids.schema(idCol).dataType),
+      s"tombstoneBm25Index requires an integral id column, got " +
+        s"${ids.schema(idCol).dataType}: tombstones match through a " +
+        "long cast, which yields null (matches nothing, silently) " +
+        "for any other type")
     ids.select(col(idCol).cast("long").as("__tomb")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The postings table of a [[saveBm25Index]] layout, schema-safe
+    * when the directory holds NO data files — the state a compaction
+    * of a fully-tombstoned index leaves behind (a partitioned write
+    * of zero rows emits only _SUCCESS; schema inference over it
+    * throws). The empty-dir schema derives from `doclens/` (always
+    * present after any compaction, and written by every save since
+    * r9) plus the fixed posting columns; an index with neither
+    * readable is genuinely corrupt and rethrows the original error. */
+  private def postingsOrEmpty(spark: SparkSession,
+                              path: String): DataFrame =
+    try spark.read.parquet(s"$path/postings") catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val dl =
+          try spark.read.parquet(s"$path/doclens") catch {
+            case _: org.apache.spark.sql.AnalysisException => throw e
+          }
+        val idField = dl.schema.fields.filterNot(_.name == "dl").head
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            idField,
+            org.apache.spark.sql.types.StructField("dl",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("term",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("tf",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.IntegerType))))
+    }
 
   /** Tombstoned ids of a BM25 index (empty if none were written). */
   def bm25Tombstones(spark: SparkSession, path: String): DataFrame = {
@@ -365,7 +416,7 @@ object Retrieval {
     import spark.implicits._
     val nBuckets = spark.read.parquet(s"$path/stats")
       .select(col("n_buckets").cast("int")).as[Int].head()
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = postingsOrEmpty(spark, path)
     val idCol = postings.columns
       .filterNot(Set("dl", "term", "tf", "bucket")).head
     val tomb = bm25Tombstones(spark, path)
@@ -379,8 +430,14 @@ object Retrieval {
       .parquet(s"$path/postings.__compact")
     // terms and stats derive from the files just WRITTEN (re-read),
     // never from a live plan over a directory about to be swapped —
-    // a post-swap re-evaluation would read a vanished file list
-    spark.read.parquet(s"$path/postings.__compact")
+    // a post-swap re-evaluation would read a vanished file list. The
+    // re-reads carry the EXPLICIT postings schema: a fully-tombstoned
+    // index writes a `.__compact` with no data files (a partitioned
+    // write of zero rows emits only _SUCCESS), and schema inference
+    // over it would abort the compaction midway, stranding the
+    // `.__compact` dirs (r10 advice, low)
+    val postingsSchema = postings.schema
+    spark.read.schema(postingsSchema).parquet(s"$path/postings.__compact")
       .groupBy(col("term"), col("bucket"))
       .agg(count(lit(1)).as("df"))
       .repartition(col("bucket"))
@@ -405,7 +462,8 @@ object Retrieval {
     // a tombstoned id's rows can't resurface from it, and a roster id
     // is excluded by the anti-join, so only genuinely missing live
     // docs are recovered
-    val fromPostings = spark.read.parquet(s"$path/postings.__compact")
+    val fromPostings = spark.read.schema(postingsSchema)
+      .parquet(s"$path/postings.__compact")
       .select(col(idCol), col("dl")).distinct()
       .join(roster0.select(col(idCol)), Seq(idCol), "left_anti")
     roster0
@@ -444,6 +502,23 @@ object Retrieval {
         col("n_buckets").cast("int"))
       .as[(Long, Long, Int)].head()
     val (nDocs, sumDl, nBuckets) = stats
+    // an index whose every document was tombstoned AND compacted away
+    // is a valid layout (stats say so); no query can hit, and the
+    // postings dir may hold no data files at all — answer empty
+    // without touching it (the idCol type comes from the doclens
+    // roster, which every compaction rewrites)
+    if (nDocs == 0L) {
+      val idField = spark.read.parquet(s"$path/doclens").schema
+        .fields.filterNot(_.name == "dl").head.copy(name = idCol)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType),
+          idField,
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     val avgdl = sumDl.toDouble / nDocs
     val qTerms = splitQueryTerms(queries)
     val termSet = qTerms.map(_._2).distinct
@@ -458,7 +533,7 @@ object Retrieval {
     // and rides on top of the already bucket/bloom-pruned scan. df and
     // the corpus scalars keep their saved values until compaction —
     // the documented soft-delete contract.
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = postingsOrEmpty(spark, path)
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termSet: _*))
       .join(bm25Tombstones(spark, path),
@@ -467,8 +542,24 @@ object Retrieval {
     // sum per term: a base save writes one df row per term, and each
     // appendBm25Index batch adds a delta row — document frequencies
     // are order-free long sums, so the aggregate makes the probe read
-    // base+deltas exactly as if the index had been rebuilt
-    val dfPerTerm = spark.read.parquet(s"$path/terms")
+    // base+deltas exactly as if the index had been rebuilt. The terms
+    // dir is schema-safe the same way postings is: a corpus of only
+    // zero-token docs has n_docs > 0 but no postings/terms rows, and
+    // a partitioned zero-row write leaves no inferable files.
+    val termsDf =
+      try spark.read.parquet(s"$path/terms") catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("term",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("df",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.IntegerType))))
+      }
+    val dfPerTerm = termsDf
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termSet: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))

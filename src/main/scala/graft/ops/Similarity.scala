@@ -260,6 +260,23 @@ object Similarity {
    * instead of pinning one per call with no owner. The exact branch
    * stays lazy and replayable. Callers needing a recoverable frame on
    * a real cluster should persist/write the result themselves.
+   *
+   * WHY HNSW IS NOT A DISPATCH PATH (r10 verdict #3, the contract):
+   * [[graft.ops.Hnsw.topK]] builds its per-shard graphs ON EVERY CALL
+   * — O(corpus · efConstruction · log corpus) distance evaluations
+   * before the first candidate comes back. That is the right trade
+   * for a one-shot batch join against a corpus that changes under
+   * you, and the wrong one everywhere this dispatcher is used:
+   * below `exactCorpusLimit` the exhaustive kernel is already optimal
+   * (no build cost at all), and above it the IVF shortlist reuses its
+   * cell assignment across the whole query batch for a fraction of a
+   * graph build's work. Repeated serving against a STABLE corpus —
+   * the one shape where HNSW's build cost amortizes — is what the
+   * PERSISTED index families are for ([[saveIvfPqIndex]] /
+   * [[ivfPqTopKIndexed]]: build once, probe forever, with the delete
+   * lifecycle attached). So HNSW stays an explicit, caller-chosen
+   * batch operator, not a size-triggered surprise with a hidden
+   * rebuild inside.
    */
   def topKAuto(corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
@@ -958,6 +975,13 @@ object Similarity {
                      trainFraction: Double = 1.0): Unit = {
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0,1]: $trainFraction")
+    // the delete lifecycle matches ids through a long cast — lossy
+    // (silent purge no-op) for non-integral ids; refuse to build an
+    // unpurgeable index (r10 advice, the BM25 sibling check)
+    require(integralType(corpus.schema(idCol).dataType),
+      s"saveIvfPqIndex requires an integral id column, got " +
+        s"${corpus.schema(idCol).dataType}: tombstone/compact match " +
+        "ids through a long cast, which is lossy for any other type")
     val spark = corpus.sparkSession
     val assigned = ivfAssign(corpus, idCol, vecCol, nCells)
     // codebook training runs `iterations` full passes over its input;
@@ -1017,9 +1041,17 @@ object Similarity {
    * the list (the minhash index's lifecycle, identically).
    */
   def tombstoneIvfPqIndex(ids: DataFrame, idCol: String,
-                          path: String): Unit =
+                          path: String): Unit = {
+    // fail-fast (r10 advice): a non-integral purge id casts to null,
+    // matches nothing in the probe/compact anti-joins, and the next
+    // compaction discards the tombstone list — a SILENT lost purge
+    require(integralType(ids.schema(idCol).dataType),
+      s"tombstoneIvfPqIndex requires an integral id column, got " +
+        s"${ids.schema(idCol).dataType}: tombstones match through a " +
+        "long cast, which yields null (matches nothing) otherwise")
     ids.select(col(idCol).cast("long").as("__tomb")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** Tombstoned ids of an ANN index (empty if none were written). */
   def ivfPqTombstones(spark: SparkSession, path: String): DataFrame = {
@@ -1040,7 +1072,18 @@ object Similarity {
    * and appends keep working across the compaction unchanged.
    */
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
-    val codes = spark.read.parquet(s"$path/codes")
+    // an index already compacted down to zero rows has a codes dir
+    // with no data files (partitioned zero-row write) — nothing to
+    // erase; clearing the tombstone list is the whole compaction
+    // (contract: post-compact ≡ fresh save on the purged corpus)
+    val codes =
+      try spark.read.parquet(s"$path/codes") catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val tp0 = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+          tp0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(tp0, true)
+          return
+      }
     // the id is the one non-layout scalar column (the vector column's
     // name is caller-chosen, but it is always an array)
     val idCol = codes.schema.fields
@@ -1089,7 +1132,24 @@ object Similarity {
       .select(explode(probeU(col(vecCol))).as("__pc"))
       .distinct().collect().map(_.getLong(0)).sorted
     val probedSet = probed.toSet
-    val codes = spark.read.parquet(s"$path/codes")
+    // a fully-tombstoned-and-compacted index has a codes dir with no
+    // data files (schema inference throws): a valid empty index —
+    // every query has zero neighbors
+    val codesRaw =
+      try spark.read.parquet(s"$path/codes") catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val qIdType = queries.schema(idCol).dataType
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("query_id", qIdType),
+              org.apache.spark.sql.types.StructField("neighbor_id", qIdType),
+              org.apache.spark.sql.types.StructField("rank",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("cosine",
+                org.apache.spark.sql.types.DoubleType))))
+      }
+    val codes = codesRaw
       .filter(col("cell_id").isin(probed: _*))
       // deleted vectors are dead to every query (tombstone lifecycle)
       .join(ivfPqTombstones(spark, path),

@@ -1226,6 +1226,13 @@ object TextDedup {
                        seed: Long = 42L,
                        bhNdvPerGroup: Long = 1L << 17): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the delete lifecycle matches ids through a long cast — lossy
+    // (silent purge no-op) for non-integral ids; refuse to build an
+    // unpurgeable index (r10 advice, the BM25 sibling check)
+    require(graft.ops.Similarity.integralType(df.schema(idCol).dataType),
+      s"saveMinhashIndex requires an integral id column, got " +
+        s"${df.schema(idCol).dataType}: tombstone/compact match ids " +
+        "through a long cast, which is lossy for any other type")
     val spark = df.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
@@ -1314,9 +1321,42 @@ object TextDedup {
    * the snapshot store's deleteCommit-then-vacuum sequence.
    */
   def tombstoneMinhashIndex(ids: DataFrame, idCol: String,
-                            path: String): Unit =
+                            path: String): Unit = {
+    // fail-fast (r10 advice): a non-integral purge id casts to null,
+    // matches nothing, and compaction then discards the tombstone
+    // list — the purge intent would be lost SILENTLY
+    require(graft.ops.Similarity.integralType(ids.schema(idCol).dataType),
+      s"tombstoneMinhashIndex requires an integral id column, got " +
+        s"${ids.schema(idCol).dataType}: tombstones match through a " +
+        "long cast, which yields null (matches nothing) otherwise")
     ids.select(col(idCol).cast("long").as("__cid")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The bands table of a [[saveMinhashIndex]] layout, schema-safe
+    * when the directory holds no data files — the state a compaction
+    * of a fully-tombstoned index leaves (a partitioned zero-row write
+    * emits only _SUCCESS, and schema inference over it throws). The
+    * empty schema derives from `sets/` (unpartitioned, so its footer
+    * survives even a zero-row rewrite) plus the fixed band columns. */
+  private def bandsOrEmpty(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    try spark.read.parquet(s"$path/bands") catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val sets =
+          try spark.read.parquet(s"$path/sets") catch {
+            case _: org.apache.spark.sql.AnalysisException => throw e
+          }
+        val idField = sets.schema.fields.filterNot(_.name == "__shh").head
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            idField,
+            org.apache.spark.sql.types.StructField("bh",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType))))
+    }
 
   /** Tombstoned ids of an index (empty frame if none were ever
     * written). */
@@ -1350,7 +1390,7 @@ object TextDedup {
     val idCol = sets.columns.filterNot(_ == "__shh").head
     val tomb = minhashTombstones(spark, path)
       .withColumnRenamed("__cid", "__tomb")
-    val bands = spark.read.parquet(s"$path/bands")
+    val bands = bandsOrEmpty(spark, path)
     bands
       .join(tomb, col(idCol).cast("long") === col("__tomb"), "left_anti")
       .repartition(col("band"))
@@ -1429,7 +1469,7 @@ object TextDedup {
     // needed on top (the scan is already key-filtered). The size test
     // is collect-with-limit — ONE job instead of a count plus a
     // second collect, keeping the point-lookup path low-latency.
-    val iBandsRaw = spark.read.parquet(s"$path/bands")
+    val iBandsRaw = bandsOrEmpty(spark, path)
     val bhProbe = bprep.select(explode(col("__bands")).as("bh"))
       .distinct().limit(pushdownLimit.toInt + 1).collect()
     val smallProbe = bhProbe.length <= pushdownLimit

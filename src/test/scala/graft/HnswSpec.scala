@@ -102,4 +102,29 @@ class HnswSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
       Seq((9L, 1L, 1), (9L, 2L, 2)))
   }
+
+  test("dimension mismatches fail LOUDLY instead of silently scoring a " +
+    "prefix (r10 advice): corpus row vs query dim, and mixed queries") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.5f))) // corrupt: 2-dim among 3-dim
+      .toDF("vec_id", "embedding")
+    val q3 = Seq((9L, Seq(1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Hnsw.topK(corpus, q3, "vec_id", "embedding", k = 2, nShards = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("hnsw insert") ||
+      Option(e.getCause).exists(_.getMessage.contains("hnsw insert")),
+      s"expected the insert dim check, got: ${e.getMessage.take(300)}")
+    // mixed QUERY dimensionalities are refused on the driver, before
+    // any shard builds
+    val qMixed = Seq((9L, Seq(1.0f, 0.1f, 0.0f)), (10L, Seq(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val good = corpus.filter(col("vec_id") =!= 3L)
+    val e2 = intercept[IllegalArgumentException] {
+      Hnsw.topK(good, qMixed, "vec_id", "embedding", k = 2, nShards = 1)
+    }
+    assert(e2.getMessage.contains("mixed dimensionalities"))
+  }
 }

@@ -235,4 +235,131 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$base/bm/tombstones")))
   }
+
+  test("compacting a FULLY tombstoned index leaves a valid empty layout " +
+    "in every family: compaction completes (twice), probes answer " +
+    "empty, a fresh append resurrects service (r10 advice)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idxempty").toString
+
+    // --- BM25: the advice's named case — partitioned zero-row
+    // rewrites leave no inferable files, and the terms/stats
+    // recompute must not abort midway
+    val bm = s"$base/bm25"
+    val bmDocs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    Retrieval.saveBm25Index(bmDocs, "doc_id", "text", bm, nBuckets = 2)
+    Retrieval.tombstoneBm25Index(Seq(1L, 2L).toDF("doc_id"), "doc_id", bm)
+    Retrieval.compactBm25Index(spark, bm)
+    assert(!exists(s"$bm/tombstones"))
+    assert(!exists(s"$bm/postings.__compact") &&
+      !exists(s"$bm/terms.__compact"),
+      "compaction must not strand .__compact dirs")
+    def bmServed(): Set[Long] = {
+      val got = Retrieval
+        .bm25TopKIndexed(spark, bm, "doc_id", Seq((1L, "alpha")), k = 5)
+        .select(col("doc_id")).as[Long].collect().toSet
+      Retrieval.releaseCaches()
+      got
+    }
+    assert(bmServed().isEmpty, "empty index must answer empty, not crash")
+    // compacting the ALREADY-empty index is a no-op, not a crash
+    Retrieval.compactBm25Index(spark, bm)
+    Retrieval.appendBm25Index(
+      Seq((5L, "alpha alpha")).toDF("doc_id", "text"), "doc_id", "text", bm)
+    assert(bmServed() == Set(5L), "append into the empty layout must serve")
+
+    // --- MinHash ---------------------------------------------------
+    val mh = s"$base/minhash"
+    val mhDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a different sentence about catalyst physical planning"))
+      .toDF("doc_id", "text")
+    TextDedup.saveMinhashIndex(mhDocs, "doc_id", "text", mh,
+      numHashes = 16, bands = 8)
+    TextDedup.tombstoneMinhashIndex(Seq(1L, 2L).toDF("doc_id"),
+      "doc_id", mh)
+    TextDedup.compactMinhashIndex(spark, mh)
+    assert(!exists(s"$mh/tombstones"))
+    val probeMh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    def mhServed(): Set[Long] = TextDedup
+      .minhashProbeIndexed(spark, mh, probeMh, "doc_id", "text", 0.9)
+      .select(col("corpus_id").cast("long")).as[Long].collect().toSet
+    assert(mhServed().isEmpty)
+    TextDedup.compactMinhashIndex(spark, mh) // already-empty: no-op
+    TextDedup.appendMinhashIndex(
+      mhDocs.filter(col("doc_id") === 1L), "doc_id", "text", mh)
+    assert(mhServed() == Set(1L))
+
+    // --- IVF-PQ ----------------------------------------------------
+    val ann = s"$base/ivfpq"
+    def oneHot(d: Int, m: Float): Array[Float] =
+      Array.tabulate(8)(i => if (i == d % 8) m else 0f)
+    val corpusAnn = (1 to 16).map(i => (i.toLong, oneHot(i, 1f + (i % 3))))
+      .toDF("vec_id", "embedding")
+    Similarity.saveIvfPqIndex(corpusAnn, "vec_id", "embedding", ann,
+      nCells = 2, m = 4, k = 4, iterations = 2)
+    Similarity.tombstoneIvfPqIndex(
+      (1 to 16).map(_.toLong).toDF("vec_id"), "vec_id", ann)
+    Similarity.compactIvfPqIndex(spark, ann)
+    assert(!exists(s"$ann/tombstones"))
+    val qAnn = Seq((200L, oneHot(1, 5f))).toDF("vec_id", "embedding")
+    def annServed(): Set[Long] = Similarity
+      .ivfPqTopKIndexed(spark, ann, qAnn, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .select(col("neighbor_id").cast("long")).as[Long].collect().toSet
+    assert(annServed().isEmpty)
+    Similarity.compactIvfPqIndex(spark, ann) // already-empty: no-op
+    Similarity.appendIvfPqIndex(
+      Seq((1L, oneHot(1, 2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ann)
+    assert(annServed() == Set(1L))
+  }
+
+  test("non-integral ids are refused LOUDLY at save and tombstone time " +
+    "in every family — never a silent purge no-op (r10 advice, medium)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idxtype").toString
+    val strDocs = Seq(("a", "alpha beta")).toDF("doc_id", "text")
+    val strVecs = Seq(("a", Array(1f, 0f))).toDF("vec_id", "embedding")
+    val strIds = Seq("a").toDF("doc_id")
+    // save: an index a purge could never reach must not be buildable
+    intercept[IllegalArgumentException] {
+      Retrieval.saveBm25Index(strDocs, "doc_id", "text", s"$base/bm")
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.saveMinhashIndex(strDocs, "doc_id", "text", s"$base/mh")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.saveIvfPqIndex(strVecs, "vec_id", "embedding",
+        s"$base/ann", nCells = 2)
+    }
+    // tombstone: a purge id that would cast to null must be refused,
+    // not written as a tombstone that matches nothing
+    val bm = s"$base/bm_ok"
+    Retrieval.saveBm25Index(Seq((1L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", bm, nBuckets = 2)
+    intercept[IllegalArgumentException] {
+      Retrieval.tombstoneBm25Index(strIds, "doc_id", bm)
+    }
+    val mh = s"$base/mh_ok"
+    TextDedup.saveMinhashIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", mh, numHashes = 16, bands = 8)
+    intercept[IllegalArgumentException] {
+      TextDedup.tombstoneMinhashIndex(strIds, "doc_id", mh)
+    }
+    val ann = s"$base/ann_ok"
+    Similarity.saveIvfPqIndex(
+      (1 to 8).map(i => (i.toLong, Array.tabulate(4)(j =>
+        if (j == i % 4) 1f else 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ann, nCells = 2, m = 2, k = 2)
+    intercept[IllegalArgumentException] {
+      Similarity.tombstoneIvfPqIndex(Seq("a").toDF("vec_id"),
+        "vec_id", ann)
+    }
+  }
 }
