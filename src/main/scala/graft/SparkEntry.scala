@@ -3081,13 +3081,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
-    // SemDeDup semantic dedup: refined k-means cells bound the
-    // candidate pairs; survivors = min-id per cosine-threshold
-    // component (cell structure not SQL-expressible → rows-only;
-    // recall vs the exact baseline asserted in OpsSpec)
+    // SemDeDup semantic dedup: cells bound the candidate pairs;
+    // survivors = min-id per cosine-threshold component. ORACLED in
+    // full (r10 advice #2): with refineIterations = 0 the centroids
+    // are the SEED vectors (first nCells by id — no float k-means
+    // iteration anywhere), so the whole pipeline is a pure per-row
+    // function of content: DuckDB recomputes assignment (argmax
+    // cosine to seeds, lowest-id ties), within-cell pairs >= 0.4, the
+    // connected components (recursive closure), and the min-id
+    // survivor rule. Fixture margins guard the cross-engine float
+    // compares (min |cos-0.4| = 1.3e-4, min assignment gap = 2.3e-4
+    // at sf0.01 — SemDedupPinSpec pins both at both SFs). The REFINED
+    // variant stays spec-covered in OpsSpec (recall vs exact baseline);
+    // its centroid update is the one float-iteration step that has no
+    // cross-engine form (partition-order float sums).
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        nCells = 16, threshold = 0.4)
+        nCells = 16, threshold = 0.4, refineIterations = 0)
         .select(col("vec_id"), col("label"))),
 
     // PCA whitening of the embedding table — deterministic training
@@ -3119,13 +3129,23 @@ object SparkEntry {
 
     // text → hashed doc vectors → SemDeDup: semantic near-dup removal
     // of a raw text corpus with NO precomputed embedding table
-    // (feature-hashing preserves cosine in expectation) — rows-only
-    // like q_semdedup; vector/collapse semantics asserted in OpsSpec
+    // (feature-hashing preserves cosine in expectation). ORACLED by
+    // outcome pinning (r10 advice #2, the q_ann_sink technique): with
+    // refineIterations = 0 the pipeline is a pure per-row function of
+    // content (seed centroids, no float iteration), so the dropped
+    // set is well-defined and layout-invariant; the oracle is the
+    // documents table minus that pinned set. A full DuckDB recompute
+    // is impossible here — hashedDocVector rides JVM string hashing —
+    // so SemDedupPinSpec guards the pin instead: min |cos-0.9| margin
+    // 6.2e-2 at sf0.01 (5.9e-2 at sf0.001), zero zero-norm vectors,
+    // layout invariance under repartition, and the sf0.01 dropped set
+    // itself (a fixture regeneration fails there with a named reason,
+    // not as an opaque oracle hash mismatch).
     "q_text_semdedup" -> ((s, dir) => {
       val vecs = t(s, dir, "documents").select(col("doc_id"), col("source"),
         QualityClassifier.hashedDocVector(col("text")).as("embedding"))
       Similarity.semDedup(vecs, "doc_id", "embedding",
-        nCells = 64, threshold = 0.9, refineIterations = 1)
+        nCells = 64, threshold = 0.9, refineIterations = 0)
         .select(col("doc_id"), col("source"))
     }),
 
@@ -6438,6 +6458,77 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE a.nrm > 0 AND b.nrm > 0)
         |SELECT id_a, id_b FROM p WHERE cosine >= 0.99""".stripMargin,
+
+    // FULL independent recompute of the seeded (refineIterations = 0)
+    // SemDeDup pipeline: seed centroids = first 16 vectors by id;
+    // assignment = argmax cosine-to-seed (lowest seed id on ties —
+    // Spark's strict-> keeps the first/lowest index; NaN rows of a
+    // zero-norm vector tie everywhere and also fall to the lowest id,
+    // matching the kernel's NaN-never-wins arithmetic); candidate
+    // pairs within a cell at double cosine >= 0.4 (same sequential
+    // dot/(sqrt·sqrt) fold — SemDedupPinSpec pins the 1.3e-4 fixture
+    // margin so a last-ulp fold difference cannot flip a pair);
+    // components by recursive closure over the symmetric edge set;
+    // survivors = min-id representative per component + every row in
+    // no component (null-embedding rows included, as in dedupByPairs)
+    "q_semdedup" ->
+      """WITH RECURSIVE v AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS MATERIALIZED (
+        | SELECT vec_id, e,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(e)),
+        |    i -> e[i] * e[i]), 'sum')) AS nrm
+        | FROM v),
+        |seeds AS MATERIALIZED (
+        | SELECT vec_id AS cid, e AS c, nrm AS cnrm
+        | FROM n ORDER BY vec_id LIMIT 16),
+        |sim AS MATERIALIZED (
+        | SELECT n.vec_id, s.cid,
+        |  list_aggregate(list_transform(generate_series(1, len(n.e)),
+        |    i -> n.e[i] * s.c[i]), 'sum') / (n.nrm * s.cnrm) AS cs
+        | FROM n CROSS JOIN seeds s),
+        |assign AS MATERIALIZED (
+        | SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM sim) WHERE rn = 1),
+        |pairs AS MATERIALIZED (
+        | SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        | FROM assign ax
+        | JOIN assign ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+        | JOIN n x ON x.vec_id = ax.vec_id
+        | JOIN n y ON y.vec_id = ay.vec_id
+        | WHERE x.nrm > 0 AND y.nrm > 0
+        |  AND list_aggregate(list_transform(generate_series(1, len(x.e)),
+        |    i -> x.e[i] * y.e[i]), 'sum') / (x.nrm * y.nrm) >= 0.4),
+        |edges AS MATERIALIZED (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL
+        | SELECT id_b AS a, id_a AS b FROM pairs),
+        |r(node, t) AS (
+        | SELECT DISTINCT a, a FROM edges
+        | UNION
+        | SELECT e.b, r.t FROM r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(t) AS cid FROM r GROUP BY node)
+        |SELECT emb.vec_id, emb.label
+        |FROM embeddings emb
+        |LEFT JOIN comp ON emb.vec_id = comp.node
+        |WHERE comp.node IS NULL OR comp.cid = emb.vec_id""".stripMargin,
+
+    // outcome-pinned (the q_ann_sink technique): the dropped set of
+    // the seeded text SemDeDup at sf0.01, derived once from the
+    // deterministic pipeline (refineIterations = 0 → pure per-row
+    // function of content; hashedDocVector rides JVM string hashing,
+    // so no SQL recompute exists). SemDedupPinSpec re-derives this
+    // exact set on the sf0.01 fixture and pins the 6.2e-2 cosine
+    // margin + layout invariance behind it.
+    "q_text_semdedup" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (134,178,185,245,267,290,293,301,323,332,
+        |  374,377,383,387,389,413,420,446,450,455,457,462,486)"""
+        .stripMargin,
 
     // each cell recomputed per keyword: first_pos = SQL position,
     // n_hits = replace-delta (non-overlapping count) — exactly the

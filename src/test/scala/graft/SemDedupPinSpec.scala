@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{QualityClassifier, Similarity}
+
+/**
+ * Guards behind the r11 SemDeDup gate oracles (r10 advice #2 — the
+ * q_ann_sink margin-pinning technique applied to the two rows-only
+ * SemDeDup gates):
+ *
+ *  - `q_semdedup` is now a FULL DuckDB recompute (assignment → pairs
+ *    → components → survivors) of the seeded refineIterations = 0
+ *    pipeline. The only cross-engine float compares are (a) the pair
+ *    cosine vs the 0.4 threshold and (b) the per-vector argmax over
+ *    seed similarities; both engines fold the same doubles in the
+ *    same index order, and this spec pins a fixture MARGIN orders of
+ *    magnitude above any fold discrepancy, at both the spec SF and
+ *    the driver's correctness SF.
+ *  - `q_text_semdedup` is outcome-pinned (hashedDocVector rides JVM
+ *    string hashing — no SQL recompute exists): this spec re-derives
+ *    the pinned sf0.01 dropped set by name, so a fixture regeneration
+ *    fails HERE with a reason instead of as an opaque hash mismatch.
+ *  - both pipelines must be LAYOUT-INVARIANT (pure per-row functions
+ *    of content once refineIterations = 0): repartitioning the input
+ *    must not move a single survivor. The refined (iterations > 0)
+ *    variant keeps its float-necessity row: its centroid update is a
+ *    partition-order float sum, which is exactly why the GATES pin
+ *    iterations to 0.
+ */
+class SemDedupPinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bothSfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  /** min |within-cell pair cosine − threshold| and min argmax gap of
+    * the seeded assignment — the two float compares the oracle
+    * recomputes. */
+  private def margins(vecs: DataFrame, idCol: String, nCells: Int,
+                      threshold: Double): (Double, Double, Long) = {
+    val assigned = Similarity.ivfAssign(vecs, idCol, "embedding", nCells)
+    val a = assigned.select(col("cell_id"), col(idCol).as("id_a"),
+      Similarity.toDoubleVec(col("embedding")).as("__va"))
+    val b = assigned.select(col("cell_id"), col(idCol).as("id_b"),
+      Similarity.toDoubleVec(col("embedding")).as("__vb"))
+    val pairMargin = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("c", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(!isnan(col("c")))
+      .select(min(abs(col("c") - lit(threshold))).as("m"))
+      .as[Double].head()
+    val seeds = vecs.filter(col("embedding").isNotNull)
+      .orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cid"),
+        Similarity.toDoubleVec(col("embedding")).as("c"))
+    val gap = vecs.filter(col("embedding").isNotNull)
+      .select(col(idCol),
+        Similarity.toDoubleVec(col("embedding")).as("e"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cs", Similarity.cosine(col("e"), col("c")))
+      .filter(!isnan(col("cs")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("cs")), asc = false).as("all"))
+      .select((col("all").getItem(0) - col("all").getItem(1)).as("gap"))
+      .select(min(col("gap")).as("g")).as[Double].head()
+    val zeroNorm = vecs.filter(col("embedding").isNotNull)
+      .filter(Similarity.norm(
+        Similarity.toDoubleVec(col("embedding"))) === 0.0).count()
+    assigned.unpersist()
+    (pairMargin, gap, zeroNorm)
+  }
+
+  test("q_semdedup oracle-recompute margins: pair-cosine and " +
+    "assignment-argmax gaps dwarf any fold discrepancy, no zero-norm " +
+    "seeds, at BOTH the spec and driver SFs") {
+    for (sf <- bothSfs) {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val (pairMargin, gap, zeroNorm) = margins(emb, "vec_id",
+        nCells = 16, threshold = 0.4)
+      assert(pairMargin > 1e-6,
+        s"$sf: pair-cosine margin $pairMargin too thin for a " +
+          "cross-engine threshold compare")
+      assert(gap > 1e-6,
+        s"$sf: assignment gap $gap too thin — a fold-order ulp could " +
+          "flip a cell")
+      // a zero-norm SEED would be NaN-similar to everything: Spark's
+      // NaN-never-wins argmax and the oracle's NaN-sorts-first DESC
+      // would then disagree — the one input shape the oracle excludes
+      assert(zeroNorm == 0L, s"$sf: $zeroNorm zero-norm embeddings")
+    }
+  }
+
+  test("q_text_semdedup pin: margins hold, and the sf0.01 dropped set " +
+    "IS the oracle's constant list (fixture-regeneration tripwire)") {
+    for (sf <- bothSfs) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val vecs = docs.select(col("doc_id"),
+        QualityClassifier.hashedDocVector(col("text")).as("embedding"))
+      val (pairMargin, gap, zeroNorm) = margins(vecs, "doc_id",
+        nCells = 64, threshold = 0.9)
+      assert(pairMargin > 1e-3,
+        s"$sf: text pair-cosine margin $pairMargin too thin")
+      assert(gap > 1e-6, s"$sf: text assignment gap $gap too thin")
+      assert(zeroNorm == 0L, s"$sf: $zeroNorm zero-norm hashed vectors")
+    }
+    // the oracle constant, re-derived: the gate's exact pipeline at
+    // the driver's correctness SF
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val vecs = docs.select(col("doc_id"), col("source"),
+      QualityClassifier.hashedDocVector(col("text")).as("embedding"))
+    val survivors = Similarity.semDedup(vecs, "doc_id", "embedding",
+      nCells = 64, threshold = 0.9, refineIterations = 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val all = docs.select(col("doc_id")).as[Long].collect().toSet
+    val dropped = (all -- survivors).toSeq.sorted
+    val pinned = Seq(134L, 178L, 185L, 245L, 267L, 290L, 293L, 301L,
+      323L, 332L, 374L, 377L, 383L, 387L, 389L, 413L, 420L, 446L,
+      450L, 455L, 457L, 462L, 486L)
+    assert(dropped == pinned,
+      s"sf0.01 dropped set moved: got ${dropped.mkString(",")} — " +
+        "update the q_text_semdedup oracle constants WITH this pin")
+    spark.catalog.clearCache()
+  }
+
+  test("seeded (refineIterations = 0) SemDeDup is layout-invariant: " +
+    "repartitioning moves no survivor, in both gate pipelines") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def survEmb(df: DataFrame): Set[Long] =
+      Similarity.semDedup(df, "vec_id", "embedding",
+        nCells = 16, threshold = 0.4, refineIterations = 0)
+        .select(col("vec_id")).as[Long].collect().toSet
+    assert(survEmb(emb) == survEmb(emb.repartition(7)))
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vecs = docs.select(col("doc_id"),
+      QualityClassifier.hashedDocVector(col("text")).as("embedding"))
+    def survTxt(df: DataFrame): Set[Long] =
+      Similarity.semDedup(df, "doc_id", "embedding",
+        nCells = 64, threshold = 0.9, refineIterations = 0)
+        .select(col("doc_id")).as[Long].collect().toSet
+    assert(survTxt(vecs) == survTxt(vecs.repartition(7)))
+    spark.catalog.clearCache()
+  }
+}
