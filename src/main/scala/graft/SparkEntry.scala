@@ -2038,8 +2038,9 @@ object SparkEntry {
     }),
 
     // one-call right-to-be-forgotten across EVERY persisted surface
-    // (SnapshotStore.forgetEverywhere): catalog tables + all three
-    // index families purged in one orchestration — the composition the
+    // (SnapshotStore.forgetEverywhere): catalog tables + all FOUR
+    // index families (minhash, IVF-PQ, BM25, and persisted HNSW since
+    // r11) purged in one orchestration — the composition the
     // per-family lifecycles exist for. Output unions per-surface
     // evidence so the oracle checks each surface independently:
     //   cat:*       surviving keys of both catalog tables (exact SQL);
@@ -2051,16 +2052,23 @@ object SparkEntry {
     //   ann/ann_ctl the same two faces in embedding space (hits at
     //               cosine >= 0.99 — exact by the fixture's 0.985
     //               no-natural-pair margin, the q_ann_sink pin);
+    //   hnsw/hnsw_ctl the same two faces through the persisted HNSW
+    //               graph (an exact scaled twin is cosine 1.0 and
+    //               found by the greedy descent — the planted-twin
+    //               pin; post-compaction the purged node is gone, so
+    //               0 hits needs no recall argument at all);
     //   bm25:<qid>  the post-purge BM25 top-10 verbatim (compaction
     //               equals a purged rebuild, so the oracle is the
     //               purged-corpus scoring SQL).
-    // Bench note: this gate's wall time is ~15 sequential lifecycle
-    // stages (3 index saves, 3 tombstones, catalog commit + purge,
-    // 3 compactions, 5 probes), each dominated by fixed job overhead
-    // at fixture scale — profiled stage-by-stage: no stage exceeds
-    // 3.5 s and none is data-bound, i.e. the cost is lifecycle DEPTH
-    // that amortizes away at real corpus sizes, not a kernel to
-    // optimize.
+    // Bench note: this gate's wall time is lifecycle stages (4 index
+    // saves, tombstones, catalog commit + purge, 4 compactions, 7
+    // probes), each dominated by fixed job overhead at fixture scale —
+    // profiled stage-by-stage in r10: no stage data-bound, i.e. the
+    // cost is lifecycle DEPTH that amortizes away at real corpus
+    // sizes, not a kernel to optimize. Since r11 the independent
+    // per-family tombstone and compaction phases run as CONCURRENT
+    // Spark jobs (forgetEverywhere.inParallel), trimming that fixed
+    // overhead.
     "q_rtbf_everywhere" -> ((s, dir) => {
       val base = new java.io.File(
         System.getProperty("java.io.tmpdir"),
@@ -2084,6 +2092,12 @@ object SparkEntry {
         nCells = 8)
       Retrieval.saveBm25Index(docs, "doc_id", "text", s"$base/bm",
         nBuckets = 8)
+      // the 4th family (r11): persisted HNSW, purged through the same
+      // one-call orchestration; probe faces mirror ann/ann_ctl (an
+      // exact scaled twin is cosine 1.0 and always found — the
+      // planted-twin pin), at q_hnsw_topk's recall-pinned parameters
+      graft.ops.Hnsw.saveHnswIndex(emb, "vec_id", "embedding",
+        s"$base/hnsw", m = 8, efConstruction = 48, nShards = 4)
       val purge = docs.select(col("doc_id").as("id"))
         .unionByName(emb.select(col("vec_id").as("id")))
         .filter(col("id") % 9 === 4).distinct()
@@ -2091,7 +2105,8 @@ object SparkEntry {
         Map("docs" -> "doc_id", "vecs" -> "vec_id"),
         minhashIndexes = Seq(s"$base/mh"),
         ivfPqIndexes = Seq(s"$base/ann"),
-        bm25Indexes = Seq(s"$base/bm"))
+        bm25Indexes = Seq(s"$base/bm"),
+        hnswIndexes = Seq(s"$base/hnsw"))
       val sCat = graft.sources.SnapshotStore
         .readTable(s, s"$base/cat", "docs")
         .select(lit("cat:docs").as("surface"), col("doc_id").as("key"),
@@ -2139,6 +2154,22 @@ object SparkEntry {
           .select(lit(name).as("surface"), col("key"),
             coalesce(col("hits"), lit(0.0)).as("n"))
       }
+      def hnswFace(mod: Int, offset: Long, name: String) = {
+        val q = emb.filter(col("vec_id") % 9 === mod)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f))
+              .as("embedding"))
+        val hits = graft.ops.Hnsw.hnswTopKIndexed(s, s"$base/hnsw", q,
+            "vec_id", "embedding", k = 4, efSearch = 48)
+          .filter(col("cosine") >= 0.99)
+          .groupBy((col("query_id") - offset).as("key"))
+          .agg(count(lit(1)).cast("double").as("hits"))
+        emb.filter(col("vec_id") % 9 === mod)
+          .select(col("vec_id").as("key"))
+          .join(hits, Seq("key"), "left")
+          .select(lit(name).as("surface"), col("key"),
+            coalesce(col("hits"), lit(0.0)).as("n"))
+      }
       val sBm = Retrieval.bm25TopKIndexed(s, s"$base/bm", "doc_id",
           Bm25Queries, k = 10)
         .select(concat(lit("bm25:"), col("qid")).as("surface"),
@@ -2146,6 +2177,8 @@ object SparkEntry {
       sCat.unionByName(sMh).unionByName(sMhC)
         .unionByName(annFace(4, 10000000L, "ann"))
         .unionByName(annFace(5, 20000000L, "ann_ctl"))
+        .unionByName(hnswFace(4, 10000000L, "hnsw"))
+        .unionByName(hnswFace(5, 20000000L, "hnsw_ctl"))
         .unionByName(sBm)
     }),
 
@@ -2862,6 +2895,27 @@ object SparkEntry {
       graft.ops.Hnsw.topK(emb, emb.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 3, m = 8, efConstruction = 48,
         efSearch = 48, nShards = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // persisted HNSW (r11, the 4th index family): save the sharded
+    // graphs, then probe the STORED adjacency — shares q_hnsw_topk's
+    // brute-force oracle verbatim because a freshly saved index
+    // answers bit-identically to the in-memory topK at equal
+    // parameters (probe-parity spec-pinned in HnswIndexSpec) and
+    // recall at these parameters is 1.0 on the fixture (HnswSpec pin)
+    "q_hnsw_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_hnswidx_${tmpToken(dir)}").getAbsolutePath
+      val ip = new org.apache.hadoop.fs.Path(idx)
+      ip.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ip, true)
+      graft.ops.Hnsw.saveHnswIndex(emb, "vec_id", "embedding", idx,
+        m = 8, efConstruction = 48, nShards = 4)
+      graft.ops.Hnsw.hnswTopKIndexed(s, idx,
+        emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        k = 3, efSearch = 48)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -6362,6 +6416,10 @@ object SparkEntry {
     // oracle row for row
     "q_hnsw_topk" -> embedTopKOracle,
 
+    // the persisted face probes bit-identically to the in-memory build
+    // (HnswIndexSpec parity pin) — same brute-force oracle
+    "q_hnsw_index" -> embedTopKOracle,
+
     // q_embed_topk's kernel scoring non-seeds against the mod-10
     // seeds, then a two-stage vote: count per label, argmax by
     // (votes desc, label asc)
@@ -7676,6 +7734,10 @@ object SparkEntry {
        |UNION ALL SELECT 'ann', vec_id, CAST(0.0 AS DOUBLE)
        | FROM embeddings WHERE vec_id % 9 = 4
        |UNION ALL SELECT 'ann_ctl', vec_id, CAST(1.0 AS DOUBLE)
+       | FROM embeddings WHERE vec_id % 9 = 5
+       |UNION ALL SELECT 'hnsw', vec_id, CAST(0.0 AS DOUBLE)
+       | FROM embeddings WHERE vec_id % 9 = 4
+       |UNION ALL SELECT 'hnsw_ctl', vec_id, CAST(1.0 AS DOUBLE)
        | FROM embeddings WHERE vec_id % 9 = 5""".stripMargin
   }
 

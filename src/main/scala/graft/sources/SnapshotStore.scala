@@ -442,8 +442,9 @@ object SnapshotStore {
   /**
    * One-call right-to-be-forgotten across EVERY persisted surface: the
    * catalog's tables ([[deleteCommitAll]] — one atomic new version)
-   * plus the three index families a corpus typically carries beside
-   * its tables — MinHash near-dup, IVF-PQ ANN, BM25 retrieval. This is
+   * plus the four index families a corpus typically carries beside
+   * its tables — MinHash near-dup, IVF-PQ ANN, BM25 retrieval, and
+   * (since r11) persisted HNSW graph-ANN. This is
    * the orchestration [[deleteCommitAll]] alone could not honestly
    * claim (r9 verdict: a forgotten doc_id kept being SERVED by any
    * retrieval index built from the corpus until that index was purged
@@ -472,6 +473,7 @@ object SnapshotStore {
                        minhashIndexes: Seq[String] = Nil,
                        ivfPqIndexes: Seq[String] = Nil,
                        bm25Indexes: Seq[String] = Nil,
+                       hnswIndexes: Seq[String] = Nil,
                        compactIndexes: Boolean = true): Long = {
     val spark = ids.sparkSession
     import org.apache.spark.sql.functions.col
@@ -480,23 +482,56 @@ object SnapshotStore {
     val idCol = ids.columns.head
     val purge = ids.select(col(idCol)).distinct().persist()
     try {
-      minhashIndexes.foreach(p =>
-        graft.ops.TextDedup.tombstoneMinhashIndex(purge, idCol, p))
-      ivfPqIndexes.foreach(p =>
-        graft.ops.Similarity.tombstoneIvfPqIndex(purge, idCol, p))
-      bm25Indexes.foreach(p =>
-        graft.ops.Retrieval.tombstoneBm25Index(purge, idCol, p))
+      // the four families' tombstone writes touch four DISJOINT
+      // directories and read only the shared materialized purge set —
+      // run them as concurrent Spark jobs (r10 verdict #6: the RTBF
+      // wall is fixed job-count overhead, not data cost; overlapping
+      // the independent phases is pure latency hygiene)
+      val tombstonePhases: Seq[() => Unit] =
+        minhashIndexes.map(p => () =>
+          graft.ops.TextDedup.tombstoneMinhashIndex(purge, idCol, p)) ++
+        ivfPqIndexes.map(p => () =>
+          graft.ops.Similarity.tombstoneIvfPqIndex(purge, idCol, p)) ++
+        bm25Indexes.map(p => () =>
+          graft.ops.Retrieval.tombstoneBm25Index(purge, idCol, p)) ++
+        hnswIndexes.map(p => () =>
+          graft.ops.Hnsw.tombstoneHnswIndex(purge, idCol, p))
+      inParallel(tombstonePhases)
       val v = deleteCommitAll(purge, catalogPath, pkByTable)
       if (compactIndexes) {
-        minhashIndexes.foreach(p =>
-          graft.ops.TextDedup.compactMinhashIndex(spark, p))
-        ivfPqIndexes.foreach(p =>
-          graft.ops.Similarity.compactIvfPqIndex(spark, p))
-        bm25Indexes.foreach(p =>
-          graft.ops.Retrieval.compactBm25Index(spark, p))
+        // compactions are likewise per-directory independent; each is
+        // internally crash-safe (tmp + atomic swap), so concurrency
+        // changes wall time only
+        inParallel(
+          minhashIndexes.map(p => () =>
+            graft.ops.TextDedup.compactMinhashIndex(spark, p)) ++
+          ivfPqIndexes.map(p => () =>
+            graft.ops.Similarity.compactIvfPqIndex(spark, p)) ++
+          bm25Indexes.map(p => () =>
+            graft.ops.Retrieval.compactBm25Index(spark, p)) ++
+          hnswIndexes.map(p => () =>
+            graft.ops.Hnsw.compactHnswIndex(spark, p)))
       }
       v
     } finally purge.unpersist()
+  }
+
+  /** Run independent index-maintenance phases as concurrent Spark
+    * jobs (one thread each — the standard multi-job driver pattern;
+    * the scheduler interleaves their stages). Sequential when there
+    * is one phase; rethrows the FIRST failure after all threads
+    * finish, so no phase is silently abandoned mid-flight. */
+  private def inParallel(phases: Seq[() => Unit]): Unit = {
+    if (phases.isEmpty) return
+    if (phases.size == 1) { phases.head(); return }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = phases.map { p =>
+      new Thread(() =>
+        try p() catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   /** Tables present in a committed catalog version. */

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Hnsw, Similarity}
+
+/**
+ * The PERSISTED HNSW face (r10 verdict missing #2 — previously
+ * build-and-query only): save / probe / append / tombstone / compact,
+ * the fourth index family under the shared delete-lifecycle contract.
+ * Pins under test:
+ *  - a freshly saved index probes BIT-IDENTICALLY to the in-memory
+ *    [[Hnsw.topK]] at equal parameters (same shard function, same
+ *    sorted-id builds, same exact re-rank kernel);
+ *  - append rebuilds ONLY the shards the batch touches, leaves the
+ *    rest byte-untouched, and the appended ids serve;
+ *  - compact ≡ fresh save on the purged corpus, row for row including
+ *    the stored adjacency;
+ *  - dimensionality is recorded at save and enforced loudly on
+ *    append and probe.
+ */
+class HnswIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def synthVectors(n: Int, dim: Int) =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => ((pmod(xxhash64(col("id"), d), lit(1000L)).cast("float") -
+          500.0f) / 500.0f).cast("float")).as("embedding"))
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_hnswidx_$tag").toString
+
+  test("probe parity: a freshly saved index answers bit-identically to " +
+    "the in-memory topK at equal parameters, across layouts") {
+    val dir = s"${fresh("parity")}/idx"
+    val corpus = synthVectors(400, 16)
+    val q = synthVectors(400, 16).filter(col("vec_id") % 40 === 0)
+    Hnsw.saveHnswIndex(corpus.repartition(13), "vec_id", "embedding",
+      dir, m = 6, efConstruction = 24, nShards = 3)
+    val indexed = Hnsw.hnswTopKIndexed(spark, dir, q, "vec_id",
+      "embedding", k = 5, efSearch = 24)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val inMem = Hnsw.topK(corpus, q, "vec_id", "embedding", k = 5,
+      m = 6, efConstruction = 24, efSearch = 24, nShards = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(indexed == inMem, "persisted probe diverged from topK")
+    assert(indexed.nonEmpty)
+    // probing twice is stable (stored graph, deterministic entry rule)
+    val again = Hnsw.hnswTopKIndexed(spark, dir, q, "vec_id",
+      "embedding", k = 5, efSearch = 24)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(again == indexed)
+  }
+
+  test("append rebuilds only the touched shards, appended ids serve, " +
+    "and a planted twin lands at rank 1") {
+    val dir = s"${fresh("append")}/idx"
+    val corpus = synthVectors(300, 16)
+    Hnsw.saveHnswIndex(corpus, "vec_id", "embedding", dir,
+      m = 6, efConstruction = 24, nShards = 4)
+    // plant an exact twin of doc 77 under a new id; positive scaling
+    // is cosine-exact
+    val twin = corpus.filter(col("vec_id") === 77L)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def shardFiles(s: Int): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/nodes/shard=$s"))
+        .filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = (0 until 4).map(s => s -> shardFiles(s)).toMap
+    Hnsw.appendHnswIndex(twin, "vec_id", "embedding", dir)
+    val touched = (0 until 4).filter(s => shardFiles(s) != before(s))
+    assert(touched.size == 1,
+      s"append must rewrite exactly the batch's shard, touched $touched")
+    val q = corpus.filter(col("vec_id") === 77L)
+    val got = Hnsw.hnswTopKIndexed(spark, dir, q, "vec_id", "embedding",
+      k = 1, efSearch = 48)
+      .select(col("neighbor_id")).as[Long].collect()
+    assert(got.toSeq == Seq(100077L),
+      s"appended twin must be rank 1, got ${got.toSeq}")
+  }
+
+  test("compact is rebuild-equivalent: after tombstone + compact the " +
+    "stored rows equal a fresh save on the purged corpus, adjacency " +
+    "included") {
+    val base = fresh("compact")
+    val corpus = synthVectors(250, 16)
+    val dead = Seq(11L, 42L, 199L)
+    Hnsw.saveHnswIndex(corpus, "vec_id", "embedding", s"$base/live",
+      m = 6, efConstruction = 24, nShards = 3)
+    Hnsw.tombstoneHnswIndex(dead.toDF("vec_id"), "vec_id", s"$base/live")
+    Hnsw.compactHnswIndex(spark, s"$base/live")
+    Hnsw.saveHnswIndex(corpus.filter(!col("vec_id").isin(dead: _*)),
+      "vec_id", "embedding", s"$base/rebuilt",
+      m = 6, efConstruction = 24, nShards = 3)
+    def rows(p: String): Set[(Int, Long, Seq[Float], Seq[Seq[Long]])] =
+      spark.read.parquet(s"$p/nodes")
+        .select(col("shard").cast("int"), col("id"), col("vec"),
+          col("links"))
+        .as[(Int, Long, Seq[Float], Seq[Seq[Long]])].collect().toSet
+    assert(rows(s"$base/live") == rows(s"$base/rebuilt"),
+      "compacted store must equal a fresh save on the purged corpus")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/live/tombstones")))
+  }
+
+  test("dimensionality is recorded at save and enforced loudly on " +
+    "append and probe") {
+    val dir = s"${fresh("dim")}/idx"
+    Hnsw.saveHnswIndex(synthVectors(50, 16), "vec_id", "embedding", dir,
+      m = 6, efConstruction = 24, nShards = 2)
+    val q8 = synthVectors(50, 8).filter(col("vec_id") === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.hnswTopKIndexed(spark, dir, q8, "vec_id", "embedding", k = 1)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Hnsw.appendHnswIndex(
+        Seq((999999L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    assert(e2.getMessage.contains("dim") ||
+      Option(e2.getCause).exists(_.getMessage.contains("dim")))
+    // non-integral ids refuse at every entry point
+    intercept[IllegalArgumentException] {
+      Hnsw.saveHnswIndex(Seq(("a", Array(1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir.bad")
+    }
+    intercept[IllegalArgumentException] {
+      Hnsw.tombstoneHnswIndex(Seq("a").toDF("vec_id"), "vec_id", dir)
+    }
+  }
+}

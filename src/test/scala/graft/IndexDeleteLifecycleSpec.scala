@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Retrieval, Similarity, TextDedup}
 
 /**
- * The three persisted index families — MinHash (text near-dup), IVF-PQ
- * (embedding ANN) and BM25 (lexical retrieval) — must expose ONE
- * observable delete lifecycle (r9 verdict #2 closed the BM25 gap):
+ * The four persisted index families — MinHash (text near-dup), IVF-PQ
+ * (embedding ANN), BM25 (lexical retrieval) and HNSW (graph ANN, the
+ * persisted face new in r11) — must expose ONE observable delete
+ * lifecycle (r9 verdict #2 closed the BM25 gap):
  *
  *   1. tombstone  → the id stops being SERVED immediately (logical
  *                   exclusion below every query path), and stays dead
@@ -48,7 +49,7 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
       s"$name: a fresh append after compaction must resurrect the id")
   }
 
-  test("the three index families share one delete lifecycle: tombstone " +
+  test("the four index families share one delete lifecycle: tombstone " +
     "excludes (re-append stays dead), compact erases + clears, " +
     "fresh append resurrects") {
     val base = java.nio.file.Files
@@ -104,6 +105,29 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
         .appendIvfPqIndex(vec1, "vec_id", "embedding", ann),
       compact = () => Similarity.compactIvfPqIndex(spark, ann),
       tombstonesDir = s"$ann/tombstones")
+
+    // --- HNSW (the 4th family, persisted face new in r11) -----------
+    val hn = s"$base/hnsw"
+    val hnVec1 = Seq((1L, oneHot(1, 2f))).toDF("vec_id", "embedding")
+    val corpusHn = hnVec1.unionByName(
+      (2 to 24).filter(_ % 8 != 1)
+        .map(i => (i.toLong, oneHot(i, 1f + (i % 3))))
+        .toDF("vec_id", "embedding"))
+    graft.ops.Hnsw.saveHnswIndex(corpusHn, "vec_id", "embedding", hn,
+      m = 4, efConstruction = 24, nShards = 2)
+    val qHn = Seq((200L, oneHot(1, 5f))).toDF("vec_id", "embedding")
+    lifecycle("hnsw",
+      served = () => graft.ops.Hnsw
+        .hnswTopKIndexed(spark, hn, qHn, "vec_id", "embedding",
+          k = 3, efSearch = 24)
+        .filter(col("cosine") > 0.99)
+        .select(col("neighbor_id")).as[Long].collect().toSet,
+      tombstone = () => graft.ops.Hnsw
+        .tombstoneHnswIndex(Seq(1L).toDF("vec_id"), "vec_id", hn),
+      reAppend = () => graft.ops.Hnsw
+        .appendHnswIndex(hnVec1, "vec_id", "embedding", hn),
+      compact = () => graft.ops.Hnsw.compactHnswIndex(spark, hn),
+      tombstonesDir = s"$hn/tombstones")
 
     // --- BM25 ------------------------------------------------------
     val bm = s"$base/bm25"
@@ -316,6 +340,28 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
       Seq((1L, oneHot(1, 2f))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", ann)
     assert(annServed() == Set(1L))
+
+    // --- HNSW --------------------------------------------------------
+    val hn = s"$base/hnsw"
+    val corpusHn = (1 to 12).map(i => (i.toLong, oneHot(i, 1f + (i % 3))))
+      .toDF("vec_id", "embedding")
+    graft.ops.Hnsw.saveHnswIndex(corpusHn, "vec_id", "embedding", hn,
+      m = 4, efConstruction = 24, nShards = 2)
+    graft.ops.Hnsw.tombstoneHnswIndex(
+      (1 to 12).map(_.toLong).toDF("vec_id"), "vec_id", hn)
+    graft.ops.Hnsw.compactHnswIndex(spark, hn)
+    assert(!exists(s"$hn/tombstones"))
+    val qHn = Seq((200L, oneHot(1, 5f))).toDF("vec_id", "embedding")
+    def hnServed(): Set[Long] = graft.ops.Hnsw
+      .hnswTopKIndexed(spark, hn, qHn, "vec_id", "embedding",
+        k = 3, efSearch = 24)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(hnServed().isEmpty)
+    graft.ops.Hnsw.compactHnswIndex(spark, hn) // already-empty: no-op
+    graft.ops.Hnsw.appendHnswIndex(
+      Seq((1L, oneHot(1, 2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", hn)
+    assert(hnServed() == Set(1L))
   }
 
   test("non-integral ids are refused LOUDLY at save and tombstone time " +
