@@ -2945,7 +2945,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
-    // IVF-probed approximate top-k (scale path; recall tested in specs)
+    // IVF-probed approximate top-k. ORACLED in full (r11, the
+    // q_semdedup recompute technique extended to the probe path):
+    // the seeded assignment is a pure per-row function, so DuckDB
+    // recomputes assignment → per-cell means → per-query top-nProbe
+    // cell selection → exact in-cell cosine top-k. The two float
+    // compares that could diverge cross-engine are margin-pinned in
+    // SemDedupPinSpec at both SFs: the 4th-vs-5th probe-cell gap
+    // (≥ 2.6e-4; cell means are order-dependent double sums, so they
+    // differ in ulps between engines — far below the gap) and the
+    // adjacent candidate-cosine gaps through rank 4 (≥ 1.3e-4; exact
+    // float ties are safe either way — both engines break them on
+    // id). The output drops the cosine column, so no float crosses
+    // the gate boundary at all.
     "q_simsearch_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
@@ -6574,6 +6586,82 @@ object SparkEntry {
         |FROM embeddings emb
         |LEFT JOIN comp ON emb.vec_id = comp.node
         |WHERE comp.node IS NULL OR comp.cid = emb.vec_id""".stripMargin,
+
+    // FULL independent recompute of the seeded IVF probe path
+    // (q_simsearch_ivf): seed centroids → assignment (as q_semdedup)
+    // → per-cell MEANS → per-query top-4 cells by (cosine desc, cell
+    // id asc; NaN sims never picked — Spark's probe kernel skips
+    // them, the oracle filters isnan) → exact cosine top-3 within
+    // probed cells by (cosine desc, id asc), self-pairs and zero-norm
+    // rows excluded. Means are order-dependent double sums that
+    // differ in ulps between engines; the probe-gap and rank-gap
+    // fixture margins (SemDedupPinSpec) dwarf that.
+    "q_simsearch_ivf" ->
+      """WITH v AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS MATERIALIZED (
+        | SELECT vec_id, e,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(e)),
+        |    i -> e[i] * e[i]), 'sum')) AS nrm
+        | FROM v),
+        |seeds AS MATERIALIZED (
+        | SELECT vec_id AS cid, e AS c, nrm AS cnrm
+        | FROM n ORDER BY vec_id LIMIT 16),
+        |asim AS MATERIALIZED (
+        | SELECT n.vec_id, s.cid,
+        |  list_aggregate(list_transform(generate_series(1, len(n.e)),
+        |    i -> n.e[i] * s.c[i]), 'sum') / (n.nrm * s.cnrm) AS cs
+        | FROM n CROSS JOIN seeds s),
+        |assign AS MATERIALIZED (
+        | SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM asim) WHERE rn = 1),
+        |dims AS MATERIALIZED (
+        | SELECT unnest(generate_series(1, (SELECT max(len(e)) FROM v)))
+        |   AS i),
+        |mexp AS MATERIALIZED (
+        | SELECT a.cid, d.i, avg(x.e[d.i]) AS m
+        | FROM assign a JOIN v x USING (vec_id) CROSS JOIN dims d
+        | GROUP BY a.cid, d.i),
+        |means AS MATERIALIZED (
+        | SELECT cid, list(m ORDER BY i) AS c FROM mexp GROUP BY cid),
+        |mn AS MATERIALIZED (
+        | SELECT cid, c,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(c)),
+        |    i -> c[i] * c[i]), 'sum')) AS cnrm
+        | FROM means),
+        |q AS MATERIALIZED (
+        | SELECT vec_id, e, nrm FROM n WHERE vec_id % 20 = 0),
+        |psim AS MATERIALIZED (
+        | SELECT q.vec_id AS qid, m.cid,
+        |  list_aggregate(list_transform(generate_series(1, len(q.e)),
+        |    i -> q.e[i] * m.c[i]), 'sum') / (q.nrm * m.cnrm) AS cs
+        | FROM q CROSS JOIN mn m),
+        |probes AS MATERIALIZED (
+        | SELECT qid, cid FROM (
+        |  SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid
+        |     ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM psim WHERE NOT isnan(cs)) WHERE rn <= 4),
+        |scored AS MATERIALIZED (
+        | SELECT p.qid, a.vec_id AS nid,
+        |  list_aggregate(list_transform(generate_series(1, len(x.e)),
+        |    i -> qq.e[i] * x.e[i]), 'sum') / (qq.nrm * x.nrm) AS cs
+        | FROM probes p
+        | JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+        | JOIN n x ON x.vec_id = a.vec_id
+        | JOIN n qq ON qq.vec_id = p.qid
+        | WHERE x.nrm > 0 AND qq.nrm > 0)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |  CAST(rn AS INT) AS rank
+        |FROM (SELECT qid, nid,
+        |   row_number() OVER (PARTITION BY qid
+        |     ORDER BY cs DESC, nid ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
 
     // outcome-pinned (the q_ann_sink technique): the dropped set of
     // the seeded text SemDeDup at sf0.01, derived once from the

@@ -51,9 +51,14 @@ object Scaling {
     // round-10: sharded graph-ANN — build is shard-parallel, so the
     // ratio should track corpus size roughly linearly
     "q_hnsw_topk",
-    // round-10: the full-catalog purge orchestration (three index
-    // saves + catalog + compaction per run — I/O-rebuild-shaped)
-    "q_rtbf_everywhere")
+    // round-10: the full-catalog purge orchestration (FOUR index
+    // saves + catalog + compaction per run since r11 — I/O-rebuild-
+    // shaped)
+    "q_rtbf_everywhere",
+    // round-11: the persisted HNSW face (save + stored-adjacency
+    // probe per run — shard-parallel build, I/O-shaped like the
+    // other index round trips)
+    "q_hnsw_index")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

@@ -1006,6 +1006,123 @@ object Stress {
     }
     assertNoFunnel("hnsw-200k")
 
+    // ---- 21. vacuum racing live committers (r11 — the r10 `weak`) --------
+    // Four committers push 5 versions each into one snapshot table
+    // while a zero-grace vacuumer loops over it the whole time —
+    // maximally hostile: every gen dir is reclaimable the instant it
+    // is written, so some commits WILL lose their gens mid-flight.
+    // The invariant the r10 race broke: no commit may ever publish a
+    // version that references a deleted generation. Every failure
+    // must be clean (nothing published), every surviving version must
+    // resolve and read, and the store must stay writable afterwards.
+    val vacDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_vac").toString + "/table"
+    tme("snapshot vacuum vs 4 committers x 5 commits (zero grace)") {
+      import graft.sources.SnapshotStore
+      SnapshotStore.commit(
+        spark.range(1000L).select(col("id"), col("id").as("v")), vacDir)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val successes = new java.util.concurrent.atomic.AtomicInteger(0)
+      val vacuumer = new Thread(() => {
+        while (!stop.get()) {
+          SnapshotStore.vacuum(spark, vacDir, keepLast = 1, graceMs = 0L)
+          Thread.sleep(5)
+        }
+      })
+      vacuumer.start()
+      val committers = (1 to 4).map { c =>
+        new Thread(() => {
+          (1 to 5).foreach { i =>
+            try {
+              SnapshotStore.commit(
+                spark.range(10000L).select(
+                  (col("id") + c * 1000000L + i * 10000L).as("id"),
+                  col("id").as("v")), vacDir)
+              successes.incrementAndGet()
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                failures.incrementAndGet()
+            }
+          }
+        })
+      }
+      committers.foreach(_.start())
+      committers.foreach(_.join(300000))
+      stop.set(true)
+      vacuumer.join(300000)
+      assert(successes.get() + failures.get() == 20,
+        s"${successes.get()} ok + ${failures.get()} fenced != 20")
+      val vs = SnapshotStore.versions(spark, vacDir)
+      vs.foreach { v =>
+        val n = SnapshotStore.readVersion(spark, vacDir, v).count()
+        assert(n > 0, s"surviving version $v reads empty")
+      }
+      val vNew = SnapshotStore.commit(
+        spark.range(500L).select(col("id"), col("id").as("v")), vacDir)
+      assert(SnapshotStore.readVersion(spark, vacDir, vNew).count() == 500L)
+      println(s"[stress] vacuum race: ${successes.get()} committed, " +
+        s"${failures.get()} failed cleanly, ${vs.size} versions all " +
+        "resolve")
+    }
+    assertNoFunnel("vacuum-race")
+
+    // ---- 22. persisted HNSW lifecycle at corpus volume -------------------
+    // The leg-20 corpus (200k x 32-dim) through the r11 persisted
+    // face: save, probe the 200 planted twins, append 200 NEW exact
+    // twins (+2e6 ids), probe k=2 (both copies must surface; the
+    // lower id wins rank 1 by tiebreak), tombstone the originals,
+    // probe k=1 (only the appended twin may answer), compact
+    // (physical erase), probe once more. Only (query, candidate-id)
+    // pairs leave the shard tasks — the leg runs under the no-funnel
+    // listener like the in-memory face.
+    val hnswIdx = java.nio.file.Files
+      .createTempDirectory("graft_stress_hnswidx").toString + "/idx"
+    tme("hnsw persisted lifecycle (200k: save+probe+append+forget)") {
+      import graft.ops.Hnsw
+      Hnsw.saveHnswIndex(hnswCorpus, "vec_id", "embedding", hnswIdx,
+        nShards = 32)
+      def top(k: Int): Map[Long, Seq[Long]] =
+        Hnsw.hnswTopKIndexed(spark, hnswIdx, hnswQ, "vec_id",
+          "embedding", k = k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .as[(Long, Long, Int)].collect()
+          .groupBy(_._1).map { case (q, rs) =>
+            q -> rs.sortBy(_._3).map(_._2).toSeq
+          }
+      val t0 = top(1)
+      val hits0 = t0.count { case (q, ns) => ns == Seq(q - 1000000L) }
+      assert(t0.size == 200 && hits0 >= 198,
+        s"persisted probe: $hits0/200 planted twins at rank 1")
+      val twins = hnswCorpus.filter(col("vec_id") % 1000 === 7L)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 4.0 AS FLOAT))")
+            .as("embedding"))
+      Hnsw.appendHnswIndex(twins, "vec_id", "embedding", hnswIdx)
+      val t1 = top(2)
+      val both = t1.count { case (q, ns) =>
+        ns == Seq(q - 1000000L, q + 1000000L)
+      }
+      assert(both >= 198,
+        s"append: $both/200 queries see original then appended twin")
+      Hnsw.tombstoneHnswIndex(
+        hnswCorpus.filter(col("vec_id") % 1000 === 7L)
+          .select(col("vec_id")), "vec_id", hnswIdx)
+      val t2 = top(1)
+      val dead = t2.count { case (q, ns) => ns == Seq(q + 1000000L) }
+      assert(dead >= 198 &&
+        !t2.exists { case (q, ns) => ns.contains(q - 1000000L) },
+        s"tombstone: $dead/200 serve the appended twin, originals dead")
+      Hnsw.compactHnswIndex(spark, hnswIdx)
+      val t3 = top(1)
+      assert(t3.count { case (q, ns) => ns == Seq(q + 1000000L) } >= 198 &&
+        !t3.exists { case (q, ns) => ns.contains(q - 1000000L) },
+        "compaction resurfaced an erased node or lost the twin")
+      println(s"[stress] hnsw lifecycle: $hits0/200 saved, $both/200 " +
+        s"after append, $dead/200 after tombstone, compact clean")
+    }
+    assertNoFunnel("hnsw-persisted-lifecycle")
+
     println("[stress] ALL OK")
     spark.stop()
   }

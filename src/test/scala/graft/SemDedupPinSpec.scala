@@ -123,6 +123,80 @@ class SemDedupPinSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_simsearch_ivf oracle-recompute margins: the probe-cell " +
+    "boundary (4th vs 5th) and the adjacent candidate-cosine gaps " +
+    "through rank 4 dwarf the engines' mean-fold ulps, at both SFs") {
+    for (sf <- bothSfs) {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
+      // cell means exactly as the operator computes them (double
+      // elementwise mean of members)
+      val mexp = assigned
+        .select(col("cell_id"),
+          posexplode(Similarity.toDoubleVec(col("embedding")))
+            .as(Seq("i", "x")))
+        .groupBy(col("cell_id"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(sort_array(collect_list(struct(col("i"), col("m"))))
+          .as("pairs"))
+        .select(col("cell_id"),
+          expr("transform(pairs, p -> p.m)").as("c"))
+      val sims = queries
+        .select(col("vec_id"),
+          Similarity.toDoubleVec(col("embedding")).as("e"))
+        .crossJoin(broadcast(mexp))
+        .withColumn("cs", Similarity.cosine(col("e"), col("c")))
+        .filter(!isnan(col("cs")))
+      // the probe selection's decisive compare: 4th-best vs 5th-best
+      // cell similarity per query (nProbe = 4 at the gate)
+      val probeGap = sims.groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(col("cs")), asc = false).as("all"))
+        .select((col("all").getItem(3) - col("all").getItem(4)).as("g"))
+        .select(min(col("g")).as("g")).as[Double].head()
+      assert(probeGap > 1e-6,
+        s"$sf: probe-cell boundary gap $probeGap too thin — an " +
+          "engine-side mean-fold ulp could flip a probed cell")
+      // the ranking's decisive compares: adjacent NONZERO cosine gaps
+      // among each query's top-5 in-cell candidates (zero gaps are
+      // exact float ties — both engines break those on id)
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cell_id").asc)
+      val probed = sims.withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cell_id"))
+      val cand = probed
+        .join(assigned.select(col("cell_id"), col("vec_id").as("cid"),
+          Similarity.toDoubleVec(col("embedding")).as("cv")),
+          Seq("cell_id"))
+        .filter(col("qid") =!= col("cid"))
+        .join(queries.select(col("vec_id").as("qid"),
+          Similarity.toDoubleVec(col("embedding")).as("qv")), Seq("qid"))
+        .withColumn("cs", Similarity.cosine(col("qv"), col("cv")))
+        .filter(!isnan(col("cs")))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cs").desc, col("cid").asc)
+      val rankGap = cand.withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 5)
+        .groupBy(col("qid"))
+        .agg(sort_array(collect_list(col("cs")), asc = false).as("all"))
+        .select(expr(
+          """aggregate(
+            |  filter(transform(sequence(0, size(all) - 2),
+            |    i -> all[i] - all[i+1]), g -> g > 0D),
+            |  CAST(1.0 AS DOUBLE), (acc, g) -> least(acc, g))"""
+            .stripMargin).as("g"))
+        .select(min(col("g")).as("g")).as[Double].head()
+      assert(rankGap > 1e-6,
+        s"$sf: rank-boundary gap $rankGap too thin for a cross-engine " +
+          "ordering")
+      assigned.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("seeded (refineIterations = 0) SemDeDup is layout-invariant: " +
     "repartitioning moves no survivor, in both gate pipelines") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
