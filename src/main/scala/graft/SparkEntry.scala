@@ -2138,13 +2138,19 @@ object SparkEntry {
         .join(mhHitsC, Seq("key"), "left")
         .select(lit("minhash_ctl").as("surface"), col("key"),
           coalesce(col("hit"), lit(0.0)).as("n"))
-      def annFace(mod: Int, offset: Long, name: String) = {
+      // one embedding-space probe face, parameterized on the index
+      // being probed (ann = IVF-PQ, hnsw = persisted graph): queries
+      // are exact scaled copies of the mod-decile's vectors, hits are
+      // neighbors at cosine >= 0.99, keyed back to the original ids —
+      // ONE implementation so the two families' evidence can never
+      // drift (r11 review)
+      def embFace(probe: DataFrame => DataFrame)(
+          mod: Int, offset: Long, name: String) = {
         val q = emb.filter(col("vec_id") % 9 === mod)
           .select((col("vec_id") + offset).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f))
               .as("embedding"))
-        val hits = Similarity.ivfPqTopKIndexed(s, s"$base/ann", q,
-            "vec_id", "embedding", k = 4, nProbe = 8)
+        val hits = probe(q)
           .filter(col("cosine") >= 0.99)
           .groupBy((col("query_id") - offset).as("key"))
           .agg(count(lit(1)).cast("double").as("hits"))
@@ -2154,22 +2160,10 @@ object SparkEntry {
           .select(lit(name).as("surface"), col("key"),
             coalesce(col("hits"), lit(0.0)).as("n"))
       }
-      def hnswFace(mod: Int, offset: Long, name: String) = {
-        val q = emb.filter(col("vec_id") % 9 === mod)
-          .select((col("vec_id") + offset).as("vec_id"),
-            transform(col("embedding"), x => x * lit(2.0f))
-              .as("embedding"))
-        val hits = graft.ops.Hnsw.hnswTopKIndexed(s, s"$base/hnsw", q,
-            "vec_id", "embedding", k = 4, efSearch = 48)
-          .filter(col("cosine") >= 0.99)
-          .groupBy((col("query_id") - offset).as("key"))
-          .agg(count(lit(1)).cast("double").as("hits"))
-        emb.filter(col("vec_id") % 9 === mod)
-          .select(col("vec_id").as("key"))
-          .join(hits, Seq("key"), "left")
-          .select(lit(name).as("surface"), col("key"),
-            coalesce(col("hits"), lit(0.0)).as("n"))
-      }
+      val annFace = embFace(q => Similarity.ivfPqTopKIndexed(s,
+        s"$base/ann", q, "vec_id", "embedding", k = 4, nProbe = 8)) _
+      val hnswFace = embFace(q => graft.ops.Hnsw.hnswTopKIndexed(s,
+        s"$base/hnsw", q, "vec_id", "embedding", k = 4, efSearch = 48)) _
       val sBm = Retrieval.bm25TopKIndexed(s, s"$base/bm", "doc_id",
           Bm25Queries, k = 10)
         .select(concat(lit("bm25:"), col("qid")).as("surface"),

@@ -462,11 +462,12 @@ object Hnsw {
 
   /** The nodes table, schema-safe when the directory holds no data
     * files (a fully-tombstoned compaction's partitioned zero-row
-    * write) — the same empty-layout contract as the other families. */
+    * write) — the same empty-layout contract as the other families;
+    * a MISSING dir throws ([[Layout.readParquetIfData]] — swap-crash
+    * recovery state, never "empty"). */
   private def nodesOrEmpty(spark: org.apache.spark.sql.SparkSession,
                            path: String): DataFrame =
-    try spark.read.parquet(s"$path/$NodesDir") catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+    Layout.readParquetIfData(spark, s"$path/$NodesDir").getOrElse {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
@@ -483,6 +484,69 @@ object Hnsw {
               org.apache.spark.sql.types.IntegerType))))
     }
 
+  /** Rename-aside root for [[appendHnswIndex]]'s per-shard swaps —
+    * OUTSIDE the hive-partitioned nodes root (an aside dir named
+    * `shard=N.__old` inside it would poison partition discovery: the
+    * bogus partition value reads as a string, breaking the Int
+    * encoder and making a re-run silently drop the shard's history —
+    * r11 review finding). */
+  private def asideRoot(path: String): String = s"$path/$NodesDir.__aside"
+
+  /** Heal the UNAMBIGUOUS crash states a killed [[appendHnswIndex]]
+    * can leave, at every entry point (probe/append/compact). The
+    * per-shard swap's only write order is: (1) rename live shard dir
+    * to the aside, (2) rename the rebuilt dir in, (3) delete the
+    * aside. So an aside dir with NO live twin ⟺ crashed between (1)
+    * and (2) — restore it; an aside WITH a live twin ⟺ crashed
+    * between (2) and (3) — the swap completed, drop the aside. A
+    * leftover `nodes.__append` staging dir is deleted outright: the
+    * idempotent append re-creates it, and shards that already swapped
+    * skip their ids. Single-writer discipline applies (as with every
+    * other family's appends): run appends serialized with each other
+    * and with compaction. */
+  private def healAppendLeftovers(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(asideRoot(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(
+          s"$path/$NodesDir/${st.getPath.getName}")
+        if (!fs.exists(live)) {
+          require(fs.rename(st.getPath, live),
+            s"healing crashed append: restore ${st.getPath} -> $live " +
+              "failed")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(root, true)
+      spark.catalog.refreshByPath(s"$path/$NodesDir")
+    }
+    val staging = new org.apache.hadoop.fs.Path(s"$path/$NodesDir.__append")
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  /** Promote one rebuilt shard dir: rename the live dir aside (outside
+    * the partition root), rename the rebuilt dir in, drop the aside —
+    * the [[Layout.atomicSwap]] order, relocated so a crash never
+    * leaves a bogus partition value, and every window is healed
+    * automatically by [[healAppendLeftovers]]. */
+  private def swapShard(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                        shard: Int): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(
+      s"$path/$NodesDir/shard=$shard")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/$NodesDir.__append/shard=$shard")
+    val aside = new org.apache.hadoop.fs.Path(
+      s"${asideRoot(path)}/shard=$shard")
+    require(fs.exists(tmp), s"rebuilt shard dir missing: $tmp")
+    fs.mkdirs(aside.getParent)
+    fs.delete(aside, true) // stale leftover from a healed crash
+    if (fs.exists(dest))
+      require(fs.rename(dest, aside), s"rename $dest -> $aside failed")
+    require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    fs.delete(aside, true)
+  }
+
   /** Per-shard build over a (shard, id, vec)-sorted partition stream:
     * consecutive same-shard runs each build one graph in sorted-id
     * insertion order and emit their nodes. Robust to several shards
@@ -498,8 +562,17 @@ object Hnsw {
         val g = new ShardGraph(m, efConstruction, dim)
         val raw = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Array[Float])]
+        var prev = Long.MinValue
         while (buf.hasNext && buf.head._1 == shard) {
           val (_, id, v) = buf.next()
+          // a duplicated id would persist two rows in one shard and
+          // brick every later load (strict-ascending check) with no
+          // API able to repair — fail at BUILD time instead (r11
+          // review finding); the sorted stream makes duplicates
+          // adjacent, so this check is exact
+          require(id > prev,
+            s"duplicate id $id in the hnsw corpus — ids must be unique")
+          prev = id
           g.insert(id, v)
           raw += ((id, v))
         }
@@ -571,6 +644,7 @@ object Hnsw {
     require(k >= 1, s"k must be >= 1: $k")
     import spark.implicits._
     val (m, efC, _, dim) = readMeta(spark, path)
+    healAppendLeftovers(spark, path)
     val qIdType = queries.schema(idCol).dataType
     require(Similarity.integralType(qIdType),
       s"hnswTopKIndexed requires an integral query id column, got $qIdType")
@@ -654,15 +728,28 @@ object Hnsw {
     require(Similarity.integralType(idType),
       s"appendHnswIndex requires an integral id column, got $idType")
     val (m, efC, shards, dim) = readMeta(spark, path)
+    // heal any crashed prior append BEFORE reading the nodes table —
+    // a shard parked at the aside must count as existing
+    healAppendLeftovers(spark, path)
     val batch = newRows.filter(col(vecCol).isNotNull)
       .select(shardCol(col(idCol).cast("long"), shards).as("__s"),
         col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
         lit(null).cast("array<array<bigint>>").as("__links"),
         lit(1).as("__new"))
       .persist()
+    try {
+    // an id repeated WITHIN one batch would insert two nodes and brick
+    // every later load — the batch-vs-existing skip below cannot see
+    // it, so refuse it here (bounded by the batch size)
+    val dup = batch.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"appendHnswIndex: id ${dup.headOption.map(_.get(0)).orNull} " +
+        "appears more than once in the batch — ids must be unique")
     val affected = batch.select(col("__s")).distinct()
       .as[Int].collect().sorted
-    if (affected.isEmpty) { batch.unpersist(); return }
+    if (affected.isEmpty) return
     val existing = nodesOrEmpty(spark, path)
       .filter(col("shard").isin(affected.toSeq: _*))
       .select(col("shard").cast("int").as("__s"), col("id").as("__id"),
@@ -716,22 +803,23 @@ object Hnsw {
         }.flatten
       }
     // land the rebuilt shards beside the live table, then promote each
-    // affected shard dir atomically (rename-aside swap). Cross-shard
-    // the append is NOT transactional — see the module note: a crash
-    // leaves every shard individually consistent, and a re-run is
-    // caught by the load-time strict-ascending id check.
+    // affected shard dir with the relocated-aside swap ([[swapShard]]
+    // — the aside lives OUTSIDE the partition root so a crash can
+    // never poison partition discovery). Cross-shard the append is
+    // NOT transactional — see the module note: a crash leaves every
+    // shard individually consistent, [[healAppendLeftovers]] repairs
+    // the one-shard windows automatically at the next call, and
+    // re-running the batch finishes the job (idempotence).
     val tmp = s"$path/$NodesDir.__append"
     rebuilt.toDF().write.mode("overwrite").partitionBy("shard")
       .parquet(tmp)
-    affected.foreach { s =>
-      Layout.atomicSwap(spark, s"$tmp/shard=$s",
-        s"$path/$NodesDir/shard=$s")
-    }
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach(s => swapShard(fs, path, s))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(asideRoot(path)), true)
     spark.catalog.refreshByPath(s"$path/$NodesDir")
-    batch.unpersist()
+    } finally batch.unpersist()
   }
 
   /**
@@ -778,6 +866,7 @@ object Hnsw {
                        path: String): Unit = {
     import spark.implicits._
     val (m, efC, shards, dim) = readMeta(spark, path)
+    healAppendLeftovers(spark, path)
     val nodes = nodesOrEmpty(spark, path)
     val live = nodes.join(hnswTombstones(spark, path),
       col("id") === col("__tomb"), "left_anti")

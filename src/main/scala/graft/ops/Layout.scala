@@ -206,6 +206,35 @@ object Layout {
   private[graft] val lastManifestPrune =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /**
+   * Read a parquet directory that may VALIDLY hold zero data files —
+   * the state a partitioned zero-row rewrite leaves (only _SUCCESS;
+   * schema inference throws). Returns None for exactly that state so
+   * callers can synthesize their empty layout; a MISSING path rethrows
+   * instead: after an [[atomicSwap]] crash between its two renames the
+   * data's only copy sits at `<path>.__old`, and treating that as
+   * "validly empty" would silently serve zero rows — and a subsequent
+   * compaction would then "rebuild" from the empty view and delete the
+   * `.__old` copy, losing the index outright (r11 review finding).
+   * One shared helper so the missing-vs-empty distinction cannot
+   * drift across the index families.
+   */
+  private[graft] def readParquetIfData(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path)) catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p))
+          throw new IllegalStateException(
+            s"$path is MISSING (not merely empty) — if `$path.__old` " +
+              "exists, an atomic swap crashed between its renames: " +
+              "restore by renaming it back, then re-run. Refusing to " +
+              "treat a vanished directory as an empty layout.", e)
+        None
+    }
+
   /** Read the manifest rows of a manifest-tracked directory. The data
     * FILES are listed and passed explicitly rather than the manifest
     * dir itself: `_graft_manifest` is underscore-named, and Spark

@@ -364,25 +364,21 @@ object Retrieval {
     * readable is genuinely corrupt and rethrows the original error. */
   private def postingsOrEmpty(spark: SparkSession,
                               path: String): DataFrame =
-    try spark.read.parquet(s"$path/postings") catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        val dl =
-          try spark.read.parquet(s"$path/doclens") catch {
-            case _: org.apache.spark.sql.AnalysisException => throw e
-          }
-        val idField = dl.schema.fields.filterNot(_.name == "dl").head
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            idField,
-            org.apache.spark.sql.types.StructField("dl",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("term",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("tf",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("bucket",
-              org.apache.spark.sql.types.IntegerType))))
+    Layout.readParquetIfData(spark, s"$path/postings").getOrElse {
+      val idField = spark.read.parquet(s"$path/doclens")
+        .schema.fields.filterNot(_.name == "dl").head
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          idField,
+          org.apache.spark.sql.types.StructField("dl",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType))))
     }
 
   /** Tombstoned ids of a BM25 index (empty if none were written). */
@@ -546,19 +542,16 @@ object Retrieval {
     // dir is schema-safe the same way postings is: a corpus of only
     // zero-token docs has n_docs > 0 but no postings/terms rows, and
     // a partitioned zero-row write leaves no inferable files.
-    val termsDf =
-      try spark.read.parquet(s"$path/terms") catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("term",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("df",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("bucket",
-                org.apache.spark.sql.types.IntegerType))))
-      }
+    val termsDf = Layout.readParquetIfData(spark, s"$path/terms")
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("df",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType)))))
     val dfPerTerm = termsDf
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(termSet: _*))

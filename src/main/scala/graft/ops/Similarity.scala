@@ -1075,14 +1075,16 @@ object Similarity {
     // an index already compacted down to zero rows has a codes dir
     // with no data files (partitioned zero-row write) — nothing to
     // erase; clearing the tombstone list is the whole compaction
-    // (contract: post-compact ≡ fresh save on the purged corpus)
-    val codes =
-      try spark.read.parquet(s"$path/codes") catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          val tp0 = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-          tp0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(tp0, true)
-          return
+    // (contract: post-compact ≡ fresh save on the purged corpus). A
+    // MISSING codes dir is NOT that state — readParquetIfData throws
+    // on it, so a swap-crash recovery state can never silently
+    // discard the purge intent (r11 review finding).
+    val codes = Layout.readParquetIfData(spark, s"$path/codes")
+      .getOrElse {
+        val tp0 = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        tp0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(tp0, true)
+        return
       }
     // the id is the one non-layout scalar column (the vector column's
     // name is caller-chosen, but it is always an array)
@@ -1134,20 +1136,20 @@ object Similarity {
     val probedSet = probed.toSet
     // a fully-tombstoned-and-compacted index has a codes dir with no
     // data files (schema inference throws): a valid empty index —
-    // every query has zero neighbors
-    val codesRaw =
-      try spark.read.parquet(s"$path/codes") catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          val qIdType = queries.schema(idCol).dataType
-          return spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("query_id", qIdType),
-              org.apache.spark.sql.types.StructField("neighbor_id", qIdType),
-              org.apache.spark.sql.types.StructField("rank",
-                org.apache.spark.sql.types.IntegerType),
-              org.apache.spark.sql.types.StructField("cosine",
-                org.apache.spark.sql.types.DoubleType))))
+    // every query has zero neighbors. A MISSING dir throws instead
+    // (swap-crash recovery state, never "empty").
+    val codesRaw = Layout.readParquetIfData(spark, s"$path/codes")
+      .getOrElse {
+        val qIdType = queries.schema(idCol).dataType
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id", qIdType),
+            org.apache.spark.sql.types.StructField("neighbor_id", qIdType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("cosine",
+              org.apache.spark.sql.types.DoubleType))))
       }
     val codes = codesRaw
       .filter(col("cell_id").isin(probed: _*))

@@ -1341,21 +1341,17 @@ object TextDedup {
     * survives even a zero-row rewrite) plus the fixed band columns. */
   private def bandsOrEmpty(spark: org.apache.spark.sql.SparkSession,
                            path: String): DataFrame =
-    try spark.read.parquet(s"$path/bands") catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        val sets =
-          try spark.read.parquet(s"$path/sets") catch {
-            case _: org.apache.spark.sql.AnalysisException => throw e
-          }
-        val idField = sets.schema.fields.filterNot(_.name == "__shh").head
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            idField,
-            org.apache.spark.sql.types.StructField("bh",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("band",
-              org.apache.spark.sql.types.IntegerType))))
+    Layout.readParquetIfData(spark, s"$path/bands").getOrElse {
+      val idField = spark.read.parquet(s"$path/sets")
+        .schema.fields.filterNot(_.name == "__shh").head
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          idField,
+          org.apache.spark.sql.types.StructField("bh",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType))))
     }
 
   /** Tombstoned ids of an index (empty frame if none were ever

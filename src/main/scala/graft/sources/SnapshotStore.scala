@@ -109,6 +109,22 @@ object SnapshotStore {
     * pass. */
   private val LeaseFile = "_graft_snapshot_lease"
 
+  /** ONE lease term shared by committers and vacuumers — the two ends
+    * of the same lock must agree on when a holder counts as crashed,
+    * or a committer would break a LIVE long vacuum (and a vacuum's
+    * own fence would then abort it mid-pass for nothing). 30 minutes
+    * bounds both the longest tolerated vacuum pass and the wait on a
+    * crashed holder's lease; the publish step itself holds the lease
+    * for milliseconds. */
+  private val LeaseTermMs = 30L * 60 * 1000
+
+  /** How long an acquirer waits on a held lease before giving up —
+    * generous because the common holder is a vacuum pass over a large
+    * store, and a commit that timed out here would fail spuriously
+    * (r11 review finding: the old 120 s commit-side wait lost to any
+    * vacuum pass longer than that). */
+  private val LeaseWaitMs = 10L * 60 * 1000
+
   /** Generation dirs (relative to the table/catalog root) a version
     * file's content references: one `gen-*` for a plain table commit,
     * `table/gen-*` per line for a catalog manifest. */
@@ -155,7 +171,7 @@ object SnapshotStore {
     var committed = -1L
     val lock = new Path(s"$path/$LeaseFile")
     val token = graft.ops.Lease.acquire(fs, lock,
-      timeoutMs = 120000L, leaseMs = 600000L)
+      timeoutMs = LeaseWaitMs, leaseMs = LeaseTermMs)
     try {
       gensOf(gen).foreach { g =>
         if (!fs.exists(new Path(s"$path/$g")))
@@ -571,17 +587,21 @@ object SnapshotStore {
     * [[link]] publishes under the same lease, so no version can land
     * between the kept-set computation and the deletes. `fence` is
     * re-checked immediately before EVERY delete: if the lease was
-    * broken (this pass overran `leaseMs`), deleting would race the
-    * new holder, so the pass aborts instead — fail-safe, already-
-    * deleted dirs were provably unreferenced while the lease held. */
+    * broken (this pass overran the shared [[LeaseTermMs]]), deleting
+    * would race the new holder, so the pass aborts instead —
+    * fail-safe, already-deleted dirs were provably unreferenced while
+    * the lease held. */
   private def vacuumPass(spark: SparkSession, path: String, keepLast: Int,
-                         graceMs: Long, lockTimeoutMs: Long, leaseMs: Long)(
+                         graceMs: Long)(
       sweep: (FileSystem, Long, () => Unit) => Int): Int = {
     require(keepLast >= 1, "keepLast must be >= 1")
     require(graceMs >= 0, "graceMs must be >= 0")
     val fs = fsFor(spark, path)
     val lock = new Path(s"$path/$LeaseFile")
-    val token = graft.ops.Lease.acquire(fs, lock, lockTimeoutMs, leaseMs)
+    // the SAME term constants as the publish side — the two ends of
+    // one lock must agree on staleness, or a committer breaks a live
+    // vacuum (and vice versa)
+    val token = graft.ops.Lease.acquire(fs, lock, LeaseWaitMs, LeaseTermMs)
     def fence(): Unit =
       if (!graft.ops.Lease.holds(fs, lock, token))
         throw new IllegalStateException(
@@ -622,10 +642,8 @@ object SnapshotStore {
    * than publishing a version that names deleted dirs.
    */
   def vacuumCatalog(spark: SparkSession, path: String, keepLast: Int,
-                    graceMs: Long = DefaultVacuumGraceMs,
-                    lockTimeoutMs: Long = 120000L,
-                    leaseMs: Long = 3600000L): Int =
-    vacuumPass(spark, path, keepLast, graceMs, lockTimeoutMs, leaseMs) {
+                    graceMs: Long = DefaultVacuumGraceMs): Int =
+    vacuumPass(spark, path, keepLast, graceMs) {
       (fs, cutoff, fence) =>
         val kept = versions(spark, path)
           .flatMap(v => parseManifest(genFor(spark, path, v)).toSeq)
@@ -664,10 +682,8 @@ object SnapshotStore {
    * fence with nothing published.
    */
   def vacuum(spark: SparkSession, path: String, keepLast: Int,
-             graceMs: Long = DefaultVacuumGraceMs,
-             lockTimeoutMs: Long = 120000L,
-             leaseMs: Long = 3600000L): Int =
-    vacuumPass(spark, path, keepLast, graceMs, lockTimeoutMs, leaseMs) {
+             graceMs: Long = DefaultVacuumGraceMs): Int =
+    vacuumPass(spark, path, keepLast, graceMs) {
       (fs, cutoff, fence) =>
         val kept = versions(spark, path).map(genFor(spark, path, _)).toSet
         var dropped = 0

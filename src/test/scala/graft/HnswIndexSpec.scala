@@ -133,4 +133,81 @@ class HnswIndexSpec extends SparkSpec {
       Hnsw.tombstoneHnswIndex(Seq("a").toDF("vec_id"), "vec_id", dir)
     }
   }
+
+  test("duplicate ids fail at BUILD time, not as a bricked index: save " +
+    "refuses a duplicated corpus id, append refuses an intra-batch one") {
+    val dir = s"${fresh("dups")}/idx"
+    val dup = synthVectors(30, 8).unionByName(
+      synthVectors(30, 8).filter(col("vec_id") === 7L))
+    val e = intercept[org.apache.spark.SparkException] {
+      Hnsw.saveHnswIndex(dup, "vec_id", "embedding", dir,
+        m = 4, efConstruction = 16, nShards = 2)
+    }
+    assert(e.getMessage.contains("duplicate id") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate id")))
+    val clean = s"${fresh("dups2")}/idx"
+    Hnsw.saveHnswIndex(synthVectors(30, 8), "vec_id", "embedding", clean,
+      m = 4, efConstruction = 16, nShards = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Hnsw.appendHnswIndex(
+        Seq((100L, Array.fill(8)(1f)), (100L, Array.fill(8)(2f)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding", clean)
+    }
+    assert(e2.getMessage.contains("more than once"))
+    // and batch-vs-existing duplicates are skipped silently (the
+    // idempotence contract), never inserted twice
+    Hnsw.appendHnswIndex(
+      synthVectors(30, 8).filter(col("vec_id") === 7L),
+      "vec_id", "embedding", clean)
+    assert(spark.read.parquet(s"$clean/nodes")
+      .filter(col("id") === 7L).count() == 1L)
+  }
+
+  test("crashed append windows HEAL automatically at the next entry " +
+    "point, and a MISSING nodes dir is loud, never 'empty'") {
+    val dir = s"${fresh("heal")}/idx"
+    val corpus = synthVectors(200, 8)
+    Hnsw.saveHnswIndex(corpus, "vec_id", "embedding", dir,
+      m = 4, efConstruction = 16, nShards = 3)
+    val q = corpus.filter(col("vec_id") === 5L)
+    def probe(): Long = Hnsw.hnswTopKIndexed(spark, dir, q, "vec_id",
+      "embedding", k = 3, efSearch = 16).count()
+    val baseline = probe()
+    assert(baseline == 3L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // window A: crash between rename-aside and rename-in — the only
+    // copy of shard 1 sits at the aside; the next probe must restore
+    // it, not silently answer from two shards
+    fs.mkdirs(p(s"$dir/nodes.__aside"))
+    assert(fs.rename(p(s"$dir/nodes/shard=1"),
+      p(s"$dir/nodes.__aside/shard=1")))
+    spark.catalog.refreshByPath(s"$dir/nodes")
+    assert(probe() == baseline, "heal must restore the parked shard")
+    assert(fs.exists(p(s"$dir/nodes/shard=1")) &&
+      !fs.exists(p(s"$dir/nodes.__aside")))
+    // window B: crash between rename-in and aside-delete — the swap
+    // completed; the aside is a stale pre-swap copy to drop
+    fs.mkdirs(p(s"$dir/nodes.__aside/shard=2"))
+    val probeB = probe()
+    assert(probeB == baseline)
+    assert(!fs.exists(p(s"$dir/nodes.__aside")))
+    // window C: a leftover staging dir is dropped and the re-run
+    // append completes (idempotence)
+    fs.mkdirs(p(s"$dir/nodes.__append/shard=0"))
+    Hnsw.appendHnswIndex(
+      Seq((900L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(!fs.exists(p(s"$dir/nodes.__append")))
+    assert(spark.read.parquet(s"$dir/nodes")
+      .filter(col("id") === 900L).count() == 1L)
+    // a MISSING nodes dir (the whole-dir swap crash shape) is loud
+    assert(fs.rename(p(s"$dir/nodes"), p(s"$dir/nodes.__old")))
+    val e = intercept[IllegalStateException] { probe() }
+    assert(e.getMessage.contains("MISSING"), e.getMessage)
+    assert(fs.rename(p(s"$dir/nodes.__old"), p(s"$dir/nodes")))
+    spark.catalog.refreshByPath(s"$dir/nodes")
+    assert(probe() == baseline)
+  }
 }

@@ -364,6 +364,54 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
     assert(hnServed() == Set(1L))
   }
 
+  test("a MISSING index component is LOUD in every family — never " +
+    "'validly empty': the swap-crash recovery state must not serve " +
+    "zero rows or let a compaction discard the purge intent") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idxmissing").toString
+    def mv(from: String, to: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(from)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(p, new org.apache.hadoop.fs.Path(to)))
+    }
+    // BM25: postings parked at .__old (atomicSwap crash shape)
+    val bm = s"$base/bm"
+    Retrieval.saveBm25Index(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", bm, nBuckets = 2)
+    mv(s"$bm/postings", s"$bm/postings.__old")
+    intercept[IllegalStateException] {
+      Retrieval.bm25TopKIndexed(spark, bm, "doc_id",
+        Seq((1L, "alpha")), k = 5).collect()
+    }
+    // IVF-PQ: a missing codes dir must NOT let compaction delete the
+    // tombstone list (the silent-lost-purge shape)
+    val ann = s"$base/ann"
+    Similarity.saveIvfPqIndex(
+      (1 to 8).map(i => (i.toLong, Array.tabulate(4)(j =>
+        if (j == i % 4) 1f else 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ann, nCells = 2, m = 2, k = 2)
+    Similarity.tombstoneIvfPqIndex(Seq(1L).toDF("vec_id"), "vec_id", ann)
+    mv(s"$ann/codes", s"$ann/codes.__old")
+    intercept[IllegalStateException] {
+      Similarity.compactIvfPqIndex(spark, ann)
+    }
+    assert(exists(s"$ann/tombstones"),
+      "the purge intent must survive a refused compaction")
+    // MinHash: bands parked aside — probes are loud
+    val mh = s"$base/mh"
+    TextDedup.saveMinhashIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", mh, numHashes = 16, bands = 8)
+    mv(s"$mh/bands", s"$mh/bands.__old")
+    intercept[IllegalStateException] {
+      TextDedup.minhashProbeIndexed(spark, mh,
+        Seq((9L, "alpha beta gamma delta epsilon zeta"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 0.8).collect()
+    }
+  }
+
   test("non-integral ids are refused LOUDLY at save and tombstone time " +
     "in every family — never a silent purge no-op (r10 advice, medium)") {
     val base = java.nio.file.Files
