@@ -1061,9 +1061,44 @@ object Stress {
       val vNew = SnapshotStore.commit(
         spark.range(500L).select(col("id"), col("id").as("v")), vacDir)
       assert(SnapshotStore.readVersion(spark, vacDir, vNew).count() == 500L)
-      println(s"[stress] vacuum race: ${successes.get()} committed, " +
-        s"${failures.get()} failed cleanly, ${vs.size} versions all " +
-        "resolve")
+      // LIVENESS phase: under the PRODUCTION grace window the same
+      // interleaving must let every commit through — the zero-grace
+      // phase above proves the failure path is clean, this proves the
+      // shipped default never triggers it (at stress data sizes the
+      // zero-grace vacuum ate every in-flight gen, so without this
+      // phase the leg would only ever exercise the fence)
+      val stop2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val vac2 = new Thread(() => {
+        while (!stop2.get()) {
+          SnapshotStore.vacuum(spark, vacDir, keepLast = 1)
+          Thread.sleep(5)
+        }
+      })
+      vac2.start()
+      val ok2 = new java.util.concurrent.atomic.AtomicInteger(0)
+      val committers2 = (1 to 2).map { c =>
+        new Thread(() => {
+          (1 to 3).foreach { i =>
+            SnapshotStore.commit(
+              spark.range(5000L).select(
+                (col("id") + c * 10000000L + i * 100000L).as("id"),
+                col("id").as("v")), vacDir)
+            ok2.incrementAndGet()
+          }
+        })
+      }
+      committers2.foreach(_.start())
+      committers2.foreach(_.join(300000))
+      stop2.set(true)
+      vac2.join(300000)
+      assert(ok2.get() == 6,
+        s"default-grace liveness: only ${ok2.get()}/6 commits landed")
+      SnapshotStore.versions(spark, vacDir).foreach { v =>
+        SnapshotStore.readVersion(spark, vacDir, v).count()
+      }
+      println(s"[stress] vacuum race: ${successes.get()} committed + " +
+        s"${failures.get()} failed cleanly at zero grace; 6/6 landed " +
+        "at default grace; all surviving versions resolve")
     }
     assertNoFunnel("vacuum-race")
 
