@@ -3175,8 +3175,15 @@ object SparkEntry {
     // trainable quality classifier on heuristic weak labels — the
     // fastText-shaped self-training loop (hashed uni+bigram features,
     // one treeAggregate per epoch, driver holds only the weight
-    // vector). Float-reduction order makes last-ulp weight jitter
-    // inherent → rows-only; separability asserted in OpsSpec
+    // vector). ORACLED since r11: the epoch gradient accumulates
+    // order-free quantized longs, so the trained weights — and the
+    // prediction set — are a pure function of fixture content
+    // (bit-identical across layouts, PqPinSpec). The oracle
+    // RECOMPUTES weak_label in SQL (the proven-exact qualityScore
+    // replay) and pins the prediction set as constants (float
+    // training has no SQL recompute); the gate output drops the raw
+    // probability so no float crosses the boundary. Separability
+    // still asserted in OpsSpec.
     "q_quality_classifier" -> ((s, dir) => {
       val labeled = t(s, dir, "documents").select(col("doc_id"), col("text"),
         (TextAnalysis.qualityScore(col("text")) >= 0.9).cast("int")
@@ -3185,6 +3192,7 @@ object SparkEntry {
         dim = 4096, epochs = 8, lr = 4.0)
       QualityClassifier.score(labeled, "doc_id", "text", model)
         .join(labeled.select(col("doc_id"), col("weak_label")), "doc_id")
+        .select(col("doc_id"), col("quality_pred"), col("weak_label"))
     }),
 
     // text → hashed doc vectors → SemDeDup: semantic near-dup removal
@@ -6426,6 +6434,22 @@ object SparkEntry {
     // (HnswIndexSpec parity pin) — same brute-force oracle
     "q_hnsw_index" -> embedTopKOracle,
 
+    // outcome pins for the PQ/OPQ family (r11 — see SimsearchPins):
+    // quantized-long centroid training made every stage a pure
+    // function of content, so the deterministic outputs pin as
+    // constants, tripwire-guarded in PqPinSpec
+    "q_simsearch_pq" -> simsearchPinOracle("q_simsearch_pq"),
+    "q_simsearch_ivfpq" -> simsearchPinOracle("q_simsearch_ivfpq"),
+    "q_simsearch_indexed" -> simsearchPinOracle("q_simsearch_indexed"),
+    "q_simsearch_append" -> simsearchPinOracle("q_simsearch_append"),
+    "q_simsearch_opq" -> simsearchPinOracle("q_simsearch_opq"),
+
+    // weak labels recomputed independently (the qualityScore replay),
+    // predictions from the pinned negative set (quantized-gradient
+    // training is a pure function of content — see
+    // QualityClassifierPred0 / PqPinSpec)
+    "q_quality_classifier" -> qualityClassifierOracle,
+
     // q_embed_topk's kernel scoring non-seeds against the mod-10
     // seeds, then a two-stage vote: count per label, argmax by
     // (votes desc, label asc)
@@ -7761,6 +7785,188 @@ object SparkEntry {
     * link at jaccard 1.0 / cosine 1.0, and the ann faces ride the
     * fixture's 0.985 no-natural-pair margin); the BM25 surface is the
     * purged-corpus scoring SQL verbatim (compaction ≡ rebuild). */
+
+  /**
+   * r11 outcome pins for the five PQ/OPQ simsearch gates — the
+   * q_text_semdedup technique applied to the quantized-trained PQ
+   * family: [[graft.ops.Similarity.pqTrain]]'s centroid updates now
+   * accumulate order-free quantized longs (bit-identical codebooks
+   * across any partition layout, PqPinSpec), the assignment/ADC/
+   * re-rank stages were always pure per-row functions, and the OPQ
+   * rotation rides Pca.train's already-order-free moments — so each
+   * gate's (query_id, neighbor_id, rank) output is a pure function of
+   * fixture content, pinnable as constants. No independent engine can
+   * recompute a k-means float iteration (the necessity argument the
+   * rows-only rows carried since r2); the pins' honesty rests on that
+   * purity, the layout-invariance spec, and PqPinSpec's tripwire
+   * re-derivation at the driver's correctness SF (a fixture
+   * regeneration fails THERE with a named reason, not as an opaque
+   * hash mismatch). ONE source of truth: the oracle SQL below is
+   * GENERATED from this map, and the spec compares against this map.
+   */
+  private[graft] val SimsearchPins: Map[String, Seq[(Long, Long, Int)]] = Map(
+    "q_simsearch_pq" -> Seq(
+      (0L,365L,1),(0L,334L,2),(0L,387L,3),(20L,354L,1),(20L,302L,2),
+      (20L,252L,3),(40L,359L,1),(40L,139L,2),(40L,306L,3),(60L,48L,1),
+      (60L,245L,2),(60L,189L,3),(80L,230L,1),(80L,488L,2),(80L,317L,3),
+      (100L,398L,1),(100L,279L,2),(100L,360L,3),(120L,421L,1),
+      (120L,112L,2),(120L,18L,3),(140L,111L,1),(140L,296L,2),
+      (140L,384L,3),(160L,432L,1),(160L,164L,2),(160L,95L,3),
+      (180L,265L,1),(180L,153L,2),(180L,59L,3),(200L,204L,1),
+      (200L,32L,2),(200L,143L,3),(220L,494L,1),(220L,151L,2),
+      (220L,353L,3),(240L,168L,1),(240L,68L,2),(240L,436L,3),
+      (260L,94L,1),(260L,489L,2),(260L,363L,3),(280L,391L,1),
+      (280L,459L,2),(280L,269L,3),(300L,53L,1),(300L,477L,2),
+      (300L,446L,3),(320L,462L,1),(320L,98L,2),(320L,321L,3),(340L,7L,1),
+      (340L,269L,2),(340L,87L,3),(360L,189L,1),(360L,100L,2),
+      (360L,263L,3),(380L,39L,1),(380L,165L,2),(380L,185L,3),
+      (400L,451L,1),(400L,443L,2),(400L,475L,3),(420L,248L,1),
+      (420L,48L,2),(420L,470L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
+      (460L,441L,1),(460L,281L,2),(460L,490L,3),(480L,54L,1),
+      (480L,286L,2),(480L,197L,3)),
+    "q_simsearch_ivfpq" -> Seq(
+      (0L,365L,1),(0L,334L,2),(0L,387L,3),(20L,117L,1),(20L,354L,2),
+      (20L,252L,3),(40L,139L,1),(40L,306L,2),(40L,13L,3),(60L,48L,1),
+      (60L,489L,2),(60L,186L,3),(80L,429L,1),(80L,316L,2),(80L,195L,3),
+      (100L,398L,1),(100L,279L,2),(100L,45L,3),(120L,421L,1),
+      (120L,112L,2),(120L,18L,3),(140L,111L,1),(140L,296L,2),
+      (140L,253L,3),(160L,164L,1),(160L,417L,2),(160L,389L,3),
+      (180L,153L,1),(180L,59L,2),(180L,161L,3),(200L,32L,1),
+      (200L,410L,2),(200L,135L,3),(220L,494L,1),(220L,353L,2),
+      (220L,178L,3),(240L,168L,1),(240L,68L,2),(240L,436L,3),
+      (260L,489L,1),(260L,234L,2),(260L,446L,3),(280L,391L,1),
+      (280L,269L,2),(280L,310L,3),(300L,245L,1),(300L,27L,2),
+      (300L,305L,3),(320L,389L,1),(320L,98L,2),(320L,444L,3),(340L,7L,1),
+      (340L,87L,2),(340L,381L,3),(360L,189L,1),(360L,263L,2),
+      (360L,75L,3),(380L,39L,1),(380L,185L,2),(380L,289L,3),
+      (400L,451L,1),(400L,475L,2),(400L,182L,3),(420L,48L,1),
+      (420L,374L,2),(420L,41L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
+      (460L,441L,1),(460L,281L,2),(460L,155L,3),(480L,79L,1),
+      (480L,54L,2),(480L,100L,3)),
+    "q_simsearch_indexed" -> Seq(
+      (0L,365L,1),(0L,334L,2),(0L,387L,3),(20L,117L,1),(20L,354L,2),
+      (20L,252L,3),(40L,139L,1),(40L,306L,2),(40L,13L,3),(60L,48L,1),
+      (60L,489L,2),(60L,186L,3),(80L,429L,1),(80L,316L,2),(80L,195L,3),
+      (100L,398L,1),(100L,279L,2),(100L,45L,3),(120L,421L,1),
+      (120L,112L,2),(120L,18L,3),(140L,111L,1),(140L,296L,2),
+      (140L,253L,3),(160L,164L,1),(160L,417L,2),(160L,389L,3),
+      (180L,153L,1),(180L,59L,2),(180L,161L,3),(200L,32L,1),
+      (200L,410L,2),(200L,135L,3),(220L,494L,1),(220L,353L,2),
+      (220L,178L,3),(240L,168L,1),(240L,68L,2),(240L,436L,3),
+      (260L,489L,1),(260L,234L,2),(260L,446L,3),(280L,391L,1),
+      (280L,269L,2),(280L,310L,3),(300L,245L,1),(300L,27L,2),
+      (300L,305L,3),(320L,389L,1),(320L,98L,2),(320L,444L,3),(340L,7L,1),
+      (340L,87L,2),(340L,381L,3),(360L,189L,1),(360L,263L,2),
+      (360L,75L,3),(380L,39L,1),(380L,185L,2),(380L,289L,3),
+      (400L,451L,1),(400L,475L,2),(400L,182L,3),(420L,48L,1),
+      (420L,374L,2),(420L,41L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
+      (460L,441L,1),(460L,281L,2),(460L,155L,3),(480L,79L,1),
+      (480L,54L,2),(480L,100L,3)),
+    "q_simsearch_append" -> Seq(
+      (0L,334L,1),(0L,387L,2),(0L,423L,3),(20L,117L,1),(20L,354L,2),
+      (20L,302L,3),(40L,139L,1),(40L,249L,2),(40L,126L,3),(60L,189L,1),
+      (60L,49L,2),(60L,334L,3),(80L,488L,1),(80L,429L,2),(80L,317L,3),
+      (100L,398L,1),(100L,279L,2),(100L,360L,3),(120L,202L,1),
+      (120L,225L,2),(120L,170L,3),(140L,111L,1),(140L,389L,2),
+      (140L,253L,3),(160L,164L,1),(160L,95L,2),(160L,173L,3),
+      (180L,153L,1),(180L,59L,2),(180L,293L,3),(200L,204L,1),
+      (200L,32L,2),(200L,143L,3),(220L,494L,1),(220L,353L,2),
+      (220L,178L,3),(240L,375L,1),(240L,241L,2),(240L,372L,3),
+      (260L,67L,1),(260L,302L,2),(260L,472L,3),(280L,459L,1),
+      (280L,269L,2),(280L,288L,3),(300L,446L,1),(300L,318L,2),
+      (300L,27L,3),(320L,389L,1),(320L,321L,2),(320L,426L,3),(340L,7L,1),
+      (340L,87L,2),(340L,381L,3),(360L,100L,1),(360L,75L,2),
+      (360L,172L,3),(380L,39L,1),(380L,165L,2),(380L,185L,3),
+      (400L,443L,1),(400L,475L,2),(400L,358L,3),(420L,48L,1),
+      (420L,41L,2),(420L,466L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
+      (460L,441L,1),(460L,342L,2),(460L,490L,3),(480L,79L,1),
+      (480L,100L,2),(480L,197L,3)),
+    "q_simsearch_opq" -> Seq(
+      (0L,365L,1),(0L,387L,2),(0L,423L,3),(20L,117L,1),(20L,11L,2),
+      (20L,354L,3),(40L,359L,1),(40L,139L,2),(40L,306L,3),(60L,48L,1),
+      (60L,245L,2),(60L,189L,3),(80L,230L,1),(80L,488L,2),(80L,317L,3),
+      (100L,398L,1),(100L,279L,2),(100L,360L,3),(120L,421L,1),
+      (120L,112L,2),(120L,18L,3),(140L,111L,1),(140L,384L,2),
+      (140L,258L,3),(160L,432L,1),(160L,164L,2),(160L,389L,3),
+      (180L,265L,1),(180L,153L,2),(180L,59L,3),(200L,204L,1),
+      (200L,32L,2),(200L,143L,3),(220L,494L,1),(220L,151L,2),
+      (220L,353L,3),(240L,168L,1),(240L,68L,2),(240L,436L,3),
+      (260L,94L,1),(260L,489L,2),(260L,363L,3),(280L,71L,1),
+      (280L,269L,2),(280L,310L,3),(300L,53L,1),(300L,477L,2),
+      (300L,446L,3),(320L,462L,1),(320L,389L,2),(320L,98L,3),(340L,7L,1),
+      (340L,269L,2),(340L,87L,3),(360L,189L,1),(360L,100L,2),
+      (360L,75L,3),(380L,39L,1),(380L,165L,2),(380L,185L,3),
+      (400L,451L,1),(400L,443L,2),(400L,475L,3),(420L,248L,1),
+      (420L,470L,2),(420L,374L,3),(440L,172L,1),(440L,13L,2),
+      (440L,75L,3),(460L,441L,1),(460L,281L,2),(460L,342L,3),
+      (480L,79L,1),(480L,202L,2),(480L,54L,3)))
+
+  /**
+   * r11 outcome pin for `q_quality_classifier`: the doc_ids the
+   * quantized-trained logistic model predicts NEGATIVE at sf0.01 (the
+   * smaller class — 40 of 500). Same contract as [[SimsearchPins]]:
+   * the quantized-long epoch gradient makes the trained weights a
+   * pure function of fixture content (bit-identical across layouts,
+   * PqPinSpec), the oracle recomputes weak_label INDEPENDENTLY (the
+   * proven-exact qualityScore SQL replay) and pins only the learned
+   * prediction, and the tripwire spec re-derives this list by name.
+   */
+  private[graft] val QualityClassifierPred0: Seq[Long] = Seq(
+    5L, 6L, 16L, 19L, 22L, 26L, 43L, 74L, 79L, 94L, 106L, 107L, 110L,
+    116L, 156L, 158L, 164L, 204L, 214L, 226L, 236L, 254L, 256L, 273L,
+    305L, 327L, 347L, 368L, 384L, 387L, 407L, 418L, 421L, 438L, 455L,
+    457L, 469L, 472L, 481L, 492L)
+
+  /** Oracle for `q_quality_classifier`: weak_label recomputed in SQL
+    * (the qualityScore replay — same expression tree the hash-exact
+    * profile/domain gates already prove), prediction from the pinned
+    * negative set. */
+  private def qualityClassifierOracle: String = {
+    val stops = graft.ops.TextAnalysis.StopwordLists.head._2
+      .map(w => s"'$w'").mkString(",")
+    val pred0 = QualityClassifierPred0.mkString(",")
+    s"""WITH f AS (
+       | SELECT doc_id,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |       ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+       |  END AS n_toks,
+       |  length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nospace,
+       |  length(text) - length(regexp_replace(text, '[.,!?;:()"'']', '', 'g'))
+       |    AS n_punct,
+       |  length(text) AS n_chars,
+       |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    t -> list_contains([$stops], t))) AS stop_hits
+       | FROM documents),
+       |q AS (
+       | SELECT doc_id,
+       |  round(least(CAST(n_toks AS DOUBLE) / 20.0, 1.0) * 0.4
+       |   + (CASE WHEN (CASE WHEN n_toks > 0
+       |        THEN CAST(n_nospace AS DOUBLE) / n_toks ELSE 0.0 END)
+       |        BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2
+       |   + (1.0 - least((CASE WHEN n_chars > 0
+       |        THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)
+       |        * 4.0, 1.0)) * 0.2
+       |   + (CASE WHEN CAST(stop_hits AS DOUBLE)
+       |        / greatest(CAST(n_toks AS DOUBLE), 1.0) >= 0.01
+       |        THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+       | FROM f)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id IN ($pred0) THEN 0 ELSE 1 END AS quality_pred,
+       |  CAST(quality >= 0.9 AS INT) AS weak_label
+       |FROM q""".stripMargin
+  }
+
+  /** VALUES-table oracle for a [[SimsearchPins]] gate. */
+  private def simsearchPinOracle(name: String): String = {
+    val rows = SimsearchPins(name)
+      .map { case (q, n, r) => s"($q,$n,$r)" }.mkString(",")
+    s"""SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  CAST(rank AS INT) AS rank
+       |FROM (VALUES $rows) AS t(query_id, neighbor_id, rank)"""
+      .stripMargin
+  }
+
   private def rtbfEverywhereOracle: String = {
     val k1 = 1.2; val b = 0.75
     val qt = Bm25Queries.flatMap { case (qid, q) =>

@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
  * Featurization is a JIT'd kernel returning a sparse (indices, values)
  * pair per document.
  *
- * Determinism note: partial-gradient combine order is not fixed by
- * Spark, so weights can differ across runs in the last float ulps —
- * inherent to any parallel float reduction (MLlib included). Specs
- * therefore assert classification behavior, not exact weights, and the
- * driver gate is rows-only.
+ * Determinism (since r11): the per-epoch gradient accumulates
+ * QUANTIZED LONGS (2^-20 resolution per example), so the combine is
+ * exact integer addition — order-free — and the trained weights are
+ * bit-identical across runs, partition layouts and cluster sizes
+ * (spec-pinned). That is what upgrades the driver gate from rows-only
+ * to an outcome-pinned oracle; MLlib's float reductions, by contrast,
+ * drift in the last ulps per run.
  */
 object QualityClassifier {
 
@@ -122,14 +124,28 @@ object QualityClassifier {
     try {
       (0 until epochs).foreach { _ =>
         val bw = spark.sparkContext.broadcast(w.clone())
-        val grad = data.rdd.treeAggregate(new Array[Double](dim + 1))(
+        // QUANTIZED-LONG gradient accumulation (r11, the
+        // Pca.train/pqTrain discipline): each example's contribution
+        // quantizes to a long at 2^-20 resolution and the epoch
+        // gradient is an exact integer sum — order-free, so the
+        // trained weights are bit-identical across partition layouts
+        // and cluster sizes (spec-pinned), which upgrades the gate
+        // from rows-only to an outcome-pinned oracle. Per-example
+        // magnitudes are bounded by the class weight (≤ n/2 in the
+        // degenerate one-positive case; ~1 when balanced), so the
+        // long budget covers ~2^43 balanced examples per feature —
+        // far beyond any epoch's share.
+        val grad = data.rdd.treeAggregate(new Array[Long](dim + 1))(
           seqOp = (g, row) => {
             val (idx, v, y) = row
             val cw = if (y >= 0.5) wPos else wNeg
             val err = cw * (sigmoid(margin(bw.value, dim, idx, v)) - y)
             var i = 0
-            while (i < idx.length) { g(idx(i)) += err * v(i); i += 1 }
-            g(dim) += err
+            while (i < idx.length) {
+              g(idx(i)) += math.rint(err * v(i) * QuantScale).toLong
+              i += 1
+            }
+            g(dim) += math.rint(err * QuantScale).toLong
             g
           },
           combOp = (a, b) => {
@@ -139,7 +155,7 @@ object QualityClassifier {
           })
         var i = 0
         while (i < w.length) {
-          w(i) -= lr * (grad(i) / n + l2 * w(i))
+          w(i) -= lr * (grad(i).toDouble / (QuantScale * n) + l2 * w(i))
           i += 1
         }
         bw.destroy()
@@ -147,6 +163,12 @@ object QualityClassifier {
     } finally data.unpersist()
     Model(dim, w)
   }
+
+  /** Gradient quantization scale: 2^20 ≈ 1e-6 resolution per example —
+    * noise orders of magnitude below the learning signal (specs assert
+    * separability unchanged), in exchange for an order-free epoch
+    * gradient. */
+  private val QuantScale: Double = (1L << 20).toDouble
 
   /**
    * Deterministic hashed document vector — feature-hash the L1-

@@ -1231,7 +1231,19 @@ object Similarity {
       val cbB = spark.sparkContext.broadcast(codebook)
       val partials = vecs.mapPartitions { it =>
         val cb = cbB.value
-        val sums = Array.ofDim[Double](m, k, subDim)
+        // QUANTIZED-LONG moment accumulation (the Pca.train
+        // discipline, r11): each row's contribution quantizes to a
+        // long at 2^-24 resolution and the centroid update becomes
+        // exact INTEGER addition — order-free, so the trained
+        // codebook is bit-identical across partition layouts, task
+        // scheduling, and cluster sizes (spec-pinned), which is what
+        // lets the PQ/OPQ gates pin their outcomes as oracles. The
+        // assignment step was always a pure per-row function; the
+        // float centroid-update sum was the ONE order-dependent step
+        // in the family. Normalized coordinates are in [-1, 1], so a
+        // long holds ~2^39 rows per (subspace, centroid) bucket
+        // before overflow — far beyond any task's share.
+        val sums = Array.ofDim[Long](m, k, subDim)
         val counts = Array.ofDim[Long](m, k)
         it.foreach { case (_, vf) =>
           val v = l2normalize(vf)
@@ -1246,7 +1258,11 @@ object Similarity {
               c += 1
             }
             var i = 0
-            while (i < subDim) { sums(s)(best)(i) += v(s * subDim + i); i += 1 }
+            while (i < subDim) {
+              sums(s)(best)(i) +=
+                math.rint(v(s * subDim + i) * PqQuantScale).toLong
+              i += 1
+            }
             counts(s)(best) += 1
             s += 1
           }
@@ -1257,19 +1273,30 @@ object Similarity {
         val n = partials.map(_._2(s)(c)).sum
         if (n == 0) codebook(s)(c)
         else {
-          val sum = new Array[Double](subDim)
+          val sum = new Array[Long](subDim)
           partials.foreach { p =>
             var i = 0
             while (i < subDim) { sum(i) += p._1(s)(c)(i); i += 1 }
           }
+          val out = new Array[Double](subDim)
           var i = 0
-          while (i < subDim) { sum(i) /= n; i += 1 }
-          sum
+          while (i < subDim) {
+            out(i) = sum(i).toDouble / (PqQuantScale * n.toDouble)
+            i += 1
+          }
+          out
         }
       }
     }
     codebook
   }
+
+  /** Quantization scale for [[pqTrain]]'s order-free centroid sums:
+    * 2^24 ≈ 6e-8 resolution on normalized coordinates — ~1e5 times
+    * finer than any centroid separation that matters for code
+    * assignment, and small enough that a long never overflows at any
+    * realistic bucket population. */
+  private val PqQuantScale: Double = (1L << 24).toDouble
 
   /** Encode each vector as m one-byte codes (nearest sub-centroid per
     * subspace) — dim·4 bytes → m bytes, the 100 TB memory story.
