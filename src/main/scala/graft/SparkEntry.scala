@@ -1944,9 +1944,13 @@ object SparkEntry {
     // mergeable distinct-count sketches: per-type HLL sketch table
     // rolled up per type AND to the grand total by UNIONING registers
     // (sketch once, answer any rollup later — never re-scan, never add
-    // estimates). DataSketches HLL registers are order-invariant maxes
-    // so the estimates are deterministic; no SQL oracle (rows-only),
-    // mergeability and error bounds spec-pinned.
+    // estimates). ORACLED since r11 by outcome pinning: DataSketches
+    // HLL registers are order-invariant maxes, so the pure-integer
+    // outputs are a layout-independent function of the value set —
+    // pinned as constants (SketchRollupPins), tripwire-re-derived in
+    // PqPinSpec; mergeability and error bounds stay spec-pinned.
+    // DuckDB cannot replay the sketch registers — that recompute gap
+    // is what kept this rows-only.
     "q_sketch_rollup" -> ((s, dir) => {
       val sk = graft.operators.Audits.distinctSketches(
         t(s, dir, "events"), Seq("event_type"), "user_id")
@@ -2724,6 +2728,11 @@ object SparkEntry {
     // itself, so even the integer part of the output is not
     // cross-engine stable. OpsSpec pins exact parity on a hand-checked
     // corpus instead
+    // unigram-LM tokenizer training. ORACLED since r11 by outcome
+    // pinning: ONE exact integer word-count aggregate + driver
+    // arithmetic = bit-deterministic at any layout (tripwire +
+    // repartition invariance in PqPinSpec); the libm-ulp blocker only
+    // ever applied to RECOMPUTING the logs cross-engine
     "q_unigram_train" -> ((s, dir) => {
       val vocab = TextAnalysis.trainUnigramLm(
         t(s, dir, "documents"), "text", vocabSize = 60)
@@ -3161,10 +3170,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))),
 
     // PCA whitening of the embedding table — deterministic training
-    // (order-free quantized-long moments + fixed-sweep Jacobi), but
-    // the eigensolve has no SQL form → rows-only; spectrum/orthonormal
-    // /whitening invariants asserted in OpsSpec. Scalar pc columns by
-    // design: flat doubles survive the driver's pandas row sort.
+    // (order-free quantized-long moments + fixed-sweep Jacobi).
+    // ORACLED since r11 by outcome pinning: the eigensolve still has
+    // no SQL form, but training was bit-identical across layouts all
+    // along (spec-pinned since r8) and projection is a pure per-row
+    // kernel, so the whitened output is a well-defined property of
+    // the fixture — pinned as exact round-trip decimal strings
+    // (PcaPins), tripwire-re-derived in PqPinSpec.
+    // Spectrum/orthonormal/whitening invariants asserted in OpsSpec.
+    // Scalar pc columns by design: flat doubles survive the driver's
+    // pandas row sort.
     "q_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = graft.ops.Pca.train(emb, "embedding", k = 4)
@@ -6450,6 +6465,20 @@ object SparkEntry {
     // QualityClassifierPred0 / PqPinSpec)
     "q_quality_classifier" -> qualityClassifierOracle,
 
+    // whitened projections pinned as exact round-trip decimal strings
+    // (Pca.train was bit-deterministic and layout-invariant since r8;
+    // see PcaPins / PqPinSpec's tripwire)
+    "q_pca" -> pcaPinOracle,
+
+    // the trained vocab pinned (driver-deterministic by construction;
+    // the libm-ulp blocker only applied to a cross-engine log
+    // RECOMPUTE — see UnigramTrainPins)
+    "q_unigram_train" -> unigramTrainOracle,
+
+    // HLL rollup pinned — pure integer outputs of order-invariant
+    // register maxes (see SketchRollupPins)
+    "q_sketch_rollup" -> sketchRollupOracle,
+
     // q_embed_topk's kernel scoring non-seeds against the mod-10
     // seeds, then a two-stage vote: count per label, argmax by
     // (votes desc, label asc)
@@ -7805,7 +7834,7 @@ object SparkEntry {
    * GENERATED from this map, and the spec compares against this map.
    */
   private[graft] val SimsearchPins: Map[String, Seq[(Long, Long, Int)]] = Map(
-    "q_simsearch_pq" -> Seq(
+    ("q_simsearch_pq", Seq(
       (0L,365L,1),(0L,334L,2),(0L,387L,3),(20L,354L,1),(20L,302L,2),
       (20L,252L,3),(40L,359L,1),(40L,139L,2),(40L,306L,3),(60L,48L,1),
       (60L,245L,2),(60L,189L,3),(80L,230L,1),(80L,488L,2),(80L,317L,3),
@@ -7823,8 +7852,8 @@ object SparkEntry {
       (400L,451L,1),(400L,443L,2),(400L,475L,3),(420L,248L,1),
       (420L,48L,2),(420L,470L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
       (460L,441L,1),(460L,281L,2),(460L,490L,3),(480L,54L,1),
-      (480L,286L,2),(480L,197L,3)),
-    "q_simsearch_ivfpq" -> Seq(
+      (480L,286L,2),(480L,197L,3))),
+    ("q_simsearch_ivfpq", Seq(
       (0L,365L,1),(0L,334L,2),(0L,387L,3),(20L,117L,1),(20L,354L,2),
       (20L,252L,3),(40L,139L,1),(40L,306L,2),(40L,13L,3),(60L,48L,1),
       (60L,489L,2),(60L,186L,3),(80L,429L,1),(80L,316L,2),(80L,195L,3),
@@ -7842,8 +7871,8 @@ object SparkEntry {
       (400L,451L,1),(400L,475L,2),(400L,182L,3),(420L,48L,1),
       (420L,374L,2),(420L,41L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
       (460L,441L,1),(460L,281L,2),(460L,155L,3),(480L,79L,1),
-      (480L,54L,2),(480L,100L,3)),
-    "q_simsearch_indexed" -> Seq(
+      (480L,54L,2),(480L,100L,3))),
+    ("q_simsearch_indexed", Seq(
       (0L,365L,1),(0L,334L,2),(0L,387L,3),(20L,117L,1),(20L,354L,2),
       (20L,252L,3),(40L,139L,1),(40L,306L,2),(40L,13L,3),(60L,48L,1),
       (60L,489L,2),(60L,186L,3),(80L,429L,1),(80L,316L,2),(80L,195L,3),
@@ -7861,8 +7890,8 @@ object SparkEntry {
       (400L,451L,1),(400L,475L,2),(400L,182L,3),(420L,48L,1),
       (420L,374L,2),(420L,41L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
       (460L,441L,1),(460L,281L,2),(460L,155L,3),(480L,79L,1),
-      (480L,54L,2),(480L,100L,3)),
-    "q_simsearch_append" -> Seq(
+      (480L,54L,2),(480L,100L,3))),
+    ("q_simsearch_append", Seq(
       (0L,334L,1),(0L,387L,2),(0L,423L,3),(20L,117L,1),(20L,354L,2),
       (20L,302L,3),(40L,139L,1),(40L,249L,2),(40L,126L,3),(60L,189L,1),
       (60L,49L,2),(60L,334L,3),(80L,488L,1),(80L,429L,2),(80L,317L,3),
@@ -7880,8 +7909,8 @@ object SparkEntry {
       (400L,443L,1),(400L,475L,2),(400L,358L,3),(420L,48L,1),
       (420L,41L,2),(420L,466L,3),(440L,172L,1),(440L,13L,2),(440L,75L,3),
       (460L,441L,1),(460L,342L,2),(460L,490L,3),(480L,79L,1),
-      (480L,100L,2),(480L,197L,3)),
-    "q_simsearch_opq" -> Seq(
+      (480L,100L,2),(480L,197L,3))),
+    ("q_simsearch_opq", Seq(
       (0L,365L,1),(0L,387L,2),(0L,423L,3),(20L,117L,1),(20L,11L,2),
       (20L,354L,3),(40L,359L,1),(40L,139L,2),(40L,306L,3),(60L,48L,1),
       (60L,245L,2),(60L,189L,3),(80L,230L,1),(80L,488L,2),(80L,317L,3),
@@ -7899,7 +7928,7 @@ object SparkEntry {
       (400L,451L,1),(400L,443L,2),(400L,475L,3),(420L,248L,1),
       (420L,470L,2),(420L,374L,3),(440L,172L,1),(440L,13L,2),
       (440L,75L,3),(460L,441L,1),(460L,281L,2),(460L,342L,3),
-      (480L,79L,1),(480L,202L,2),(480L,54L,3)))
+      (480L,79L,1),(480L,202L,2),(480L,54L,3))))
 
   /**
    * r11 outcome pin for `q_quality_classifier`: the doc_ids the
@@ -7954,6 +7983,638 @@ object SparkEntry {
        |  CASE WHEN doc_id IN ($pred0) THEN 0 ELSE 1 END AS quality_pred,
        |  CAST(quality >= 0.9 AS INT) AS weak_label
        |FROM q""".stripMargin
+  }
+
+
+  /**
+   * r11 outcome pin for `q_pca`: the whitened projections at sf0.01,
+   * as EXACT shortest-round-trip decimal strings (Double.toString —
+   * both engines' correctly-rounded decimal parse returns the same
+   * bits, so the pinned constants are bit-equal to the computed
+   * doubles). Honesty rests on the same contract as [[SimsearchPins]]:
+   * Pca.train is bit-identical across partition layouts by
+   * construction (order-free quantized-long moments + fixed-sweep
+   * Jacobi — spec-pinned since r8), projection is a pure per-row
+   * kernel, and PqPinSpec's tripwire re-derives every row at the
+   * driver's correctness SF. The eigensolve itself has no SQL
+   * recompute — that necessity argument stands; what changed is that
+   * a PURE function's output is a pinnable property of the fixture.
+   */
+  private[graft] val PcaPins: Seq[(Long, String, String, String, String)] = Seq(
+    (0L, "-0.3952577984913906", "-0.5664853582315074", "0.16819701601003795", "-0.5468978739359448"),
+    (1L, "0.47678188448812836", "-1.1278532537818893", "0.42583407283671953", "0.20107322545648965"),
+    (2L, "-1.6395206474656367", "0.23655167553198062", "-1.2418996605466792", "-0.4412062469736"),
+    (3L, "1.8026555348530549", "0.5690173088347827", "0.5794015592120609", "-0.9492911884918508"),
+    (4L, "0.3505154983355561", "-0.027350686041647473", "0.018357515805419795", "1.361905661324491"),
+    (5L, "1.5982495344858147", "-1.3718895491280592", "-0.8709364019515053", "-0.295659972234138"),
+    (6L, "-0.23661851001890521", "1.1231006599710205", "-0.029106433753749848", "0.8128967041913161"),
+    (7L, "-0.6527970847335571", "-1.1504051957107284", "-0.673643670005193", "2.050164513517384"),
+    (8L, "1.2935392386382865", "1.052302426878401", "-0.24507641698155913", "-0.31659607250169997"),
+    (9L, "-0.5939512577889667", "0.3383535374852315", "-1.2907111475597897", "0.4958421810730433"),
+    (10L, "0.9996292471112737", "-0.977709554767559", "0.1885035613321416", "-1.4340333993577237"),
+    (11L, "0.11026245715853168", "0.3995590458949116", "0.5579220939006974", "-0.9229561315856648"),
+    (12L, "1.0711044486162413", "-0.004538314123669738", "-0.5275217134884573", "-0.986238948247002"),
+    (13L, "0.4390917642499827", "0.7740581735983433", "-0.23773160018969175", "0.8310764353143838"),
+    (14L, "0.8627635766069056", "-0.1780269822352917", "-0.4092882274338447", "-0.22833639962444968"),
+    (15L, "-0.9057895351910794", "-0.4695184727668527", "1.4229657110924772", "-1.2323831364250197"),
+    (16L, "2.407622859984441", "-0.2042928344790953", "0.7400666014993836", "-0.8770080203622983"),
+    (17L, "-1.71006411333083", "0.7654303508952971", "1.7623608281579246", "-0.8188634946923236"),
+    (18L, "0.4812723194049785", "0.363175403359264", "-1.441380461687983", "-1.4760590844889243"),
+    (19L, "-0.9404608705584194", "-2.3006296674440048", "-0.4607457740510132", "-0.14501181269105443"),
+    (20L, "-1.9734545593698014", "1.1064545209485463", "1.261933514356854", "0.2314753133697045"),
+    (21L, "-0.7914889341166251", "0.3405600065400426", "-0.3690455068552639", "-0.27383985885397494"),
+    (22L, "-0.3937075224351417", "-0.8485735216299003", "-0.7535385475564639", "-0.46670640049168216"),
+    (23L, "-0.05685019816064071", "-1.5173240066123241", "0.7710679246322769", "0.13997417881312124"),
+    (24L, "-0.7661707776481665", "-0.560760306338213", "-1.568905230807103", "-0.20653434627407327"),
+    (25L, "1.2619440694007695", "-0.05515763734072629", "-1.1899368572509972", "1.0040524450931576"),
+    (26L, "0.22522589871522172", "-0.9168446070542967", "-0.009617096375655854", "2.10138803104648"),
+    (27L, "0.5903508993515015", "-0.14538471887057663", "-0.8382332553679328", "-0.6247669892247267"),
+    (28L, "-0.3548849425198371", "0.46860123390180053", "0.8007137627173273", "0.9423469585623236"),
+    (29L, "-0.7668321405389366", "0.6658745766850453", "0.6555534415743445", "0.9686263552675819"),
+    (30L, "0.9087167313153344", "0.6196710520513712", "1.086058813926764", "0.1540534024685008"),
+    (31L, "1.1131463878929464", "-0.6894761538531743", "0.37978345689215903", "-0.027391953759977068"),
+    (32L, "-0.19314004393618647", "-0.32341326679733895", "1.0968852427342684", "-0.9731155303574125"),
+    (33L, "0.4555493589881441", "-1.6784290802383135", "-1.1538367511883043", "-0.3767196172429191"),
+    (34L, "-1.133934287795946", "-1.9252344602379818", "-0.7326601441581496", "-0.07454987323951671"),
+    (35L, "2.2392518672482655", "-0.24978322172939463", "0.804964143786653", "-1.251837534905685"),
+    (36L, "-0.13407166513904814", "-1.0296489769034092", "0.31019424953782126", "-0.7672266260711256"),
+    (37L, "0.8019475001303221", "0.38989739751577956", "-0.38580688826946075", "-0.08888532302926268"),
+    (38L, "-0.6828065774162113", "-0.543488476921239", "-0.5482752902235757", "0.9846917249893992"),
+    (39L, "0.9563436485199128", "-1.51802399581435", "-0.5221522440136374", "-1.2957203851080372"),
+    (40L, "0.207158383728652", "1.0956040797473847", "1.1808096780743542", "0.6256822683244819"),
+    (41L, "0.09888295721100512", "-1.5964294433028148", "0.6927586405972341", "-0.09172910247256923"),
+    (42L, "-0.7539512831888436", "0.2738360564697483", "-0.5664188571804297", "0.23567277979906304"),
+    (43L, "0.7932637462752369", "0.5871298359613023", "-0.9349530959500074", "-1.0218199827775185"),
+    (44L, "1.4335580198568718", "-1.063419113822842", "-0.04837443965381668", "-0.7540940082186229"),
+    (45L, "-0.937932466359872", "-1.1184311009277825", "-0.752335934778444", "1.265184481669753"),
+    (46L, "0.3996847567097088", "-1.568617319735721", "1.2196333313457648", "-0.8444314968900251"),
+    (47L, "0.7506769988279652", "1.0989003302399318", "0.680567156341348", "0.3136848734305426"),
+    (48L, "0.21385654259846457", "-2.0672843878882765", "-0.33591564034316485", "1.4938461402541887"),
+    (49L, "-1.7491355310536174", "-0.502894571678153", "-1.6234892418942972", "1.0101633079404704"),
+    (50L, "1.5740389952568496", "0.8787582054356771", "-0.08410187379095253", "-1.602756951806311"),
+    (51L, "0.833111944638094", "-0.43568036419522693", "1.2947367330031072", "-0.5217535991371112"),
+    (52L, "-0.5761878244399846", "-0.036554569599467415", "0.3610203441216989", "-1.1409544792466861"),
+    (53L, "-0.7708395869120821", "2.726170450338968", "-0.7269086272887654", "0.23994237392932774"),
+    (54L, "-2.258462843970308", "-0.8288784732185038", "-1.1727089972147413", "-0.7717275232877883"),
+    (55L, "-1.6988585806485932", "0.12106847256989674", "0.20756960215711745", "1.4361821323569595"),
+    (56L, "0.45039018238519224", "-0.1520554723941597", "0.3116957737886082", "1.1118879400243664"),
+    (57L, "0.9298319539051058", "-0.6158415431873493", "0.5453411854475709", "1.4327179939135442"),
+    (58L, "1.2249783011284443", "-0.2751851681740775", "0.21313173759498708", "-0.3951802584801761"),
+    (59L, "-0.5132746275636629", "-0.42745932084369864", "1.2789412829038598", "0.03960302772095606"),
+    (60L, "-1.1399641102702889", "-0.7045115846765824", "-2.0240282502304865", "0.8937207239900852"),
+    (61L, "1.3883684162752286", "0.6709435422783768", "0.768251132302344", "0.497350197027853"),
+    (62L, "-1.4902338006619131", "0.020181290089323924", "-0.13826950770685187", "0.656181722030202"),
+    (63L, "1.0748550129806107", "-0.1623489328578005", "-0.47226911497655866", "-0.6105955955607328"),
+    (64L, "-0.4572971079973658", "-0.4961332563511725", "-0.29485264854274007", "0.07319445336638267"),
+    (65L, "-0.39725816126293645", "-1.8510370616345897", "-0.4102089362252338", "-0.5616485356767726"),
+    (66L, "-1.19752309824973", "1.0011671080626872", "1.4880840277830882", "-0.4648852501205333"),
+    (67L, "-1.1207517098373945", "-0.7298447886021089", "0.597930159609483", "0.17697638826669676"),
+    (68L, "-1.2495905588672565", "-1.046761100940761", "-0.6692444625488748", "-0.8347482451967733"),
+    (69L, "-0.5558617493155641", "0.2410012290197212", "-1.7383070415639703", "-3.618078716430796"),
+    (70L, "-0.9917649859857696", "1.1566010426415083", "2.4467579084507576", "-0.9889759967043805"),
+    (71L, "-0.7363723560992073", "-0.027497087081569258", "-0.7851666366913237", "0.24710828367248952"),
+    (72L, "-0.5347795238734113", "0.5793305861695681", "2.193599981515976", "0.08361596431060661"),
+    (73L, "0.29806838958432064", "1.06136190642345", "-0.9617947046596288", "-1.313248765510099"),
+    (74L, "0.4727628125880921", "1.2577148702055796", "0.6464249429713792", "0.10774922724004089"),
+    (75L, "-0.18008524543263088", "0.8118401337491339", "-2.8338154470290564", "0.5918958091522465"),
+    (76L, "-0.25626705802465904", "0.4241784019117262", "0.5128108291559017", "0.01864041677654731"),
+    (77L, "-1.4360362091914642", "-0.6140441764099798", "2.0233175238381658", "-1.3332585511749544"),
+    (78L, "-0.4696768595585537", "-0.7974644571302153", "-1.6251323560223565", "-0.30761840598911394"),
+    (79L, "0.36220720939513457", "1.0412565520982966", "2.0356643713486906", "-0.9951839367949306"),
+    (80L, "1.1124985768969717", "-1.4460072166213318", "0.030723427046791874", "-0.1684613983673837"),
+    (81L, "-0.6739315509502747", "1.4658458977102218", "-0.5821296188870494", "0.264932920564366"),
+    (82L, "-1.2865888574347888", "3.1166133846310218", "0.01864279839752066", "-1.442394691187024"),
+    (83L, "0.011015846582876394", "1.3099421155592306", "1.704436171863017", "-0.8103292754118585"),
+    (84L, "-0.6637894601124188", "-1.082788721502944", "1.0548490356525289", "1.3185780843803014"),
+    (85L, "0.14795849913689837", "1.0252489510918459", "-1.6262440980209556", "-0.5066344018284893"),
+    (86L, "0.11336096360235559", "-0.9907852381840622", "-1.0222300269522653", "0.08357038631061438"),
+    (87L, "-1.2127831916166985", "-1.3112245250314882", "-1.3729428524676652", "0.7546497034742808"),
+    (88L, "1.9626419568600362", "0.9997491974612458", "-0.37907155718926633", "0.8884441020841963"),
+    (89L, "0.44962449063130944", "0.29056847957931237", "-2.075263822697087", "0.026427102992628314"),
+    (90L, "-0.6297795277637978", "1.475516773409612", "-0.007395767883640996", "2.162145299247844"),
+    (91L, "-0.20492759824174453", "0.9040567538078899", "0.5318103797788675", "-0.1560280471234505"),
+    (92L, "1.31465348167755", "-0.10042322810542968", "-1.6150389146419697", "0.512376938290384"),
+    (93L, "0.5824352008559138", "0.34467684600103177", "0.6554607733098148", "1.068632384135093"),
+    (94L, "-1.8113052929763824", "0.34106442614921895", "-0.15861866031460517", "-0.004193548687759674"),
+    (95L, "-1.6139140848848337", "-1.6510384516347651", "-0.028723006427370103", "-0.18420771740320607"),
+    (96L, "0.3089196957495057", "0.4027879227612307", "0.5232855279142307", "0.7010174648261522"),
+    (97L, "-1.812447285958553", "0.4811979492666857", "-1.0599173192469162", "-1.1460614674428657"),
+    (98L, "-0.9534312676971848", "1.048288392726206", "-0.9668126749214251", "-1.105925235798576"),
+    (99L, "0.07222036346047979", "0.43085468234112967", "0.3337688050277063", "0.36085958375614846"),
+    (100L, "-0.20937640718802006", "0.05349772308827649", "-1.3039222946628104", "-0.7439148072727846"),
+    (101L, "1.14508788473386", "-1.7362165617548777", "-0.722781575308279", "0.7136505468082301"),
+    (102L, "1.273590423300856", "1.8261840190118248", "1.3584726323933698", "0.8421700072338398"),
+    (103L, "-0.8926240609749511", "-1.5193641833862792", "-0.5240029692487975", "0.878681826327567"),
+    (104L, "0.03123951851180098", "1.460180710119441", "2.327732053695643", "0.8916251529714805"),
+    (105L, "1.4165971518128597", "0.05794911311126914", "1.6457285243366833", "-0.7943822574099387"),
+    (106L, "-1.1466384108400312", "-0.3240561454904614", "0.16714321145286193", "-0.169185854319125"),
+    (107L, "0.0798295373186594", "1.0466825840203233", "0.01754442359943169", "0.6552389201708677"),
+    (108L, "-1.5213163242242789", "-1.0552046800925614", "1.406099025202568", "1.2987106938844104"),
+    (109L, "-1.7836260376620023", "0.16480463023229916", "0.4518853535994132", "0.8521198197513858"),
+    (110L, "-0.1826075949352372", "-0.2585620784010989", "1.887498576427545", "-0.005363013698920548"),
+    (111L, "0.562739112591598", "1.108328980411123", "0.22058219527854384", "-1.2712812482824454"),
+    (112L, "-0.6833888120630572", "-1.107940565996125", "-0.30165206482644885", "-1.3405749593428602"),
+    (113L, "0.35362694495718594", "0.9396338270459895", "-0.5214813681687028", "1.2698851342163566"),
+    (114L, "0.4097758321099466", "-1.5137759239322435", "1.0142527129834233", "1.6383499131912584"),
+    (115L, "-0.2802566075810812", "1.0471401954206907", "1.6253141471284585", "0.3723032058166501"),
+    (116L, "-0.6002638581490342", "1.2911907250018066", "-0.019436379422230397", "1.1692476411871795"),
+    (117L, "-1.808982777572594", "1.1745695614409282", "0.6270710561100729", "-0.59711472732173"),
+    (118L, "0.2662509334700247", "0.5897631043113243", "-0.20010687778993103", "-1.3201252995342625"),
+    (119L, "-0.4460510469639685", "1.2049952640711523", "0.113773080938024", "-1.1141181316521316"),
+    (120L, "-0.579245646693936", "0.7189461019165385", "-0.3611766210458578", "-0.9959961582751667"),
+    (121L, "1.3946174293958091", "0.06405195038797619", "-0.13721254127516033", "0.05840064539178377"),
+    (122L, "0.7887798614542454", "-0.562963837841853", "-0.6702111463233946", "-0.4456848490132697"),
+    (123L, "1.9018373399941892", "-1.4005662460125605", "0.6567694869347437", "1.083084197226961"),
+    (124L, "0.8724980391001906", "-0.7701882504773394", "-0.8707693785094158", "-0.8325107766727031"),
+    (125L, "2.4642364317381458", "-0.4464238041662462", "-0.29522298486952325", "-0.08627274916714138"),
+    (126L, "1.79626986842334", "-0.041989674966903", "1.8290782972717143", "2.0703796317398506"),
+    (127L, "1.5332979899574612", "0.1796531992437761", "-1.2398461354239172", "0.20003605382486878"),
+    (128L, "-1.547199096016933", "-0.692997080659857", "0.18474746412091958", "0.6520509396910592"),
+    (129L, "-0.2604520375350203", "0.8219840338186531", "-0.35521723608595945", "-1.8610837555447308"),
+    (130L, "0.4795788875600141", "1.396695618704329", "0.6193640525897908", "1.082197342754276"),
+    (131L, "0.9549389884134105", "-0.22247268061117223", "0.9204452080308695", "0.32575688814592735"),
+    (132L, "1.0105264279974346", "0.3452699521960612", "0.5186120660155179", "-1.3012691087133226"),
+    (133L, "1.128927762403778", "0.30493277346538356", "-2.773306149559326", "0.09877055172957586"),
+    (134L, "-1.2729096681469443", "0.5917412524581598", "1.5219062938667314", "-0.38159935975033377"),
+    (135L, "-1.7406892044697155", "-0.5187333011736406", "1.0250723893538944", "-2.595854387779667"),
+    (136L, "-1.6524036742845125", "0.10291751882941784", "-0.8443247281398109", "0.29913638027653056"),
+    (137L, "0.48590735263825013", "0.2622365111357102", "-0.5229230469842249", "0.6743145752806904"),
+    (138L, "0.35799040353086375", "-0.8406061829483477", "0.8126049563895851", "-0.707277464882556"),
+    (139L, "0.28303242686576835", "0.46014651599119955", "0.2877246829363646", "-0.7121088516680075"),
+    (140L, "-0.9705621307976446", "-0.09804484237297857", "0.16424124851345243", "-0.7490248072232196"),
+    (141L, "-0.9009615382700947", "-0.8002363935302803", "-0.2329229209080373", "-0.8627943507268161"),
+    (142L, "-0.24943846884223683", "0.19560750726326923", "1.2294921951473334", "0.39671828191437764"),
+    (143L, "-0.03371545138164876", "-0.7848937779504094", "1.8764641757597726", "-2.689066533528547"),
+    (144L, "1.0215980977614485", "-0.5130433616942615", "-0.22167325956332834", "-0.1676217072700067"),
+    (145L, "-1.930185823392362", "0.5174291439008935", "-0.6355368020491288", "-0.17482729865258143"),
+    (146L, "0.7604340430070461", "1.3434110528192824", "-0.8904611594393397", "1.0888372744778771"),
+    (147L, "0.676241045409774", "-0.17291045376818093", "0.578266281864128", "0.7908823261841841"),
+    (148L, "0.21181856937546173", "1.4953743431152684", "-0.09829226376029677", "-0.9240936391132599"),
+    (149L, "0.4149693686460133", "0.19486909395717367", "-1.5361490154640627", "-0.2550320105721898"),
+    (150L, "1.0657393884886959", "-0.298821502724325", "-0.7875568477222916", "-2.0537698754214744"),
+    (151L, "0.16113127556420462", "0.14903233125086957", "-1.2525561426528844", "-0.9071121009445707"),
+    (152L, "0.6155534805946808", "-0.13464813440596043", "-0.736514114259566", "-1.6909544226102011"),
+    (153L, "0.8587172850262528", "-0.5228498468905683", "-0.5991937798846233", "1.7692447849109363"),
+    (154L, "0.0581210744781668", "-1.2976024378543853", "-0.07000611332630952", "-0.5384048301759885"),
+    (155L, "-0.18319455826566108", "0.3896751670077738", "0.49646952335261724", "1.190095390155508"),
+    (156L, "0.6467224604940692", "-0.782718179135108", "-1.3859328243188271", "0.4786538506319654"),
+    (157L, "0.6037591653467274", "-1.6855837427825948", "0.2290788420107853", "-1.780403929755849"),
+    (158L, "1.2627099965238935", "-1.6578880850262485", "0.11480999297405792", "-0.6863989752532109"),
+    (159L, "-0.1915362355017317", "1.119078265284033", "0.10398677254070214", "-0.39475469221926074"),
+    (160L, "-0.16355269159833435", "0.40055479876459377", "0.7872663749611314", "-0.47152103677386703"),
+    (161L, "1.2994089923215622", "-0.29537171424856107", "1.2814395365248035", "-0.1207922944734852"),
+    (162L, "1.1281642472758768", "-1.3985814703685373", "0.12958287584501438", "0.8066393237652618"),
+    (163L, "0.989654012937932", "-0.010138415296845107", "1.1609901851781246", "-0.9508789463251038"),
+    (164L, "0.6551747303277976", "-1.1016436589220773", "0.5580582726635237", "0.9005418523911752"),
+    (165L, "-1.3237207852561863", "-0.2711647316810128", "0.6773361425077886", "0.12757696256039439"),
+    (166L, "0.417295480081568", "0.9834548998811673", "0.3937119273717122", "2.143629705080477"),
+    (167L, "-0.9065454414747601", "0.07811598737356687", "-0.3095041928124262", "0.4365031339273078"),
+    (168L, "-0.03572178659695633", "-0.3823940454219021", "-0.2218134549480959", "1.1774128513857358"),
+    (169L, "-0.14734617627595273", "-0.2327242418920825", "-1.072146841701783", "1.1111525209766784"),
+    (170L, "-0.902950911707334", "-8.659756127139827E-4", "0.4745629889224473", "1.2481695489547069"),
+    (171L, "-0.3987901038260579", "-0.8581176021789495", "2.3792506713251784", "1.3141030519371315"),
+    (172L, "0.6920400644718164", "2.8929036123502208", "-0.10995702127896982", "-0.09658194174450814"),
+    (173L, "0.36628283051065386", "0.7786332624948467", "1.0491937257443331", "-0.9464819519184018"),
+    (174L, "1.2472934327890806", "-0.730039170120867", "1.3805014708264631", "-1.5864951598687373"),
+    (175L, "-1.236788243560173", "0.943293985465499", "0.3286040101436134", "0.7082779139812159"),
+    (176L, "-0.7182340753205065", "-0.980230929706078", "1.4227670397736996", "-1.18749177091543"),
+    (177L, "-0.5045312719225478", "1.4282464397170045", "-1.1006216665555695", "-0.904920458166528"),
+    (178L, "0.5056430197557928", "1.2588727001586228", "-0.48029172499482115", "-0.41010255061394113"),
+    (179L, "-0.9372720466423341", "0.6545460134886575", "-0.3786605792104018", "-0.7311233547080812"),
+    (180L, "0.3667418328828001", "0.5919858278761969", "0.9156547949842211", "0.024680039145329846"),
+    (181L, "0.17812947560498218", "-0.9788141908216568", "-1.3350613435522516", "-1.0659525371516216"),
+    (182L, "0.31459441564256124", "-0.7331120004825258", "-1.6344284150298187", "1.1112970077830144"),
+    (183L, "-0.869646262450238", "1.7151360181249742", "-0.10299345661419468", "0.42694440961735414"),
+    (184L, "-0.14264434291689165", "-1.0064031052802622", "-0.27090089911953685", "0.5938163697291452"),
+    (185L, "-0.9315403474713801", "-2.142043339570287", "-0.5071956317111623", "-0.18046705407822838"),
+    (186L, "-1.8207105117364482", "1.1573085322226933", "-1.9726308678363536", "0.5955442744994145"),
+    (187L, "-1.5964282025015408", "-1.856506927513243", "1.3663377379402744", "-0.8083805883810751"),
+    (188L, "-1.335276856332649", "-0.09427207341038008", "-0.1796541255924873", "-0.3272902964214642"),
+    (189L, "0.40794556322038156", "-0.2675259079989702", "-0.9420765877472104", "1.1830760818999704"),
+    (190L, "-0.9956915313173291", "-1.7234164352302093", "0.496331919432406", "-0.1498806778715876"),
+    (191L, "-0.18195677756021003", "0.28837481626463984", "-0.7133256201684902", "-0.8722636043524598"),
+    (192L, "1.542639914628979", "2.4276631177166217", "0.6117447805492443", "0.2552015634108579"),
+    (193L, "-2.0441448667223985", "-1.105349152503326", "0.9491094952845147", "-0.4096086999181364"),
+    (194L, "0.2362498970824636", "-0.1534016576065299", "-0.41968018249433775", "-0.6049745681414807"),
+    (195L, "1.3435992430791506", "-0.5996568418760021", "-0.017892820311408587", "0.12693182234791334"),
+    (196L, "0.42357437994947955", "-0.10908053234638612", "1.4529098598278434", "0.5438310293473744"),
+    (197L, "-2.4527959927785115", "1.4130379959900357", "1.2607598980566215", "0.05703690876881463"),
+    (198L, "1.6309826897112556", "0.9879562888130032", "-1.7413390937022097", "-1.8482499795081742"),
+    (199L, "0.141648817581039", "-1.1837815192960617", "0.6262688467912404", "2.027960734070653"),
+    (200L, "-0.5921611942999068", "-0.7579377808613728", "0.8833279989989737", "-0.7717004391133264"),
+    (201L, "1.3347127208808043", "-0.07172682623267407", "2.520681201702054", "-0.23625647216917878"),
+    (202L, "-0.8471014766876389", "2.1544380352354464", "-0.0945768743346174", "-0.2015129642028365"),
+    (203L, "1.3358981453644627", "-1.0382861317360066", "-0.5343619537930264", "0.6741040275246744"),
+    (204L, "-0.18858106515279865", "-0.3321653316870882", "1.1209694025900612", "-0.09142045215502567"),
+    (205L, "-0.055888250075034666", "0.07235646360911095", "0.40022411518810097", "0.09919371219488705"),
+    (206L, "-0.07540290253048673", "0.5273829522549593", "-0.3418349686664888", "-1.1131871988387387"),
+    (207L, "0.21287765660976649", "-1.1310252080059662", "0.9583176388981064", "-0.8897307200244784"),
+    (208L, "0.12206840191013384", "0.6079792825468117", "0.5893937231522057", "-1.7513858951948138"),
+    (209L, "-1.2777616134046825", "-1.4337728616062644", "0.26977768633847643", "1.6159727566628121"),
+    (210L, "-0.35093432069082625", "-0.2705856120393684", "2.5963521950014887", "-0.8934065213269109"),
+    (211L, "1.5058355640189762", "-0.8684260436150222", "0.4446847448904542", "0.22424554016332787"),
+    (212L, "0.33381387140353036", "0.08487926272942366", "1.585953431920253", "-0.2349096614380918"),
+    (213L, "-1.766034514178356", "-0.25420787480643753", "0.39107075019076226", "1.06716082692764"),
+    (214L, "-0.7417502451645932", "0.4972671291373533", "0.30443377691806506", "0.1352603127374709"),
+    (215L, "0.37489248303717215", "-0.3220868730896918", "-0.14624362577965158", "1.6302664860146021"),
+    (216L, "1.2684547475214276", "1.2987716689326543", "0.33099014188321285", "0.8249061693536635"),
+    (217L, "0.8114734891876118", "0.2565472136960843", "-0.8665497904465231", "1.111292830784692"),
+    (218L, "0.7009094327700631", "0.07777991494276053", "0.2945206796525469", "1.643629271174786"),
+    (219L, "1.0607731423345397", "0.5578150646713725", "0.23207521741293244", "1.0285725580437965"),
+    (220L, "-0.34797259268574965", "-0.19280836789130204", "-1.012878199336546", "-0.4342478638541953"),
+    (221L, "-0.08250242512027987", "-0.7929754406628174", "-0.0514299043060157", "1.9265350736369968"),
+    (222L, "0.7117899062021547", "-0.17669750725005673", "1.6167670185831138", "-0.6924990719122968"),
+    (223L, "-1.3676779787318467", "0.08982464404236144", "0.7156701830499048", "-0.6472252695378011"),
+    (224L, "0.9130329930170834", "-0.12598298509653966", "1.460374439619471", "-1.241979834049375"),
+    (225L, "-0.3790522090726776", "-0.2466384612114809", "-0.7989721938749726", "1.028528044151109"),
+    (226L, "0.6246733838123621", "-0.04854249679453077", "0.9202757037924334", "0.19364192951996648"),
+    (227L, "0.32772440655057333", "0.482576352905595", "-0.12091586427362234", "0.07043773986488844"),
+    (228L, "-0.05419376895574162", "0.9374880220425612", "-0.778560277166627", "-0.6859063127541105"),
+    (229L, "-0.0071738775305296345", "-1.1649208886806224", "0.47610706320526924", "1.194182782185671"),
+    (230L, "1.126913577592963", "-0.49847361777423005", "-0.11571601468199703", "-0.4684353437541826"),
+    (231L, "1.1635543058851043", "0.9093124811608624", "-0.5103579208721368", "-1.1432147370774464"),
+    (232L, "-0.6474087196080366", "-0.4634102380615474", "0.7572706677519513", "0.4923168568727793"),
+    (233L, "0.7614237969830524", "0.16333015925856315", "0.7574193748570465", "-0.013400654401975784"),
+    (234L, "-1.7558737857696258", "1.276239782857623", "0.8668491457304558", "0.875247075914237"),
+    (235L, "1.114984489223991", "-1.8444432593221052", "1.6134478255446696", "-0.10602750327757705"),
+    (236L, "0.37975320426676296", "-0.36570888854338884", "-0.7798149470586208", "0.31753028663420096"),
+    (237L, "1.2882147380733935", "0.3658365508231442", "-0.5096149918153886", "0.25296693232877915"),
+    (238L, "0.13579506419969478", "2.371653184551193", "1.0230190774446577", "1.1843257265177576"),
+    (239L, "-0.2612791228568478", "-0.23461267744480482", "-0.3022733502348998", "-0.601944371327402"),
+    (240L, "-0.07828647041678717", "-2.2331648350192466", "0.8741602191020068", "-0.5166905123404825"),
+    (241L, "-0.3502938153445977", "-0.7768156995098057", "-0.1974543882241511", "-1.5892817138438973"),
+    (242L, "-0.6200263911612692", "-0.18065019074771174", "-0.15117122135051675", "0.5057197939371029"),
+    (243L, "0.2842517496749128", "1.0288366106747318", "-0.26112896399606866", "0.1408012320879621"),
+    (244L, "0.25424849998315", "-0.7477978987141765", "-0.7511345325736206", "-0.23215332865673452"),
+    (245L, "-0.13367667701862906", "1.8045882533921973", "0.30166030238901465", "0.9679909741184756"),
+    (246L, "-0.533959868212371", "-0.05797718698761899", "-1.1932961953444903", "-1.3027530442441662"),
+    (247L, "-1.9105073615715553", "1.204885136102709", "0.625850310369325", "-0.46997106415785184"),
+    (248L, "0.5232488401941032", "-0.5551028353613193", "-0.46386292830180365", "-1.135356714040185"),
+    (249L, "0.7233493464548071", "0.8344266659040872", "0.7586240476263105", "-0.8139235858653341"),
+    (250L, "-0.7904626836441632", "0.9032464661720957", "-0.1482329938945938", "-0.39026840294178194"),
+    (251L, "0.6117579109705812", "0.5177398807955038", "0.6028245220542219", "-0.009282041378268881"),
+    (252L, "-0.05866705617245584", "2.099771565125693", "0.07860253016385998", "0.6557905982993609"),
+    (253L, "-0.5565849415983085", "-0.4168649542838741", "0.8350986468768634", "0.2779847661619425"),
+    (254L, "2.3849344684139013", "0.8202920865875322", "-1.0445821482290465", "-0.6286545481736211"),
+    (255L, "-0.186030236614559", "-0.5431080508275992", "-0.66055365531337", "-0.16923740390552058"),
+    (256L, "0.8878712295302563", "0.15780647510706142", "-2.5280380632300194", "-0.36717724105980043"),
+    (257L, "-1.0454125328542245", "-0.32106404480580597", "-0.6678927559159484", "-0.23902121354885475"),
+    (258L, "-0.8870797431367118", "-0.346945731547603", "-0.04042567223347917", "-1.0073821660501656"),
+    (259L, "0.07219812859122046", "-0.7630041603991999", "0.926456806296874", "-0.2469772705279695"),
+    (260L, "-2.879666496196719", "-0.28083030792257047", "-0.6160016806027953", "-0.3617516402558093"),
+    (261L, "0.05412922472090088", "-0.4216697863068851", "0.15741306947335076", "-0.5953509468830414"),
+    (262L, "2.508192522133865", "0.2936651119657689", "0.1195118165690629", "1.4731626111171878"),
+    (263L, "0.7025347616391648", "-0.6457143743825009", "-1.9773960108430602", "-1.5271764076751837"),
+    (264L, "-0.7817037718939276", "0.0824485028165903", "1.2957145526083635", "0.3713705468336107"),
+    (265L, "-0.27473274606018444", "2.177354684475719", "0.6080893727784884", "-0.20841318550670893"),
+    (266L, "0.9765726871046675", "-0.46889833391597335", "-1.767688684955914", "-1.256531792661741"),
+    (267L, "0.8406395488913391", "1.0504581276877023", "-0.585875344944314", "0.43361809669744494"),
+    (268L, "-0.044478601829247774", "-0.11390839029320113", "0.7333419521353367", "0.3570202053948298"),
+    (269L, "-0.20669578265064648", "-0.3765820948583254", "-1.669418083874206", "1.4154764786400031"),
+    (270L, "0.8930686735413514", "1.170340812216436", "-1.2188352190903102", "0.5265638271386008"),
+    (271L, "-0.08465967499989689", "0.19883394584639527", "1.1964660977471224", "0.20263075546354198"),
+    (272L, "-0.10038767807363957", "-1.8495182783419697", "0.3499703127881468", "-2.753891201206135"),
+    (273L, "-0.3065188022141158", "-1.109200430230264", "-1.0963713186309483", "-0.433141204348942"),
+    (274L, "0.09372258384960974", "2.653963112654692", "-0.2676774867564839", "0.17067849870064783"),
+    (275L, "-0.8527058687162485", "-1.008497625311567", "-0.8523925797681033", "0.3483915104326564"),
+    (276L, "-0.1550613007265282", "0.756751598797615", "-0.20412785994569038", "0.4053631930118447"),
+    (277L, "-0.008393219065117632", "1.3738617862398184", "-0.07829192251770763", "-0.5926925835594146"),
+    (278L, "-0.1002141173166299", "0.7238883634702747", "-0.3670067793361723", "-1.4173227983661927"),
+    (279L, "0.05480769646758738", "0.11248685492994744", "-0.5892048517465663", "0.6105866925954361"),
+    (280L, "-0.07555798764489342", "1.0797137071602687", "-1.449769480004456", "2.691553274475353"),
+    (281L, "-0.4820607802878798", "0.7059799952324548", "1.2234064461124086", "-0.4303404377054444"),
+    (282L, "2.1573199081877723", "-2.548605782114205", "1.3805926427867703", "-0.24859304664703444"),
+    (283L, "-0.2277571182168854", "0.5647016876606384", "-0.17977213761694558", "0.6036264311201603"),
+    (284L, "0.037862461255810935", "-0.9849928685667615", "1.5497134409613633", "0.9577522129323945"),
+    (285L, "-0.3611642057398176", "-1.7027326551243909", "-0.5446154797337792", "-1.77852681883668"),
+    (286L, "-1.445122294601114", "-0.7807093147310478", "0.7388475823397836", "0.37368372099214275"),
+    (287L, "0.5794990901129986", "1.26481635190322", "-0.07303577709326507", "2.4602064140614224"),
+    (288L, "2.1255147791527635", "0.0017062117105684771", "-0.647409746875748", "1.8062524484234361"),
+    (289L, "1.2604665437949665", "0.8059736647065124", "-0.8518972674180276", "-0.32333757092777404"),
+    (290L, "-0.5202046227906826", "0.5529208363686552", "-0.4658798414465601", "-0.5522646275876187"),
+    (291L, "1.1900654606576941", "2.2177444676595237", "-0.8229622195693859", "2.016699081603741"),
+    (292L, "0.4560783412723542", "-1.1976467055786375", "0.8143309891667981", "1.552267821045122"),
+    (293L, "0.8347214317909902", "0.12900479448535854", "-0.37540544431793266", "-0.7978816902429589"),
+    (294L, "-1.1927255215183816", "-1.5453988263953473", "-1.38199321252548", "0.66335230139774"),
+    (295L, "1.1214788750082993", "-2.258082216272476", "-0.6146568955853997", "-0.9264410282009119"),
+    (296L, "-0.5953655849642436", "-0.26079283030855827", "1.1862000794557446", "0.7648239376362524"),
+    (297L, "0.700954073486699", "1.7229454625174034", "-0.23021984038533091", "-0.19711032438214407"),
+    (298L, "-0.6471606637822966", "0.15460222117407063", "-2.0108180199807206", "1.3386658824309592"),
+    (299L, "0.2620590535025803", "0.7523734420918181", "0.2143426534810101", "0.6432053254550802"),
+    (300L, "0.27360696906196286", "0.9124219405786722", "-0.015405531018872135", "-0.6348020027341956"),
+    (301L, "0.7814732151343429", "0.26645097888329333", "-1.0431151968562644", "-2.4011617336603197"),
+    (302L, "-2.447683696160855", "-0.406841495220555", "1.2418204855805426", "0.6382981188721906"),
+    (303L, "1.1015493698500871", "-0.30430310168864394", "0.7754668027772704", "-0.5755727207551525"),
+    (304L, "-0.11507282780894744", "1.3268303030099609", "0.09288706328740778", "-0.7803646505761154"),
+    (305L, "-0.22180498625563075", "1.4525035926160845", "0.6244288049628287", "-0.18851926863390062"),
+    (306L, "0.4100445856185589", "0.8130243265092593", "0.8093691133970541", "0.30159217014514544"),
+    (307L, "-0.4774567900881387", "0.6004915044232667", "1.0186668110330823", "1.619981914441048"),
+    (308L, "1.2715696085255512", "-0.6552565896086111", "2.2134692374120792", "0.374903911852028"),
+    (309L, "-0.3287706466107342", "0.04222508133382466", "-0.0503637471880824", "0.1190941060791473"),
+    (310L, "-1.1013844018213987", "1.0106485572488226", "0.01921671064595059", "0.43187097248983786"),
+    (311L, "-2.0309887852941846", "-0.6615938836897807", "-0.8388487105974932", "0.2304806394151505"),
+    (312L, "0.29210738911727097", "-0.9767554894008387", "1.5617636360403937", "-1.8872784894827568"),
+    (313L, "-0.46041770453573544", "-0.966214259796926", "-0.36619151640871117", "-0.8821933106094578"),
+    (314L, "1.300925791171173", "1.0336983991272715", "-0.21083882911267934", "1.3038564336173735"),
+    (315L, "0.07967501808446939", "0.8399055707912567", "1.2023076461192945", "-0.015692056754445065"),
+    (316L, "2.1426161013751748", "-0.6123420942077316", "0.053662163132284786", "0.10125704343456854"),
+    (317L, "1.108723431075351", "-0.8605818162377207", "-0.8046158015181174", "0.19800711008019004"),
+    (318L, "-0.7777906515822511", "1.7346820097868332", "0.1951939565835864", "-0.5688597508464458"),
+    (319L, "-1.1907349776412859", "1.2047070079546138", "-0.0930453196393413", "0.7227431642176925"),
+    (320L, "-1.6910363199023999", "1.1291818279202468", "-0.04402279995307921", "-1.1023400649736823"),
+    (321L, "0.009245553771545414", "2.0985913001105834", "-0.8592655475144015", "-0.8399414731039628"),
+    (322L, "1.7275700486905745", "0.7864497587001436", "0.757548924494979", "2.6151218149761815"),
+    (323L, "-1.1611955509776344", "1.453110889083614", "0.3546341852651253", "0.5022749112714618"),
+    (324L, "-0.32950488533807387", "-0.7903244098174711", "0.7067947793100331", "3.2687800356113694"),
+    (325L, "-0.5495894705437449", "1.630546840068008", "-1.5296380298369725", "-1.621354861323127"),
+    (326L, "1.2970316903504162", "4.985293608764581E-5", "-0.319697093752734", "-1.2220143951862035"),
+    (327L, "-0.12340036372606077", "-0.1670022548125577", "0.019977337913455528", "0.022121268477254256"),
+    (328L, "-0.10258201316920515", "1.2609579216049966", "-0.4027654884833668", "-0.5784075836336984"),
+    (329L, "0.26500694009555104", "-0.5389250569576828", "1.398714752977264", "1.8822892721342424"),
+    (330L, "0.2761769904639195", "0.6539253873692485", "0.1448529667758029", "0.13027065513971478"),
+    (331L, "-0.4999016170976189", "0.7826958459250225", "-0.6215900634452949", "-1.722764290530681"),
+    (332L, "-0.011487265609577869", "-0.6308637601847376", "-0.2494420324929311", "2.4285597303431548"),
+    (333L, "-0.5088028798638013", "-0.3677643963797203", "0.07211241718234619", "0.8810261717437581"),
+    (334L, "-0.3039606458055072", "-0.8737623564200429", "-1.6948185576164672", "0.21602341124603033"),
+    (335L, "-0.2746157333930924", "-0.25193194212980846", "-0.16437119255486665", "-2.2389334379027814"),
+    (336L, "-0.3291125943581196", "0.7406540719033131", "0.6677586937475115", "-1.117538652588694"),
+    (337L, "0.5801929211675632", "-0.6021609558943316", "-1.9451963328311825", "-0.3627984657299115"),
+    (338L, "0.9844463166205648", "0.39016060720236306", "1.2765991987240053", "0.24919314140897947"),
+    (339L, "-0.6213172816643575", "-1.1311830749444576", "-0.6372937456601003", "1.47406855524698"),
+    (340L, "-1.3314158546262929", "0.1912843139451269", "-1.699307915981782", "1.2597295675356817"),
+    (341L, "0.41167424597706986", "-0.3278568669614248", "-0.20332980792702926", "0.7622673644258087"),
+    (342L, "0.8364405178520488", "0.7287187166245851", "0.7152875601814482", "0.5217061942068296"),
+    (343L, "1.3345317543032795", "-0.7550251023372854", "-0.35956017345429525", "-2.0504975736256004"),
+    (344L, "0.9248460615393465", "1.797759200918798", "-0.7761219677172956", "0.99164449239104"),
+    (345L, "1.3266212350219613", "-0.2789507701156818", "0.33173235042385524", "0.7016646694546487"),
+    (346L, "0.4831028075058537", "0.20416898561820782", "1.5181811284173088", "-1.0857996064753273"),
+    (347L, "-0.06829051268019551", "-0.23437121285369877", "0.4773849593832985", "-0.0064844634063609225"),
+    (348L, "-1.406021439666865", "1.2599630628156848", "0.1311912692195388", "-0.21468761631075345"),
+    (349L, "1.5185015249629894", "-0.06088677540006794", "0.4908947747383473", "1.0239823674535893"),
+    (350L, "-1.0185835486175796", "1.0461281062364542", "-1.3808102114967722", "-0.007420610218639263"),
+    (351L, "0.9335286771159612", "-0.521958694547673", "-0.4746629112699727", "-0.024351253669677858"),
+    (352L, "-1.4944786446761518", "-0.946599496385359", "0.662413775491014", "-1.0884379829265272"),
+    (353L, "-1.0113665926767614", "0.3317672416346478", "-0.02179620417296734", "0.22315702135285834"),
+    (354L, "-1.7750029537712653", "-0.004370102301711439", "1.9304459985388054", "-0.03660252917812692"),
+    (355L, "-0.8788802637065678", "1.7007145449572567", "0.21912124026486313", "-1.0420470152496377"),
+    (356L, "1.0480090730644371", "0.12780491168380206", "-0.4735583513735712", "-0.8228980766716778"),
+    (357L, "-0.6616168681965902", "-2.2711114354179798", "-0.26105524338534436", "1.1521722823678224"),
+    (358L, "-0.6650361924181692", "-0.3093285638965975", "0.00817817803361913", "-0.5624770225704326"),
+    (359L, "1.334851174472718", "-0.09322497543231108", "-0.12328790626693747", "1.7444137483682864"),
+    (360L, "0.5041429499647749", "0.47327465026951293", "-2.3504543709474763", "-0.33886331462829594"),
+    (361L, "0.15038239161256511", "-2.9712347547489744", "0.5885113820892364", "0.4710632290278314"),
+    (362L, "-0.6149458318118616", "-1.3611609753543972", "-0.5853944590678611", "-0.8394233705494353"),
+    (363L, "0.22259583543410907", "-0.9553227195941061", "0.39975562309188856", "-0.221472900001416"),
+    (364L, "-1.0013805174698722", "0.15877920114631286", "-0.39583996612385924", "-1.303344234383371"),
+    (365L, "-1.5661094150444919", "-0.9296573946954865", "-0.1365569607576042", "-0.5988043358958575"),
+    (366L, "-0.6353757888257237", "-0.8217086109895795", "1.1346243541715155", "0.8020301671368838"),
+    (367L, "-0.650994945261696", "-0.6214294709402083", "-0.21933938288403362", "-0.01775076885647492"),
+    (368L, "-1.514933953190364", "-0.23755758636568786", "1.401067398228973", "0.349781589844262"),
+    (369L, "-1.1328208483295858", "1.3180268218338878", "-0.2797911157215336", "0.7882622416025319"),
+    (370L, "-0.7646221094043886", "0.9159158374374192", "0.2969788158236183", "0.6843640053645974"),
+    (371L, "-0.6638416388567709", "-0.438945234711277", "-0.1321044258736328", "-0.04580765532032544"),
+    (372L, "0.23858899386188567", "-0.1130656762281871", "0.07422145869461322", "0.6854483535986978"),
+    (373L, "1.0505145160220446", "0.13180012211635023", "-0.3653852114425217", "0.9583267728556503"),
+    (374L, "0.18387840989029502", "0.31947486317694207", "-0.7106139149944358", "-0.6963737428352125"),
+    (375L, "-0.8657953585979872", "-1.7220878656435867", "-0.9653394463322432", "-0.08884392444146863"),
+    (376L, "1.4333809806400386", "0.7166045473493516", "0.9118636879709608", "0.35236632619727065"),
+    (377L, "-0.809951850900166", "0.7984833569197085", "0.37085344718650776", "0.6612581582558835"),
+    (378L, "0.04594580053694912", "-0.4323515553593239", "-0.5580259579740775", "-0.1987063411678133"),
+    (379L, "0.9656612521432668", "0.17869229781114557", "0.424436831723932", "-0.831755701123329"),
+    (380L, "-0.28112352926382456", "-0.25155285793542254", "-1.3400883756610353", "-0.6007321148993103"),
+    (381L, "-0.7800116360481827", "-0.07922286279518553", "-0.5324216596615093", "1.7880127478801882"),
+    (382L, "0.04214019816910094", "-0.3923796499650582", "-3.1621417137375016", "0.44447529789833984"),
+    (383L, "-0.2284074775420493", "0.19925602305609044", "1.436081500500535", "0.26259153655990464"),
+    (384L, "-1.3095516079921337", "0.8756136176700454", "-1.0238451411974532", "0.5105600656521063"),
+    (385L, "-1.9931767362602324", "-0.3446108634720755", "1.5357695094406079", "1.6601638824308858"),
+    (386L, "0.14854386151871696", "-1.0116957595774427", "-1.3040190758387227", "-0.47859897718307715"),
+    (387L, "0.028185522791140435", "-0.02709153275084181", "-0.617777991728185", "-0.1876003359156692"),
+    (388L, "0.3968948422123133", "-2.1778593456668887", "0.11647063265772317", "0.5321740311646388"),
+    (389L, "-1.1970310600988312", "0.9680908733235623", "0.3494025837678691", "-1.6644550146740043"),
+    (390L, "-0.09192112396635985", "-0.15050038237281596", "0.8134078404019033", "-0.40415712631153816"),
+    (391L, "2.0080869728284907", "-0.5465113787724949", "0.23899324468249533", "0.6868191644667435"),
+    (392L, "1.1569962491050771", "0.9540127468219262", "1.6091552114895136", "-0.930600129236172"),
+    (393L, "-1.1252952329138635", "0.4741789207688335", "1.4115710518784332", "0.7161326991545516"),
+    (394L, "-1.0695139438564147", "-0.7718149405349897", "0.5484429289594207", "-1.1367578319122678"),
+    (395L, "-0.789092534818527", "1.3345312189686191", "-1.904098084542327", "0.8848683946504833"),
+    (396L, "0.49735813964245495", "0.43638607238841143", "0.23797659647318833", "-1.7616419793971216"),
+    (397L, "0.8012777866870362", "-0.5090782586064136", "-1.7413275946184608", "-0.7668044943991188"),
+    (398L, "1.240181816744936", "-0.6320248062024426", "-0.9088934797001016", "-0.7545104841173431"),
+    (399L, "-0.9742709002446736", "0.03989717473813797", "0.46879183146008", "-1.1422490311537814"),
+    (400L, "-0.5906016668171559", "-0.5229390952610531", "-0.22487300651215741", "1.3544735716447758"),
+    (401L, "-0.23587030002596587", "0.3366555088309387", "0.679846343656508", "0.4235578454740021"),
+    (402L, "2.2428983340603716", "-0.1290726412125524", "1.1151173563746046", "0.932249961836132"),
+    (403L, "-0.32939804015372554", "0.927340326399956", "-1.6653839849052587", "-0.14037379610567818"),
+    (404L, "0.24672336621957208", "-0.451254885774626", "-0.9087755993148675", "-0.6799979858721897"),
+    (405L, "1.0001652050555667", "1.1755856203836352", "0.08806054827467374", "0.22754300344339848"),
+    (406L, "1.3416904330073733", "1.0036792965361228", "0.4225828293893406", "1.4337625501572013"),
+    (407L, "-1.0020434295744054", "0.984553029344883", "0.18252104189503743", "0.905713305803008"),
+    (408L, "-0.5353066802816909", "0.5706665980032735", "-0.6668675953812859", "1.0943588339738946"),
+    (409L, "-0.22150099524211195", "-1.305809405476216", "0.4424993980932426", "-1.0745569296299617"),
+    (410L, "-0.28206914647624093", "-2.1388146705209365", "0.19280904744876984", "-2.104942632792916"),
+    (411L, "-0.33859944717359675", "0.5345909940584159", "-0.8809672559307339", "-0.4864995479321969"),
+    (412L, "-2.2981243622465577", "-1.0774921079305886", "1.445714285647928", "-0.042278332599974995"),
+    (413L, "-0.9251578122615095", "0.5151412366206847", "0.7875860139390765", "0.9280691248789253"),
+    (414L, "1.0398173320082045", "0.9058690753339341", "-1.1472458913917614", "-0.48129099790590524"),
+    (415L, "-0.3221564055952575", "-1.6568898622166335", "-0.5346166354079436", "0.34534824828340077"),
+    (416L, "0.17390944770991099", "0.362265164616467", "0.27420228441005123", "-0.49948754275706386"),
+    (417L, "-0.3185524656062494", "1.4007303395949795", "0.28564497516213955", "-1.934520237079046"),
+    (418L, "-1.0658051365100378", "-0.23959456705434365", "-1.3978174868851039", "0.24222069315923886"),
+    (419L, "1.8349878485263307", "-1.3824485429527544", "0.5176222158811986", "0.2917394663582459"),
+    (420L, "-0.26687158558937957", "-0.7002487769844278", "-0.5025066806083217", "0.4740729664256416"),
+    (421L, "2.047809366539301", "0.5429579791466717", "-0.43574647611440454", "-1.5417155306044708"),
+    (422L, "-0.8858529866152397", "0.38036708797643765", "0.8498293634313486", "-0.18931331098946264"),
+    (423L, "-1.062960120210854", "-0.8337615331972272", "1.2256682496275977", "0.9636056816858959"),
+    (424L, "-1.3287947985851511", "-0.1823510243026489", "2.2790704415945466", "0.010723011877093128"),
+    (425L, "0.6679549253206324", "0.3724018577956248", "-0.3197321019693298", "0.9754567554535986"),
+    (426L, "-0.395497234064359", "0.4030070312807612", "-1.765778497207939", "0.4503869718012639"),
+    (427L, "0.8434949886101897", "0.9428460802761822", "-0.8341229551937022", "0.5350859129088918"),
+    (428L, "1.7916488772380497", "0.2519889615674105", "1.422109475375337", "-0.4223959212375289"),
+    (429L, "0.790219780832495", "0.8389443470156104", "0.7206116633396848", "0.18161655090343687"),
+    (430L, "-0.6429255560254756", "2.128582848736025", "0.3953660546036463", "1.4103538101217108"),
+    (431L, "-0.25130416635272074", "0.9992451944878018", "-0.08719859140621512", "-2.014637983745978"),
+    (432L, "0.29131469998415677", "1.4073864583028366", "0.40941429240629534", "-1.5353653060664911"),
+    (433L, "-0.07329033964524254", "-1.8385193677098235", "-0.817962202075415", "-0.14758794583513435"),
+    (434L, "-0.8114718510981995", "-0.5528442275256766", "-1.5397527013139756", "0.3915463924708302"),
+    (435L, "-1.1883704570791223", "-1.137297679016263", "0.5527524186268327", "0.30205290852159766"),
+    (436L, "-1.6201653155922637", "-2.6806035503634122", "1.2302667990209046", "-0.48356212119347697"),
+    (437L, "1.1347111139191635", "-0.964152529940409", "-1.148651279015714", "-0.631342333142251"),
+    (438L, "0.2431928538017716", "-0.03251054338080918", "-2.7228659020572485", "-1.0863695978974528"),
+    (439L, "0.13465487473320473", "-0.9598954797718322", "0.15695533664816905", "0.7321627221708714"),
+    (440L, "0.04267218017034069", "1.2862354353017607", "-1.3826350277975115", "1.6135301637224488"),
+    (441L, "1.452352232897756", "-0.40648232888387215", "2.0540848255433724", "0.8790525837178382"),
+    (442L, "-0.533252371601218", "-1.829268789967677", "-1.5566707835284828", "-0.6960885201057244"),
+    (443L, "-1.2066751471704458", "-1.4493272096421996", "-0.03989684157212272", "1.6541393544652527"),
+    (444L, "-2.555965760094815", "0.41597836477361494", "0.4898485253378555", "-1.858156497393432"),
+    (445L, "0.5975440471300736", "-0.05577076258610934", "-2.086293875429364", "3.1226056560850717"),
+    (446L, "-0.6329721232230989", "1.0807067342866319", "1.2639386064038989", "0.09531071836619982"),
+    (447L, "-0.30312572954231687", "2.0204928054035527", "0.23720090889810627", "0.760787167574893"),
+    (448L, "-0.9157836148665592", "-0.11888382568696015", "1.158996282178973", "-0.6700373234492294"),
+    (449L, "-0.7067476423801619", "0.31234668871554006", "-1.0987268652163136", "-0.8622959528473167"),
+    (450L, "0.24697616255623533", "0.7509257712369867", "-1.8624004948723425", "0.012743637392628154"),
+    (451L, "1.513628292909485", "-1.9607282027989237", "0.3145774170580363", "0.05751138412818446"),
+    (452L, "0.09415832288212556", "-1.4462839272819343", "0.5199733272911551", "1.1263023845159514"),
+    (453L, "0.668617806362817", "0.42425011823530595", "0.2727881356515957", "-0.24866005659123236"),
+    (454L, "0.41080262503286713", "-1.0689156665988748", "-0.9245649796263515", "0.026415896539820537"),
+    (455L, "2.6313205923983767", "0.09475011275380858", "0.06706136073128886", "-0.5289709043220399"),
+    (456L, "1.3107715820428927", "0.8763674622682524", "-0.013809252303232687", "-1.4966164085213716"),
+    (457L, "-0.9496335504019461", "1.25581968995368", "-0.8314465339500668", "1.0692803819057497"),
+    (458L, "-1.442551883918669", "0.615497165142879", "-0.6780711485685333", "-0.8885592315851165"),
+    (459L, "-0.45425594612699793", "0.7554680282328383", "-0.25481348279753274", "0.9871139599270626"),
+    (460L, "1.2828394794562927", "-4.580317744565041E-4", "2.320505359926543", "0.26501153275397726"),
+    (461L, "1.1351070504523568", "0.5054410682132431", "-0.9060888557848397", "0.08356984650379005"),
+    (462L, "-1.615198087265001", "1.241138246971713", "-1.187466992119905", "-1.6136280838021848"),
+    (463L, "1.2118387285565089", "0.7489377604095537", "1.776753919056133", "-0.8922866739099738"),
+    (464L, "0.9987202548503209", "-0.05243026281724518", "-0.49159260413570344", "0.1223318876032165"),
+    (465L, "-0.45633344350632243", "0.8508616205609679", "-1.6454110663669632", "0.033954331742973604"),
+    (466L, "0.20094113199347635", "-1.217509416727883", "-0.8326282619125771", "1.6203914682422238"),
+    (467L, "-1.4619778557924128", "-2.267741928460202", "0.1125260179480104", "1.2715239632913562"),
+    (468L, "1.9169455552097014", "-0.34504361327072636", "-2.0866729558011414", "-0.20023887459257972"),
+    (469L, "1.873437639163558", "-0.9210109719750948", "1.253057909383224", "-0.286781356338098"),
+    (470L, "-0.33172013715422105", "0.3707387362273236", "1.724593845599384", "0.7588206070194701"),
+    (471L, "-0.9946454086392724", "0.24830241197881242", "-1.9805454014920894", "0.3542624583554371"),
+    (472L, "-0.4133162242400142", "-1.3079581577795196", "-0.9518838715130781", "0.36463220469632085"),
+    (473L, "-0.2339396341284563", "-0.5660665752681242", "0.500045295313594", "2.4252476755544534"),
+    (474L, "0.45883699666583916", "-0.3637924191923725", "-0.6467174853382369", "0.48979318401289573"),
+    (475L, "0.44365202726938213", "0.505685590173143", "-0.06055805364574012", "2.0462961671177045"),
+    (476L, "0.3679228840349494", "0.7742318127738429", "0.7289324872425801", "-1.6680955546748362"),
+    (477L, "0.8084455755271568", "1.1383341393872684", "1.7113333831729733", "-1.6304535512677536"),
+    (478L, "-0.8909594546460443", "0.01933558918447628", "-1.2624900262572916", "-0.9163750151365504"),
+    (479L, "0.1325162241528667", "0.5428437853671749", "-1.4274864768482178", "0.8449648591400761"),
+    (480L, "-1.1211548876785578", "0.16013306735049287", "-0.0932327489996978", "-0.39415909462699106"),
+    (481L, "-0.7335847651810219", "-1.689376069816829", "-1.061592065969895", "0.36677732908447186"),
+    (482L, "-0.18463338263867998", "1.3013151212464884", "0.27430247660343204", "1.6330344661124334"),
+    (483L, "0.7699147423673441", "0.489075687596408", "1.0292008448784766", "-0.7432145276194544"),
+    (484L, "-0.35255642506138185", "-0.8644110185747804", "0.7892434474937575", "-0.4623919810683483"),
+    (485L, "0.6340074175959436", "-1.08449184298285", "0.4686451500347448", "0.6817985221432267"),
+    (486L, "-0.2784339466360965", "-0.9628471838388502", "0.5908368332629184", "0.24221693707696124"),
+    (487L, "1.8601629746982826", "0.8805701914451861", "0.6868566709258145", "0.09884518550776261"),
+    (488L, "0.14845322612959447", "-0.04873320793287029", "1.0539146060135767", "-1.464029530495482"),
+    (489L, "-0.5452457589255846", "-1.2708624174507441", "-1.6790536206957052", "-0.235335494647422"),
+    (490L, "0.2698914097421345", "-0.6767962404574278", "0.8194603580502322", "0.636827230856621"),
+    (491L, "0.3385177257179183", "1.5080176131181091", "0.12327108164368271", "-0.45020966148168506"),
+    (492L, "-2.268281744225092", "0.14254855553681955", "-0.9555526018007937", "0.34922205933243905"),
+    (493L, "1.2878115635355487", "0.4895389124221083", "-0.6550780681946505", "-0.7295473067335073"),
+    (494L, "-0.7283153997161905", "0.7401850255125627", "-0.28207526618294765", "-0.001288210765710697"),
+    (495L, "1.291426291759275", "-0.9662429871503329", "-0.5503206141587855", "-0.3413431006938067"),
+    (496L, "0.6410436065497815", "0.22805799313164193", "0.15345714486203785", "0.3912885053673085"),
+    (497L, "0.3261161521344819", "-1.1154525128175838", "0.9836807522417115", "-1.4836320897050337"),
+    (498L, "-0.33744385387240255", "-1.9951847658084916", "0.454340806736944", "-0.16076012264884412"),
+    (499L, "1.5091473607166532", "-0.64079558840169", "-1.482037133092313", "0.984522188481354"))
+
+  /** VALUES-table oracle for `q_pca` from [[PcaPins]]. */
+  private def pcaPinOracle: String = {
+    val rows = PcaPins.map { case (id, a, b, c, d) =>
+      s"($id,CAST('$a' AS DOUBLE),CAST('$b' AS DOUBLE)," +
+        s"CAST('$c' AS DOUBLE),CAST('$d' AS DOUBLE))"
+    }.mkString(",")
+    s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, pc0, pc1, pc2, pc3
+       |FROM (VALUES $rows) AS t(vec_id, pc0, pc1, pc2, pc3)"""
+      .stripMargin
+  }
+
+
+  /**
+   * r11 outcome pin for `q_unigram_train`: the trained unigram vocab
+   * at sf0.01 — (piece, 6-dp-rounded log-prob as an exact round-trip
+   * decimal string). `trainUnigramLm` is ONE exact integer
+   * word-count aggregate (order-free) followed by driver arithmetic
+   * over a sorted array — bit-deterministic on any partition layout
+   * by construction (its scaladoc's long-standing claim, now
+   * tripwire-pinned). The old rows-only blocker was CROSS-ENGINE:
+   * recomputing the logs in DuckDB differs by a libm ulp; pinning the
+   * JVM's own output sidesteps the recompute entirely.
+   */
+  private[graft] val UnigramTrainPins: Seq[(String, String)] = Seq(
+    ("a", "-3.00526"),
+    ("agg", "-3.659941"),
+    ("b", "-10.463446"),
+    ("batch", "-3.620763"),
+    ("big", "-3.68808"),
+    ("c", "-10.463446"),
+    ("column", "-3.62397"),
+    ("custom", "-3.62397"),
+    ("d", "-7.20535"),
+    ("data", "-3.652202"),
+    ("e", "-3.730044"),
+    ("er", "-3.62397"),
+    ("f", "-3.713515"),
+    ("filter", "-3.625041"),
+    ("g", "-10.463446"),
+    ("group", "-3.6858"),
+    ("h", "-3.730044"),
+    ("hash", "-3.610147"),
+    ("i", "-10.463446"),
+    ("j", "-10.463446"),
+    ("join", "-3.592355"),
+    ("k", "-10.463446"),
+    ("key", "-3.665506"),
+    ("l", "-10.463446"),
+    ("line", "-3.650002"),
+    ("m", "-10.463446"),
+    ("merge", "-3.641249"),
+    ("n", "-10.463446"),
+    ("o", "-10.463446"),
+    ("order", "-3.647806"),
+    ("ort", "-3.692657"),
+    ("p", "-10.463446"),
+    ("part", "-3.6858"),
+    ("q", "-3.693804"),
+    ("r", "-3.693804"),
+    ("row", "-3.61438"),
+    ("s", "-3.692657"),
+    ("scan", "-3.621831"),
+    ("slow", "-3.641249"),
+    ("small", "-3.630414"),
+    ("spark", "-3.683524"),
+    ("st", "-3.713515"),
+    ("stream", "-3.674474"),
+    ("t", "-3.730044"),
+    ("table", "-3.652202"),
+    ("u", "-10.463446"),
+    ("ue", "-3.693804"),
+    ("up", "-7.20535"),
+    ("v", "-10.463446"),
+    ("value", "-3.66439"),
+    ("vector", "-3.647806"),
+    ("w", "-10.463446"),
+    ("window", "-3.676729"),
+    ("y", "-3.693804"))
+
+  /** Oracle for `q_unigram_train` from [[UnigramTrainPins]]. */
+  private def unigramTrainOracle: String = {
+    val rows = UnigramTrainPins.map { case (p, lp) =>
+      s"('${p.replace("'", "''")}',CAST('$lp' AS DOUBLE))"
+    }.mkString(",")
+    s"""SELECT piece, log_prob
+       |FROM (VALUES $rows) AS t(piece, log_prob)""".stripMargin
+  }
+
+  /**
+   * r11 outcome pin for `q_sketch_rollup`: the HLL rollup at sf0.01 —
+   * pure integer outputs (row counts + distinct estimates).
+   * DataSketches HLL registers are order-invariant MAXES, so the
+   * estimate is a pure function of the value set at any layout; the
+   * former "no SQL oracle" row only ever reflected that DuckDB cannot
+   * replay the sketch registers, which pinning does not need.
+   */
+  private[graft] val SketchRollupPins: Seq[(String, Long, Long)] = Seq(
+    ("signup", 2017L, 150L),
+    ("click", 2006L, 150L),
+    ("purchase", 1981L, 150L),
+    ("error", 2014L, 150L),
+    ("view", 1982L, 150L),
+    ("__ALL__", 10000L, 150L))
+
+  /** Oracle for `q_sketch_rollup` from [[SketchRollupPins]]. */
+  private def sketchRollupOracle: String = {
+    val rows = SketchRollupPins.map { case (et, n, d) =>
+      s"('${et.replace("'", "''")}',$n,$d)"
+    }.mkString(",")
+    s"""SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(approx_distinct AS BIGINT) AS approx_distinct
+       |FROM (VALUES $rows) AS t(event_type, n_rows, approx_distinct)"""
+      .stripMargin
   }
 
   /** VALUES-table oracle for a [[SimsearchPins]] gate. */

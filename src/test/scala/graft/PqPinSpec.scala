@@ -77,6 +77,55 @@ class PqPinSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_pca re-derives EXACTLY the pinned whitened projections at " +
+    "the driver's correctness SF — bit-equal doubles via shortest " +
+    "round-trip decimals") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_pca")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (1 until r.length).map(r.getDouble)))
+      .sortBy(_._1).toSeq
+    val pinned = SparkEntry.PcaPins.map { case (id, a, b, c, d) =>
+      (id, Seq(a, b, c, d).map(java.lang.Double.parseDouble))
+    }.sortBy(_._1)
+    assert(got.size == pinned.size)
+    got.zip(pinned).foreach { case ((gi, gp), (pi, pp)) =>
+      assert(gi == pi && gp == pp,
+        s"q_pca moved off its pin at vec_id $gi: $gp vs $pp — " +
+          "re-derive and update PcaPins WITH this tripwire")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q_unigram_train and q_sketch_rollup re-derive their pins at " +
+    "the driver's correctness SF, and the unigram trainer is " +
+    "layout-invariant") {
+    import graft.ops.TextAnalysis
+    val dir = "/root/testdata/sf0.01"
+    // unigram: trainer invariance under repartition, then the pin
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val a = TextAnalysis.trainUnigramLm(docs, "text", vocabSize = 60)
+    val b = TextAnalysis.trainUnigramLm(docs.repartition(13), "text",
+      vocabSize = 60)
+    assert(a.toSeq == b.toSeq,
+      "unigram vocab differs under repartition")
+    val gotUg = SparkEntry.queries("q_unigram_train")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        java.lang.Double.toString(r.getDouble(1))))
+      .sortBy(_._1).toSeq
+    assert(gotUg == SparkEntry.UnigramTrainPins.sortBy(_._1),
+      "q_unigram_train moved off its pin — re-derive and update " +
+        "UnigramTrainPins WITH this tripwire")
+    // sketch rollup: register maxes are order-invariant; the pin
+    val gotSk = SparkEntry.queries("q_sketch_rollup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(gotSk == SparkEntry.SketchRollupPins.sortBy(_._1),
+      "q_sketch_rollup moved off its pin — re-derive and update " +
+        "SketchRollupPins WITH this tripwire")
+    spark.catalog.clearCache()
+  }
+
   test("the five pinned simsearch gates re-derive EXACTLY the pin map " +
     "at the driver's correctness SF (fixture-regeneration tripwire)") {
     val dir = "/root/testdata/sf0.01"
