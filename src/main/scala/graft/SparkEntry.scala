@@ -2970,8 +2970,10 @@ object SparkEntry {
     }),
 
     // product-quantized ANN: 64 floats → 16 byte codes, ADC shortlist,
-    // exact cosine re-rank (recall vs brute force spec-asserted;
-    // hash-seeded training → rows-only check)
+    // exact cosine re-rank (recall vs brute force spec-asserted).
+    // ORACLED since r11: quantized-long centroid training is a pure
+    // function of content → output pinned (SimsearchPins, PqPinSpec
+    // tripwire)
     "q_simsearch_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding")
@@ -2981,8 +2983,10 @@ object SparkEntry {
     }),
 
     // IVF-PQ composition (the FAISS IVF-ADC shape): cell-probe pruning
-    // over 16-byte PQ codes + exact re-rank — doubly approximate →
-    // rows-only; recall + nProbe=nCells≡pure-PQ equivalence in OpsSpec
+    // over 16-byte PQ codes + exact re-rank. ORACLED since r11 via the
+    // SimsearchPins outcome pin (quantized training + seeded cells =
+    // pure function); recall + nProbe=nCells≡pure-PQ equivalence in
+    // OpsSpec
     "q_simsearch_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
@@ -2994,9 +2998,9 @@ object SparkEntry {
 
     // IVF-PQ over its PERSISTED layout: codes hive-partitioned by
     // cell_id (saveIvfPqIndex) so the probe filter prunes input
-    // splits, then the same ADC/re-rank kernel — rows-only like the
-    // other simsearch gates; indexed≡in-memory equality and measured
-    // file skipping are spec-asserted in OpsSpec
+    // splits, then the same ADC/re-rank kernel. ORACLED since r11 via
+    // the SimsearchPins outcome pin; indexed≡in-memory equality and
+    // measured file skipping are spec-asserted in OpsSpec
     "q_simsearch_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = new java.io.File(
@@ -3086,7 +3090,8 @@ object SparkEntry {
     // embeddings, APPEND the remaining third (saved-means routing,
     // saved-codebook encoding, new files only), then probe — appended
     // vectors must be retrievable through the same pruned layout.
-    // Rows-only like the simsearch family; append semantics spec'd
+    // ORACLED since r11 via the SimsearchPins outcome pin; append
+    // semantics spec'd
     "q_simsearch_append" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = new java.io.File(
@@ -3105,7 +3110,10 @@ object SparkEntry {
     // OPQ: PQ in a PCA-rotated space (Ge et al. parametric solution) —
     // eigenvalue allocation balances per-subspace variance before
     // encoding; recall lift vs plain PQ spec-asserted (0.33 → 1.00 on
-    // variance-skewed data). Eigensolve has no SQL form → rows-only.
+    // variance-skewed data). ORACLED since r11 via the SimsearchPins
+    // outcome pin (the rotation rides Pca.train's order-free moments,
+    // the codebook the quantized-long trainer — a pure function; the
+    // eigensolve still has no SQL recompute, which the pin sidesteps).
     "q_simsearch_opq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.opqTopK(emb, emb.filter(col("vec_id") % 20 === 0),
@@ -7949,7 +7957,10 @@ object SparkEntry {
   /** Oracle for `q_quality_classifier`: weak_label recomputed in SQL
     * (the qualityScore replay — same expression tree the hash-exact
     * profile/domain gates already prove), prediction from the pinned
-    * negative set. */
+    * negative set. KEEP THE SUB-SCORE SQL IN LOCKSTEP with
+    * [[textProfileOracle]] and [[domainStatsOracle]] — the three
+    * hand-written replays of TextAnalysis.qualityScore must change
+    * together or exactly one gate's hash breaks. */
   private def qualityClassifierOracle: String = {
     val stops = graft.ops.TextAnalysis.StopwordLists.head._2
       .map(w => s"'$w'").mkString(",")
@@ -9003,7 +9014,9 @@ object SparkEntry {
 
   /** q_domain_stats oracle — the quality sub-scores mirror
     * textProfileOracle's proven-exact forms; sums ride DECIMAL(12,4)
-    * (order-free exact) and the hugeint count-sum casts to BIGINT. */
+    * (order-free exact) and the hugeint count-sum casts to BIGINT.
+    * KEEP IN LOCKSTEP with [[textProfileOracle]] and
+    * [[qualityClassifierOracle]] (three replays of qualityScore). */
   private def domainStatsOracle: String = {
     val stops = graft.ops.TextAnalysis.StopwordLists.head._2
       .map(w => s"'$w'").mkString(",")

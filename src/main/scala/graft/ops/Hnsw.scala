@@ -61,7 +61,11 @@ object Hnsw {
     * pathological hash can't build a 60-layer tower. */
   private def levelFor(id: Long, mL: Double): Int = {
     val u = ((mix64(id) >>> 11).toDouble + 1.0) / 9007199254740993.0 // 2^53+1
-    math.min(31, (-math.log(u) * mL).toInt)
+    // StrictMath.log: a persisted graph's levels must recompute to the
+    // SAME values on any JVM build that later loads it (Math.log may
+    // differ by an ulp across platforms, and a flipped level would
+    // fail the load-time structure check on a perfectly good index)
+    math.min(31, (-StrictMath.log(u) * mL).toInt)
   }
 
   private def l2normalize(v: Array[Float]): Array[Double] = {
@@ -106,7 +110,7 @@ object Hnsw {
   private final class ShardGraph(m: Int, efConstruction: Int,
                                  expectedDim: Int = -1) {
     private var dim = expectedDim
-    private val mL = 1.0 / math.log(m.toDouble)
+    private val mL = 1.0 / StrictMath.log(m.toDouble)
     private val maxM0 = 2 * m
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]

@@ -72,8 +72,14 @@ object QualityClassifier {
   }
 
   private def sigmoid(z: Double): Double =
-    if (z >= 0) 1.0 / (1.0 + math.exp(-z))
-    else { val e = math.exp(z); e / (1.0 + e) }
+    // StrictMath, not math: the JLS lets Math.exp differ by an ulp
+    // across architectures/JVM builds (intrinsics), and the r11
+    // outcome pin needs the trained weights to be a platform-
+    // unconditional function of the data — StrictMath is fdlibm
+    // bit-for-bit everywhere. Cost: exp is a tiny slice of the
+    // feature dot products this kernel is dominated by.
+    if (z >= 0) 1.0 / (1.0 + StrictMath.exp(-z))
+    else { val e = StrictMath.exp(z); e / (1.0 + e) }
 
   private def margin(w: Array[Double], dim: Int,
                      idx: Array[Int], v: Array[Double]): Double = {

@@ -1207,8 +1207,11 @@ object Similarity {
    * seeding (sub-centroids from the first k corpus vectors by id, like
    * ivfAssign), then `iterations` of distributed Lloyd — each
    * iteration is ONE pass: per-partition sum/count accumulators
-   * (m·k·subDim doubles, ~KBs) collected and meaned on the driver.
-   * Empty clusters keep their previous centroid. Requires m | dim.
+   * (m·k·subDim QUANTIZED LONGS since r11, ~KBs) collected and meaned
+   * on the driver; integer sums are order-free, so the codebook is
+   * bit-identical at any partition layout (PqPinSpec — the basis of
+   * the PQ-family outcome pins). Empty clusters keep their previous
+   * centroid. Requires m | dim.
    */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int = 16, k: Int = 32, iterations: Int = 3): PqCodebook = {

@@ -893,8 +893,10 @@ object TextAnalysis {
     def estimate(pieces: Array[String]): collection.Map[String, Double] = {
       // scores from current counts; first round uses seed frequencies
       val total = pieces.iterator.map(seedCounts.getOrElse(_, 1L)).sum.toDouble
+      // StrictMath.log: platform-unconditional bits (the r11 pin
+      // contract — Math.log may differ by an ulp per JVM build)
       pieces.iterator.map(p =>
-        p -> math.log(seedCounts.getOrElse(p, 1L) / total)).toMap
+        p -> StrictMath.log(seedCounts.getOrElse(p, 1L) / total)).toMap
     }
     var scores: collection.Map[String, Double] = estimate(vocab)
     val UnkLp = -1e3 // any in-vocab path beats a path through UNK
@@ -919,7 +921,7 @@ object TextAnalysis {
         } else kept0 ++ chars.filterNot(counts.contains).map((_, 1L))
       val tot = kept.iterator.map(_._2).sum.toDouble
       scores = kept.iterator.map { case (p, c) =>
-        p -> math.log(c / tot)
+        p -> StrictMath.log(c / tot)
       }.toMap
       vocab = kept.map(_._1)
       iter += 1

@@ -1068,33 +1068,48 @@ object Stress {
       // zero-grace vacuum ate every in-flight gen, so without this
       // phase the leg would only ever exercise the fence)
       val stop2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // capture failures instead of letting threads die silently: a
+      // dead vacuumer would make the liveness assertion VACUOUS (no
+      // vacuum actually raced the commits), and a dead committer
+      // would fail it with the real cause lost (r11 review finding)
+      val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val vacPasses = new java.util.concurrent.atomic.AtomicInteger(0)
       val vac2 = new Thread(() => {
-        while (!stop2.get()) {
-          SnapshotStore.vacuum(spark, vacDir, keepLast = 1)
-          Thread.sleep(5)
-        }
+        try {
+          while (!stop2.get()) {
+            SnapshotStore.vacuum(spark, vacDir, keepLast = 1)
+            vacPasses.incrementAndGet()
+            Thread.sleep(5)
+          }
+        } catch { case t: Throwable => errs2.add(t) }
       })
       vac2.start()
       val ok2 = new java.util.concurrent.atomic.AtomicInteger(0)
       val committers2 = (1 to 2).map { c =>
         new Thread(() => {
-          (1 to 3).foreach { i =>
-            SnapshotStore.commit(
-              spark.range(5000L).select(
-                (col("id") + c * 10000000L + i * 100000L).as("id"),
-                col("id").as("v")), vacDir)
-            ok2.incrementAndGet()
-          }
+          try {
+            (1 to 3).foreach { i =>
+              SnapshotStore.commit(
+                spark.range(5000L).select(
+                  (col("id") + c * 10000000L + i * 100000L).as("id"),
+                  col("id").as("v")), vacDir)
+              ok2.incrementAndGet()
+            }
+          } catch { case t: Throwable => errs2.add(t) }
         })
       }
       committers2.foreach(_.start())
       committers2.foreach(_.join(300000))
       stop2.set(true)
       vac2.join(300000)
+      if (!errs2.isEmpty) throw errs2.peek()
       assert(ok2.get() == 6,
         s"default-grace liveness: only ${ok2.get()}/6 commits landed")
+      assert(vacPasses.get() > 0,
+        "liveness phase vacuous: the vacuum never completed a pass")
       SnapshotStore.versions(spark, vacDir).foreach { v =>
-        SnapshotStore.readVersion(spark, vacDir, v).count()
+        val n = SnapshotStore.readVersion(spark, vacDir, v).count()
+        assert(n > 0, s"surviving version $v reads empty")
       }
       println(s"[stress] vacuum race: ${successes.get()} committed + " +
         s"${failures.get()} failed cleanly at zero grace; 6/6 landed " +
