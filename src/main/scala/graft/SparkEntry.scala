@@ -2180,6 +2180,78 @@ object SparkEntry {
         .unionByName(sBm)
     }),
 
+    // cross-surface RTBF reaches the STREAMING SINKS' published
+    // corpora too (r11 — survey candidate #4 closed): a sink's
+    // `ingest_batch=N` corpus dirs hold the very rows its index was
+    // built from, and before this round forgetEverywhere purged
+    // catalog + indexes but left those rows readable — a manual
+    // rewrite per sink. One call now covers catalog, index families,
+    // AND sink corpora (SinkCorpus.purge — ONLY the batch partitions
+    // holding a purged id are rewritten; untouched partitions are
+    // never read, the 100 TB shape). The gate drives BOTH sinks for
+    // two batches each at NO-LINK thresholds — jaccard 1.0 over
+    // per-doc-unique suffixed texts (strict shingle-set equality is
+    // impossible across distinct uid suffixes), cosine 0.99 under the
+    // AnnSinkSpec-pinned 0.985 no-natural-pair fixture margin — so
+    // every batch row publishes deterministically and the oracle is
+    // the slice minus the purge set: the PURGE is under test here,
+    // not the dedup decisions (q_dedup_sink / q_ann_sink own those).
+    "q_rtbf_sinks" -> ((s, dir) => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_rtbfs_${tmpToken(dir)}").getAbsolutePath
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("zqx"), col("doc_id"), lit("zqx"))).as("text"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      TextDedup.saveMinhashIndex(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", s"$base/mh", numHashes = 16, bands = 4)
+      Similarity.saveIvfPqIndex(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", s"$base/ann", nCells = 8)
+      val dBatchSrc = docs.filter(col("doc_id") % 5 === 1)
+      val aBatchSrc = emb.filter(col("vec_id") % 5 === 1)
+      // two batches per sink — enough to prove affected-vs-untouched
+      // partition handling (the purge set straddles both); bench cost
+      // is lifecycle job count, so the batch count stays minimal
+      (0 to 1).foreach { b =>
+        graft.streaming.DedupSink.applyBatch(s, s"$base/mh",
+          s"$base/dcorp", "doc_id", "text", jaccardThreshold = 1.0,
+          dBatchSrc.filter(col("doc_id") % 2 === b), b.toLong)
+        graft.streaming.AnnSink.applyBatch(s, s"$base/ann",
+          s"$base/acorp", "vec_id", "embedding", cosineThreshold = 0.99,
+          aBatchSrc.filter(col("vec_id") % 2 === b), b.toLong,
+          nProbe = 4, batchCells = 8)
+      }
+      graft.sources.SnapshotStore.commitAll(
+        Map("docs" -> dBatchSrc.select(col("doc_id"))), s"$base/cat")
+      val purge = dBatchSrc.select(col("doc_id").as("id"))
+        .unionByName(aBatchSrc.select(col("vec_id").as("id")))
+        .filter(col("id") % 9 === 4).distinct()
+      // compactIndexes = false: this gate's CHECKED evidence is the
+      // sink-corpus purge (it probes no index face); the index
+      // tombstone/compact lifecycle is q_rtbf_everywhere's evidence,
+      // and re-paying its job count here would be pure bench weight
+      graft.sources.SnapshotStore.forgetEverywhere(purge, s"$base/cat",
+        Map("docs" -> "doc_id"),
+        minhashIndexes = Seq(s"$base/mh"),
+        ivfPqIndexes = Seq(s"$base/ann"),
+        sinkCorpora = Seq(s"$base/dcorp" -> "doc_id",
+          s"$base/acorp" -> "vec_id"),
+        compactIndexes = false)
+      graft.sources.SnapshotStore.readTable(s, s"$base/cat", "docs")
+        .select(lit("cat:docs").as("surface"), col("doc_id").as("key"),
+          lit(1.0).as("n"))
+        .unionByName(s.read.parquet(s"$base/dcorp")
+          .select(lit("dedup").as("surface"), col("doc_id").as("key"),
+            col("ingest_batch").cast("double").as("n")))
+        .unionByName(s.read.parquet(s"$base/acorp")
+          .select(lit("ann").as("surface"), col("vec_id").as("key"),
+            col("ingest_batch").cast("double").as("n")))
+    }),
+
     // sentence-aligned chunking: budget-aligned packing that never cuts
     // a sentence — chunk_id is a closed-form window cumsum (one keyed
     // window + one aggregate; no sequential greedy state)
@@ -2717,6 +2789,34 @@ object SparkEntry {
       TextAnalysis.bpeMergesDf(s, merges)
     }),
 
+    // WordPiece trainer (r11 — the THIRD subword family, completing
+    // the set real LLM pipelines choose from: BPE, unigram-LM,
+    // WordPiece/BERT). Same bounded-driver shape as q_bpe_train; the
+    // merge objective is likelihood gain c(l,r)/(c(l)·c(r)) instead of
+    // raw pair frequency. Oracled by FULL SQL replay: the score is ONE
+    // IEEE tree (one multiply, one divide over exact integer counts),
+    // so DuckDB's doubles are bit-equal and the per-iteration argmax
+    // agrees; the output carries the integer counts behind every
+    // choice so the oracle re-derives each merge, not just trusts it.
+    "q_wordpiece_train" -> ((s, dir) => {
+      val merges = TextAnalysis.trainWordPiece(
+        t(s, dir, "documents"), "text", nMerges = 40)
+      TextAnalysis.wordPieceMergesDf(s, merges)
+    }),
+
+    // WordPiece encoder: greedy longest-match-first against the
+    // trained vocab (the BERT WordpieceTokenizer algorithm; an
+    // unmatchable position voids the whole word to [UNK]). Broadcast
+    // vocab, narrow per-word kernel — no shuffle. The vocab is the
+    // PINNED fixture-trained one (PinnedWordPieceVocab — tripwire spec
+    // re-derives it, the q_bpe_encode pattern), and the oracle replays
+    // the greedy walk as a recursive CTE over distinct words.
+    "q_wordpiece_encode" -> ((s, dir) =>
+      TextAnalysis.applyWordPiece(t(s, dir, "documents"), "doc_id",
+          "text", PinnedWordPieceVocab.toSet)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("subtokens")).as("subtokens"))),
+
     // unigram-LM (SentencePiece-family) tokenizer trainer: the other
     // major subword family beside BPE. Same bounded-driver shape as
     // q_bpe_train — one corpus word-count aggregate, then driver EM
@@ -2920,6 +3020,37 @@ object SparkEntry {
         emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
         k = 3, efSearch = 48)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // the SERVING face of the persisted HNSW family (r11): load once,
+    // probe repeatedly — the shard graphs persist as built objects in
+    // the block manager, so every probe after the first skips the
+    // scan, the shard shuffle, and the O(nodes+edges) graph builds
+    // (hnswTopKIndexed pays all three per call; that is the right
+    // shape for one-shot probes, this is the right shape for a query
+    // service). The gate probes TWICE and returns the second — the
+    // answer the driver hashes is the one served from cache, proving
+    // the cached path oracle-exact, not just the cold one. Shares the
+    // brute-force oracle via the same probe kernel + recall pin as
+    // q_hnsw_index.
+    "q_hnsw_handle" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_hnswhdl_${tmpToken(dir)}").getAbsolutePath
+      val ip = new org.apache.hadoop.fs.Path(idx)
+      ip.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ip, true)
+      graft.ops.Hnsw.saveHnswIndex(emb, "vec_id", "embedding", idx,
+        m = 8, efConstruction = 48, nShards = 4)
+      val h = graft.ops.Hnsw.loadHnswIndex(s, idx)
+      val q = emb.filter(col("vec_id") % 20 === 0)
+      h.topK(q, "vec_id", "embedding", k = 3, efSearch = 48).count()
+      val warm = h.topK(q, "vec_id", "embedding", k = 3, efSearch = 48)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        // materialize THROUGH the cache before unload releases it
+        .localCheckpoint()
+      h.unload()
+      warm
     }),
 
     // kNN label spread: every non-seed vector classified by majority
@@ -4408,6 +4539,8 @@ object SparkEntry {
 
     // the TRAINER replayed as 40 unrolled materialized-CTE iterations
     "q_bpe_train" -> bpeTrainOracle(40),
+    "q_wordpiece_train" -> wordPieceTrainOracle(40),
+    "q_wordpiece_encode" -> wordPieceEncodeOracle,
 
     "q_windowed_counts" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
@@ -6456,6 +6589,10 @@ object SparkEntry {
     // the persisted face probes bit-identically to the in-memory build
     // (HnswIndexSpec parity pin) — same brute-force oracle
     "q_hnsw_index" -> embedTopKOracle,
+    // the serving handle shares the probe kernel with hnswTopKIndexed
+    // (spec-pinned bit-parity), so it verifies against the same
+    // brute-force SQL through the same recall pin
+    "q_hnsw_handle" -> embedTopKOracle,
 
     // outcome pins for the PQ/OPQ family (r11 — see SimsearchPins):
     // quantized-long centroid training made every stage a pure
@@ -6884,6 +7021,32 @@ object SparkEntry {
     "q_bm25_append" -> bm25OracleTopK(10, " WHERE doc_id % 3 = 0"),
     "q_bm25_forget" -> bm25ForgetOracle,
     "q_rtbf_everywhere" -> rtbfEverywhereOracle,
+
+    // the sink-corpus RTBF gate runs at NO-LINK thresholds by
+    // construction (see the gate comment), so every batch row
+    // publishes and each surface's expectation is the slice minus the
+    // purge set — the batch assignment (id % 3) is the partition value
+    "q_rtbf_sinks" ->
+      """WITH p AS (
+        | SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 5 = 1 AND doc_id % 9 = 4
+        | UNION
+        | SELECT vec_id FROM embeddings
+        |  WHERE vec_id % 5 = 1 AND vec_id % 9 = 4)
+        |SELECT 'cat:docs' AS surface, doc_id AS key,
+        |       CAST(1.0 AS DOUBLE) AS n
+        |FROM documents
+        |WHERE doc_id % 5 = 1 AND doc_id NOT IN (SELECT id FROM p)
+        |UNION ALL
+        |SELECT 'dedup' AS surface, doc_id AS key,
+        |       CAST(doc_id % 2 AS DOUBLE) AS n
+        |FROM documents
+        |WHERE doc_id % 5 = 1 AND doc_id NOT IN (SELECT id FROM p)
+        |UNION ALL
+        |SELECT 'ann' AS surface, vec_id AS key,
+        |       CAST(vec_id % 2 AS DOUBLE) AS n
+        |FROM embeddings
+        |WHERE vec_id % 5 = 1 AND vec_id NOT IN (SELECT id FROM p)""".stripMargin,
 
     "q_rrf" -> rrfOracle,
 
@@ -7336,6 +7499,141 @@ object SparkEntry {
         s"CAST(c AS BIGINT) AS freq FROM best$i")
       .mkString(" UNION ALL ")
     s"$base$iters\nSELECT * FROM ($unioned) ORDER BY rank"
+  }
+
+  /** DuckDB replay of [[TextAnalysis.trainWordPiece]] — the
+    * [[bpeTrainOracle]] machinery with WordPiece's three deltas:
+    * (1) it0 symbols carry `##` continuation prefixes; (2) the
+    * per-iteration argmax orders by the likelihood-gain score
+    * `CAST(c AS DOUBLE) / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))` —
+    * the SAME single-multiply-single-divide IEEE tree the Scala
+    * trainer evaluates, so the doubles are bit-equal and the argmax
+    * agrees (ties → smallest (l, r), both sides); (3) the merged
+    * symbol strips the right side's `##`. The greedy leftmost
+    * application sites reuse the gaps-and-islands argument verbatim:
+    * overlap still forces l == r (two `##` symbols), a run, every
+    * other position. */
+  private def wordPieceTrainOracle(nMerges: Int): String = {
+    val base =
+      """WITH it0 AS MATERIALIZED (
+        |  SELECT w, n, list_transform(generate_series(1, length(w)),
+        |      i -> CASE WHEN i = 1 THEN substr(w, i, 1)
+        |           ELSE '##' || substr(w, i, 1) END) AS syms
+        |  FROM (SELECT w, count(*) AS n
+        |        FROM (SELECT unnest(
+        |                string_split_regex(lower(trim(text)), '\s+')) AS w
+        |              FROM documents)
+        |        WHERE w <> '' GROUP BY w
+        |        ORDER BY n DESC, w ASC LIMIT 65536))""".stripMargin
+    val iters = (0 until nMerges).map { i =>
+      s"""
+         |, sc$i AS MATERIALIZED (
+         |  SELECT syms[pos] AS s, sum(n) AS c
+         |  FROM it$i, unnest(generate_series(1, len(syms))) AS u(pos)
+         |  GROUP BY 1),
+         |best$i AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.c, sl.c AS cl, sr.c AS cr
+         |  FROM (SELECT syms[pos] AS l, syms[pos+1] AS r, sum(n) AS c
+         |        FROM it$i, unnest(generate_series(1, len(syms)-1)) AS u(pos)
+         |        GROUP BY 1, 2) p
+         |  JOIN sc$i sl ON sl.s = p.l
+         |  JOIN sc$i sr ON sr.s = p.r
+         |  ORDER BY CAST(p.c AS DOUBLE) /
+         |      (CAST(sl.c AS DOUBLE) * CAST(sr.c AS DOUBLE)) DESC,
+         |    p.l ASC, p.r ASC LIMIT 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT w, n, pos, sym, l, r,
+         |    cand AND (pos - min(CASE WHEN cand THEN pos END)
+         |                OVER (PARTITION BY w, grp)) % 2 = 0 AS sel
+         |  FROM (
+         |    SELECT w, n, pos, sym, cand, l, r,
+         |      pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos)
+         |        AS grp
+         |    FROM (
+         |      SELECT t.w, t.n, u.pos, t.syms[u.pos] AS sym, b.l, b.r,
+         |        (u.pos < len(t.syms) AND t.syms[u.pos] = b.l
+         |           AND t.syms[u.pos+1] = b.r) AS cand
+         |      FROM it$i t CROSS JOIN best$i b,
+         |           unnest(generate_series(1, len(t.syms))) AS u(pos)))),
+         |it${i + 1} AS MATERIALIZED (
+         |  SELECT w, any_value(n) AS n,
+         |    list(CASE WHEN sel THEN l ||
+         |        (CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END)
+         |      ELSE sym END ORDER BY pos)
+         |      FILTER (WHERE NOT coalesce(lag_sel, FALSE)) AS syms
+         |  FROM (SELECT *, lag(sel) OVER (PARTITION BY w ORDER BY pos)
+         |          AS lag_sel
+         |        FROM sel$i)
+         |  GROUP BY w)""".stripMargin
+    }.mkString
+    val unioned = (0 until nMerges)
+      .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", """ +
+        s"CAST(c AS BIGINT) AS pair_n, CAST(cl AS BIGINT) AS left_n, " +
+        s"CAST(cr AS BIGINT) AS right_n FROM best$i")
+      .mkString(" UNION ALL ")
+    s"$base$iters\nSELECT * FROM ($unioned) ORDER BY rank"
+  }
+
+  /** The fixture-trained WordPiece vocab behind `q_wordpiece_encode`:
+    * the corpus alphabet (bare first chars + `##` continuations)
+    * plus the 40 learned merges — derived once from
+    * [[graft.ops.TextAnalysis.trainWordPiece]] /
+    * [[graft.ops.TextAnalysis.wordPieceVocab]] on the documents
+    * fixture (identical content at every SF), re-derived by the
+    * WordPieceSpec tripwire so a fixture regeneration fails by name,
+    * never as an opaque oracle hash mismatch. */
+  private[graft] val PinnedWordPieceVocab: Array[String] = Array(
+    "##a", "##b", "##bl", "##c", "##ch", "##d", "##e", "##g",
+    "##h", "##i", "##in", "##k", "##l", "##low", "##lu", "##lum",
+    "##lumn", "##m", "##n", "##o", "##oin", "##olumn", "##oup", "##ow",
+    "##p", "##r", "##s", "##sh", "##st", "##t", "##tch", "##u",
+    "##up", "##us", "##w", "##y", "a", "ag", "agg", "b",
+    "bi", "big", "c", "column", "cus", "cust", "custo", "custom",
+    "d", "dup", "f", "fi", "fil", "filt", "g", "h",
+    "j", "join", "k", "l", "li", "lin", "m", "o",
+    "p", "q", "qu", "r", "row", "s", "sp", "t",
+    "th", "v", "w", "wi", "win", "wind", "window")
+
+  /** q_wordpiece_encode oracle — the greedy longest-match-first walk
+    * replayed as a recursive CTE over DISTINCT words: at each step the
+    * chosen length is the largest L whose (`##`-prefixed past position
+    * 1) candidate is in the pinned vocab (`list_max` over a
+    * `list_contains` scan — bounded by the longest pinned piece); an
+    * unmatchable position voids the whole word to [UNK], the BERT
+    * contract the kernel implements. */
+  private def wordPieceEncodeOracle: String = {
+    val vocabList = PinnedWordPieceVocab.sorted
+      .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+    val maxLen = PinnedWordPieceVocab.map(_.stripPrefix("##").length).max
+    s"""WITH RECURSIVE toks AS (
+       | SELECT doc_id, unnest(ts) AS w,
+       |  unnest(generate_series(0, len(ts) - 1)) AS pos
+       | FROM (SELECT doc_id,
+       |        string_split_regex(lower(trim(text)), '\\s+') AS ts
+       |       FROM documents WHERE text IS NOT NULL)),
+       |toks2 AS (SELECT doc_id, pos, w FROM toks WHERE w <> ''),
+       |words AS (SELECT DISTINCT w FROM toks2),
+       |st AS (
+       | SELECT w, 1 AS p, '' AS acc FROM words
+       | UNION ALL
+       | SELECT w,
+       |   CASE WHEN bl = 0 THEN length(w) + 1 ELSE p + bl END AS p,
+       |   CASE WHEN bl = 0 THEN '[UNK]'
+       |        WHEN acc = '' THEN px || substr(w, p, bl)
+       |        ELSE acc || ' ' || px || substr(w, p, bl) END AS acc
+       | FROM (
+       |  SELECT w, p, acc, CASE WHEN p = 1 THEN '' ELSE '##' END AS px,
+       |    list_max(list_transform(
+       |      generate_series(1, least(length(w) - p + 1, $maxLen)),
+       |      L -> CASE WHEN list_contains($vocabList,
+       |             (CASE WHEN p = 1 THEN '' ELSE '##' END) ||
+       |               substr(w, p, L))
+       |           THEN L ELSE 0 END)) AS bl
+       |  FROM st WHERE p <= length(w))),
+       |fin AS (SELECT w, acc FROM st WHERE p > length(w))
+       |SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos,
+       | f.acc AS subtokens
+       |FROM toks2 t JOIN fin f ON f.w = t.w""".stripMargin
   }
 
   private val PinnedUnigramVocab: Array[(String, Double)] = Array(

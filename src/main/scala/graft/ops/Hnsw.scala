@@ -645,39 +645,60 @@ object Hnsw {
                       vecCol: String, k: Int, efSearch: Int = 64,
                       queryCollectLimit: Long =
                         Similarity.DefaultQueryCollectLimit): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    import spark.implicits._
     val (m, efC, _, dim) = readMeta(spark, path)
     healAppendLeftovers(spark, path)
+    val nodesDf = nodesOrEmpty(spark, path)
+    probeKernel(spark, path, shardGraphs(spark, path, m, efC, dim),
+      candVectors(nodesDf), queries, idCol, vecCol, dim, k, efSearch,
+      queryCollectLimit)
+  }
+
+  /** Collect + validate a probe's query vectors — ONE contract shared
+    * by [[hnswTopKIndexed]] and [[HnswHandle.topK]]. */
+  private def collectQueries(queries: DataFrame, idCol: String,
+                             vecCol: String, dim: Int,
+                             limit: Long): Array[(Long, Array[Float])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val qIdType = queries.schema(idCol).dataType
     require(Similarity.integralType(qIdType),
-      s"hnswTopKIndexed requires an integral query id column, got $qIdType")
-    require(Similarity.atMost(queries, queryCollectLimit),
-      s"hnswTopKIndexed broadcasts queries into every shard: more than " +
-        s"$queryCollectLimit query rows — use ivfPqTopKIndexed instead")
+      s"HNSW probe requires an integral query id column, got $qIdType")
+    require(Similarity.atMost(queries, limit),
+      s"HNSW probe broadcasts queries into every shard: more than " +
+        s"$limit query rows — use ivfPqTopKIndexed instead")
     val qArr = queries
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
     qArr.find(_._2.length != dim).foreach { case (qid, qv) =>
       throw new IllegalArgumentException(
-        s"hnswTopKIndexed: query id $qid has a ${qv.length}-dim vector," +
+        s"HNSW probe: query id $qid has a ${qv.length}-dim vector," +
           s" the index stores $dim-dim vectors")
     }
-    val qB = spark.sparkContext.broadcast(qArr)
-    val perShard = math.max(k, efSearch)
-    val nodesDf = nodesOrEmpty(spark, path)
-    val cand = nodesDf
+    qArr
+  }
+
+  /** The stored shard graphs as an RDD — one [[ShardGraph]] per
+    * same-shard run, loaded from the persisted adjacency in
+    * O(nodes+edges), no insertion re-run. [[hnswTopKIndexed]] consumes
+    * it once; [[loadHnswIndex]] persists it so repeat probes skip the
+    * scan, the shuffle, AND the graph builds. */
+  private def shardGraphs(spark: org.apache.spark.sql.SparkSession,
+                          path: String, m: Int, efC: Int,
+                          dim: Int): org.apache.spark.rdd.RDD[ShardGraph] = {
+    import spark.implicits._
+    nodesOrEmpty(spark, path)
       .select(col("shard").cast("int"), col("id"), col("vec"),
         col("links"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Int, Long, Array[Float], Array[Array[Long]])]
+      .rdd
       .mapPartitions { it =>
         val buf = it.buffered
-        new Iterator[Iterator[(Long, Long)]] {
+        new Iterator[ShardGraph] {
           def hasNext: Boolean = buf.hasNext
-          def next(): Iterator[(Long, Long)] = {
+          def next(): ShardGraph = {
             val shard = buf.head._1
             val g = new ShardGraph(m, efC, dim)
             g.load(new Iterator[(Long, Array[Float], Array[Array[Long]])] {
@@ -686,23 +707,50 @@ object Hnsw {
                 val (_, id, v, lks) = buf.next(); (id, v, lks)
               }
             })
-            val qs = qB.value
-            qs.iterator.flatMap { case (qid, qv) =>
-              g.search(qv, perShard, efSearch).iterator
-                .map(n => (qid, g.ids(n)))
-            }
+            g
           }
-        }.flatten
+        }
+      }
+  }
+
+  /** Candidate id/vector projection for the exact double-precision
+    * re-rank (the parity-with-brute-force half of the probe). */
+  private def candVectors(nodesDf: DataFrame): DataFrame =
+    nodesDf.select(col("id").as("__cid"), col("id").as("neighbor_id"),
+      Similarity.toDoubleVec(col("vec")).as("__cv"))
+
+  /** The probe kernel shared verbatim by [[hnswTopKIndexed]] and
+    * [[HnswHandle.topK]] (ONE implementation, so the handle's answers
+    * can never drift from the one-shot probe's): broadcast the
+    * collected queries into every shard graph's beam search, union the
+    * per-shard candidates, exact-cosine re-rank in doubles, tombstone
+    * anti-join (read LIVE — a delete applies to a held handle
+    * immediately), family heap top-k. */
+  private def probeKernel(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          graphs: org.apache.spark.rdd.RDD[ShardGraph],
+                          cands: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, dim: Int, k: Int,
+                          efSearch: Int, queryCollectLimit: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import spark.implicits._
+    val qArr = collectQueries(queries, idCol, vecCol, dim,
+      queryCollectLimit)
+    val qB = spark.sparkContext.broadcast(qArr)
+    val perShard = math.max(k, efSearch)
+    val cand = graphs
+      .flatMap { g =>
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, perShard, efSearch).iterator
+            .map(n => (qid, g.ids(n)))
+        }
       }
       .toDF("__qid", "__cid")
-    val c = nodesDf.select(col("id").as("__cid"),
-      col("id").as("neighbor_id"),
-      Similarity.toDoubleVec(col("vec")).as("__cv"))
     val q = queries.select(col(idCol).cast("long").as("__qid"),
       col(idCol).as("query_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__qv"))
     val scored = cand
-      .join(c, Seq("__cid"))
+      .join(cands, Seq("__cid"))
       .join(broadcast(q), Seq("__qid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // the delete lifecycle: a tombstoned id is dead to every query,
@@ -711,6 +759,67 @@ object Hnsw {
         col("__cid") === col("__tomb"), "left_anti")
       .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
     Similarity.heapTopK(scored, k, org.apache.spark.sql.types.LongType)
+  }
+
+  /**
+   * A loaded, session-serving face of a persisted HNSW index: the
+   * shard graphs live as a PERSISTED RDD of built [[ShardGraph]]s and
+   * the re-rank vectors as a cached DataFrame, so every [[topK]] after
+   * the first skips the parquet scan, the shard shuffle, and the
+   * O(nodes+edges) graph builds — the repeat-serving shape
+   * `hnswTopKIndexed` pays in full on every call. This is the
+   * Spark-native executor-side cache (r11 survey candidate): reuse
+   * rides Spark's own block manager with locality and
+   * recompute-on-eviction lineage, not a hand-rolled JVM singleton
+   * that a multi-executor cluster could never keep coherent.
+   *
+   * Consistency contract: the handle SNAPSHOTS the graph structure at
+   * [[loadHnswIndex]] time. Tombstones are the exception — they are
+   * read live on every probe, so a purge (tombstone/forgetEverywhere)
+   * lands on a held handle immediately, no reload needed (the RTBF
+   * property that matters). After a structural change
+   * (append/compact), [[unload]] and reload: Spark's
+   * recompute-on-eviction would otherwise read the REWRITTEN files
+   * for an evicted partition — the same rule as any cached DataFrame
+   * over mutated files.
+   */
+  final class HnswHandle private[Hnsw] (
+      spark: org.apache.spark.sql.SparkSession, path: String, dim: Int,
+      graphs: org.apache.spark.rdd.RDD[ShardGraph], cands: DataFrame) {
+
+    /** Top-k through the loaded graphs — bit-identical to
+      * [[hnswTopKIndexed]] at equal parameters (shared
+      * [[probeKernel]]; spec-pinned). Output: (query_id,
+      * neighbor_id long, rank, cosine). */
+    def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+             efSearch: Int = 64,
+             queryCollectLimit: Long =
+               Similarity.DefaultQueryCollectLimit): DataFrame =
+      probeKernel(spark, path, graphs, cands, queries, idCol, vecCol,
+        dim, k, efSearch, queryCollectLimit)
+
+    /** Release the cached graphs and vectors (blocking, so a reload
+      * immediately after sees fresh files, not stale blocks). */
+    def unload(): Unit = {
+      graphs.unpersist(blocking = true)
+      cands.unpersist(blocking = true)
+    }
+  }
+
+  /** Load a persisted HNSW index for repeat serving — see
+    * [[HnswHandle]] for the caching and consistency contract. The
+    * build cost is paid on the FIRST probe (persist is lazy), not at
+    * load. */
+  def loadHnswIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): HnswHandle = {
+    val (m, efC, _, dim) = readMeta(spark, path)
+    healAppendLeftovers(spark, path)
+    val graphs = shardGraphs(spark, path, m, efC, dim)
+      .setName(s"hnsw-shard-graphs:$path")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cands = candVectors(nodesOrEmpty(spark, path)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new HnswHandle(spark, path, dim, graphs, cands)
   }
 
   /**

@@ -835,6 +835,179 @@ object TextAnalysis {
   }
 
   /**
+   * WordPiece trainer (Schuster & Nakajima 2012; the BERT tokenizer —
+   * the third major subword family beside [[trainBpeMerges]]'s BPE and
+   * [[trainUnigram]]'s unigram LM, completing the set real LLM
+   * pipelines choose from). Identical 100 TB shape to the BPE trainer:
+   * ONE corpus-scale word-count aggregate truncated to the top
+   * `vocabLimit` forms (TakeOrderedAndProject, no global sort), then a
+   * driver loop whose per-iteration cost is O(word-table symbols),
+   * independent of corpus size.
+   *
+   * The one semantic difference from BPE is the merge objective:
+   * instead of raw pair frequency, WordPiece maximizes the likelihood
+   * gain  score = count(l,r) / (count(l) · count(r))  — a pair of rare
+   * symbols that almost always co-occur wins over a frequent but
+   * independent pair. Continuation symbols carry the `##` prefix
+   * (word-initial symbol bare), and merging strips the right side's
+   * `##`: ("a", "##b") → "ab", ("##a", "##b") → "##ab".
+   *
+   * Deterministic and ORACLE-REPLAYABLE end to end: the score is
+   * computed as the ONE IEEE expression `c.toDouble / (cl.toDouble *
+   * cr.toDouble)` — one multiply and one divide, both correctly
+   * rounded, so DuckDB evaluating the same tree over the same integer
+   * counts produces bit-equal doubles and the same argmax; ties break
+   * to the lexicographically smallest (left, right). Merging is
+   * leftmost-first within a word, exactly like BPE.
+   *
+   * Returns (rank, left, right, pair_n, left_n, right_n) per merge —
+   * all-integer evidence, so the driver's oracle can re-derive the
+   * choice, not just trust it. Stops early when no adjacent pair
+   * remains.
+   */
+  def trainWordPiece(df: DataFrame, textCol: String, nMerges: Int,
+                     vocabLimit: Int = 65536)
+      : Array[(Int, String, String, Long, Long, Long)] = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(vocabLimit)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val syms = words.map { case (w, n) =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      w.foreach { ch =>
+        b += (if (i == 0) ch.toString else "##" + ch); i += 1
+      }
+      (b, n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val pairN = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val symN = scala.collection.mutable.HashMap.empty[String, Long]
+      syms.foreach { case (s, n) =>
+        var i = 0
+        while (i < s.length) {
+          symN.update(s(i), symN.getOrElse(s(i), 0L) + n)
+          if (i < s.length - 1) {
+            val k = (s(i), s(i + 1))
+            pairN.update(k, pairN.getOrElse(k, 0L) + n)
+          }
+          i += 1
+        }
+      }
+      if (pairN.isEmpty) exhausted = true
+      else {
+        var bl: String = null
+        var br: String = null
+        var bc = 0L
+        var bs = -1.0
+        pairN.foreach { case ((l, r), c) =>
+          // the oracle-shared IEEE tree: one multiply, one divide
+          val score = c.toDouble / (symN(l).toDouble * symN(r).toDouble)
+          if (score > bs || (score == bs &&
+            (l < bl || (l == bl && r < br)))) {
+            bs = score; bl = l; br = r; bc = c
+          }
+        }
+        out += ((rank, bl, br, bc, symN(bl), symN(br)))
+        val merged = bl + br.stripPrefix("##")
+        syms.foreach { case (s, _) =>
+          var i = 0
+          while (i < s.length - 1) {
+            if (s(i) == bl && s(i + 1) == br) { s(i) = merged; s.remove(i + 1) }
+            else i += 1
+          }
+        }
+        rank += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** The learned WordPiece merges as a relation
+    * (rank, left, right, pair_n, left_n, right_n). */
+  def wordPieceMergesDf(spark: org.apache.spark.sql.SparkSession,
+                        merges: Array[(Int, String, String, Long, Long, Long)])
+      : DataFrame = {
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_n", "left_n",
+      "right_n")
+  }
+
+  /** Encode one word against a WordPiece vocab: greedy
+    * longest-match-first (the BERT `WordpieceTokenizer` algorithm) —
+    * take the longest vocab piece prefixing the remainder (continuation
+    * positions try `##`-prefixed pieces), emit `unk` if none matches.
+    * Driver/executor-side kernel for [[applyWordPiece]]. */
+  def wordPieceEncodeWord(word: String, vocab: collection.Set[String],
+                          unk: String = "[UNK]"): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      val prefix = if (start == 0) "" else "##"
+      var end = word.length
+      var hit: String = null
+      while (end > start && hit == null) {
+        val cand = prefix + word.substring(start, end)
+        if (vocab.contains(cand)) hit = cand else end -= 1
+      }
+      if (hit == null) {
+        // the BERT contract: one unmatchable position voids the WHOLE
+        // word to [UNK] (not a partial piece list)
+        return Seq(unk)
+      }
+      out += hit
+      start = end
+    }
+    out.toSeq
+  }
+
+  /**
+   * Tokenize the corpus with a trained WordPiece vocab: (id, pos,
+   * subtokens) per word. The vocab broadcasts; the corpus pass is a
+   * narrow per-word kernel — no shuffle, same shape as [[applyBpe]].
+   * `vocab` is the full piece set: every initial symbol (bare first
+   * char + `##`-continuations) plus the merged pieces, i.e. exactly
+   * what [[trainWordPiece]]'s corpus induces.
+   */
+  def applyWordPiece(df: DataFrame, idCol: String, textCol: String,
+                     vocab: Set[String], unk: String = "[UNK]"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(vocab)
+    val enc = udf((w: String) => wordPieceEncodeWord(w, bc.value, unk))
+    df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col(idCol), col("pos"), enc(col("w")).as("subtokens"))
+  }
+
+  /** The vocab a [[trainWordPiece]] run induces over its own corpus:
+    * the word table's initial symbols plus every merged piece. */
+  def wordPieceVocab(df: DataFrame, textCol: String,
+                     merges: Array[(Int, String, String, Long, Long, Long)],
+                     vocabLimit: Int = 65536): Set[String] = {
+    val alphabet = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(vocabLimit)
+      .select(col("w")).collect().map(_.getString(0))
+      .flatMap { w =>
+        w.zipWithIndex.map { case (ch, i) =>
+          if (i == 0) ch.toString else "##" + ch
+        }
+      }.toSet
+    alphabet ++ merges.map { case (_, l, r, _, _, _) =>
+      l + r.stripPrefix("##")
+    }
+  }
+
+  /**
    * Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
    * unigram model — the other major subword family beside
    * [[trainBpeMerges]]'s BPE). Same 100 TB shape as the BPE trainer:

@@ -460,7 +460,12 @@ object SnapshotStore {
    * catalog's tables ([[deleteCommitAll]] — one atomic new version)
    * plus the four index families a corpus typically carries beside
    * its tables — MinHash near-dup, IVF-PQ ANN, BM25 retrieval, and
-   * (since r11) persisted HNSW graph-ANN. This is
+   * (since r11) persisted HNSW graph-ANN — plus, via `sinkCorpora`,
+   * the streaming sinks' published `ingest_batch=N` corpora
+   * ([[graft.streaming.SinkCorpus.purge]] — only affected partitions
+   * rewritten), closing the last manual step (the sink corpus held the
+   * rows its index was built from, and purging the index alone left
+   * them readable). This is
    * the orchestration [[deleteCommitAll]] alone could not honestly
    * claim (r9 verdict: a forgotten doc_id kept being SERVED by any
    * retrieval index built from the corpus until that index was purged
@@ -490,6 +495,7 @@ object SnapshotStore {
                        ivfPqIndexes: Seq[String] = Nil,
                        bm25Indexes: Seq[String] = Nil,
                        hnswIndexes: Seq[String] = Nil,
+                       sinkCorpora: Seq[(String, String)] = Nil,
                        compactIndexes: Boolean = true): Long = {
     val spark = ids.sparkSession
     import org.apache.spark.sql.functions.col
@@ -511,7 +517,14 @@ object SnapshotStore {
         bm25Indexes.map(p => () =>
           graft.ops.Retrieval.tombstoneBm25Index(purge, idCol, p)) ++
         hnswIndexes.map(p => () =>
-          graft.ops.Hnsw.tombstoneHnswIndex(purge, idCol, p))
+          graft.ops.Hnsw.tombstoneHnswIndex(purge, idCol, p)) ++
+        // streaming sink corpora (`<path>/ingest_batch=N/` layouts —
+        // the rows the sinks' indexes were built FROM) have no
+        // tombstone phase: their purge IS the physical erase, rewriting
+        // only the affected batch partitions, so it rides the first
+        // wave with the tombstones. (corpusPath, corpusIdCol) pairs.
+        sinkCorpora.map { case (p, c) => () =>
+          graft.streaming.SinkCorpus.purge(purge, idCol, p, c); () }
       inParallel(tombstonePhases)
       val v = deleteCommitAll(purge, catalogPath, pkByTable)
       if (compactIndexes) {

@@ -74,6 +74,9 @@ object AnnSink {
                  nProbe: Int = 4, k: Int = 4, batchCells: Int = 64,
                  compactEvery: Long = 0L): DataFrame = {
     Markers.requireSuccessMarkers(spark)
+    // a crashed corpus purge (SinkCorpus.purge) heals at every sink
+    // entry point, exactly like the index families' append leftovers
+    SinkCorpus.healPurgeLeftovers(spark, corpusPath)
     val publishedDir = s"$corpusPath/ingest_batch=$batchId"
     val dirP = new org.apache.hadoop.fs.Path(publishedDir)
     val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)

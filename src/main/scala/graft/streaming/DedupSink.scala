@@ -67,6 +67,9 @@ object DedupSink {
                  compactEvery: Long = 0L): DataFrame = {
     import spark.implicits._
     Markers.requireSuccessMarkers(spark)
+    // a crashed corpus purge (SinkCorpus.purge) heals at every sink
+    // entry point, exactly like the index families' append leftovers
+    SinkCorpus.healPurgeLeftovers(spark, corpusPath)
     val publishedDir = s"$corpusPath/ingest_batch=$batchId"
     val dirP = new org.apache.hadoop.fs.Path(publishedDir)
     val dfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -58,7 +58,12 @@ object Scaling {
     // round-11: the persisted HNSW face (save + stored-adjacency
     // probe per run — shard-parallel build, I/O-shaped like the
     // other index round trips)
-    "q_hnsw_index")
+    "q_hnsw_index",
+    // round-11: the sink-corpus purge lifecycle (two sinks × two
+    // batches + one forgetEverywhere per run) and the HNSW serving
+    // handle (save + load + two probes) — both index/corpus-rebuild-
+    // shaped, so their ratio reads as I/O, not candidate volume
+    "q_rtbf_sinks", "q_hnsw_handle")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

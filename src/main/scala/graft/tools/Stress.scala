@@ -1168,10 +1168,70 @@ object Stress {
       assert(t3.count { case (q, ns) => ns == Seq(q + 1000000L) } >= 198 &&
         !t3.exists { case (q, ns) => ns.contains(q - 1000000L) },
         "compaction resurfaced an erased node or lost the twin")
+      // r11 serving handle at volume: load once, probe twice — the
+      // second probe answers from the persisted built graphs (no
+      // scan, no shuffle, no rebuild) and BOTH must equal the
+      // one-shot probe exactly (shared kernel)
+      val h = Hnsw.loadHnswIndex(spark, hnswIdx)
+      def topH(): Map[Long, Seq[Long]] =
+        h.topK(hnswQ, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .as[(Long, Long, Int)].collect()
+          .groupBy(_._1).map { case (q, rs) =>
+            q -> rs.sortBy(_._3).map(_._2).toSeq
+          }
+      val w0 = System.nanoTime(); val h1 = topH()
+      val cold = (System.nanoTime() - w0) / 1e9
+      val w1 = System.nanoTime(); val h2 = topH()
+      val warm = (System.nanoTime() - w1) / 1e9
+      assert(h1 == t3 && h2 == t3,
+        "serving handle diverged from the one-shot probe at volume")
+      h.unload()
       println(s"[stress] hnsw lifecycle: $hits0/200 saved, $both/200 " +
-        s"after append, $dead/200 after tombstone, compact clean")
+        s"after append, $dead/200 after tombstone, compact clean; " +
+        f"handle cold $cold%.1fs warm $warm%.1fs")
     }
     assertNoFunnel("hnsw-persisted-lifecycle")
+
+    // ---- 23. sink-corpus purge at volume (r11) ------------------------
+    // 400k rows across 20 ingest batches (the streaming sinks'
+    // published layout, written directly — the layout is the
+    // contract); purge 1,000 ids that land in exactly 4 batches. The
+    // purge must rewrite ONLY those 4 partitions (file sets elsewhere
+    // byte-untouched — at a real corpus this is what makes RTBF
+    // affordable), erase exactly the purge set, and re-run as a no-op.
+    val scBase = java.nio.file.Files
+      .createTempDirectory("graft_stress_sinkcorpus").toString + "/corpus"
+    tme("sink-corpus purge (400k rows, 20 batches, 4 affected)") {
+      import graft.streaming.SinkCorpus
+      spark.range(400000L).select(col("id").as("doc_id"),
+          expr("id DIV 20000").cast("int").as("ingest_batch"),
+          concat(lit("payload "), col("id")).as("text"))
+        .write.mode("error").partitionBy("ingest_batch").parquet(scBase)
+      val affected = Set(3, 7, 11, 19)
+      val purge = spark.range(400000L)
+        .filter(col("id") % 20000L < 250 &&
+          expr("id DIV 20000").isin(affected.toSeq: _*))
+        .select(col("id"))
+      val fsC = new org.apache.hadoop.fs.Path(scBase)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(b: Int): Set[(String, Long)] = fsC.listStatus(
+          new org.apache.hadoop.fs.Path(s"$scBase/ingest_batch=$b"))
+        .filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+      val before = (0 until 20).map(b => b -> files(b)).toMap
+      assert(SinkCorpus.purge(purge, "id", scBase, "doc_id") == 4)
+      (0 until 20).filterNot(affected).foreach { b =>
+        assert(files(b) == before(b), s"untouched partition $b rewritten")
+      }
+      val post = spark.read.parquet(scBase)
+      assert(post.count() == 399000L)
+      assert(post.filter(col("doc_id") % 20000L < 250 &&
+        expr("doc_id DIV 20000").isin(affected.toSeq: _*)).isEmpty,
+        "a purged id survived")
+      assert(SinkCorpus.purge(purge, "id", scBase, "doc_id") == 0)
+    }
+    assertNoFunnel("sink-corpus-purge")
 
     println("[stress] ALL OK")
     spark.stop()

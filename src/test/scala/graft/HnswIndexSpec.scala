@@ -210,4 +210,41 @@ class HnswIndexSpec extends SparkSpec {
     spark.catalog.refreshByPath(s"$dir/nodes")
     assert(probe() == baseline)
   }
+
+  test("serving handle: loadHnswIndex answers bit-identically to the " +
+    "one-shot probe, caches across probes, sees live tombstones, and " +
+    "unloads cleanly") {
+    val dir = s"${fresh("handle")}/idx"
+    val corpus = synthVectors(400, 16)
+    val q = synthVectors(400, 16).filter(col("vec_id") % 40 === 0)
+    Hnsw.saveHnswIndex(corpus, "vec_id", "embedding", dir,
+      m = 6, efConstruction = 24, nShards = 3)
+    val oneShot = Hnsw.hnswTopKIndexed(spark, dir, q, "vec_id",
+      "embedding", k = 5, efSearch = 24)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val h = Hnsw.loadHnswIndex(spark, dir)
+    val viaHandle = h.topK(q, "vec_id", "embedding", k = 5, efSearch = 24)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaHandle == oneShot,
+      "handle probe diverged from hnswTopKIndexed (shared kernel pin)")
+    // the graphs RDD is actually persisted under its name, so repeat
+    // probes serve from the block manager, not a fresh scan+build
+    def cachedGraphRdds = spark.sparkContext.getPersistentRDDs.values
+      .count(_.name == s"hnsw-shard-graphs:$dir")
+    assert(cachedGraphRdds == 1, "handle graphs not registered as cached")
+    // a tombstone written AFTER load lands on the held handle's next
+    // probe (tombstones are read live, not snapshotted): the planted
+    // top-1 self-twin disappears while the graph structure still serves
+    val victim = viaHandle.groupBy(_._1).map { case (_, rows) =>
+      rows.minBy(_._3)._2 }.head
+    graft.ops.Hnsw.tombstoneHnswIndex(Seq(victim).toDF("vec_id"),
+      "vec_id", dir)
+    val after = h.topK(q, "vec_id", "embedding", k = 5, efSearch = 24)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(!after.exists(_._2 == victim),
+      s"tombstoned id $victim still served through the held handle")
+    assert(after.nonEmpty && after != viaHandle)
+    h.unload()
+    assert(cachedGraphRdds == 0, "unload left the graphs RDD cached")
+  }
 }
