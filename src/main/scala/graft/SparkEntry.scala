@@ -1962,6 +1962,36 @@ object SparkEntry {
       perType.unionByName(total)
     }),
 
+    // KMV / theta distinct-count sketches (r11): the mergeable-sketch
+    // capability HLL registers CANNOT provide — set INTERSECTION
+    // ("users who did BOTH A and B"). State = the k smallest distinct
+    // fmix64 hashes per group: pure integers, order-free by
+    // construction, so unlike q_sketch_rollup's register pins this
+    // gate is a FULL DuckDB recompute — the oracle replays the hash
+    // (the q_simhash HUGEINT machinery), the k-min sets, and the
+    // estimator's exact IEEE tree. Faces: d:<type> per-type distinct
+    // estimate, u:__ALL__ the union rollup, i:<a>|<b> every pairwise
+    // audience-overlap estimate.
+    "q_theta_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val sk = graft.ops.ThetaSketch.sketch(ev, Seq("event_type"),
+        "user_id", k = 64)
+      val perType = sk.select(lit("d").as("face"),
+        col("event_type").as("key"),
+        graft.ops.ThetaSketch.estimate(col("theta_ks"), 64).as("est"))
+      val total = graft.ops.ThetaSketch.rollup(sk, Nil, 64)
+        .select(lit("u").as("face"), lit("__ALL__").as("key"),
+          graft.ops.ThetaSketch.estimate(col("theta_ks"), 64).as("est"))
+      val pairs = graft.ops.ThetaSketch
+        .intersect(sk, sk, Seq("event_type"), 64)
+        .filter(col("a_event_type") < col("b_event_type"))
+        .select(lit("i").as("face"),
+          concat(col("a_event_type"), lit("|"), col("b_event_type"))
+            .as("key"),
+          col("est_intersection").as("est"))
+      perType.unionByName(total).unionByName(pairs)
+    }),
+
     // one-call corpus datasheet: totals, per-language counts, and
     // DDSketch length quantiles as a tall (metric, value) table —
     // every number layout-invariant and oracle-exact, so two corpus
@@ -6623,6 +6653,65 @@ object SparkEntry {
     // HLL rollup pinned — pure integer outputs of order-invariant
     // register maxes (see SketchRollupPins)
     "q_sketch_rollup" -> sketchRollupOracle,
+
+    // FULL replay of the KMV/theta family: fmix64 over user_id (the
+    // q_simhash HUGEINT wrapping-multiply machinery), per-type k-min
+    // distinct hash sets, the union rollup recomputed directly from
+    // the value set (KMV union ≡ sketch of the union), and the
+    // estimator/intersection IEEE trees evaluated verbatim
+    "q_theta_sketch" ->
+      """WITH v AS (
+        | SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x
+        | FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT event_type, xor(x, x >> 33) AS a FROM v),
+        |s2 AS (SELECT event_type, CAST((((a % 4294967296)::HUGEINT
+        |  * 18397679294719823053) + (((a // 4294967296)::HUGEINT
+        |  * (18397679294719823053 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS b
+        | FROM s1),
+        |s3 AS (SELECT event_type, xor(b, b >> 33) AS c FROM s2),
+        |s4 AS (SELECT event_type, CAST((((c % 4294967296)::HUGEINT
+        |  * 14181476777654086739) + (((c // 4294967296)::HUGEINT
+        |  * (14181476777654086739 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS d
+        | FROM s3),
+        |hd AS (SELECT DISTINCT event_type,
+        |         CAST(xor(d, d >> 33) >> 1 AS BIGINT) AS h
+        |       FROM s4),
+        |rk AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |          AS rn
+        |       FROM hd),
+        |ks AS (SELECT event_type, list(h ORDER BY h) AS ks
+        |       FROM rk WHERE rn <= 64 GROUP BY event_type),
+        |ua AS (SELECT h FROM (SELECT DISTINCT h FROM hd)
+        |       ORDER BY h LIMIT 64),
+        |uks AS (SELECT list(h ORDER BY h) AS ks FROM ua),
+        |d AS (SELECT 'd' AS face, event_type AS key,
+        |       CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
+        |            ELSE CAST(63 AS DOUBLE) / (CAST(ks[64] AS DOUBLE)
+        |              / CAST(9223372036854775808 AS DOUBLE)) END AS est
+        |      FROM ks),
+        |u AS (SELECT 'u' AS face, '__ALL__' AS key,
+        |       CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
+        |            ELSE CAST(63 AS DOUBLE) / (CAST(ks[64] AS DOUBLE)
+        |              / CAST(9223372036854775808 AS DOUBLE)) END AS est
+        |      FROM uks),
+        |i0 AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |        a.ks AS ka, b.ks AS kb,
+        |        least(CASE WHEN len(a.ks) < 64 THEN 9223372036854775807
+        |                   ELSE a.ks[64] END,
+        |              CASE WHEN len(b.ks) < 64 THEN 9223372036854775807
+        |                   ELSE b.ks[64] END) AS theta
+        |       FROM ks a JOIN ks b ON a.event_type < b.event_type),
+        |i AS (SELECT 'i' AS face, ta || '|' || tb AS key,
+        |       CAST(len(list_filter(list_intersect(ka, kb),
+        |              x -> x < theta)) AS DOUBLE)
+        |        / (CAST(theta AS DOUBLE)
+        |           / CAST(9223372036854775808 AS DOUBLE)) AS est
+        |      FROM i0)
+        |SELECT * FROM d UNION ALL SELECT * FROM u
+        |UNION ALL SELECT * FROM i""".stripMargin,
 
     // q_embed_topk's kernel scoring non-seeds against the mod-10
     // seeds, then a two-stage vote: count per label, argmax by
