@@ -1743,6 +1743,19 @@ object SparkEntry {
       graft.operators.Audits.kAnonymity(
         t(s, dir, "documents"), Seq("lang", "source"), k = 50)),
 
+    // differentially-private count release (r11 — the geometric
+    // mechanism, Ghosh et al. 2009): noisy_n = count + (G1 − G2),
+    // G geometric(α=1/2) ⇒ ε = ln 2 for sensitivity-1 counts. The
+    // noise is PRG-seeded (the production DP model — the seed is the
+    // secret) and PURE INTEGER: two 31-bit fields of
+    // fmix64(hash64(key) ⊕ seed), each drawn by counting power-of-two
+    // thresholds — so the release is layout-invariant and the oracle
+    // replays hash, fields, and draws bit-for-bit (no exp/log, which
+    // is what keeps arbitrary-ε Laplace un-oracle-able)
+    "q_dp_counts" -> ((s, dir) =>
+      graft.operators.Audits.dpCounts(t(s, dir, "events"),
+        Seq("event_type"), seed = 42L)),
+
     // exact heavy hitters (count > N/k) via per-partition Misra-Gries
     // nomination + broadcast recount — no full-vocabulary shuffle
     "q_heavy_hitters" -> ((s, dir) =>
@@ -6659,6 +6672,57 @@ object SparkEntry {
     // distinct hash sets, the union rollup recomputed directly from
     // the value set (KMV union ≡ sketch of the union), and the
     // estimator/intersection IEEE trees evaluated verbatim
+    // geometric-mechanism DP release replayed end to end: FNV/fmix64
+    // (hash64) over the key, ⊕ seed, fmix64 again, split into the two
+    // 31-bit fields, each geometric draw a COUNT of power-of-two
+    // threshold comparisons — integers only, bit-for-bit
+    "q_dp_counts" ->
+      """WITH c AS (
+        | SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+        |f0 AS (SELECT event_type, n_true, CAST(list_reduce(
+        |   list_prepend(14695981039346656037::HUGEINT,
+        |     list_transform(generate_series(1, length(event_type)),
+        |       i -> unicode(substr(event_type, i, 1))::HUGEINT)),
+        |   (h, ch) -> (xor(h::UBIGINT, ch::UBIGINT)::HUGEINT
+        |               * 1099511628211) % 18446744073709551616)
+        |  AS UBIGINT) AS h FROM c),
+        |a1 AS (SELECT event_type, n_true, xor(h, h >> 33) AS a FROM f0),
+        |a2 AS (SELECT event_type, n_true, CAST((((a % 4294967296)::HUGEINT
+        |  * 18397679294719823053) + (((a // 4294967296)::HUGEINT
+        |  * (18397679294719823053 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS b FROM a1),
+        |a3 AS (SELECT event_type, n_true, xor(b, b >> 33) AS c FROM a2),
+        |a4 AS (SELECT event_type, n_true, CAST((((c % 4294967296)::HUGEINT
+        |  * 14181476777654086739) + (((c // 4294967296)::HUGEINT
+        |  * (14181476777654086739 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS d FROM a3),
+        |hs AS (SELECT event_type, n_true,
+        |        xor(xor(d, d >> 33), 42::UBIGINT) AS e FROM a4),
+        |b1 AS (SELECT event_type, n_true, xor(e, e >> 33) AS a FROM hs),
+        |b2 AS (SELECT event_type, n_true, CAST((((a % 4294967296)::HUGEINT
+        |  * 18397679294719823053) + (((a // 4294967296)::HUGEINT
+        |  * (18397679294719823053 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS b FROM b1),
+        |b3 AS (SELECT event_type, n_true, xor(b, b >> 33) AS c FROM b2),
+        |b4 AS (SELECT event_type, n_true, CAST((((c % 4294967296)::HUGEINT
+        |  * 14181476777654086739) + (((c // 4294967296)::HUGEINT
+        |  * (14181476777654086739 % 4294967296)) % 4294967296)
+        |  * 4294967296) % 18446744073709551616 AS UBIGINT) AS d FROM b3),
+        |hh AS (SELECT event_type, n_true, xor(d, d >> 33) AS h FROM b4),
+        |fld AS (SELECT event_type, n_true,
+        |        (h >> 33) & 2147483647 AS f1,
+        |        (h >> 2) & 2147483647 AS f2 FROM hh),
+        |dr AS (SELECT event_type, n_true,
+        |  len(list_filter(generate_series(1, 31),
+        |    j -> f1 < (1::UBIGINT << (31 - j)))) AS g1,
+        |  len(list_filter(generate_series(1, 31),
+        |    j -> f2 < (1::UBIGINT << (31 - j)))) AS g2
+        | FROM fld)
+        |SELECT event_type, n_true,
+        | CAST(g1 - g2 AS INTEGER) AS noise,
+        | n_true + (g1 - g2) AS noisy_n
+        |FROM dr""".stripMargin,
+
     "q_theta_sketch" ->
       """WITH v AS (
         | SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x

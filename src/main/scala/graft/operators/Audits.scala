@@ -218,6 +218,62 @@ object Audits {
       .filter(col("distinct_sensitive") < l)
   }
 
+  /** Per-field geometric draw behind [[dpCounts]]: the count of
+    * thresholds 2^(31−m·j) the 31-bit field falls below —
+    * P(G ≥ g) = 2^(−m·g), i.e. geometric with α = 2^−m, truncated at
+    * j ≤ 31/m (tail mass 2^−31, deterministic). Pure integer
+    * comparisons, so the DuckDB oracle replays it bit-for-bit. */
+  private def geomDraw(field: Long, m: Int): Int =
+    (1 to 31 / m).count(j => field < (1L << (31 - m * j)))
+
+  /**
+   * Differentially-private count release — the geometric mechanism
+   * (Ghosh, Roughgarden & Sundararajan 2009, the discrete/optimal
+   * counterpart of Laplace noise): per group, `noisy_n = count +
+   * (G1 − G2)` where G1, G2 are iid geometric(α = 2^−`alphaLog2`)
+   * draws, giving the two-sided-geometric (discrete Laplace)
+   * distribution that is ε-DP for sensitivity-1 counting queries at
+   * **ε = alphaLog2 · ln 2** (default ln 2 ≈ 0.693).
+   *
+   * The noise is PRG-seeded, not physically random — the production
+   * DP deployment model (the seed is the secret; publish nothing
+   * derived from it): each group's draw is a pure integer function of
+   * `fmix64(hash64(groupKey) XOR seed)`, split into two disjoint
+   * 31-bit fields whose geometric draws are threshold COUNTS — no
+   * floats anywhere, so the release is layout-invariant,
+   * reproducible, and DuckDB-replayable end to end (the q_simhash
+   * hash machinery). α = 2^−m keeps every threshold a power of two;
+   * arbitrary ε would need `exp`/`log`, whose last-ulp cross-engine
+   * differences are the documented oracle blocker.
+   *
+   * Counts can go negative (the mechanism's contract — truncating
+   * would bias the release); post-process downstream if a display
+   * floor is wanted. One hash aggregate plus a per-group scalar
+   * kernel; nothing is proportional to data size after the count.
+   *
+   * Output: (groupCols…, n_true, noise, noisy_n) — keep `n_true`
+   * PRIVATE; it is included so release pipelines can audit the
+   * mechanism before publishing the `noisy_n` projection.
+   */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
+               alphaLog2: Int = 1): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    require(alphaLog2 >= 1 && alphaLog2 <= 15,
+      s"alphaLog2 must be in [1, 15]: $alphaLog2")
+    val noiseUdf = udf((key: String) => {
+      val h = graft.functions.FastHash.fmix64(
+        graft.functions.FastHash.hash64(key) ^ seed)
+      val f1 = (h >>> 33) & 0x7fffffffL
+      val f2 = (h >>> 2) & 0x7fffffffL
+      geomDraw(f1, alphaLog2) - geomDraw(f2, alphaLog2)
+    })
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noiseUdf(
+        concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)))
+      .withColumn("noisy_n", col("n_true") + col("noise"))
+  }
+
   /**
    * Exact ROC-AUC of a score column against a boolean label — the
    * quality-classifier acceptance number, computed as the Mann-Whitney

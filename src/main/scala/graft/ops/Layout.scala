@@ -338,10 +338,17 @@ object Layout {
    * operations (run them with appenders quiesced, like every other
    * index family's compaction).
    */
+  // default acquisition wait = the lease term: the two ends of a lock
+  // must agree on staleness (the r11 SnapshotStore lesson — its first
+  // cut's 120 s commit wait lost to any vacuum pass over 2 min). A
+  // waiter that gives up SOONER than the term treats a merely-busy
+  // queue as failure: N queued appenders on a loaded box serialize to
+  // N × append-duration, which a 120 s wait lost in practice (stress
+  // leg 18 under CPU contention).
   def appendWithManifest(df: DataFrame, clusterCols: Seq[String],
                          path: String, numFiles: Int,
                          statsCols: Seq[String] = Nil,
-                         lockTimeoutMs: Long = 120000L,
+                         lockTimeoutMs: Long = 600000L,
                          leaseMs: Long = 600000L): Unit = {
     require(clusterCols.nonEmpty, "no cluster columns given")
     val spark = df.sparkSession

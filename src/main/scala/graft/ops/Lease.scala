@@ -11,13 +11,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * the shared mutation) and abort fail-safe if the lease was broken.
  *
  * Protocol (all raw-filesystem-safe, no coordination service):
- *  - ACQUIRE: create-exclusive the lease file with a fresh owner
- *    token, then VERIFY ownership by read-back. `create(overwrite =
- *    false)` is atomic on HDFS and the object-store committers, but
- *    check-then-act on the local filesystem — the read-back (after a
- *    short settle so a simultaneous creator's write lands first)
- *    makes the local race resolve to exactly one owner: whichever
- *    token the file holds.
+ *  - ACQUIRE: write the token to a UNIQUE temp file, then RENAME it
+ *    onto the lock path (no-clobber rename: exactly one concurrent
+ *    claimant wins), then VERIFY ownership by read-back. The rename
+ *    indirection is load-bearing on ChecksumFileSystem (every local
+ *    `file://` deployment): two processes calling `create(lock,
+ *    overwrite = false)` on the SAME path race the data file and its
+ *    `.crc` sibling INDEPENDENTLY — the loser's checksum stream can
+ *    land beside the winner's data, leaving a complete, valid-looking
+ *    lease that every subsequent read fails with ChecksumException.
+ *    Nobody owns it (the winner's read-back failed too), nobody can
+ *    read it, and it only ages out at `leaseMs` — a wedged lock
+ *    (observed live in stress leg 18, r11). Writing the pair ONCE
+ *    under a contention-free unique name and renaming keeps data+crc
+ *    consistent at every instant.
  *  - STALENESS is judged from the lease FILE's filesystem
  *    modification time, not a clock stamp embedded by the holder
  *    (the r10 scheme): the FS assigns mtime from ONE clock source
@@ -52,14 +59,20 @@ private[graft] object Lease {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (true) {
       val now = System.currentTimeMillis()
+      val st = statusAndContent(fs, lock)
+      // self-recognition: a prior iteration's rename may have LANDED
+      // while its read-back hiccuped (transient checksum/listing
+      // races under heavy polling) — a lock already carrying OUR
+      // token is ours, not contention
+      st.foreach { case (_, c) => if (c.startsWith(token)) return token }
       // stale = fs-mtime aged past leaseMs: break by rename-to-
-      // unique-tombstone. A garbled/empty lease (crashed mid-create)
+      // unique-tombstone. A garbled/empty lease (crashed mid-claim)
       // simply AGES OUT like any other — breaking it eagerly would
-      // race a live creator's in-flight write. The re-read
+      // race a live claimant's in-flight rename. The re-read
       // immediately before narrows the decide-vs-act window, and the
       // holder's own fencing re-verify is the backstop for what no
       // raw filesystem can make atomic.
-      statusAndContent(fs, lock).foreach { case (mtime, _) =>
+      st.foreach { case (mtime, _) =>
         if (now - mtime > leaseMs &&
           statusAndContent(fs, lock).exists(_._1 == mtime)) {
           val tomb = new Path(lock.getParent,
@@ -68,13 +81,18 @@ private[graft] object Lease {
             fs.delete(tomb, false)
         }
       }
+      // claim via unique-temp + no-clobber rename (see the protocol
+      // note: a direct create-exclusive on the shared path can tear
+      // the data/crc pair under contention and wedge the lock)
+      val tmp = new Path(lock.getParent, s".${lock.getName}.acq.$token")
       val created =
         try {
-          val out = fs.create(lock, false)
+          val out = fs.create(tmp, false)
           try out.write(s"$token $now".getBytes("UTF-8"))
           finally out.close()
-          true
+          scala.util.Try(fs.rename(tmp, lock)).getOrElse(false)
         } catch { case _: java.io.IOException => false }
+      if (!created) scala.util.Try(fs.delete(tmp, false))
       if (created) {
         Thread.sleep(10)
         if (content(fs, lock).exists(_.startsWith(token))) return token
@@ -115,17 +133,31 @@ private[graft] object Lease {
     }
   }
 
-  /** Lease file content, None if missing/empty/unreadable. */
-  private def content(fs: FileSystem, lock: Path): Option[String] =
-    try {
-      if (!fs.exists(lock)) None
-      else {
+  /** Lease file content, None if missing/empty/unreadable. Transient
+    * IOExceptions (a reader racing a claim's rename) are retried a
+    * few times before concluding unreadable — treating a hiccup as
+    * definitive is how a release declines to release and wedges the
+    * lock for a full leaseMs. */
+  private def content(fs: FileSystem, lock: Path): Option[String] = {
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(lock)) return None
         val in = fs.open(lock)
         val buf = new Array[Byte](128)
         val n = try in.read(buf) finally in.close()
-        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
+        return if (n <= 0) None
+        else Some(new String(buf, 0, n, "UTF-8").trim)
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: java.io.IOException =>
+          if (attempt >= 4) return None
+          attempt += 1
+          Thread.sleep(20)
       }
-    } catch { case _: java.io.IOException => None }
+    }
+    None // unreachable
+  }
 
   /** (fs mtime, content or "" if unreadable) of the lease file; None
     * if it does not exist. The mtime is the staleness clock; the

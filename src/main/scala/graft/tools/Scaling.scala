@@ -63,7 +63,11 @@ object Scaling {
     // batches + one forgetEverywhere per run) and the HNSW serving
     // handle (save + load + two probes) — both index/corpus-rebuild-
     // shaped, so their ratio reads as I/O, not candidate volume
-    "q_rtbf_sinks", "q_hnsw_handle")
+    "q_rtbf_sinks", "q_hnsw_handle",
+    // round-11: KMV/theta sketches over events (the one new-op input
+    // that actually scales with SF) — build is a dedup shuffle + a
+    // WindowGroupLimit top-k, so the ratio should track events rows
+    "q_theta_sketch")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

@@ -4023,6 +4023,56 @@ class OpsSpec extends SparkSpec {
     assert(!fs.exists(lock), "lease must be released after the append")
   }
 
+  test("lease: a torn data/crc pair cannot wedge the lock past its " +
+    "term, and contended handoffs stay live (r11 stress-leg-18 wedge)") {
+    import graft.ops.Lease
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lease_torn").toString
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant the observed wedge state: a complete, valid-looking lease
+    // whose .crc sibling belongs to DIFFERENT bytes (two concurrent
+    // create()s on ChecksumFileSystem raced the pair) — every read
+    // throws ChecksumException, and no one owns it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "lock"),
+      "dead-owner 123".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".lock.crc"),
+      Array[Byte]('c', 'r', 'c', 0, 0, 0, 0, 2, 1, 2, 3, 4))
+    fs.setTimes(lock, System.currentTimeMillis() - 10000L, -1L)
+    // unreadable-but-existing must still AGE OUT and break — the
+    // pre-fix protocol could also reach this state spontaneously and
+    // then sat on it for the full default term
+    val tok = Lease.acquire(fs, lock, timeoutMs = 15000L, leaseMs = 1000L)
+    assert(Lease.holds(fs, lock, tok))
+    Lease.release(fs, lock, tok)
+    assert(!fs.exists(lock))
+    // contended handoffs: 8 threads x 12 acquire/release cycles on one
+    // lock, staleness breaks DISABLED (huge leaseMs) — under the old
+    // create-exclusive claim this tore a data/crc pair within a few
+    // hundred handoffs and every later acquire timed out; the
+    // temp+rename claim must stay live to the end
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val handoffs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { _ =>
+      new Thread(() =>
+        try {
+          (0 until 12).foreach { _ =>
+            val t = Lease.acquire(fs, lock, timeoutMs = 60000L,
+              leaseMs = 3600000L)
+            handoffs.incrementAndGet()
+            Lease.release(fs, lock, t)
+          }
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000L))
+    assert(errs.isEmpty, s"lease handoff died: ${errs.peek()}")
+    assert(handoffs.get() == 96, s"handoffs: ${handoffs.get()}")
+    assert(!fs.exists(lock), "lock must be free after the last release")
+  }
+
   test("mineBitext evaluates each direction's scoring subtree exactly " +
     "once (r9 verdict #4)") {
     import graft.ops.Similarity
