@@ -186,4 +186,99 @@ object Packing {
     shardPositions(df, idCol, salt, docsPerShard)
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /**
+   * Curriculum interleave: a deterministic total training order that
+   * is (a) easiest-first WITHIN each domain (ascending `scoreCol`,
+   * ties to the smaller id) and (b) round-robin ACROSS domains, so no
+   * early training window is dominated by one domain — the standard
+   * curriculum-plus-domain-balance ordering, assigned in CLOSED FORM:
+   * `global_pos = (rank_in_domain − 1) · nDomains + domain_index`
+   * (domains indexed in lexicographic order). Injective by
+   * construction; positions of exhausted domains leave gaps, which is
+   * fine — consumers order by `global_pos` (or feed it to
+   * [[shardPositions]]-style sharding), they never need contiguity.
+   *
+   * 100 TB shape: one per-domain window (partitioned — never a global
+   * sort) plus a broadcast join against the tiny domain-index table.
+   * The total order EXISTS without ever being materialized by a
+   * global sort; writers range-partition on `global_pos` when laying
+   * out shards.
+   *
+   * Output: input columns + (domain_idx, domain_rank, global_pos).
+   */
+  def curriculumInterleave(df: DataFrame, idCol: String,
+                           domainCol: String,
+                           scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the domain table is bounded (the unimaxAllocation assumption),
+    // so index it driver-side — a row_number window over it would be
+    // a single-task funnel the plan audit rightly rejects
+    val doms = df.select(col(domainCol).cast("string"))
+      .filter(col(domainCol).isNotNull)
+      .distinct().as[String].collect().sorted
+    val n = doms.length.toLong
+    val idx = doms.zipWithIndex.toSeq.toDF(domainCol, "domain_idx")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.filter(col(domainCol).isNotNull)
+      .join(broadcast(idx), Seq(domainCol))
+      .withColumn("domain_rank", org.apache.spark.sql.functions
+        .row_number().over(w))
+      .withColumn("global_pos",
+        (col("domain_rank").cast("long") - 1L) * lit(n) +
+          col("domain_idx").cast("long"))
+  }
+
+  /**
+   * UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and
+   * More Effective Language Sampling for Large-Scale Multilingual
+   * Pretraining"): split a total token `budget` across languages as
+   * UNIFORMLY as possible subject to a per-language repeat cap —
+   * no language contributes more than `maxEpochs` passes over its own
+   * corpus. Languages are visited smallest-first; each receives
+   * `min(maxEpochs · tokens, ⌊remaining / languagesLeft⌋)`, so budget
+   * a small language cannot absorb waterfalls to the larger ones.
+   * The temperature-sampling alternative ([[graft.ops]] mixture gates)
+   * over-samples heads or starves tails; UniMax is the budget-exact,
+   * cap-respecting allocation.
+   *
+   * All-integer arithmetic (floor division), visiting order (tokens
+   * asc, language asc) total — deterministic and SQL-replayable. The
+   * loop runs driver-side over the LANGUAGE table (bounded — the
+   * corpus-scale work is whatever aggregate produced `tokens`).
+   *
+   * Input: (langCol, tokensCol) one row per language. Output:
+   * (lang, tokens, alloc_tokens, epochs = alloc/tokens as one
+   * double divide).
+   */
+  def unimaxAllocation(tokenCounts: DataFrame, langCol: String,
+                       tokensCol: String, budget: Long,
+                       maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    val spark = tokenCounts.sparkSession
+    import spark.implicits._
+    val langs = tokenCounts
+      .filter(col(langCol).isNotNull) // a null language has no quota
+      .select(col(langCol).cast("string"), col(tokensCol).cast("long"))
+      .as[(String, Long)].collect()
+      .sortBy { case (l, t) => (t, l) }
+    langs.foreach { case (l, t) =>
+      require(t >= 0, s"negative token count for '$l': $t") }
+    var remaining = budget
+    val out = langs.zipWithIndex.map { case ((l, t), i) =>
+      val fair = remaining / (langs.length - i) // floor division
+      val quota = math.min(maxEpochs.toLong * t, fair)
+      remaining -= quota
+      (l, t, quota)
+    }
+    out.toSeq.toDF(langCol, tokensCol, "alloc_tokens")
+      .withColumn("epochs",
+        when(col(tokensCol) === 0L, lit(0.0))
+          .otherwise(col("alloc_tokens").cast("double") /
+            col(tokensCol).cast("double")))
+  }
 }

@@ -69,6 +69,11 @@ object SinkCorpus {
           require(fs.rename(st.getPath, live),
             s"healing crashed corpus purge: restore ${st.getPath} -> " +
               s"$live failed")
+          // the sinks read partition dirs DIRECTLY (publishedDir), so
+          // the subpath's own listing/plan cache must drop too — the
+          // root refresh below does not cover paths read at a
+          // different granularity (the r10 atomicSwap lesson)
+          spark.catalog.refreshByPath(live.toString)
         } else fs.delete(st.getPath, true)
       }
       fs.delete(aroot, true)
@@ -149,6 +154,10 @@ object SinkCorpus {
           require(fs.rename(tmpP, liveP), s"rename $tmpP -> $liveP failed")
         else fs.delete(tmpP, true) // fully purged: the partition goes away
         fs.delete(aside, true)
+        // invalidate the PARTITION path too: sink replays read it
+        // directly, and a stale cached listing would resolve to the
+        // renamed-away files (the r10 atomicSwap lesson)
+        spark.catalog.refreshByPath(live)
       }
       val sroot = new org.apache.hadoop.fs.Path(stagingRoot(corpusPath))
       if (fs.exists(sroot)) fs.delete(sroot, true)

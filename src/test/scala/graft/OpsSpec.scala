@@ -837,6 +837,56 @@ class OpsSpec extends SparkSpec {
     assert(moved > a.size * 9 / 10, s"only $moved of ${a.size} moved")
   }
 
+  test("curriculumInterleave: easiest-first within domain, round-robin " +
+    "across domains, injective closed-form positions") {
+    import graft.ops.Packing
+    val in = Seq(
+      (1L, "b", 30L), (2L, "b", 10L), (3L, "b", 20L),
+      (4L, "a", 5L), (5L, "a", 50L),
+      (6L, "c", 1L)).toDF("id", "dom", "score")
+    val out = Packing.curriculumInterleave(in, "id", "dom", "score")
+      .select($"id", $"dom", $"domain_idx", $"domain_rank", $"global_pos")
+      .as[(Long, String, Int, Int, Long)].collect().sortBy(_._5)
+    // domains a=0 b=1 c=2; rank within domain ascending by score
+    assert(out.map(_._1).toSeq == Seq(4L, 2L, 6L, 5L, 3L, 1L),
+      s"order: ${out.toSeq}")
+    // round-robin: the first nDomains positions cover distinct domains
+    assert(out.take(3).map(_._2).toSet == Set("a", "b", "c"))
+    // injective
+    assert(out.map(_._5).distinct.length == out.length)
+    // gaps allowed once a domain exhausts (a and c are done by round
+    // 3, so b's rank-3 doc sits at (3-1)*3+1 = 7); order by global_pos
+    // is the contract, not contiguity
+    assert(out.map(_._5).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 7L))
+  }
+
+  test("unimaxAllocation: caps bind smallest-first, leftovers " +
+    "waterfall, budget is never exceeded") {
+    import graft.ops.Packing
+    val counts = Seq(("small", 100L), ("mid", 500L), ("big", 10000L))
+      .toDF("lang", "tokens")
+    val out = Packing.unimaxAllocation(counts, "lang", "tokens",
+      budget = 3000L, maxEpochs = 2)
+      .select($"lang", $"alloc_tokens", $"epochs")
+      .as[(String, Long, Double)].collect()
+      .map { case (l, a, e) => l -> ((a, e)) }.toMap
+    // small: fair 3000/3=1000, cap 200 binds; mid: fair 2800/2=1400,
+    // cap 1000 binds; big: fair 1800, cap 20000 — budget binds
+    assert(out("small") == ((200L, 2.0)))
+    assert(out("mid") == ((1000L, 2.0)))
+    assert(out("big") == ((1800L, 0.18)))
+    // budget exactly exhausted when caps don't starve it
+    assert(out.values.map(_._1).sum == 3000L)
+    // cap-starved budget: tiny corpus, huge budget
+    val starved = Packing.unimaxAllocation(counts, "lang", "tokens",
+      budget = 1000000L, maxEpochs = 1)
+      .select(sum($"alloc_tokens")).as[Long].head()
+    assert(starved == 10600L, s"caps must bound the total: $starved")
+    intercept[IllegalArgumentException] {
+      Packing.unimaxAllocation(counts, "lang", "tokens", -1L, 1)
+    }
+  }
+
   test("writeShards: one file per shard, membership matches shardPositions") {
     import graft.ops.Packing
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
