@@ -955,6 +955,20 @@ object Hnsw {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** True iff any of `ids` is a node of the index — the
+    * `forgetEverywhere` pre-flight; see
+    * [[graft.ops.TextDedup.minhashAnyLive]] for the contract. Heals
+    * crashed appends first, like every other entry point. */
+  def hnswAnyLive(ids: DataFrame, idCol: String,
+                  path: String): Boolean = {
+    val spark = ids.sparkSession
+    healAppendLeftovers(spark, path)
+    !nodesOrEmpty(spark, path)
+      .select(col("id").as("__cid"))
+      .join(ids.select(col(idCol).cast("long").as("__cid")).distinct(),
+        Seq("__cid"), "left_semi").isEmpty
+  }
+
   /** Tombstoned ids of an index (empty if none were written). */
   def hnswTombstones(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {

@@ -354,6 +354,21 @@ object Retrieval {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** True iff any of `ids` is a corpus member of the index (its
+    * doclens table — corpus membership, which postings alone cannot
+    * reconstruct) — the `forgetEverywhere` pre-flight; see
+    * [[graft.ops.TextDedup.minhashAnyLive]] for the contract. */
+  def bm25AnyLive(ids: DataFrame, idCol: String,
+                  path: String): Boolean = {
+    val spark = ids.sparkSession
+    Layout.readParquetIfData(spark, s"$path/doclens").exists { dl =>
+      val did = dl.schema.fields.filterNot(_.name == "dl").head.name
+      !dl.select(col(did).cast("long").as("__cid"))
+        .join(ids.select(col(idCol).cast("long").as("__cid")).distinct(),
+          Seq("__cid"), "left_semi").isEmpty
+    }
+  }
+
   /** The postings table of a [[saveBm25Index]] layout, schema-safe
     * when the directory holds NO data files — the state a compaction
     * of a fully-tombstoned index leaves behind (a partitioned write

@@ -1053,6 +1053,24 @@ object Similarity {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** True iff any of `ids` is encoded in the index (its codes table)
+    * — the `forgetEverywhere` pre-flight; see
+    * [[TextDedup.minhashAnyLive]] for the contract. */
+  def ivfPqAnyLive(ids: DataFrame, idCol: String,
+                   path: String): Boolean = {
+    val spark = ids.sparkSession
+    Layout.readParquetIfData(spark, s"$path/codes").exists { codes =>
+      val cid = codes.schema.fields
+        .filterNot(f => f.name == "cell_id" || f.name == "pq_codes")
+        .filterNot(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .head.name
+      !codes.select(col(cid).cast("long").as("__cid"))
+        .join(ids.select(col(idCol).cast("long").as("__cid")).distinct(),
+          Seq("__cid"), "left_semi").isEmpty
+    }
+  }
+
   /** Tombstoned ids of an ANN index (empty if none were written). */
   def ivfPqTombstones(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

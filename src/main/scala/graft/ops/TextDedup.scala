@@ -1333,6 +1333,24 @@ object TextDedup {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** True iff any of `ids` is present in the index (its sets table) —
+    * `forgetEverywhere`'s pre-flight: an idempotent purge RE-RUN (the
+    * scheduled-compliance pattern) skips the family's tombstone write
+    * and compaction rebuild when nothing matches, costing a probe
+    * instead of an index rewrite. Loud on a MISSING layout
+    * ([[Layout.readParquetIfData]]); a valid-empty index reads as
+    * nothing-live. */
+  def minhashAnyLive(ids: DataFrame, idCol: String,
+                     path: String): Boolean = {
+    val spark = ids.sparkSession
+    Layout.readParquetIfData(spark, s"$path/sets").exists { sets =>
+      val sid = sets.schema.fields.filterNot(_.name == "__shh").head.name
+      !sets.select(col(sid).cast("long").as("__cid"))
+        .join(ids.select(col(idCol).cast("long").as("__cid")).distinct(),
+          Seq("__cid"), "left_semi").isEmpty
+    }
+  }
+
   /** The bands table of a [[saveMinhashIndex]] layout, schema-safe
     * when the directory holds no data files — the state a compaction
     * of a fully-tombstoned index leaves (a partitioned zero-row write

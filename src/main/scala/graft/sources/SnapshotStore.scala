@@ -504,19 +504,48 @@ object SnapshotStore {
     val idCol = ids.columns.head
     val purge = ids.select(col(idCol)).distinct().persist()
     try {
-      // the four families' tombstone writes touch four DISJOINT
+      // PRE-FLIGHT (r11): probe which index families actually HOLD a
+      // purged id. An idempotent RE-RUN — the scheduled-compliance
+      // pattern — and any purge of ids that never reached an index
+      // then skip that family's tombstone write AND its compaction
+      // rebuild entirely: the cost is a pruned probe, not an index
+      // rewrite. First-run behavior is unchanged (every family that
+      // holds an id still tombstones and compacts), and a standing
+      // tombstone from an earlier deferred-compaction run still
+      // counts as live (its ids are still IN the data tables), so
+      // deferred erases complete here. Probes are per-directory
+      // independent — concurrent like every other phase.
+      val live = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      inParallel(
+        minhashIndexes.map(p => () => { if (
+          graft.ops.TextDedup.minhashAnyLive(purge, idCol, p))
+            live.add(s"mh:$p"); () }) ++
+        ivfPqIndexes.map(p => () => { if (
+          graft.ops.Similarity.ivfPqAnyLive(purge, idCol, p))
+            live.add(s"pq:$p"); () }) ++
+        bm25Indexes.map(p => () => { if (
+          graft.ops.Retrieval.bm25AnyLive(purge, idCol, p))
+            live.add(s"bm:$p"); () }) ++
+        hnswIndexes.map(p => () => { if (
+          graft.ops.Hnsw.hnswAnyLive(purge, idCol, p))
+            live.add(s"hw:$p"); () }))
+      val liveMh = minhashIndexes.filter(p => live.contains(s"mh:$p"))
+      val livePq = ivfPqIndexes.filter(p => live.contains(s"pq:$p"))
+      val liveBm = bm25Indexes.filter(p => live.contains(s"bm:$p"))
+      val liveHw = hnswIndexes.filter(p => live.contains(s"hw:$p"))
+      // the live families' tombstone writes touch DISJOINT
       // directories and read only the shared materialized purge set —
       // run them as concurrent Spark jobs (r10 verdict #6: the RTBF
       // wall is fixed job-count overhead, not data cost; overlapping
       // the independent phases is pure latency hygiene)
       val tombstonePhases: Seq[() => Unit] =
-        minhashIndexes.map(p => () =>
+        liveMh.map(p => () =>
           graft.ops.TextDedup.tombstoneMinhashIndex(purge, idCol, p)) ++
-        ivfPqIndexes.map(p => () =>
+        livePq.map(p => () =>
           graft.ops.Similarity.tombstoneIvfPqIndex(purge, idCol, p)) ++
-        bm25Indexes.map(p => () =>
+        liveBm.map(p => () =>
           graft.ops.Retrieval.tombstoneBm25Index(purge, idCol, p)) ++
-        hnswIndexes.map(p => () =>
+        liveHw.map(p => () =>
           graft.ops.Hnsw.tombstoneHnswIndex(purge, idCol, p)) ++
         // streaming sink corpora (`<path>/ingest_batch=N/` layouts —
         // the rows the sinks' indexes were built FROM) have no
@@ -530,15 +559,16 @@ object SnapshotStore {
       if (compactIndexes) {
         // compactions are likewise per-directory independent; each is
         // internally crash-safe (tmp + atomic swap), so concurrency
-        // changes wall time only
+        // changes wall time only. Only the pre-flight's LIVE families
+        // rebuild.
         inParallel(
-          minhashIndexes.map(p => () =>
+          liveMh.map(p => () =>
             graft.ops.TextDedup.compactMinhashIndex(spark, p)) ++
-          ivfPqIndexes.map(p => () =>
+          livePq.map(p => () =>
             graft.ops.Similarity.compactIvfPqIndex(spark, p)) ++
-          bm25Indexes.map(p => () =>
+          liveBm.map(p => () =>
             graft.ops.Retrieval.compactBm25Index(spark, p)) ++
-          hnswIndexes.map(p => () =>
+          liveHw.map(p => () =>
             graft.ops.Hnsw.compactHnswIndex(spark, p)))
       }
       v

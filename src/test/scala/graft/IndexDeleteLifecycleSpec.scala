@@ -260,6 +260,60 @@ class IndexDeleteLifecycleSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/bm/tombstones")))
   }
 
+  test("forgetEverywhere re-run is probe-only (r11 anyLive pre-flight): " +
+    "no tombstones written, no index files rewritten — and a deferred " +
+    "compaction still completes on the next run") {
+    import graft.sources.SnapshotStore
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rtbf_rerun").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "lambda mu nu xi omicron pi rho")).toDF("doc_id", "text")
+    SnapshotStore.commitAll(Map("docs" -> docs), s"$base/cat")
+    TextDedup.saveMinhashIndex(docs, "doc_id", "text", s"$base/mh",
+      shingleLen = 5, numHashes = 16, bands = 4)
+    graft.ops.Retrieval.saveBm25Index(docs, "doc_id", "text",
+      s"$base/bm", nBuckets = 2)
+    // run 1 DEFERS compaction: tombstones stand, data files keep the id
+    SnapshotStore.forgetEverywhere(
+      Seq(2L).toDF("id"), s"$base/cat", Map("docs" -> "doc_id"),
+      minhashIndexes = Seq(s"$base/mh"), bm25Indexes = Seq(s"$base/bm"),
+      compactIndexes = false)
+    assert(exists(s"$base/bm/tombstones"))
+    // run 2 with compaction: the id is still IN the data tables
+    // (deferred), so anyLive reads it as live and the erase COMPLETES
+    SnapshotStore.forgetEverywhere(
+      Seq(2L).toDF("id"), s"$base/cat", Map("docs" -> "doc_id"),
+      minhashIndexes = Seq(s"$base/mh"), bm25Indexes = Seq(s"$base/bm"))
+    assert(!exists(s"$base/bm/tombstones"), "deferred erase not completed")
+    assert(!exists(s"$base/mh/tombstones"))
+    def fileState(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile)
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val mhSets = fileState(s"$base/mh/sets")
+    val bmDl = fileState(s"$base/bm/doclens")
+    // run 3 is the idempotent RE-RUN: the pre-flight finds nothing
+    // live — no tombstone dirs appear, no index file is rewritten
+    SnapshotStore.forgetEverywhere(
+      Seq(2L).toDF("id"), s"$base/cat", Map("docs" -> "doc_id"),
+      minhashIndexes = Seq(s"$base/mh"), bm25Indexes = Seq(s"$base/bm"))
+    assert(!exists(s"$base/bm/tombstones") && !exists(s"$base/mh/tombstones"),
+      "re-run wrote tombstones for absent ids")
+    assert(fileState(s"$base/mh/sets") == mhSets,
+      "re-run rewrote the minhash sets table")
+    assert(fileState(s"$base/bm/doclens") == bmDl,
+      "re-run rewrote the bm25 doclens table")
+    // and the serving state is unchanged
+    val served = graft.ops.Retrieval.bm25TopKIndexed(spark, s"$base/bm",
+      "doc_id", Seq((1L, "zeta alpha lambda")), k = 5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    graft.ops.Retrieval.releaseCaches()
+    assert(served == Set(1L, 3L), s"served $served")
+  }
+
   test("compacting a FULLY tombstoned index leaves a valid empty layout " +
     "in every family: compaction completes (twice), probes answer " +
     "empty, a fresh append resurrects service (r10 advice)") {
