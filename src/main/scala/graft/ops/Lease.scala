@@ -11,11 +11,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * the shared mutation) and abort fail-safe if the lease was broken.
  *
  * Protocol (all raw-filesystem-safe, no coordination service):
- *  - ACQUIRE: write the token to a UNIQUE temp file, then RENAME it
- *    onto the lock path (no-clobber rename: exactly one concurrent
- *    claimant wins), then VERIFY ownership by read-back. The rename
- *    indirection is load-bearing on ChecksumFileSystem (every local
- *    `file://` deployment): two processes calling `create(lock,
+ *  - ACQUIRE: write the token to a UNIQUE temp file, re-check the
+ *    lock is ABSENT, RENAME the temp onto the lock path, then VERIFY
+ *    ownership by settled read-back. The rename indirection is
+ *    load-bearing on ChecksumFileSystem (every local `file://`
+ *    deployment): two processes calling `create(lock,
  *    overwrite = false)` on the SAME path race the data file and its
  *    `.crc` sibling INDEPENDENTLY — the loser's checksum stream can
  *    land beside the winner's data, leaving a complete, valid-looking
@@ -25,6 +25,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *    (observed live in stress leg 18, r11). Writing the pair ONCE
  *    under a contention-free unique name and renaming keeps data+crc
  *    consistent at every instant.
+ *    The explicit ABSENT check before the rename is what makes the
+ *    claim no-clobber on EVERY deployment: `fs.rename` onto an
+ *    existing file is NOT uniformly refused — HDFS refuses it, Hive's
+ *    ProxyLocalFileSystem refuses via its own (non-atomic) isFile
+ *    guard, but Hadoop's RawLocalFileSystem delegates to POSIX
+ *    rename(2), which silently OVERWRITES (empirically verified on
+ *    this deployment's raw local fs). Without the gate, a polling
+ *    waiter on such a filesystem would clobber a LIVE holder's lease
+ *    on every iteration and both sides would believe they own the
+ *    critical section. With the gate, a rename is only ever attempted
+ *    onto an observed-vacant path, so a steal requires two claimants
+ *    inside the same stat→rename instant; the settled read-back
+ *    arbitrates that residual race to one winner (the earlier rename
+ *    reads back the later claimant's token and retries), and the
+ *    holder's pre-mutation fence is the backstop for the pathological
+ *    remainder (a claimant stalled between its absent-check and its
+ *    rename for longer than the settle), as it already is for
+ *    erroneous staleness breaks — no raw filesystem offers an atomic
+ *    no-clobber rename to build on.
  *  - STALENESS is judged from the lease FILE's filesystem
  *    modification time, not a clock stamp embedded by the holder
  *    (the r10 scheme): the FS assigns mtime from ONE clock source
@@ -81,20 +100,25 @@ private[graft] object Lease {
             fs.delete(tomb, false)
         }
       }
-      // claim via unique-temp + no-clobber rename (see the protocol
-      // note: a direct create-exclusive on the shared path can tear
-      // the data/crc pair under contention and wedge the lock)
+      // claim via unique-temp + observed-absent + rename (see the
+      // protocol note: a direct create-exclusive on the shared path
+      // can tear the data/crc pair under contention and wedge the
+      // lock, and a bare rename CLOBBERS a live lease on POSIX-rename
+      // filesystems). The temp is written FIRST so the absent-check
+      // sits immediately against the rename — the narrowest
+      // stat→rename window a raw filesystem allows.
       val tmp = new Path(lock.getParent, s".${lock.getName}.acq.$token")
       val created =
         try {
           val out = fs.create(tmp, false)
           try out.write(s"$token $now".getBytes("UTF-8"))
           finally out.close()
-          scala.util.Try(fs.rename(tmp, lock)).getOrElse(false)
+          !fs.exists(lock) &&
+            scala.util.Try(fs.rename(tmp, lock)).getOrElse(false)
         } catch { case _: java.io.IOException => false }
       if (!created) scala.util.Try(fs.delete(tmp, false))
       if (created) {
-        Thread.sleep(10)
+        Thread.sleep(20)
         if (content(fs, lock).exists(_.startsWith(token))) return token
       }
       if (System.currentTimeMillis() >= deadline)
@@ -128,8 +152,14 @@ private[graft] object Lease {
       s".${lock.getName}.released.$token")
     if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
       if (holds(fs, tomb, token)) fs.delete(tomb, false)
-      else if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
-        fs.delete(tomb, false)
+      // restore a grabbed FOREIGN lease — but never by renaming onto
+      // an even newer claim (POSIX rename would clobber it; see the
+      // acquire note): observed-occupied means the displaced copy is
+      // already superseded, so it is deleted and its owner's fencing
+      // re-verify aborts it
+      else if (fs.exists(lock) ||
+        !scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
+        scala.util.Try(fs.delete(tomb, false))
     }
   }
 

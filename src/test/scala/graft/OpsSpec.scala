@@ -4102,25 +4102,50 @@ class OpsSpec extends SparkSpec {
     // lock, staleness breaks DISABLED (huge leaseMs) — under the old
     // create-exclusive claim this tore a data/crc pair within a few
     // hundred handoffs and every later acquire timed out; the
-    // temp+rename claim must stay live to the end
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val handoffs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val threads = (0 until 8).map { _ =>
-      new Thread(() =>
-        try {
-          (0 until 12).foreach { _ =>
-            val t = Lease.acquire(fs, lock, timeoutMs = 60000L,
-              leaseMs = 3600000L)
-            handoffs.incrementAndGet()
-            Lease.release(fs, lock, t)
-          }
-        } catch { case t: Throwable => errs.add(t) })
+    // temp+rename claim must stay live to the end. The overlap
+    // counter asserts MUTUAL EXCLUSION, not just liveness: a claim
+    // that steals a live holder's lease (the clobbering-rename hole —
+    // r12 advice) would put two threads inside the hold at once and
+    // trip the assertion even though every cycle "succeeds".
+    // Run on BOTH filesystems: the checksum local fs (whose rename
+    // refuses an existing destination on this deployment) and the RAW
+    // local fs (POSIX rename — silently overwrites), so the
+    // observed-absent gate is exercised where the clobber is real.
+    val rawFs = new org.apache.hadoop.fs.RawLocalFileSystem()
+    rawFs.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    Seq(("checksum", fs), ("raw", rawFs)).foreach { case (fsName, f) =>
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val handoffs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val inHold = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxHold = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map { _ =>
+        new Thread(() =>
+          try {
+            (0 until 12).foreach { _ =>
+              val t = Lease.acquire(f, lock, timeoutMs = 60000L,
+                leaseMs = 3600000L)
+              val depth = inHold.incrementAndGet()
+              maxHold.getAndUpdate(m => math.max(m, depth))
+              assert(Lease.holds(f, lock, t),
+                "lease not held inside the critical section")
+              Thread.sleep(1) // widen the window a steal would need
+              inHold.decrementAndGet()
+              handoffs.incrementAndGet()
+              Lease.release(f, lock, t)
+            }
+          } catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000L))
+      assert(errs.isEmpty, s"[$fsName] lease handoff died: ${errs.peek()}")
+      assert(maxHold.get() == 1,
+        s"[$fsName] mutual exclusion broken: ${maxHold.get()} threads " +
+          "held the lease at once")
+      assert(handoffs.get() == 96, s"[$fsName] handoffs: ${handoffs.get()}")
+      assert(!f.exists(lock),
+        s"[$fsName] lock must be free after the last release")
     }
-    threads.foreach(_.start())
-    threads.foreach(_.join(120000L))
-    assert(errs.isEmpty, s"lease handoff died: ${errs.peek()}")
-    assert(handoffs.get() == 96, s"handoffs: ${handoffs.get()}")
-    assert(!fs.exists(lock), "lock must be free after the last release")
   }
 
   test("mineBitext evaluates each direction's scoring subtree exactly " +
