@@ -860,6 +860,95 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._5).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 7L))
   }
 
+  test("curriculumInterleave: no window touches corpus rows, and no " +
+    "single task holds a whole domain on a skewed 2-domain corpus " +
+    "(r11 weak: the partitionBy(domain) rank was a one-task-per-" +
+    "domain funnel at scale)") {
+    import graft.ops.Packing
+    // 95%/5% two-domain skew — under the r11 window rank the 'hot'
+    // domain's entire row set sorted in ONE task; the distributed
+    // range rank must spread it across tasks like any other data
+    val n = 20000
+    val in = spark.range(n.toLong).selectExpr(
+      "id",
+      "CASE WHEN id % 20 = 0 THEN 'rare' ELSE 'hot' END AS dom",
+      "(id * 2654435761) % 1000003 AS score")
+    val out = Packing.curriculumInterleave(in, "id", "dom", "score")
+    // (a) the plan is window-free — the rank comes from the range
+    // layout + broadcast offsets, so WindowExec never appears
+    val wins = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty, s"curriculum plan contains a window:\n$wins")
+    // (b) the hot domain's rows live in MANY output partitions, and
+    // no single partition holds more than half of them — the direct
+    // form of the no-funnel property (asserted on the data layout
+    // itself rather than a task listener, so parallel suites sharing
+    // the session can't pollute the measurement)
+    val dist = out
+      .withColumn("pid", spark_partition_id())
+      .groupBy($"dom", $"pid").count()
+      .as[(String, Int, Long)].collect()
+    val hot = dist.filter(_._1 == "hot").map(_._3)
+    assert(hot.length > 1,
+      s"hot domain funneled into ${hot.length} partition(s)")
+    assert(hot.max.toDouble / hot.sum <= 0.5,
+      s"one partition holds ${hot.max} of ${hot.sum} hot rows")
+    // (c) values still equal the window-rank semantics, replayed
+    // driver-side: rank within domain by (score, id), closed-form
+    // global_pos = (rank−1)·nDomains + domain_idx
+    val got = out.select($"id", $"dom", $"domain_idx", $"domain_rank",
+        $"global_pos")
+      .as[(Long, String, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val byDom = (0L until n.toLong)
+      .map(id => (id, if (id % 20 == 0) "rare" else "hot",
+        (id * 2654435761L) % 1000003L))
+      .groupBy(_._2)
+    val domIdx = byDom.keys.toSeq.sorted.zipWithIndex.toMap
+    byDom.foreach { case (dom, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.foreach {
+        case ((id, _, _), i) =>
+          val exp = (id, dom, domIdx(dom), i + 1,
+            i.toLong * domIdx.size + domIdx(dom))
+          assert(got(id) == exp, s"id=$id: got ${got(id)}, want $exp")
+      }
+    }
+  }
+
+  test("equiDepthBuckets equals window ntile row for row — ragged " +
+    "allocation, c<n domains — with a window-free plan") {
+    import graft.ops.Packing
+    import org.apache.spark.sql.expressions.Window
+    // counts chosen so allocation is ragged (23 % 4 = 3, 17 % 4 = 1)
+    // and one domain has fewer rows than buckets (3 < 4)
+    val in = spark.range(43L).selectExpr(
+      "id",
+      "CASE WHEN id < 23 THEN 'a' WHEN id < 40 THEN 'b' ELSE 'c' END " +
+        "AS dom",
+      "(id * 48271) % 101 AS score")
+    val got = Packing.equiDepthBuckets(in, "dom",
+      Seq(col("score"), col("id")), 4, "b")
+    assert(got.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "equiDepthBuckets plan contains a window")
+    val exp = in.withColumn("b",
+      ntile(4).over(Window.partitionBy($"dom")
+        .orderBy($"score".asc, $"id".asc)))
+    val g = got.select($"id", $"b").as[(Long, Int)].collect().toMap
+    val e = exp.select($"id", $"b").as[(Long, Int)].collect().toMap
+    assert(g == e, s"diff: ${e.toSeq.filter(kv => g(kv._1) != kv._2)}")
+    // every bucket within a domain differs in size by at most one,
+    // earlier buckets never smaller (the SQL allocation)
+    val sizes = got.groupBy($"dom", $"b").count()
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    sizes.values.foreach { s =>
+      assert(s.max - s.min <= 1 && s.toSeq == s.sortBy(x => -x).toSeq,
+        s"sizes ${s.toSeq}")
+    }
+  }
+
   test("unimaxAllocation: caps bind smallest-first, leftovers " +
     "waterfall, budget is never exceeded") {
     import graft.ops.Packing
