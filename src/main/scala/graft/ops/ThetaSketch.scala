@@ -27,10 +27,14 @@ import graft.functions.FastHash
  *
  * 100 TB shape: the build is one hash projection, a (group, hash)
  * map-side-combined dedup shuffle, and a `row_number() <= k` window
- * that Spark's WindowGroupLimit rewrites into per-partition top-k
- * (no group's full distinct set is ever held); everything after runs
- * on sketch tables — k longs per group, never the data again.
- * Sketch once, answer any rollup, union, or overlap later.
+ * whose input Spark caps before the window ever runs — the grouped
+ * path via WindowGroupLimit (per-task top-k per group), the
+ * empty-group path via LimitPushDownThroughWindow folding the
+ * constant partition into a distributed TakeOrderedAndProject (both
+ * spec-asserted on real plans) — so no group's full distinct set is
+ * ever held; everything after runs on sketch tables — k longs per
+ * group, never the data again. Sketch once, answer any rollup,
+ * union, or overlap later.
  */
 object ThetaSketch {
 
@@ -54,6 +58,20 @@ object ThetaSketch {
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
              k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
+    // integral input required up front (the tombstoneHnswIndex
+    // convention): values hash through a long cast, and on a non-ANSI
+    // session a failed cast would become a NULL hash that survives the
+    // isNotNull filter and sorts FIRST in every ascending k-min window
+    // — silently corrupting theta and every estimate built on it
+    val dt = df.schema(valueCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(dt),
+      s"sketch requires an integral value column, got $dt for " +
+        s"'$valueCol': pre-hash non-integral keys to a long " +
+        "(e.g. xxhash64) so the cast can never produce a null hash")
     val g = groupCols.map(col)
     val dedup = df.filter(col(valueCol).isNotNull)
       .select(g :+ hashUdf(col(valueCol).cast("long")).as("__h"): _*)

@@ -39,16 +39,92 @@ class PlanAuditSpec extends SparkSpec {
     assert(unknown.isEmpty, s"Scaling references unknown gates: $unknown")
   }
 
-  test("no query plan contains an unpartitioned window") {
+  test("no query plan contains an unpartitioned window (unless its " +
+    "input is limit-bounded)") {
     allNames.foreach { name =>
       plansOf(name).foreach { plan =>
         val bad = collectAll(plan) {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowExec
+            if w.partitionSpec.isEmpty && !limitBounded(w) => w
         }
         if (bad.nonEmpty)
           fail(s"$name has a global (unpartitioned) window:\n${bad.head}")
       }
     }
+  }
+
+  // the r11 blind spot: the unpartitioned-window check passes ANY
+  // partitionBy textually — including `partitionBy(lit(1))` and a
+  // bounded-cardinality column like `lang`, both of which funnel data-
+  // scale row sets into one-task window partitions exactly like a
+  // global window (the curriculumInterleave `weak`). A window over a
+  // constant or bounded key is only scale-safe when an adjacent
+  // rank-limit lets Spark rewrite it into per-partition top-k
+  // (WindowGroupLimitExec caps every task at k rows BEFORE the
+  // window's shuffle). Cardinality can't be read off a plan, so the
+  // bounded-key list is declared: fixture columns whose value set is
+  // fixed by the schema, not the data volume.
+  private val BoundedCardinalityKeys = Set(
+    "lang", "language", "domain", "event_type", "l_returnflag",
+    "l_linestatus", "o_orderstatus", "o_orderpriority", "l_shipmode",
+    "r_name", "n_name", "face", "label", "tier", "qb")
+
+  private def boundedKey(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.foldable || (e.references.nonEmpty &&
+      e.references.forall(a =>
+        BoundedCardinalityKeys.contains(a.name.toLowerCase)))
+
+  /** A window whose INPUT is already capped by a rank/row limit is
+    * scale-safe regardless of its partition key: WindowGroupLimitExec
+    * caps every task at k rows before the window's shuffle, and
+    * LimitPushDownThroughWindow folds `row_number <= k` into a
+    * TakeOrderedAndProject / limit below the window (ThetaSketch's
+    * empty-group path compiles to exactly that). */
+  private def limitBounded(w: WindowExec): Boolean =
+    w.collectFirst {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      case l: org.apache.spark.sql.execution.LocalLimitExec => l
+      case c: org.apache.spark.sql.execution.CollectLimitExec => c
+    }.isDefined
+
+  /** A window is also safe when its INPUT was already collapsed by an
+    * aggregate keyed entirely on bounded-cardinality columns: the
+    * window then runs over a bounded table (≤ product of the bounded
+    * keys' value sets — q_quantile_rollup's per-(lang, qb) counts),
+    * and the data-scale reduction happened in the shuffle-parallel,
+    * map-side-combined aggregate, not the window. */
+  private def boundedAggInput(w: WindowExec): Boolean =
+    w.children.exists(_.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(g =>
+            g.references.nonEmpty && g.references.forall(r =>
+              BoundedCardinalityKeys.contains(r.name.toLowerCase))) => a
+    }.isDefined)
+
+  test("every window partitioned only by constants or bounded-" +
+    "cardinality keys is limit-bounded or aggregate-bounded (r12: " +
+    "the audit that would have caught the r11 curriculum funnel, and " +
+    "did catch q_ntile and q_percent_rank)") {
+    val offenders = allNames.flatMap { name =>
+      plansOf(name).flatMap { plan =>
+        collectAll(plan) {
+          case w: WindowExec
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(boundedKey) && !limitBounded(w) &&
+              !boundedAggInput(w) =>
+            s"$name:\n$w"
+        }
+      }
+    }
+    if (offenders.nonEmpty)
+      fail(s"${offenders.size} window(s) partition by a constant/" +
+        s"bounded-cardinality key with no group-limit — each window " +
+        s"partition is ONE task holding a data-scale row set:\n" +
+        offenders.mkString("\n\n"))
   }
 
   test("no query plan contains a partitioned cartesian product") {

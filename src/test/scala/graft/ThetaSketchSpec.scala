@@ -83,4 +83,38 @@ class ThetaSketchSpec extends SparkSpec {
       ThetaSketch.sketch(df, Seq("g"), "v", 1)
     }
   }
+
+  test("non-integral value columns are rejected up front (a failed " +
+    "long cast would otherwise become a null hash polluting every " +
+    "k-min set)") {
+    val df = Seq(("g", "not-a-number")).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      ThetaSketch.sketch(df, Seq("g"), "v", 8)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("both sketch paths bound their k-min windows: the empty-group " +
+    "partitionBy(lit(1)) folds into a distributed top-k limit, and " +
+    "the grouped path rides WindowGroupLimit — never one task holding " +
+    "a full distinct set") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = spark.range(1000L).selectExpr("id % 7 AS g", "id AS v")
+    // empty-group: LimitPushDownThroughWindow folds the constant
+    // partition and rewrites the rank filter into TakeOrderedAndProject
+    // (per-partition top-k, merged at the driver) BELOW the window, so
+    // the window itself sees ≤ k rows
+    val total = ThetaSketch.sketch(df, Nil, "v", 32)
+      .queryExecution.sparkPlan
+    assert(total.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"empty-group sketch plan has no distributed top-k below the " +
+        s"window:\n$total")
+    // grouped: InferWindowGroupLimit caps every task at k rows per
+    // group before the window's shuffle
+    val grouped = ThetaSketch.sketch(df, Seq("g"), "v", 32)
+      .queryExecution.sparkPlan
+    assert(grouped.collect { case g: WindowGroupLimitExec => g }.nonEmpty,
+      s"grouped sketch plan has no WindowGroupLimit:\n$grouped")
+  }
 }
