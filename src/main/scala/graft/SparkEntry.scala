@@ -2939,11 +2939,13 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "epoch0", docsPerShard = 64)),
 
-    // curriculum interleave (r11): easiest-first within each domain,
-    // round-robin across domains, assigned in CLOSED FORM
-    // ((rank−1)·nDomains + domainIdx) — a total training order that
-    // never needs a global sort. One partitioned window + a broadcast
-    // domain-index join; exact SQL replay.
+    // curriculum interleave (r11, rank made scale-safe r12):
+    // easiest-first within each domain, round-robin across domains,
+    // assigned in CLOSED FORM ((rank−1)·nDomains + domainIdx) — a
+    // total training order that never needs a global sort OR a
+    // per-domain window (a Window.partitionBy(domain) holds each
+    // domain's whole row set in one task). Distributed range rank +
+    // broadcast domain-index/offset join; exact SQL replay.
     "q_curriculum" -> ((s, dir) =>
       graft.ops.Packing.curriculumInterleave(
         t(s, dir, "documents")
@@ -2980,13 +2982,26 @@ object SparkEntry {
           expr("percentile(n_chars, 0.9)").as("p90"))),
 
     // per-type percent-rank (empirical CDF position) under rank ties —
-    // the distribution-free normalization
-    "q_percent_rank" -> ((s, dir) =>
-      t(s, dir, "events").filter(col("value").isNotNull)
+    // the distribution-free normalization. NOT a keyed window (r12,
+    // same audit catch as q_ntile): distributed range rank within the
+    // bounded event_type domain, tie-minimized through one map-side-
+    // combined (type, value) aggregate + AQE-skew-splittable join
+    // back, then the closed form (rank−1)/(c−1) — bit-equal to
+    // percent_rank (one exact-integer IEEE divide)
+    "q_percent_rank" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val (ranked, _) = graft.ops.Packing.boundedDomainRank(
+        ev, "event_type", Seq(col("value"), col("event_id")))
+      val ties = ranked.groupBy(col("event_type"), col("value"))
+        .agg(min(col("__domain_rank")).as("__tie_rank"))
+      ranked.join(ties, Seq("event_type", "value"))
         .select(col("event_id"), col("event_type"), col("value"),
-          percent_rank().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("event_type")).orderBy(col("value").asc))
-            .as("pr"))),
+          when(col("__domain_count") > 1L,
+            (col("__tie_rank") - 1L).cast("double") /
+              (col("__domain_count") - 1L).cast("double"))
+            .otherwise(lit(0.0)).as("pr"))
+    }),
 
     // per-type robust scaling (median/IQR) — the outlier-insensitive
     // normalization; quantiles use the SAME interpolation as the
@@ -3027,14 +3042,17 @@ object SparkEntry {
 
     // equi-depth decile bucketing per event type — the feature-
     // engineering face of q_quantiles: every row gets its decile under
-    // a total order (value, event_id), one keyed window
+    // a total order (value, event_id). NOT a keyed window (r12):
+    // event_type is bounded-cardinality, so ntile().over(partitionBy(
+    // event_type)) holds each type's whole row set in one task —
+    // closed-form ntile over the distributed range rank instead
     "q_ntile" -> ((s, dir) =>
-      t(s, dir, "events").filter(col("value").isNotNull)
+      graft.ops.Packing.equiDepthBuckets(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", Seq(col("value"), col("event_id")), 10, "decile")
         .select(col("event_id"), col("event_type"), col("value"),
-          ntile(10).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("event_type"))
-            .orderBy(col("value").asc, col("event_id").asc))
-            .as("decile"))),
+          col("decile"))),
 
     // data mixing: per-language sampling rates over one corpus pass,
     // content-deterministic (md5-threshold) and nested across reweights
@@ -3446,18 +3464,17 @@ object SparkEntry {
 
     // text → hashed doc vectors → SemDeDup: semantic near-dup removal
     // of a raw text corpus with NO precomputed embedding table
-    // (feature-hashing preserves cosine in expectation). ORACLED by
-    // outcome pinning (r10 advice #2, the q_ann_sink technique): with
+    // (feature-hashing preserves cosine in expectation). With
     // refineIterations = 0 the pipeline is a pure per-row function of
-    // content (seed centroids, no float iteration), so the dropped
-    // set is well-defined and layout-invariant; the oracle is the
-    // documents table minus that pinned set. A full DuckDB recompute
-    // is impossible here — hashedDocVector rides JVM string hashing —
-    // so SemDedupPinSpec guards the pin instead: min |cos-0.9| margin
-    // 6.2e-2 at sf0.01 (5.9e-2 at sf0.001), zero zero-norm vectors,
-    // layout invariance under repartition, and the sf0.01 dropped set
-    // itself (a fixture regeneration fails there with a named reason,
-    // not as an opaque oracle hash mismatch).
+    // content (seed centroids, no float iteration) — oracled r10-r11
+    // by outcome pinning, upgraded r12 to a FULL DuckDB recompute:
+    // the featurize kernel (Java String.hashCode 31-polynomial +
+    // 0x85ebca6b mix, single-assignment float32 slots, float32
+    // normalize) replays exactly in SQL (see the oracle's comment).
+    // SemDedupPinSpec stays as the margin tripwire: min |cos-0.9|
+    // margin 6.2e-2 at sf0.01 (5.9e-2 at sf0.001), zero zero-norm
+    // vectors, layout invariance under repartition — sum-order ulp
+    // differences between engines can never flip a decision.
     "q_text_semdedup" -> ((s, dir) => {
       val vecs = t(s, dir, "documents").select(col("doc_id"), col("source"),
         QualityClassifier.hashedDocVector(col("text")).as("embedding"))
@@ -7106,18 +7123,128 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rn <= 3""".stripMargin,
 
-    // outcome-pinned (the q_ann_sink technique): the dropped set of
-    // the seeded text SemDeDup at sf0.01, derived once from the
-    // deterministic pipeline (refineIterations = 0 → pure per-row
-    // function of content; hashedDocVector rides JVM string hashing,
-    // so no SQL recompute exists). SemDedupPinSpec re-derives this
-    // exact set on the sf0.01 fixture and pins the 6.2e-2 cosine
-    // margin + layout invariance behind it.
+    // FULL independent recompute (r12 — previously outcome-pinned with
+    // the claim "hashedDocVector rides JVM string hashing, so no SQL
+    // recompute exists"; the claim was wrong): Java String.hashCode is
+    // a 31-polynomial mod 2^32, replayed here with the same
+    // integer-wraparound machinery the fmix64 oracles use (powers
+    // table + HUGEINT multiply for the 0x85ebca6b mix step), Java %
+    // sign semantics spelled out. Vector slots are SINGLE float32
+    // assignments (featurize dedups buckets in a TreeMap), so
+    // CAST(count/n AS REAL) then CAST(slot·CAST(1/sqrt(ss) AS REAL)
+    // AS REAL) reproduces the JVM floats exactly (24-bit products are
+    // exact in doubles); downstream is the q_semdedup replay at
+    // nCells = 64, threshold 0.9. Decision boundaries stay guarded by
+    // SemDedupPinSpec's 6.2e-2 cosine margins (sum-order ulps can
+    // never flip them).
     "q_text_semdedup" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE doc_id NOT IN (134,178,185,245,267,290,293,301,323,332,
-        |  374,377,383,387,389,413,420,446,450,455,457,462,486)"""
-        .stripMargin,
+      """WITH RECURSIVE
+        |pwr(k, v) AS (
+        | SELECT 0, CAST(1 AS BIGINT)
+        | UNION ALL
+        | SELECT k + 1, (v * 31) % 4294967296 FROM pwr WHERE k < 1023),
+        |pws AS (SELECT list(v ORDER BY k) AS pw FROM pwr),
+        |t AS MATERIALIZED (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS ts
+        | FROM documents),
+        |g AS MATERIALIZED (
+        | SELECT doc_id, unnest(ts) AS gram FROM t
+        | UNION ALL
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(1, len(ts) - 1),
+        |   i -> ts[i] || ' ' || ts[i + 1])) AS gram FROM t),
+        |bk AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN s % 256 < 0 THEN s % 256 + 256 ELSE s % 256 END
+        |    AS bucket
+        | FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS s
+        |  FROM (
+        |   SELECT doc_id, xor(h, h // 8192) AS h
+        |   FROM (
+        |    SELECT doc_id,
+        |     CAST((CAST(xor(h, h // 65536) AS HUGEINT) * 2246822507)
+        |       % 4294967296 AS BIGINT) AS h
+        |    FROM (
+        |     SELECT doc_id,
+        |      list_aggregate(list_transform(
+        |        generate_series(1, length(gram)),
+        |        i -> CAST(ord(substring(gram, i, 1)) AS BIGINT)
+        |             * pw[length(gram) - i + 1]), 'sum')
+        |        % 4294967296 AS h
+        |     FROM g, pws))))),
+        |cnt AS MATERIALIZED (
+        | SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c
+        | FROM bk GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n
+        |        FROM bk GROUP BY 1),
+        |dense AS MATERIALIZED (
+        | SELECT gr.doc_id, gr.b,
+        |  coalesce(CAST(c.c / tt.n AS REAL), CAST(0 AS REAL)) AS f
+        | FROM (SELECT d.doc_id, gs.b
+        |       FROM (SELECT DISTINCT doc_id FROM t) d,
+        |            (SELECT unnest(generate_series(0, 255)) AS b) gs) gr
+        | LEFT JOIN cnt c ON c.doc_id = gr.doc_id AND c.bucket = gr.b
+        | JOIN tot tt ON tt.doc_id = gr.doc_id),
+        |raw AS MATERIALIZED (
+        | SELECT doc_id, list(f ORDER BY b) AS fv FROM dense GROUP BY doc_id),
+        |emb AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN ss > 0 THEN
+        |   list_transform(fv, x -> CAST(CAST(x AS DOUBLE)
+        |     * CAST(CAST(1.0 AS DOUBLE) / sqrt(ss) AS REAL) AS REAL))
+        |  ELSE fv END AS e32
+        | FROM (
+        |  SELECT doc_id, fv,
+        |   list_aggregate(list_transform(fv,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS ss
+        |  FROM raw)),
+        |n AS MATERIALIZED (
+        | SELECT doc_id, e,
+        |  sqrt(list_aggregate(list_transform(generate_series(1, len(e)),
+        |    i -> e[i] * e[i]), 'sum')) AS nrm
+        | FROM (SELECT doc_id,
+        |         list_transform(e32, x -> CAST(x AS DOUBLE)) AS e
+        |       FROM emb)),
+        |seeds AS MATERIALIZED (
+        | SELECT doc_id AS cid, e AS c, nrm AS cnrm
+        | FROM n ORDER BY doc_id LIMIT 64),
+        |sim AS MATERIALIZED (
+        | SELECT n.doc_id, s.cid,
+        |  list_aggregate(list_transform(generate_series(1, len(n.e)),
+        |    i -> n.e[i] * s.c[i]), 'sum') / (n.nrm * s.cnrm) AS cs
+        | FROM n CROSS JOIN seeds s),
+        |assign AS MATERIALIZED (
+        | SELECT doc_id, cid FROM (
+        |  SELECT doc_id, cid,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM sim WHERE NOT isnan(cs)) WHERE rn = 1),
+        |pairs AS MATERIALIZED (
+        | SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        | FROM assign ax
+        | JOIN assign ay ON ax.cid = ay.cid AND ax.doc_id < ay.doc_id
+        | JOIN n x ON x.doc_id = ax.doc_id
+        | JOIN n y ON y.doc_id = ay.doc_id
+        | WHERE x.nrm > 0 AND y.nrm > 0
+        |  AND list_aggregate(list_transform(generate_series(1, len(x.e)),
+        |    i -> x.e[i] * y.e[i]), 'sum') / (x.nrm * y.nrm) >= 0.9),
+        |edges AS MATERIALIZED (
+        | SELECT id_a AS a, id_b AS b FROM pairs
+        | UNION ALL
+        | SELECT id_b AS a, id_a AS b FROM pairs),
+        |r(node, t) AS (
+        | SELECT DISTINCT a, a FROM edges
+        | UNION
+        | SELECT e.b, r.t FROM r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(t) AS cid FROM r GROUP BY node)
+        |SELECT d.doc_id, d.source
+        |FROM documents d
+        |LEFT JOIN comp ON d.doc_id = comp.node
+        |WHERE comp.node IS NULL OR comp.cid = d.doc_id""".stripMargin,
 
     // each cell recomputed per keyword: first_pos = SQL position,
     // n_hits = replace-delta (non-overlapping count) — exactly the

@@ -18,10 +18,15 @@ import graft.ops.{QualityClassifier, Similarity}
  *    same index order, and this spec pins a fixture MARGIN orders of
  *    magnitude above any fold discrepancy, at both the spec SF and
  *    the driver's correctness SF.
- *  - `q_text_semdedup` is outcome-pinned (hashedDocVector rides JVM
- *    string hashing — no SQL recompute exists): this spec re-derives
- *    the pinned sf0.01 dropped set by name, so a fixture regeneration
- *    fails HERE with a reason instead of as an opaque hash mismatch.
+ *  - `q_text_semdedup` is, since r12, ALSO a full DuckDB recompute
+ *    (the featurize kernel — Java String.hashCode 31-polynomial +
+ *    0x85ebca6b mix + single-assignment float32 slots — replays in
+ *    SQL with the fmix64-oracle integer machinery). This spec keeps
+ *    re-deriving the sf0.01 dropped set by name as the
+ *    fixture-regeneration tripwire, so a corpus change fails HERE
+ *    with a reason instead of as an opaque hash mismatch, and keeps
+ *    the cosine margins that make cross-engine sum-order ulps unable
+ *    to flip a pair or an assignment.
  *  - both pipelines must be LAYOUT-INVARIANT (pure per-row functions
  *    of content once refineIterations = 0): repartitioning the input
  *    must not move a single survivor. The refined (iterations > 0)
@@ -118,8 +123,10 @@ class SemDedupPinSpec extends SparkSpec {
       323L, 332L, 374L, 377L, 383L, 387L, 389L, 413L, 420L, 446L,
       450L, 455L, 457L, 462L, 486L)
     assert(dropped == pinned,
-      s"sf0.01 dropped set moved: got ${dropped.mkString(",")} — " +
-        "update the q_text_semdedup oracle constants WITH this pin")
+      s"sf0.01 dropped set moved: got ${dropped.mkString(",")} — the " +
+        "corpus fixture changed; the q_text_semdedup oracle recomputes " +
+        "independently, but re-derive THIS pin so the tripwire names " +
+        "the new set")
     spark.catalog.clearCache()
   }
 
