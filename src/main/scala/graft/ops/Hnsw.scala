@@ -719,13 +719,48 @@ object Hnsw {
     nodesDf.select(col("id").as("__cid"), col("id").as("neighbor_id"),
       Similarity.toDoubleVec(col("vec")).as("__cv"))
 
+  /** Candidate-set size above which the tombstone prune switches from
+    * a pushed-down IN literal (rides the parquet bloom written by
+    * [[tombstoneHnswIndex]] — row groups skip at the scan) to a
+    * driver Bloom + broadcast semi-join (the
+    * [[graft.ops.BloomJoin]] convention for big key sets). */
+  private val TombstonePushLimit = 2048L
+
+  /** Total bytes of an index's tombstone list (0 if none) — the cheap
+    * fs-listing stat that decides whether a probe prunes the list
+    * before its anti-join. */
+  private def tombstoneBytes(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try { if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L }
+    catch { case _: java.io.IOException => 0L }
+  }
+
   /** The probe kernel shared verbatim by [[hnswTopKIndexed]] and
     * [[HnswHandle.topK]] (ONE implementation, so the handle's answers
     * can never drift from the one-shot probe's): broadcast the
     * collected queries into every shard graph's beam search, union the
     * per-shard candidates, exact-cosine re-rank in doubles, tombstone
     * anti-join (read LIVE — a delete applies to a held handle
-    * immediately), family heap top-k. */
+    * immediately), family heap top-k.
+    *
+    * Tombstone anti-join at scale (r12): a small tombstone list (the
+    * common case, ≤ `graft.hnsw.tombstonePruneBytes`, default 8 MiB)
+    * broadcast-anti-joins directly. Past the threshold — deletes at
+    * index scale after heavy RTBF — the big side must never shuffle or
+    * broadcast: the probe's candidate set is BOUNDED
+    * (≤ |queries|·shards·max(k, efSearch)), so the tombstone list is
+    * first pruned down to candidates that could actually die — a
+    * pushed-down IN literal when the candidate set is small (row
+    * groups skip via the parquet bloom the tombstone writer lays
+    * down), a driver Bloom + one broadcast semi-join stream over the
+    * list otherwise — and the anti-join's build side becomes
+    * candidate-bounded. Results are identical on every tier
+    * (spec-pinned); the candidate frame is persisted on the pruned
+    * path because two plans consume it (Spark's ContextCleaner frees
+    * it when the probe's plan is dropped — the caller-owned cache
+    * contract of [[graft.ops.Packing.withPrefixSum]]). */
   private def probeKernel(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           graphs: org.apache.spark.rdd.RDD[ShardGraph],
@@ -738,7 +773,7 @@ object Hnsw {
       queryCollectLimit)
     val qB = spark.sparkContext.broadcast(qArr)
     val perShard = math.max(k, efSearch)
-    val cand = graphs
+    val cand0 = graphs
       .flatMap { g =>
         qB.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, perShard, efSearch).iterator
@@ -746,6 +781,32 @@ object Hnsw {
         }
       }
       .toDF("__qid", "__cid")
+    val pruneBytes = spark.conf
+      .get("graft.hnsw.tombstonePruneBytes", (8L << 20).toString).toLong
+    val prune = tombstoneBytes(spark, path) > pruneBytes
+    val cand = if (prune) cand0.persist() else cand0
+    val dead =
+      if (!prune) hnswTombstones(spark, path)
+      else {
+        val tomb = hnswTombstones(spark, path)
+        val candIds = cand.select(col("__cid")).distinct()
+        val nCand = candIds.count()
+        val pushLimit = spark.conf.get("graft.hnsw.tombstonePushLimit",
+          TombstonePushLimit.toString).toLong
+        if (nCand == 0L) tomb.limit(0)
+        else if (nCand <= pushLimit) {
+          val ids = candIds.as[Long].collect()
+          tomb.filter(col("__tomb").isin(ids: _*))
+        } else {
+          val bf = candIds.stat.bloomFilter("__cid", nCand, 0.01)
+          val bc = spark.sparkContext.broadcast(bf)
+          val might = udf((t: java.lang.Long) =>
+            t != null && bc.value.mightContainLong(t))
+          tomb.filter(might(col("__tomb")))
+            .join(broadcast(candIds),
+              col("__tomb") === col("__cid"), "left_semi")
+        }
+      }
     val q = queries.select(col(idCol).cast("long").as("__qid"),
       col(idCol).as("query_id"),
       Similarity.toDoubleVec(col(vecCol)).as("__qv"))
@@ -754,9 +815,9 @@ object Hnsw {
       .join(broadcast(q), Seq("__qid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // the delete lifecycle: a tombstoned id is dead to every query,
-      // below the scoring kernel (broadcast-sized anti-join)
-      .join(hnswTombstones(spark, path),
-        col("__cid") === col("__tomb"), "left_anti")
+      // below the scoring kernel — `dead` is broadcast-sized on every
+      // tier (the full small list, or the candidate-bounded prune)
+      .join(dead, col("__cid") === col("__tomb"), "left_anti")
       .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
     Similarity.heapTopK(scored, k, org.apache.spark.sql.types.LongType)
   }
@@ -952,7 +1013,13 @@ object Hnsw {
         s"${ids.schema(idCol).dataType}: tombstones match through a " +
         "long cast, which yields null (matches nothing) otherwise")
     ids.select(col(idCol).cast("long").as("__tomb")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append")
+      // a parquet bloom on the id lets a probe's small-candidate-set
+      // pushdown (IN literal) skip row groups when the tombstone list
+      // has grown to index scale — see the probeKernel prune tiers
+      .option("parquet.bloom.filter.enabled#__tomb", "true")
+      .option("parquet.bloom.filter.expected.ndv#__tomb", "1000000")
+      .parquet(s"$path/tombstones")
   }
 
   /** True iff any of `ids` is a node of the index — the

@@ -67,7 +67,11 @@ object Scaling {
     // round-11: KMV/theta sketches over events (the one new-op input
     // that actually scales with SF) — build is a dedup shuffle + a
     // WindowGroupLimit top-k, so the ratio should track events rows
-    "q_theta_sketch")
+    "q_theta_sketch",
+    // round-12: the three window-funnel rewrites (distributed range
+    // rank over bounded domains) — their whole point is linear
+    // scaling regardless of domain skew, so they stand watch here
+    "q_curriculum", "q_ntile", "q_percent_rank")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

@@ -1193,6 +1193,41 @@ object Stress {
     }
     assertNoFunnel("hnsw-persisted-lifecycle")
 
+    // r12: deletes at INDEX scale — tombstone 10% of the 200k corpus
+    // and probe through the pruned tombstone path (forced via conf,
+    // since 20k longs sit below the default 8 MiB threshold). The
+    // pruned probe must answer bit-identically to the direct
+    // anti-join while never shuffling or broadcasting the tombstone
+    // list (candidate-bounded Bloom semi-join — the 100 TB shape for
+    // post-RTBF indexes).
+    tme("hnsw mass-tombstone probe prune (20k dead of 200k)") {
+      import graft.ops.Hnsw
+      Hnsw.tombstoneHnswIndex(
+        hnswCorpus.filter(col("vec_id") % 10 === 3L).select(col("vec_id")),
+        "vec_id", hnswIdx)
+      def top1(): Map[Long, Seq[Long]] =
+        Hnsw.hnswTopKIndexed(spark, hnswIdx, hnswQ, "vec_id",
+          "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .as[(Long, Long, Int)].collect()
+          .groupBy(_._1).map { case (q, rs) =>
+            q -> rs.sortBy(_._3).map(_._2).toSeq
+          }
+      val d0 = System.nanoTime(); val direct = top1()
+      val directSec = (System.nanoTime() - d0) / 1e9
+      spark.conf.set("graft.hnsw.tombstonePruneBytes", "0")
+      try {
+        val p0 = System.nanoTime(); val pruned = top1()
+        val prunedSec = (System.nanoTime() - p0) / 1e9
+        assert(pruned == direct,
+          "pruned tombstone probe diverged from the direct anti-join")
+        assert(direct.nonEmpty)
+        println(f"[stress] hnsw mass-tombstone: ${direct.size} queries, " +
+          f"direct $directSec%.1fs, pruned $prunedSec%.1fs (bloom tier)")
+      } finally spark.conf.unset("graft.hnsw.tombstonePruneBytes")
+    }
+    assertNoFunnel("hnsw-tombstone-prune")
+
     // ---- 23. sink-corpus purge at volume (r11) ------------------------
     // 400k rows across 20 ingest batches (the streaming sinks'
     // published layout, written directly — the layout is the

@@ -107,6 +107,42 @@ class HnswIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/live/tombstones")))
   }
 
+  test("tombstone-prune tiers answer bit-identically to the direct " +
+    "anti-join: pushed-IN, driver-Bloom semi-join, and direct paths " +
+    "agree on a 25%-tombstoned index (r12: index-scale delete sets " +
+    "must never shuffle or broadcast the tombstone list)") {
+    val dir = s"${fresh("prune")}/idx"
+    val corpus = synthVectors(600, 16)
+    val q = synthVectors(600, 16).filter(col("vec_id") % 29 === 0)
+    Hnsw.saveHnswIndex(corpus, "vec_id", "embedding", dir,
+      m = 6, efConstruction = 24, nShards = 3)
+    // kill every 4th id — deletes at a scale where probes must prune
+    Hnsw.tombstoneHnswIndex(
+      corpus.filter(col("vec_id") % 4 === 0L).select(col("vec_id")),
+      "vec_id", dir)
+    def probe(): Set[(Long, Long, Int, Double)] =
+      Hnsw.hnswTopKIndexed(spark, dir, q, "vec_id", "embedding",
+        k = 5, efSearch = 24)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    def withConf[A](kv: (String, String)*)(f: => A): A = {
+      kv.foreach { case (c, v) => spark.conf.set(c, v) }
+      try f finally kv.foreach { case (c, _) => spark.conf.unset(c) }
+    }
+    val direct = probe() // default threshold: tiny list, direct join
+    assert(direct.nonEmpty)
+    assert(direct.forall { case (_, nbr, _, _) => nbr % 4 != 0L },
+      "a tombstoned id was returned")
+    // force the pruned path; candidate set small → pushed-IN tier
+    val pushed = withConf(
+      "graft.hnsw.tombstonePruneBytes" -> "0")(probe())
+    // force the pruned path AND the Bloom tier (push limit 1)
+    val bloomed = withConf(
+      "graft.hnsw.tombstonePruneBytes" -> "0",
+      "graft.hnsw.tombstonePushLimit" -> "1")(probe())
+    assert(pushed == direct, "pushed-IN tier diverged from direct")
+    assert(bloomed == direct, "Bloom tier diverged from direct")
+  }
+
   test("dimensionality is recorded at save and enforced loudly on " +
     "append and probe") {
     val dir = s"${fresh("dim")}/idx"
