@@ -34,6 +34,25 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Fixed CPU-bound calibration kernel — the SAME single-threaded
+    * 300M-step fmix64 chain every round, so cross-round bench
+    * comparisons can normalize host speed from the artifact alone
+    * (the r10 and r11 "regressions" both adjudicated to host drift,
+    * each needing manual old-tree control runs; `calib_sec` makes the
+    * drift readable off BENCH_r{N}.json directly). Serial on purpose:
+    * it measures per-core speed, not scheduler luck. */
+  private def calibrate(): Double = {
+    var h = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 300000000) {
+      h = graft.functions.FastHash.fmix64(h + i); i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (h == 0) System.err.println("calib sink") // defeat dead-code elim
+    dt
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
@@ -54,6 +73,9 @@ object Bench {
     // whichever query happens to sort first
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }
+    // host-speed calibration: median of 3, AFTER the JVM warmup read
+    // (JIT) and BEFORE any query work competes for cores
+    val calib = median(Seq.fill(3)(calibrate()))
     // optional comma-separated query filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -109,7 +131,7 @@ object Bench {
     // (bench_full.json) so nothing verdict-relevant depends on the
     // driver's truncated tail capture.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"calib_sec":$calib,"sf":"$sfDir"}"""
     println(fullJson)
     // a filtered profiling run must never clobber the full-map artifact
     // (a 6-query bench_full.json once shipped exactly that way)
@@ -134,7 +156,7 @@ object Bench {
         println(s"""{"metric":"top40.$i","wall":$entries}""")
     }
     val cpuSum = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"calib_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -232,8 +232,21 @@ object Audits {
    * counterpart of Laplace noise): per group, `noisy_n = count +
    * (G1 − G2)` where G1, G2 are iid geometric(α = 2^−`alphaLog2`)
    * draws, giving the two-sided-geometric (discrete Laplace)
-   * distribution that is ε-DP for sensitivity-1 counting queries at
+   * distribution for sensitivity-1 counting queries at
    * **ε = alphaLog2 · ln 2** (default ln 2 ≈ 0.693).
+   *
+   * Privacy contract, stated precisely: the draws come from 31-bit
+   * integer fields, so each geometric is TRUNCATED at
+   * j ≤ 31/alphaLog2 (see [[geomDraw]]) — outputs beyond that radius
+   * have probability zero, which an unbounded two-sided geometric
+   * never has. The release is therefore **(ε, δ)-DP with
+   * δ ≈ 2·2^−31 ≈ 9.3e−10** (each side's truncated tail mass), not
+   * pure ε-DP: a pair of adjacent datasets can differ with likelihood
+   * ratio ∞ only on the zero-probability extreme outputs, and the
+   * total mass of those events is bounded by the truncated tails.
+   * Widening the fields would shrink δ geometrically; at 2^−31 it is
+   * far below the 1/n ≈ 1e−5-scale δ any release policy tolerates,
+   * but the claim recorded here is the truncated one.
    *
    * The noise is PRG-seeded, not physically random — the production
    * DP deployment model (the seed is the secret; publish nothing
