@@ -24,7 +24,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *    read it, and it only ages out at `leaseMs` — a wedged lock
  *    (observed live in stress leg 18, r11). Writing the pair ONCE
  *    under a contention-free unique name and renaming keeps data+crc
- *    consistent at every instant.
+ *    consistent through a SINGLE claim; two claims racing the rename
+ *    itself can still interleave one's data with the other's crc
+ *    (the checksum fs renames them as two steps) — that residue is
+ *    healed by the unreadable-grace break below instead of wedging
+ *    the lock for the term.
  *    The explicit ABSENT check before the rename is what makes the
  *    claim no-clobber on EVERY deployment: `fs.rename` onto an
  *    existing file is NOT uniformly refused — HDFS refuses it, Hive's
@@ -69,6 +73,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  */
 private[graft] object Lease {
 
+  /** How long a lease may read as garbled/empty before any waiter may
+    * break it regardless of lease-term staleness — long enough that a
+    * live claim's mid-rename window (microseconds, fresh mtime) and a
+    * reader's retried transient hiccups can never qualify, short
+    * enough that a torn data/crc pair (racing claims) or a crashed
+    * mid-claim writer heals in about a second instead of wedging the
+    * lock for the whole term. */
+  private val UnreadableGraceMs = 1000L
+
   /** Acquire the lease at `lock`, returning the owner token; throws
     * after `timeoutMs` of contention. A lease file older than
     * `leaseMs` (by fs mtime) is broken as crashed. */
@@ -85,14 +98,26 @@ private[graft] object Lease {
       // token is ours, not contention
       st.foreach { case (_, c) => if (c.startsWith(token)) return token }
       // stale = fs-mtime aged past leaseMs: break by rename-to-
-      // unique-tombstone. A garbled/empty lease (crashed mid-claim)
-      // simply AGES OUT like any other — breaking it eagerly would
-      // race a live claimant's in-flight rename. The re-read
-      // immediately before narrows the decide-vs-act window, and the
-      // holder's own fencing re-verify is the backstop for what no
-      // raw filesystem can make atomic.
-      st.foreach { case (mtime, _) =>
-        if (now - mtime > leaseMs &&
+      // unique-tombstone. A lease that reads as GARBLED/EMPTY is
+      // additionally breakable after a short grace (UnreadableGraceMs
+      // since its last mtime): nobody can own an unreadable lease —
+      // owner tokens are non-empty and a live holder's pair is
+      // consistent — so it is either a crashed claimant or a TORN
+      // data/crc pair from two claimants passing the absent-check in
+      // the same instant (ChecksumFileSystem renames the data file
+      // and its .crc sibling as two separate steps, so racing renames
+      // can interleave one's data with the other's crc — observed
+      // under the contended-handoff spec on a loaded host). Waiting
+      // out the full leaseMs for those (the r11 behavior) wedges the
+      // lock for the whole term. The grace keeps live claims safe: a
+      // mid-rename window is microseconds and carries a FRESH mtime,
+      // and content() has already retried transient read hiccups; the
+      // double-stat (same mtime) narrows decide-vs-act, and the
+      // holder's fencing re-verify is the backstop for what no raw
+      // filesystem can make atomic.
+      st.foreach { case (mtime, c) =>
+        val tornTooLong = c.isEmpty && now - mtime > UnreadableGraceMs
+        if ((now - mtime > leaseMs || tornTooLong) &&
           statusAndContent(fs, lock).exists(_._1 == mtime)) {
           val tomb = new Path(lock.getParent,
             s".${lock.getName}.broken.$token")

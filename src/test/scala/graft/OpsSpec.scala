@@ -4187,6 +4187,28 @@ class OpsSpec extends SparkSpec {
     assert(Lease.holds(fs, lock, tok))
     Lease.release(fs, lock, tok)
     assert(!fs.exists(lock))
+    // r12: a torn pair with a FRESH mtime and staleness DISABLED must
+    // still heal (the unreadable-grace break): two claims racing the
+    // rename itself can interleave one's data with the other's crc,
+    // and waiting out the full term wedged the contended-handoff spec
+    // on a loaded host. Nobody can own an unreadable lease, so ~1 s
+    // of continuous unreadability is proof of tear/crash, not a race.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "lock"),
+      "torn-fresh 456".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".lock.crc"),
+      Array[Byte]('c', 'r', 'c', 0, 0, 0, 0, 2, 9, 9, 9, 9))
+    val t0 = System.currentTimeMillis()
+    val tok2 = Lease.acquire(fs, lock, timeoutMs = 15000L,
+      leaseMs = 3600000L)
+    val healMs = System.currentTimeMillis() - t0
+    assert(Lease.holds(fs, lock, tok2))
+    assert(healMs < 10000L,
+      s"fresh torn pair took ${healMs}ms to heal — the unreadable-" +
+        "grace break should clear it in about a second")
+    Lease.release(fs, lock, tok2)
+    assert(!fs.exists(lock))
     // contended handoffs: 8 threads x 12 acquire/release cycles on one
     // lock, staleness breaks DISABLED (huge leaseMs) — under the old
     // create-exclusive claim this tore a data/crc pair within a few
