@@ -48,6 +48,20 @@ import org.apache.spark.sql.functions._
  */
 object Hnsw {
 
+  // candidate frames persisted by the pruned-tombstone probe path,
+  // whose plans have been handed to callers (the probe result reads
+  // them) — the [[Retrieval]] CacheRegistry convention, so a
+  // long-lived serving session releases explicitly instead of waiting
+  // on ContextCleaner timing (r12 verdict hygiene note)
+  private val liveCaches = new CacheRegistry
+
+  /** Unpersist every candidate cache handed out by the pruned probe
+    * path. Call after the previous probe's results are consumed;
+    * plans returned earlier recompute correctly (the beam search over
+    * the persisted shard graphs is deterministic), just slower, if
+    * re-evaluated afterwards. */
+  def releaseCaches(): Unit = liveCaches.releaseAll()
+
   /** splitmix64 — the id→level mix (deterministic "randomness"). */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -758,9 +772,9 @@ object Hnsw {
     * list otherwise — and the anti-join's build side becomes
     * candidate-bounded. Results are identical on every tier
     * (spec-pinned); the candidate frame is persisted on the pruned
-    * path because two plans consume it (Spark's ContextCleaner frees
-    * it when the probe's plan is dropped — the caller-owned cache
-    * contract of [[graft.ops.Packing.withPrefixSum]]). */
+    * path because two plans consume it, and registered so
+    * [[releaseCaches]] can free it explicitly between probes
+    * (ContextCleaner remains the fallback when the plan is dropped). */
   private def probeKernel(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           graphs: org.apache.spark.rdd.RDD[ShardGraph],
@@ -784,7 +798,7 @@ object Hnsw {
     val pruneBytes = spark.conf
       .get("graft.hnsw.tombstonePruneBytes", (8L << 20).toString).toLong
     val prune = tombstoneBytes(spark, path) > pruneBytes
-    val cand = if (prune) cand0.persist() else cand0
+    val cand = if (prune) liveCaches.add(cand0.persist()) else cand0
     val dead =
       if (!prune) hnswTombstones(spark, path)
       else {

@@ -82,6 +82,17 @@ private[graft] object Lease {
     * lock for the whole term. */
   private val UnreadableGraceMs = 1000L
 
+  /** Test-only stall injection (r12 verdict #1): invoked with the
+    * claimant's token between its observed-ABSENT check and its claim
+    * rename — the residual steal window no raw filesystem can close
+    * (POSIX rename(2) silently clobbers; there is no atomic no-clobber
+    * rename to build on). The stall spec parks a claimant here while
+    * another claims and holds, then proves the displaced holder's
+    * pre-mutation FENCE (not the lease protocol itself) is what keeps
+    * exactly one mutation committing. Default no-op; never set outside
+    * tests. */
+  @volatile private[graft] var stallBeforeRename: String => Unit = _ => ()
+
   /** Acquire the lease at `lock`, returning the owner token; throws
     * after `timeoutMs` of contention. A lease file older than
     * `leaseMs` (by fs mtime) is broken as crashed. */
@@ -138,8 +149,10 @@ private[graft] object Lease {
           val out = fs.create(tmp, false)
           try out.write(s"$token $now".getBytes("UTF-8"))
           finally out.close()
-          !fs.exists(lock) &&
+          !fs.exists(lock) && {
+            stallBeforeRename(token)
             scala.util.Try(fs.rename(tmp, lock)).getOrElse(false)
+          }
         } catch { case _: java.io.IOException => false }
       if (!created) scala.util.Try(fs.delete(tmp, false))
       if (created) {

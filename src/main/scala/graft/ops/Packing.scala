@@ -16,6 +16,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  */
 object Packing {
 
+  // persisted range layouts whose plans have been handed to callers
+  // ([[withPrefixSum]], [[boundedDomainRank]], and
+  // [[Timeseries.mergeIntervals]]'s sweep share this registry). The
+  // registry makes the caller-owned cache contract self-enforcing for
+  // long-lived sessions: one [[releaseCaches]] sweep instead of
+  // waiting on ContextCleaner timing (r12 verdict hygiene note).
+  private val liveCaches = new CacheRegistry
+  private[graft] def registerCache(df: DataFrame): DataFrame =
+    liveCaches.add(df)
+
+  /** Unpersist every range layout handed out by the prefix-sum/rank
+    * family. UNLIKE the [[Retrieval]] caches, these persists are
+    * pinned by CORRECTNESS, not speed: the partition base offsets
+    * baked into each returned plan were collected from the persisted
+    * layout, and a re-evaluation after release would re-sample the
+    * range boundaries (the sampler is seeded per execution) and could
+    * stamp offsets against a shifted layout. Release is therefore
+    * END-OF-LIFE for the returned plans — call it only after their
+    * results are fully consumed (written, collected, or copied), as
+    * Verify/Bench do via `clearCache()` between queries. */
+  def releaseCaches(): Unit = liveCaches.releaseAll()
+
   /**
    * Exclusive prefix sum of `weightCol` in `orderCol` order, added as
    * `cumCol` (LongType). The classic two-pass construction:
@@ -43,10 +65,12 @@ object Packing {
    * pass never unboxes a null.
    *
    * Cache contract (caller-owned, like [[TextDedup]]): the ranged
-   * layout stays persisted because the returned plan reads it; callers
-   * running many pipelines in one session should
-   * `spark.catalog.clearCache()` between them (as Verify/Bench do) or
-   * rely on LRU eviction (costs recompute, never correctness).
+   * layout stays persisted because the returned plan reads it — the
+   * baked-in partition base offsets are only valid against THAT
+   * materialization. Long-lived sessions call [[releaseCaches]] once
+   * the results are consumed (or `spark.catalog.clearCache()`, as
+   * Verify/Bench do); release is end-of-life for the returned plan
+   * (see [[releaseCaches]]).
    */
   def withPrefixSum(df: DataFrame, orderCol: String, weight: Column,
                     cumCol: String): DataFrame = {
@@ -64,6 +88,7 @@ object Packing {
       .sortWithinPartitions(col(orderCol).asc)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    registerCache(ranged)
     val totals = ranged.groupBy(col("__pid"))
       .agg(sum(col("__w")).as("__tot")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -217,7 +242,8 @@ object Packing {
    * out shards.
    *
    * Cache contract (caller-owned, like [[withPrefixSum]]): the ranged
-   * layout stays persisted because the returned plan reads it.
+   * layout stays persisted because the returned plan reads it;
+   * [[releaseCaches]] frees it once the results are consumed.
    *
    * Output: input columns + (domain_idx, domain_rank, global_pos).
    */
@@ -306,7 +332,8 @@ object Packing {
    * domain count.
    *
    * Cache contract (caller-owned, like [[withPrefixSum]]): the ranged
-   * layout stays persisted because the returned plan reads it.
+   * layout stays persisted because the returned plan reads it;
+   * [[releaseCaches]] frees it once the results are consumed.
    */
   private[graft] def boundedDomainRank(df: DataFrame, domainCol: String,
       orderCols: Seq[Column]): (DataFrame, Long) = {
@@ -329,6 +356,7 @@ object Packing {
       .sortWithinPartitions(order: _*)
       .withColumn("__mono", monotonically_increasing_id())
       .persist()
+    registerCache(ranged)
     val parts = ranged
       .groupBy(shiftright(col("__mono"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mono")).as("__mstart"))

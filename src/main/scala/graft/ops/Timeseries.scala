@@ -276,37 +276,125 @@ object Timeseries {
    * session windows, and any other "union these ranges" need.
    * Degenerate spans (end ≤ start) are dropped up front.
    *
-   * Islands form under the (start, end) order: a span starts a new
-   * island iff its start exceeds the running max end of every
-   * preceding span. Tied starts always intersect each other, so the
-   * MERGED output is a pure function of the span SET — tie order can
-   * relabel island ids but never change the grouped rows.
+   * Implementation is a DISTRIBUTED SWEEP LINE, not a per-key window:
+   * `Window.partitionBy(key)` holds each key's entire span set in one
+   * task, so a bounded-cardinality key (a handful of redaction
+   * categories, a fixed shard count) funnels at 100 TB — the defect
+   * class the r12 plan audit closed for ranks, surfaced HERE by the
+   * r13 empirical audit (the gate's mod-50 key measured 10× group
+   * bloat on the sf0.01→sf0.1 step). Instead each span becomes two
+   * events (+1 at start, −1 at end); in (key, pos, starts-first)
+   * order the GLOBAL running sum of deltas equals the per-key
+   * open-span count with no per-key reset (each key's deltas are
+   * zero-sum, and a key's first event is always a start), an island
+   * opens exactly where that count rises from 0, and island ids are
+   * the running count of openings. Both running values come from one
+   * range-partitioned, partition-sorted layout via seeded
+   * per-partition scans (the [[Packing.withPrefixSum]] construction:
+   * persist the layout, collect ≤nParts per-partition totals, stream
+   * each partition with its base) — every task holds ~events/nParts
+   * regardless of key skew, and the only other shuffle is the
+   * map-side-combined island aggregate on a data-scale key.
    *
-   * Scale: two keyed windows (running max + running flag sum) and one
-   * aggregate, all partitioned by key — a key costs its own sort,
-   * nothing crosses keys, no global window.
+   * Tied starts always intersect each other, so the MERGED output is
+   * a pure function of the span SET — tie order within a partition
+   * can relabel island ids but never change the grouped rows (ids are
+   * dropped at output). Start/end bounds are coerced to one common
+   * type by the event union (identical inputs ⇒ identical output
+   * types).
    *
    * Output: (keyCol, startCol, endCol, n_spans) — one row per merged
    * island.
+   *
+   * Cache contract: the event layout persists because the returned
+   * plan reads it; [[Packing.releaseCaches]] frees it once results
+   * are consumed (end-of-life for the plan — see there).
    */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
                      endCol: String): DataFrame = {
+    val spark = df.sparkSession
     val base = df.filter(col(keyCol).isNotNull && col(startCol).isNotNull &&
       col(endCol).isNotNull && col(endCol) > col(startCol))
-    val order = Seq(col(startCol).asc, col(endCol).asc)
-    val wPrev = Window.partitionBy(col(keyCol)).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(col(keyCol)).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    base
-      .withColumn("__pmax", max(col(endCol)).over(wPrev))
-      .withColumn("__new",
-        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
-          .otherwise(0L))
-      .withColumn("__island", sum(col("__new")).over(wRun))
+    val events = base
+      .select(col(keyCol), explode(array(
+        struct(col(startCol).as("__pos"), lit(1).as("__d")),
+        struct(col(endCol).as("__pos"), lit(-1).as("__d")))).as("__ev"))
+      .select(col(keyCol), col("__ev.__pos").as("__pos"),
+        col("__ev.__d").as("__d"))
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // starts sort BEFORE ends at equal pos (__d desc), so touching
+    // spans never see the count hit zero between them
+    val order = Seq(col(keyCol).asc, col("__pos").asc, col("__d").desc)
+    val ranged = events
+      .repartitionByRange(nParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    Packing.registerCache(ranged)
+    val pIdx = ranged.schema.fieldIndex("__pid")
+    val dIdx = ranged.schema.fieldIndex("__d")
+    val kIdx = ranged.schema.fieldIndex(keyCol)
+    val posIdx = ranged.schema.fieldIndex("__pos")
+    // pass 1: per-partition delta totals -> open-span count seeds
+    val sums = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__d")).as("__s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cBase = new Array[Long](nParts + 1)
+    (0 until nParts).foreach(i =>
+      cBase(i + 1) = cBase(i) + sums.getOrElse(i, 0L))
+    val bcC = spark.sparkContext.broadcast(cBase)
+    // pass 2: per-partition opening counts GIVEN the seeds -> island
+    // id bases (openings need the running count, so they can only be
+    // counted once the count seeds exist)
+    import spark.implicits._
+    val opens = ranged.mapPartitions { it =>
+      val cb = bcC.value
+      val acc = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      var cur = -1
+      var c = 0L
+      it.foreach { r =>
+        val pid = r.getInt(pIdx)
+        if (pid != cur) { cur = pid; c = cb(pid); acc.getOrElseUpdate(pid, 0L) }
+        val d = r.getInt(dIdx)
+        if (d == 1 && c == 0L) acc(pid) += 1L
+        c += d
+      }
+      acc.iterator
+    }.collect().toMap
+    val iBase = new Array[Long](nParts + 1)
+    (0 until nParts).foreach(i =>
+      iBase(i + 1) = iBase(i) + opens.getOrElse(i, 0L))
+    val bcI = spark.sparkContext.broadcast(iBase)
+    // pass 3: stamp island ids (globally unique — openings never occur
+    // strictly inside an island, and a key's first event is an
+    // opening, so ids cannot leak across keys)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      ranged.schema(keyCol), ranged.schema("__pos"), ranged.schema("__d"),
+      org.apache.spark.sql.types.StructField("__island",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val stamped = ranged.mapPartitions { it =>
+      val cb = bcC.value
+      val ib = bcI.value
+      var cur = -1
+      var c = 0L
+      var isl = 0L
+      it.map { r =>
+        val pid = r.getInt(pIdx)
+        if (pid != cur) { cur = pid; c = cb(pid); isl = ib(pid) }
+        val d = r.getInt(dIdx)
+        if (d == 1 && c == 0L) isl += 1L
+        c += d
+        org.apache.spark.sql.Row(r.get(kIdx), r.get(posIdx), d, isl)
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema))
+    // an island's first event is its opening and its last the close
+    // that returns the count to zero, so min/max pos are the bounds;
+    // n_spans counts the start events
+    stamped
       .groupBy(col(keyCol), col("__island"))
-      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
-        count(lit(1)).as("n_spans"))
+      .agg(min(col("__pos")).as(startCol), max(col("__pos")).as(endCol),
+        sum(when(col("__d") === 1, 1L).otherwise(0L)).as("n_spans"))
       .select(col(keyCol), col(startCol), col(endCol), col("n_spans"))
   }
 }

@@ -141,6 +141,19 @@ class HnswIndexSpec extends SparkSpec {
       "graft.hnsw.tombstonePushLimit" -> "1")(probe())
     assert(pushed == direct, "pushed-IN tier diverged from direct")
     assert(bloomed == direct, "Bloom tier diverged from direct")
+    // r12 verdict #4: the pruned path's candidate persists release in
+    // one sweep once results are consumed (collected above) — a
+    // serving loop must not rely on ContextCleaner timing
+    def rddIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = rddIds
+    val again = withConf(
+      "graft.hnsw.tombstonePruneBytes" -> "0")(probe())
+    assert(again == direct)
+    assert((rddIds -- before).nonEmpty,
+      "pruned probe must persist its candidate frame while live")
+    Hnsw.releaseCaches()
+    assert(rddIds.subsetOf(before),
+      s"releaseCaches left candidate blocks: ${rddIds -- before}")
   }
 
   test("dimensionality is recorded at save and enforced loudly on " +

@@ -916,6 +916,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("prefix-sum/rank family persists release in one sweep: no " +
+    "lingering persisted block after results are consumed and " +
+    "releaseCaches() runs (r12 verdict #4 — the cache contract is " +
+    "self-enforcing, not ContextCleaner timing)") {
+    import graft.ops.{Packing, Timeseries}
+    // settle: async unpersists from earlier tests may still be in
+    // flight; snapshot only after the set is stable
+    def rddIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = rddIds
+    // three operators of the family, results fully consumed (collected)
+    val a = Packing.curriculumInterleave(
+      spark.range(500L).selectExpr("id",
+        "CAST(id % 3 AS STRING) AS dom", "id * 7 % 97 AS score"),
+      "id", "dom", "score")
+    assert(a.count() == 500L)
+    val b = Packing.withPrefixSum(
+      spark.range(300L).selectExpr("id", "id % 5 AS w"),
+      "id", col("w"), "cum")
+    assert(b.count() == 300L)
+    val c = Timeseries.mergeIntervals(
+      spark.range(400L).selectExpr("id % 4 AS k", "id AS s", "id + 3 AS e"),
+      "k", "s", "e")
+    assert(c.count() > 0L)
+    assert((rddIds -- before).nonEmpty,
+      "the family must persist its range layouts while plans are live")
+    Packing.releaseCaches()
+    assert(rddIds.subsetOf(before),
+      s"releaseCaches left persisted blocks: ${rddIds -- before}")
+  }
+
   test("equiDepthBuckets equals window ntile row for row — ragged " +
     "allocation, c<n domains — with a window-free plan") {
     import graft.ops.Packing
@@ -4257,6 +4287,61 @@ class OpsSpec extends SparkSpec {
       assert(!f.exists(lock),
         s"[$fsName] lock must be free after the last release")
     }
+  }
+
+  test("lease: a claimant stalled between its absent-check and its " +
+    "rename clobbers a live holder on a POSIX-rename filesystem, and " +
+    "the holder's pre-mutation FENCE is what keeps exactly one " +
+    "mutation committing (r12 verdict #1 — stall-injection proof of " +
+    "the documented backstop)") {
+    import graft.ops.Lease
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lease_stall").toString
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/lock")
+    val rawFs = new org.apache.hadoop.fs.RawLocalFileSystem()
+    rawFs.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val parked = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val aTok = new java.util.concurrent.atomic.AtomicReference[String]()
+    val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    try {
+      // park claimant A in the one window no raw filesystem can make
+      // atomic: AFTER it observed the lock absent, BEFORE its rename
+      Lease.stallBeforeRename = { _ => parked.countDown(); resume.await() }
+      val a = new Thread(() =>
+        try aTok.set(Lease.acquire(rawFs, lock,
+          timeoutMs = 60000L, leaseMs = 3600000L))
+        catch { case t: Throwable => aErr.set(t) })
+      a.start()
+      assert(parked.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "claimant A never reached the stall point")
+      // B claims (un-stalled) and enters its critical section
+      Lease.stallBeforeRename = _ => ()
+      val bTok = Lease.acquire(rawFs, lock,
+        timeoutMs = 60000L, leaseMs = 3600000L)
+      assert(Lease.holds(rawFs, lock, bTok),
+        "B must hold before the stalled rename lands")
+      // A resumes mid-hold: POSIX rename(2) silently overwrites B's
+      // LIVE lease — the residual steal the protocol comment documents
+      resume.countDown()
+      a.join(30000L)
+      assert(aErr.get() == null, s"stalled claimant died: ${aErr.get()}")
+      assert(aTok.get() != null &&
+        Lease.holds(rawFs, lock, aTok.get()),
+        "the stalled claimant's rename must clobber on the raw fs — " +
+          "if it cannot, this deployment needs no fence backstop")
+      // both sides believe they acquired; the FENCE (ownership
+      // re-verify immediately before the shared mutation) is the
+      // backstop: B's fails, A's passes — exactly one mutation commits
+      var commits = List.empty[String]
+      if (Lease.holds(rawFs, lock, bTok)) commits ::= "B"
+      if (Lease.holds(rawFs, lock, aTok.get())) commits ::= "A"
+      assert(commits == List("A"),
+        s"exactly one fenced mutation must commit, got: $commits")
+      Lease.release(rawFs, lock, aTok.get())
+      assert(!rawFs.exists(lock))
+    } finally Lease.stallBeforeRename = _ => ()
   }
 
   test("mineBitext evaluates each direction's scoring subtree exactly " +

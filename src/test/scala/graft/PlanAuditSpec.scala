@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -53,28 +54,6 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  // the r11 blind spot: the unpartitioned-window check passes ANY
-  // partitionBy textually — including `partitionBy(lit(1))` and a
-  // bounded-cardinality column like `lang`, both of which funnel data-
-  // scale row sets into one-task window partitions exactly like a
-  // global window (the curriculumInterleave `weak`). A window over a
-  // constant or bounded key is only scale-safe when an adjacent
-  // rank-limit lets Spark rewrite it into per-partition top-k
-  // (WindowGroupLimitExec caps every task at k rows BEFORE the
-  // window's shuffle). Cardinality can't be read off a plan, so the
-  // bounded-key list is declared: fixture columns whose value set is
-  // fixed by the schema, not the data volume.
-  private val BoundedCardinalityKeys = Set(
-    "lang", "language", "domain", "event_type", "l_returnflag",
-    "l_linestatus", "o_orderstatus", "o_orderpriority", "l_shipmode",
-    "r_name", "n_name", "face", "label", "tier", "qb")
-
-  private def boundedKey(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-    e.foldable || (e.references.nonEmpty &&
-      e.references.forall(a =>
-        BoundedCardinalityKeys.contains(a.name.toLowerCase)))
-
   /** A window whose INPUT is already capped by a rank/row limit is
     * scale-safe regardless of its partition key: WindowGroupLimitExec
     * caps every task at k rows before the window's shuffle, and
@@ -90,41 +69,162 @@ class PlanAuditSpec extends SparkSpec {
       case c: org.apache.spark.sql.execution.CollectLimitExec => c
     }.isDefined
 
-  /** A window is also safe when its INPUT was already collapsed by an
-    * aggregate keyed entirely on bounded-cardinality columns: the
-    * window then runs over a bounded table (≤ product of the bounded
-    * keys' value sets — q_quantile_rollup's per-(lang, qb) counts),
-    * and the data-scale reduction happened in the shuffle-parallel,
-    * map-side-combined aggregate, not the window. */
-  private def boundedAggInput(w: WindowExec): Boolean =
-    w.children.exists(_.collectFirst {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-        if a.groupingExpressions.nonEmpty &&
-          a.groupingExpressions.forall(g =>
-            g.references.nonEmpty && g.references.forall(r =>
-              BoundedCardinalityKeys.contains(r.name.toLowerCase))) => a
-    }.isDefined)
+  // ------------------------------------------------------------------
+  // The empirical bounded-window audit (r13, replacing r12's declared
+  // BoundedCardinalityKeys name list — the list caught q_ntile and
+  // q_percent_rank only because their keys happened to be on it; a
+  // funnel on an UNLISTED bounded key slipped through, and this audit
+  // promptly found one: q_merge_intervals' per-key gaps-and-islands
+  // window over a mod-50 key, since rewritten as a distributed sweep).
+  //
+  // Judgment is MEASURED, not declared: a window is scale-safe iff its
+  // average partition size stays ~constant as the data grows — growing
+  // keys (user_id, doc_id) absorb new rows into new groups, while a
+  // bounded key's groups each swallow the growth and become one-task
+  // row sets at 100 TB. Concretely, for every window not structurally
+  // limit-bounded, measure (child rows, partition-key groups) on
+  // sf0.001 and sf0.01:
+  //  - child rows < RowsFloor at sf0.01 → safe (the input itself is
+  //    fixture-bounded — e.g. a bounded-key aggregate beneath, the old
+  //    boundedAggInput exemption, now measured instead of declared);
+  //  - avg group size bloat across the 10× step < Bloat1 → safe
+  //    (measured safe plans sit at ≤1.01×);
+  //  - otherwise ESCALATE to the sf0.01→sf0.1 step: a true funnel
+  //    keeps growing linearly (q_merge_intervals measured 10.0×),
+  //    while a group whose CONTENT is capped by construction
+  //    saturates (q_stream_quantiles' per-window DDSketch bucket set
+  //    is bounded by the sketch grid: 7.1× on the first step decayed
+  //    to 2.5× on the second, en route to its asymptote). Flag iff
+  //    the second-step bloat ≥ Bloat2.
+  // ------------------------------------------------------------------
+  private val RowsFloor = 512L
+  private val Bloat1 = 1.8
+  private val Bloat2 = 4.0
+  private val sf001 = "/root/testdata/sf0.01"
+  private val sf01 = "/root/testdata/sf0.1"
 
-  test("every window partitioned only by constants or bounded-" +
-    "cardinality keys is limit-bounded or aggregate-bounded (r12: " +
-    "the audit that would have caught the r11 curriculum funnel, and " +
-    "did catch q_ntile and q_percent_rank)") {
-    val offenders = allNames.flatMap { name =>
-      plansOf(name).flatMap { plan =>
-        collectAll(plan) {
-          case w: WindowExec
-            if w.partitionSpec.nonEmpty &&
-              w.partitionSpec.forall(boundedKey) && !limitBounded(w) &&
-              !boundedAggInput(w) =>
-            s"$name:\n$w"
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    GlobalLimit, LocalLimit, Window => LWindow, WindowGroupLimit}
+  import org.apache.spark.sql.graftshim.PlanProbe
+
+  private def limitBoundedL(w: LWindow): Boolean =
+    w.child.collectFirst {
+      case g: WindowGroupLimit => g
+      case l: GlobalLimit => l
+      case l: LocalLimit => l
+    }.isDefined
+
+  /** The windows the measured audit must judge: partitioned, not
+    * structurally limit-bounded, from the OPTIMIZED logical plan
+    * (where InferWindowGroupLimit / LimitPushDownThroughWindow have
+    * already run). Unpartitioned windows are the separate structural
+    * test above. */
+  private def liveWindows(df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LWindow if w.partitionSpec.nonEmpty && !limitBoundedL(w) => w
+    }
+
+  // (rows, groups) measurements are cached by canonicalized
+  // (partitionSpec, child) so shared operators measure once per suite
+  private val measureCache =
+    scala.collection.mutable.HashMap[String, (Long, Long)]()
+
+  private def measure(w: LWindow): (Long, Long) = {
+    val key = w.partitionSpec.map(_.canonicalized).mkString(",") + "|" +
+      w.child.canonicalized.toString
+    measureCache.getOrElseUpdate(key, {
+      val rows = PlanProbe.ofRows(spark, w.child).count()
+      val groups = PlanProbe
+        .ofRows(spark, PlanProbe.distinctOf(w.partitionSpec, w.child))
+        .count()
+      (rows, groups)
+    })
+  }
+
+  private def avg(rg: (Long, Long)): Double =
+    if (rg._2 == 0) 0.0 else rg._1.toDouble / rg._2
+
+  /** Run the measured audit over one query builder; returns offender
+    * descriptions (empty = scale-safe). */
+  private def windowBloat(build: String => org.apache.spark.sql.DataFrame,
+                          label: String): Seq[String] = {
+    val small = liveWindows(build(sf0001))
+    if (small.isEmpty) return Nil
+    val big = liveWindows(build(sf001))
+    assert(big.size == small.size,
+      s"$label: window count differs across fixtures " +
+        s"(${small.size} at sf0.001 vs ${big.size} at sf0.01) — the " +
+        "audit matches windows positionally and needs a stable plan")
+    lazy val xl = liveWindows(build(sf01))
+    small.zip(big).zipWithIndex.flatMap { case ((ws, wb), i) =>
+      val pk = ws.partitionSpec.map(_.sql).mkString(", ")
+      val (rb, gb) = measure(wb)
+      if (rb < RowsFloor) None
+      else {
+        val bloat1 = { val a = avg(measure(ws)); if (a == 0) Double.MaxValue
+          else avg((rb, gb)) / a }
+        if (bloat1 < Bloat1) None
+        else {
+          assert(xl.size == small.size,
+            s"$label: window count differs at sf0.1")
+          val bloat2 = { val a = avg((rb, gb)); if (a == 0) Double.MaxValue
+            else avg(measure(xl(i))) / a }
+          if (bloat2 < Bloat2) None
+          else Some(f"$label window[$i] pk=[$pk]: avg group size grew " +
+            f"$bloat1%.2fx on sf0.001->sf0.01 and $bloat2%.2fx on " +
+            f"sf0.01->sf0.1 (rows=$rb, groups=$gb at sf0.01) — a " +
+            "bounded-key window partition is ONE task holding a " +
+            "data-scale row set")
         }
       }
     }
+  }
+
+  test("measured: no window's average partition size grows with the " +
+    "data (the empirical funnel audit — r13, catches bounded keys " +
+    "whatever they are named)") {
+    val offenders = allNames.flatMap { name =>
+      windowBloat(dir => SparkEntry.queries(name)(spark, dir), name)
+    }
     if (offenders.nonEmpty)
-      fail(s"${offenders.size} window(s) partition by a constant/" +
-        s"bounded-cardinality key with no group-limit — each window " +
-        s"partition is ONE task holding a data-scale row set:\n" +
+      fail(s"${offenders.size} window(s) measured as funnels:\n" +
         offenders.mkString("\n\n"))
+  }
+
+  test("measured audit flags a planted funnel on a key no declared " +
+    "list has ever named") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    def planted(dir: String) = {
+      val w = W.partitionBy(col("zebra_bucket")).orderBy(col("l_orderkey"))
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_partkey") % 7).as("zebra_bucket"),
+          col("l_orderkey"), col("l_quantity"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") > 1) // no rank-limit: nothing to group-cap
+    }
+    val off = windowBloat(planted, "planted")
+    assert(off.nonEmpty, "a 7-value key over a growing table must flag")
+    // and the same shape over a GROWING key must pass
+    def safe(dir: String) = {
+      val w = W.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") > 1)
+    }
+    assert(windowBloat(safe, "safe").isEmpty,
+      "a data-growing key must not flag")
+    // and a rank-limited window is structurally exempt before any
+    // measurement, even on a bounded key
+    def limited(dir: String) = {
+      val w = W.partitionBy(col("zebra_bucket")).orderBy(col("l_orderkey"))
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_partkey") % 7).as("zebra_bucket"), col("l_orderkey"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 3)
+    }
+    assert(liveWindows(limited(sf0001)).isEmpty,
+      "row_number<=k must compile to a WindowGroupLimit exemption")
   }
 
   test("no query plan contains a partitioned cartesian product") {
