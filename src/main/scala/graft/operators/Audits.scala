@@ -598,6 +598,12 @@ object Audits {
    * The cumulative walk is a window ORDERED BY bucket, partitioned by
    * the kept dims — bounded at the bucket-grid size (~2k rows/group),
    * never data-sized, so the no-unpartitioned-window rule is safe.
+   * The r13 empirical funnel audit measures exactly this: the
+   * per-group row count grows as the grid FILLS (7.1× on the
+   * sf0.001→0.01 step) but decays toward the grid asymptote (2.5× on
+   * the next 10× step) — the saturating signature its escalation
+   * step exists to clear, as opposed to a bounded-key funnel's
+   * sustained linear growth.
    *
    * Output: (keepDims…, q, n_rows, approx_value), one row per group
    * per requested quantile.

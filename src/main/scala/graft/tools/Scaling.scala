@@ -71,7 +71,11 @@ object Scaling {
     // round-12: the three window-funnel rewrites (distributed range
     // rank over bounded domains) — their whole point is linear
     // scaling regardless of domain skew, so they stand watch here
-    "q_curriculum", "q_ntile", "q_percent_rank")
+    "q_curriculum", "q_ntile", "q_percent_rank",
+    // round-13: the sweep-line interval merge (the empirical window
+    // audit's first catch) — same rewrite family, same watch: linear
+    // in events regardless of key cardinality
+    "q_merge_intervals")
 
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int): Double = {

@@ -81,9 +81,11 @@ class PlanAuditSpec extends SparkSpec {
   // average partition size stays ~constant as the data grows — growing
   // keys (user_id, doc_id) absorb new rows into new groups, while a
   // bounded key's groups each swallow the growth and become one-task
-  // row sets at 100 TB. Concretely, for every window not structurally
-  // limit-bounded, measure (child rows, partition-key groups) on
-  // sf0.001 and sf0.01:
+  // row sets at 100 TB. The same criterion covers unbounded-state
+  // AGGREGATES (collect_list/collect_set buffer every group row), so
+  // the audit judges both node kinds with one ruler. Concretely, for
+  // every suspect not structurally limit-bounded, measure (child rows,
+  // grouping-key groups) on sf0.001 and sf0.01:
   //  - child rows < RowsFloor at sf0.01 → safe (the input itself is
   //    fixture-bounded — e.g. a bounded-key aggregate beneath, the old
   //    boundedAggInput exemption, now measured instead of declared);
@@ -103,40 +105,66 @@ class PlanAuditSpec extends SparkSpec {
   private val sf001 = "/root/testdata/sf0.01"
   private val sf01 = "/root/testdata/sf0.1"
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
   import org.apache.spark.sql.catalyst.plans.logical.{
-    GlobalLimit, LocalLimit, Window => LWindow, WindowGroupLimit}
+    Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow, WindowGroupLimit}
   import org.apache.spark.sql.graftshim.PlanProbe
 
-  private def limitBoundedL(w: LWindow): Boolean =
-    w.child.collectFirst {
+  private def limitBoundedL(child: LogicalPlan): Boolean =
+    child.collectFirst {
       case g: WindowGroupLimit => g
       case l: GlobalLimit => l
       case l: LocalLimit => l
     }.isDefined
 
-  /** The windows the measured audit must judge: partitioned, not
-    * structurally limit-bounded, from the OPTIMIZED logical plan
-    * (where InferWindowGroupLimit / LimitPushDownThroughWindow have
-    * already run). Unpartitioned windows are the separate structural
-    * test above. */
-  private def liveWindows(df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+  /** A funnel suspect: a plan node whose per-group STATE is
+    * group-sized — a partitioned window (WindowExec materializes a
+    * window partition per task) or an aggregate carrying an
+    * unbounded-state function (collect_list/collect_set accumulate
+    * every group row in one buffer; sum/count/min_by are O(1) and
+    * percentile sketches are resolution-bounded, so only the Collect
+    * family qualifies). Both funnel identically under a bounded key:
+    * one task/buffer holding a data-scale row set. */
+  private case class Suspect(kind: String, keys: Seq[Expression],
+                             child: LogicalPlan) {
+    def describeKeys: String = keys.map(_.sql).mkString(", ")
+  }
+
+  /** The suspects the measured audit must judge, from the OPTIMIZED
+    * logical plan (where InferWindowGroupLimit /
+    * LimitPushDownThroughWindow have already run). Structurally
+    * limit-bounded inputs are exempt: a WindowGroupLimit beneath caps
+    * every group at k rows before the shuffle, a Limit caps the total.
+    * Unpartitioned windows are the separate structural test above;
+    * ungrouped collects stay IN scope (keys = Nil measures as one
+    * group). */
+  private def suspectsOf(df: org.apache.spark.sql.DataFrame): Seq[Suspect] =
     df.queryExecution.optimizedPlan.collectWithSubqueries {
-      case w: LWindow if w.partitionSpec.nonEmpty && !limitBoundedL(w) => w
+      case w: LWindow if w.partitionSpec.nonEmpty && !limitBoundedL(w.child) =>
+        Suspect("window", w.partitionSpec, w.child)
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.exists(e =>
+          e.isInstanceOf[CollectList] || e.isInstanceOf[CollectSet]))
+          && !limitBoundedL(a.child) =>
+        // NOT Collect[_]: CollectTopK is heap-bounded by construction
+        Suspect("collect-agg", a.groupingExpressions, a.child)
     }
 
   // (rows, groups) measurements are cached by canonicalized
-  // (partitionSpec, child) so shared operators measure once per suite
+  // (keys, child) so shared operators measure once per suite
   private val measureCache =
     scala.collection.mutable.HashMap[String, (Long, Long)]()
 
-  private def measure(w: LWindow): (Long, Long) = {
-    val key = w.partitionSpec.map(_.canonicalized).mkString(",") + "|" +
-      w.child.canonicalized.toString
+  private def measure(s: Suspect): (Long, Long) = {
+    val key = s.keys.map(_.canonicalized).mkString(",") + "|" +
+      s.child.canonicalized.toString
     measureCache.getOrElseUpdate(key, {
-      val rows = PlanProbe.ofRows(spark, w.child).count()
-      val groups = PlanProbe
-        .ofRows(spark, PlanProbe.distinctOf(w.partitionSpec, w.child))
-        .count()
+      val rows = PlanProbe.ofRows(spark, s.child).count()
+      val groups =
+        if (s.keys.isEmpty) 1L
+        else PlanProbe
+          .ofRows(spark, PlanProbe.distinctOf(s.keys, s.child)).count()
       (rows, groups)
     })
   }
@@ -146,49 +174,58 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Run the measured audit over one query builder; returns offender
     * descriptions (empty = scale-safe). */
-  private def windowBloat(build: String => org.apache.spark.sql.DataFrame,
+  // node kinds the inventory actually exercised — guards the matcher
+  // against silently rotting to vacuous coverage
+  private val seenKinds = scala.collection.mutable.HashSet[String]()
+
+  private def funnelBloat(build: String => org.apache.spark.sql.DataFrame,
                           label: String): Seq[String] = {
-    val small = liveWindows(build(sf0001))
+    val small = suspectsOf(build(sf0001))
+    small.foreach(s => seenKinds += s.kind)
     if (small.isEmpty) return Nil
-    val big = liveWindows(build(sf001))
+    val big = suspectsOf(build(sf001))
     assert(big.size == small.size,
-      s"$label: window count differs across fixtures " +
+      s"$label: suspect count differs across fixtures " +
         s"(${small.size} at sf0.001 vs ${big.size} at sf0.01) — the " +
-        "audit matches windows positionally and needs a stable plan")
-    lazy val xl = liveWindows(build(sf01))
-    small.zip(big).zipWithIndex.flatMap { case ((ws, wb), i) =>
-      val pk = ws.partitionSpec.map(_.sql).mkString(", ")
-      val (rb, gb) = measure(wb)
+        "audit matches nodes positionally and needs a stable plan")
+    lazy val xl = suspectsOf(build(sf01))
+    small.zip(big).zipWithIndex.flatMap { case ((ss, sb), i) =>
+      val (rb, gb) = measure(sb)
       if (rb < RowsFloor) None
       else {
-        val bloat1 = { val a = avg(measure(ws)); if (a == 0) Double.MaxValue
+        val bloat1 = { val a = avg(measure(ss)); if (a == 0) Double.MaxValue
           else avg((rb, gb)) / a }
         if (bloat1 < Bloat1) None
         else {
           assert(xl.size == small.size,
-            s"$label: window count differs at sf0.1")
+            s"$label: suspect count differs at sf0.1")
           val bloat2 = { val a = avg((rb, gb)); if (a == 0) Double.MaxValue
             else avg(measure(xl(i))) / a }
           if (bloat2 < Bloat2) None
-          else Some(f"$label window[$i] pk=[$pk]: avg group size grew " +
-            f"$bloat1%.2fx on sf0.001->sf0.01 and $bloat2%.2fx on " +
-            f"sf0.01->sf0.1 (rows=$rb, groups=$gb at sf0.01) — a " +
-            "bounded-key window partition is ONE task holding a " +
-            "data-scale row set")
+          else Some(f"$label ${ss.kind}[$i] keys=[${ss.describeKeys}]: " +
+            f"avg group size grew $bloat1%.2fx on sf0.001->sf0.01 and " +
+            f"$bloat2%.2fx on sf0.01->sf0.1 (rows=$rb, groups=$gb at " +
+            "sf0.01) — a bounded-key group is ONE task/buffer holding " +
+            "a data-scale row set")
         }
       }
     }
   }
 
-  test("measured: no window's average partition size grows with the " +
-    "data (the empirical funnel audit — r13, catches bounded keys " +
-    "whatever they are named)") {
+  test("measured: no window's or collect-aggregate's average group " +
+    "size grows with the data (the empirical funnel audit — r13, " +
+    "catches bounded keys whatever they are named)") {
     val offenders = allNames.flatMap { name =>
-      windowBloat(dir => SparkEntry.queries(name)(spark, dir), name)
+      funnelBloat(dir => SparkEntry.queries(name)(spark, dir), name)
     }
     if (offenders.nonEmpty)
-      fail(s"${offenders.size} window(s) measured as funnels:\n" +
+      fail(s"${offenders.size} node(s) measured as funnels:\n" +
         offenders.mkString("\n\n"))
+    assert(Set("window", "collect-agg").subsetOf(seenKinds.toSet),
+      s"matcher coverage rotted — kinds seen: $seenKinds (the " +
+        "inventory contains both partitioned windows and collect " +
+        "aggregates; an empty kind means the matcher stopped seeing " +
+        "them, not that they left the plans)")
   }
 
   test("measured audit flags a planted funnel on a key no declared " +
@@ -202,7 +239,7 @@ class PlanAuditSpec extends SparkSpec {
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") > 1) // no rank-limit: nothing to group-cap
     }
-    val off = windowBloat(planted, "planted")
+    val off = funnelBloat(planted, "planted")
     assert(off.nonEmpty, "a 7-value key over a growing table must flag")
     // and the same shape over a GROWING key must pass
     def safe(dir: String) = {
@@ -212,7 +249,7 @@ class PlanAuditSpec extends SparkSpec {
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") > 1)
     }
-    assert(windowBloat(safe, "safe").isEmpty,
+    assert(funnelBloat(safe, "safe").isEmpty,
       "a data-growing key must not flag")
     // and a rank-limited window is structurally exempt before any
     // measurement, even on a bounded key
@@ -223,8 +260,22 @@ class PlanAuditSpec extends SparkSpec {
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") <= 3)
     }
-    assert(liveWindows(limited(sf0001)).isEmpty,
+    assert(suspectsOf(limited(sf0001)).isEmpty,
       "row_number<=k must compile to a WindowGroupLimit exemption")
+    // the same funnel in AGGREGATE form: a collect_list over a bounded
+    // key is one buffer swallowing a data-scale group — the audit
+    // judges it with the same ruler (and this proves the aggregate
+    // matcher actually matches)
+    def plantedAgg(dir: String) =
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_partkey") % 7).as("zebra_bucket"),
+          col("l_orderkey"))
+        .groupBy(col("zebra_bucket"))
+        .agg(org.apache.spark.sql.functions
+          .collect_list(col("l_orderkey")).as("ids"))
+    val aggOff = funnelBloat(plantedAgg, "planted-agg")
+    assert(aggOff.nonEmpty && aggOff.head.contains("collect-agg"),
+      s"a bounded-key collect_list must flag as a funnel: $aggOff")
   }
 
   test("no query plan contains a partitioned cartesian product") {
