@@ -74,8 +74,15 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }
     // host-speed calibration: median of 3, AFTER the JVM warmup read
-    // (JIT) and BEFORE any query work competes for cores
-    val calib = median(Seq.fill(3)(calibrate()))
+    // (JIT) and BEFORE any query work competes for cores. A second
+    // sample is taken AFTER the queries and the operative calib_sec is
+    // the MIN of the two medians: contention only ever INFLATES the
+    // serial chain, so a transient spike spanning one ~5 s calibration
+    // window (observed live r13: start-median 1.95 vs 1.36 re-measured
+    // minutes later — a normalizer 43% off would misread the whole
+    // round as a speedup) is shed by whichever window ran clean; a
+    // genuinely slower host inflates BOTH windows and still reads true.
+    val calibStart = median(Seq.fill(3)(calibrate()))
     // optional comma-separated query filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -113,6 +120,8 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    val calibEnd = median(Seq.fill(3)(calibrate()))
+    val calib = math.min(calibStart, calibEnd)
     val results = queries.map { case (name, _) =>
       val st = state(name)
       val n = st.walls.size
@@ -131,7 +140,7 @@ object Bench {
     // (bench_full.json) so nothing verdict-relevant depends on the
     // driver's truncated tail capture.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"calib_sec":$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"calib_sec":$calib,"calib_sec_start":$calibStart,"calib_sec_end":$calibEnd,"sf":"$sfDir"}"""
     println(fullJson)
     // a filtered profiling run must never clobber the full-map artifact
     // (a 6-query bench_full.json once shipped exactly that way)
@@ -156,7 +165,7 @@ object Bench {
         println(s"""{"metric":"top40.$i","wall":$entries}""")
     }
     val cpuSum = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"calib_sec":$calib,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"calib_sec":$calib,"calib_sec_start":$calibStart,"calib_sec_end":$calibEnd,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -26,6 +26,16 @@ object Packing {
   private[graft] def registerCache(df: DataFrame): DataFrame =
     liveCaches.add(df)
 
+  // the base-offset broadcasts baked into the family's returned plans
+  // — destroyed on release so end-of-life is ENFORCED, not documented
+  private val liveBroadcasts = new java.util.concurrent
+    .ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
+  private[graft] def registerBroadcast[T](
+      b: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    liveBroadcasts.add(b); b
+  }
+
   /** Unpersist every range layout handed out by the prefix-sum/rank
     * family. UNLIKE the [[Retrieval]] caches, these persists are
     * pinned by CORRECTNESS, not speed: the partition base offsets
@@ -35,8 +45,19 @@ object Packing {
     * stamp offsets against a shifted layout. Release is therefore
     * END-OF-LIFE for the returned plans — call it only after their
     * results are fully consumed (written, collected, or copied), as
-    * Verify/Bench do via `clearCache()` between queries. */
-  def releaseCaches(): Unit = liveCaches.releaseAll()
+    * Verify/Bench do via `clearCache()` between queries — and the
+    * contract is ENFORCED: the base-offset broadcasts are destroyed
+    * with the caches, so a plan re-evaluated after release throws
+    * (destroyed broadcast) instead of silently ranking against a
+    * re-sampled layout. */
+  def releaseCaches(): Unit = {
+    liveCaches.releaseAll()
+    var b = liveBroadcasts.poll()
+    while (b != null) {
+      scala.util.Try(b.destroy())
+      b = liveBroadcasts.poll()
+    }
+  }
 
   /**
    * Exclusive prefix sum of `weightCol` in `orderCol` order, added as
@@ -98,7 +119,7 @@ object Packing {
       bases(i + 1) = bases(i) + totals.getOrElse(i, 0L)
       i += 1
     }
-    val bcBases = spark.sparkContext.broadcast(bases)
+    val bcBases = registerBroadcast(spark.sparkContext.broadcast(bases))
     val outSchema = StructType(
       ranged.schema.fields.filterNot(f => f.name == "__w" || f.name == "__pid")
         :+ StructField(cumCol, LongType, nullable = false))
@@ -315,15 +336,16 @@ object Packing {
    * single-task funnel when the domain column has few values. Here
    * the rank comes from the domain-major total order instead:
    * range-partition by (domain_idx, orderCols…) so partition i holds
-   * a contiguous ordered slice, stamp in-partition offsets
-   * (monotonically_increasing_id AFTER the in-partition sort, so it
-   * follows sorted order), lift them to a GLOBAL rank via per-
-   * partition base offsets (one ≤nParts collect — the
-   * `Merger.withDistributedRank` construction), then subtract the
-   * domain's start offset (rows in all lexicographically-earlier
-   * domains, from one bounded map-side-combined aggregate). Every
-   * task holds ~rows/nParts regardless of domain skew, and the rank
-   * is independent of where range-boundary sampling landed.
+   * a contiguous ordered slice, collect per-partition row counts
+   * (one ≤nParts collect), prefix them into partition base offsets,
+   * and stream each sorted partition with a running position seeded
+   * at its base — the position IS the global rank (the
+   * [[withPrefixSum]] seeded-scan construction, row-carried pids);
+   * then subtract the domain's start offset (rows in all
+   * lexicographically-earlier domains, from one bounded
+   * map-side-combined aggregate). Every task holds ~rows/nParts
+   * regardless of domain skew, and the rank is independent of where
+   * range-boundary sampling landed.
    *
    * Requires (domainCol, orderCols…) unique per row and non-null
    * domains (caller filters). Adds `__domain_idx` (int, lexicographic
@@ -350,28 +372,47 @@ object Packing {
     }.toSeq.toDF(domainCol, "__domain_idx", "__domain_count", "__dstart")
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val order = (col("__domain_idx") +: orderCols).map(_.asc)
+    // the withPrefixSum construction (r13 — replacing the r12
+    // monotonically_increasing_id + shift-33 + broadcast-join lift):
+    // row-carried pids stamped before the persist barrier, one
+    // ≤nParts counts collect, then a seeded per-partition scan whose
+    // running position IS the global rank — fewer moving parts, no
+    // 33-bit id-layout assumption, and the base-offset broadcast is
+    // registered so releaseCaches() poisons stale re-evaluations
     val ranged = df
       .join(broadcast(idx), Seq(domainCol))
       .repartitionByRange(nParts, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
       .persist()
     registerCache(ranged)
-    val parts = ranged
-      .groupBy(shiftright(col("__mono"), 33).as("__pid"))
-      .agg(count(lit(1)).as("__cnt"), min(col("__mono")).as("__mstart"))
-      .collect().sortBy(_.getLong(0))
-    val offsets = parts.scanLeft(0L)(_ + _.getLong(1)).init
-    val offDf = parts.zip(offsets).map { case (r, off) =>
-      (r.getLong(0), r.getLong(2), off)
-    }.toSeq.toDF("__pid", "__mstart", "__off")
-    val out = ranged
-      .withColumn("__pid", shiftright(col("__mono"), 33))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn("__domain_rank",
-        col("__off") + (col("__mono") - col("__mstart")) + 1L -
-          col("__dstart"))
-      .drop("__pid", "__mono", "__mstart", "__off", "__dstart")
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases = new Array[Long](nParts + 1)
+    (0 until nParts).foreach(i =>
+      bases(i + 1) = bases(i) + counts.getOrElse(i, 0L))
+    val bcBases = registerBroadcast(spark.sparkContext.broadcast(bases))
+    val pIdx = ranged.schema.fieldIndex("__pid")
+    val dsIdx = ranged.schema.fieldIndex("__dstart")
+    val outSchema = StructType(
+      ranged.schema.fields
+        .filterNot(f => f.name == "__pid" || f.name == "__dstart")
+        :+ StructField("__domain_rank", LongType, nullable = false))
+    val keep = ranged.schema.fields.indices
+      .filterNot(i => i == pIdx || i == dsIdx).toArray
+    val out = ranged.mapPartitions { it =>
+      val bs = bcBases.value
+      var cur = -1
+      var pos = 0L
+      it.map { r =>
+        val pid = r.getInt(pIdx)
+        if (pid != cur) { cur = pid; pos = bs(pid) }
+        val rank = pos + 1L - r.getLong(dsIdx)
+        pos += 1L
+        Row.fromSeq(keep.map(r.get).toSeq :+ rank)
+      }
+    }(RowEncoder.encoderFor(outSchema))
     (out, doms.length.toLong)
   }
 

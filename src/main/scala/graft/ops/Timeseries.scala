@@ -308,7 +308,8 @@ object Timeseries {
    *
    * Cache contract: the event layout persists because the returned
    * plan reads it; [[Packing.releaseCaches]] frees it once results
-   * are consumed (end-of-life for the plan — see there).
+   * are consumed (end-of-life for the plan, ENFORCED — the seed
+   * broadcasts are destroyed with the caches, see there).
    */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
                      endCol: String): DataFrame = {
@@ -342,7 +343,7 @@ object Timeseries {
     val cBase = new Array[Long](nParts + 1)
     (0 until nParts).foreach(i =>
       cBase(i + 1) = cBase(i) + sums.getOrElse(i, 0L))
-    val bcC = spark.sparkContext.broadcast(cBase)
+    val bcC = Packing.registerBroadcast(spark.sparkContext.broadcast(cBase))
     // pass 2: per-partition opening counts GIVEN the seeds -> island
     // id bases (openings need the running count, so they can only be
     // counted once the count seeds exist)
@@ -364,7 +365,7 @@ object Timeseries {
     val iBase = new Array[Long](nParts + 1)
     (0 until nParts).foreach(i =>
       iBase(i + 1) = iBase(i) + opens.getOrElse(i, 0L))
-    val bcI = spark.sparkContext.broadcast(iBase)
+    val bcI = Packing.registerBroadcast(spark.sparkContext.broadcast(iBase))
     // pass 3: stamp island ids (globally unique — openings never occur
     // strictly inside an island, and a key's first event is an
     // opening, so ids cannot leak across keys)

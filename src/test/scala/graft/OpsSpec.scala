@@ -944,6 +944,12 @@ class OpsSpec extends SparkSpec {
     Packing.releaseCaches()
     assert(rddIds.subsetOf(before),
       s"releaseCaches left persisted blocks: ${rddIds -- before}")
+    // end-of-life is ENFORCED, not documented: a plan re-evaluated
+    // after release must throw (its base-offset broadcast is
+    // destroyed), never silently rank against a re-sampled layout
+    val loud = intercept[Exception] { a.count() }
+    assert(loud.getMessage != null,
+      s"post-release re-evaluation must fail loudly: $loud")
   }
 
   test("equiDepthBuckets equals window ntile row for row — ragged " +

@@ -35,6 +35,13 @@ def main():
     co, cn = old["calib_sec"], new["calib_sec"]
     print(f"calib_sec: old={co:.3f} new={cn:.3f} "
           f"(host speed ratio {cn / co:.3f} — drift divided out below)")
+    for d, tag in ((old, "old"), (new, "new")):
+        s, e = d.get("calib_sec_start"), d.get("calib_sec_end")
+        if s and e and max(s, e) / min(s, e) > 1.25:
+            print(f"  WARNING: {tag} calib windows disagree "
+                  f"(start {s:.3f}, end {e:.3f}) — the host was "
+                  "intermittently contended during that bench; treat "
+                  "per-query ratios as noisy")
     qo, qn = old["queries"], new["queries"]
     shared = sorted(set(qo) & set(qn))
     only_old = set(qo) - set(qn)
