@@ -13,15 +13,35 @@ import org.apache.spark.sql.SparkSession
  * the data ratio (fixed job overhead dominates), which is why the
  * flag bound is generous and only the ratio's ORDER matters.
  *
+ * The same runs also stand watch over DRIVER-COLLECT boundedness
+ * (r13): summed task-result bytes per gate at both fixtures — a
+ * `collect()` pays its whole result through that channel, so a gate
+ * whose driver-fetched bytes exceed the floor AND grow with the data
+ * has an unbounded collect (the one scale claim previously taken on
+ * faith). Measured r13 baseline: max 29.8 MB at sf0.1 (q_rtbf_sinks,
+ * sink-corpus round trips), everything else ≤30 MB with growth that
+ * tracks task count (per-task metrics overhead), not data.
+ *
  * Usage: runMain graft.tools.Scaling [dirSmall dirBig [q1,q2,…]]
- * Prints one line per query: small-wall, big-wall, ratio, flag; exits
- * nonzero if any query exceeds the super-linear bound.
+ * Prints one line per query: small-wall, big-wall, ratio, driver-MB
+ * small/big, driver ratio, flags; exits nonzero if any query exceeds
+ * the super-linear bound or the driver-collect bound.
  */
 object Scaling {
 
   /** 10× data may legitimately cost up to this ×wall (shuffle fan-in,
     * spill onset, log factors); beyond it the shape needs explaining. */
   private val FlagRatio = 30.0
+
+  /** Driver-collect watch thresholds (r13): flag a gate only when its
+    * summed task-result bytes at the BIG fixture exceed the floor
+    * (status/accumulator overhead is a few kB per task — hundreds of
+    * tasks stay well under this) AND grew more than the ratio across
+    * the 10× step (a bounded collect stays ~flat; per-task overhead
+    * grows with input splits, well under 10×). Thresholds set from
+    * the measured distribution — see the r13 SURVEY record. */
+  private val DriverBytesFloor = 64L << 20
+  private val DriverBytesRatio = 5.0
 
   private[graft] val DefaultQueries = Seq(
     // the bench's perennial top-cost set + the core merge/match path
@@ -77,16 +97,39 @@ object Scaling {
     // in events regardless of key cardinality
     "q_merge_intervals")
 
+  /** Sums `taskMetrics.resultSize` — the serialized bytes every task
+    * ships back to the driver. A `collect()` pays its whole result
+    * through this channel, so a gate whose summed result bytes grow
+    * with the data has an UNBOUNDED driver collect somewhere — the
+    * one scale claim ("every collect bounded: domains, nParts,
+    * candidate sets, atMost budgets") the audits still took on faith
+    * until r13. Status/accumulator overhead rides the same channel at
+    * a few kB per task, hence the absolute floor below. */
+  private final class ResultBytesListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null) bytes.addAndGet(e.taskMetrics.resultSize)
+  }
+
   private def medianWall(spark: SparkSession, name: String, dir: String,
-                         reps: Int): Double = {
+                         reps: Int,
+                         l: ResultBytesListener): (Double, Long) = {
     val fn = graft.SparkEntry.queries(name)
-    val walls = (1 to reps).map { _ =>
+    val runs = (1 to reps).map { _ =>
+      org.apache.spark.sql.graftshim.ListenerDrain
+        .drain(spark.sparkContext)
+      l.bytes.set(0L)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    walls(walls.size / 2)
+      val w = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftshim.ListenerDrain
+        .drain(spark.sparkContext)
+      (w, l.bytes.get())
+    }
+    (runs.map(_._1).sorted.apply(runs.size / 2), runs.map(_._2).max)
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,17 +151,32 @@ object Scaling {
       spark.read.parquet(s"$dirSmall/region.parquet").count()
       spark.read.parquet(s"$dirBig/region.parquet").count()
     } catch { case _: Throwable => }
+    val listener = new ResultBytesListener
+    spark.sparkContext.addSparkListener(listener)
     var flagged = 0
-    println(f"${"query"}%-24s ${"small"}%8s ${"big"}%8s ${"ratio"}%7s")
+    println(f"${"query"}%-24s ${"small"}%8s ${"big"}%8s ${"ratio"}%7s " +
+      f"${"drvS-MB"}%8s ${"drvB-MB"}%8s ${"dratio"}%7s")
     queries.foreach { q =>
-      val s = medianWall(spark, q, dirSmall, 3)
-      val b = medianWall(spark, q, dirBig, 3)
+      val (s, sBytes) = medianWall(spark, q, dirSmall, 3, listener)
+      val (b, bBytes) = medianWall(spark, q, dirBig, 3, listener)
       val ratio = if (s > 0) b / s else Double.NaN
-      val flag = ratio > FlagRatio
-      if (flag) flagged += 1
-      println(f"$q%-24s $s%8.2f $b%8.2f $ratio%7.2f ${if (flag) "SUPER-LINEAR" else ""}")
+      val dRatio = if (sBytes > 0) bBytes.toDouble / sBytes else Double.NaN
+      val wallFlag = ratio > FlagRatio
+      // driver-collect watch: flag when the driver-fetched bytes BOTH
+      // exceed the per-task-overhead floor and grew ≥ the bound on the
+      // 10× step — a bounded collect (domain table, nParts offsets,
+      // candidate set under an atMost budget) stays ~flat
+      val drvFlag = bBytes > DriverBytesFloor &&
+        dRatio > DriverBytesRatio
+      if (wallFlag || drvFlag) flagged += 1
+      val mark = (if (wallFlag) " SUPER-LINEAR" else "") +
+        (if (drvFlag) " DRIVER-COLLECT-GROWS" else "")
+      println(f"$q%-24s $s%8.2f $b%8.2f $ratio%7.2f " +
+        f"${sBytes / 1e6}%8.1f ${bBytes / 1e6}%8.1f $dRatio%7.2f$mark")
     }
-    println(s"""{"metric":"scaling","flag_ratio":$FlagRatio,"flagged":$flagged}""")
+    println(s"""{"metric":"scaling","flag_ratio":$FlagRatio,""" +
+      s""""driver_bytes_floor":$DriverBytesFloor,""" +
+      s""""driver_bytes_ratio":$DriverBytesRatio,"flagged":$flagged}""")
     spark.stop()
     if (flagged > 0) sys.exit(1)
   }
