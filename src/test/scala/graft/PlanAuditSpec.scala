@@ -59,15 +59,21 @@ class PlanAuditSpec extends SparkSpec {
     * caps every task at k rows before the window's shuffle, and
     * LimitPushDownThroughWindow folds `row_number <= k` into a
     * TakeOrderedAndProject / limit below the window (ThetaSketch's
-    * empty-group path compiles to exactly that). */
-  private def limitBounded(w: WindowExec): Boolean =
-    w.collectFirst {
-      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
-      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
-      case l: org.apache.spark.sql.execution.GlobalLimitExec => l
-      case l: org.apache.spark.sql.execution.LocalLimitExec => l
-      case c: org.apache.spark.sql.execution.CollectLimitExec => c
-    }.isDefined
+    * empty-group path compiles to exactly that). The limit must sit on
+    * the SPINE of the window's input (the walk stops at joins/unions —
+    * r13 ADVICE): a limit beneath one branch of a join caps that
+    * branch, not the join output, so it exempts nothing. */
+  private def limitBounded(w: WindowExec): Boolean = spineLimitedP(w.child)
+
+  private def spineLimitedP(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case u if u.children.size == 1 => spineLimitedP(u.children.head)
+    case _ => false // join/union/leaf: a branch-local limit bounds nothing
+  }
 
   // ------------------------------------------------------------------
   // The empirical bounded-window audit (r13, replacing r12's declared
@@ -91,17 +97,32 @@ class PlanAuditSpec extends SparkSpec {
   //    boundedAggInput exemption, now measured instead of declared);
   //  - avg group size bloat across the 10× step < Bloat1 → safe
   //    (measured safe plans sit at ≤1.01×);
-  //  - otherwise ESCALATE to the sf0.01→sf0.1 step: a true funnel
-  //    keeps growing linearly (q_merge_intervals measured 10.0×),
-  //    while a group whose CONTENT is capped by construction
-  //    saturates (q_stream_quantiles' per-window DDSketch bucket set
-  //    is bounded by the sketch grid: 7.1× on the first step decayed
-  //    to 2.5× on the second, en route to its asymptote). Flag iff
-  //    the second-step bloat ≥ Bloat2.
+  //  - otherwise ESCALATE to the sf0.01→sf0.1 step and FIT the three
+  //    average-group-size points (r14, replacing the fixed Bloat2=4
+  //    constant whose [2.5, 4) band was undecided — r13 verdict #3):
+  //    with fixture steps at 10× (x = 1, 10, 100), solve the
+  //    saturating model a = A·x/(x+K) exactly through the first two
+  //    points and the linear model a = α+β·x likewise, then classify
+  //    by which model's sf0.1 prediction the measured a3 is closer to
+  //    in log space. A true funnel tracks the linear prediction
+  //    (q_merge_intervals measured 10.0× sustained before its sweep
+  //    rewrite — first-step growth ≥ the 10× data step short-circuits
+  //    to funnel, since saturation evidence is absent by definition);
+  //    a group whose CONTENT is capped by construction tracks the
+  //    saturating one (q_stream_quantiles' DDSketch bucket grid:
+  //    7.1× decaying to 2.5× — the sat fit through 7.1 PREDICTS 2.56
+  //    for the second step). Thresholds are derived from the fixture
+  //    geometry, not hand-picked; the only constants left are the
+  //    escalation trigger and the rows floor. A boundary note: exact
+  //    power-law growth (groups ∝ √data) sits equidistant from both
+  //    models in log space — the tie flags as funnel, which is right
+  //    (a √data group is still unbounded at 100 TB).
   // ------------------------------------------------------------------
   private val RowsFloor = 512L
   private val Bloat1 = 1.8
-  private val Bloat2 = 4.0
+  /** The generated fixtures step 10× in scale factor (TESTDATA.md) —
+    * the x-axis of the saturating-vs-linear fit. */
+  private val Step = 10.0
   private val sf001 = "/root/testdata/sf0.01"
   private val sf01 = "/root/testdata/sf0.1"
 
@@ -111,12 +132,15 @@ class PlanAuditSpec extends SparkSpec {
     Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow, WindowGroupLimit}
   import org.apache.spark.sql.graftshim.PlanProbe
 
-  private def limitBoundedL(child: LogicalPlan): Boolean =
-    child.collectFirst {
-      case g: WindowGroupLimit => g
-      case l: GlobalLimit => l
-      case l: LocalLimit => l
-    }.isDefined
+  /** Spine walk, not subtree search (r13 ADVICE): a limit beneath one
+    * branch of a join/union caps that branch only — the suspect's
+    * input is NOT bounded by it, so such plans fall through to the
+    * measured path instead of being silently exempted. */
+  private def limitBoundedL(child: LogicalPlan): Boolean = child match {
+    case _: WindowGroupLimit | _: GlobalLimit | _: LocalLimit => true
+    case u if u.children.size == 1 => limitBoundedL(u.children.head)
+    case _ => false
+  }
 
   /** A funnel suspect: a plan node whose per-group STATE is
     * group-sized — a partitioned window (WindowExec materializes a
@@ -178,35 +202,70 @@ class PlanAuditSpec extends SparkSpec {
   // against silently rotting to vacuous coverage
   private val seenKinds = scala.collection.mutable.HashSet[String]()
 
+  /** Cross-fixture identity of a suspect: kind + partition/grouping
+    * keys by their SQL form (names, not exprIds — exprIds differ
+    * across independently-built plans). Suspects are matched across
+    * fixtures by this signature, not position (r13 verdict #2), so a
+    * plan whose traversal order legitimately differs by fixture size
+    * (AQE thresholds, size-gated strategies, reordered branches) is
+    * measured rather than aborted. */
+  private def sig(s: Suspect): String =
+    s.kind + "[" + s.keys.map(_.sql).sorted.mkString(", ") + "]"
+
   private def funnelBloat(build: String => org.apache.spark.sql.DataFrame,
                           label: String): Seq[String] = {
     val small = suspectsOf(build(sf0001))
     small.foreach(s => seenKinds += s.kind)
     if (small.isEmpty) return Nil
     val big = suspectsOf(build(sf001))
-    assert(big.size == small.size,
-      s"$label: suspect count differs across fixtures " +
-        s"(${small.size} at sf0.001 vs ${big.size} at sf0.01) — the " +
-        "audit matches nodes positionally and needs a stable plan")
-    lazy val xl = suspectsOf(build(sf01))
-    small.zip(big).zipWithIndex.flatMap { case ((ss, sb), i) =>
-      val (rb, gb) = measure(sb)
-      if (rb < RowsFloor) None
-      else {
-        val bloat1 = { val a = avg(measure(ss)); if (a == 0) Double.MaxValue
-          else avg((rb, gb)) / a }
-        if (bloat1 < Bloat1) None
+    val gS = small.groupBy(sig)
+    val gB = big.groupBy(sig)
+    assert(gS.keySet == gB.keySet &&
+      gS.forall { case (k, v) => gB(k).size == v.size },
+      s"$label: suspects don't match across fixtures by (kind, keys) " +
+        s"signature — sf0.001 ${gS.view.mapValues(_.size).toMap} vs " +
+        s"sf0.01 ${gB.view.mapValues(_.size).toMap}; the loud abort " +
+        "remains only for genuinely unmatchable sets")
+    lazy val gX = suspectsOf(build(sf01)).groupBy(sig)
+    gS.toSeq.sortBy(_._1).flatMap { case (sg, ssL) =>
+      ssL.zip(gB(sg)).zipWithIndex.flatMap { case ((ss, sb), j) =>
+        val (rb, gb) = measure(sb)
+        if (rb < RowsFloor) None
         else {
-          assert(xl.size == small.size,
-            s"$label: suspect count differs at sf0.1")
-          val bloat2 = { val a = avg((rb, gb)); if (a == 0) Double.MaxValue
-            else avg(measure(xl(i))) / a }
-          if (bloat2 < Bloat2) None
-          else Some(f"$label ${ss.kind}[$i] keys=[${ss.describeKeys}]: " +
-            f"avg group size grew $bloat1%.2fx on sf0.001->sf0.01 and " +
-            f"$bloat2%.2fx on sf0.01->sf0.1 (rows=$rb, groups=$gb at " +
-            "sf0.01) — a bounded-key group is ONE task/buffer holding " +
-            "a data-scale row set")
+          val a1 = avg(measure(ss))
+          val a2 = avg((rb, gb))
+          val bloat1 = if (a1 == 0) Double.MaxValue else a2 / a1
+          if (bloat1 < Bloat1) None
+          else {
+            // escalate: third fixture + the saturating-vs-linear fit
+            val sxL = gX.getOrElse(sg, Nil)
+            assert(sxL.size == ssL.size,
+              s"$label: suspect $sg count differs at sf0.1 " +
+                s"(${sxL.size} vs ${ssL.size})")
+            val a3 = avg(measure(sxL(j)))
+            val bloat2 = if (a2 == 0) Double.MaxValue else a3 / a2
+            // fit both 2-parameter models exactly through (1, a1) and
+            // (Step, a2); judge a3 against their x = Step² predictions
+            val (aLin, aSat, funnel) =
+              if (a3 == 0.0) (0.0, 0.0, false)
+              else if (bloat1 >= Step) (a3, a3, true) // ≥ data rate: no
+                // saturation evidence exists; the sat fit has no K>0
+              else {
+                val k = Step * (bloat1 - 1.0) / (Step - bloat1)
+                val sat = a2 * Step * (Step + k) / (Step * Step + k)
+                val lin = a1 + (a2 - a1) * (Step * Step - 1.0) / (Step - 1.0)
+                (lin, sat,
+                  math.abs(math.log(a3 / lin)) <= math.abs(math.log(a3 / sat)))
+              }
+            if (!funnel) None
+            else Some(f"$label ${ss.kind}[$j] keys=[${ss.describeKeys}]: " +
+              f"avg group size grew $bloat1%.2fx on sf0.001->sf0.01 and " +
+              f"$bloat2%.2fx on sf0.01->sf0.1 (rows=$rb, groups=$gb at " +
+              f"sf0.01; a3=$a3%.1f sits closer to the linear fit " +
+              f"$aLin%.1f than the saturating fit $aSat%.1f) — a " +
+              "bounded-key group is ONE task/buffer holding a " +
+              "data-scale row set")
+          }
         }
       }
     }
@@ -276,6 +335,58 @@ class PlanAuditSpec extends SparkSpec {
     val aggOff = funnelBloat(plantedAgg, "planted-agg")
     assert(aggOff.nonEmpty && aggOff.head.contains("collect-agg"),
       s"a bounded-key collect_list must flag as a funnel: $aggOff")
+  }
+
+  test("fit classifies a slow-saturating bounded input as safe (the " +
+    "[2.5,4) band the fixed Bloat2 constant left undecided)") {
+    // a collect_list whose input is a DISTINCT over a 30k-value hash
+    // domain: per-group distinct counts fill toward the cap (coupon
+    // collector) — ~845 at sf0.001, ~7.5k at sf0.01 (8.8x, escalates),
+    // ~28k at sf0.1 (3.8x — inside the old undecided band). The group
+    // CONTENT is capped by construction, so the saturating model fits
+    // and the audit must classify it safe; under a fixed Bloat2 the
+    // verdict depended on where in the band the second step landed.
+    import org.apache.spark.sql.functions.{collect_list, hash, pmod,
+      lit => flit}
+    def plantedSat(dir: String) =
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_partkey") % 7).as("zebra_bucket"),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")),
+            flit(30000)).as("v"))
+        .distinct()
+        .groupBy(col("zebra_bucket"))
+        .agg(collect_list(col("v")).as("vs"))
+    val off = funnelBloat(plantedSat, "planted-sat")
+    assert(off.isEmpty,
+      s"a capped-domain distinct-below-collect must fit saturating: $off")
+  }
+
+  test("suspects are matched across fixtures by signature, not " +
+    "position (a builder whose branch order differs by fixture still " +
+    "audits)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    def branch(dir: String, part: String, ord: String) = {
+      val w = W.partitionBy(col(part)).orderBy(col(ord))
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col(part), col(ord))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .select(col(part).as("k"), col("rn"))
+    }
+    def swapped(dir: String) = {
+      // both windows partition by GROWING keys (orderkey ~15k/150k
+      // groups, partkey ~2k/20k) — each is safe, but under POSITIONAL
+      // matching the sf0.001 orderkey window would be compared against
+      // the sf0.01 partkey window (avg 4 vs avg 30 — a phantom 7.5x
+      // bloat measured across two DIFFERENT operators)
+      val a = branch(dir, "l_orderkey", "l_linenumber")
+      val b = branch(dir, "l_partkey", "l_orderkey")
+      if (dir == sf0001) a.unionByName(b) else b.unionByName(a)
+    }
+    assert(funnelBloat(swapped, "swapped").isEmpty,
+      "signature matching must pair each window with its own key " +
+        "across fixtures")
   }
 
   test("no query plan contains a partitioned cartesian product") {
