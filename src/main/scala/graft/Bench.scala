@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
   *   - a query that throws gets an `"err"` entry in the JSON and the
   *     process exits nonzero, so a regression can never read as a
   *     speedup.
+  *
+  * Driver-collect watch (r13 verdict #1): every run also records the
+  * summed task-result bytes ([[graft.tools.ResultBytesListener]] —
+  * the channel every `collect()` pays its result through), and the
+  * per-query MAX across reps lands in `bench_full.json` as
+  * `driver_bytes`. Scaling's 45-gate watch proved the boundedness
+  * claim on a subset; this makes all gates' driver fetches a
+  * round-over-round artifact trend for free, and
+  * `tools/calib_compare.py` flags any gate whose bytes grow past the
+  * per-task-overhead floor between rounds.
   */
 object Bench {
   private def processCpuSec(): Double = {
@@ -99,12 +109,20 @@ object Bench {
     final class St {
       val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
       var cpuTotal = 0.0
+      var bytesMax = 0L
       var err: Option[String] = None
     }
+    val listener = new graft.tools.ResultBytesListener
+    spark.sparkContext.addSparkListener(listener)
+    def drain(): Unit =
+      org.apache.spark.sql.graftshim.ListenerDrain.drain(spark.sparkContext)
     val state = queries.map { case (name, _) => name -> new St }.toMap
     for (rep <- 0 until reps; (name, fn) <- queries) {
       val st = state(name)
       if (st.err.isEmpty) {
+        // a clean listener window per run (outside the timed section):
+        // stragglers from the previous query must not bill this one
+        drain(); listener.bytes.set(0L)
         val c0 = processCpuSec()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -115,9 +133,15 @@ object Bench {
         st.walls += (System.nanoTime() - t0) / 1e9
         val c1 = processCpuSec()
         if (c0 >= 0 && c1 >= 0) st.cpuTotal += (c1 - c0)
+        drain()
+        st.bytesMax = math.max(st.bytesMax, listener.bytes.get())
         // operators persist their pair-join prep; drop it between runs
-        // so one query's caches don't serve (or pressure) the next
+        // so one query's caches don't serve (or pressure) the next —
+        // and destroy the registered broadcasts with it (clearCache
+        // alone leaks Packing-family broadcasts for the session's
+        // life; results are consumed, so release is correct here)
         spark.catalog.clearCache()
+        Gateway.releaseAllCaches()
       }
     }
     val calibEnd = median(Seq.fill(3)(calibrate()))
@@ -126,13 +150,15 @@ object Bench {
       val st = state(name)
       val n = st.walls.size
       val cpuMean = if (st.cpuTotal > 0 && n > 0) st.cpuTotal / n else -1.0
-      (name, median(st.walls.toSeq), cpuMean, st.err)
+      (name, median(st.walls.toSeq), cpuMean, st.err, st.bytesMax)
     }
-    val qs = results.map { case (k, w, _, _) => jsonStr(k) + ":" + w }
+    val qs = results.map { case (k, w, _, _, _) => jsonStr(k) + ":" + w }
       .mkString("{", ",", "}")
-    val cpu = results.map { case (k, _, c, _) => jsonStr(k) + ":" + c }
+    val cpu = results.map { case (k, _, c, _, _) => jsonStr(k) + ":" + c }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => jsonStr(k) + ":" + jsonStr(e) }
+    val drv = results.map { case (k, _, _, _, b) => jsonStr(k) + ":" + b }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e), _) => jsonStr(k) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nErr = results.count(_._4.isDefined)
@@ -140,7 +166,7 @@ object Bench {
     // (bench_full.json) so nothing verdict-relevant depends on the
     // driver's truncated tail capture.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"errors":$errs,"failed":$nErr,"calib_sec":$calib,"calib_sec_start":$calibStart,"calib_sec_end":$calibEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"cpu_sec":$cpu,"driver_bytes":$drv,"errors":$errs,"failed":$nErr,"calib_sec":$calib,"calib_sec_start":$calibStart,"calib_sec_end":$calibEnd,"sf":"$sfDir"}"""
     println(fullJson)
     // a filtered profiling run must never clobber the full-map artifact
     // (a 6-query bench_full.json once shipped exactly that way)
@@ -160,12 +186,14 @@ object Bench {
     results.sortBy(-_._2).take(40).grouped(8).zipWithIndex.foreach {
       case (chunk, i) =>
         val entries = chunk
-          .map { case (k, w, _, _) => jsonStr(k) + ":" + f"$w%.3f" }
+          .map { case (k, w, _, _, _) => jsonStr(k) + ":" + f"$w%.3f" }
           .mkString("{", ",", "}")
         println(s"""{"metric":"top40.$i","wall":$entries}""")
     }
     val cpuSum = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"calib_sec":$calib,"calib_sec_start":$calibStart,"calib_sec_end":$calibEnd,"sf":"$sfDir"}""")
+    val (drvMaxQ, drvMax) = if (results.isEmpty) ("", 0L)
+      else { val m = results.maxBy(_._5); (m._1, m._5) }
+    println(s"""{"metric":"summary","total_wall":$total,"total_cpu":$cpuSum,"failed":$nErr,"n_queries":${results.size},"reps":$reps,"calib_sec":$calib,"calib_sec_start":$calibStart,"calib_sec_end":$calibEnd,"driver_bytes_max":$drvMax,"driver_bytes_max_query":${jsonStr(drvMaxQ)},"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -26,7 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // drop per-query operator caches
+      // drop per-query operator caches AND destroy the registered
+      // broadcasts (clearCache alone leaks Packing-family broadcasts
+      // for the session's life and leaves its plans re-evaluable
+      // against stale offsets — r13 ADVICE; results are consumed, so
+      // end-of-life release is correct here)
+      spark.catalog.clearCache()
+      Gateway.releaseAllCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

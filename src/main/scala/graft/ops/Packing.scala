@@ -45,11 +45,16 @@ object Packing {
     * stamp offsets against a shifted layout. Release is therefore
     * END-OF-LIFE for the returned plans — call it only after their
     * results are fully consumed (written, collected, or copied), as
-    * Verify/Bench do via `clearCache()` between queries — and the
-    * contract is ENFORCED: the base-offset broadcasts are destroyed
-    * with the caches, so a plan re-evaluated after release throws
-    * (destroyed broadcast) instead of silently ranking against a
-    * re-sampled layout. */
+    * the harnesses do via [[graft.Gateway.releaseAllCaches]] between
+    * queries — and the contract is ENFORCED: the base-offset
+    * broadcasts are destroyed with the caches, so a plan re-evaluated
+    * after release throws (destroyed broadcast) instead of silently
+    * ranking against a re-sampled layout. `spark.catalog.clearCache()`
+    * is NOT a release path for this family (r13 ADVICE): it drops the
+    * layouts but leaves the broadcasts alive — that path is defended
+    * by the streaming passes' partition-seam validation (accumulated
+    * count/weight must close on the next baked-in offset, else throw),
+    * but it leaks the broadcasts until this call runs. */
   def releaseCaches(): Unit = {
     liveCaches.releaseAll()
     var b = liveBroadcasts.poll()
@@ -88,10 +93,11 @@ object Packing {
    * Cache contract (caller-owned, like [[TextDedup]]): the ranged
    * layout stays persisted because the returned plan reads it — the
    * baked-in partition base offsets are only valid against THAT
-   * materialization. Long-lived sessions call [[releaseCaches]] once
-   * the results are consumed (or `spark.catalog.clearCache()`, as
-   * Verify/Bench do); release is end-of-life for the returned plan
-   * (see [[releaseCaches]]).
+   * materialization. Long-lived sessions call [[releaseCaches]] (or
+   * the [[graft.Gateway.releaseAllCaches]] facade, as the harnesses
+   * do) once the results are consumed; release is end-of-life for the
+   * returned plan (see [[releaseCaches]] — in particular why
+   * `clearCache()` alone is NOT a release path for this family).
    */
   def withPrefixSum(df: DataFrame, orderCol: String, weight: Column,
                     cumCol: String): DataFrame = {
@@ -129,18 +135,44 @@ object Packing {
       .filterNot(i => i == wIdx || i == pIdx).toArray
     ranged.mapPartitions { it =>
       val bs = bcBases.value
-      var cur = -1
-      var run = 0L
-      it.map { r =>
+      new scala.collection.AbstractIterator[Row] {
         // partitions arrive contiguously even when a parent collapses
         // several of them into one closure invocation — reset the
-        // running sum at every pid change
-        val pid = r.getInt(pIdx)
-        if (pid != cur) { cur = pid; run = bs(pid) }
-        val w = r.getLong(wIdx)
-        val out = Row.fromSeq(keep.map(r.get).toSeq :+ run)
-        run += w
-        out
+        // running sum at every pid change, and VALIDATE the finished
+        // partition at every seam: its accumulated weight must land
+        // exactly on the next baked-in base offset. If the persisted
+        // layout was dropped (clearCache) and the plan re-evaluated,
+        // the re-sampled range boundaries shift rows across partitions
+        // and the seam check throws instead of silently stamping
+        // offsets against a stale layout (r13 ADVICE: clearCache
+        // unpersists the layout WITHOUT destroying the broadcasts, so
+        // only this scan-time check covers that path).
+        private var cur = -1
+        private var run = 0L
+        private var sealed_ = false
+        private def seam(): Unit =
+          if (cur >= 0 && run != bs(cur + 1))
+            throw new IllegalStateException(
+              s"range-layout drift: partition $cur accumulated $run but " +
+                s"the baked-in offsets expect ${bs(cur + 1)} — the " +
+                "persisted layout this plan's offsets were collected " +
+                "from is gone (released, clearCache()d, or the source " +
+                "data changed) and re-evaluation re-sampled the range " +
+                "boundaries; rebuild the plan")
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !sealed_) { sealed_ = true; seam() }
+          h
+        }
+        def next(): Row = {
+          val r = it.next()
+          val pid = r.getInt(pIdx)
+          if (pid != cur) { seam(); cur = pid; run = bs(pid) }
+          val w = r.getLong(wIdx)
+          val out = Row.fromSeq(keep.map(r.get).toSeq :+ run)
+          run += w
+          out
+        }
       }
     }(RowEncoder.encoderFor(outSchema))
   }
@@ -403,14 +435,32 @@ object Packing {
       .filterNot(i => i == pIdx || i == dsIdx).toArray
     val out = ranged.mapPartitions { it =>
       val bs = bcBases.value
-      var cur = -1
-      var pos = 0L
-      it.map { r =>
-        val pid = r.getInt(pIdx)
-        if (pid != cur) { cur = pid; pos = bs(pid) }
-        val rank = pos + 1L - r.getLong(dsIdx)
-        pos += 1L
-        Row.fromSeq(keep.map(r.get).toSeq :+ rank)
+      // seam-validated like [[withPrefixSum]]: a partition must close
+      // exactly on the next baked-in base, or the layout this plan's
+      // offsets came from has been re-materialized
+      new scala.collection.AbstractIterator[Row] {
+        private var cur = -1
+        private var pos = 0L
+        private var sealed_ = false
+        private def seam(): Unit =
+          if (cur >= 0 && pos != bs(cur + 1))
+            throw new IllegalStateException(
+              s"range-layout drift: partition $cur closed at $pos, " +
+                s"offsets expect ${bs(cur + 1)} — rebuild the plan " +
+                "(see Packing.withPrefixSum)")
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !sealed_) { sealed_ = true; seam() }
+          h
+        }
+        def next(): Row = {
+          val r = it.next()
+          val pid = r.getInt(pIdx)
+          if (pid != cur) { seam(); cur = pid; pos = bs(pid) }
+          val rank = pos + 1L - r.getLong(dsIdx)
+          pos += 1L
+          Row.fromSeq(keep.map(r.get).toSeq :+ rank)
+        }
       }
     }(RowEncoder.encoderFor(outSchema))
     (out, doms.length.toLong)

@@ -299,9 +299,12 @@ object Timeseries {
    * Tied starts always intersect each other, so the MERGED output is
    * a pure function of the span SET — tie order within a partition
    * can relabel island ids but never change the grouped rows (ids are
-   * dropped at output). Start/end bounds are coerced to one common
-   * type by the event union (identical inputs ⇒ identical output
-   * types).
+   * dropped at output). The event union coerces start/end bounds to
+   * one common type internally (mixed DATE/TIMESTAMP inputs compare
+   * in the wider type), but the OUTPUT bounds are cast back to the
+   * input column types, so the schema matches the old min(start)/
+   * max(end) formulation for every input (r13 ADVICE: the sweep
+   * rewrite must not be a silent schema change for external callers).
    *
    * Output: (keyCol, startCol, endCol, n_spans) — one row per merged
    * island.
@@ -376,26 +379,54 @@ object Timeseries {
     val stamped = ranged.mapPartitions { it =>
       val cb = bcC.value
       val ib = bcI.value
-      var cur = -1
-      var c = 0L
-      var isl = 0L
-      it.map { r =>
-        val pid = r.getInt(pIdx)
-        if (pid != cur) { cur = pid; c = cb(pid); isl = ib(pid) }
-        val d = r.getInt(dIdx)
-        if (d == 1 && c == 0L) isl += 1L
-        c += d
-        org.apache.spark.sql.Row(r.get(kIdx), r.get(posIdx), d, isl)
+      // seam-validated like [[Packing.withPrefixSum]]: each finished
+      // partition's running delta count and island count must close
+      // exactly on the next baked-in seeds, or the persisted layout
+      // those seeds were collected from has been re-materialized
+      // (clearCache + re-evaluation, changed source) — throw instead
+      // of stamping islands against a stale layout
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private var cur = -1
+        private var c = 0L
+        private var isl = 0L
+        private var sealed_ = false
+        private def seam(): Unit =
+          if (cur >= 0 && (c != cb(cur + 1) || isl != ib(cur + 1)))
+            throw new IllegalStateException(
+              s"range-layout drift: partition $cur closed at " +
+                s"(count=$c, islands=$isl), seeds expect " +
+                s"(${cb(cur + 1)}, ${ib(cur + 1)}) — rebuild the plan " +
+                "(see Packing.withPrefixSum)")
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !sealed_) { sealed_ = true; seam() }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = {
+          val r = it.next()
+          val pid = r.getInt(pIdx)
+          if (pid != cur) { seam(); cur = pid; c = cb(pid); isl = ib(pid) }
+          val d = r.getInt(dIdx)
+          if (d == 1 && c == 0L) isl += 1L
+          c += d
+          org.apache.spark.sql.Row(r.get(kIdx), r.get(posIdx), d, isl)
+        }
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema))
     // an island's first event is its opening and its last the close
     // that returns the count to zero, so min/max pos are the bounds;
     // n_spans counts the start events
+    // a merged start is always some input start (and end some input
+    // end), so the cast back to the INPUT column type is lossless —
+    // it only undoes the union's widening
+    val startType = df.schema(startCol).dataType
+    val endType = df.schema(endCol).dataType
     stamped
       .groupBy(col(keyCol), col("__island"))
       .agg(min(col("__pos")).as(startCol), max(col("__pos")).as(endCol),
         sum(when(col("__d") === 1, 1L).otherwise(0L)).as("n_spans"))
-      .select(col(keyCol), col(startCol), col(endCol), col("n_spans"))
+      .select(col(keyCol), col(startCol).cast(startType).as(startCol),
+        col(endCol).cast(endType).as(endCol), col("n_spans"))
   }
 }

@@ -29,6 +29,7 @@ object Debug {
         e.printStackTrace()
       }
       spark.catalog.clearCache()
+      graft.Gateway.releaseAllCaches()
     }
     spark.stop()
   }

@@ -27,6 +27,26 @@ import org.apache.spark.sql.SparkSession
  * small/big, driver ratio, flags; exits nonzero if any query exceeds
  * the super-linear bound or the driver-collect bound.
  */
+/** Sums `taskMetrics.resultSize` — the serialized bytes every task
+  * ships back to the driver. A `collect()` pays its whole result
+  * through this channel, so a gate whose summed result bytes grow
+  * with the data has an UNBOUNDED driver collect somewhere — the
+  * one scale claim ("every collect bounded: domains, nParts,
+  * candidate sets, atMost budgets") the audits still took on faith
+  * until r13. Status/accumulator overhead rides the same channel at
+  * a few kB per task, hence the absolute floors the consumers apply.
+  * Shared between [[Scaling]] (the 10×-growth leg) and
+  * [[graft.Bench]] (r13 verdict #1: Bench touches all gates every
+  * round, so riding the listener there puts per-gate `driver_bytes`
+  * in `bench_full.json` as a round-over-round trend for free). */
+private[graft] final class ResultBytesListener
+    extends org.apache.spark.scheduler.SparkListener {
+  val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    if (e.taskMetrics != null) bytes.addAndGet(e.taskMetrics.resultSize)
+}
+
 object Scaling {
 
   /** 10× data may legitimately cost up to this ×wall (shuffle fan-in,
@@ -97,22 +117,6 @@ object Scaling {
     // in events regardless of key cardinality
     "q_merge_intervals")
 
-  /** Sums `taskMetrics.resultSize` — the serialized bytes every task
-    * ships back to the driver. A `collect()` pays its whole result
-    * through this channel, so a gate whose summed result bytes grow
-    * with the data has an UNBOUNDED driver collect somewhere — the
-    * one scale claim ("every collect bounded: domains, nParts,
-    * candidate sets, atMost budgets") the audits still took on faith
-    * until r13. Status/accumulator overhead rides the same channel at
-    * a few kB per task, hence the absolute floor below. */
-  private final class ResultBytesListener
-      extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onTaskEnd(
-        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (e.taskMetrics != null) bytes.addAndGet(e.taskMetrics.resultSize)
-  }
-
   private def medianWall(spark: SparkSession, name: String, dir: String,
                          reps: Int,
                          l: ResultBytesListener): (Double, Long) = {
@@ -124,6 +128,7 @@ object Scaling {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
+      graft.Gateway.releaseAllCaches() // full hygiene: broadcasts too
       val w = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graftshim.ListenerDrain
         .drain(spark.sparkContext)

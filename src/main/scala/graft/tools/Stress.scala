@@ -655,8 +655,9 @@ object Stress {
 
     // earlier legs' caller-owned persists (probe prep, candidate
     // frames) are dead weight by now — release the unified memory
-    // before the index-heavy finale
+    // (caches AND registered broadcasts) before the index-heavy finale
     spark.catalog.clearCache()
+    graft.Gateway.releaseAllCaches()
 
     // ---- 14. dedup sink at 10x leg-11 scale + compaction + crash window -
     // 450k-doc index, two 50k micro-batches with compactEvery=1 so the

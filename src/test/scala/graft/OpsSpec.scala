@@ -952,6 +952,97 @@ class OpsSpec extends SparkSpec {
       s"post-release re-evaluation must fail loudly: $loud")
   }
 
+  test("Gateway.releaseAllCaches: ONE facade sweeps every registry — " +
+    "Packing-family plans die (enforced), Hnsw/Retrieval/DatasetCard " +
+    "plans recompute (r13 verdict #4: callers must not need to know " +
+    "which family's release kills which plans)") {
+    import graft.ops.{DatasetCard, Hnsw, Packing, Retrieval, Timeseries}
+    def rddIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = rddIds
+    // Packing family — one member directly, one via the
+    // Timeseries→Packing registry coupling the facade hides
+    val ranked = Packing.withPrefixSum(
+      spark.range(300L).selectExpr("id", "id % 5 AS w"),
+      "id", col("w"), "cum")
+    assert(ranked.count() == 300L)
+    val merged = Timeseries.mergeIntervals(
+      spark.range(400L).selectExpr("id % 4 AS k", "id AS s", "id + 3 AS e"),
+      "k", "s", "e")
+    assert(merged.count() > 0L)
+    // Retrieval: persisted candidate-score frame behind the result
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "beta gamma", "en"),
+      (3L, "alpha delta", "es")).toDF("doc_id", "text", "lang")
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq((7L, "alpha")), 2)
+    val bmRows = bm.collect().toSet
+    assert(bmRows.nonEmpty)
+    // DatasetCard: prepared-corpus cache behind the card
+    val card = DatasetCard.build(docs, "text", "lang")
+    val cardRows = card.collect().toSet
+    assert(cardRows.nonEmpty)
+    // Hnsw: pruned-tombstone probe persists its candidate frame
+    val hdir = java.nio.file.Files
+      .createTempDirectory("graft_facade_hnsw").toString + "/idx"
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Array.tabulate(4)(j => ((i * (j + 3) + 1) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    Hnsw.saveHnswIndex(vecs, "vec_id", "embedding", hdir,
+      m = 4, efConstruction = 8, nShards = 1)
+    Hnsw.tombstoneHnswIndex(
+      vecs.filter(col("vec_id") % 5 === 0L).select(col("vec_id")),
+      "vec_id", hdir)
+    spark.conf.set("graft.hnsw.tombstonePruneBytes", "0")
+    val probe = try Hnsw.hnswTopKIndexed(spark, hdir,
+      vecs.filter(col("vec_id") === 1L), "vec_id", "embedding",
+      k = 3, efSearch = 8)
+    finally spark.conf.unset("graft.hnsw.tombstonePruneBytes")
+    val probeRows = probe.collect().toSet
+    assert(probeRows.nonEmpty)
+    assert((rddIds -- before).nonEmpty,
+      "the families must hold persisted frames while plans are live")
+    graft.Gateway.releaseAllCaches()
+    assert(rddIds.subsetOf(before),
+      s"the facade left persisted blocks: ${rddIds -- before}")
+    // per-family end-of-life, as the facade documents: Packing plans
+    // are dead (destroyed broadcasts — both the direct member and the
+    // Timeseries-coupled one)…
+    assert(intercept[Exception] { ranked.count() }.getMessage != null)
+    assert(intercept[Exception] { merged.count() }.getMessage != null)
+    // …while the speed-pinned families recompute bit-identically
+    assert(bm.collect().toSet == bmRows)
+    assert(card.collect().toSet == cardRows)
+    assert(probe.collect().toSet == probeRows)
+    graft.Gateway.releaseAllCaches() // hygiene: drop the recomputes
+  }
+
+  test("the clearCache hole is defended at SCAN time: a Packing plan " +
+    "re-evaluated against a re-materialized layout throws at the " +
+    "partition seam instead of silently mis-ranking (r13 ADVICE — " +
+    "clearCache drops the layout but not the offset broadcasts)") {
+    import graft.ops.Packing
+    // big enough that range-boundary SAMPLING is lossy (reservoir
+    // ~2400 rows/input partition), so a re-planned execution draws a
+    // different sample (the sampler is seeded per execution) and the
+    // cut points shift — the exact silent-wrong-offsets scenario
+    val src = spark.range(400000L).selectExpr("id", "id % 5 + 1 AS w")
+    val ranked = Packing.withPrefixSum(src, "id", col("w"), "cum")
+    assert(ranked.count() == 400000L) // served by the persisted layout
+    // the hole: clearCache() unpersists the range layout but leaves
+    // the baked-in offset broadcast alive; the next ACTION re-plans,
+    // re-shuffles, re-samples — pre-r14 this silently streamed the
+    // shifted layout against the stale bases; now every partition seam
+    // validates its accumulated weight against the next baked-in
+    // offset and throws on the mismatch
+    spark.catalog.clearCache()
+    val e = intercept[Exception] { ranked.count() }
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("range-layout drift"),
+      s"expected the seam validation to fire, got: ${chain(e).take(500)}")
+    Packing.releaseCaches() // hygiene for the rest of the suite
+  }
+
   test("equiDepthBuckets equals window ntile row for row — ragged " +
     "allocation, c<n domains — with a window-free plan") {
     import graft.ops.Packing
@@ -3827,6 +3918,32 @@ class OpsSpec extends SparkSpec {
     val re = Timeseries.mergeIntervals(df.repartition(7), "k", "s", "e")
       .as[(String, Long, Long, Long)].collect().toSet
     assert(re == out)
+  }
+
+  test("mergeIntervals: mixed-type bounds keep their input types") {
+    // the sweep's event union compares a DATE start and TIMESTAMP end
+    // in the wider type internally, but the OUTPUT schema must match
+    // the input columns (r13 ADVICE: the old min(start)/max(end)
+    // formulation returned the input types; the rewrite must too)
+    import graft.ops.Timeseries
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val df = Seq(
+      ("a", java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Timestamp.valueOf("2024-01-03 12:00:00")),
+      ("a", java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      ("a", java.sql.Date.valueOf("2024-02-01"),
+        java.sql.Timestamp.valueOf("2024-02-02 00:00:00")))
+      .toDF("k", "s", "e")
+    val out = Timeseries.mergeIntervals(df, "k", "s", "e")
+    assert(out.schema("s").dataType == DateType,
+      s"start widened: ${out.schema("s").dataType}")
+    assert(out.schema("e").dataType == TimestampType)
+    val rows = out.as[(String, java.sql.Date, java.sql.Timestamp, Long)]
+      .collect().sortBy(_._2.toString)
+    assert(rows.map(r => (r._1, r._2.toString, r._3.toString, r._4)).toSeq ==
+      Seq(("a", "2024-01-01", "2024-01-05 00:00:00.0", 2L),
+        ("a", "2024-02-01", "2024-02-02 00:00:00.0", 1L)))
   }
 
   test("annotatorAccuracy: contrarian scored against the majority") {
