@@ -98,14 +98,22 @@ object ProbLink {
                  priorLogOdds: Double = 0.0): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking key required")
     require(fields.nonEmpty, "at least one compared field required")
-    val s = source.select(
+    // fan the source side out across the cores BEFORE the blocked join:
+    // the target is broadcast-sized here, so the join inherits the
+    // source scan's partitioning — on a single-split input that leaves
+    // pair generation + per-pair comparators (levenshtein, CASE chains)
+    // in one serial task (graft.ops.Dispatch.fanOut scaladoc)
+    val s = graft.ops.Dispatch.fanOut(source.select(
       (col(sourceId).as("__sid")) +:
         blockKeys.zipWithIndex.map { case ((sc, _), i) => col(sc).as(s"__bk$i") } ++:
-        fields.map(f => col(f.sourceCol).as(s"__s_${f.name}")): _*)
-    val t = target.select(
+        fields.map(f => col(f.sourceCol).as(s"__s_${f.name}")): _*), col("__sid"))
+    // the target fans out too: when the SOURCE is the broadcast-sized
+    // side (the EM sample shape), the target inherits the stream role
+    // and ITS single-split scan becomes the serial probe side
+    val t = graft.ops.Dispatch.fanOut(target.select(
       (col(targetId).as("__tid")) +:
         blockKeys.zipWithIndex.map { case ((_, tc), i) => col(tc).as(s"__bk$i") } ++:
-        fields.map(f => col(f.targetCol).as(s"__t_${f.name}")): _*)
+        fields.map(f => col(f.targetCol).as(s"__t_${f.name}")): _*), col("__tid"))
     val joinedBase = s.join(t, blockKeys.indices.map(i => s"__bk$i"))
     // TF-adjusted fields join a broadcast (value, share-of-target)
     // table on the target-side value; p rides the pair for the
@@ -200,14 +208,18 @@ object ProbLink {
                        priorLogOdds: Double = 0.0): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking key required")
     require(fields.nonEmpty, "at least one compared field required")
-    val s = source.select(
+    // same serial-probe-side fan-out as scorePairs (see there)
+    val s = graft.ops.Dispatch.fanOut(source.select(
       (col(sourceId).as("__sid")) +:
         blockKeys.zipWithIndex.map { case ((sc, _), i) => col(sc).as(s"__bk$i") } ++:
-        fields.map(f => col(f.sourceCol).as(s"__s_${f.name}")): _*)
-    val t = target.select(
+        fields.map(f => col(f.sourceCol).as(s"__s_${f.name}")): _*), col("__sid"))
+    // the target fans out too: when the SOURCE is the broadcast-sized
+    // side (the EM sample shape), the target inherits the stream role
+    // and ITS single-split scan becomes the serial probe side
+    val t = graft.ops.Dispatch.fanOut(target.select(
       (col(targetId).as("__tid")) +:
         blockKeys.zipWithIndex.map { case ((_, tc), i) => col(tc).as(s"__bk$i") } ++:
-        fields.map(f => col(f.targetCol).as(s"__t_${f.name}")): _*)
+        fields.map(f => col(f.targetCol).as(s"__t_${f.name}")): _*), col("__tid"))
     val joined = s.join(t, blockKeys.indices.map(i => s"__bk$i"))
     val levelCols = fields.map { f =>
       val sc = col(s"__s_${f.name}")
