@@ -3476,7 +3476,14 @@ object SparkEntry {
     // vectors, layout invariance under repartition — sum-order ulp
     // differences between engines can never flip a decision.
     "q_text_semdedup" -> ((s, dir) => {
-      val vecs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      // fan the raw docs out BEFORE attaching the featurize UDF: below
+      // a repartition the UDF would still evaluate on the single-split
+      // scan's one task per consuming job (exchanges don't commute
+      // with projections), so the spread must happen on the raw text
+      val docs = graft.ops.Dispatch.fanOut(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), col("doc_id"))
+      val vecs = docs.select(col("doc_id"), col("source"),
         QualityClassifier.hashedDocVector(col("text")).as("embedding"))
       Similarity.semDedup(vecs, "doc_id", "embedding",
         nCells = 64, threshold = 0.9, refineIterations = 0)

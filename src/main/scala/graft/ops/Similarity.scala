@@ -207,8 +207,11 @@ object Similarity {
     val idType = corpus.schema(idCol).dataType
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      toDoubleVec(col(vecCol)).as("__cv"))
+    // the Ω(N·Q) scoring kernel runs on the corpus side's partitions;
+    // fan a single-split scan out first (Dispatch.fanOut scaladoc) so
+    // the broadcast-join kernel isn't one serial task
+    val c = Dispatch.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("__cv")), col("neighbor_id"))
     val qSide =
       if (atMost(q, queryBroadcastLimit)) {
         lastBruteForceQueryMode.set("broadcast-kernel"); broadcast(q)
@@ -323,8 +326,9 @@ object Similarity {
     val idType = corpus.schema(idCol).dataType
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      toDoubleVec(col(vecCol)).as("__cv"))
+    // same serial-kernel fan-out as bruteForceTopK (see there)
+    val c = Dispatch.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("__cv")), col("neighbor_id"))
     val qSide =
       if (atMost(q, queryBroadcastLimit)) broadcast(q)
       else q.hint("shuffle_replicate_nl")
@@ -370,7 +374,9 @@ object Similarity {
   def knnClassify(unlabeled: DataFrame, seeds: DataFrame, idCol: String,
                   vecCol: String, labelCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val q = unlabeled.select(col(idCol), toDoubleVec(col(vecCol)).as("__qv"))
+    // same serial-kernel fan-out as bruteForceTopK (see there)
+    val q = Dispatch.fanOut(unlabeled.select(col(idCol),
+      toDoubleVec(col(vecCol)).as("__qv")), col(idCol))
     val s = seeds.select(col(idCol).as("__sid"),
       toDoubleVec(col(vecCol)).as("__sv"), col(labelCol).as("__lb"))
     val scored = q.join(broadcast(s), col(idCol) =!= col("__sid"))
@@ -602,7 +608,13 @@ object Similarity {
    */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int): DataFrame = {
-    val nonNull = corpus.filter(col(vecCol).isNotNull)
+    // fan a single-split corpus out before the kernel pass: the
+    // persisted assignment inherits the partitioning, so the
+    // nearest-centroid kernel AND every downstream cache consumer
+    // (within-cell pair joins, probed scans) parallelize instead of
+    // running on the scan's one task (Dispatch.fanOut scaladoc)
+    val nonNull = Dispatch.fanOut(
+      corpus.filter(col(vecCol).isNotNull), col(idCol))
     val seeds = nonNull.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).cast("long"), toDoubleVec(col(vecCol)))
     val (cellIds, centroids) = collectCentroids(seeds)

@@ -361,13 +361,23 @@ object TextDedup {
    *
    * Returns (id_a, id_b, jaccard) with id_a < id_b.
    */
+  /** Fan a (id, text) projection of a single-split scan across the
+    * session's cores BEFORE the shingle/minhash kernels attach — the
+    * kernels are the dominant per-row cost and exchanges do not
+    * commute with projections, so the spread must happen on the raw
+    * text (graft.ops.Dispatch.fanOut scaladoc; no-op at production
+    * scan parallelism). */
+  private def spreadIdText(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    Dispatch.fanOut(df.select(col(idCol), col(textCol)), col(idCol))
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleLen: Int = 5, numHashes: Int = 128,
                       bands: Int = 32, jaccardThreshold: Double = 0.8,
                       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val prepared = df
+    val prepared = spreadIdText(df, idCol, textCol)
       .select(col(idCol), shingleHashes(col(textCol), shingleLen).as("__shh"))
       .filter(size(col("__shh")) > 0)
       .withColumn("__bands",
@@ -926,7 +936,9 @@ object TextDedup {
                    maxHamming: Int = 3, denseLimit: Long = 200000L,
                    denseBlocks: Int = 32): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    hammingPairs64(df.select(col(idCol), simhash64(toks).as("__sig")),
+    hammingPairs64(
+      spreadIdText(df, idCol, textCol)
+        .select(col(idCol), simhash64(toks).as("__sig")),
       idCol, "__sig", maxHamming, denseLimit, denseBlocks)
   }
 
