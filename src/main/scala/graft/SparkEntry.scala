@@ -1572,8 +1572,9 @@ object SparkEntry {
     // 2nd frame, re-decode each — per-frame means gated in closed form
     "q_multimodal_frames" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
-        .select(col("doc_id")).as[Long]
+      graft.ops.Dispatch.fanOut(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")), col("doc_id")).as[Long]
         .flatMap { id =>
           val fs = Multimodal
             .frameSample(Multimodal.gifAnimBytes(id, 6), 2).get
@@ -1613,8 +1614,9 @@ object SparkEntry {
     // then re-decode — rate, frame count and mean gated in closed form
     "q_multimodal_decimate" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
-        .select(col("doc_id")).as[Long]
+      graft.ops.Dispatch.fanOut(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")), col("doc_id")).as[Long]
         .map { id =>
           val out = Multimodal.decimateWav(Multimodal.wavBytes(id), 4).get
           val f = Multimodal.decodeWav(out).get
@@ -1823,8 +1825,9 @@ object SparkEntry {
     // re-decode — the mean is gated against the closed-form oracle
     "q_multimodal_resize" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id")).as[Long]
+      graft.ops.Dispatch.fanOut(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")), col("doc_id")).as[Long]
         .map { id =>
           val rz = Multimodal
             .resizeBmp(Multimodal.bmpBytes(id), 8, 8).get
@@ -1840,8 +1843,9 @@ object SparkEntry {
     // cross-hamming floor that makes this sound is spec-asserted)
     "q_image_neardup" -> ((s, dir) => {
       import s.implicits._
-      val imgs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id")).as[Long]
+      val imgs = graft.ops.Dispatch.fanOut(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")), col("doc_id")).as[Long]
         .map(id => (id, Multimodal.bmpPatternBytes(id % 50)))
         .toDF("doc_id", "payload")
       Multimodal.imageNearDup(imgs, "doc_id", maxHamming = 4)
@@ -1853,8 +1857,9 @@ object SparkEntry {
     // floor spec-asserted like q_image_neardup
     "q_audio_neardup" -> ((s, dir) => {
       import s.implicits._
-      val clips = t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
-        .select(col("doc_id")).as[Long]
+      val clips = graft.ops.Dispatch.fanOut(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")), col("doc_id")).as[Long]
         .map(id => (id, Multimodal.wavPatternBytes(id % 40)))
         .toDF("doc_id", "payload")
       Multimodal.audioNearDup(clips, "doc_id", maxHamming = 4)

@@ -817,19 +817,27 @@ object Multimodal {
   /** GIF payloads for every id — the LZW leg of the real-decode gate. */
   def synthesizeGif(df: DataFrame, idCol: String): DataFrame = {
     val gen = udf((id: Long) => gifBytes(id))
-    df.select(col(idCol), gen(col(idCol)).as("payload"))
+    spreadIds(df, idCol).select(col(idCol), gen(col(idCol)).as("payload"))
   }
 
   def synthesizeJpeg(df: DataFrame, idCol: String): DataFrame = {
     val gen = udf((id: Long) => jpegBytes(id))
-    df.select(col(idCol), gen(col(idCol)).as("payload"))
+    spreadIds(df, idCol).select(col(idCol), gen(col(idCol)).as("payload"))
   }
 
   def synthesizePngWav(df: DataFrame, idCol: String): DataFrame = {
     val gen = udf((id: Long) =>
       if (id % 2 == 0) pngBytes(id) else wavStereoBytes(id))
-    df.select(col(idCol), gen(col(idCol)).as("payload"))
+    spreadIds(df, idCol).select(col(idCol), gen(col(idCol)).as("payload"))
   }
+
+  /** Fan a single-split scan's id projection across the cores before
+    * the synth/encode/decode kernels attach — the kernels (deflate,
+    * huffman, IDCT) dominate per-row cost and would otherwise run in
+    * the scan's one serial task (graft.ops.Dispatch.fanOut scaladoc;
+    * no-op at production scan parallelism). */
+  private def spreadIds(df: DataFrame, idCol: String): DataFrame =
+    Dispatch.fanOut(df.select(col(idCol)), col(idCol))
 
   /** Attach REAL format-valid media payloads: BMP for id%3=0, WAV for
     * id%3=1, an opaque (stub-decoded) payload for id%3=2 — same
@@ -843,7 +851,8 @@ object Multimodal {
     val mediaType = element_at(
       array(lit("image/bmp"), lit("audio/wav"), lit("video/mp4")),
       (col(idCol) % 3 + 1).cast("int"))
-    df.withColumn("payload", gen(col(idCol), col(textCol)))
+    Dispatch.fanOut(df.select(col(idCol), col(textCol)), col(idCol))
+      .withColumn("payload", gen(col(idCol), col(textCol)))
       .select(col(idCol), col("payload"),
         struct(
           mediaType.as("media_type"),
