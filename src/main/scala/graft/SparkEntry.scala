@@ -2183,63 +2183,105 @@ object SparkEntry {
             lit(1.0).as("n")))
       val shingleable = col("text").isNotNull && trim(col("text")) =!= ""
       val probedP = docs.filter(col("doc_id") % 9 === 4)
-      val mhHitsP = TextDedup.minhashProbeIndexed(s, s"$base/mh",
-          probedP.select((col("doc_id") + 10000000L).as("doc_id"),
-            col("text")), "doc_id", "text", 0.8)
-        .filter(col("corpus_id") % 9 === 4)
-        .groupBy((col("batch_id") - 10000000L).as("key"))
-        .agg(count(lit(1)).cast("double").as("hits"))
-      val sMh = probedP.select(col("doc_id").as("key"))
-        .join(mhHitsP, Seq("key"), "left")
-        .select(lit("minhash").as("surface"), col("key"),
-          coalesce(col("hits"), lit(0.0)).as("n"))
       val probedC = docs.filter(col("doc_id") % 9 === 5 && shingleable)
-      val mhHitsC = TextDedup.minhashProbeIndexed(s, s"$base/mh",
-          probedC.select((col("doc_id") + 20000000L).as("doc_id"),
-            col("text")), "doc_id", "text", 0.8)
-        .filter(col("corpus_id") === col("batch_id") - 20000000L)
-        .select((col("batch_id") - 20000000L).as("key")).distinct()
-        .withColumn("hit", lit(1.0))
-      val sMhC = probedC.select(col("doc_id").as("key"))
-        .join(mhHitsC, Seq("key"), "left")
-        .select(lit("minhash_ctl").as("surface"), col("key"),
-          coalesce(col("hit"), lit(0.0)).as("n"))
-      // one embedding-space probe face, parameterized on the index
-      // being probed (ann = IVF-PQ, hnsw = persisted graph): queries
-      // are exact scaled copies of the mod-decile's vectors, hits are
-      // neighbors at cosine >= 0.99, keyed back to the original ids —
-      // ONE implementation so the two families' evidence can never
-      // drift (r11 review)
-      def embFace(probe: DataFrame => DataFrame)(
-          mod: Int, offset: Long, name: String) = {
-        val q = emb.filter(col("vec_id") % 9 === mod)
+      // BATCHED minhash probe: the main face (+1e7) and control face
+      // (+2e7) carry disjoint batch-id ranges and the banded probe is
+      // row-independent per batch doc, so ONE indexed probe replaces
+      // two whole meta/bands/sets read pipelines; probe(P ∪ C) ≡
+      // probe(P) ∪ probe(C) row-for-row, and each face recovers its
+      // slice by batch-id range. The eager localCheckpoint
+      // materializes the (small) hit set once for both faces.
+      def mhFaces() = {
+        val mhHits = TextDedup.minhashProbeIndexed(s, s"$base/mh",
+            probedP.select((col("doc_id") + 10000000L).as("doc_id"),
+              col("text"))
+              .unionByName(probedC.select(
+                (col("doc_id") + 20000000L).as("doc_id"), col("text"))),
+            "doc_id", "text", 0.8)
+          .localCheckpoint()
+        val mhHitsP = mhHits
+          .filter(col("batch_id") < 20000000L)
+          .filter(col("corpus_id") % 9 === 4)
+          .groupBy((col("batch_id") - 10000000L).as("key"))
+          .agg(count(lit(1)).cast("double").as("hits"))
+        val sMh = probedP.select(col("doc_id").as("key"))
+          .join(mhHitsP, Seq("key"), "left")
+          .select(lit("minhash").as("surface"), col("key"),
+            coalesce(col("hits"), lit(0.0)).as("n"))
+        val mhHitsC = mhHits
+          .filter(col("batch_id") >= 20000000L)
+          .filter(col("corpus_id") === col("batch_id") - 20000000L)
+          .select((col("batch_id") - 20000000L).as("key")).distinct()
+          .withColumn("hit", lit(1.0))
+        val sMhC = probedC.select(col("doc_id").as("key"))
+          .join(mhHitsC, Seq("key"), "left")
+          .select(lit("minhash_ctl").as("surface"), col("key"),
+            coalesce(col("hit"), lit(0.0)).as("n"))
+        sMh.unionByName(sMhC)
+      }
+      // one embedding-space probe face PAIR, parameterized on the
+      // index being probed (ann = IVF-PQ, hnsw = persisted graph):
+      // queries are exact scaled copies of the mod-decile's vectors,
+      // hits are neighbors at cosine >= 0.99, keyed back to the
+      // original ids — ONE implementation so the two families'
+      // evidence can never drift (r11 review). The main (+1e7) and
+      // control (+2e7) query batches probe in ONE indexed call (the
+      // top-k kernel is per-query independent, so the batched probe
+      // is row-for-row the two separate probes), halving each
+      // family's codebook/meta read pipelines.
+      def embFaces(probe: DataFrame => DataFrame)(
+          name: String, ctlName: String) = {
+        def qOf(mod: Int, offset: Long) = emb
+          .filter(col("vec_id") % 9 === mod)
           .select((col("vec_id") + offset).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f))
               .as("embedding"))
-        val hits = probe(q)
+        val hits = probe(
+            qOf(4, 10000000L).unionByName(qOf(5, 20000000L)))
           .filter(col("cosine") >= 0.99)
-          .groupBy((col("query_id") - offset).as("key"))
-          .agg(count(lit(1)).cast("double").as("hits"))
-        emb.filter(col("vec_id") % 9 === mod)
-          .select(col("vec_id").as("key"))
-          .join(hits, Seq("key"), "left")
-          .select(lit(name).as("surface"), col("key"),
-            coalesce(col("hits"), lit(0.0)).as("n"))
+          .localCheckpoint()
+        def face(mod: Int, offset: Long, nm: String) = {
+          val slice = if (offset == 10000000L)
+            hits.filter(col("query_id") < 20000000L)
+          else hits.filter(col("query_id") >= 20000000L)
+          val h = slice
+            .groupBy((col("query_id") - offset).as("key"))
+            .agg(count(lit(1)).cast("double").as("hits"))
+          emb.filter(col("vec_id") % 9 === mod)
+            .select(col("vec_id").as("key"))
+            .join(h, Seq("key"), "left")
+            .select(lit(nm).as("surface"), col("key"),
+              coalesce(col("hits"), lit(0.0)).as("n"))
+        }
+        face(4, 10000000L, name).unionByName(face(5, 20000000L, ctlName))
       }
-      val annFace = embFace(q => Similarity.ivfPqTopKIndexed(s,
-        s"$base/ann", q, "vec_id", "embedding", k = 4, nProbe = 8)) _
-      val hnswFace = embFace(q => graft.ops.Hnsw.hnswTopKIndexed(s,
-        s"$base/hnsw", q, "vec_id", "embedding", k = 4, efSearch = 48)) _
-      val sBm = Retrieval.bm25TopKIndexed(s, s"$base/bm", "doc_id",
-          Bm25Queries, k = 10)
-        .select(concat(lit("bm25:"), col("qid")).as("surface"),
-          col("doc_id").as("key"), col("score").as("n"))
-      sCat.unionByName(sMh).unionByName(sMhC)
-        .unionByName(annFace(4, 10000000L, "ann"))
-        .unionByName(annFace(5, 20000000L, "ann_ctl"))
-        .unionByName(hnswFace(4, 10000000L, "hnsw"))
-        .unionByName(hnswFace(5, 20000000L, "hnsw_ctl"))
-        .unionByName(sBm)
+      // the four surface families are independent reads of
+      // already-purged layouts, but CONSTRUCTING each runs its own
+      // metadata jobs (bucket lists, stats scalars, meta frames — this
+      // gate is lifecycle-JOB-COUNT bound). Build them from a small
+      // thread pool so those driver round-trips overlap
+      // (optimization-guide §2.6, "overlap independent jobs").
+      val faceThunks: Seq[() => DataFrame] = Seq(
+        () => mhFaces(),
+        () => embFaces(q => Similarity.ivfPqTopKIndexed(s,
+          s"$base/ann", q, "vec_id", "embedding", k = 4, nProbe = 8))(
+          "ann", "ann_ctl"),
+        () => embFaces(q => graft.ops.Hnsw.hnswTopKIndexed(s,
+          s"$base/hnsw", q, "vec_id", "embedding", k = 4,
+          efSearch = 48))("hnsw", "hnsw_ctl"),
+        () => Retrieval.bm25TopKIndexed(s, s"$base/bm", "doc_id",
+            Bm25Queries, k = 10)
+          .select(concat(lit("bm25:"), col("qid")).as("surface"),
+            col("doc_id").as("key"), col("score").as("n")))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        import scala.jdk.CollectionConverters._
+        val faces = pool.invokeAll(
+          faceThunks.map(f => new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = f()
+          }).asJava).asScala.map(_.get())
+        faces.foldLeft(sCat)(_ unionByName _)
+      } finally pool.shutdown()
     }),
 
     // cross-surface RTBF reaches the STREAMING SINKS' published

@@ -440,18 +440,24 @@ object SnapshotStore {
     val purge = ids.select(col(ids.columns.head).as("__purge_id"))
       .distinct().persist()
     try {
-      val gens = m.toSeq.sortBy(_._1).map { case (name, gen) =>
+      // per-table anti-join rewrites touch disjoint directories and
+      // share only the materialized purge set — run them as concurrent
+      // Spark jobs (the inParallel/forgetEverywhere discipline; the
+      // single atomic link still happens after ALL rewrites land)
+      val gens = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      inParallel(m.toSeq.sortBy(_._1).map { case (name, gen) => () =>
         pkByTable.get(name) match {
           case Some(pk) =>
             val next = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
             spark.read.parquet(s"$path/$name/$gen")
               .join(purge, col(pk) === col("__purge_id"), "left_anti")
               .write.mode("error").parquet(s"$path/$name/$next")
-            name -> next
-          case None => name -> gen
+            gens.put(name, next); ()
+          case None => gens.put(name, gen); ()
         }
-      }
-      link(spark, path, gens.map { case (n, g) => s"$n $g" }.mkString("\n"))
+      })
+      link(spark, path, m.keys.toSeq.sorted
+        .map(n => s"$n ${gens.get(n)}").mkString("\n"))
     } finally purge.unpersist()
   }
 
