@@ -29,6 +29,32 @@ import org.apache.spark.sql.functions._
  */
 object SkewJoin {
 
+  /** Rows up to which a keyed-unique dim side is broadcast instead of
+    * salted+shuffled: ~2M narrow rows build to tens of MB — well
+    * inside executor budgets and far under Spark's 8 GB/512M-row
+    * broadcast cap; past it the salted shuffle path engages. */
+  val BroadcastRowBound: Long = 2L << 20
+
+  /**
+   * [[salted]] with a size dispatch (the topKAuto/denseVocab idiom):
+   * when the caller can BOUND the dim side's row count
+   * (`dimRowsAtMost` ≤ [[BroadcastRowBound]]), an explicit broadcast
+   * inner join replaces the salted shuffle — row-for-row the same
+   * result (every caller's dim is keyed-unique, and a broadcast join
+   * never shuffles the fact side, so a hot fact key cannot funnel a
+   * reducer: the hub-safety salting exists for is free here). The
+   * fact side keeps its partitioning and the 8× dim replication plus
+   * the fact-side exchange disappear. At scale the dim side (node
+   * cardinality in the graph callers) outgrows the bound and the
+   * salted path engages unchanged — the bound, not the call site,
+   * carries the scale contract.
+   */
+  def saltedAuto(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltFactor: Int, dimRowsAtMost: Long): DataFrame =
+    if (dimRowsAtMost <= BroadcastRowBound)
+      fact.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+    else salted(fact, dim, keys, saltFactor)
+
   def salted(fact: DataFrame, dim: DataFrame, keys: Seq[String],
              saltFactor: Int): DataFrame = {
     require(keys.nonEmpty, "join keys must not be empty")

@@ -189,6 +189,11 @@ object Graphs {
       .distinct()
       .repartition(col("node"))
       .persist()
+    // node cardinality, counted once: it sizes the per-half-round
+    // score lookup's dispatch (broadcast under SkewJoin's row bound,
+    // salted shuffle above it) — 4 half-rounds of edge-cache shuffle
+    // + 8x score replication bought back for one count job
+    val nNodes = nodes.count()
     // one normalized score pass: joinKey is the edge end carrying the
     // summed score, outKey the end receiving it. Salted lookup: the
     // hub's edges spread over saltFactor reducers instead of one.
@@ -200,9 +205,9 @@ object Graphs {
     // the all-nodes sum the oracle computes, without the node join.
     def update(score: DataFrame, joinKey: String,
                outKey: String): (DataFrame, DataFrame) = {
-      val raw = graft.operators.SkewJoin.salted(
+      val raw = graft.operators.SkewJoin.saltedAuto(
         e, score.select(col("node").as(joinKey), col("s")),
-        Seq(joinKey), saltFactor = 8)
+        Seq(joinKey), saltFactor = 8, dimRowsAtMost = nNodes)
         .select(col(outKey),
           round(col("s"), 12).cast("decimal(38,12)").as("__m"))
         .groupBy(col(outKey))
