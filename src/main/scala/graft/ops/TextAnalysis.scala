@@ -823,12 +823,21 @@ object TextAnalysis {
    * word. The merge table broadcasts (it is vocab-sized); the corpus
    * pass is a narrow per-word kernel — no shuffle.
    */
+  /** Fan a (id, text) projection of a single-split scan across the
+    * session's cores BEFORE the tokenize/encode/score kernels attach
+    * (graft.ops.Dispatch.fanOut scaladoc; exchanges do not commute
+    * with projections, so the spread must happen on the raw text).
+    * No-op at production scan parallelism. */
+  private def spreadIdText(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    Dispatch.fanOut(df.select(col(idCol), col(textCol)), col(idCol))
+
   def applyBpe(df: DataFrame, idCol: String, textCol: String,
                merges: Array[(Int, String, String, Long)]): DataFrame = {
     val rankMap = merges.map { case (r, l, rt, _) => (l, rt) -> r }.toMap
     val bc = df.sparkSession.sparkContext.broadcast(rankMap)
     val enc = udf((w: String) => bpeEncodeWord(w, bc.value))
-    df.select(col(idCol),
+    spreadIdText(df, idCol, textCol).select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
       .select(col(idCol), col("pos"), enc(col("w")).as("subtokens"))
@@ -980,7 +989,7 @@ object TextAnalysis {
                      vocab: Set[String], unk: String = "[UNK]"): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(vocab)
     val enc = udf((w: String) => wordPieceEncodeWord(w, bc.value, unk))
-    df.select(col(idCol),
+    spreadIdText(df, idCol, textCol).select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
       .select(col(idCol), col("pos"), enc(col("w")).as("subtokens"))
@@ -1158,7 +1167,7 @@ object TextAnalysis {
     val bc = df.sparkSession.sparkContext.broadcast(vocab.toMap)
     val seg = udf((w: String) =>
       viterbiPieces(w, bc.value, maxPieceLen, -1e3))
-    df.select(col(idCol),
+    spreadIdText(df, idCol, textCol).select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
       .select(col(idCol), col("pos"), seg(col("w")).as("pieces"))

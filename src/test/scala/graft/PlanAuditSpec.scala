@@ -441,14 +441,30 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("narrow per-row passes compile to zero exchanges") {
-    // z-order keying, scrape cleaning and BMP resize are pure per-row
-    // transforms: ANY exchange in their plan is a regression
+    // z-order keying and scrape cleaning are pure per-row transforms:
+    // ANY exchange in their plan is a regression
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    Seq("q_zorder", "q_clean_text", "q_multimodal_resize").foreach { name =>
+    Seq("q_zorder", "q_clean_text").foreach { name =>
       val bad = collectAll(plansOf(name).head) {
         case e: ShuffleExchangeExec => e
       }
       assert(bad.isEmpty, s"$name shuffles: ${bad.size} exchanges")
+    }
+    // BMP resize is also per-row, but its kernel is deliberately
+    // fanned out across the cores (Dispatch.fanOut, r14): the ONE
+    // allowed exchange is a hash repartition whose input is the bare
+    // id projection of the scan — a shuffle that carries ids only,
+    // never computed results. Anything beyond that shape (more than
+    // one exchange, or an exchange fed by kernel output) regresses.
+    val resizeEx = collectAll(plansOf("q_multimodal_resize").head) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(resizeEx.size <= 1,
+      s"q_multimodal_resize shuffles: ${resizeEx.size} exchanges")
+    resizeEx.foreach { e =>
+      assert(e.output.map(_.name) == Seq("doc_id"),
+        s"q_multimodal_resize's fan-out exchange must carry ids only, " +
+          s"got ${e.output.map(_.name)}")
     }
   }
 
